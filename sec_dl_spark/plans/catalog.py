@@ -1,0 +1,55 @@
+"""Query catalog: the driver-facing registry behind __spark_entry__.py.
+
+Each entry pairs a Spark DataFrame program with (where SQL-expressible) an
+ANSI-SQL oracle string that DuckDB runs over the same parquet fixtures
+(TESTDATA.md). The driver compares row-count + schema + order-insensitive
+value hash, sorting columns by name — so BOTH sides alias every computed
+column identically, cast ambiguous integer widths to BIGINT, and round
+floating aggregates to a fixed precision (SURVEY.md §5.1).
+
+Queries marked ``oracle=None`` are non-SQL-expressible (approximate
+algorithms, streaming state, side effects) and get the driver's weaker
+rows-only check; pytest covers their semantics instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sec_dl_spark.sources.fixtures import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every plan module (registration side effect) and return the
+    registry."""
+    from sec_dl_spark.plans import relational, streaming_batch, text  # noqa: F401
+
+    return REGISTRY

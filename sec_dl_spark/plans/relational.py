@@ -1,0 +1,846 @@
+"""Relational operator surface (SURVEY.md §2.3-§2.8) as oracle-checked
+queries over the driver fixtures.
+
+The reference's relational capability is PostgreSQL SQL over a star schema
+(SURVEY.md §3.2) plus the hand-rolled pandas filters/semi-joins of the idx
+loader (sec_dl/utils/load_filings_idx.py:33-48). Here every operator is a
+declarative DataFrame program: Catalyst does column pruning, predicate
+pushdown and join-strategy selection (broadcast for the small dims), and AQE
+re-plans at runtime — see SURVEY.md §4 for the mapping.
+
+Conventions (driver hash-compare): every computed column aliased identically
+on both sides; integer-valued computed columns cast to BIGINT; floating
+aggregates rounded (sums→2dp, avgs/rates→4dp); every query totally ordered
+by a unique key for stable limits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sec_dl_spark.plans.catalog import query, t
+
+# --------------------------------------------------------------------------
+# Aggregations (A*, §2.5) — flagship first.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                 AS sum_qty,
+           round(sum(l_extendedprice), 2)                            AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity) + 1e-8, 4)                                 AS avg_qty,
+           round(avg(l_extendedprice) + 1e-8, 4)                            AS avg_price,
+           round(avg(l_discount) + 1e-8, 4)                                 AS avg_disc,
+           count(*)                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style grouped aggregation (partial agg map-side,
+    single shuffle on the 6-value group key; filter pushed to parquet)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity") + 1e-8, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + 1e-8, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + 1e-8, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_count_filter",
+    oracle="""
+    SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+    FROM orders
+    """,
+)
+def agg_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts — the reference's progress query is COUNT over a
+    NULL filter (sec_dl/utils/monitor_scraper_progress.py:5-7, SURVEY A1)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COUNT(DISTINCT) — expands to two-phase distinct aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_minmax_having",
+    oracle="""
+    SELECT c_mktsegment,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal) + 1e-8, 4) AS avg_bal,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING count(*) > 100
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_minmax_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg + HAVING post-aggregation filter."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal") + 1e-8, 4).alias("avg_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") > 100)
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy subtotals (single shuffle; Expand feeds partial agg)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J*, §2.4) — broadcast dims, semi/anti as membership predicates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_star_3way",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup customer→nation→region; both dims broadcast so the
+    fact table never shuffles before aggregation (the reference's in-memory
+    cik-universe probe, sec_dl/utils/load_filings_idx.py:33,45, generalized)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT n_name, count(*) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (COUNT skips nulls)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (aggregate-before-join
+    shrinks both shuffle inputs to |nations|)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join as membership predicate — the universe filter of the
+    idx loader (sec_dl/utils/load_filings_idx.py:45,48, SURVEY J2/P6)."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the declarative replacement for the reference's
+    unscraped_filings work-queue table + delete trigger
+    (sec_dl/utils/load_filings_idx.py:68-93, SURVEY J3/K10)."""
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        c.join(p, c.c_custkey == p.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_cross_urls",
+    oracle="""
+    SELECT y AS year, q AS qtr,
+           printf('https://www.sec.gov/Archives/edgar/full-index/%d/QTR%d/master.idx', y, q) AS url
+    FROM (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y FROM orders)
+    CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS q)
+    ORDER BY year, qtr
+    """,
+)
+def join_cross_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (year × quarter) + URL formatting — the EDGAR idx download
+    grid (sec_dl/utils/load_filings_idx.py:22-29, SURVEY J4/F8)."""
+    years = (
+        t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("long").alias("year"))
+        .distinct()
+    )
+    quarters = spark.range(1, 5).select(F.col("id").alias("qtr"))
+    return (
+        years.crossJoin(F.broadcast(quarters))
+        .select(
+            "year",
+            "qtr",
+            F.format_string(
+                "https://www.sec.gov/Archives/edgar/full-index/%d/QTR%d/master.idx",
+                F.col("year"),
+                F.col("qtr"),
+            ).alias("url"),
+        )
+        .orderBy("year", "qtr")
+    )
+
+
+@query(
+    "join_q3_topk",
+    oracle="""
+    SELECT o.o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective fact-fact join + grouped revenue + top-k
+    (TakeOrderedAndProject — no full sort materialized)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_q5_region_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join; dims broadcast, facts shuffle on join keys."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_fast_items,
+           round(sum(l_extendedprice), 2) AS fast_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-band join (items shipped within 30 days of order) —
+    the equi key carries the shuffle; the band is a post-join residual."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 30).cast("timestamp"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_fast_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("fast_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k / set ops (T*, §2.6).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_key_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_orderstatus ASC, price DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit → TakeOrderedAndProject (no global sort)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.col("o_orderstatus").asc(), F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, bal DESC, c_custkey
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (Spark pushes rn<=k into the sort
+    as a group-limit at scale)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("bal"))
+        .orderBy("c_mktsegment", F.col("bal").desc(), "c_custkey")
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    ORDER BY op
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over the two nation-key sets."""
+    cn = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    rows = [
+        cn.union(sn).distinct().agg(F.lit("union").alias("op"), F.count(F.lit(1)).alias("n")),
+        cn.intersect(sn).agg(F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")),
+        cn.exceptAll(sn).agg(F.lit("except").alias("op"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("op")
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier)
+    GROUP BY kind ORDER BY kind
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned unionByName — the quarterly idx batches appended into
+    one filings table (sec_dl/utils/load_filings_idx.py:37-58)."""
+    c = t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal"))
+    s = t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+        .orderBy("kind")
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as group-by-all-columns."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "filter_isin",
+    oracle="""
+    SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS total_size
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#12', 'Brand#13') AND p_size BETWEEN 5 AND 40
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN predicates (pushed to the parquet scan) — the
+    reference's filing-type keep-list filter (SURVEY P6)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#13") & F.col("p_size").between(5, 40))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p_size").cast("long").alias("total_size"))
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.8).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with explicit ROWS frame."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value)  OVER w, 4) AS delta_prev,
+           round(lead(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user over event time."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+            F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS price_dense_rank
+    FROM part WHERE p_size > 45
+    ORDER BY p_brand, price_rank, p_partkey
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank within brand (ties share rank → deterministic)."""
+    p = t(spark, sf_dir, "part").where(F.col("p_size") > 45)
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            F.rank().over(w).cast("long").alias("price_rank"),
+            F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (F*, §2.7).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           trim(p_type) AS type_trim
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substring/concat_ws/length/trim (SURVEY F1/F6/F8 family)."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.col("p_type")).alias("type_trim"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)    AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT)   AS mon,
+           date_trunc('month', o_orderdate)     AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+    FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+    """,
+)
+def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/quarter/month/date_trunc/datediff (SURVEY F9)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_math_case",
+    oracle="""
+    SELECT bucket, count(*) AS n,
+           round(sum(revenue), 2) AS revenue,
+           round(avg(tax_amt) + 1e-8, 4) AS avg_tax
+    FROM (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                  WHEN o_totalprice < 300000 THEN 'medium'
+                  ELSE 'large' END AS bucket,
+             o_totalprice * 0.9 AS revenue,
+             abs(o_totalprice) * 0.07 AS tax_amt
+      FROM orders)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + arithmetic/abs."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (F.col("o_totalprice") * 0.9).alias("revenue"),
+            (F.abs(F.col("o_totalprice")) * 0.07).alias("tax_amt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.round(F.avg("tax_amt") + 1e-8, 4).alias("avg_tax"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           count(*) AS n, round(avg(value) + 1e-8, 4) AS avg_value
+    FROM events
+    GROUP BY k ORDER BY k
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props (SURVEY §2.7 declared set)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("long").alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value") + 1e-8, 4).alias("avg_value"))
+        .orderBy("k")
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS segment,
+           count(*) AS n,
+           count(*) FILTER (WHERE nullif(c_mktsegment, 'BUILDING') IS NULL) AS n_nulled
+    FROM customer
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nullif/coalesce/isNull — the reference's IS NULL work-queue predicate
+    (sec_dl/utils/monitor_scraper_progress.py:6, SURVEY P5)."""
+    c = t(spark, sf_dir, "customer")
+    nulled = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        c.select(
+            F.coalesce(nulled, F.lit("REDACTED")).alias("segment"),
+            nulled.isNull().alias("_is_null"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_is_null"), 1)).alias("n_nulled"),
+        )
+        .orderBy("segment")
+    )

@@ -1,0 +1,71 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference hand-tunes parallelism (20 workers, chunked writes — see
+BASELINE.md); here the equivalent knobs are Spark confs. Everything below is
+safe on local[32] and is what we would ship to a 1000-executor cluster:
+AQE handles runtime partition coalescing and skew-join splitting, broadcast
+threshold covers dimension tables, and Arrow makes the few pandas-UDF
+operators batch-transfer instead of per-row pickle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to apply to an existing session at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dims here are ≤ a few MB; on the real cluster raise with care.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read as a
+    # timestamp; read the raw int64 and truncate to micros in the scan
+    # (sources/fixtures.py) — exactly what DuckDB's reader does implicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "sec_dl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster leave it high (e.g. 2-3x total cores) and let AQE coalesce —
+    AQE can only merge, never split, so err high.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we did not create
+    (e.g. the verification driver's). Never fails on a read-only conf."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark

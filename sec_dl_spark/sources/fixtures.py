@@ -1,0 +1,42 @@
+"""Parquet fixture scans (TESTDATA.md).
+
+These are plain declarative `spark.read.parquet` scans so Catalyst performs
+column pruning and predicate pushdown into the parquet reader — the manual
+equivalents the reference hand-codes (`columns=['cik']`,
+sec_dl/utils/load_filings_idx.py:33) come for free here (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sec_dl_spark.schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Filters/projections applied by callers are
+    pushed down into this scan by Catalyst (verify with .explain:
+    PushedFilters / ReadSchema)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): read as int64 nanos (see
+        # session.RUNTIME_CONFS) and truncate to micros with integer
+        # division — double division would lose precision at ~1.7e18 ns.
+        # DuckDB's parquet reader truncates ns→us the same way, so oracle
+        # comparisons line up exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def register_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,110 @@
+"""Mirror of the driver's correctness gate, runnable locally.
+
+Runs every registry query through Spark AND its DuckDB oracle on the same
+parquet fixtures, then compares row count, column names/dtypes, and values
+(rows sorted, floats compared with tolerance). Usage:
+
+    python tools/compare_oracle.py [--sf /root/testdata/sf0.001] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+from sec_dl_spark.schemas import FIXTURE_TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+
+def compare_frames(a: pd.DataFrame, b: pd.DataFrame, rtol: float = 1e-9) -> list[str]:
+    """a=spark, b=oracle. Returns list of mismatch descriptions."""
+    errs: list[str] = []
+    if sorted(a.columns) != sorted(b.columns):
+        return [f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+    a, b = normalize(a), normalize(b)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        try:
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = True
+                for x, y in zip(av.tolist(), bv.tolist()):
+                    xn = x is None or (isinstance(x, float) and math.isnan(x))
+                    yn = y is None or (isinstance(y, float) and math.isnan(y))
+                    if xn != yn or (not xn and not math.isclose(float(x), float(y), rel_tol=rtol, abs_tol=1e-9)):
+                        ok = False
+                        break
+                if not ok:
+                    errs.append(f"column {col}: float values differ")
+            else:
+                if not av.astype(str).equals(bv.astype(str)):
+                    n_diff = int((av.astype(str) != bv.astype(str)).sum())
+                    errs.append(f"column {col}: {n_diff} values differ "
+                                f"(spark head={av.head(3).tolist()} oracle head={bv.head(3).tolist()})")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(f"column {col}: compare error {exc}")
+    return errs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from sec_dl_spark.plans.catalog import load_all
+    from sec_dl_spark.session import get_spark
+
+    specs = load_all()
+    names = args.names or sorted(specs)
+    spark = get_spark("compare_oracle", shuffle_partitions=8)
+    con = duck_connection(args.sf)
+
+    failed = []
+    for name in names:
+        spec = specs[name]
+        try:
+            sdf = spec.spark_fn(spark, args.sf).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failed.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {exc}")
+            failed.append(name)
+            continue
+        errs = compare_frames(sdf, odf)
+        if errs:
+            print(f"FAIL {name}: " + "; ".join(errs))
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
