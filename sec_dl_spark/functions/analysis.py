@@ -1,0 +1,100 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface
+(SURVEY.md §2.11): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure built-in expressions — they run inside
+whole-stage codegen and scale linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sec_dl_spark.functions.text import tokenize
+
+# Tiny fixed stopword list shared with the DuckDB oracles (a stand-in for
+# StopWordsRemover's full list, which is not portable to SQL verbatim).
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it")
+
+# Marker tokens for the n-gram/lexicon language heuristic. Deterministic
+# function of the text (the fixture corpus shares one vocabulary, so this is
+# exercised as function parity, not classifier accuracy).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "a"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace-ish token count (BPE-ish regex tokenizer count)."""
+    return F.size(tokenize(col)).cast("long")
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokenize(col))).cast("long")
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length; 0.0 for empty docs."""
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokenize(col)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    n_punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    return F.when(F.length(col) > 0, n_punct.cast("double") / F.length(col)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation, and high stopword share — the shape of standard pretraining
+    quality filters (length/punct/stopword ratios)."""
+    length_term = F.least(token_count(col).cast("double") / 100.0, F.lit(1.0))
+    return F.round(
+        0.5 * length_term + 0.25 * (1.0 - punct_ratio(col)) + 0.25 * (1.0 - stopword_ratio(col)),
+        4,
+    )
+
+
+def lang_guess(col: Column) -> Column:
+    """Marker-lexicon language guess: the language with the most marker-token
+    hits, ties broken by fixed language order; 'und' when no markers hit."""
+    toks = F.array_distinct(tokenize(col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Fixed iteration order = deterministic tie-break (> keeps earlier lang).
+    for lang in ("en", "de", "fr", "es"):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 over the canonical token stream. Identical
+    content (modulo case/punctuation/whitespace) → identical fingerprint;
+    this is the derived-column analog of the reference's trigger-maintained
+    tsvector (sec_dl/utils/init_tables.py:59-67) used for exact dedup."""
+    return F.md5(F.array_join(tokenize(col), " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of the canonical token stream — the
+    dedup/similarity unit for Jaccard, MinHash and SimHash."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,171 @@
+"""Deduplication operators for the training-data pipeline (SURVEY.md §2.11):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (100 TB):
+- exact dedup is one hash-groupBy on a short fingerprint — never shuffle the
+  full text, shuffle the (fingerprint, id) pairs and semi-join back;
+- MinHash/LSH and SimHash band-bucketing turn the O(n²) pair space into
+  per-bucket candidate sets — shuffle keyed by (band, bucket-hash);
+- pairwise Jaccard is only run on candidates (same bucket / same source),
+  never the cross product of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sec_dl_spark.functions.analysis import fingerprint, shingles
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per canonical-content fingerprint.
+    Equivalent SQL: min(id) GROUP BY fingerprint, semi-joined back."""
+    fp = docs.withColumn("_fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_fp", "_rn")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Pairwise n-gram-shingle Jaccard similarity over candidate pairs.
+
+    ``block_col`` is the blocking key (same-bucket candidates only); None
+    falls back to a full self-join — acceptable for small corpora / tests,
+    never for the 100 TB path (use minhash_lsh_pairs there).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col).alias("_blk")] if block_col else [F.lit(1).alias("_blk")]),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_blk"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_blk"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH
+    (pyspark.ml MinHashLSH over a HashingTF of shingles).
+
+    approxSimilarityJoin prunes by banded hash buckets, so the shuffle is
+    keyed by bucket — the scale path for corpus-level near-dedup. Output:
+    (id_a, id_b, jaccard_est) where est = 1 - approx distance.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="dist")
+    return (
+        joined.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over shingles using xxhash64 (JVM-side, no UDF).
+
+    For each bit b, the bit is 1 iff more shingle-hashes have bit b set than
+    unset. Near-duplicates differ in few bits (small Hamming distance).
+    Expressed with explode + groupBy-sum over bit positions — one shuffle
+    keyed by doc, partial aggregation map-side.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col))).alias("sh"),
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    # vote(b) = +1 if bit set else -1; sum>0 → bit set in the signature.
+    votes = hashed.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{b}"
+            )
+            for b in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)])
+    sig = agg.select(
+        "doc_id",
+        sum(
+            [
+                # shiftleft on the JVM: bit 63 lands in the sign bit of the
+                # signed long, which a Python literal 1<<63 cannot express.
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(bits)
+            ],
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def hamming_pairs(sig: DataFrame, max_distance: int = 3, band_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs from SimHash signatures via band-bucketing:
+    two signatures within Hamming distance d share at least one of
+    ceil(64/band_bits) bands untouched (pigeonhole when d < n_bands).
+    Join key = (band_idx, band_value); exact Hamming check post-join."""
+    n_bands = 64 // band_bits
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", dist.alias("hamming")).where(F.col("hamming") <= max_distance)

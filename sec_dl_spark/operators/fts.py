@@ -1,0 +1,99 @@
+"""Full-text search: materialized inverted index + query evaluation.
+
+Replaces the reference's PostgreSQL GIN index and tsvector trigger
+(/root/reference/sec_dl/utils/init_tables.py:56-67) and the user-facing
+`token @@ to_tsquery(...)` capability (README.md:7). Spark has no secondary
+indexes, so the index is itself a table: one posting row per (token, doc),
+with in-document positions for phrase queries.
+
+Scale design (100 TB): the posting table is written bucketed/partitioned by
+token hash so a query term touches one bucket; building it is one explode +
+one groupBy (single shuffle keyed by (token, doc_id)); query evaluation is a
+semi-join of a tiny broadcast term list against the postings, then a grouped
+count for AND semantics — no scan of the raw text at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sec_dl_spark.functions.text import tokenize
+
+
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs(id, text) → postings(token, doc_id, positions ARRAY<INT>).
+
+    posexplode keeps token positions so phrase search works; the groupBy
+    collects per-document position lists (map-side combine applies).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    return (
+        toks.groupBy("token", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def write_index(postings: DataFrame, path: str, buckets: int = 256) -> None:
+    """Persist the index partitioned by token hash-bucket: a search term
+    prunes to one directory. (Bucketed saveAsTable is the managed-catalog
+    variant; plain parquet keeps the fixture flow hermetic.)"""
+    (
+        postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets)
+        .repartition("token_bucket")
+        .write.mode("overwrite")
+        .partitionBy("token_bucket")
+        .parquet(path)
+    )
+
+
+def search_all(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """AND semantics (to_tsquery 'a & b'): doc_ids containing every term.
+    Grouped distinct-term count == n_terms — one broadcast semi-join plus
+    one aggregation on doc_id."""
+    terms_df = F.broadcast(
+        postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
+    )
+    n = len(set(terms))
+    return (
+        postings.join(terms_df, "token", "inner")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("token").alias("n_hit"))
+        .where(F.col("n_hit") == n)
+        .select("doc_id")
+    )
+
+
+def search_any(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """OR semantics (to_tsquery 'a | b'): doc_ids containing any term."""
+    terms_df = F.broadcast(
+        postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
+    )
+    return postings.join(terms_df, "token", "inner").select("doc_id").distinct()
+
+
+def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact-phrase search (to_tsquery 'a <-> b'): consecutive positions.
+    Offsets each term's positions back by its phrase index, then intersects —
+    a doc matches iff some start position survives every intersection."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    def term_starts(i: int, term: str) -> DataFrame:
+        return postings.where(F.col("token") == term.lower()).select(
+            "doc_id",
+            F.transform("positions", lambda p: p - F.lit(i)).alias(f"starts_{i}"),
+        )
+
+    acc = term_starts(0, phrase[0]).withColumnRenamed("starts_0", "starts")
+    for i, term in enumerate(phrase[1:], start=1):
+        acc = (
+            acc.join(term_starts(i, term), "doc_id")
+            .select("doc_id", F.array_intersect("starts", f"starts_{i}").alias("starts"))
+            .where(F.size("starts") > 0)
+        )
+    return acc.select("doc_id").distinct()

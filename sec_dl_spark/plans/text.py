@@ -1,3 +1,338 @@
-"""Text / FTS / dedup / similarity queries (filled in as operators land)."""
+"""Text / FTS / dedup / similarity queries over the documents and embeddings
+fixtures (SURVEY.md §2.7 F-rows, §2.11 north-star extensions).
+
+Shared tokenizer convention with the oracles: tokens are non-empty runs of
+[a-z0-9] over the lowercased text (functions/text.py:tokenize). Jaccard and
+averages are rounded with a +1e-9/+1e-8 nudge — rational values land exactly
+on rounding halfway points otherwise (see plans/relational.py conventions).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sec_dl_spark.functions import analysis as A
+from sec_dl_spark.functions.text import clean_filing_text, tokenize
+from sec_dl_spark.operators import dedup, fts, similarity
+from sec_dl_spark.plans.catalog import query, t
+
+# DuckDB-side canonical tokenizer / shingler (mirrors functions/text.py).
+TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+SHINGLES = (
+    "list_distinct(list_transform(range(len(toks) - 2), "
+    "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))"
+)
+
+
+@query(
+    "text_clean_chain",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(
+               string_split(
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(text), '&#160;|&nbsp;', ' ', 'g'),
+                         '[“”]', '"', 'g'),
+                     '[\\n\\t\\r]', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '\\s+', ' ', 'g')),
+                 ' '),
+               w -> length(w) < 20),
+             ' ') AS cleaned
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_clean_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full cleaning chain F1→F6→F2→F3→F4
+    (scrape_all_filings.py:42-65,105-110,157) as one codegen'd expression."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", clean_filing_text(F.col("text")).alias("cleaned")).orderBy("doc_id")
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END + 1e-8, 4) AS avg_tok_len,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END + 1e-8, 4) AS stop_ratio
+    FROM tk ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-style ratios (SURVEY §2.11 text analysis)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        A.token_count(F.col("text")).alias("n_tokens"),
+        A.unique_token_count(F.col("text")).alias("n_unique"),
+        F.round(A.avg_token_len(F.col("text")) + 1e-8, 4).alias("avg_tok_len"),
+        F.round(A.stopword_ratio(F.col("text")) + 1e-8, 4).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           round(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.25 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks))
+               + 1e-8, 4) AS quality
+    FROM tk WHERE len(toks) > 0 AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length/punct/stopword) per document."""
+    d = t(spark, sf_dir, "documents").where(
+        (A.token_count(F.col("text")) > 0) & (F.length("text") > 0)
+    )
+    return d.select(
+        "doc_id", F.round(A.quality_score(F.col("text")) + 1e-8, 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_guess",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, list_distinct({TOKS}) AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> list_contains(['the','and','of','a'], x))) AS s_en,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das'], x))) AS s_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS s_fr,
+           len(list_filter(toks, x -> list_contains(['el','los','que','y'], x))) AS s_es
+          FROM tk)
+    SELECT lang, guess, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS guess
+      FROM s)
+    GROUP BY lang, guess ORDER BY lang, guess
+    """,
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID vs the labeled lang column (confusion
+    counts). Deterministic function parity — the fixture corpus shares one
+    vocabulary, so this checks the operator, not classifier accuracy."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", A.lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guess")
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           count(*) - CAST(count(DISTINCT fp) AS BIGINT) AS n_dups
+    FROM fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via canonical-content md5 fingerprint (hash-groupBy;
+    only (fingerprint, id) pairs ever shuffle, never the text)."""
+    d = t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", A.fingerprint(F.col("text")).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_dups"),
+    )
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top near-dup candidate pairs by 3-gram-shingle Jaccard, blocked by
+    source (candidate generation never crosses blocks — the scale pattern;
+    at 100 TB the block key is an LSH band instead of a metadata column)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.0)
+    return (
+        pairs.where(F.col("jaccard") > 0)
+        .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (approximate → rows-only check;
+    pytest pins semantics on a constructed corpus with known duplicates)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.3).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + banded Hamming candidate pairs (rows-only)."""
+    d = t(spark, sf_dir, "documents")
+    sig = dedup.simhash(d)
+    return dedup.hamming_pairs(sig, max_distance=10).orderBy("id_a", "id_b")
+
+
+@query(
+    "fts_search_and",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+      AND list_contains(toks, 'window')
+    ORDER BY doc_id
+    """,
+)
+def fts_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_tsquery 'spark & join & window' via the inverted index — semi-join
+    of a broadcast term list against postings + grouped distinct-term count
+    (replaces the reference's GIN index, init_tables.py:56-57)."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_all(postings, ["spark", "join", "window"]).orderBy("doc_id")
+
+
+@query(
+    "fts_search_or",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE list_contains(toks, 'vector') OR list_contains(toks, 'stream')
+    ORDER BY doc_id
+    """,
+)
+def fts_search_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_tsquery 'vector | stream' — distinct doc_ids from the postings."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_any(postings, ["vector", "stream"]).orderBy("doc_id")
+
+
+@query(
+    "fts_phrase",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE (' ' || array_to_string(toks, ' ') || ' ') LIKE '% fast sort %'
+    ORDER BY doc_id
+    """,
+)
+def fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search 'fast <-> sort' via position-list intersection in
+    the inverted index (the oracle checks the same semantics by substring
+    over the canonical token stream)."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_phrase(postings, ["fast", "sort"]).orderBy("doc_id")
+
+
+@query(
+    "fts_top_df_tokens",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, list_distinct({TOKS}) AS toks FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+    GROUP BY token ORDER BY df DESC, token LIMIT 10
+    """,
+)
+def fts_top_df_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency ranking straight off the posting table."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(10)
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 per query vector (queries broadcast;
+    JVM-side zip_with/aggregate dot products; per-query ranking window)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, e.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
+
+
+@query("emb_cosine_topk_lsh", oracle=None)
+def emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via BucketedRandomProjectionLSH on unit vectors
+    (rows-only; pytest checks recall vs the exact path)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(e, e.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "emb_cosine_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE list_cosine_similarity(a.v, b.v) > 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above 0.5, blocked by label
+    (same blocking discipline as dedup_jaccard_pairs)."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim > 0.5)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
