@@ -1,0 +1,103 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §2.11).
+
+Blobs are opaque BinaryType columns with typed metadata structs
+(schemas.MEDIA); files enter via Spark's binaryFile source. Decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+iterators over mapInPandas — the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested; the actual codec work is
+stubbed behind import gates because image/audio libraries are not in this
+container: with_real_decoders=False uses a deterministic fake (stable
+feature vectors from the bytes), True raises NotImplementedError at the
+decode step only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw files as (path, modificationTime, length, content BINARY)
+    via the binaryFile source, normalized to the MEDIA shape."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.element_at(F.split(F.col("path"), r"\."), -1).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(content: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: FEATURE_DIM floats derived
+    from byte statistics — stable across executors, no external libs."""
+    if content is None:
+        return None
+    n = len(content)
+    out = []
+    for i in range(FEATURE_DIM):
+        chunk = content[i::FEATURE_DIM] or b"\x00"
+        out.append(round((sum(chunk) % 1000) / (len(chunk) + n % 7 + 1), 4))
+    return out
+
+
+def extract_features(
+    media: DataFrame, with_real_decoders: bool = False, batch_hint: int = 64
+) -> DataFrame:
+    """(media_id, kind, content, …) → (media_id, kind, n_bytes, features).
+
+    mapInPandas so each Arrow batch amortizes decoder setup; the real path
+    would open PIL/librosa/av here — that import is the ONLY stubbed piece.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if with_real_decoders:
+            # The container has no image/audio codecs; this is the marked
+            # stub — the surrounding plumbing is production-shaped.
+            raise NotImplementedError(
+                "real decoders (PIL/librosa/av) are not available in this "
+                "environment; use with_real_decoders=False"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                    "features": pdf["content"].map(_fake_features),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter making the documents fixture exercise the binary path:
+    text → utf-8 bytes as the opaque payload (the plumbing is
+    payload-agnostic, which is the point of BinaryType columns)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )

@@ -1,3 +1,154 @@
-"""Batch-equivalent views of the streaming operators (filled in)."""
+"""Event-stream analytics as oracle-checked BATCH queries (SURVEY.md §2.9).
+
+Each of these has a Structured Streaming twin in sec_dl_spark/streaming/
+(same transformations over readStream with watermarks); the batch form is
+what the DuckDB oracle can check, the streaming form is pytest-verified
+with a file-source micro-batch harness. Timestamps are compared in integer
+microseconds everywhere (events.parquet is ns-precision; both engines
+truncate to µs — see sources/fixtures.py).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sec_dl_spark.operators.relational import asof_join, sessionize
+from sec_dl_spark.plans.catalog import query, t
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming twin: groupBy(window(ts,'1
+    hour')) with a watermark — streaming/pipeline.py:windowed_counts)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+      FROM ordered),
+    sess AS (
+      SELECT user_id, event_id, value, us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(us) - min(us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session rollup — the batch
+    twin of session_window / applyInPandasWithState."""
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts_col="ts", gap_seconds=1800, order_cols=["event_id"])
+    us = F.unix_micros(F.col("ts"))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           round(p.value, 2) AS purchase_value,
+           round(c.value, 2) AS last_click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most recent
+    prior click (operators/relational.py:asof_join — union-sort-carry, one
+    shuffle, no per-row lookups)."""
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts", F.col("value").alias("click_value"))
+    joined = asof_join(p, c, on="user_id", right_cols=["click_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value", 2).alias("last_click_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed keep-first dedup — deterministic form of streaming
+    dropDuplicates(["user_id","event_type"]) (amended-filing dedup pattern,
+    SURVEY §2.9)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.unix_micros(F.col("ts")), "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events WHERE user_id < 20
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event-type counts per user (explicit value list keeps the plan
+    a single pass — no distinct-values pre-query)."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return out.na.fill(0, types).orderBy("user_id")

@@ -336,3 +336,33 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType column plumbing: documents as opaque utf-8 payloads with
+    byte-length metadata (operators/multimodal.py; SURVEY §2.11)."""
+    from sec_dl_spark.operators.multimodal import docs_as_media
+
+    d = t(spark, sf_dir, "documents")
+    m = docs_as_media(d)
+    return m.select("media_id", F.length("content").cast("long").alias("n_bytes")).orderBy(
+        "media_id"
+    )
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (deterministic
+    fake encoder — the real codec import is the only stubbed piece)."""
+    from sec_dl_spark.operators.multimodal import docs_as_media, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    return extract_features(docs_as_media(d)).orderBy("media_id")

@@ -16,6 +16,12 @@ from pyspark.sql import SparkSession
 
 # Confs that are safe to apply to an existing session at runtime.
 RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic wall-clock timestamps regardless of the host TZ: the
+    # fixture parquet stores naive (zoneless) timestamps, so collect them
+    # as UTC to keep outputs equal to the stored values (DuckDB reads them
+    # naively). Must be runtime-set because the verification driver builds
+    # its own session.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

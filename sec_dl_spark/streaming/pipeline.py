@@ -1,0 +1,134 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference's scrape loop is an unbounded incremental pipeline: infinite
+pool.map_async waves (/root/reference/sec_dl/utils/scrape_all_filings.py:177-183)
+with trigger-maintained derived state (init_tables.py:59-67) and a polling
+monitor. Here the same capabilities are declarative streams:
+
+- file-source micro-batches replace the work-queue sampling;
+- watermark + dropDuplicates replaces amended-filing double-processing;
+- windowed / session aggregations replace the monitor's polling arithmetic;
+- foreachBatch carries the JDBC upsert (sinks/jdbc.py) — checkpointed
+  offsets replace the reference's delete-trigger work queue (K10).
+
+Every transform here is also exercised in batch form by the oracle-checked
+queries in plans/streaming_batch.py; pytest drives the streaming twins with
+a real readStream → memory-sink harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event parquet files (new files = new batches,
+    exactly the EDGAR quarterly-arrival shape). maxFilesPerTrigger is the
+    backpressure knob (reference: 1000-task waves, BASELINE.md)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) event-time window counts
+    with late-data handling via watermark."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation per user (dynamic gap-close windows) —
+    streaming twin of operators/relational.py:sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon — replaces the
+    reference's re-scrape-collision avoidance and handles re-filed
+    amendments (8-K/A) arriving late."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> DataFrame:
+    """Test/ops harness: run a (bounded) stream to a memory sink with
+    availableNow semantics, block until drained, return the result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
+
+
+def run_agg_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> DataFrame:
+    """Same, but complete output mode for aggregation streams."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
+
+
+def foreach_batch_sink(df: DataFrame, batch_fn, checkpoint_dir: str):
+    """Generic foreachBatch writer (the JDBC-upsert carrier, SURVEY K4):
+    checkpointed micro-batches give effectively-once delivery to the PG
+    serving mirror."""
+    return (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,106 @@
+"""End-to-end EDGAR ETL on synthetic idx/seed data (hermetic — the idx
+sample mirrors the public master.idx format: 9 preamble lines, '----'
+separator, pipe-delimited records; see
+/root/reference/sec_dl/utils/load_filings_idx.py:38-42 for the shape)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_dl_spark import schemas
+from sec_dl_spark.etl.ingest import apply_text_updates, build_filings, pending_filings, write_filings
+from sec_dl_spark.etl.monitor import scrape_progress
+from sec_dl_spark.etl.scrape import fake_fetcher, scrape_pending
+from sec_dl_spark.sources.edgar_idx import idx_url_grid, parse_master_idx
+
+IDX_SAMPLE = """Description:           Master Index of EDGAR Dissemination Feed
+Last Data Received:    March 31, 2023
+Comments:              webmaster@sec.gov
+Anonymous FTP:         ftp://ftp.sec.gov/edgar/
+Cloud HTTP:            https://www.sec.gov/Archives/
+
+
+
+CIK|Company Name|Form Type|Date Filed|Filename
+--------------------------------------------------------------------------------
+100|ALPHA CORP|10-K|2023-01-15|edgar/data/100/0001-23-000001.txt
+100|ALPHA CORP|8-K|2023-02-01|edgar/data/100/0001-23-000002.txt
+200|BETA, INC.|10-Q|2023-03-10|edgar/data/200/0002-23-000001.txt
+300|GAMMA LLC|10-K|2023-03-20|edgar/data/300/0003-23-000001.txt
+999|UNKNOWN CO|10-K|2023-03-25|edgar/data/999/0009-23-000001.txt
+"""
+
+
+@pytest.fixture(scope="module")
+def idx_records(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("idx") / "master.idx"
+    p.write_text(IDX_SAMPLE)
+    return parse_master_idx(spark, str(p)).cache()
+
+
+@pytest.fixture(scope="module")
+def companies(spark):
+    rows = [(1, "ALF", 100, "ALPHA CORP"), (2, "BET", 200, "BETA, INC."), (3, "NOC", None, "NO CIK CO")]
+    return spark.createDataFrame(rows, schemas.COMPANIES)
+
+
+@pytest.fixture(scope="module")
+def filing_types(spark):
+    rows = [(1, "10-K", 1), (2, "10-Q", 1), (3, "8-K", 0)]
+    return spark.createDataFrame(rows, schemas.FILING_TYPES)
+
+
+def test_parse_master_idx_drops_preamble_and_separator(idx_records):
+    rows = idx_records.collect()
+    assert len(rows) == 5  # header + ---- + blank lines all dropped
+    assert {r["cik"] for r in rows} == {100, 200, 300, 999}
+    r = [x for x in rows if x["type"] == "10-Q"][0]
+    assert r["business_name"] == "BETA, INC."
+    assert str(r["date"]) == "2023-03-10"
+    assert r["path"].startswith("edgar/data/200/")
+
+
+def test_build_filings_universe_and_type_filters(idx_records, companies, filing_types):
+    filings = build_filings(idx_records, companies, filing_types)
+    rows = filings.collect()
+    # cik 999 (not in universe), cik 300 (not in universe), 8-K (keep=0) dropped
+    assert {(r["cik"], r["type"]) for r in rows} == {(100, "10-K"), (200, "10-Q")}
+    assert all(r["year"] == 2023 for r in rows)
+    assert {r["qtr"] for r in rows} == {1}
+    assert len({r["filing_id"] for r in rows}) == 2  # stable distinct hashes
+    assert all(r["text"] is None for r in rows)
+
+
+def test_filings_roundtrip_scrape_and_update(spark, idx_records, companies, filing_types, tmp_path):
+    base = str(tmp_path / "warehouse")
+    filings = build_filings(idx_records, companies, filing_types)
+    write_filings(filings, base, mode="overwrite")
+
+    meta = spark.read.parquet(f"{base}/filings_meta")
+    text = spark.read.parquet(f"{base}/filings_text")
+    assert meta.count() == 2
+    assert "text" not in meta.columns  # blob never in the metadata table
+
+    pending = pending_filings(meta, text)
+    assert pending.count() == 2
+
+    updates = scrape_pending(pending, fetcher=fake_fetcher).join(
+        meta.select("filing_id", "year", "qtr"), "filing_id"
+    )
+    new_text = apply_text_updates(text, updates)
+    assert new_text.where(F.col("text").isNotNull()).count() == 2
+    got = new_text.orderBy("filing_id").first()
+    assert "annual report" in got["text"]
+    assert "binaryblob" not in got["text"]  # chart.jpg segment dropped
+    assert got["tokens"] is not None and "report" in got["tokens"]
+
+    # work queue drains declaratively — no trigger machinery
+    assert pending_filings(meta, new_text).count() == 0
+
+    prog = scrape_progress(meta, new_text).first()
+    assert prog["n_total"] == 2 and prog["n_done"] == 2 and prog["pct_done"] == 100.0
+
+
+def test_idx_url_grid(spark):
+    grid = idx_url_grid(spark, 2020, 2021).collect()
+    assert len(grid) == 8
+    assert grid[0]["url"] == "https://www.sec.gov/Archives/edgar/full-index/2020/QTR1/master.idx"

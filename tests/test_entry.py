@@ -1,0 +1,51 @@
+"""Driver-contract smoke tests + a representative oracle-parity subset
+(the full sweep is tools/compare_oracle.py / the driver's t2 gate)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as ent
+from tools.compare_oracle import compare_frames, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "count_order" in df.columns
+
+
+def test_registry_consistency():
+    q = ent.queries()
+    o = ent.oracle_sql()
+    assert len(q) >= 45
+    assert set(o) <= set(q)
+    # the vast majority must be oracle-checked, not rows-only
+    assert len(o) >= 0.75 * len(q)
+
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "join_star_3way",
+    "join_q3_topk",
+    "window_running_sum",
+    "agg_rollup",
+    "text_token_stats",
+    "fts_search_and",
+    "emb_cosine_topk",
+    "events_sessionize",
+    "events_asof_join",
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_oracle_parity_subset(spark, name):
+    q = ent.queries()
+    o = ent.oracle_sql()
+    sdf = q[name](spark, SF).toPandas()
+    con = duck_connection(SF)
+    odf = con.sql(o[name]).df()
+    errs = compare_frames(sdf, odf)
+    assert not errs, f"{name}: {errs}"

@@ -1,0 +1,106 @@
+"""Operator semantics on constructed data: as-of join, sessionize, dedup
+family, similarity search."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sec_dl_spark.operators.dedup import (
+    exact_dedup,
+    hamming_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from sec_dl_spark.operators.relational import asof_join, sessionize
+from sec_dl_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(20), "p2"), (2, _ts(5), "p3")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), 100.0), (1, _ts(15), 200.0), (1, _ts(20), 250.0), (2, _ts(9), 300.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r["name"]: r["v"] for r in asof_join(left, right, on="k").collect()}
+    assert out == {"p1": 100.0, "p2": 250.0, "p3": None}  # ties match (<=); no future rows
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(45)), (2, _ts(0))],
+        "user long, ts timestamp",
+    )
+    out = sessionize(df, key="user", gap_seconds=1800).collect()
+    sess = {(r["user"], r["ts"].minute): r["session_id"] for r in out}
+    assert sess == {(1, 0): 1, (1, 10): 1, (1, 45): 2, (2, 0): 1}
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # 2 is a canonical-content dup of 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely unrelated words entirely elsewhere now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    other = " ".join(f"q{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_and_near(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w10", "zz")
+    other = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    ham_13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    ham_14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+    cand = {(r["id_a"], r["id_b"]) for r in hamming_pairs(simhash(df), max_distance=0).collect()}
+    assert (1, 2) in cand
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.where(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # cos: .994, 0, -1
+
+
+def test_cosine_topk_lsh_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_lsh(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

@@ -1,0 +1,73 @@
+"""Structured Streaming twins: real readStream → memory-sink runs over the
+events fixture, checked against the equivalent batch computation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_dl_spark.sources.fixtures import load_table
+from sec_dl_spark.streaming.pipeline import (
+    dedup_events,
+    read_events_stream,
+    run_agg_stream_to_memory,
+    run_stream_to_memory,
+    session_counts,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # Stage the fixture as a file-source directory (2 files → 2 batches with
+    # maxFilesPerTrigger=1); µs-truncated ts via the fixture loader.
+    d = str(tmp_path_factory.mktemp("events_src"))
+    load_table(spark, "/root/testdata/sf0.001", "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = run_agg_stream_to_memory(windowed_counts(stream), "win_counts")
+    batch = spark.read.parquet(events_dir)
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    got = result.collect()
+    assert len(got) == expected
+    assert sum(r["n"] for r in got) == batch.count()
+
+
+def test_dedup_events_stream(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    # duplicate the stream source rows by unioning with itself → dedup must
+    # return each event_id once
+    deduped = dedup_events(stream.union(stream))
+    result = run_stream_to_memory(deduped, "dedup_events")
+    n_ids = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert result.select("event_id").distinct().count() == n_ids
+    assert result.count() == n_ids
+
+
+def test_session_counts_stream_runs(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    result = run_agg_stream_to_memory(session_counts(stream, gap="30 minutes"), "sess_counts")
+    batch_events = spark.read.parquet(events_dir).count()
+    assert sum(r["n_events"] for r in result.collect()) == batch_events
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    from sec_dl_spark.streaming.pipeline import foreach_batch_sink
+
+    seen = []
+
+    def collect_batch(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = foreach_batch_sink(stream, collect_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == spark.read.parquet(events_dir).count()
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 over 2 files

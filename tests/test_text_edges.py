@@ -1,0 +1,75 @@
+"""Edge-case unit tests from FIXTURES.md §A: the idx separator row,
+>=20-char token debris, binary attachment extensions, HTML entities,
+NULL text, smart quotes."""
+
+from pyspark.sql import functions as F
+
+from sec_dl_spark.functions.text import (
+    clean_filing_text,
+    drop_long_tokens,
+    normalize_nfkd,
+    strip_embedded_files,
+    tokenize,
+)
+
+
+def _clean_one(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], ["text"])
+    return df.select(clean_filing_text(F.col("text")).alias("c")).first()["c"]
+
+
+def test_drop_long_tokens(spark):
+    raw = "short " + "x" * 25 + " ok " + "y" * 19
+    df = spark.createDataFrame([(raw,)], ["text"])
+    out = df.select(drop_long_tokens(F.col("text")).alias("c")).first()["c"]
+    assert out == "short ok " + "y" * 19
+
+
+def test_clean_chain_tags_entities_whitespace(spark):
+    raw = "Hello&nbsp;<b>World</b>\n\tFoo&#160;Bar “quoted”"
+    assert _clean_one(spark, raw) == 'hello world foo bar "quoted"'
+
+
+def test_clean_chain_base64_debris(spark):
+    raw = "report text QWxhZGRpbjpvcGVuIHNlc2FtZUFsYWRkaW46b3BlbiBzZXNhbWU= end"
+    assert _clean_one(spark, raw) == "report text end"
+
+
+def test_clean_chain_null(spark):
+    df = spark.createDataFrame([(None,)], "text string")
+    assert df.select(clean_filing_text(F.col("text")).alias("c")).first()["c"] is None
+
+
+def test_tokenize_punct_and_case(spark):
+    df = spark.createDataFrame([("The QUICK-brown fox, 42 times!",)], ["text"])
+    toks = df.select(tokenize(F.col("text")).alias("t")).first()["t"]
+    assert toks == ["the", "quick", "brown", "fox", "42", "times"]
+
+
+def test_nfkd_normalization(spark):
+    # U+FB01 LATIN SMALL LIGATURE FI decomposes to 'f'+'i' under NFKD
+    df = spark.createDataFrame([("ﬁling",)], ["text"])
+    out = df.select(normalize_nfkd(F.col("text")).alias("n")).first()["n"]
+    assert out == "filing"
+
+
+def test_strip_embedded_files_drops_binary_segments(spark):
+    raw = (
+        "<SEC-DOCUMENT>"
+        "<DOCUMENT><TYPE>10-K<FILENAME>main.htm<TEXT>keep this prose</TEXT></DOCUMENT>"
+        "<DOCUMENT><TYPE>GRAPHIC<FILENAME>chart.jpg<TEXT>BINARYJUNK</TEXT></DOCUMENT>"
+        "<DOCUMENT><TYPE>EX-101<FILENAME>style.css<TEXT>body{}</TEXT></DOCUMENT>"
+        "</SEC-DOCUMENT>"
+    )
+    df = spark.createDataFrame([(1, raw)], ["filing_id", "text"])
+    out = strip_embedded_files(df).first()["text"]
+    assert "keep this prose" in out
+    assert "BINARYJUNK" not in out
+    assert "body{}" not in out
+
+
+def test_strip_embedded_files_keeps_all_when_no_binaries(spark):
+    raw = "<DOCUMENT><FILENAME>a.htm<TEXT>alpha</TEXT></DOCUMENT>"
+    df = spark.createDataFrame([(1, raw)], ["filing_id", "text"])
+    out = strip_embedded_files(df).first()["text"]
+    assert "alpha" in out
