@@ -26,26 +26,49 @@ LANG_MARKERS = {
 }
 
 
+# Performance note: every ``*_of`` function below takes an already-computed
+# token-array COLUMN (project ``tokenize(text).alias("toks")`` first, then
+# apply these to the attribute). Higher-order functions run interpreted (not
+# whole-stage codegen), and a Column expression tree is duplicated at every
+# reference — so passing ``tokenize(text)`` directly would re-tokenize the
+# document once per lambda evaluation. The text-column wrappers are kept for
+# single-use convenience only.
+
+
+def token_count_of(toks: Column) -> Column:
+    return F.size(toks).cast("long")
+
+
 def token_count(col: Column) -> Column:
     """Whitespace-ish token count (BPE-ish regex tokenizer count)."""
-    return F.size(tokenize(col)).cast("long")
+    return token_count_of(tokenize(col))
+
+
+def unique_token_count_of(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)).cast("long")
 
 
 def unique_token_count(col: Column) -> Column:
-    return F.size(F.array_distinct(tokenize(col))).cast("long")
+    return unique_token_count_of(tokenize(col))
 
 
-def avg_token_len(col: Column) -> Column:
+def avg_token_len_of(toks: Column) -> Column:
     """Mean token length; 0.0 for empty docs."""
-    toks = tokenize(col)
     total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = tokenize(col)
+def avg_token_len(col: Column) -> Column:
+    return avg_token_len_of(tokenize(col))
+
+
+def stopword_ratio_of(toks: Column) -> Column:
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    return stopword_ratio_of(tokenize(col))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -54,21 +77,27 @@ def punct_ratio(col: Column) -> Column:
     return F.when(F.length(col) > 0, n_punct.cast("double") / F.length(col)).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score_of(toks: Column, text: Column) -> Column:
     """Composite [0,1] quality heuristic: penalize very short docs, high
     punctuation, and high stopword share — the shape of standard pretraining
     quality filters (length/punct/stopword ratios)."""
-    length_term = F.least(token_count(col).cast("double") / 100.0, F.lit(1.0))
+    length_term = F.least(token_count_of(toks).cast("double") / 100.0, F.lit(1.0))
     return F.round(
-        0.5 * length_term + 0.25 * (1.0 - punct_ratio(col)) + 0.25 * (1.0 - stopword_ratio(col)),
+        0.5 * length_term
+        + 0.25 * (1.0 - punct_ratio(text))
+        + 0.25 * (1.0 - stopword_ratio_of(toks)),
         4,
     )
 
 
-def lang_guess(col: Column) -> Column:
+def quality_score(col: Column) -> Column:
+    return quality_score_of(tokenize(col), col)
+
+
+def lang_guess_of(toks: Column) -> Column:
     """Marker-lexicon language guess: the language with the most marker-token
     hits, ties broken by fixed language order; 'und' when no markers hit."""
-    toks = F.array_distinct(tokenize(col))
+    toks = F.array_distinct(toks)
     scores = {
         lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -83,18 +112,38 @@ def lang_guess(col: Column) -> Column:
     return best
 
 
+def lang_guess(col: Column) -> Column:
+    return lang_guess_of(tokenize(col))
+
+
+def fingerprint_of(toks: Column) -> Column:
+    return F.md5(F.array_join(toks, " "))
+
+
 def fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 over the canonical token stream. Identical
     content (modulo case/punctuation/whitespace) → identical fingerprint;
     this is the derived-column analog of the reference's trigger-maintained
     tsvector (sec_dl/utils/init_tables.py:59-67) used for exact dedup."""
-    return F.md5(F.array_join(tokenize(col), " "))
+    return fingerprint_of(tokenize(col))
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles from a token-array column — the
+    dedup/similarity unit for Jaccard, MinHash and SimHash.
+
+    One regexp_extract_all pass over the space-joined token stream, with a
+    lookahead group capturing the n-gram at every token start (overlapping
+    matches). A transform/element_at formulation would reference ``toks``
+    ~2n times — and since optimizer rules substitute expression trees into
+    inferred filters (e.g. explode's size>0) wholesale, any multi-reference
+    shingler risks re-evaluating its input tree per reference. This one
+    references ``toks`` once and runs in whole-stage codegen."""
+    pat = r"(?=((?:\S+)(?: \S+){%d}))\S+" % (n - 1)
+    return F.array_distinct(F.regexp_extract_all(F.array_join(toks, " "), F.lit(pat), 1))
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-gram word shingles of the canonical token stream — the
-    dedup/similarity unit for Jaccard, MinHash and SimHash."""
-    toks = tokenize(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    """Text-column convenience wrapper over ``shingles_of`` — only for
+    single-document/test use; operators tokenize into a column first."""
+    return shingles_of(tokenize(col), n)

@@ -16,7 +16,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sec_dl_spark.functions.analysis import fingerprint, shingles
+from sec_dl_spark.functions.analysis import fingerprint, shingles_of
+from sec_dl_spark.functions.text import tokenize
+from sec_dl_spark.session import spread
+
+
+def _shingled(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None,
+    n: int,
+) -> DataFrame:
+    """(_id, _blk, _sh ARRAY<STRING>) with tokenization evaluated exactly
+    once per row: tokenize lands in its own projection so the ~2n references
+    inside the shingle expression read an attribute, not a re-parsed text
+    (functions/analysis.py module note). spread() fixes local single-split
+    scans; no-op on real multi-split inputs."""
+    blk = F.col(block_col) if block_col else F.lit(1)
+    return (
+        spread(docs)
+        .select(F.col(id_col).alias("_id"), blk.alias("_blk"), tokenize(F.col(text_col)).alias("_tk"))
+        .select("_id", "_blk", shingles_of(F.col("_tk"), n).alias("_sh"))
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -35,28 +57,38 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Pairwise n-gram-shingle Jaccard similarity over candidate pairs.
+    """Exact pairwise n-gram-shingle Jaccard via posting-list co-occurrence.
 
-    ``block_col`` is the blocking key (same-bucket candidates only); None
-    falls back to a full self-join — acceptable for small corpora / tests,
-    never for the 100 TB path (use minhash_lsh_pairs there).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Instead of a blocked cross join with per-pair array_intersect (which at
+    any real scale concentrates all pair evaluations in however few tasks
+    the block-key join produces), explode each doc's distinct shingle set
+    into postings, self-join postings on (block, shingle), and count shared
+    shingles per pair: jaccard = c / (|A| + |B| - c). Only pairs that share
+    at least one shingle are materialized — mathematically the same result
+    set as "all pairs with jaccard > 0", with shuffle parallelism keyed by
+    shingle rather than by block. ``block_col`` still bounds candidate
+    generation (postings never join across blocks).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Pairs with an empty intersection are not returned.
     """
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        *([F.col(block_col).alias("_blk")] if block_col else [F.lit(1).alias("_blk")]),
-        shingles(F.col(text_col), n).alias("_sh"),
+    sh = _shingled(docs, id_col, text_col, block_col, n).withColumn("_sz", F.size("_sh"))
+    post = sh.select("_id", "_blk", "_sz", F.explode("_sh").alias("_t"))
+    a = post.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), F.col("_blk"), F.col("_t")
     )
-    a = sh.select(F.col("_id").alias("id_a"), F.col("_blk"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("_blk"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
-        a.join(b, "_blk")
+    b = post.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), F.col("_blk"), F.col("_t")
+    )
+    pairs = (
+        a.join(b, ["_blk", "_t"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    jac = F.col("_c").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("_c"))
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -78,8 +110,10 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")).where(
-        F.size("sh") > 0
+    sh = (
+        _shingled(docs, id_col, text_col, None, n)
+        .select(F.col("_id").alias("id"), F.col("_sh").alias("sh"))
+        .where(F.size("sh") > 0)
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(sh)
@@ -104,10 +138,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     Expressed with explode + groupBy-sum over bit positions — one shuffle
     keyed by doc, partial aggregation map-side.
     """
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col))).alias("sh"),
-    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    hashed = (
+        _shingled(docs, id_col, text_col, None, 3)
+        .select(F.col("_id").alias("doc_id"), F.explode("_sh").alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+    )
     # vote(b) = +1 if bit set else -1; sum>0 → bit set in the signature.
     votes = hashed.select(
         "doc_id",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sec_dl_spark.functions.text import tokenize
+from sec_dl_spark.session import spread
 
 
 def build_inverted_index(
@@ -29,7 +30,7 @@ def build_inverted_index(
     posexplode keeps token positions so phrase search works; the groupBy
     collects per-document position lists (map-side combine applies).
     """
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
     )

@@ -17,6 +17,7 @@ from sec_dl_spark.functions import analysis as A
 from sec_dl_spark.functions.text import clean_filing_text, tokenize
 from sec_dl_spark.operators import dedup, fts, similarity
 from sec_dl_spark.plans.catalog import query, t
+from sec_dl_spark.session import spread
 
 # DuckDB-side canonical tokenizer / shingler (mirrors functions/text.py).
 TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -72,14 +73,17 @@ def text_clean_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality-style ratios (SURVEY §2.11 text analysis)."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
+    """Token counting + quality-style ratios (SURVEY §2.11 text analysis).
+    Tokenizes into a column first so each stat reads the attribute
+    (functions/analysis.py performance note)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return tk.select(
         "doc_id",
-        A.token_count(F.col("text")).alias("n_tokens"),
-        A.unique_token_count(F.col("text")).alias("n_unique"),
-        F.round(A.avg_token_len(F.col("text")) + 1e-8, 4).alias("avg_tok_len"),
-        F.round(A.stopword_ratio(F.col("text")) + 1e-8, 4).alias("stop_ratio"),
+        A.token_count_of(F.col("toks")).alias("n_tokens"),
+        A.unique_token_count_of(F.col("toks")).alias("n_unique"),
+        F.round(A.avg_token_len_of(F.col("toks")) + 1e-8, 4).alias("avg_tok_len"),
+        F.round(A.stopword_ratio_of(F.col("toks")) + 1e-8, 4).alias("stop_ratio"),
     ).orderBy("doc_id")
 
 
@@ -98,11 +102,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (length/punct/stopword) per document."""
-    d = t(spark, sf_dir, "documents").where(
-        (A.token_count(F.col("text")) > 0) & (F.length("text") > 0)
+    d = spread(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks")).where(
+        (F.size("toks") > 0) & (F.length("text") > 0)
     )
-    return d.select(
-        "doc_id", F.round(A.quality_score(F.col("text")) + 1e-8, 4).alias("quality")
+    return tk.select(
+        "doc_id",
+        F.round(A.quality_score_of(F.col("toks"), F.col("text")) + 1e-8, 4).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -131,9 +137,10 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID vs the labeled lang column (confusion
     counts). Deterministic function parity — the fixture corpus shares one
     vocabulary, so this checks the operator, not classifier accuracy."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return (
-        d.select("lang", A.lang_guess(F.col("text")).alias("guess"))
+        d.select("lang", tokenize(F.col("text")).alias("toks"))
+        .select("lang", A.lang_guess_of(F.col("toks")).alias("guess"))
         .groupBy("lang", "guess")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "guess")
@@ -153,8 +160,10 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via canonical-content md5 fingerprint (hash-groupBy;
     only (fingerprint, id) pairs ever shuffle, never the text)."""
-    d = t(spark, sf_dir, "documents")
-    fp = d.select("doc_id", A.fingerprint(F.col("text")).alias("fp"))
+    d = spread(t(spark, sf_dir, "documents"))
+    fp = d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+        "doc_id", A.fingerprint_of(F.col("toks")).alias("fp")
+    )
     return fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("fp").alias("n_unique"),

@@ -75,3 +75,20 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     return spark
+
+
+def spread(df, partitions: int | None = None):
+    """Round-robin repartition a small-file scan so per-row-expensive stages
+    (tokenization, shingling, HOF-heavy expressions) use every core.
+
+    On a real cluster the input arrives in many file splits and this is a
+    no-op; in local mode a 2 MB parquet file is one split, which would pin
+    a whole tokenize→explode→join pipeline to a single task. Only
+    repartitions when the scan has fewer partitions than half the default
+    parallelism — never adds a shuffle to an already-parallel plan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
