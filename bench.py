@@ -28,12 +28,15 @@ HEADLINE = [
     "agg_distinct",
     "window_running_sum",
     "topk_per_group",
+    "agg_percentiles",
     "events_tumbling_hourly",
+    "events_sliding_window",
     "events_sessionize",
     "events_asof_join",
     "fts_search_and",
     "fts_top_df_tokens",
     "text_token_stats",
+    "doc_chunks",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "emb_cosine_topk",

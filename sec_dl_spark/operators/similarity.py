@@ -119,3 +119,67 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: coarse k-means
+    centroids partition the corpus into cells; each query probes only its
+    ``n_probe`` nearest cells and exact-reranks the candidates.
+
+    The scan cost drops from |corpus| to ~|corpus|·n_probe/n_cells per
+    query; at cluster scale the cell assignment is the partitioning key, so
+    a query touches n_probe partitions instead of the whole table. The
+    centroid table (n_cells rows) broadcasts. Deterministic under the fixed
+    k-means seed. Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c_feat)
+    assigned = model.transform(c_feat).select("neighbor_id", "c_vec", "cell")
+
+    centroids = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("centroid_sim").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(centroids)
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("centroid_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)

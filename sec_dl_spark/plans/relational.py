@@ -844,3 +844,82 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_orderkey % 37 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-37 systematic sample by key modulus — the
+    scalable, reproducible replacement for the reference's TABLESAMPLE
+    SYSTEM_ROWS block sampling (scrape_all_filings.py:128-134, SURVEY §2.6
+    T1). The predicate pushes to the scan; no shuffle."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 37 == 0)
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query("sample_bernoulli_seeded", oracle=None)
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli row sample (df.sample — SURVEY §2.6 T1/T2 Spark
+    mapping). RNG-dependent → rows-only check; pytest asserts the sampled
+    fraction lands within binomial bounds and is reproducible per seed."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-8, 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9) + 1e-8, 4) AS p90,
+           round(quantile_cont(l_quantity, 0.25) + 1e-8, 4) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB quantile_cont semantics). The approx_percentile variant is the
+    100 TB path (t-digest sketch, no full sort) — checked in pytest against
+    these exact values with rank-error tolerance."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)") + 1e-8, 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)") + 1e-8, 4).alias("p90"),
+            F.round(F.expr("percentile(l_quantity, 0.25)") + 1e-8, 4).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_collect_list",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set/collect_list surface (SURVEY §2.5): grouped distinct
+    value collection, sorted and joined for order-stable comparison."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

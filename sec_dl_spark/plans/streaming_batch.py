@@ -152,3 +152,31 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ["click", "error", "purchase", "signup", "view"]
     out = e.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
     return out.na.fill(0, types).orderBy("user_id")
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             value
+      FROM events)
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY window_start ORDER BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h window, 30 min slide) — each event
+    lands in exactly two windows. Batch twin of groupBy(window(ts, '1 hour',
+    '30 minutes')) with a watermark; both engines align 30-min buckets on
+    :00/:30 so the window starts agree."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )

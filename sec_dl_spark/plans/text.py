@@ -375,3 +375,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return extract_features(docs_as_media(d)).orderBy("media_id")
+
+
+@query("emb_cosine_topk_ivf", oracle=None)
+def emb_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (k-means cells + n_probe search;
+    rows-only — pytest checks recall vs the exact path)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(e, e.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS i
+           FROM tk WHERE len(toks) > 0)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[(i-1)*50+1:i*50], ' ') AS chunk_text
+    FROM ix
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → fixed-size token chunks (UDTF-style expansion, SURVEY
+    §2.10): the training-data step that splits long documents into model-
+    window-sized pieces. posexplode over a transform of token slices — one
+    generator, no UDF; chunking is per-row so it pipelines in the scan
+    stage."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokenize(F.col("text")).alias("toks")).where(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / F.lit(50.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * 50 + 1, 50), " "),
+    )
+    return (
+        tk.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    )

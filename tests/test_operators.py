@@ -104,3 +104,42 @@ def test_cosine_topk_lsh_recall_vs_exact(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_lsh(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from sec_dl_spark.operators.similarity import cosine_topk_ivf
+    from sec_dl_spark.plans.catalog import t
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    exact = cosine_topk(e, q, k=5)
+    ivf = cosine_topk_ivf(e, q, k=5, n_cells=8, n_probe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.6  # probing half the cells must recover most true NNs
+    # determinism under the fixed seed
+    again = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_ivf(e, q, k=5, n_cells=8, n_probe=4).collect()}
+    assert again == ivf_set
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    from sec_dl_spark.plans.catalog import t
+
+    li = t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_seeded_sample_reproducible(spark, sf_dir):
+    from sec_dl_spark.plans.catalog import t
+
+    li = t(spark, sf_dir, "lineitem")
+    n_total = li.count()
+    n1 = li.sample(fraction=0.1, seed=42).count()
+    n2 = li.sample(fraction=0.1, seed=42).count()
+    assert n1 == n2  # same seed, same sample
+    assert 0.05 * n_total < n1 < 0.15 * n_total  # binomial bounds
