@@ -101,3 +101,90 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
         F.lit("text").alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, with_real_decoders: bool = False
+) -> DataFrame:
+    """Image resize stage: (media_id, kind, content) → same + target dims.
+
+    Production shape: PIL decode → resize → re-encode inside the Arrow
+    batch loop. Here the decode/re-encode is the marked stub — the fake
+    'resize' truncates/pads the payload to a deterministic size so batch
+    shape, schema and partitioning behavior are all real and testable.
+    """
+    target_len = width * height // 64  # deterministic fake payload size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if with_real_decoders:
+            raise NotImplementedError(
+                "real image codecs (PIL) are not available in this "
+                "environment; use with_real_decoders=False"
+            )
+        for pdf in batches:
+            content = pdf["content"].map(
+                lambda b: None if b is None else (b * (target_len // max(len(b), 1) + 1))[:target_len]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": content,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, with_real_decoders: bool = False
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (UDTF-style row
+    expansion inside mapInPandas — output batches need not align 1:1 with
+    input rows, which is exactly why this is mapInPandas and not a scalar
+    UDF). Fake duration = n_bytes in ms; fake frame = an 8-byte slice at
+    the frame offset. The av/ffmpeg demux call is the marked stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if with_real_decoders:
+            raise NotImplementedError(
+                "real video demuxers (av/ffmpeg) are not available in this "
+                "environment; use with_real_decoders=False"
+            )
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                duration_ms = len(content)
+                for idx, ms in enumerate(range(0, duration_ms, every_ms)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ms"].append(ms)
+                    out["frame"].append(bytes(content[ms : ms + 8]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

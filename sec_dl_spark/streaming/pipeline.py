@@ -109,6 +109,20 @@ def run_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> Data
     return df.sparkSession.table(name)
 
 
+def run_update_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> DataFrame:
+    """Same, but update output mode (applyInPandasWithState update mode
+    requires it — append is rejected at analysis time)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
+
+
 def run_agg_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 120) -> DataFrame:
     """Same, but complete output mode for aggregation streams."""
     q = (
@@ -131,4 +145,53 @@ def foreach_batch_sink(df: DataFrame, batch_fn, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+RUNNING_TOTALS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, sum) across micro-batches — the arbitrary-state escape hatch for
+    semantics session_window/window can't express (SURVEY §2.9). State is
+    one (n, total) tuple per user; each batch emits the user's updated
+    running totals. Event-time timeout GC's idle users past the watermark.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=RUNNING_TOTALS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

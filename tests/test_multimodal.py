@@ -29,3 +29,28 @@ def test_real_decoder_stub_raises(spark):
     with pytest.raises(Exception) as exc_info:
         extract_features(docs_as_media(docs), with_real_decoders=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or "real decoders" in str(exc_info.value)
+
+
+def test_resize_plumbing(spark):
+    from sec_dl_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame([(1, "x" * 100), (2, "y")], "doc_id long, text string")
+    out = resize_images(docs_as_media(docs), width=32, height=32).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["width"] == 32 and by_id[1]["height"] == 32
+    # fake resize yields the deterministic target payload size for all inputs
+    assert len(by_id[1]["content"]) == len(by_id[2]["content"]) == 32 * 32 // 64
+    with pytest.raises(Exception, match="NotImplementedError|real image codecs"):
+        resize_images(docs_as_media(docs), with_real_decoders=True).collect()
+
+
+def test_frame_sampling_expansion(spark):
+    from sec_dl_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame([(1, "a" * 2500), (2, "b" * 10)], "doc_id long, text string")
+    out = sample_frames(docs_as_media(docs), every_ms=1000).collect()
+    frames_1 = sorted([r for r in out if r["media_id"] == 1], key=lambda r: r["frame_idx"])
+    # fake duration = n_bytes = 2500 ms → frames at 0, 1000, 2000
+    assert [r["frame_ms"] for r in frames_1] == [0, 1000, 2000]
+    assert frames_1[0]["frame"] == b"a" * 8
+    assert len([r for r in out if r["media_id"] == 2]) == 1

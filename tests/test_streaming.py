@@ -71,3 +71,30 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     assert sum(n for _, n in seen) == spark.read.parquet(events_dir).count()
     assert len(seen) >= 2  # maxFilesPerTrigger=1 over 2 files
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    from sec_dl_spark.streaming.pipeline import running_user_totals
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    from sec_dl_spark.streaming.pipeline import run_update_stream_to_memory
+
+    got = run_update_stream_to_memory(
+        running_user_totals(stream), "running_totals_t", timeout_s=180
+    )
+    # update-mode emits one row per user per batch touching them; the LAST
+    # emission per user must equal the batch-computed totals.
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    expected = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    # keep only each user's max-n emission (the final state)
+    best: dict = {}
+    for r in got.collect():
+        cur = best.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            best[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert best == expected
