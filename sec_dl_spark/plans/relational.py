@@ -923,3 +923,56 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py): dim replicated n_salts
+    ways, facts salted deterministically — the mitigation for hot keys when
+    broadcast is impossible. Result-identical to the plain join, which is
+    exactly what the oracle asserts."""
+    from sec_dl_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, key="o_orderkey", n_salts=4
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted distinct count (operators/skew.py): per-value salt
+    spreads each hot group's dedup state over n_salts tasks; per-salt
+    partial counts sum exactly. Oracle = the plain count(DISTINCT)."""
+    from sec_dl_spark.operators.skew import salted_distinct_count
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, ["l_returnflag"], "l_partkey", n_salts=4).orderBy(
+        "l_returnflag"
+    )

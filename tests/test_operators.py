@@ -143,3 +143,35 @@ def test_seeded_sample_reproducible(spark, sf_dir):
     n2 = li.sample(fraction=0.1, seed=42).count()
     assert n1 == n2  # same seed, same sample
     assert 0.05 * n_total < n1 < 0.15 * n_total  # binomial bounds
+
+
+def test_salted_join_matches_plain(spark):
+    from sec_dl_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 5.0), (2, 7.0), (3, 1.0)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm")], "k long, name string")
+    plain = sorted((r["k"], r["v"], r["name"]) for r in facts.join(dim, "k").collect())
+    salted = sorted((r["k"], r["v"], r["name"]) for r in salted_join(facts, dim, "k", 4).collect())
+    assert salted == plain
+    left_plain = sorted(
+        (r["k"], r["v"], r["name"]) for r in facts.join(dim, "k", "left").collect()
+    )
+    left_salted = sorted(
+        (r["k"], r["v"], r["name"]) for r in salted_join(facts, dim, "k", 4, how="left").collect()
+    )
+    assert left_salted == left_plain
+
+
+def test_salted_distinct_count_exact(spark):
+    from sec_dl_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 1)], "g string, v long"
+    )
+    got = {
+        r["g"]: r["n_distinct_v"]
+        for r in salted_distinct_count(df, ["g"], "v", n_salts=3).collect()
+    }
+    assert got == {"a": 3, "b": 1}
