@@ -55,8 +55,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
-    # JVM/codegen warmup outside the timed region.
+    # JVM/codegen warmup outside the timed region: generic codegen, then
+    # the text/FTS path (posexplode + collect_list + broadcast semi-join)
+    # on the tiny sf — its first execution pays several seconds of JIT
+    # that would otherwise land on whichever headline query runs it first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    specs["fts_search_and"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

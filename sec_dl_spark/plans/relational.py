@@ -976,3 +976,73 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(li, ["l_returnflag"], "l_partkey", n_salts=4).orderBy(
         "l_returnflag"
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS wk_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per-customer spend
+    over the trailing 7 days. rangeBetween on epoch seconds — frame bounds
+    follow the ORDER BY value, so ties all join the frame (row frames
+    cannot express this)."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("wk_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_orderkey,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rmin
+      FROM lineitem)
+    SELECT l_returnflag,
+           max(CASE WHEN rmax = 1 THEN l_orderkey END) AS priciest_order,
+           max(CASE WHEN rmin = 1 THEN l_orderkey END) AS cheapest_order
+    FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates — single-pass, no
+    self-join-on-max idiom needed. The ordering key is (price, orderkey) so
+    price ties break deterministically — bare max_by picks an arbitrary row
+    on ties, which is a correctness-gate flake, not a semantics difference."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("max_by(l_orderkey, struct(l_extendedprice, l_orderkey))").alias(
+                "priciest_order"
+            ),
+            F.expr("min_by(l_orderkey, struct(l_extendedprice, l_orderkey))").alias(
+                "cheapest_order"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
