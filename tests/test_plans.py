@@ -1,0 +1,113 @@
+"""Plan-hygiene assertions: the scale properties the engine is designed
+around (pushdown, pruning, broadcast, no cross products) must survive
+refactors — these tests fail if a future change silently degrades a plan
+(e.g. a filter stops reaching the scan, or a pair generator becomes a
+cartesian product)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_dl_spark.plans.catalog import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def test_q1_filter_and_pruning_reach_scan(spark, specs):
+    plan = physical_plan(specs["q1_pricing_summary"].spark_fn(spark, SF))
+    # the shipdate predicate must be pushed into the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and unused wide columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[1]
+
+
+def test_q5_dimensions_broadcast(spark, specs):
+    plan = physical_plan(specs["join_q5_region_revenue"].spark_fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    assert "CartesianProduct" not in plan
+    # the region constant filter reaches the region scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_jaccard_is_not_a_cross_product(spark, specs):
+    plan = physical_plan(specs["dedup_jaccard_pairs"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fts_search_uses_broadcast_semi_join(spark, specs):
+    plan = physical_plan(specs["fts_search_and"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # term list must never shuffle postings
+
+
+def test_text_stats_scan_prunes_to_needed_columns(spark, specs):
+    plan = physical_plan(specs["text_token_stats"].spark_fn(spark, SF))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_systematic_sample_filter_pushed(spark, specs):
+    plan = physical_plan(specs["sample_systematic"].spark_fn(spark, SF))
+    # modulo predicates aren't parquet-pushable, but must still sit directly
+    # on the scan (no shuffle before the filter) and prune columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_partkey" not in read_schema
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing demo: two tables bucketed+sorted on the join key join with
+    ZERO Exchange operators — the co-located join layout for repeated big
+    joins at scale (SURVEY §2.11 design rules: bucket filings by cik)."""
+    import shutil
+
+    from sec_dl_spark.sources.fixtures import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a dropped-from-catalog table can leave its managed location behind
+    # (fresh derby metastore per session); saveAsTable refuses to reuse it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    warehouse_ok = True
+    try:
+        load_table(spark, SF, "orders").write.bucketBy(4, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).mode("overwrite").saveAsTable("b_orders")
+        load_table(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ).write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+            "b_lineitem"
+        )
+    except Exception:
+        warehouse_ok = False
+    if not warehouse_ok:
+        pytest.skip("no writable warehouse dir for saveAsTable")
+    # at sf0.001 Catalyst would (rightly) broadcast; disable it to get the
+    # plan a 100 TB fact-fact join would use, where broadcast is impossible
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = physical_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan
+    # co-located: no Exchange between the join and the bucketed scans
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
