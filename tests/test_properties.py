@@ -1,0 +1,122 @@
+"""Property-based differential tests: random small inputs, Spark operator
+vs a brute-force Python reference. Catches edge semantics the fixture
+corpus never produces (empty docs, all-duplicate corpora, single-token
+texts, adversarial gaps)."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+# one shared max-examples budget: each example spins Spark jobs
+EX = settings(max_examples=15, deadline=None)
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+def brute_jaccard(a: str, b: str, n: int = 3) -> float | None:
+    def sh(t):
+        toks = [w for w in t.split() if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    inter = len(sa & sb)
+    if inter == 0:
+        return None  # operator contract: zero-overlap pairs are not emitted
+    return inter / len(sa | sb)
+
+
+@EX
+@given(st.lists(texts, min_size=2, max_size=6))
+def test_jaccard_pairs_matches_bruteforce(spark, docs):
+    from sec_dl_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, block_col=None).collect()
+    }
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            jac = brute_jaccard(docs[i], docs[j])
+            if jac is not None:
+                expected[(i, j)] = jac
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9)
+
+
+@EX
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=20
+    )
+)
+def test_sessionize_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    from sec_dl_spark.operators.relational import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, key="user_id", ts_col="ts", gap_seconds=600, order_cols=["event_id"])
+    got = {(r["event_id"]): (r["user_id"], r["session_id"]) for r in out.collect()}
+
+    # brute force: per user, sort by (ts, event_id), new session when gap > 600s
+    expected = {}
+    by_user: dict = {}
+    for i, u, ts in data:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, i in evs:
+            if prev is not None and (ts - prev).total_seconds() > 600:
+                sid += 1
+            expected[i] = (u, sid)
+            prev = ts
+    # session ids may be 0- or 1-based; the induced (user, session) grouping
+    # of events is what must match
+    assert _same_partitioning(got, expected)
+
+
+def _same_partitioning(got, expected):
+    """Session ids may be 0- or 1-based; only the induced grouping matters."""
+    def groups(m):
+        g: dict = {}
+        for ev, (u, s) in m.items():
+            g.setdefault((u, s), set()).add(ev)
+        return sorted(tuple(sorted(v)) for v in g.values())
+
+    return groups(got) == groups(expected)
+
+
+@EX
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_salted_distinct_matches_exact(spark, rows):
+    from sec_dl_spark.operators.skew import salted_distinct_count
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r["n_distinct_v"]
+        for r in salted_distinct_count(df, ["g"], "v", n_salts=3).collect()
+    }
+    expected: dict = {}
+    for g, v in rows:
+        expected.setdefault(g, set()).add(v)
+    assert got == {g: len(vs) for g, vs in expected.items()}
