@@ -1,0 +1,79 @@
+"""Pipeline entry point — parity with the reference's `python3 -m sec_dl.main`
+(/root/reference/sec_dl/main.py:5-8: init → load → process), Spark-first.
+
+    python -m sec_dl_spark --base /data/warehouse \
+        --companies companies.csv --filing-types filing_types.csv \
+        --idx 2023q1.idx [--http] [--start-year 2018]
+
+Stages:
+  1. seed      load the company universe + filing-type CSVs
+  2. load      parse master.idx file(s) → universe/type semi-join filters →
+               partitioned (year, qtr) two-table layout
+  3. scrape    anti-join pending set → partitioned fetch (mapInPandas) →
+               parse chain → merged text table
+  4. monitor   one progress snapshot (rows pending / done)
+
+Without --http the fetch stage uses the deterministic offline fetcher, so
+the full pipeline runs hermetic. The JDBC serving mirror (sinks/jdbc.py) is
+wired separately because it needs a reachable PostgreSQL.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="sec_dl_spark")
+    ap.add_argument("--base", required=True, help="warehouse base path")
+    ap.add_argument("--companies", required=True, help="companies seed CSV")
+    ap.add_argument("--filing-types", required=True, help="filing types seed CSV")
+    ap.add_argument("--idx", nargs="+", required=True, help="master.idx file path(s)")
+    ap.add_argument("--http", action="store_true", help="fetch filings over HTTP (default: offline fake)")
+    ap.add_argument("--scrape-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from sec_dl_spark.etl.ingest import (
+        apply_text_updates,
+        build_filings,
+        pending_filings,
+        write_filings,
+    )
+    from sec_dl_spark.etl.monitor import scrape_progress
+    from sec_dl_spark.etl.scrape import fake_fetcher, http_fetcher, scrape_pending
+    from sec_dl_spark.session import get_spark
+    from sec_dl_spark.sources.csv_seeds import load_companies_csv, load_filing_types_csv
+    from sec_dl_spark.sources.edgar_idx import parse_master_idx
+
+    spark = get_spark("sec_dl_spark_pipeline")
+
+    companies = load_companies_csv(spark, args.companies)
+    filing_types = load_filing_types_csv(spark, args.filing_types)
+
+    records = parse_master_idx(spark, args.idx)
+    filings = build_filings(records, companies, filing_types)
+    write_filings(filings, args.base, mode="overwrite")
+
+    meta = spark.read.parquet(f"{args.base}/filings_meta")
+    text = spark.read.parquet(f"{args.base}/filings_text")
+    pending = pending_filings(meta, text).join(
+        meta.select("filing_id", "year", "qtr"), "filing_id"
+    )
+    fetched = scrape_pending(
+        pending, fetcher=http_fetcher if args.http else fake_fetcher,
+        partitions=args.scrape_partitions,
+    ).join(meta.select("filing_id", "year", "qtr"), "filing_id")
+    merged = apply_text_updates(text, fetched)
+    merged.write.mode("overwrite").partitionBy("year", "qtr").parquet(
+        f"{args.base}/filings_text_next"
+    )
+
+    done = spark.read.parquet(f"{args.base}/filings_text_next")
+    for row in scrape_progress(meta, done).collect():
+        print(row.asDict())
+
+
+if __name__ == "__main__":
+    main()

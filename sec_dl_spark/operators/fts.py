@@ -98,3 +98,35 @@ def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
             .where(F.size("starts") > 0)
         )
     return acc.select("doc_id").distinct()
+
+
+def search_ranked(postings: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """TF-IDF ranked OR search over the inverted index: score(d) =
+    Σ_t tf(t,d) · ln(N / df(t)), top-k by score.
+
+    The FTS analog of PostgreSQL ts_rank on the reference's GIN index —
+    everything computes off the posting table: tf = |positions|, df = one
+    grouped count, N = distinct docs. Terms broadcast; the only shuffles
+    are the df aggregation and the final per-doc score combine."""
+    from pyspark.sql.window import Window
+
+    terms_df = F.broadcast(
+        postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
+    )
+    n_docs = postings.select("doc_id").distinct().count()
+    hits = postings.join(terms_df, "token").select(
+        "token", "doc_id", F.size("positions").alias("tf")
+    )
+    df_counts = hits.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_counts), "token")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )

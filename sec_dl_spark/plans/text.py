@@ -418,3 +418,28 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "fts_ranked_tfidf",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM tk),
+    hits AS (
+      SELECT doc_id, t.term,
+             len(list_filter(toks, x -> x = t.term)) AS tf
+      FROM tk, (SELECT unnest(['spark', 'sort', 'vector']) AS term) t
+      WHERE list_contains(toks, t.term)),
+    dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id, round(sum(h.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)), 6) AS score
+      FROM hits h, dfs d, n WHERE h.term = d.term GROUP BY h.doc_id)
+    SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10 ORDER BY rank
+    """,
+)
+def fts_ranked_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked search (ts_rank analog) off the inverted index."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_ranked(postings, ["spark", "sort", "vector"], k=10).orderBy("rank")

@@ -98,3 +98,20 @@ def test_running_user_totals_stateful(spark, events_dir):
         if cur is None or r["n_events"] > cur[0]:
             best[r["user_id"]] = (r["n_events"], r["total_value"])
     assert best == expected
+
+
+def test_stream_static_dim_join(spark, events_dir):
+    """Stream-static enrichment join: the streaming side joins a broadcast
+    static dimension per micro-batch (the EDGAR shape: filings stream ⋈
+    company universe)."""
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], "user_id long, tier string"
+    )
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    got = run_stream_to_memory(enriched, "stream_dim_join_t", timeout_s=120)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").join(
+        F.broadcast(dim), "user_id", "left"
+    )
+    assert got.count() == batch.count()
+    assert got.where(F.col("tier").isNull()).count() == batch.where(F.col("tier").isNull()).count()
