@@ -1046,3 +1046,66 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sql_adhoc_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def sql_adhoc_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ad-hoc SQL entry path (SURVEY §3.2 — the reference's user-facing
+    query surface is raw SQL against PG): register fixture views, run a
+    TPC-H Q6-style predicate scan through spark.sql. Same Catalyst plan as
+    the DataFrame form; this pins the SQL front door itself."""
+    from sec_dl_spark.sources.fixtures import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """)
+
+
+@query(
+    "scalar_encode_decode",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE decode(encode(text)) = text) AS BIGINT) AS n_roundtrip,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+)
+def scalar_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 encode/decode round trip (SURVEY §2.7 F12 — the reference's
+    content.decode('utf-8','ignore')); byte lengths differ from char
+    lengths on any non-ASCII content, which the fixtures contain."""
+    d = t(spark, sf_dir, "documents")
+    enc = F.encode(F.col("text"), "UTF-8")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.decode(enc, "UTF-8") == F.col("text"), 1)).alias("n_roundtrip"),
+        F.sum(F.length(enc)).cast("long").alias("total_bytes"),
+    )
+
+
+@query("agg_approx_distinct_hll", oracle=None)
+def agg_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type — the sketch
+    path for cardinality at 100 TB (exact distinct shuffles every value;
+    the sketch merges map-side in constant space). Estimator-specific
+    values → rows-only; pytest bounds the relative error vs exact."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )

@@ -57,10 +57,14 @@ def parse_master_idx(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return (
         lines.where(F.col("value").rlike(r"^\d+\|"))
         .select(
-            parts.getItem(0).cast("int").alias("cik"),
-            parts.getItem(1).alias("business_name"),
-            parts.getItem(2).alias("type"),
-            F.to_date(parts.getItem(3), "yyyy-MM-dd").alias("date"),
-            parts.getItem(4).alias("path"),
+            # F.get / try_to_date, not getItem / to_date: ANSI mode makes
+            # out-of-bounds access and malformed dates THROW; one truncated
+            # row in a 30-year idx backfill must not kill the scan (the
+            # reference tolerates it via errors='ignore', F12)
+            F.get(parts, 0).cast("int").alias("cik"),
+            F.get(parts, 1).alias("business_name"),
+            F.get(parts, 2).alias("type"),
+            F.try_to_date(F.get(parts, 3), "yyyy-MM-dd").alias("date"),
+            F.get(parts, 4).alias("path"),
         )
     )

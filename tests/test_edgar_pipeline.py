@@ -166,3 +166,26 @@ def test_streaming_idx_ingest_foreachbatch(
         "edgar/data/200/q2-1.txt",
     }
     assert got.where(F.col("filing_id").isNull()).count() == 0
+
+
+def test_parse_master_idx_malformed_rows(spark, tmp_path_factory):
+    """Robustness: garbage lines, short rows, bad dates must not kill the
+    scan — non-record lines drop, bad dates become NULL (the PERMISSIVE
+    posture of the reference's errors='ignore' decode, F12)."""
+    p = tmp_path_factory.mktemp("idx_bad") / "master.idx"
+    p.write_text(
+        "garbage preamble\n"
+        "100|ALPHA CORP|10-K|2023-01-15|edgar/data/100/ok.txt\n"
+        "not|a|cik|row|x\n"
+        "200|BETA|10-Q|NOT-A-DATE|edgar/data/200/bad_date.txt\n"
+        "300|GAMMA|10-K|2023-03-20\n"  # missing path field
+        "|||||\n"
+    )
+    from sec_dl_spark.sources.edgar_idx import parse_master_idx
+
+    rows = {r["path"]: r for r in parse_master_idx(spark, str(p)).collect()}
+    assert "edgar/data/100/ok.txt" in rows
+    assert rows["edgar/data/200/bad_date.txt"]["date"] is None
+    # the short row parses with a NULL path; the all-pipes row is dropped
+    assert None in rows and rows[None]["cik"] == 300
+    assert len(rows) == 3

@@ -175,3 +175,19 @@ def test_salted_distinct_count_exact(spark):
         for r in salted_distinct_count(df, ["g"], "v", n_salts=3).collect()
     }
     assert got == {"a": 3, "b": 1}
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from sec_dl_spark.plans.catalog import t
+
+    e = t(spark, sf_dir, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.1
