@@ -889,8 +889,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB quantile_cont semantics). The approx_percentile variant is the
     100 TB path (t-digest sketch, no full sort) — checked in pytest against
-    these exact values with rank-error tolerance."""
-    li = t(spark, sf_dir, "lineitem")
+    these exact values with rank-error tolerance.
+
+    percentile is a TypedImperativeAggregate (interpreted per-row update,
+    no codegen), so the partial-agg stage is the cost center — spread()
+    after pruning to the 3 needed columns keeps it on every core."""
+    from sec_dl_spark.session import spread
+
+    li = spread(
+        t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_quantity")
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
