@@ -111,3 +111,32 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert "Bucketed: true" in plan
     # co-located: no Exchange between the join and the bucketed scans
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_filings_layout_partition_pruning(spark, tmp_path):
+    """The (year, qtr) partitioned layout must prune: a quarter-scoped
+    query reads one partition directory, visible as PartitionFilters in
+    the scan (SURVEY §7 — quarterly loads partition-aligned, time-scoped
+    queries prune)."""
+    import datetime as dt
+
+    from sec_dl_spark.etl.ingest import write_filings
+
+    rows = [
+        (1, 100, "A", "10-K", "p1", dt.date(2023, 2, 1), None, 2023, 1),
+        (2, 100, "A", "10-K", "p2", dt.date(2023, 5, 1), None, 2023, 2),
+        (3, 200, "B", "10-Q", "p3", dt.date(2024, 2, 1), None, 2024, 1),
+    ]
+    filings = spark.createDataFrame(
+        rows,
+        "filing_id long, cik int, business_name string, type string, path string,"
+        "date date, text string, year int, qtr int",
+    )
+    write_filings(filings, str(tmp_path), mode="overwrite")
+    meta = spark.read.parquet(f"{tmp_path}/filings_meta")
+    q = meta.where((F.col("year") == 2023) & (F.col("qtr") == 2))
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan
+    assert q.count() == 1
+    # partition columns never hit the data files — pruning is directory-level
+    assert "(year#" not in plan.split("PushedFilters")[-1].split("ReadSchema")[0]
