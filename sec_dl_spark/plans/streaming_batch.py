@@ -180,3 +180,51 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
         .orderBy("window_start")
     )
+
+
+@query(
+    "events_zscore_pandas",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+      FROM events)
+    SELECT user_id, event_id,
+           round(CASE WHEN sigma > 0 THEN (value - mu) / sigma ELSE 0.0 END + 1e-9, 5) AS z
+    FROM s ORDER BY user_id, event_id
+    """,
+)
+def events_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY §2.10): per-user z-score, checked
+    against the equivalent window SQL — the Arrow grouped-map plumbing is
+    oracle-verified, not just smoke-tested."""
+    from sec_dl_spark.operators.grouped import zscore_per_group
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    z = zscore_per_group(e, key="user_id", value="value")
+    return z.select(
+        "user_id", "event_id", F.round(F.col("z") + 1e-9, 5).alias("z")
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "agg_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))) + 1e-9, 5) AS geomean_value
+    FROM events WHERE value > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF surface, SURVEY §2.10): geometric
+    mean per event type vs the exp(avg(ln)) identity in SQL."""
+    from sec_dl_spark.operators.grouped import geomean_udaf
+
+    e = t(spark, sf_dir, "events").where(F.col("value") > 0)
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(geomean_udaf(F.col("value")) + 1e-9, 5).alias("geomean_value"))
+        .orderBy("event_type")
+    )
