@@ -195,3 +195,39 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def purchases_with_recent_clicks(
+    events: DataFrame, click_horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins clicks by the same
+    user within the preceding horizon. Both sides carry watermarks so state
+    for expired intervals is dropped — the unbounded-state trap of naive
+    stream joins. (Batch twin: events_asof_join restricted to the horizon.)
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL {click_horizon}"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "purchase_value", "c_ts", "click_value")

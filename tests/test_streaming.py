@@ -115,3 +115,45 @@ def test_stream_static_dim_join(spark, events_dir):
     )
     assert got.count() == batch.count()
     assert got.where(F.col("tier").isNull()).count() == batch.where(F.col("tier").isNull()).count()
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    from sec_dl_spark.streaming.pipeline import purchases_with_recent_clicks
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        purchases_with_recent_clicks(stream), "ss_join_t", timeout_s=180
+    )
+    # batch equivalent over the same data
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts"
+    )
+    c = ev.where(F.col("event_type") == "click").selectExpr("user_id AS c_user", "ts AS c_ts")
+    batch_n = (
+        p.join(
+            c,
+            F.expr("p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"),
+        ).count()
+    )
+    # stream may drop late rows beyond the watermark; with in-order fixture
+    # files the counts must match exactly
+    assert got.count() == batch_n
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    from sec_dl_spark.sinks.compact import compact_parquet
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_lake")
+    # simulate many small micro-batch appends
+    for i in range(5):
+        src.withColumn("part", F.col("event_id") % 2).repartition(8).write.mode(
+            "append"
+        ).partitionBy("part").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    stats = compact_parquet(spark, path, ["part"])
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert "part" in after.columns
