@@ -228,3 +228,31 @@ def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(geomean_udaf(F.col("value")) + 1e-9, 5).alias("geomean_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             round(sum(value), 2) AS total,
+             round(avg(value) + 1e-8, 4) AS mean,
+             round(max(value), 2) AS peak
+      FROM events GROUP BY event_type)
+    SELECT event_type, metric, metric_value FROM agg
+    UNPIVOT (metric_value FOR metric IN (total, mean, peak))
+    ORDER BY event_type, metric
+    """,
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (wide → long, the inverse of events_pivot): per-type
+    aggregate columns unpivoted into (metric, value) rows."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value") + 1e-8, 4).alias("mean"),
+        F.round(F.max("value"), 2).alias("peak"),
+    )
+    return agg.unpivot(
+        ["event_type"], ["total", "mean", "peak"], "metric", "metric_value"
+    ).orderBy("event_type", "metric")
