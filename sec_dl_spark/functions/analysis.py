@@ -147,3 +147,49 @@ def shingles(col: Column, n: int = 3) -> Column:
     """Text-column convenience wrapper over ``shingles_of`` — only for
     single-document/test use; operators tokenize into a column first."""
     return shingles_of(tokenize(col), n)
+
+
+def contamination_ngrams(
+    eval_docs, train_docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Train/eval n-gram contamination check (the benchmark-leakage screen a
+    pretraining pipeline runs before evaluation): for each eval doc, the
+    fraction of its distinct n-grams that appear anywhere in the train
+    corpus.
+
+    Shape: explode both sides to (gram) postings, semi-join eval grams
+    against the train-gram set (shuffle keyed by gram, never by doc), then
+    per-doc hit ratio. At 100 TB the train-gram set is pre-materialized
+    once (bucketed by gram hash) and every eval batch joins against it.
+    Returns (doc_id, n_grams, n_hits, contamination).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (column API)
+
+    from sec_dl_spark.functions.text import tokenize
+    from sec_dl_spark.session import spread
+
+    def grams_of(df):
+        return (
+            spread(df)
+            .select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_tk"))
+            .select("doc_id", shingles_of(F.col("_tk"), n).alias("_sh"))
+            .select("doc_id", F.explode("_sh").alias("gram"))
+        )
+
+    train_grams = grams_of(train_docs).select("gram").distinct()
+    eval_grams = grams_of(eval_docs)
+    hits = eval_grams.join(train_grams, "gram", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = eval_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams") + 1e-9, 5
+            ).alias("contamination"),
+        )
+    )

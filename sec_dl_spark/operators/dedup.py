@@ -204,3 +204,52 @@ def hamming_pairs(sig: DataFrame, max_distance: int = 3, band_bits: int = 16) ->
     )
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select("id_a", "id_b", dist.alias("hamming")).where(F.col("hamming") <= max_distance)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id, cluster_id)
+    with cluster_id = min doc_id in the component — the step that turns
+    pairwise near-dup evidence into actionable keep/drop sets.
+
+    Iterative min-label propagation in pure DataFrame ops: each round every
+    node adopts the smallest label among itself and its neighbors; stops
+    when no label changes. Rounds are O(component diameter); localCheckpoint
+    every round truncates lineage so plan size stays constant (the classic
+    iterative-algorithm trap on Spark). Deterministic.
+
+    ``pairs``: (id_a, id_b) rows, any extra columns ignored.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    # undirected: both directions, plus self-loops to keep isolated..none here
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.where(F.col("new_label") != F.col("old_label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -443,3 +443,53 @@ def fts_ranked_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     postings = fts.build_inverted_index(d)
     return fts.search_ranked(postings, ["spark", "sort", "vector"], k=10).orderBy("rank")
+
+
+@query("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: jaccard candidate pairs ≥ 0.6 → connected
+    components (iterative min-label propagation — the genuinely iterative
+    algorithm slot; rows-only check, pytest pins semantics on constructed
+    chains). Returns one row per clustered doc with its component id."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.6)
+    return dedup.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk),
+    eval_g AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE source = 'src0'),
+    train_g AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE source <> 'src0'),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM eval_g GROUP BY doc_id),
+    hits AS (SELECT e.doc_id, count(*) AS n_hits FROM eval_g e
+             WHERE EXISTS (SELECT 1 FROM train_g t WHERE t.gram = e.gram)
+             GROUP BY e.doc_id)
+    SELECT totals.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_grams + 1e-9, 5) AS contamination
+    FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+    ORDER BY 1
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: treating source='src0' docs as the
+    eval set, the fraction of each eval doc's distinct 3-grams that appear
+    in the rest of the corpus (the train side)."""
+    d = t(spark, sf_dir, "documents")
+    eval_docs = d.where(F.col("source") == "src0")
+    train_docs = d.where(F.col("source") != "src0")
+    return A.contamination_ngrams(eval_docs, train_docs, n=3).orderBy("doc_id")
+
+
+@query("sample_stratified", oracle=None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-class) sampling via sampleBy — training-data class
+    balancing; seeded → rows-only check, pytest bounds the per-stratum
+    fractions."""
+    d = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2}
+    s = d.sampleBy("lang", fractions=fractions, seed=42)
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")

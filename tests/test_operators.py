@@ -191,3 +191,49 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     )
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.1
+
+
+def test_duplicate_clusters_chain_and_islands(spark):
+    from sec_dl_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3 (transitive closure), pair 10-11, reversed pair 21-20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1  # min-id representative
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
+    assert len(got) == 7
+
+
+def test_contamination_known_overlap(spark):
+    from sec_dl_spark.functions.analysis import contamination_ngrams
+
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),  # shares 'the quick brown' + 'quick brown fox'
+            (2, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_ngrams(ev, train).collect()}
+    assert got[1]["n_grams"] == 3 and got[1]["n_hits"] == 2
+    assert got[2]["n_hits"] == 0 and got[2]["contamination"] == 0.0
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from sec_dl_spark.plans.catalog import t
+
+    d = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.2}
+    s = d.sampleBy("lang", fractions=fractions, seed=42)
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sampled) <= set(fractions)  # unlisted strata fully excluded
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) > 20:
+            assert 0.3 * frac * totals[lang] < sampled.get(lang, 0) < 2.0 * frac * totals[lang]
