@@ -130,3 +130,15 @@ def search_ranked(postings: DataFrame, terms: list[str], k: int = 10) -> DataFra
         .where(F.col("rank") <= k)
         .select("doc_id", "score", "rank")
     )
+
+
+def search_and_not(postings: DataFrame, include: list[str], exclude: list[str]) -> DataFrame:
+    """AND-NOT semantics (to_tsquery 'a & !b'): docs containing every
+    include term and none of the exclude terms — the AND semi-join minus a
+    broadcast anti-join on the exclude postings."""
+    matched = search_all(postings, include)
+    excl_df = F.broadcast(
+        postings.sparkSession.createDataFrame([(t.lower(),) for t in set(exclude)], ["token"])
+    )
+    excluded = postings.join(excl_df, "token").select("doc_id").distinct()
+    return matched.join(excluded, "doc_id", "left_anti")

@@ -493,3 +493,21 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.2}
     s = d.sampleBy("lang", fractions=fractions, seed=42)
     return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
+
+
+@query(
+    "fts_search_not",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+      AND NOT list_contains(toks, 'window')
+    ORDER BY doc_id
+    """,
+)
+def fts_search_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_tsquery 'spark & join & !window' — AND semi-join minus exclusion
+    anti-join, all off the posting table."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_and_not(postings, ["spark", "join"], ["window"]).orderBy("doc_id")
