@@ -142,3 +142,48 @@ def search_and_not(postings: DataFrame, include: list[str], exclude: list[str]) 
     )
     excluded = postings.join(excl_df, "token").select("doc_id").distinct()
     return matched.join(excluded, "doc_id", "left_anti")
+
+
+def search_bm25(
+    postings: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked search: idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+
+    All statistics (document length dl, average length avgdl, document
+    frequency df, corpus size N) come from the posting table itself — two
+    small aggregations plus the broadcast term semi-join; no text rescan.
+    idf uses the standard ln((N - df + 0.5)/(df + 0.5) + 1) form."""
+    from pyspark.sql.window import Window
+
+    sp = postings.sparkSession
+    terms_df = F.broadcast(sp.createDataFrame([(t.lower(),) for t in set(terms)], ["token"]))
+    doc_len = postings.groupBy("doc_id").agg(F.sum(F.size("positions")).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    hits = postings.join(terms_df, "token").select(
+        "token", "doc_id", F.size("positions").alias("tf")
+    )
+    df_counts = hits.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_term = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        hits.join(F.broadcast(df_counts), "token")
+        .join(doc_len, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_term), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )

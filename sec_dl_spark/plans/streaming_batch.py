@@ -256,3 +256,41 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["event_type"], ["total", "mean", "peak"], "metric", "metric_value"
     ).orderBy("event_type", "metric")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS step_view,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS step_click,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click) AS BIGINT) AS step_purchase
+    FROM f
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user first-occurrence
+    chaining via conditional min aggregation — one shuffle keyed by user,
+    no joins, no window (the scalable funnel formulation)."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("step_view"),
+        F.count(F.when(clicked, 1)).alias("step_click"),
+        F.count(F.when(bought, 1)).alias("step_purchase"),
+    )

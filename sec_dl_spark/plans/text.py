@@ -511,3 +511,36 @@ def fts_search_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     postings = fts.build_inverted_index(d)
     return fts.search_and_not(postings, ["spark", "join"], ["window"]).orderBy("doc_id")
+
+
+@query(
+    "fts_ranked_bm25",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, t.term, len(list_filter(toks, x -> x = t.term)) AS tf
+      FROM tk, (SELECT unnest(['spark', 'sort', 'vector']) AS term) t
+      WHERE list_contains(toks, t.term)),
+    dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             round(sum(
+               ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM hits h, dfs d, dl, stats
+      WHERE h.term = d.term AND h.doc_id = dl.doc_id
+      GROUP BY h.doc_id)
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10 ORDER BY rank
+    """,
+)
+def fts_ranked_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked search (k1=1.2, b=0.75) off the inverted index —
+    length-normalized relevance, the standard retrieval ranking."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_bm25(postings, ["spark", "sort", "vector"], k=10).orderBy("rank")
