@@ -1117,3 +1117,70 @@ def agg_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_orderstatus,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS pri
+               FROM orders),
+         b AS (SELECT DISTINCT o_orderstatus,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS pri
+               FROM orders)
+    SELECT a.o_orderstatus, count(*) AS n_matches
+    FROM a JOIN b ON a.o_orderstatus = b.o_orderstatus
+                 AND a.pri IS NOT DISTINCT FROM b.pri
+    GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — required when the join key is a
+    legitimately-nullable column (the reference's companies.cik is nullable,
+    SURVEY §1.2)."""
+    o = t(spark, sf_dir, "orders")
+    pri = F.when(F.col("o_orderpriority") == "1-URGENT", None).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.select("o_orderstatus", pri.alias("pri")).distinct()
+    b = o.select("o_orderstatus", pri.alias("pri_b")).distinct()
+    return (
+        a.join(
+            b,
+            (a["o_orderstatus"] == b["o_orderstatus"]) & a["pri"].eqNullSafe(b["pri_b"]),
+        )
+        .groupBy(a["o_orderstatus"].alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL front door — Catalyst
+    rewrites them to semi/anti joins (same plan as the DataFrame forms in
+    join_semi/join_anti; this pins the subquery SURFACE)."""
+    from sec_dl_spark.sources.fixtures import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
