@@ -19,10 +19,14 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the most recent right row with
     ``right.ts <= left.ts`` sharing the join key (DuckDB `ASOF LEFT JOIN` /
-    pandas `merge_asof` semantics).
+    pandas `merge_asof` semantics). ``tolerance_seconds`` bounds the
+    lookback (pandas merge_asof tolerance; the batch twin of the
+    stream-stream interval join's horizon): matches older than the
+    tolerance yield NULLs. Timestamp ts columns only when tolerance is set.
 
     Implementation is the scalable union-sort-carry pattern, NOT a per-row
     lookup: tag both sides, union, and carry the latest right payload
@@ -34,7 +38,10 @@ def asof_join(
     (the <= in the contract).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload_fields = [F.col(c) for c in right_cols]
+    if tolerance_seconds is not None:
+        payload_fields.append(F.col(right_ts).alias("__rts"))
+    payload = F.struct(*payload_fields)
 
     l_tag = left.select(
         F.col(on).alias("_k"),
@@ -65,6 +72,14 @@ def asof_join(
         .withColumn("_carried", F.last("_right", ignorenulls=True).over(w))
         .where(F.col("_tag") == 1)
     )
+    if tolerance_seconds is not None:
+        in_window = F.col("_carried.__rts").isNotNull() & (
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_carried.__rts"))
+            <= int(tolerance_seconds * 1_000_000)
+        )
+        carried = carried.withColumn(
+            "_carried", F.when(in_window, F.col("_carried"))
+        )
     out = carried.select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
         *[F.col(f"_carried.{c}").alias(c + suffix if c in left.columns else c) for c in right_cols],

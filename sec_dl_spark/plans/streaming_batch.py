@@ -294,3 +294,35 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("step_click"),
         F.count(F.when(bought, 1)).alias("step_purchase"),
     )
+
+
+@query(
+    "events_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS c_ts,
+                 round(p.value, 2) AS purchase_value, c.value AS cv
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT event_id, user_id, purchase_value,
+           round(CASE WHEN epoch_us(p_ts) - epoch_us(c_ts) <= 900 * 1000000
+                 THEN cv END, 2) AS recent_click_value
+    FROM j ORDER BY event_id
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 15-minute tolerance: matches older than the
+    lookback horizon become NULL (pandas merge_asof tolerance; batch twin
+    of the stream-stream interval join's bounded state)."""
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts", F.col("value").alias("cv"))
+    joined = asof_join(
+        p, c, on="user_id", right_cols=["cv"], tolerance_seconds=900
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_value",
+        F.round(F.col("cv"), 2).alias("recent_click_value"),
+    ).orderBy("event_id")

@@ -237,3 +237,20 @@ def test_stratified_sample_fractions(spark, sf_dir):
     for lang, frac in fractions.items():
         if totals.get(lang, 0) > 20:
             assert 0.3 * frac * totals[lang] < sampled.get(lang, 0) < 2.0 * frac * totals[lang]
+
+
+def test_asof_join_tolerance(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 30), "in"), (1, dt.datetime(2024, 1, 1, 2, 0), "out")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), 7.0)], "k long, ts timestamp, v double"
+    )
+    out = {
+        r["name"]: r["v"]
+        for r in asof_join(left, right, on="k", tolerance_seconds=3600).collect()
+    }
+    assert out == {"in": 7.0, "out": None}  # 2h-old match exceeds the 1h tolerance

@@ -140,3 +140,27 @@ def test_filings_layout_partition_pruning(spark, tmp_path):
     assert q.count() == 1
     # partition columns never hit the data files — pruning is directory-level
     assert "(year#" not in plan.split("PushedFilters")[-1].split("ReadSchema")[0]
+
+
+def test_fts_persisted_index_serving(spark, tmp_path):
+    """The build-once/query-many FTS serving path: write_index persists
+    postings partitioned by token hash-bucket; a term search against the
+    persisted index prunes to the term's bucket directories (GIN-index
+    analog, SURVEY §2 K7/F11)."""
+    from sec_dl_spark.operators.fts import build_inverted_index, search_all, write_index
+    from sec_dl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx_path = str(tmp_path / "fts_index")
+    write_index(build_inverted_index(docs), idx_path, buckets=16)
+
+    persisted = spark.read.parquet(idx_path)
+    # in-memory and persisted search agree
+    live = {r["doc_id"] for r in search_all(build_inverted_index(docs), ["spark", "join"]).collect()}
+    served = {r["doc_id"] for r in search_all(persisted, ["spark", "join"]).collect()}
+    assert served == live and len(served) > 0
+
+    # bucket pruning: filtering by a term's bucket shows PartitionFilters
+    bucketed = persisted.where(F.col("token_bucket") == F.abs(F.hash(F.lit("spark"))) % 16)
+    plan = physical_plan(bucketed)
+    assert "PartitionFilters" in plan and "token_bucket" in plan
