@@ -187,3 +187,99 @@ def search_bm25(
         .where(F.col("rank") <= k)
         .select("doc_id", "score", "rank")
     )
+
+
+# --- tsquery-style string queries ------------------------------------------
+# The reference's user-facing search language is PostgreSQL to_tsquery
+# ('spark & (join | !window)', init_tables.py:56-57, README.md:7). This is
+# a recursive-descent parser over that grammar composing the primitives
+# above; precedence (tightest first): ! , & , | — same as tsquery.
+
+
+class _TsLexer:
+    def __init__(self, q: str):
+        import re
+
+        self.tokens = re.findall(r"[()|&!]|[^\s()|&!]+", q)
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def take(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of tsquery")
+        self.pos += 1
+        return tok
+
+
+def parse_tsquery(q: str):
+    """'a & (b | !c)' → nested AST of ('term', t) / ('not', x) /
+    ('and', [..]) / ('or', [..])."""
+    lx = _TsLexer(q)
+
+    def parse_or():
+        parts = [parse_and()]
+        while lx.peek() == "|":
+            lx.take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        parts = [parse_unary()]
+        while lx.peek() == "&":
+            lx.take()
+            parts.append(parse_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_unary():
+        tok = lx.peek()
+        if tok == "!":
+            lx.take()
+            return ("not", parse_unary())
+        if tok == "(":
+            lx.take()
+            inner = parse_or()
+            if lx.take() != ")":
+                raise ValueError("unbalanced parentheses in tsquery")
+            return inner
+        if tok in (")", "|", "&", None):
+            raise ValueError(f"unexpected token {tok!r} in tsquery")
+        return ("term", lx.take().lower())
+
+    ast = parse_or()
+    if lx.peek() is not None:
+        raise ValueError(f"trailing tokens in tsquery at {lx.peek()!r}")
+    return ast
+
+
+def search_query(postings: DataFrame, q: str) -> DataFrame:
+    """Evaluate a tsquery-style string against the inverted index.
+
+    Terms become distinct-doc_id frames off the posting table; AND = inner
+    join, OR = union+distinct, NOT = anti join against the corpus doc set.
+    Every intermediate is a narrow (doc_id) frame, so composition cost is
+    set operations on ids — never a text rescan."""
+    ast = parse_tsquery(q)
+    universe = postings.select("doc_id").distinct()
+
+    def ev(node) -> DataFrame:
+        kind = node[0]
+        if kind == "term":
+            return postings.where(F.col("token") == node[1]).select("doc_id").distinct()
+        if kind == "not":
+            return universe.join(ev(node[1]), "doc_id", "left_anti")
+        if kind == "and":
+            acc = ev(node[1][0])
+            for part in node[1][1:]:
+                acc = acc.join(ev(part), "doc_id", "left_semi")
+            return acc
+        if kind == "or":
+            acc = ev(node[1][0])
+            for part in node[1][1:]:
+                acc = acc.unionByName(ev(part))
+            return acc.distinct()
+        raise ValueError(f"unknown node {kind}")
+
+    return ev(ast)

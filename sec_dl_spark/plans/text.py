@@ -544,3 +544,22 @@ def fts_ranked_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     postings = fts.build_inverted_index(d)
     return fts.search_bm25(postings, ["spark", "sort", "vector"], k=10).orderBy("rank")
+
+
+@query(
+    "fts_tsquery_expr",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE list_contains(toks, 'spark')
+      AND (list_contains(toks, 'join') OR NOT list_contains(toks, 'vector'))
+    ORDER BY doc_id
+    """,
+)
+def fts_tsquery_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full to_tsquery expression surface: parse 'spark & (join | !vector)'
+    and evaluate it compositionally over the inverted index (the
+    reference's actual search language, init_tables.py:56-57)."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_query(postings, "spark & (join | !vector)").orderBy("doc_id")

@@ -254,3 +254,30 @@ def test_asof_join_tolerance(spark):
         for r in asof_join(left, right, on="k", tolerance_seconds=3600).collect()
     }
     assert out == {"in": 7.0, "out": None}  # 2h-old match exceeds the 1h tolerance
+
+
+def test_tsquery_parser_and_eval(spark):
+    from sec_dl_spark.operators.fts import build_inverted_index, parse_tsquery, search_query
+
+    assert parse_tsquery("a & (b | !c)") == (
+        "and", [("term", "a"), ("or", [("term", "b"), ("not", ("term", "c"))])]
+    )
+    import pytest as _pt
+
+    for bad in ["a &", "(a", "a b b |", "& a"]:
+        with _pt.raises(ValueError):
+            parse_tsquery(bad)
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "y z"), (4, "w")], "doc_id long, text string"
+    )
+    postings = build_inverted_index(docs)
+
+    def run(q):
+        return sorted(r["doc_id"] for r in search_query(postings, q).collect())
+
+    assert run("x & y") == [1]
+    assert run("x | y") == [1, 2, 3]
+    assert run("x & !z") == [1]
+    assert run("!x") == [3, 4]
+    assert run("(x | y) & !w") == [1, 2, 3]
