@@ -56,3 +56,36 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return {"files_before": before, "files_after": count_files(path)}
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """MERGE (upsert) into a partitioned parquet table, rewriting ONLY the
+    partitions the updates touch — dynamic partition overwrite, the
+    K4-at-scale pattern: a quarterly batch of amended filings rewrites a
+    handful of (year, qtr) directories, never the table.
+
+    Requires every update row to carry its partition columns. Updates win
+    over existing rows on key_cols within the touched partitions.
+    """
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        touched = updates.select(*partition_cols).distinct()
+        existing = spark.read.parquet(target_path).join(
+            F.broadcast(touched), partition_cols, "left_semi"
+        )
+        kept = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates.select(*existing.columns))
+        # overwrite rewrites only the partitions present in `merged` —
+        # exactly the touched set (kept ∪ updates live in those partitions)
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

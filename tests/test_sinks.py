@@ -49,3 +49,38 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     pruned = back.select("cik")  # S4: column-pruned JDBC scan
     assert sorted(r["cik"] for r in pruned.collect()) == [100, 200, 300]
     assert pruned.columns == ["cik"]
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from sec_dl_spark.sinks.compact import merge_upsert_partitioned
+
+    path = str(tmp_path / "filings_text")
+    base = spark.createDataFrame(
+        [
+            (1, "old one", 2023, 1),
+            (2, "old two", 2023, 1),
+            (3, "old three", 2023, 2),
+            (4, "old four", 2024, 1),
+        ],
+        "filing_id long, text string, year int, qtr int",
+    )
+    base.write.partitionBy("year", "qtr").parquet(path)
+    untouched_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/year=2024/**/*.parquet", recursive=True)
+    }
+    assert untouched_files
+
+    updates = spark.createDataFrame(
+        [(2, "NEW two", 2023, 1), (9, "brand new", 2023, 2)],
+        "filing_id long, text string, year int, qtr int",
+    )
+    merge_upsert_partitioned(spark, path, updates, ["filing_id"], ["year", "qtr"])
+
+    got = {r["filing_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "old one", 2: "NEW two", 3: "old three", 4: "old four", 9: "brand new"}
+    # the 2024 partition was not rewritten
+    for f, mtime in untouched_files.items():
+        assert os.path.getmtime(f) == mtime and os.path.exists(f)

@@ -157,3 +157,37 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     assert "part" in after.columns
+
+
+def test_incremental_index_matches_batch_build(spark, tmp_path_factory):
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.operators.fts import build_inverted_index, search_all
+    from sec_dl_spark.streaming.index import incremental_index_sink
+
+    src = tmp_path_factory.mktemp("docs_stream")
+    idx = str(tmp_path_factory.mktemp("inc_index") / "postings")
+    ckpt = str(tmp_path_factory.mktemp("inc_ckpt"))
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    docs.repartition(2).write.mode("overwrite").parquet(str(src))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = incremental_index_sink(stream, idx, ckpt, buckets=8)
+    q.awaitTermination(120)
+
+    served = spark.read.parquet(idx)
+    live = build_inverted_index(docs)
+    # same posting set (token, doc_id, positions)
+    a = {(r["token"], r["doc_id"], tuple(r["positions"])) for r in served.collect()}
+    b = {(r["token"], r["doc_id"], tuple(r["positions"])) for r in live.collect()}
+    assert a == b
+    # and a search over the incrementally-built index gives the live answer
+    s1 = {r["doc_id"] for r in search_all(served, ["spark", "join"]).collect()}
+    s2 = {r["doc_id"] for r in search_all(live, ["spark", "join"]).collect()}
+    assert s1 == s2
