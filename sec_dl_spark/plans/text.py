@@ -327,13 +327,14 @@ def emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
-    WHERE list_cosine_similarity(a.v, b.v) > 0.5
+    WHERE list_cosine_similarity(a.v, b.v) > 0.3
     ORDER BY id_a, id_b
     """,
 )
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above 0.5, blocked by label
-    (same blocking discipline as dedup_jaccard_pairs)."""
+    """Embedding-cosine near-duplicate pairs above 0.3, blocked by label
+    (same blocking discipline as dedup_jaccard_pairs; 0.3 keeps the gate
+    discriminative — the synthetic corpus tops out near cos 0.5)."""
     e = t(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
@@ -341,7 +342,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(sim > 0.5)
+        .where(sim > 0.3)
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .orderBy("id_a", "id_b")
     )
@@ -563,3 +564,85 @@ def fts_tsquery_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     postings = fts.build_inverted_index(d)
     return fts.search_query(postings, "spark & (join | !vector)").orderBy("doc_id")
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(text) AS content_md5 FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(count(DISTINCT content_md5) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT content_md5) AS BIGINT) AS n_dup_payloads
+    FROM fp
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over opaque binary payloads (byte-level md5 — the
+    modality-agnostic dedup every multimodal lake needs; works unchanged
+    for images/audio since it never interprets the bytes)."""
+    from sec_dl_spark.operators.multimodal import docs_as_media
+
+    m = docs_as_media(t(spark, sf_dir, "documents"))
+    fp = m.select(F.md5(F.col("content")).alias("content_md5"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.count_distinct("content_md5").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("content_md5")).alias("n_dup_payloads"),
+    )
+
+
+@query(
+    "crossmodal_dup_agreement",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+      WHERE list_cosine_similarity(a.v, b.v) > 0.3),
+    tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS s FROM tk),
+    j AS (
+      SELECT c.id_a, c.id_b, c.cosine_sim,
+             round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                   THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(sa.s, sb.s)))
+                   ELSE 0.0 END + 1e-9, 6) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                  JOIN sh sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, cosine_sim, jaccard FROM j ORDER BY id_a, id_b
+    """,
+)
+def crossmodal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement: embedding-cosine candidate pairs
+    (vec_id ≡ doc_id in the fixtures) annotated with the same pair's
+    textual 3-gram jaccard — the verify-candidates pattern: expensive exact
+    text similarity runs ONLY on the vector-selected candidate set."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    cand = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim > 0.3)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+    )
+    d = spread(t(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", tokenize(F.col("text")).alias("_tk")).select(
+        "doc_id", A.shingles_of(F.col("_tk"), 3).alias("s")
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    joined = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("_union", F.size("sa") + F.size("sb") - F.col("_inter"))
+    )
+    jac = F.when(
+        F.col("_union") > 0, F.col("_inter").cast("double") / F.col("_union")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a", "id_b", "cosine_sim", F.round(jac + 1e-9, 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
