@@ -164,3 +164,19 @@ def test_fts_persisted_index_serving(spark, tmp_path):
     bucketed = persisted.where(F.col("token_bucket") == F.abs(F.hash(F.lit("spark"))) % 16)
     plan = physical_plan(bucketed)
     assert "PartitionFilters" in plan and "token_bucket" in plan
+
+
+def test_cached_table_serves_from_memory(spark):
+    """spark.catalog caching surface: a cached fixture view is served by
+    InMemoryTableScan (columnar cache) instead of re-reading parquet."""
+    from sec_dl_spark.sources.fixtures import load_table
+
+    load_table(spark, SF, "nation").createOrReplaceTempView("nation_cached_t")
+    spark.catalog.cacheTable("nation_cached_t")
+    try:
+        df = spark.table("nation_cached_t").where(F.col("n_regionkey") == 1)
+        df.count()  # materialize the cache
+        plan = physical_plan(df)
+        assert "In-memory table" in plan or "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.uncacheTable("nation_cached_t")

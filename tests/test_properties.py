@@ -120,3 +120,48 @@ def test_salted_distinct_matches_exact(spark, rows):
     for g, v in rows:
         expected.setdefault(g, set()).add(v)
     assert got == {g: len(vs) for g, vs in expected.items()}
+
+
+@EX
+@given(st.recursive(
+    st.sampled_from(["x", "y", "z", "w"]).map(lambda t: ("term", t)),
+    lambda leaf: st.one_of(
+        leaf.map(lambda x: ("not", x)),
+        st.tuples(leaf, leaf).map(lambda ab: ("and", list(ab))),
+        st.tuples(leaf, leaf).map(lambda ab: ("or", list(ab))),
+    ),
+    max_leaves=6,
+))
+def test_tsquery_roundtrip_and_eval(spark, ast):
+    """Render a random AST to a query string, reparse it, and check the
+    evaluation matches a brute-force per-doc predicate."""
+    from sec_dl_spark.operators.fts import build_inverted_index, parse_tsquery, search_query
+
+    def render(node):
+        k = node[0]
+        if k == "term":
+            return node[1]
+        if k == "not":
+            return "!(" + render(node[1]) + ")"
+        op = " & " if k == "and" else " | "
+        return "(" + op.join(render(p) for p in node[1]) + ")"
+
+    q = render(ast)
+    assert parse_tsquery(q) is not None  # parses cleanly
+
+    corpus = {1: "x y", 2: "x z", 3: "y z w", 4: "q"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r["doc_id"] for r in search_query(build_inverted_index(docs), q).collect()}
+
+    def holds(node, toks):
+        k = node[0]
+        if k == "term":
+            return node[1] in toks
+        if k == "not":
+            return not holds(node[1], toks)
+        if k == "and":
+            return all(holds(p, toks) for p in node[1])
+        return any(holds(p, toks) for p in node[1])
+
+    expected = {d for d, text in corpus.items() if holds(ast, set(text.split()))}
+    assert got == expected
