@@ -191,16 +191,17 @@ def search_bm25(
 
 # --- tsquery-style string queries ------------------------------------------
 # The reference's user-facing search language is PostgreSQL to_tsquery
-# ('spark & (join | !window)', init_tables.py:56-57, README.md:7). This is
-# a recursive-descent parser over that grammar composing the primitives
-# above; precedence (tightest first): ! , & , | — same as tsquery.
+# ('spark & (join <-> order | !window)', init_tables.py:56-57, README.md:7).
+# This is a recursive-descent parser over that grammar composing the
+# primitives above; precedence (tightest first): ! , <-> , & , | — same as
+# tsquery (FOLLOWED BY binds tighter than AND).
 
 
 class _TsLexer:
     def __init__(self, q: str):
         import re
 
-        self.tokens = re.findall(r"[()|&!]|[^\s()|&!]+", q)
+        self.tokens = re.findall(r"<->|[()|&!]|[^\s()|&!<>]+", q)
         self.pos = 0
 
     def peek(self) -> str | None:
@@ -215,8 +216,8 @@ class _TsLexer:
 
 
 def parse_tsquery(q: str):
-    """'a & (b | !c)' → nested AST of ('term', t) / ('not', x) /
-    ('and', [..]) / ('or', [..])."""
+    """'a & (b <-> c | !d)' → nested AST of ('term', t) / ('not', x) /
+    ('phrase', [..]) / ('and', [..]) / ('or', [..])."""
     lx = _TsLexer(q)
 
     def parse_or():
@@ -227,11 +228,23 @@ def parse_tsquery(q: str):
         return parts[0] if len(parts) == 1 else ("or", parts)
 
     def parse_and():
-        parts = [parse_unary()]
+        parts = [parse_phrase()]
         while lx.peek() == "&":
             lx.take()
-            parts.append(parse_unary())
+            parts.append(parse_phrase())
         return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_phrase():
+        parts = [parse_unary()]
+        while lx.peek() == "<->":
+            lx.take()
+            parts.append(parse_unary())
+        if len(parts) == 1:
+            return parts[0]
+        for p in parts:
+            if p[0] != "term":
+                raise ValueError("<-> (FOLLOWED BY) supports plain terms only")
+        return ("phrase", [p[1] for p in parts])
 
     def parse_unary():
         tok = lx.peek()
@@ -268,6 +281,8 @@ def search_query(postings: DataFrame, q: str) -> DataFrame:
         kind = node[0]
         if kind == "term":
             return postings.where(F.col("token") == node[1]).select("doc_id").distinct()
+        if kind == "phrase":
+            return search_phrase(postings, node[1])
         if kind == "not":
             return universe.join(ev(node[1]), "doc_id", "left_anti")
         if kind == "and":

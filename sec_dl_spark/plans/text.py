@@ -646,3 +646,22 @@ def crossmodal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "id_a", "id_b", "cosine_sim", F.round(jac + 1e-9, 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "fts_tsquery_phrase",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE (' ' || array_to_string(toks, ' ') || ' ') LIKE '% fast sort %'
+      AND NOT list_contains(toks, 'vector')
+    ORDER BY doc_id
+    """,
+)
+def fts_tsquery_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed tsquery with FOLLOWED BY: 'fast <-> sort & !vector' — phrase
+    position intersection composed with AND/NOT set ops, all parsed from
+    the query string."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    return fts.search_query(postings, "fast <-> sort & !vector").orderBy("doc_id")

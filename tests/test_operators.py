@@ -281,3 +281,26 @@ def test_tsquery_parser_and_eval(spark):
     assert run("x & !z") == [1]
     assert run("!x") == [3, 4]
     assert run("(x | y) & !w") == [1, 2, 3]
+
+
+def test_tsquery_phrase_operator(spark):
+    from sec_dl_spark.operators.fts import build_inverted_index, parse_tsquery, search_query
+
+    assert parse_tsquery("a <-> b & c") == ("and", [("phrase", ["a", "b"]), ("term", "c")])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="terms only"):
+        parse_tsquery("(a & b) <-> c")
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "y x z"), (3, "x q y")], "doc_id long, text string"
+    )
+    postings = build_inverted_index(docs)
+
+    def run(q):
+        return sorted(r["doc_id"] for r in search_query(postings, q).collect())
+
+    assert run("x <-> y") == [1]       # adjacency, ordered
+    assert run("y <-> x") == [2]
+    assert run("x <-> y | y <-> x") == [1, 2]
+    assert run("x & !(x <-> y)") == [2, 3]
