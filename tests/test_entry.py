@@ -49,3 +49,18 @@ def test_oracle_parity_subset(spark, name):
     odf = con.sql(o[name]).df()
     errs = compare_frames(sdf, odf)
     assert not errs, f"{name}: {errs}"
+
+
+def test_fixture_tables_load_with_expected_shape(spark):
+    """Every declared fixture table loads, is non-empty, has unique column
+    names, and events.ts arrives as a true (µs) timestamp — the nanos
+    conversion contract in sources/fixtures.py."""
+    from sec_dl_spark import schemas
+    from sec_dl_spark.sources.fixtures import load_table
+
+    for name in schemas.FIXTURE_TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        cols = df.columns
+        assert len(cols) == len(set(cols)) and df.limit(1).count() == 1, name
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
