@@ -298,3 +298,59 @@ def search_query(postings: DataFrame, q: str) -> DataFrame:
         raise ValueError(f"unknown node {kind}")
 
     return ev(ast)
+
+
+def tfidf_cosine_pairs(
+    postings: DataFrame,
+    docs_meta: DataFrame | None = None,
+    block_col: str | None = None,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Sparse TF-IDF document-vector cosine similarity, computed entirely
+    off the inverted index — the text-side twin of the dense-embedding
+    near-dup operator, and the classic scalable formulation: the posting
+    self-join on token only ever pairs documents that SHARE a term, so the
+    pair space is driven by co-occurrence, not |corpus|².
+
+    w(t,d) = tf·ln(N/df); cos(a,b) = Σ_t w(t,a)w(t,b) / (‖a‖‖b‖).
+    ``docs_meta``(doc_id, block) + ``block_col`` optionally bound candidate
+    generation (e.g. by source) exactly like jaccard_pairs. Returns
+    (id_a, id_b, cosine_sim) with id_a < id_b, sim >= threshold."""
+    n_docs = postings.select("doc_id").distinct().count()
+    tf = postings.select("token", "doc_id", F.size("positions").alias("tf"))
+    df_c = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_c, "token").select(
+        "token",
+        "doc_id",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    if docs_meta is not None and block_col is not None:
+        w = w.join(docs_meta.select("doc_id", block_col), "doc_id")
+        join_keys = ["token", block_col]
+    else:
+        join_keys = ["token"]
+    a = w.select(
+        F.col("doc_id").alias("id_a"), F.col("w").alias("wa"), *join_keys[0:1], *join_keys[1:]
+    )
+    b = w.select(
+        F.col("doc_id").alias("id_b"), F.col("w").alias("wb"), *join_keys[0:1], *join_keys[1:]
+    )
+    dots = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -188,3 +188,44 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("chunk", T.BinaryType()),
+    ]
+)
+
+
+def chunk_audio(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500, with_real_decoders: bool = False
+) -> DataFrame:
+    """Audio → overlapping windows (the audio twin of doc_chunks: window/hop
+    framing every speech pipeline uses). Fake PCM: 1 byte per ms; the
+    libsndfile/librosa decode is the marked stub. Windows start every
+    ``hop_ms`` while at least one byte remains, so trailing partials are
+    kept (standard framing semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if with_real_decoders:
+            raise NotImplementedError(
+                "real audio decoders (librosa/soundfile) are not available "
+                "in this environment; use with_real_decoders=False"
+            )
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "chunk_idx": [], "start_ms": [], "chunk": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                duration = len(content)
+                for idx, start in enumerate(range(0, duration, hop_ms)):
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(idx)
+                    out["start_ms"].append(start)
+                    out["chunk"].append(bytes(content[start : start + window_ms]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=CHUNKS_SCHEMA)

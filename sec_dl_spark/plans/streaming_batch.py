@@ -326,3 +326,40 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "purchase_value",
         F.round(F.col("cv"), 2).alias("recent_click_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH a AS (SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events)
+    SELECT a.hr AS cohort_hour,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(count(DISTINCT CASE WHEN r.user_id IS NOT NULL THEN a.user_id END) AS BIGINT)
+             AS retained_next_hour
+    FROM a LEFT JOIN a r ON r.user_id = a.user_id AND r.hr = a.hr + INTERVAL 1 HOUR
+    GROUP BY a.hr ORDER BY a.hr
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly retention cohorts: of the users active in hour h, how many
+    return in h+1 — one distinct-projection self-joined on (user, hour+1);
+    the cohort table is tiny after the distinct, so the join is cheap."""
+    e = t(spark, sf_dir, "events")
+    a = e.select(F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id").distinct()
+    r = a.select(F.col("hr").alias("r_hr"), F.col("user_id").alias("r_user"))
+    joined = a.join(
+        r,
+        (F.col("r_user") == F.col("user_id"))
+        & (F.col("r_hr") == F.col("hr") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("hr").alias("cohort_hour"))
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.count_distinct(
+                F.when(F.col("r_user").isNotNull(), F.col("user_id"))
+            ).alias("retained_next_hour"),
+        )
+        .orderBy("cohort_hour")
+    )

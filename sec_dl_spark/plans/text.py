@@ -665,3 +665,45 @@ def fts_tsquery_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     postings = fts.build_inverted_index(d)
     return fts.search_query(postings, "fast <-> sort & !vector").orderBy("doc_id")
+
+
+@query(
+    "text_tfidf_cosine",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    post AS (SELECT doc_id, source, gram AS token, count(*) AS tf
+             FROM (SELECT doc_id, source, unnest(toks) AS gram FROM tk)
+             GROUP BY doc_id, source, gram),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM post),
+    dfs AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+    w AS (SELECT p.doc_id, p.source, p.token,
+                 p.tf * ln(n.n_docs / d.df) AS w
+          FROM post p, dfs d, n WHERE p.token = d.token),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.token = b.token AND a.source = b.source
+                               AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm) + 1e-9, 6) AS cosine_sim
+    FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.3
+    ORDER BY cosine_sim DESC, id_a, id_b LIMIT 25
+    """,
+)
+def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents, computed entirely
+    off the inverted index (source-blocked candidates; pair space driven by
+    term co-occurrence, never |corpus|²). Top-25 most similar pairs."""
+    d = t(spark, sf_dir, "documents")
+    postings = fts.build_inverted_index(d)
+    pairs = fts.tfidf_cosine_pairs(
+        postings, docs_meta=d.select("doc_id", "source"), block_col="source", threshold=0.3
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(F.col("cosine_sim") + 1e-9, 6).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
+        .limit(25)
+    )

@@ -54,3 +54,19 @@ def test_frame_sampling_expansion(spark):
     assert [r["frame_ms"] for r in frames_1] == [0, 1000, 2000]
     assert frames_1[0]["frame"] == b"a" * 8
     assert len([r for r in out if r["media_id"] == 2]) == 1
+
+
+def test_audio_chunking_window_hop(spark):
+    from sec_dl_spark.operators.multimodal import chunk_audio
+
+    docs = spark.createDataFrame([(1, "a" * 2200)], "doc_id long, text string")
+    out = sorted(
+        chunk_audio(docs_as_media(docs), window_ms=1000, hop_ms=500).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # 2200 'ms' with hop 500 → starts at 0,500,...,2000 (5 windows)
+    assert [r["start_ms"] for r in out] == [0, 500, 1000, 1500, 2000]
+    assert len(out[0]["chunk"]) == 1000      # full window
+    assert len(out[-1]["chunk"]) == 200      # trailing partial kept
+    # 50% overlap: second half of window 0 == first half of window 1
+    assert out[0]["chunk"][500:] == out[1]["chunk"][:500]
