@@ -47,3 +47,45 @@ def geomean_udaf(v: pd.Series) -> float:
     if len(x) == 0:
         return float("nan")
     return float(np.exp(np.log(x).mean()))
+
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    docs_with_counts: DataFrame,
+    budget: int = 512,
+    key: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing (the pretraining step that fills fixed
+    token-budget training sequences with whole documents): within each
+    group, walk docs in doc_id order and start a new sequence whenever the
+    running total would exceed ``budget``. Documents longer than the budget
+    get a sequence of their own.
+
+    Inherently a stateful sequential scan (a bin boundary depends on every
+    prior doc), so it is a grouped-map applyInPandas — the documented
+    escape hatch — not a window expression. Groups are packing domains
+    (source/shard), so state stays bounded per group.
+    Returns (key, doc_id, n_tokens, seq_id) with seq_id dense from 0."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, total, seq_ids = 0, 0, []
+        for n in pdf["n_tokens"]:
+            if total > 0 and total + n > budget:
+                seq += 1
+                total = 0
+            total += n
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
+
+    return docs_with_counts.groupBy(key).applyInPandas(pack, schema=PACKED_SCHEMA)

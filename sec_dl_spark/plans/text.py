@@ -707,3 +707,67 @@ def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(25)
     )
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id, source,
+           round(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.25 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks))
+               + 1e-8, 4) AS quality
+          FROM tk WHERE len(toks) > 0 AND length(text) > 0),
+    m AS (SELECT source, quantile_cont(quality, 0.5) AS med FROM q GROUP BY source)
+    SELECT q.source, CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(q.quality) + 1e-8, 4) AS avg_quality
+    FROM q JOIN m ON q.source = m.source
+    WHERE q.quality > m.med
+    GROUP BY q.source ORDER BY q.source
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based corpus filtering (the data-mixing step): keep docs
+    strictly above their source's median quality; per-source kept counts
+    and mean quality. Median via exact percentile over a window-free
+    grouped agg, then a broadcast join back."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", "source", "text", tokenize(F.col("text")).alias("toks")).where(
+        (F.size("toks") > 0) & (F.length("text") > 0)
+    )
+    q = tk.select(
+        "doc_id",
+        "source",
+        F.round(A.quality_score_of(F.col("toks"), F.col("text")) + 1e-8, 4).alias("quality"),
+    )
+    med = q.groupBy("source").agg(F.expr("percentile(quality, 0.5)").alias("med"))
+    return (
+        q.join(F.broadcast(med), "source")
+        .where(F.col("quality") > F.col("med"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("quality") + 1e-8, 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("corpus_pack_sequences", oracle=None)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing per source (stateful sequential
+    scan → applyInPandas; rows-only — pytest pins budget/order/partition
+    invariants). Returns per-sequence fill statistics."""
+    from sec_dl_spark.operators.grouped import pack_sequences
+
+    d = spread(t(spark, sf_dir, "documents"))
+    counts = d.select(
+        "source", "doc_id", tokenize(F.col("text")).alias("toks")
+    ).select("source", "doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    packed = pack_sequences(counts, budget=512)
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
+        .orderBy("source", "seq_id")
+    )

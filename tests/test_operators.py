@@ -304,3 +304,26 @@ def test_tsquery_phrase_operator(spark):
     assert run("y <-> x") == [2]
     assert run("x <-> y | y <-> x") == [1, 2]
     assert run("x & !(x <-> y)") == [2, 3]
+
+
+def test_pack_sequences_invariants(spark):
+    from sec_dl_spark.operators.grouped import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate([100, 200, 250, 600, 50, 500, 10])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = sorted(pack_sequences(df, budget=512).collect(), key=lambda r: r["doc_id"])
+    seqs = [r["seq_id"] for r in out]
+    # greedy: 100+200 fits; +250 would exceed → new seq; 600 alone (over
+    # budget); 50 joins... walk: [100,200]=300, 250+300>512→seq1: [250],
+    # 250+600>512→seq2: [600], 600+50>512→seq3: [50,10?]... order is by
+    # doc_id: 50 then 500: 50+500>512→seq4: [500], +10 fits? 500+10=510 ✓
+    assert seqs == [0, 0, 1, 2, 3, 4, 4]
+    # no sequence of >1 doc exceeds the budget
+    from collections import defaultdict
+
+    totals = defaultdict(lambda: [0, 0])
+    for r in out:
+        totals[r["seq_id"]][0] += r["n_tokens"]
+        totals[r["seq_id"]][1] += 1
+    for total, ndocs in totals.values():
+        assert ndocs == 1 or total <= 512
