@@ -363,3 +363,63 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_hour")
     )
+
+
+@query(
+    "scalar_map_fns",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_props
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def scalar_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into MAP<STRING,STRING>
+    (from_json), then map_keys/size — nested-type handling the reference
+    never needed (no nested types, SURVEY §1.3) but any event pipeline
+    does."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    m = e.select(
+        "event_id", F.from_json("props", "map<string,string>").alias("pm")
+    )
+    return m.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys("pm"))).alias("prop_keys"),
+        F.size(F.map_keys("pm")).cast("long").alias("n_props"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_gap_filled",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds),
+    agg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1)
+    SELECT spine.hr AS hour_start, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+    FROM spine LEFT JOIN agg ON spine.hr = agg.hr
+    ORDER BY hour_start
+    """,
+)
+def events_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly counts: a contiguous hour spine (sequence +
+    explode between min/max) left-joined to the aggregates so silent hours
+    appear as zeros — the time-series densification every monitoring query
+    needs (the reference's 5-min monitor loop assumes continuous polling,
+    monitor_scraper_progress.py:29)."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    agg = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(agg, "hour_start", "left")
+        .select("hour_start", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .orderBy("hour_start")
+    )
