@@ -771,3 +771,37 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
         .orderBy("source", "seq_id")
     )
+
+
+@query(
+    "text_extract_matches",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+ing')) AS match
+               FROM documents)
+    SELECT match, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM m GROUP BY match
+    ORDER BY n DESC, match LIMIT 20
+    """,
+)
+def text_extract_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-extraction table (the entity/mention-extraction primitive):
+    every regex match becomes a row (regexp_extract_all + explode), then
+    frequency-ranked — same shape as ticker/URL/citation extraction over
+    filings."""
+    d = spread(t(spark, sf_dir, "documents"))
+    m = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+ing"), 0)
+        ).alias("match"),
+    )
+    return (
+        m.groupBy("match")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), "match")
+        .limit(20)
+    )
