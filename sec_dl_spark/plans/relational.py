@@ -1184,3 +1184,67 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """)
+
+
+@query(
+    "window_distribution_fns",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS bal_quartile,
+           round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+           round(cume_dist() OVER w + 1e-9, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per segment (ordering tie-broken by key so both engines
+    agree on rank positions)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "entity_match_levenshtein",
+    oracle="""
+    WITH c AS (SELECT c_custkey, lower(c_name) AS nm, substr(lower(c_name), 1, 16) AS blk
+               FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    ORDER BY id_a, id_b LIMIT 50
+    """,
+)
+def entity_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity matching by edit distance (record linkage over noisy names —
+    the reference's ticker/name reconciliation concern, README §PERMNO vs
+    CIK): prefix-blocked candidates, levenshtein ≤ 3. The block must be
+    discriminative for the data — TPC-H names share a constant prefix, so
+    a short block degenerates to one giant bucket (the classic blocking
+    failure); 16 chars keeps buckets ≤ ~100 names while ≤3-edit pairs
+    (differing only in trailing digits) still co-block."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("nm"),
+        F.substring(F.lower("c_name"), 1, 16).alias("blk"),
+    )
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("nm").alias("nm_a"), "blk")
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("nm").alias("nm_b"), "blk")
+    dist = F.levenshtein("nm_a", "nm_b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 3)
+        .orderBy("id_a", "id_b")
+        .limit(50)
+    )
