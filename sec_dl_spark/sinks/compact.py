@@ -89,3 +89,40 @@ def merge_upsert_partitioned(
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def delete_rows_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> int:
+    """Targeted row deletion from a partitioned parquet table (takedown /
+    right-to-be-forgotten — a first-class training-data-lake operation):
+    locates the partitions containing the doomed keys, rewrites ONLY those
+    via dynamic partition overwrite, leaves everything else byte-identical.
+    Returns the number of rows deleted.
+
+    ``keys``: DataFrame of key_cols values to remove (broadcast — takedown
+    batches are small).
+    """
+    from pyspark.sql import functions as F
+
+    data = spark.read.parquet(target_path)
+    doomed = data.join(F.broadcast(keys), key_cols, "left_semi")
+    n_doomed = doomed.count()
+    if n_doomed == 0:
+        return 0
+    touched = doomed.select(*partition_cols).distinct()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors = (
+            data.join(F.broadcast(touched), partition_cols, "left_semi")
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        survivors.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_doomed

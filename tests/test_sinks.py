@@ -84,3 +84,30 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # the 2024 partition was not rewritten
     for f, mtime in untouched_files.items():
         assert os.path.getmtime(f) == mtime and os.path.exists(f)
+
+
+def test_targeted_delete_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from sec_dl_spark.sinks.compact import delete_rows_partitioned
+
+    path = str(tmp_path / "docs_lake")
+    base = spark.createDataFrame(
+        [(i, f"text {i}", i % 2) for i in range(10)],
+        "doc_id long, text string, part int",
+    )
+    base.write.partitionBy("part").parquet(path)
+    part0_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=0/**/*.parquet", recursive=True)
+    }
+
+    doomed = spark.createDataFrame([(1,), (3,), (999,)], "doc_id long")  # all in part=1
+    n = delete_rows_partitioned(spark, path, doomed, ["doc_id"], ["part"])
+    assert n == 2
+    left = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert left == {0, 2, 4, 5, 6, 7, 8, 9}
+    for f, mtime in part0_files.items():  # untouched partition preserved
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime
+    # no-op delete returns 0 and changes nothing
+    assert delete_rows_partitioned(spark, path, doomed, ["doc_id"], ["part"]) == 0
