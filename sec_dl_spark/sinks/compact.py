@@ -106,7 +106,15 @@ def delete_rows_partitioned(
 
     ``keys``: DataFrame of key_cols values to remove (broadcast — takedown
     batches are small).
+
+    Dynamic partition overwrite only rewrites partitions PRESENT in the
+    written frame, so a partition whose every row is doomed would survive
+    untouched on disk. Touched partitions with zero survivors are therefore
+    deleted explicitly (their directories removed) after the overwrite.
     """
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
 
     data = spark.read.parquet(target_path)
@@ -122,7 +130,43 @@ def delete_rows_partitioned(
             data.join(F.broadcast(touched), partition_cols, "left_semi")
             .join(F.broadcast(keys), key_cols, "left_anti")
         )
+        # Partitions the takedown fully empties never appear in `survivors`,
+        # so the dynamic overwrite skips them — compute them up front (takedown
+        # scope is small by contract; both collects are broadcast-sized).
+        surviving_parts = {
+            tuple(r) for r in survivors.select(*partition_cols).distinct().collect()
+        }
+        emptied = [
+            tuple(r) for r in touched.collect() if tuple(r) not in surviving_parts
+        ]
         survivors.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+        for part_vals in emptied:
+            part_dir = os.path.join(
+                target_path,
+                *(
+                    f"{c}={_escape_partition_value(v)}"
+                    for c, v in zip(partition_cols, part_vals)
+                ),
+            )
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return n_doomed
+
+
+def _escape_partition_value(v) -> str:
+    """Render a partition value the way Spark names partition directories
+    (Hive-style): NULL → __HIVE_DEFAULT_PARTITION__, special characters
+    percent-escaped (ExternalCatalogUtils.escapePathName's charset)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    unsafe = set('"#%\'*/:=?\\\x7f{[]^')
+    out = []
+    for ch in s:
+        if ch in unsafe or ord(ch) < 0x20:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)

@@ -111,3 +111,49 @@ def test_targeted_delete_rewrites_only_touched_partitions(spark, tmp_path):
         assert os.path.exists(f) and os.path.getmtime(f) == mtime
     # no-op delete returns 0 and changes nothing
     assert delete_rows_partitioned(spark, path, doomed, ["doc_id"], ["part"]) == 0
+
+
+def test_targeted_delete_removes_fully_emptied_partition(spark, tmp_path):
+    """A takedown batch that dooms EVERY row of a partition must remove that
+    partition from disk — dynamic overwrite alone skips partitions absent
+    from the survivors frame (right-to-be-forgotten safety)."""
+    import os
+
+    from sec_dl_spark.sinks.compact import delete_rows_partitioned
+
+    path = str(tmp_path / "docs_lake")
+    base = spark.createDataFrame(
+        [(i, f"text {i}", i % 3) for i in range(9)],
+        "doc_id long, text string, part int",
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    # part=1 holds exactly {1, 4, 7} — doom all of them plus one row of part=2
+    doomed = spark.createDataFrame([(1,), (4,), (7,), (2,)], "doc_id long")
+    n = delete_rows_partitioned(spark, path, doomed, ["doc_id"], ["part"])
+    assert n == 4
+    assert not os.path.isdir(f"{path}/part=1")  # emptied partition gone
+    left = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert left == {0, 3, 6, 5, 8}
+    parts = {r["part"] for r in spark.read.parquet(path).select("part").distinct().collect()}
+    assert parts == {0, 2}
+
+
+def test_targeted_delete_emptying_every_touched_partition(spark, tmp_path):
+    """All touched partitions emptied at once (survivors frame is empty):
+    the overwrite writes nothing, the explicit cleanup must still fire."""
+    import os
+
+    from sec_dl_spark.sinks.compact import delete_rows_partitioned
+
+    path = str(tmp_path / "docs_lake")
+    spark.createDataFrame(
+        [(0, "a", 0), (1, "b", 1), (2, "c", 1)],
+        "doc_id long, text string, part int",
+    ).write.partitionBy("part").parquet(path)
+
+    doomed = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert delete_rows_partitioned(spark, path, doomed, ["doc_id"], ["part"]) == 2
+    assert not os.path.isdir(f"{path}/part=1")
+    left = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert left == {0}
