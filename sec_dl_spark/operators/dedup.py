@@ -177,6 +177,12 @@ def hamming_pairs(sig: DataFrame, max_distance: int = 3, band_bits: int = 16) ->
     ceil(64/band_bits) bands untouched (pigeonhole when d < n_bands).
     Join key = (band_idx, band_value); exact Hamming check post-join."""
     n_bands = 64 // band_bits
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"pigeonhole requires max_distance < n_bands: d={max_distance} "
+            f"needs band_bits <= {64 // (max_distance + 1)} (got {band_bits}, "
+            f"{n_bands} bands) — pairs differing in every band would be missed"
+        )
     bands = sig.select(
         "doc_id",
         "simhash",

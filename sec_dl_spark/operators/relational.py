@@ -35,7 +35,10 @@ def asof_join(
     it survives arbitrary scale; skewed keys split via AQE like any sort.
 
     Right rows sort before left rows at equal timestamps, so ties match
-    (the <= in the contract).
+    (the <= in the contract). When several right rows share (key, ts), the
+    window order tie-breaks on the payload struct itself, so the carried
+    row is the maximum payload — deterministic run to run (last(ignorenulls)
+    over an underspecified order would pick an arbitrary one).
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     payload_fields = [F.col(c) for c in right_cols]
@@ -64,7 +67,7 @@ def asof_join(
 
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", F.col("_right").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

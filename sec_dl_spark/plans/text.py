@@ -209,10 +209,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + banded Hamming candidate pairs (rows-only)."""
+    """SimHash signatures + banded Hamming candidate pairs (rows-only).
+
+    d=7 with band_bits=8 (8 bands) satisfies the pigeonhole precondition
+    d < n_bands — the previous d=10 over the 4-band default silently missed
+    pairs differing in all 4 bands. 8-bit bands keep bucket cardinality at
+    256 per band, the scale-sane recall/candidate-volume point (smaller
+    bands recall a larger d but explode each bucket)."""
     d = t(spark, sf_dir, "documents")
     sig = dedup.simhash(d)
-    return dedup.hamming_pairs(sig, max_distance=10).orderBy("id_a", "id_b")
+    return dedup.hamming_pairs(sig, max_distance=7, band_bits=8).orderBy("id_a", "id_b")
 
 
 @query(

@@ -25,7 +25,11 @@ IDX_URL_FMT = "https://www.sec.gov/Archives/edgar/full-index/%d/QTR%d/master.idx
 
 def idx_url_grid(spark: SparkSession, start_year: int, end_year: int | None = None) -> DataFrame:
     """(year, qtr, url) download grid — cross join of years × quarters
-    (reference :17-29; SURVEY J4/F8). end_year defaults to the current year."""
+    (reference :17-29; SURVEY J4/F8). end_year defaults to the current year.
+
+    The current year is capped at the current quarter, mirroring the
+    reference grid (load_filings_idx.py:26-28) — future-quarter master.idx
+    URLs 404 and would sit in the pending/fetch path forever."""
     years = (
         spark.range(start_year, end_year + 1).select(F.col("id").alias("year"))
         if end_year is not None
@@ -38,8 +42,12 @@ def idx_url_grid(spark: SparkSession, start_year: int, end_year: int | None = No
         )
     )
     quarters = spark.range(1, 5).select(F.col("id").alias("qtr"))
+    not_future = (F.col("year") < F.year(F.current_date())) | (
+        F.col("qtr") <= F.quarter(F.current_date())
+    )
     return (
         years.crossJoin(F.broadcast(quarters))
+        .where(not_future)
         .select("year", "qtr", F.format_string(IDX_URL_FMT, "year", "qtr").alias("url"))
         .orderBy("year", "qtr")
     )

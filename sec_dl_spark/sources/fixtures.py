@@ -22,18 +22,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied by callers are
     pushed down into this scan by Catalyst (verify with .explain:
     PushedFilters / ReadSchema)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS): read as int64 nanos (see
         # session.RUNTIME_CONFS) and truncate to micros with integer
         # division — double division would lose precision at ~1.7e18 ns.
         # DuckDB's parquet reader truncates ns→us the same way, so oracle
-        # comparisons line up exactly.
+        # comparisons line up exactly. The conf must be set BEFORE the
+        # first scan or an untuned session throws on TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_fixtures(spark: SparkSession, sf_dir: str) -> None:

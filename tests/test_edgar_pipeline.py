@@ -106,6 +106,20 @@ def test_idx_url_grid(spark):
     assert grid[0]["url"] == "https://www.sec.gov/Archives/edgar/full-index/2020/QTR1/master.idx"
 
 
+def test_idx_url_grid_caps_current_year_at_current_quarter(spark):
+    """Mirror of the reference grid (load_filings_idx.py:26-28): the current
+    year must stop at the current quarter — future master.idx URLs 404."""
+    import datetime as dt
+
+    today = dt.date.today()
+    cur_q = (today.month - 1) // 3 + 1
+    grid = idx_url_grid(spark, today.year - 1).collect()
+    this_year = [r for r in grid if r["year"] == today.year]
+    assert [r["qtr"] for r in this_year] == list(range(1, cur_q + 1))
+    last_year = [r for r in grid if r["year"] == today.year - 1]
+    assert [r["qtr"] for r in last_year] == [1, 2, 3, 4]
+
+
 def test_streaming_idx_ingest_foreachbatch(
     spark, companies, filing_types, tmp_path_factory
 ):

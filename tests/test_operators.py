@@ -89,6 +89,19 @@ def test_simhash_identical_and_near(spark):
     assert (1, 2) in cand
 
 
+def test_hamming_pairs_rejects_pigeonhole_violation(spark):
+    """d >= n_bands would silently miss pairs differing in every band —
+    the precondition must be enforced, not documented (ADVICE r1)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    sig = simhash(df)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(sig, max_distance=10, band_bits=16)
+    # d=7 over 8-bit bands (8 bands) satisfies d < n_bands
+    hamming_pairs(sig, max_distance=7, band_bits=8).collect()
+
+
 def test_cosine_topk_exact(spark):
     vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
