@@ -40,10 +40,82 @@ def build_inverted_index(
     )
 
 
-def write_index(postings: DataFrame, path: str, buckets: int = 256) -> None:
+class CorpusStats:
+    """Corpus-level statistics for ranked retrieval (ts_rank/BM25 analogs):
+    N (corpus size), avgdl (average document length), per-document length,
+    per-token document frequency.
+
+    Computed lazily from the posting table and memoized, so a query that
+    never ranks pays nothing, and the second ranked query on the same
+    corpus pays nothing either. At serve scale these belong in the
+    persisted index — ``write_index`` writes them as a sidecar and
+    ``read_index`` rehydrates this object with zero query-time jobs."""
+
+    def __init__(
+        self,
+        postings: DataFrame | None = None,
+        doc_len: DataFrame | None = None,
+        df: DataFrame | None = None,
+        n_docs: int | None = None,
+        avgdl: float | None = None,
+        cache: bool = True,
+    ):
+        self._postings = postings
+        self._doc_len = doc_len
+        self._df = df
+        self._n_docs = n_docs
+        self._avgdl = avgdl
+        self._cache = cache
+
+    @property
+    def doc_len(self) -> DataFrame:
+        """(doc_id, dl) — total tokens per document."""
+        if self._doc_len is None:
+            dl = self._postings.groupBy("doc_id").agg(
+                F.sum(F.size("positions")).alias("dl")
+            )
+            self._doc_len = dl.cache() if self._cache else dl
+        return self._doc_len
+
+    @property
+    def df(self) -> DataFrame:
+        """(token, df) — document frequency per token. (token, doc_id) is
+        unique in the posting table, so count(*) == count_distinct."""
+        if self._df is None:
+            d = self._postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            self._df = d.cache() if self._cache else d
+        return self._df
+
+    def _scalars(self) -> None:
+        row = self.doc_len.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        self._n_docs = int(row["n_docs"])
+        self._avgdl = float(row["avgdl"])
+
+    @property
+    def n_docs(self) -> int:
+        if self._n_docs is None:
+            self._scalars()
+        return self._n_docs
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            self._scalars()
+        return self._avgdl
+
+
+def write_index(
+    postings: DataFrame, path: str, buckets: int = 256, with_stats: bool = True
+) -> None:
     """Persist the index partitioned by token hash-bucket: a search term
     prunes to one directory. (Bucketed saveAsTable is the managed-catalog
-    variant; plain parquet keeps the fixture flow hermetic.)"""
+    variant; plain parquet keeps the fixture flow hermetic.)
+
+    ``with_stats`` additionally writes the corpus-stats sidecar (N, avgdl,
+    doc_len, token df) so ranked queries at serve time launch no
+    stats-aggregation jobs — stats belong to index build, not query eval."""
     (
         postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets)
         .repartition("token_bucket")
@@ -51,6 +123,33 @@ def write_index(postings: DataFrame, path: str, buckets: int = 256) -> None:
         .partitionBy("token_bucket")
         .parquet(path)
     )
+    if with_stats:
+        stats = CorpusStats(postings, cache=False)
+        stats.doc_len.write.mode("overwrite").parquet(f"{path}_stats/doc_len")
+        stats.df.write.mode("overwrite").parquet(f"{path}_stats/token_df")
+        spark = postings.sparkSession
+        spark.createDataFrame(
+            [(stats.n_docs, stats.avgdl)], "n_docs long, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}_stats/corpus")
+
+
+def read_index(spark, path: str) -> tuple[DataFrame, CorpusStats | None]:
+    """Load a persisted index + its stats sidecar (None if written with
+    ``with_stats=False``). The scalar read is one tiny single-file scan at
+    open time; queries then run with zero stats jobs."""
+    import os
+
+    postings = spark.read.parquet(path).drop("token_bucket")
+    if not os.path.isdir(f"{path}_stats"):
+        return postings, None
+    row = spark.read.parquet(f"{path}_stats/corpus").collect()[0]
+    stats = CorpusStats(
+        doc_len=spark.read.parquet(f"{path}_stats/doc_len"),
+        df=spark.read.parquet(f"{path}_stats/token_df"),
+        n_docs=int(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+    )
+    return postings, stats
 
 
 def search_all(postings: DataFrame, terms: list[str]) -> DataFrame:
@@ -100,24 +199,31 @@ def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
     return acc.select("doc_id").distinct()
 
 
-def search_ranked(postings: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+def search_ranked(
+    postings: DataFrame, terms: list[str], k: int = 10, stats: CorpusStats | None = None
+) -> DataFrame:
     """TF-IDF ranked OR search over the inverted index: score(d) =
     Σ_t tf(t,d) · ln(N / df(t)), top-k by score.
 
     The FTS analog of PostgreSQL ts_rank on the reference's GIN index —
     everything computes off the posting table: tf = |positions|, df = one
     grouped count, N = distinct docs. Terms broadcast; the only shuffles
-    are the df aggregation and the final per-doc score combine."""
+    are the df aggregation and the final per-doc score combine.
+
+    Pass ``stats`` (from the index build / sidecar) to skip the eager
+    corpus-size job and the per-call df aggregation entirely."""
     from pyspark.sql.window import Window
 
     terms_df = F.broadcast(
         postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
     )
-    n_docs = postings.select("doc_id").distinct().count()
     hits = postings.join(terms_df, "token").select(
         "token", "doc_id", F.size("positions").alias("tf")
     )
-    df_counts = hits.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    if stats is None:
+        stats = CorpusStats(postings, cache=False)
+    n_docs = stats.n_docs
+    df_counts = stats.df.join(terms_df, "token")
     scored = (
         hits.join(F.broadcast(df_counts), "token")
         .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
@@ -150,27 +256,30 @@ def search_bm25(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranked search: idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
 
     All statistics (document length dl, average length avgdl, document
     frequency df, corpus size N) come from the posting table itself — two
     small aggregations plus the broadcast term semi-join; no text rescan.
-    idf uses the standard ln((N - df + 0.5)/(df + 0.5) + 1) form."""
+    idf uses the standard ln((N - df + 0.5)/(df + 0.5) + 1) form.
+
+    Pass ``stats`` to reuse build-time corpus statistics instead of
+    re-aggregating them per call."""
     from pyspark.sql.window import Window
 
     sp = postings.sparkSession
     terms_df = F.broadcast(sp.createDataFrame([(t.lower(),) for t in set(terms)], ["token"]))
-    doc_len = postings.groupBy("doc_id").agg(F.sum(F.size("positions")).alias("dl"))
-    stats = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if stats is None:
+        stats = CorpusStats(postings, cache=False)
+    doc_len = stats.doc_len
+    n_docs, avgdl = stats.n_docs, stats.avgdl
 
     hits = postings.join(terms_df, "token").select(
         "token", "doc_id", F.size("positions").alias("tf")
     )
-    df_counts = hits.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    df_counts = stats.df.join(terms_df, "token")
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_term = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
@@ -305,6 +414,7 @@ def tfidf_cosine_pairs(
     docs_meta: DataFrame | None = None,
     block_col: str | None = None,
     threshold: float = 0.1,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF document-vector cosine similarity, computed entirely
     off the inverted index — the text-side twin of the dense-embedding
@@ -316,9 +426,11 @@ def tfidf_cosine_pairs(
     ``docs_meta``(doc_id, block) + ``block_col`` optionally bound candidate
     generation (e.g. by source) exactly like jaccard_pairs. Returns
     (id_a, id_b, cosine_sim) with id_a < id_b, sim >= threshold."""
-    n_docs = postings.select("doc_id").distinct().count()
+    if stats is None:
+        stats = CorpusStats(postings, cache=False)
+    n_docs = stats.n_docs
     tf = postings.select("token", "doc_id", F.size("positions").alias("tf"))
-    df_c = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_c = stats.df
     w = tf.join(df_c, "token").select(
         "token",
         "doc_id",
