@@ -76,12 +76,16 @@ def read_jdbc(
     return reader.load()
 
 
-def build_upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str:
+def build_upsert_sql(
+    table: str, columns: list[str], key_cols: list[str], paramstyle: str = "format"
+) -> str:
     """INSERT ... ON CONFLICT DO UPDATE statement for the keyed-update path
     (K4, scrape_all_filings.py:169-171). Pure string builder — unit-tested
-    without a database."""
+    without a database. ``paramstyle``: 'format' (%s, psycopg2) or
+    'qmark' (?, e.g. sqlite stand-ins in tests)."""
     collist = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    ph = "%s" if paramstyle == "format" else "?"
+    placeholders = ", ".join([ph] * len(columns))
     keys = ", ".join(key_cols)
     updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in key_cols)
     return (
@@ -90,22 +94,66 @@ def build_upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str
     )
 
 
-def pg_upsert_batch_fn(dsn: str, table: str, key_cols: list[str], page_size: int = 1000):
-    """foreachBatch function performing psycopg2 executemany upserts from
-    each executor-collected micro-batch. Import-gated: raises only when
-    actually invoked without psycopg2."""
+def pg_upsert_batch_fn(
+    dsn: str,
+    table: str,
+    key_cols: list[str],
+    page_size: int = 1000,
+    connection_factory=None,
+    paramstyle: str = "format",
+):
+    """foreachBatch function performing keyed upserts EXECUTOR-SIDE: each
+    partition opens its own connection and streams its rows in pages —
+    no driver collect(), so the serving path scales with the cluster, not
+    the driver (r1's collect() was the 100×-scale driver bottleneck).
+
+    ``connection_factory``: zero-arg picklable callable returning a DB-API
+    connection, run on the executor. Defaults to psycopg2.connect(dsn)
+    (import-gated: raises only when a partition actually runs without
+    psycopg2). Commit is per-partition — micro-batch atomicity across
+    partitions is the checkpoint/idempotent-upsert contract, same as the
+    reference's chunked to_sql."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        import psycopg2
-        from psycopg2.extras import execute_batch
+        import itertools
 
         columns = batch_df.columns
-        sql = build_upsert_sql(table, columns, key_cols)
-        rows = [tuple(r) for r in batch_df.collect()]
-        if not rows:
-            return
-        with psycopg2.connect(dsn) as conn, conn.cursor() as cur:
-            execute_batch(cur, sql, rows, page_size=page_size)
+        sql = build_upsert_sql(table, columns, key_cols, paramstyle=paramstyle)
+
+        def write_partition(rows) -> None:
+            rows = iter(rows)
+            first = list(itertools.islice(rows, 1))
+            if not first:
+                return  # empty partition: never open a connection
+            if connection_factory is not None:
+                conn = connection_factory()
+
+                def run_page(cur, page):
+                    cur.executemany(sql, page)
+
+            else:
+                import psycopg2
+                from psycopg2.extras import execute_batch
+
+                conn = psycopg2.connect(dsn)
+
+                def run_page(cur, page):
+                    execute_batch(cur, sql, page, page_size=page_size)
+
+            try:
+                cur = conn.cursor()
+                it = itertools.chain(first, rows)
+                while True:
+                    page = [tuple(r) for r in itertools.islice(it, page_size)]
+                    if not page:
+                        break
+                    run_page(cur, page)
+                conn.commit()
+                cur.close()
+            finally:
+                conn.close()
+
+        batch_df.foreachPartition(write_partition)
 
     return fn
 

@@ -24,6 +24,62 @@ def test_pg_fts_ddl_shape():
     assert "tsvector" in joined and "gin" in joined.lower()
 
 
+def _make_sqlite_factory(path: str):
+    """Executor-side connection factory (sqlite stands in for psycopg2 —
+    same DB-API shape, qmark paramstyle). A closure, so cloudpickle ships
+    it by value; a test-module class would pickle by reference and fail to
+    import on workers."""
+
+    def factory():
+        import sqlite3
+
+        conn = sqlite3.connect(path, timeout=30)
+        conn.execute("PRAGMA busy_timeout=30000")
+        return conn
+
+    return factory
+
+
+def test_pg_upsert_fn_executor_side(spark, tmp_path):
+    """The K4 upsert path runs on EXECUTORS (foreachPartition), never
+    collecting through the driver: multi-partition upsert into a DB-API
+    stand-in is row-identical to the expected merged state, including a
+    second conflicting batch, with page_size=1 exercising row paging."""
+    import sqlite3
+
+    from sec_dl_spark.sinks.jdbc import pg_upsert_batch_fn
+
+    db = str(tmp_path / "serving.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE filings (filing_id INTEGER PRIMARY KEY, text TEXT)")
+
+    fn = pg_upsert_batch_fn(
+        dsn="unused",
+        table="filings",
+        key_cols=["filing_id"],
+        page_size=1,
+        connection_factory=_make_sqlite_factory(db),
+        paramstyle="qmark",
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "filing_id long, text string"
+    ).repartition(3)
+    fn(b1, 0)
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT filing_id, text FROM filings").fetchall())
+    assert rows == {1: "one", 2: "two", 3: "three"}
+
+    # conflicting keys update, new keys insert; empty partitions are no-ops
+    b2 = spark.createDataFrame(
+        [(2, "TWO"), (4, "four")], "filing_id long, text string"
+    ).repartition(8)
+    fn(b2, 1)
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT filing_id, text FROM filings").fetchall())
+    assert rows == {1: "one", 2: "TWO", 3: "three", 4: "four"}
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     """REAL JDBC write + read using the Derby driver bundled with Spark:
     exercises the actual df.write.jdbc append path (K1-K3 batchsize) and
