@@ -116,10 +116,17 @@ def strip_embedded_files(df: DataFrame, text_col: str = "text") -> DataFrame:
 
             ext = re.compile(BINARY_EXT_RE.replace(r"\s*$", r"\b"), re.IGNORECASE)
 
-            def one(raw: str) -> str:
+            def one(raw) -> str:
                 if raw is None:
                     return None
-                soup = BeautifulSoup(raw, features="lxml")
+                # from_encoding='latin-1' mirrors the reference's parser
+                # invocation (scrape_all_filings.py:85); bs4 only consults
+                # it for bytes input — on already-decoded str it would warn
+                # and ignore, so pass it exactly when it is meaningful.
+                if isinstance(raw, bytes):
+                    soup = BeautifulSoup(raw, features="lxml", from_encoding="latin-1")
+                else:
+                    soup = BeautifulSoup(raw, features="lxml")
                 for fn in soup.find_all("filename"):
                     if ext.search(fn.get_text(strip=True)):
                         parent = fn.find_parent("document")

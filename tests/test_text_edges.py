@@ -18,6 +18,34 @@ def _clean_one(spark, raw: str) -> str:
     return df.select(clean_filing_text(F.col("text")).alias("c")).first()["c"]
 
 
+def test_parse_chain_golden_nfkd_and_latin1(spark):
+    """Golden end-to-end parse-chain fidelity (reference
+    remove_embedded_files, scrape_all_filings.py:83-114): a filing with a
+    ligature (NFKD decomposes ﬁ → fi, :99), raw cp1252 smart-quote bytes
+    (\\x93/\\x94 → '\"', :105-106), an &nbsp; entity, a binary attachment,
+    and base64-ish debris — all handled in one pass of parse_fetched."""
+    from sec_dl_spark.etl.scrape import parse_fetched
+
+    raw = (
+        "<SEC-DOCUMENT>\n"
+        "<DOCUMENT>\n<TYPE>10-K\n<FILENAME>main.htm\n<TEXT>\n"
+        "<html><body>Annual ﬁling report. "
+        "Growth was \x93strong\x94 this&nbsp;year. "
+        "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVphYmNkZWZnaGlqa2xtbg==</body></html>\n"
+        "</TEXT>\n</DOCUMENT>\n"
+        "<DOCUMENT>\n<TYPE>GRAPHIC\n<FILENAME>img.jpg\n<TEXT>\n"
+        "BINARYPAYLOADSHOULDVANISH\n</TEXT>\n</DOCUMENT>\n"
+        "</SEC-DOCUMENT>"
+    )
+    fetched = spark.createDataFrame([(1, "p", raw)], "filing_id long, path string, raw string")
+    out = parse_fetched(fetched).first()["text"]
+    assert "filing" in out  # ligature ﬁ NFKD-decomposed before cleaning
+    assert '"strong"' in out  # cp1252 bytes → ASCII quote
+    assert "this year" in out  # entity → space
+    assert "binarypayloadshouldvanish" not in out  # attachment dropped
+    assert "qujdrevgr" not in out.lower()  # >=20-char debris dropped
+
+
 def test_drop_long_tokens(spark):
     raw = "short " + "x" * 25 + " ok " + "y" * 19
     df = spark.createDataFrame([(raw,)], ["text"])
