@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--idx", nargs="+", required=True, help="master.idx file path(s)")
     ap.add_argument("--http", action="store_true", help="fetch filings over HTTP (default: offline fake)")
     ap.add_argument("--scrape-partitions", type=int, default=None)
+    ap.add_argument(
+        "--debug",
+        action="store_true",
+        help="also write parsed filing text as plain text files (K11 parity: "
+        "the reference's debug file dump, scrape_all_filings.py:162-166)",
+    )
     args = ap.parse_args()
 
     from sec_dl_spark.etl.ingest import (
@@ -69,6 +75,16 @@ def main() -> None:
     merged.write.mode("overwrite").partitionBy("year", "qtr").parquet(
         f"{args.base}/filings_text_next"
     )
+
+    if args.debug:
+        # K11 debug sink: one line per scraped filing, tab-separated id+text
+        (
+            fetched.select(
+                F.concat_ws("\t", F.col("filing_id").cast("string"), "text")
+            )
+            .write.mode("overwrite")
+            .text(f"{args.base}/debug_text")
+        )
 
     done = spark.read.parquet(f"{args.base}/filings_text_next")
     for row in scrape_progress(meta, done).collect():

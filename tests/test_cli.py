@@ -31,7 +31,8 @@ def test_pipeline_cli_end_to_end(tmp_path):
          "--base", str(tmp_path / "wh"),
          "--companies", str(tmp_path / "companies.csv"),
          "--filing-types", str(tmp_path / "filing_types.csv"),
-         "--idx", str(tmp_path / "q1.idx")],
+         "--idx", str(tmp_path / "q1.idx"),
+         "--debug"],
         capture_output=True, text=True, timeout=240, env=env, cwd=str(tmp_path),
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -40,3 +41,11 @@ def test_pipeline_cli_end_to_end(tmp_path):
     assert "'n_total': 2" in out.stdout and "'n_pending': 0" in out.stdout
     assert (tmp_path / "wh" / "filings_meta").exists()
     assert (tmp_path / "wh" / "filings_text_next").exists()
+    # K11 debug sink: plain text files, one "<id>\t<text>" line per filing
+    debug_lines = [
+        line
+        for f in (tmp_path / "wh" / "debug_text").glob("part-*.txt")
+        for line in f.read_text().splitlines()
+    ]
+    assert len(debug_lines) == 2
+    assert all("\t" in line and "annual report" in line for line in debug_lines)
