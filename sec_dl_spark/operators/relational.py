@@ -113,3 +113,63 @@ def sessionize(
     ).otherwise(0)
     w_acc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_id", F.sum(new_session).over(w_acc).cast("long"))
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    specs: dict[str, list[tuple[float, str]]],
+) -> DataFrame:
+    """Exact interpolated (quantile_cont / type-7) percentiles per group,
+    as a distinct-value + cumulative-count plan instead of Spark's
+    `percentile` TypedImperativeAggregate.
+
+    Why: `percentile` buffers EVERY value per group in an interpreted
+    aggregation buffer and merges per-group in a single task — the final
+    merge is the serial cost center, and the buffer is O(group size). This
+    formulation shuffles only (group, distinct value, count) — map-side
+    combinable, fully codegen, merge parallel across distinct values — so
+    it survives groups of any row count; cost scales with DISTINCT values
+    per group, not rows.
+
+    Plan per value column: count by (group, value) → one window over the
+    value order per group (cumulative rank range [lo, hi] per distinct
+    value + lead for interpolation) → the row whose range contains the
+    target rank k = floor((n-1)·p) emits x_k + frac·(x_{k+1} − x_k);
+    max() per group picks the single non-null.
+
+    ``specs``: {value_col: [(p, out_name), ...]}. Returns one row per
+    group with every out_name column (double).
+    """
+    out: DataFrame | None = None
+    for value_col, ps in specs.items():
+        c = (
+            df.select(group_col, value_col)
+            .groupBy(group_col, value_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy(group_col).orderBy(value_col)
+        wp = Window.partitionBy(group_col)
+        c = (
+            c.withColumn("hi", F.sum("cnt").over(w) - 1)
+            .withColumn("n", F.sum("cnt").over(wp))
+            .withColumn("nxt", F.lead(value_col).over(w))
+        )
+        lo = F.col("hi") - F.col("cnt") + 1
+        aggs = []
+        for p, name in ps:
+            h = (F.col("n") - 1) * F.lit(float(p))
+            k = F.floor(h)
+            frac = h - k
+            v = F.col(value_col).cast("double")
+            px = F.when(
+                (k >= lo) & (k <= F.col("hi")),
+                F.when(
+                    (k == F.col("hi")) & (frac > 0),
+                    v + frac * (F.col("nxt").cast("double") - v),
+                ).otherwise(v),
+            )
+            aggs.append(F.max(px).alias(name))
+        part = c.groupBy(group_col).agg(*aggs)
+        out = part if out is None else out.join(part, group_col)
+    return out

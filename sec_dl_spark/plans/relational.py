@@ -886,25 +886,33 @@ def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB quantile_cont semantics). The approx_percentile variant is the
-    100 TB path (t-digest sketch, no full sort) — checked in pytest against
-    these exact values with rank-error tolerance.
+    """Exact interpolated percentiles per group (quantile_cont semantics)
+    via the distinct-value + cumulative-count formulation
+    (operators/relational.py:exact_percentiles) — fully codegen and
+    map-side combinable, unlike Spark's `percentile`
+    TypedImperativeAggregate whose per-group buffers merge serially.
+    The approx_percentile variant is the sketch-based alternative —
+    checked in pytest against these exact values with rank-error
+    tolerance."""
+    from sec_dl_spark.operators.relational import exact_percentiles
 
-    percentile is a TypedImperativeAggregate (interpreted per-row update,
-    no codegen), so the partial-agg stage is the cost center — spread()
-    after pruning to the 3 needed columns keeps it on every core."""
-    from sec_dl_spark.session import spread
-
-    li = spread(
-        t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_quantity")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    raw = exact_percentiles(
+        li,
+        "l_returnflag",
+        {
+            "l_extendedprice": [(0.5, "p50_raw"), (0.9, "p90_raw")],
+            "l_quantity": [(0.25, "q1_raw")],
+        },
     )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)") + 1e-8, 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)") + 1e-8, 4).alias("p90"),
-            F.round(F.expr("percentile(l_quantity, 0.25)") + 1e-8, 4).alias("q1_qty"),
+        raw.select(
+            "l_returnflag",
+            F.round(F.col("p50_raw") + 1e-8, 4).alias("p50"),
+            F.round(F.col("p90_raw") + 1e-8, 4).alias("p90"),
+            F.round(F.col("q1_raw") + 1e-8, 4).alias("q1_qty"),
         )
         .orderBy("l_returnflag")
     )

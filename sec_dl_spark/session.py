@@ -89,6 +89,29 @@ def spread(df, partitions: int | None = None):
     """
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if _estimated_scan_splits(df) >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_splits(df) -> int:
+    """Estimate the scan's split count from file sizes + the FileSourceScan
+    packing confs — avoids df.rdd.getNumPartitions(), which forces a full
+    plan→RDD conversion on the driver per call (measurable planning noise
+    when many queries are constructed per session)."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return 1
+        total = 0
+        for f in files:
+            total += _os.path.getsize(f.split("://", 1)[-1])
+        conf = df.sparkSession.conf
+        max_bytes = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        open_cost = int(conf.get("spark.sql.files.openCostInBytes", str(4 << 20)))
+        return max(1, (total + open_cost * len(files)) // max_bytes)
+    except Exception:
+        # non-file source (rate, JDBC, in-memory): assume already parallel
+        return 1 << 30

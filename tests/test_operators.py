@@ -136,6 +136,43 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert again == ivf_set
 
 
+def test_exact_percentiles_matches_builtin(spark):
+    """The distinct-value + cumulative-count formulation must reproduce
+    Spark's `percentile` (quantile_cont / type-7 interpolation) exactly —
+    including duplicate-heavy data, a group of one row, and interpolation
+    between distinct values."""
+    import random
+
+    from sec_dl_spark.operators.relational import exact_percentiles
+
+    rng = random.Random(7)
+    rows = [("a", float(rng.randint(0, 50)) / 4) for _ in range(500)]
+    rows += [("b", float(rng.randint(0, 10))) for _ in range(37)]
+    rows += [("solo", 42.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    got = {
+        r["g"]: (r["p10"], r["p50"], r["p99"])
+        for r in exact_percentiles(
+            df, "g", {"x": [(0.1, "p10"), (0.5, "p50"), (0.99, "p99")]}
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p10"], r["p50"], r["p99"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(x, 0.1)").alias("p10"),
+            F.expr("percentile(x, 0.5)").alias("p50"),
+            F.expr("percentile(x, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+
+
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     from sec_dl_spark.plans.catalog import t
 
