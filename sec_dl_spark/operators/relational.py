@@ -132,44 +132,43 @@ def exact_percentiles(
     it survives groups of any row count; cost scales with DISTINCT values
     per group, not rows.
 
-    Plan per value column: count by (group, value) → one window over the
-    value order per group (cumulative rank range [lo, hi] per distinct
-    value + lead for interpolation) → the row whose range contains the
-    target rank k = floor((n-1)·p) emits x_k + frac·(x_{k+1} − x_k);
-    max() per group picks the single non-null.
+    Plan: stack every value column into (group, which, value) rows — ONE
+    count shuffle and ONE window pass cover all columns — then per
+    distinct value compute its cumulative rank range [lo, hi] (+ lead for
+    interpolation); the row whose range contains the target rank
+    k = floor((n-1)·p) emits x_k + frac·(x_{k+1} − x_k); max() per group
+    picks the single non-null. NULL values are excluded, matching the
+    builtin's semantics.
 
     ``specs``: {value_col: [(p, out_name), ...]}. Returns one row per
     group with every out_name column (double).
     """
-    out: DataFrame | None = None
+    cols = list(specs)
+    stack_args = ", ".join(f"'{c}', cast({c} as double)" for c in cols)
+    stacked = df.selectExpr(
+        group_col, f"stack({len(cols)}, {stack_args}) as (which, val)"
+    ).where(F.col("val").isNotNull())
+    c = stacked.groupBy(group_col, "which", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col, "which").orderBy("val")
+    wp = Window.partitionBy(group_col, "which")
+    c = (
+        c.withColumn("hi", F.sum("cnt").over(w) - 1)
+        .withColumn("n", F.sum("cnt").over(wp))
+        .withColumn("nxt", F.lead("val").over(w))
+    )
+    lo = F.col("hi") - F.col("cnt") + 1
+    aggs = []
     for value_col, ps in specs.items():
-        c = (
-            df.select(group_col, value_col)
-            .groupBy(group_col, value_col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w = Window.partitionBy(group_col).orderBy(value_col)
-        wp = Window.partitionBy(group_col)
-        c = (
-            c.withColumn("hi", F.sum("cnt").over(w) - 1)
-            .withColumn("n", F.sum("cnt").over(wp))
-            .withColumn("nxt", F.lead(value_col).over(w))
-        )
-        lo = F.col("hi") - F.col("cnt") + 1
-        aggs = []
         for p, name in ps:
             h = (F.col("n") - 1) * F.lit(float(p))
             k = F.floor(h)
             frac = h - k
-            v = F.col(value_col).cast("double")
             px = F.when(
-                (k >= lo) & (k <= F.col("hi")),
+                (F.col("which") == value_col) & (k >= lo) & (k <= F.col("hi")),
                 F.when(
                     (k == F.col("hi")) & (frac > 0),
-                    v + frac * (F.col("nxt").cast("double") - v),
-                ).otherwise(v),
+                    F.col("val") + frac * (F.col("nxt") - F.col("val")),
+                ).otherwise(F.col("val")),
             )
             aggs.append(F.max(px).alias(name))
-        part = c.groupBy(group_col).agg(*aggs)
-        out = part if out is None else out.join(part, group_col)
-    return out
+    return c.groupBy(group_col).agg(*aggs)

@@ -149,6 +149,7 @@ def test_exact_percentiles_matches_builtin(spark):
     rows = [("a", float(rng.randint(0, 50)) / 4) for _ in range(500)]
     rows += [("b", float(rng.randint(0, 10))) for _ in range(37)]
     rows += [("solo", 42.0)]
+    rows += [("a", None), ("b", None)]  # NULLs excluded, like the builtin
     df = spark.createDataFrame(rows, "g string, x double")
 
     got = {
