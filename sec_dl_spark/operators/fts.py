@@ -298,6 +298,86 @@ def search_bm25(
     )
 
 
+def search_proximity_ranked(
+    postings: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = 1.0,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Proximity-boosted BM25 (PostgreSQL ts_rank_cd's cover-density idea):
+    score = bm25 + prox_weight / min_cover_width, where min_cover_width is
+    the width of the TIGHTEST position window containing every query term.
+    Only documents containing ALL terms rank — a cover requires all terms,
+    as in ts_rank_cd over an AND tsquery.
+
+    The min-cover search is pure window functions — no UDF, no per-doc
+    loop: explode the query terms' positions in matching docs, order by
+    position, carry the last-seen position of each term with a running
+    max; the candidate cover ending at each position spans
+    [least(last_t...), pos], and the document's min width is the minimum
+    over end positions. One window pass computes every term's carry.
+    Cost scales with occurrences OF THE QUERY TERMS in MATCHING docs only
+    (the posting semi-join prunes first), never with corpus size."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql.window import Window
+
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    sp = postings.sparkSession
+    terms_df = F.broadcast(sp.createDataFrame([(t,) for t in uniq], ["token"]))
+    matched = search_all(postings, uniq)
+    hits = postings.join(terms_df, "token").join(matched, "doc_id", "left_semi")
+
+    if stats is None:
+        stats = CorpusStats(postings, cache=False)
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+    tf_rows = hits.select("token", "doc_id", F.size("positions").alias("tf"))
+    df_counts = stats.df.join(terms_df, "token")
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_term = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    bm25 = (
+        tf_rows.join(F.broadcast(df_counts), "token")
+        .join(stats.doc_len, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_term).alias("bm25"))
+    )
+
+    pos = hits.select("doc_id", "token", F.explode("positions").alias("pos"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("token") == t, F.col("pos"))).over(w).alias(f"last_{i}")
+        for i, t in enumerate(uniq)
+    ]
+    carried = pos.select("doc_id", "pos", *lasts)
+    all_seen = reduce(and_, [F.col(f"last_{i}").isNotNull() for i in range(len(uniq))])
+    start = F.least(*[F.col(f"last_{i}") for i in range(len(uniq))])
+    width = F.when(all_seen, F.col("pos") - start + 1)
+    min_cover = carried.groupBy("doc_id").agg(F.min(width).alias("min_cover"))
+
+    scored = bm25.join(min_cover, "doc_id").select(
+        "doc_id",
+        F.round(F.col("bm25") + F.lit(prox_weight) / F.col("min_cover"), 6).alias(
+            "score"
+        ),
+    )
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )
+
+
 # --- tsquery-style string queries ------------------------------------------
 # The reference's user-facing search language is PostgreSQL to_tsquery
 # ('spark & (join <-> order | !window)', init_tables.py:56-57, README.md:7).

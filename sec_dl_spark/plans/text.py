@@ -569,6 +569,56 @@ def fts_ranked_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fts_proximity_ranked",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, t.term, len(list_filter(toks, x -> x = t.term)) AS tf
+      FROM tk, (SELECT unnest(['fast', 'sort']) AS term) t
+      WHERE list_contains(toks, t.term)),
+    dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    bm25 AS (
+      SELECT h.doc_id,
+             sum(
+               ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ) AS bm25
+      FROM hits h, dfs d, dl, stats
+      WHERE h.term = d.term AND h.doc_id = dl.doc_id
+      GROUP BY h.doc_id),
+    tp AS (SELECT doc_id, unnest(toks) AS token,
+                  unnest(range(len(toks))) AS pos FROM tk),
+    cov AS (
+      SELECT doc_id, pos,
+             max(CASE WHEN token = 'fast' THEN pos END) OVER w AS l0,
+             max(CASE WHEN token = 'sort' THEN pos END) OVER w AS l1
+      FROM tp WHERE token IN ('fast', 'sort')
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    minw AS (
+      SELECT doc_id, min(pos - least(l0, l1) + 1) AS min_cover
+      FROM cov WHERE l0 IS NOT NULL AND l1 IS NOT NULL GROUP BY doc_id)
+    SELECT b.doc_id, round(b.bm25 + 1.0 / m.min_cover, 6) AS score,
+           CAST(row_number() OVER (ORDER BY round(b.bm25 + 1.0 / m.min_cover, 6) DESC,
+                                   b.doc_id) AS BIGINT) AS rank
+    FROM bm25 b JOIN minw m ON b.doc_id = m.doc_id
+    QUALIFY rank <= 10 ORDER BY rank
+    """,
+)
+def fts_proximity_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted BM25 (ts_rank_cd's cover-density idea): tightest
+    window containing every query term, found with one running-max window
+    pass over the query terms' positions — completes the reference's
+    ts_rank_cd ranking surface (init_tables.py:56-57) JVM-side."""
+    postings, stats = fts_index(spark, sf_dir)
+    return fts.search_proximity_ranked(
+        postings, ["fast", "sort"], k=10, stats=stats
+    ).orderBy("rank")
+
+
+@query(
     "fts_tsquery_expr",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)

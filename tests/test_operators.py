@@ -174,6 +174,29 @@ def test_exact_percentiles_matches_builtin(spark):
             assert abs(a - b) < 1e-9, (g, got[g], want[g])
 
 
+def test_proximity_ranked_prefers_tight_covers(spark):
+    """ts_rank_cd-style semantics: with equal term frequencies, the doc
+    where the query terms sit adjacent must outrank the doc where they are
+    far apart; docs missing a term never rank."""
+    from sec_dl_spark.operators.fts import build_inverted_index, search_proximity_ranked
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {filler}"),          # adjacent → cover width 2
+            (2, f"alpha {filler} beta"),          # far apart → wide cover
+            (3, f"alpha {filler}"),               # missing 'beta'
+        ],
+        "doc_id long, text string",
+    )
+    out = search_proximity_ranked(
+        build_inverted_index(docs), ["alpha", "beta"], k=10
+    ).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert set(ranks) == {1, 2}  # doc 3 lacks a term
+    assert ranks[1] < ranks[2]  # tighter cover wins (bm25 parts are equal)
+
+
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     from sec_dl_spark.plans.catalog import t
 
