@@ -4,15 +4,16 @@ Baseline: exact brute-force cosine top-k — broadcast the (small) query set,
 compute dot products with JVM-side higher-order functions (zip_with +
 aggregate, no Python in the loop), rank per query with a window.
 
-Scale path: BucketedRandomProjectionLSH over L2-normalized vectors —
-cosine NN ≡ euclidean NN on the unit sphere — so candidate generation is a
-bucket join instead of a cross product. An IVF-style variant (coarse
-k-means centroids → probe nearest cells) drops in the same shape; LSH is
-the shipped one because it is deterministic under a fixed seed.
+Scale paths: random-hyperplane LSH (signature pass is one vectorized
+Arrow matmul per batch; candidates come from a bucket equi-join instead
+of a cross product) and an IVF variant (coarse k-means centroids → probe
+nearest cells). Both deterministic under a fixed seed; both rerank
+exactly, so approximation affects only recall, never reported scores.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -76,45 +77,90 @@ def normalize_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double") / n)
 
 
+def hyperplane_buckets(
+    vec_col: Column, num_tables: int = 12, bits_per_table: int = 6, seed: int = 42
+) -> Column:
+    """ARRAY<LONG> of ``num_tables`` LSH bucket ids for an embedding column
+    via random-hyperplane signatures (SimHash for vectors): bit j of table
+    t is sign(v · h_{t,j}); P[bits agree] = 1 − θ/π, so near-cosine
+    vectors collide in some table with high probability.
+
+    ONE vectorized Arrow pass — each batch is a single numpy matmul
+    against the (dim × total_bits) plane matrix, regenerated
+    deterministically from the seed on every executor (nothing to fit,
+    broadcast, or serialize). Bucket ids are namespaced by table
+    (id = table·2^bits + bits) so a plain equi-join on the exploded
+    column is the whole candidate generator."""
+    import numpy as np  # noqa: F401 — executor-side import checked eagerly
+    from pyspark.sql.types import ArrayType, LongType
+
+    total_bits = num_tables * bits_per_table
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())  # n × dim, float
+        planes = np.random.RandomState(seed).standard_normal((m.shape[1], total_bits))
+        bits = (m.astype(np.float64) @ planes) > 0  # n × total_bits
+        weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    int(t << bits_per_table | int(row[t * bits_per_table : (t + 1) * bits_per_table] @ weights))
+                    for t in range(num_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return bucketize(vec_col)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_length: float = 0.5,
-    num_tables: int = 8,
+    num_tables: int = 12,
+    bits_per_table: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k via BucketedRandomProjectionLSH on unit vectors.
-
-    euclidean_dist² = 2 - 2·cos on the unit sphere, so nearest-euclidean ==
-    nearest-cosine. Candidates come from LSH bucket joins (approxSimilarityJoin
-    with a generous radius), then exact re-ranking keeps top-k — the standard
-    ANN recall/latency trade. Deterministic under the fixed seed."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    def prep(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
-        )
-
-    c = prep(corpus, "neighbor_id")
-    q = prep(queries, "query_id")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_tables, seed=seed
+    """Approximate top-k cosine neighbors via random-hyperplane LSH:
+    signature pass (hyperplane_buckets, one Arrow matmul per batch) →
+    bucket equi-join for candidates → exact cosine rerank of candidates
+    only. Deterministic under the fixed seed; no model fit, no cross
+    product — candidate volume is collision-driven, so cost scales with
+    bucket co-occupancy, not |corpus|·|queries|."""
+    bk = hyperplane_buckets(
+        F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
     )
-    model = lsh.fit(c)
-    # radius 2.0 covers cos >= -1; bucket pruning still applies per table.
-    joined = model.approxSimilarityJoin(c, q, 2.0, distCol="dist")
+    c_bk = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.explode(bk).alias("bucket")
+    )
+    q_bk = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.explode(bk).alias("bucket"))
+    )
+    cand = (
+        c_bk.join(q_bk, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_vecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
-        joined.where(F.col("datasetA.neighbor_id") != F.col("datasetB.query_id"))
+        cand.join(c_vecs, "neighbor_id")
+        .join(q_vecs, "query_id")
         .select(
-            F.col("datasetB.query_id").alias("query_id"),
-            F.col("datasetA.neighbor_id").alias("neighbor_id"),
-            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine_sim"),
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
@@ -148,7 +194,9 @@ def cosine_topk_ivf(
         F.col(vec_col).alias("c_vec"),
         array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    # coarse cells only need a rough Voronoi partition — 8 Lloyd iterations
+    # is plenty (default 20 just multiplies fit jobs; probes rerank exactly)
+    km = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell")
     model = km.fit(c_feat)
     assigned = model.transform(c_feat).select("neighbor_id", "c_vec", "cell")
 

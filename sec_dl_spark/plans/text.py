@@ -334,7 +334,8 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_cosine_topk_lsh", oracle=None)
 def emb_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via BucketedRandomProjectionLSH on unit vectors
+    """Approximate top-5 via random-hyperplane LSH: one Arrow matmul
+    signature pass, bucket equi-join candidates, exact rerank
     (rows-only; pytest checks recall vs the exact path)."""
     e = t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_lsh(e, e.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
