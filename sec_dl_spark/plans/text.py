@@ -135,6 +135,74 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token,
+                   unnest(range(len(toks))) AS pos FROM tk),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+    tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     max(c) AS top_tok FROM tc GROUP BY doc_id),
+    g2 AS (SELECT doc_id,
+                  token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+           FROM tok),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g2
+           WHERE gram IS NOT NULL GROUP BY doc_id, gram),
+    gstat AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams
+              FROM gc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           round(t.top_tok * 1.0 / t.n_tokens + 1e-8, 4) AS top_tok_frac,
+           round(coalesce(g.top_gram * 1.0 / g.n_grams, 0.0) + 1e-8, 4) AS top_2gram_frac,
+           round(coalesce(g.dup_grams * 1.0 / g.n_grams, 0.0) + 1e-8, 4) AS dup_2gram_frac
+    FROM tstat t LEFT JOIN gstat g ON t.doc_id = g.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/RefinedWeb-style filters a
+    training-data pipeline applies before anything else): most-frequent
+    token share, most-frequent 2-gram share, and the fraction of 2-grams
+    appearing more than once. All computed by explode + groupBy counts —
+    fully codegen aggregates, one shuffle keyed by doc; no per-row map
+    structures (HOF frequency maps run interpreted)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tstat = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g2 = tok.select(
+        "doc_id",
+        F.concat(F.col("token"), F.lit(" "), F.lead("token").over(w)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    gc = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gstat = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_grams"),
+    )
+    return (
+        tstat.join(gstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_tok") / F.col("n_tokens") + 1e-8, 4).alias("top_tok_frac"),
+            F.round(
+                F.coalesce(F.col("top_gram") / F.col("n_grams"), F.lit(0.0)) + 1e-8, 4
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_grams") / F.col("n_grams"), F.lit(0.0)) + 1e-8, 4
+            ).alias("dup_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_lang_guess",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, list_distinct({TOKS}) AS toks FROM documents),
@@ -218,6 +286,36 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
+    )
+
+
+@query(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents)
+    SELECT doc_id,
+           (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep,
+           CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+    FROM fp ORDER BY doc_id
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of exact dedup: per document, keep/drop verdict
+    (canonical = min doc_id in its fingerprint group) + group size — the
+    frame a pipeline anti-joins against before training. One shuffle keyed
+    by fingerprint; text never shuffles."""
+    d = spread(t(spark, sf_dir, "documents"))
+    fp = d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+        "doc_id", A.fingerprint_of(F.col("toks")).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        fp.select(
+            "doc_id",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
     )
 
 
