@@ -405,8 +405,9 @@ class _TsLexer:
 
 
 def parse_tsquery(q: str):
-    """'a & (b <-> c | !d)' → nested AST of ('term', t) / ('not', x) /
-    ('phrase', [..]) / ('and', [..]) / ('or', [..])."""
+    """'a & (b <-> c | !d)' → nested AST of ('term', t) / ('prefix', p) /
+    ('not', x) / ('phrase', [..]) / ('and', [..]) / ('or', [..]).
+    'word:*' is PG's prefix-match form (to_tsquery 'spar:*')."""
     lx = _TsLexer(q)
 
     def parse_or():
@@ -448,7 +449,12 @@ def parse_tsquery(q: str):
             return inner
         if tok in (")", "|", "&", None):
             raise ValueError(f"unexpected token {tok!r} in tsquery")
-        return ("term", lx.take().lower())
+        word = lx.take().lower()
+        if word.endswith(":*"):
+            if len(word) == 2:
+                raise ValueError("empty prefix in tsquery")
+            return ("prefix", word[:-2])
+        return ("term", word)
 
     ast = parse_or()
     if lx.peek() is not None:
@@ -470,6 +476,16 @@ def search_query(postings: DataFrame, q: str) -> DataFrame:
         kind = node[0]
         if kind == "term":
             return postings.where(F.col("token") == node[1]).select("doc_id").distinct()
+        if kind == "prefix":
+            # PG 'word:*'. A range scan over the token order; on the
+            # hash-bucketed persisted index this scans all buckets — a
+            # token-RANGE-partitioned layout restores pruning if prefix
+            # queries dominate a workload.
+            return (
+                postings.where(F.col("token").startswith(node[1]))
+                .select("doc_id")
+                .distinct()
+            )
         if kind == "phrase":
             return search_phrase(postings, node[1])
         if kind == "not":

@@ -718,6 +718,79 @@ def fts_proximity_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fts_tsquery_prefix",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id FROM tk
+    WHERE len(list_filter(toks, x -> x LIKE 'sp%')) > 0
+      AND list_contains(toks, 'join')
+    ORDER BY doc_id
+    """,
+)
+def fts_tsquery_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_tsquery 'sp:* & join' — PG's prefix-match operator evaluated as a
+    token range scan over the posting table composed with the AND
+    semi-join (tsquery grammar parity: term, prefix, phrase, &, |, !)."""
+    postings, _ = fts_index(spark, sf_dir)
+    return fts.search_query(postings, "sp:* & join").orderBy("doc_id")
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM tk),
+    keepd AS (SELECT doc_id, (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS keep_dedup
+              FROM fp),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+    st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok
+           FROM tc GROUP BY doc_id)
+    SELECT k.doc_id, k.keep_dedup,
+           (st.n_tokens >= 20) AS keep_len,
+           (st.top_tok * 1.0 / st.n_tokens <= 0.15) AS keep_rep,
+           (k.keep_dedup AND st.n_tokens >= 20
+            AND st.top_tok * 1.0 / st.n_tokens <= 0.15) AS kept
+    FROM keepd k JOIN st ON k.doc_id = st.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training corpus filter — the composition a real
+    pipeline materializes before anything trains: exact-dedup canonical
+    verdict ∧ length floor ∧ repetition ceiling, with per-rule flags so
+    drops are attributable. Tokenizes ONCE; each rule reads the token
+    column; one shuffle per aggregation stage, text never shuffles."""
+    d = spread(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    fp = tk.select("doc_id", A.fingerprint_of(F.col("toks")).alias("fp"))
+    keepd = fp.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))).alias(
+            "keep_dedup"
+        ),
+    )
+    tok = tk.select("doc_id", F.explode("toks").alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_tok")
+    )
+    keep_len = F.col("n_tokens") >= 20
+    keep_rep = F.col("top_tok") / F.col("n_tokens") <= 0.15
+    return (
+        keepd.join(st, "doc_id")
+        .select(
+            "doc_id",
+            "keep_dedup",
+            keep_len.alias("keep_len"),
+            keep_rep.alias("keep_rep"),
+            (F.col("keep_dedup") & keep_len & keep_rep).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "fts_tsquery_expr",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)

@@ -357,6 +357,31 @@ def test_tsquery_parser_and_eval(spark):
     assert run("(x | y) & !w") == [1, 2, 3]
 
 
+def test_tsquery_prefix_operator(spark):
+    from sec_dl_spark.operators.fts import build_inverted_index, parse_tsquery, search_query
+
+    assert parse_tsquery("spar:* & join") == (
+        "and", [("prefix", "spar"), ("term", "join")]
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        parse_tsquery(":*")
+
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "sparse data"), (3, "join only"), (4, "spa day")],
+        "doc_id long, text string",
+    )
+    postings = build_inverted_index(docs)
+
+    def run(q):
+        return sorted(r["doc_id"] for r in search_query(postings, q).collect())
+
+    assert run("spar:*") == [1, 2]  # spark, sparse; not 'spa'
+    assert run("spar:* & join") == [1]
+    assert run("!spar:*") == [3, 4]
+
+
 def test_tsquery_phrase_operator(spark):
     from sec_dl_spark.operators.fts import build_inverted_index, parse_tsquery, search_query
 
