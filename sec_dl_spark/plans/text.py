@@ -487,6 +487,38 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS dur
+               FROM documents)
+    SELECT media_id,
+           CAST(len(range(0, dur, 500)) AS BIGINT) AS n_chunks,
+           CAST(list_sum(list_transform(range(0, dur, 500),
+                                        s -> least(1000, dur - s))) AS BIGINT)
+             AS total_bytes
+    FROM m WHERE dur > 0 ORDER BY media_id
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window/hop framing over opaque binary payloads (the audio twin
+    of doc_chunks; operators/multimodal.py:chunk_audio, mapInPandas Arrow
+    batches) — verified in closed form: chunk count and byte coverage per
+    media derive exactly from payload length, window=1000, hop=500."""
+    from sec_dl_spark.operators import multimodal as mm
+
+    d = spread(t(spark, sf_dir, "documents"))
+    chunks = mm.chunk_audio(mm.docs_as_media(d), window_ms=1000, hop_ms=500)
+    return (
+        chunks.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk")).alias("total_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (deterministic

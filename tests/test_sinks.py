@@ -24,6 +24,45 @@ def test_pg_fts_ddl_shape():
     assert "tsvector" in joined and "gin" in joined.lower()
 
 
+def test_apply_pg_fts_ddl_executes_statements(monkeypatch):
+    """apply_pg_fts_ddl ships each DDL statement in order over a psycopg2
+    connection (driver-side; exercised here against an injected module
+    stub since the container has no psycopg2/PG)."""
+    import sys
+    import types
+
+    executed = []
+
+    class _Cursor:
+        def execute(self, stmt):
+            executed.append(stmt)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Conn:
+        def cursor(self):
+            return _Cursor()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = types.ModuleType("psycopg2")
+    fake.connect = lambda dsn: _Conn()
+    monkeypatch.setitem(sys.modules, "psycopg2", fake)
+
+    from sec_dl_spark.sinks.jdbc import apply_pg_fts_ddl
+
+    apply_pg_fts_ddl("dbname=x")
+    assert executed == PG_FTS_DDL  # every statement, original order
+
+
 def _make_sqlite_factory(path: str):
     """Executor-side connection factory (sqlite stands in for psycopg2 —
     same DB-API shape, qmark paramstyle). A closure, so cloudpickle ships

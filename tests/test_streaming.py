@@ -191,3 +191,47 @@ def test_incremental_index_matches_batch_build(spark, tmp_path_factory):
     s1 = {r["doc_id"] for r in search_all(served, ["spark", "join"]).collect()}
     s2 = {r["doc_id"] for r in search_all(live, ["spark", "join"]).collect()}
     assert s1 == s2
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path_factory):
+    """Historical exact dedup: a later micro-batch must not re-admit
+    content an earlier batch (or an earlier RUN) already accepted —
+    in-batch dups collapse to the smallest doc_id, cross-batch dups are
+    dropped via the persisted fingerprint registry."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    src = tmp_path_factory.mktemp("dedup_stream")
+    accepted = str(tmp_path_factory.mktemp("dedup_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("dedup_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    # file-per-batch: maxFilesPerTrigger=1 replays them in name order
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "Alpha, beta GAMMA!")],
+        schema,
+    )  # 3 is a canonical-form dup of 1 → in-batch collapse keeps 1
+    b2 = spark.createDataFrame(
+        [(10, "delta epsilon"), (11, "fresh content here"), (12, "fresh content here")],
+        schema,
+    )  # 10 duplicates batch-1's doc 2; 12 duplicates 11 in-batch
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=1")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = incremental_dedup_sink(stream, accepted, registry, ckpt)
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert kept == {1, 2, 11}
+    reg = spark.read.parquet(registry)
+    assert reg.count() == 3  # one fingerprint per distinct content
+    assert {r["canonical_id"] for r in reg.collect()} == {1, 2, 11}
