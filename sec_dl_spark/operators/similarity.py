@@ -231,3 +231,85 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 12,
+    bits_per_table: int = 6,
+    seed: int = 42,
+) -> None:
+    """Persist the hyperplane-LSH index: one row per (bucket, vector),
+    PARTITIONED BY bucket — the ANN twin of fts.write_index. A query's
+    candidate read prunes to its own buckets' directories: the serve-time
+    join keys on the partition column, so Spark's dynamic partition
+    pruning skips every other bucket at scan time (verified in the plan
+    test). Build is one signature pass + explode; rebuild == re-run."""
+    bk = hyperplane_buckets(
+        F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
+    )
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.explode(bk).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 12,
+    bits_per_table: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a persisted ANN index (write_ann_index):
+    bucketize the queries with the SAME planes (seed-derived — no stored
+    model to version), join on the partition column so dynamic partition
+    pruning reads only the queries' buckets, exact-rerank candidates.
+    Same (query_id, neighbor_id, cosine_sim, rank) contract as the live
+    LSH path and identical results for the same parameters."""
+    bk = hyperplane_buckets(
+        F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
+    )
+    q_bk = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(bk).alias("bucket"),
+    )
+    idx = spark.read.parquet(path)
+    cand = (
+        idx.join(F.broadcast(q_bk.select("query_id", "bucket")), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_vecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c_vecs = idx.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    ).dropDuplicates(["neighbor_id"])
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(q_vecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)

@@ -197,6 +197,32 @@ def test_proximity_ranked_prefers_tight_covers(spark):
     assert ranks[1] < ranks[2]  # tighter cover wins (bm25 parts are equal)
 
 
+def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
+    """Build-once/serve-many ANN: the persisted hyperplane index returns
+    exactly what the live LSH path returns for the same parameters, and
+    the serve-time scan prunes to the queries' buckets via dynamic
+    partition pruning (the partition-column join)."""
+    from sec_dl_spark.operators.similarity import (
+        ann_index_topk,
+        cosine_topk_lsh,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path)
+
+    served = ann_index_topk(spark, path, q, k=5)
+    live = cosine_topk_lsh(emb, q, k=5)
+    a = {(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in served.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in live.collect()}
+    assert a == b and len(a) > 0
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     from sec_dl_spark.plans.catalog import t
 
