@@ -101,32 +101,42 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash + LSH
-    (pyspark.ml MinHashLSH over a HashingTF of shingles).
-
-    approxSimilarityJoin prunes by banded hash buckets, so the shuffle is
-    keyed by bucket — the scale path for corpus-level near-dedup. Output:
-    (id_a, id_b, jaccard_est) where est = 1 - approx distance.
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    sh = (
-        _shingled(docs, id_col, text_col, None, n)
-        .select(F.col("_id").alias("id"), F.col("_sh").alias("sh"))
-        .where(F.size("sh") > 0)
+    """Near-duplicate candidate pairs via MinHash + banded LSH, entirely
+    JVM-side (minhash_signatures + minhash_band_keys — no ML fit, no
+    feature vectorization): candidates are pairs sharing any
+    (band, band_hash) key, the estimate is the fraction of agreeing
+    signature permutations (an unbiased Jaccard estimator), and pairs
+    below ``jaccard_threshold`` are filtered. The shuffle is keyed by
+    band hash — the corpus-level near-dedup scale path. Output:
+    (id_a, id_b, jaccard_est) with id_a < id_b."""
+    sig = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_perm=num_hashes, n=n, seed=seed
     )
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
-    model = lsh.fit(feats)
-    joined = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="dist")
+    bands = minhash_band_keys(sig)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    h_cols = [c for c in sig.columns if c.startswith("h")]
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in h_cols]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in h_cols]
+    )
+    agree = sum(
+        [(F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in h_cols],
+        start=F.lit(0),
+    ) / F.lit(float(len(h_cols)))
     return (
-        joined.where(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            F.round(1.0 - F.col("dist"), 6).alias("jaccard_est"),
-        )
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", F.round(agree, 6).alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= jaccard_threshold)
     )
 
 
@@ -259,3 +269,53 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, h0..h{num_perm-1}) MinHash signature entirely JVM-side:
+    permutation j is min over shingles of xxhash64(j·seed, shingle) — a
+    salted hash stands in for a true permutation (the standard one-hash
+    construction). One explode + one grouped min-aggregate; no ML fit, no
+    feature vectorization, fully codegen with map-side partial mins.
+    P[h_j(A) == h_j(B)] = jaccard(A, B), so signature agreement estimates
+    Jaccard."""
+    sh = (
+        _shingled(docs, id_col, text_col, None, n)
+        .select(F.col("_id").alias("doc_id"), F.explode("_sh").alias("sh"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(j * seed + 1), F.col("sh"))).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_keys(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Signature → exploded (doc_id, band, band_hash) LSH keys: the
+    signature's ``num_perm`` rows split into bands of ``rows_per_band``;
+    docs sharing any (band, band_hash) are near-dup candidates. With
+    b bands of r rows, P[candidate] = 1 − (1 − jaccard^r)^b — the
+    standard S-curve; r=4, b=8 centers the threshold near 0.6."""
+    h_cols = [c for c in sig.columns if c.startswith("h")]
+    n_bands = len(h_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(h_cols[b * rows_per_band + r]) for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
+    )

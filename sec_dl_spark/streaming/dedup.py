@@ -87,3 +87,80 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_minhash_dedup_sink(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    registry_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+):
+    """Streaming NEAR-dup gate: drop an arriving document if it shares any
+    MinHash LSH band with anything already accepted (or with a smaller-id
+    document in its own batch). The registry persists (band, band_hash)
+    keys — a few longs per accepted doc, never shingles or text — and is
+    partitioned by band so the per-batch join prunes to 1/b of the
+    registry per band key.
+
+    Greedy by construction, like every streaming dedup: a doc judged
+    near-dup of an already-dropped doc still drops (transitive chains
+    collapse to the earliest-accepted member). With r rows per band and
+    b bands, the accept threshold follows the LSH S-curve
+    P[drop] = 1 − (1 − j^r)^b (r=4, b=8 centers near jaccard 0.6)."""
+    import os
+
+    from sec_dl_spark.operators.dedup import minhash_band_keys, minhash_signatures
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = minhash_band_keys(
+            minhash_signatures(batch_df, id_col=id_col, text_col=text_col, num_perm=num_perm),
+            rows_per_band=rows_per_band,
+        ).localCheckpoint(eager=True)
+        # in-batch: a doc collides if a SMALLER doc_id shares a band key
+        smaller = bands.select(
+            F.col("band"), F.col("band_hash"), F.col("doc_id").alias("other_id")
+        )
+        in_batch_dups = (
+            bands.join(smaller, ["band", "band_hash"])
+            .where(F.col("other_id") < F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        dup_ids = in_batch_dups
+        if os.path.isdir(registry_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(registry_path)
+            for f in fs
+        ):
+            seen = spark.read.parquet(registry_path)
+            hist_dups = (
+                bands.join(seen, ["band", "band_hash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            dup_ids = dup_ids.unionByName(hist_dups).distinct()
+        survivors = (
+            batch_df.join(dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        survivors.write.mode("append").parquet(accepted_path)
+        (
+            bands.join(
+                survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(registry_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -73,6 +73,31 @@ def test_minhash_lsh_finds_planted_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_signature_estimates_jaccard(spark):
+    """Signature-agreement fraction is an unbiased Jaccard estimator:
+    identical docs agree everywhere; a known-overlap pair lands within
+    sampling error (32 perms → σ≈0.09); disjoint docs agree nowhere
+    (barring hash collisions)."""
+    from sec_dl_spark.operators.dedup import minhash_signatures
+
+    half_a = " ".join(f"w{i}" for i in range(40))       # shingles 0..37
+    half_b = " ".join(f"w{i}" for i in range(20, 60))   # shingles 20..57
+    disjoint = " ".join(f"q{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, half_a), (2, half_a), (3, half_b), (4, disjoint)],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: [r[f"h{j}"] for j in range(32)] for r in minhash_signatures(df).collect()}
+
+    def agree(x, y):
+        return sum(a == b for a, b in zip(sig[x], sig[y])) / 32
+
+    assert agree(1, 2) == 1.0
+    # true jaccard of shingle sets {0..37} vs {20..57}: 18/58 ≈ 0.31
+    assert abs(agree(1, 3) - 18 / 58) < 0.27
+    assert agree(1, 4) == 0.0
+
+
 def test_simhash_identical_and_near(spark):
     base = " ".join(f"w{i}" for i in range(60))
     near = base.replace("w10", "zz")

@@ -235,3 +235,44 @@ def test_incremental_dedup_across_batches(spark, tmp_path_factory):
     reg = spark.read.parquet(registry)
     assert reg.count() == 3  # one fingerprint per distinct content
     assert {r["canonical_id"] for r in reg.collect()} == {1, 2, 11}
+
+
+def test_incremental_minhash_neardup_across_batches(spark, tmp_path_factory):
+    """Streaming NEAR-dup gate: a later batch's lightly-edited copy of an
+    accepted document drops via the persisted band registry; unrelated
+    content passes; in-batch near-dups collapse to the smallest id."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.dedup import incremental_minhash_dedup_sink
+
+    src = tmp_path_factory.mktemp("nd_stream")
+    accepted = str(tmp_path_factory.mktemp("nd_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("nd_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+
+    base = " ".join(f"alpha{i}" for i in range(60))
+    near = base.replace("alpha30", "edited")          # jaccard ≈ 0.9+
+    other = " ".join(f"beta{i}" for i in range(60))
+    other_near = other.replace("beta7", "tweaked")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b1 = spark.createDataFrame([(1, base), (2, other)], schema)
+    b2 = spark.createDataFrame(
+        [(10, near), (11, "gamma delta " * 30), (12, other_near)], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=1")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = incremental_minhash_dedup_sink(stream, accepted, registry, ckpt)
+    q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    # 10 near-dups 1 (historical), 12 near-dups 2 (historical); 11 is new
+    assert kept == {1, 2, 11}
