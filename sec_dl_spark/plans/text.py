@@ -41,6 +41,31 @@ def fts_index(spark: SparkSession, sf_dir: str):
     return postings, stats
 
 
+# Memoized tokenized documents per (session, sf_dir): most text/dedup
+# queries need exactly (doc_id, toks), so they share one cached NARROW
+# frame (same discipline as fts_index; ~1 MB at sf0.1). Deliberately
+# narrow: a wide shared frame would defeat column pruning — its scan
+# would read every column for every query (plan test pins ReadSchema).
+# Queries needing text/lang/source columns tokenize inline instead.
+_TOK_CACHE: dict = {}
+
+
+def tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) for the documents fixture, cached once per
+    (session, sf_dir). The backing scan reads only doc_id + text."""
+    key = (id(spark), sf_dir)
+    hit = _TOK_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    d = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .cache()
+    )
+    _TOK_CACHE[key] = (spark, d)
+    return d
+
+
 # DuckDB-side canonical tokenizer / shingler (mirrors functions/text.py).
 TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 SHINGLES = (
@@ -98,8 +123,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-style ratios (SURVEY §2.11 text analysis).
     Tokenizes into a column first so each stat reads the attribute
     (functions/analysis.py performance note)."""
-    d = spread(t(spark, sf_dir, "documents"))
-    tk = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    tk = tok_docs(spark, sf_dir).select("doc_id", "toks")
     return tk.select(
         "doc_id",
         A.token_count_of(F.col("toks")).alias("n_tokens"),
@@ -124,7 +148,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic (length/punct/stopword) per document."""
-    d = spread(t(spark, sf_dir, "documents"))
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     tk = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks")).where(
         (F.size("toks") > 0) & (F.length("text") > 0)
     )
@@ -166,9 +190,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing more than once. All computed by explode + groupBy counts —
     fully codegen aggregates, one shuffle keyed by doc; no per-row map
     structures (HOF frequency maps run interpreted)."""
-    d = spread(t(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "token")
+    tok = tok_docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos", "token")
     )
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
     tstat = tc.groupBy("doc_id").agg(
@@ -227,7 +250,7 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID vs the labeled lang column (confusion
     counts). Deterministic function parity — the fixture corpus shares one
     vocabulary, so this checks the operator, not classifier accuracy."""
-    d = spread(t(spark, sf_dir, "documents"))
+    d = spread(t(spark, sf_dir, "documents").select("lang", "text"))
     return (
         d.select("lang", tokenize(F.col("text")).alias("toks"))
         .select("lang", A.lang_guess_of(F.col("toks")).alias("guess"))
@@ -250,8 +273,7 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via canonical-content md5 fingerprint (hash-groupBy;
     only (fingerprint, id) pairs ever shuffle, never the text)."""
-    d = spread(t(spark, sf_dir, "documents"))
-    fp = d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+    fp = tok_docs(spark, sf_dir).select(
         "doc_id", A.fingerprint_of(F.col("toks")).alias("fp")
     )
     return fp.agg(
@@ -304,8 +326,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonical = min doc_id in its fingerprint group) + group size — the
     frame a pipeline anti-joins against before training. One shuffle keyed
     by fingerprint; text never shuffles."""
-    d = spread(t(spark, sf_dir, "documents"))
-    fp = d.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+    fp = tok_docs(spark, sf_dir).select(
         "doc_id", A.fingerprint_of(F.col("toks")).alias("fp")
     )
     w = Window.partitionBy("fp")
@@ -558,8 +579,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-sized pieces. posexplode over a transform of token slices — one
     generator, no UDF; chunking is per-row so it pipelines in the scan
     stage."""
-    d = spread(t(spark, sf_dir, "documents"))
-    tk = d.select("doc_id", tokenize(F.col("text")).alias("toks")).where(F.size("toks") > 0)
+    tk = tok_docs(spark, sf_dir).select("doc_id", "toks").where(F.size("toks") > 0)
     n_chunks = F.ceil(F.size("toks") / F.lit(50.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -793,8 +813,7 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict ∧ length floor ∧ repetition ceiling, with per-rule flags so
     drops are attributable. Tokenizes ONCE; each rule reads the token
     column; one shuffle per aggregation stage, text never shuffles."""
-    d = spread(t(spark, sf_dir, "documents"))
-    tk = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    tk = tok_docs(spark, sf_dir).select("doc_id", "toks")
     fp = tk.select("doc_id", A.fingerprint_of(F.col("toks")).alias("fp"))
     keepd = fp.select(
         "doc_id",
@@ -902,9 +921,8 @@ def crossmodal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim > 0.3)
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
     )
-    d = spread(t(spark, sf_dir, "documents"))
-    sh = d.select("doc_id", tokenize(F.col("text")).alias("_tk")).select(
-        "doc_id", A.shingles_of(F.col("_tk"), 3).alias("s")
+    sh = tok_docs(spark, sf_dir).select(
+        "doc_id", A.shingles_of(F.col("toks"), 3).alias("s")
     )
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
@@ -1009,7 +1027,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly above their source's median quality; per-source kept counts
     and mean quality. Median via exact percentile over a window-free
     grouped agg, then a broadcast join back."""
-    d = spread(t(spark, sf_dir, "documents"))
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     tk = d.select("doc_id", "source", "text", tokenize(F.col("text")).alias("toks")).where(
         (F.size("toks") > 0) & (F.length("text") > 0)
     )
@@ -1038,10 +1056,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants). Returns per-sequence fill statistics."""
     from sec_dl_spark.operators.grouped import pack_sequences
 
-    d = spread(t(spark, sf_dir, "documents"))
+    d = spread(t(spark, sf_dir, "documents").select("source", "doc_id", "text"))
     counts = d.select(
-        "source", "doc_id", tokenize(F.col("text")).alias("toks")
-    ).select("source", "doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        "source", "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
     packed = pack_sequences(counts, budget=512)
     return (
         packed.groupBy("source", "seq_id")
