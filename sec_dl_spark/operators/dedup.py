@@ -153,27 +153,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         .select(F.col("_id").alias("doc_id"), F.explode("_sh").alias("sh"))
         .select("doc_id", F.xxhash64("sh").alias("h"))
     )
-    # vote(b) = +1 if bit set else -1; sum>0 → bit set in the signature.
-    votes = hashed.select(
-        "doc_id",
-        *[
-            (F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-                f"b{b}"
-            )
-            for b in range(bits)
-        ],
+    # Set-bit counts, PACKED 3 per long in 21-bit fields: sum of packed
+    # per-row bit fields keeps each count isolated while the doc has
+    # < 2^21 shingles (ample; a 2M-shingle doc is ~100 MB of text). One
+    # count(*) + ceil(bits/3) sum buffers instead of `bits` of them —
+    # narrower agg state and shuffle rows. Bit b is set in the signature
+    # iff 2·cnt_b > n (same tie behavior as the ±1-vote formulation).
+    packs = [list(range(k, min(k + 3, bits))) for k in range(0, bits, 3)]
+    packed_cols = [
+        sum(
+            [
+                F.shiftleft(
+                    F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long"),
+                    21 * j,
+                )
+                for j, b in enumerate(group)
+            ],
+            start=F.lit(0).cast("long"),
+        ).alias(f"p{k}")
+        for k, group in enumerate(packs)
+    ]
+    agg = (
+        hashed.select("doc_id", *packed_cols)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"p{k}").alias(f"p{k}") for k in range(len(packs))],
+        )
     )
-    agg = votes.groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)])
+    mask = F.lit((1 << 21) - 1)
+    def cnt(k: int, j: int):
+        return F.shiftrightunsigned(F.col(f"p{k}"), 21 * j).bitwiseAND(mask)
+
     sig = agg.select(
         "doc_id",
         sum(
             [
                 # shiftleft on the JVM: bit 63 lands in the sign bit of the
                 # signed long, which a Python literal 1<<63 cannot express.
-                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for b in range(bits)
+                F.when(
+                    cnt(k, j) * 2 > F.col("n"),
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+                for k, group in enumerate(packs)
+                for j, b in enumerate(group)
             ],
             start=F.lit(0).cast("long"),
         ).alias("simhash"),
