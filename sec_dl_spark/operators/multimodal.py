@@ -229,3 +229,63 @@ def chunk_audio(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=CHUNKS_SCHEMA)
+
+
+KEYFRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("delta", T.DoubleType()),
+    ]
+)
+
+
+def select_keyframes(
+    media: DataFrame,
+    frame_ms: int = 1000,
+    threshold: float = 8.0,
+    with_real_decoders: bool = False,
+) -> DataFrame:
+    """Scene-change keyframe selection: emit the frames where the content
+    changes, not every Nth frame (sample_frames' uniform grid) — the step
+    a video training pipeline runs before captioning/encoding so compute
+    goes to distinct scenes.
+
+    Frame signal = mean byte value of the frame window (the deterministic
+    stand-in; a real decoder would use a luma histogram — that import is
+    the marked stub). Frame 0 always emits; frame i emits when
+    |signal_i − signal_{i−1}| > threshold. Per-row sequential scan inside
+    mapInPandas (frame deltas are inherently ordered within one media
+    row; rows parallelize freely)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if with_real_decoders:
+            raise NotImplementedError(
+                "real video demuxers (av/ffmpeg) are not available in this "
+                "environment; use with_real_decoders=False"
+            )
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ms": [],
+                "delta": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                prev = None
+                for idx, ms in enumerate(range(0, len(content), frame_ms)):
+                    window = content[ms : ms + frame_ms]
+                    sig = sum(window) / len(window)
+                    delta = abs(sig - prev) if prev is not None else float("inf")
+                    if prev is None or delta > threshold:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_ms"].append(ms)
+                        out["delta"].append(0.0 if prev is None else round(delta, 4))
+                    prev = sig
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=KEYFRAMES_SCHEMA)

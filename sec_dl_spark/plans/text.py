@@ -540,6 +540,46 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_keyframes",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents
+               WHERE length(text) > 0),
+    f AS (SELECT media_id,
+                 unnest(range(len(range(0, length(text), 100)))) AS frame_idx,
+                 unnest(range(0, length(text), 100)) AS frame_ms,
+                 unnest(list_transform(range(0, length(text), 100),
+                        s -> list_avg(list_transform(
+                               range(1, least(s + 100, length(text)) - s + 1),
+                               k -> ord(text[s + k]))))) AS sig
+          FROM m),
+    d AS (SELECT media_id, frame_idx, frame_ms,
+                 abs(sig - lag(sig) OVER (PARTITION BY media_id
+                                          ORDER BY frame_idx)) AS delta
+          FROM f)
+    SELECT media_id, frame_idx, frame_ms FROM d
+    WHERE delta IS NULL OR delta > 1.0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change keyframe selection over binary payloads
+    (operators/multimodal.py:select_keyframes): frames emit only where
+    the mean-byte signal jumps, so downstream encode/caption compute goes
+    to distinct scenes. Oracled in closed form — the fixture corpus is
+    pure ASCII, so DuckDB's per-char code points equal the UTF-8 bytes
+    the operator averages. Frame-selection output only (no float column;
+    the threshold compare is exact in both engines, rounding is not)."""
+    from sec_dl_spark.operators.multimodal import docs_as_media, select_keyframes
+
+    d = spread(t(spark, sf_dir, "documents"))
+    return (
+        select_keyframes(docs_as_media(d), frame_ms=100, threshold=1.0)
+        .select("media_id", "frame_idx", "frame_ms")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (deterministic

@@ -70,3 +70,29 @@ def test_audio_chunking_window_hop(spark):
     assert len(out[-1]["chunk"]) == 200      # trailing partial kept
     # 50% overlap: second half of window 0 == first half of window 1
     assert out[0]["chunk"][500:] == out[1]["chunk"][:500]
+
+
+def test_select_keyframes_scene_changes(spark):
+    """Scene boundaries emit, steady content doesn't: a payload of three
+    1000-byte 'scenes' with distinct byte levels yields exactly the three
+    scene-start frames; a constant payload yields only frame 0."""
+    from sec_dl_spark.operators.multimodal import select_keyframes
+
+    scenes = bytes([10] * 1000 + [100] * 1000 + [200] * 1000)
+    flat = bytes([42] * 3000)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(scenes)), (2, "video", bytearray(flat))],
+        "media_id long, kind string, content binary",
+    )
+    out = select_keyframes(media, frame_ms=1000, threshold=8.0).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["delta"]))
+    assert [i for i, _ in sorted(by_media[1])] == [0, 1, 2]
+    assert by_media[1][1][1] == 90.0 and by_media[1][2][1] == 100.0
+    assert [i for i, _ in sorted(by_media[2])] == [0]
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|real video"):
+        select_keyframes(media, with_real_decoders=True).collect()
