@@ -276,3 +276,39 @@ def test_incremental_minhash_neardup_across_batches(spark, tmp_path_factory):
     kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     # 10 near-dups 1 (historical), 12 near-dups 2 (historical); 11 is new
     assert kept == {1, 2, 11}
+
+
+def test_neardup_registry_survives_compaction(spark, tmp_path_factory):
+    """The band registry is an append-only partitioned lake table, so it
+    compacts with the standard maintenance operator; a SECOND ingest run
+    after compaction still drops near-dups of the first run's accepts."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.sinks.compact import compact_parquet
+    from sec_dl_spark.streaming.dedup import incremental_minhash_dedup_sink
+
+    accepted = str(tmp_path_factory.mktemp("c_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("c_reg") / "registry")
+
+    base = " ".join(f"alpha{i}" for i in range(60))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def run_ingest(rows, tag):
+        src = tmp_path_factory.mktemp(f"c_src_{tag}")
+        ckpt = str(tmp_path_factory.mktemp(f"c_ckpt_{tag}"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b"
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{src}/b")
+        )
+        incremental_minhash_dedup_sink(stream, accepted, registry, ckpt).awaitTermination(120)
+
+    run_ingest([(1, base)], "r1")
+    compact_parquet(spark, registry, ["band"])
+    run_ingest([(10, base.replace("alpha30", "edited")), (11, "omega " * 40)], "r2")
+
+    kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert kept == {1, 11}  # 10 near-dups run-1's doc 1 via the compacted registry
