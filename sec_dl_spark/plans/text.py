@@ -583,11 +583,30 @@ def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (deterministic
-    fake encoder — the real codec import is the only stubbed piece)."""
+    fake encoder — the real codec import is the only stubbed piece).
+
+    Projects the feature vector to scalar columns (count, rounded L2
+    norm, digest of the first elements) — the driver's canonicalizer
+    sorts pandas frames and cannot hash raw ARRAY columns, the same
+    convention every other array-producing query follows (e.g.
+    agg_collect_list's concat_ws)."""
     from sec_dl_spark.operators.multimodal import docs_as_media, extract_features
 
     d = t(spark, sf_dir, "documents")
-    return extract_features(docs_as_media(d)).orderBy("media_id")
+    feats = extract_features(docs_as_media(d))
+    norm = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x * x, lambda acc: F.sqrt(acc)
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("features").cast("int").alias("n_features"),
+        F.round(norm, 4).alias("feat_norm"),
+        F.concat_ws(
+            ",", F.transform(F.slice("features", 1, 4), lambda x: F.format_number(x, 4))
+        ).alias("feat_head"),
+    ).orderBy("media_id")
 
 
 @query("emb_cosine_topk_ivf", oracle=None)

@@ -198,18 +198,31 @@ def test_fts_stats_sidecar_roundtrip(spark, tmp_path):
         assert with_stats == without and len(with_stats) > 0
 
 
-def test_catalog_registers_text_first():
-    """Registration order front-loads the text/FTS/dedup/similarity surface
-    (round-1 driver truncated its sweep to the first 50 names)."""
-    from sec_dl_spark.plans.catalog import load_all
+def test_catalog_rotation_front_loads_stale_queries():
+    """The driver truncates its correctness sweep to the first 50 registered
+    names; round 3 front-loads exactly the 50 stalest queries (9 never
+    driver-checked + multimodal_features + 40 r1-only) so that after r3
+    every registered query has driver evidence from some round."""
+    from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
-    first50 = names[:50]
-    assert any(n.startswith("fts_") for n in first50)
-    assert any(n.startswith("dedup_") for n in first50)
-    assert any(n.startswith("emb_") for n in first50)
-    assert any(n.startswith("text_") for n in first50)
-    assert any(n.startswith("multimodal_") for n in first50)
+    assert len(_PRIORITY) == 50
+    # every priority name is actually registered, and they occupy the
+    # first 50 slots in the declared order
+    assert names[:50] == list(_PRIORITY)
+    never_checked = {
+        "events_sliding_window",
+        "events_zscore_pandas",
+        "agg_udaf_geomean",
+        "events_unpivot",
+        "events_funnel",
+        "events_asof_tolerance",
+        "events_retention_cohort",
+        "scalar_map_fns",
+        "events_gap_filled",
+        "multimodal_features",
+    }
+    assert never_checked <= set(names[:50])
 
 
 def test_text_extract_matches_nonvacuous(spark):
