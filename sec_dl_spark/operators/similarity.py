@@ -290,21 +290,27 @@ def ann_index_topk(
         F.explode(bk).alias("bucket"),
     )
     idx = spark.read.parquet(path)
+    # Carry the embedding out of the bucket-pruned candidate join itself —
+    # the index rows already hold it, so ONE pruned scan serves both
+    # candidate generation and rerank. (A separate idx.select(...).
+    # dropDuplicates(["neighbor_id"]) rerank read would rescan every
+    # bucket directory, defeating the partition pruning the candidate
+    # join just won — at scale that second scan is the whole index.)
     cand = (
         idx.join(F.broadcast(q_bk.select("query_id", "bucket")), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     q_vecs = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
-    c_vecs = idx.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
-    ).dropDuplicates(["neighbor_id"])
     scored = (
-        cand.join(c_vecs, "neighbor_id")
-        .join(q_vecs, "query_id")
+        cand.join(q_vecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -247,6 +247,16 @@ def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
 
+    # the rerank rides the SAME bucket-pruned scan as candidate generation:
+    # exactly one read of the index relation (the one carrying the bucket
+    # partition column) in the optimized plan — a second, unpruned rerank
+    # scan would rescan every bucket directory at scale
+    opt = served._jdf.queryExecution().optimizedPlan().toString()
+    index_relations = [
+        ln for ln in opt.splitlines() if "Relation" in ln and "bucket" in ln
+    ]
+    assert len(index_relations) == 1, opt
+
 
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     from sec_dl_spark.plans.catalog import t
