@@ -153,19 +153,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         .select(F.col("_id").alias("doc_id"), F.explode("_sh").alias("sh"))
         .select("doc_id", F.xxhash64("sh").alias("h"))
     )
-    # Set-bit counts, PACKED 3 per long in 21-bit fields: sum of packed
+    # Set-bit counts, PACKED 2 per long in 31-bit fields: sum of packed
     # per-row bit fields keeps each count isolated while the doc has
-    # < 2^21 shingles (ample; a 2M-shingle doc is ~100 MB of text). One
-    # count(*) + ceil(bits/3) sum buffers instead of `bits` of them —
-    # narrower agg state and shuffle rows. Bit b is set in the signature
-    # iff 2·cnt_b > n (same tie behavior as the ±1-vote formulation).
-    packs = [list(range(k, min(k + 3, bits))) for k in range(0, bits, 3)]
+    # < 2^31 shingles. That bound cannot be hit: a shingle is >= 1 byte of
+    # a single STRING cell, and Spark caps any one cell (and row) well
+    # under 2 GiB, so a document physically yields < 2^31 shingle rows.
+    # The raise_error guard below still enforces it so a future layout
+    # change (e.g. narrower fields) fails loudly instead of silently
+    # bleeding carries into the adjacent bit's count. One count(*) +
+    # ceil(bits/2) sum buffers instead of `bits` of them — narrower agg
+    # state and shuffle rows. Bit b is set in the signature iff
+    # 2·cnt_b > n (same tie behavior as the ±1-vote formulation).
+    field_bits = 31
+    per_long = 2
+    packs = [list(range(k, min(k + per_long, bits))) for k in range(0, bits, per_long)]
     packed_cols = [
         sum(
             [
                 F.shiftleft(
                     F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long"),
-                    21 * j,
+                    field_bits * j,
                 )
                 for j, b in enumerate(group)
             ],
@@ -180,10 +187,25 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
             F.count(F.lit(1)).alias("n"),
             *[F.sum(f"p{k}").alias(f"p{k}") for k in range(len(packs))],
         )
+    ).withColumn(
+        "n",
+        F.when(
+            F.col("n") >= F.lit(1 << field_bits),
+            F.raise_error(
+                F.format_string(
+                    "simhash: document %s has %s shingles; >= 2^"
+                    + str(field_bits)
+                    + " overflows the packed bit-count fields",
+                    F.col("doc_id").cast("string"),
+                    F.col("n").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n")),
     )
-    mask = F.lit((1 << 21) - 1)
+    mask = F.lit((1 << field_bits) - 1)
+
     def cnt(k: int, j: int):
-        return F.shiftrightunsigned(F.col(f"p{k}"), 21 * j).bitwiseAND(mask)
+        return F.shiftrightunsigned(F.col(f"p{k}"), field_bits * j).bitwiseAND(mask)
 
     sig = agg.select(
         "doc_id",

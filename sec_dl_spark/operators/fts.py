@@ -131,18 +131,35 @@ def write_index(
         spark.createDataFrame(
             [(stats.n_docs, stats.avgdl)], "n_docs long, avgdl double"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}_stats/corpus")
+    else:
+        # A sidecar left over from an earlier with_stats=True build would
+        # silently rehydrate stale N/avgdl/df against the rewritten
+        # postings — wrong TF-IDF/BM25 scores with no signal. Remove it via
+        # the Hadoop FS API so any filesystem scheme is covered.
+        _hadoop_delete(postings.sparkSession, f"{path}_stats")
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursively delete ``path`` on whatever filesystem it lives on
+    (no-op if absent) — driver-local shutil would miss remote schemes."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
 
 
 def read_index(spark, path: str) -> tuple[DataFrame, CorpusStats | None]:
     """Load a persisted index + its stats sidecar (None if written with
     ``with_stats=False``). The scalar read is one tiny single-file scan at
     open time; queries then run with zero stats jobs."""
-    import os
+    from pyspark.errors import AnalysisException
 
     postings = spark.read.parquet(path).drop("token_bucket")
-    if not os.path.isdir(f"{path}_stats"):
+    try:
+        # probe by reading, not os.path — works on any filesystem scheme
+        row = spark.read.parquet(f"{path}_stats/corpus").collect()[0]
+    except AnalysisException:
         return postings, None
-    row = spark.read.parquet(f"{path}_stats/corpus").collect()[0]
     stats = CorpusStats(
         doc_len=spark.read.parquet(f"{path}_stats/doc_len"),
         df=spark.read.parquet(f"{path}_stats/token_df"),

@@ -94,24 +94,47 @@ def spread(df, partitions: int | None = None):
     return df.repartition(target)
 
 
+_SIZE_UNITS = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+
+
+def _parse_bytes(value, default: int) -> int:
+    """Spark byte confs accept size suffixes ('128m', '4mb', plain ints);
+    a bare int() on those would throw and silently disable spread()'s
+    estimate. Unparseable → ``default``."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(value).lower())
+    return int(m.group(1)) * _SIZE_UNITS[m.group(2)] if m else default
+
+
 def _estimated_scan_splits(df) -> int:
     """Estimate the scan's split count from file sizes + the FileSourceScan
     packing confs — avoids df.rdd.getNumPartitions(), which forces a full
     plan→RDD conversion on the driver per call (measurable planning noise
-    when many queries are constructed per session)."""
+    when many queries are constructed per session). Non-file sources and
+    estimation failures fall back to the RDD partition count (accurate,
+    just slower to ask) rather than guessing in either direction."""
     import os as _os
 
     try:
         files = df.inputFiles()
-        if not files:
-            return 1
-        total = 0
-        for f in files:
-            total += _os.path.getsize(f.split("://", 1)[-1])
-        conf = df.sparkSession.conf
-        max_bytes = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
-        open_cost = int(conf.get("spark.sql.files.openCostInBytes", str(4 << 20)))
-        return max(1, (total + open_cost * len(files)) // max_bytes)
+        if files:
+            total = 0
+            for f in files:
+                total += _os.path.getsize(f.split("://", 1)[-1])
+            conf = df.sparkSession.conf
+            max_bytes = _parse_bytes(
+                conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)), 128 << 20
+            )
+            open_cost = _parse_bytes(
+                conf.get("spark.sql.files.openCostInBytes", str(4 << 20)), 4 << 20
+            )
+            return max(1, (total + open_cost * len(files)) // max_bytes)
     except Exception:
-        # non-file source (rate, JDBC, in-memory): assume already parallel
-        return 1 << 30
+        pass
+    # non-file source (rate, JDBC, in-memory) or unreadable/remote path:
+    # ask the RDD — rare enough that the conversion cost doesn't matter
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return 1 << 30  # streaming frames etc.: never force a shuffle

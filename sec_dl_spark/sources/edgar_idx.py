@@ -42,8 +42,12 @@ def idx_url_grid(spark: SparkSession, start_year: int, end_year: int | None = No
         )
     )
     quarters = spark.range(1, 5).select(F.col("id").alias("qtr"))
+    # the quarter cap applies ONLY to the current year — a bare
+    # `qtr <= current_quarter` disjunct would re-admit future-YEAR urls
+    # (which 404 and sit in the pending path) when end_year is explicit
     not_future = (F.col("year") < F.year(F.current_date())) | (
-        F.col("qtr") <= F.quarter(F.current_date())
+        (F.col("year") == F.year(F.current_date()))
+        & (F.col("qtr") <= F.quarter(F.current_date()))
     )
     return (
         years.crossJoin(F.broadcast(quarters))

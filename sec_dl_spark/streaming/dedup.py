@@ -11,18 +11,29 @@ micro-batch:
      the same fingerprint as batch dedup, functions/analysis.py),
   2. drops in-batch duplicates (first doc_id wins, deterministically),
   3. anti-joins the registry to drop historical duplicates,
-  4. appends the surviving documents to the accepted sink and their
+  4. commits the surviving documents to the accepted sink and their
      fingerprints to the registry.
 
 Only (fingerprint, doc_id) rows ever join or persist — text flows straight
 to the accepted sink, so state size is O(distinct docs), not O(bytes).
-Checkpointing makes batches effectively-once, exactly like the incremental
-FTS index (streaming/index.py).
+
+Delivery semantics: both sinks are written with DYNAMIC partition
+overwrite scoped to (`ingest_run`, `ingest_batch`), so a foreachBatch retry
+replaces its own earlier partial output instead of appending next to it —
+no duplicate rows in the dedup sink even when a batch dies between the two
+writes. The run token is derived from the checkpoint location (stable
+across restarts from the same checkpoint, distinct per logical ingest run),
+because bare batch_ids restart at 0 for every new checkpoint and would
+collide across runs sharing one corpus. The historical anti-join excludes
+the batch's OWN (run, batch) registry partition, so a retry that already
+landed registry rows does not judge its documents "historical duplicates"
+of themselves. Registry existence is probed by attempting the parquet read
+(works on any filesystem scheme), never by driver-local directory walks.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -37,6 +48,47 @@ def _fingerprints(batch_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Probe a parquet dataset by reading it — os.path/os.walk only see the
+    driver's local disk and silently no-op on any remote filesystem."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None  # absent (or empty: no schema to infer)
+
+
+def _run_token(checkpoint_dir: str) -> str:
+    """Stable identifier for a logical ingest run: survives query restarts
+    (same checkpoint → same token) yet never collides across runs, unlike
+    foreachBatch's batch_id which restarts at 0 per checkpoint."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+
+def _commit_batch_partition(
+    df: DataFrame, path: str, run: str, batch_id: int, *extra_cols: str
+) -> None:
+    """Idempotent per-batch commit: dynamic partition overwrite of this
+    batch's own `ingest_run=…/ingest_batch=…` partition (plus
+    ``extra_cols`` sub-partitions). A retried batch replaces its earlier
+    partial write; every other (run, batch) partition is untouched."""
+    (
+        df.withColumn("ingest_run", F.lit(run))
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_run", "ingest_batch", *extra_cols)
+        .parquet(path)
+    )
+
+
+def _not_own_batch(run: str, batch_id: int):
+    return ~((F.col("ingest_run") == run) & (F.col("ingest_batch") == batch_id))
+
+
 def incremental_dedup_sink(
     docs_stream: DataFrame,
     accepted_path: str,
@@ -45,7 +97,7 @@ def incremental_dedup_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """docs readStream → historical-exact-dedup → accepted parquet append.
+    """docs readStream → historical-exact-dedup → accepted parquet commit.
 
     The registry holds (fingerprint, doc_id of the canonical copy); a
     batch's candidate fingerprints anti-join it (broadcast of the batch's
@@ -53,7 +105,8 @@ def incremental_dedup_sink(
     100 TB refinement; at any scale the join is keyed by fingerprint, so
     it shuffles hashes, never text).
     """
-    import os
+
+    run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -61,24 +114,22 @@ def incremental_dedup_sink(
         # in-batch dedup: first id per fingerprint wins (deterministic)
         w = Window.partitionBy("_fp").orderBy(id_col)
         fresh = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-        if os.path.isdir(registry_path) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(registry_path)
-            for f in fs
-        ):
-            seen = spark.read.parquet(registry_path)
+        seen = _try_read_parquet(spark, registry_path)
+        if seen is not None:
+            # exclude this batch's own partition: a retry's earlier attempt
+            # may have landed registry rows for these very documents
+            seen = seen.where(_not_own_batch(run, batch_id))
             fresh = fresh.join(seen.select("_fp"), "_fp", "left_anti")
         survivors = fresh.drop("_rn").localCheckpoint(eager=True)
-        (
-            survivors.drop("_fp", "_fp_bucket")
-            .write.mode("append")
-            .parquet(accepted_path)
+        _commit_batch_partition(
+            survivors.drop("_fp", "_fp_bucket"), accepted_path, run, batch_id
         )
-        (
-            survivors.select("_fp", "_fp_bucket", F.col(id_col).alias("canonical_id"))
-            .write.mode("append")
-            .partitionBy("_fp_bucket")
-            .parquet(registry_path)
+        _commit_batch_partition(
+            survivors.select("_fp", "_fp_bucket", F.col(id_col).alias("canonical_id")),
+            registry_path,
+            run,
+            batch_id,
+            "_fp_bucket",
         )
 
     return (
@@ -111,9 +162,9 @@ def incremental_minhash_dedup_sink(
     collapse to the earliest-accepted member). With r rows per band and
     b bands, the accept threshold follows the LSH S-curve
     P[drop] = 1 − (1 − j^r)^b (r=4, b=8 centers near jaccard 0.6)."""
-    import os
-
     from sec_dl_spark.operators.dedup import minhash_band_keys, minhash_signatures
+
+    run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -132,12 +183,9 @@ def incremental_minhash_dedup_sink(
             .distinct()
         )
         dup_ids = in_batch_dups
-        if os.path.isdir(registry_path) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(registry_path)
-            for f in fs
-        ):
-            seen = spark.read.parquet(registry_path)
+        seen = _try_read_parquet(spark, registry_path)
+        if seen is not None:
+            seen = seen.where(_not_own_batch(run, batch_id))
             hist_dups = (
                 bands.join(seen, ["band", "band_hash"], "left_semi")
                 .select("doc_id")
@@ -148,14 +196,15 @@ def incremental_minhash_dedup_sink(
             batch_df.join(dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        survivors.write.mode("append").parquet(accepted_path)
-        (
+        _commit_batch_partition(survivors, accepted_path, run, batch_id)
+        _commit_batch_partition(
             bands.join(
                 survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-            )
-            .write.mode("append")
-            .partitionBy("band")
-            .parquet(registry_path)
+            ),
+            registry_path,
+            run,
+            batch_id,
+            "band",
         )
 
     return (

@@ -120,6 +120,21 @@ def test_idx_url_grid_caps_current_year_at_current_quarter(spark):
     assert [r["qtr"] for r in last_year] == [1, 2, 3, 4]
 
 
+def test_idx_url_grid_explicit_future_end_year_emits_no_future_urls(spark):
+    """An explicit end_year beyond the current year must not emit any
+    future-year urls — the quarter cap is scoped to the current year, not
+    a bare `qtr <= current_quarter` over every year (which would re-admit
+    future-year urls for early quarters; they 404 and stall the fetch
+    path)."""
+    import datetime as dt
+
+    today = dt.date.today()
+    cur_q = (today.month - 1) // 3 + 1
+    grid = idx_url_grid(spark, today.year, today.year + 2).collect()
+    assert {r["year"] for r in grid} == {today.year}
+    assert [r["qtr"] for r in grid] == list(range(1, cur_q + 1))
+
+
 def test_streaming_idx_ingest_foreachbatch(
     spark, companies, filing_types, tmp_path_factory
 ):

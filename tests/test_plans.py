@@ -197,6 +197,12 @@ def test_fts_stats_sidecar_roundtrip(spark, tmp_path):
         without = [tuple(r) for r in fn(postings, terms, k=10).collect()]
         assert with_stats == without and len(with_stats) > 0
 
+    # a rebuild with with_stats=False must remove the old sidecar — stale
+    # N/avgdl/df against rewritten postings would silently corrupt ranking
+    write_index(postings.limit(50), idx_path, buckets=16, with_stats=False)
+    _, stats2 = read_index(spark, idx_path)
+    assert stats2 is None
+
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered

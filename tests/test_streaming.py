@@ -307,8 +307,53 @@ def test_neardup_registry_survives_compaction(spark, tmp_path_factory):
         incremental_minhash_dedup_sink(stream, accepted, registry, ckpt).awaitTermination(120)
 
     run_ingest([(1, base)], "r1")
-    compact_parquet(spark, registry, ["band"])
+    # full partition spec: (run, batch) commit scoping + band pruning
+    compact_parquet(spark, registry, ["ingest_run", "ingest_batch", "band"])
     run_ingest([(10, base.replace("alpha30", "edited")), (11, "omega " * 40)], "r2")
 
     kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     assert kept == {1, 11}  # 10 near-dups run-1's doc 1 via the compacted registry
+
+
+def test_incremental_dedup_batch_retry_is_idempotent(spark, tmp_path_factory):
+    """A foreachBatch retry AFTER the registry append must neither duplicate
+    rows in the accepted sink nor judge its own documents historical
+    duplicates of themselves. Simulated by wiping the checkpoint (same path
+    → same run token, batch ids replay from 0) while keeping both sinks —
+    the replayed batch dynamically overwrites its own (run, batch)
+    partitions instead of appending beside them."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    src = tmp_path_factory.mktemp("retry_src")
+    accepted = str(tmp_path_factory.mktemp("retry_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("retry_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("retry_ckpt") / "ckpt")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "wholly unrelated text")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/b")
+        incremental_dedup_sink(stream, accepted, registry, ckpt).awaitTermination(120)
+
+    run_once()
+    first = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(accepted).select("doc_id", "text").collect()
+    )
+    shutil.rmtree(ckpt)  # replay batch 0 against already-written sinks
+    run_once()
+    again = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(accepted).select("doc_id", "text").collect()
+    )
+    assert first == again == [(1, "alpha beta"), (2, "wholly unrelated text")]
+    assert spark.read.parquet(registry).count() == 2
