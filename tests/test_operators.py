@@ -144,6 +144,65 @@ def test_cosine_topk_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def _clustered_embeddings(spark, n_clusters=30, per_cluster=6, n_noise=300, dim=32, seed=7):
+    """Planted near-duplicate clusters: `per_cluster` members per center at
+    cosine ≈ 0.9 to each other, plus uncorrelated background noise —
+    the regime real embedding corpora live in (the synthetic fixture's top
+    neighbors sit at cos ≈ 0.3-0.5, which under-stresses LSH bit counts)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_noise):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_recall_floor_on_planted_clusters(spark):
+    """Recall@5 >= 0.9 for hyperplane LSH on a clustered corpus. At
+    cos ≈ 0.95 a bit agrees w.p. 1 − θ/π ≈ 0.9, so 8-bit tables collide
+    w.p. ≈ 0.43 each and 12 tables give ≈ 1 − 0.57^12 ≈ 0.999 per true
+    neighbor; uncorrelated noise collides w.p. ≈ 0.5^8 per table, keeping
+    the candidate set sparse. These are the parameters to start from on a
+    real (clustered) embedding corpus — the 6-bit default is tuned to the
+    weakly-correlated synthetic fixtures."""
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([i * 6 for i in range(10)]))  # one per cluster
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(emb, q, k=5, num_tables=12, bits_per_table=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall on planted clusters too low: {recall}"
+
+
+def test_ivf_recall_floor_on_planted_clusters(spark):
+    """Recall@5 >= 0.9 for IVF on a clustered corpus: planted siblings land
+    in the query's own Voronoi cell (or a probed neighbor cell), so
+    n_probe=4 of 16 cells recovers nearly all true neighbors."""
+    from sec_dl_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([i * 6 for i in range(10)]))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF recall on planted clusters too low: {recall}"
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     from sec_dl_spark.operators.similarity import cosine_topk_ivf
     from sec_dl_spark.plans.catalog import t
