@@ -106,21 +106,50 @@ class CorpusStats:
         return self._avgdl
 
 
+# Partition-value width of the "prefix" index layout: substr(token, 1, 2)
+# yields ~1-2k directories over natural-language corpora — few enough for
+# cheap partition discovery, narrow enough that a `word:*` query touches a
+# handful of them.
+PREFIX_BUCKET_LEN = 2
+
+
 def write_index(
-    postings: DataFrame, path: str, buckets: int = 256, with_stats: bool = True
+    postings: DataFrame,
+    path: str,
+    buckets: int = 256,
+    with_stats: bool = True,
+    layout: str = "hash",
 ) -> None:
-    """Persist the index partitioned by token hash-bucket: a search term
-    prunes to one directory. (Bucketed saveAsTable is the managed-catalog
-    variant; plain parquet keeps the fixture flow hermetic.)
+    """Persist the index partitioned for serve-time pruning. (Bucketed
+    saveAsTable is the managed-catalog variant; plain parquet keeps the
+    fixture flow hermetic.)
+
+    ``layout="hash"`` (default) partitions by token hash-bucket — uniform
+    directory sizes, exact-term searches prune to one directory, but a
+    `word:*` prefix query must scan every bucket (hash destroys token
+    order). ``layout="prefix"`` partitions by ``prefix_bucket =
+    substr(token, 1, PREFIX_BUCKET_LEN)`` — prefix AND exact-term queries
+    both prune statically (the search functions inject the bucket
+    predicate), at the cost of linguistically-skewed directory sizes.
+    Choose per workload; both serve the same search functions.
 
     ``with_stats`` additionally writes the corpus-stats sidecar (N, avgdl,
     doc_len, token df) so ranked queries at serve time launch no
     stats-aggregation jobs — stats belong to index build, not query eval."""
+    if layout == "hash":
+        bucketed = postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets)
+        part_col = "token_bucket"
+    elif layout == "prefix":
+        bucketed = postings.withColumn(
+            "prefix_bucket", F.substring("token", 1, PREFIX_BUCKET_LEN)
+        )
+        part_col = "prefix_bucket"
+    else:
+        raise ValueError(f"unknown index layout {layout!r} (hash|prefix)")
     (
-        postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets)
-        .repartition("token_bucket")
+        bucketed.repartition(part_col)
         .write.mode("overwrite")
-        .partitionBy("token_bucket")
+        .partitionBy(part_col)
         .parquet(path)
     )
     if with_stats:
@@ -169,10 +198,35 @@ def read_index(spark, path: str) -> tuple[DataFrame, CorpusStats | None]:
     return postings, stats
 
 
+def _prune_to_terms(postings: DataFrame, terms) -> DataFrame:
+    """Static partition pruning for the prefix index layout: restrict the
+    scan to the terms' prefix_bucket directories before any join (the
+    bucket value is a pure function of the term, so the predicate is
+    decided at plan time). No-op for frames without the partition column
+    (in-memory postings, hash layout)."""
+    if "prefix_bucket" not in postings.columns:
+        return postings
+    buckets = sorted({t.lower()[:PREFIX_BUCKET_LEN] for t in terms})
+    return postings.where(F.col("prefix_bucket").isin(buckets))
+
+
+def _prune_to_prefix(postings: DataFrame, prefix: str) -> DataFrame:
+    """Partition pruning for a `word:*` node on the prefix layout: tokens
+    matching the prefix live only in directories whose bucket value starts
+    with (or equals the truncation of) the prefix."""
+    if "prefix_bucket" not in postings.columns:
+        return postings
+    q = prefix.lower()
+    if len(q) >= PREFIX_BUCKET_LEN:
+        return postings.where(F.col("prefix_bucket") == q[:PREFIX_BUCKET_LEN])
+    return postings.where(F.col("prefix_bucket").startswith(q))
+
+
 def search_all(postings: DataFrame, terms: list[str]) -> DataFrame:
     """AND semantics (to_tsquery 'a & b'): doc_ids containing every term.
     Grouped distinct-term count == n_terms — one broadcast semi-join plus
     one aggregation on doc_id."""
+    postings = _prune_to_terms(postings, terms)
     terms_df = F.broadcast(
         postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
     )
@@ -188,6 +242,7 @@ def search_all(postings: DataFrame, terms: list[str]) -> DataFrame:
 
 def search_any(postings: DataFrame, terms: list[str]) -> DataFrame:
     """OR semantics (to_tsquery 'a | b'): doc_ids containing any term."""
+    postings = _prune_to_terms(postings, terms)
     terms_df = F.broadcast(
         postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
     )
@@ -201,7 +256,7 @@ def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
     if not phrase:
         raise ValueError("empty phrase")
     def term_starts(i: int, term: str) -> DataFrame:
-        return postings.where(F.col("token") == term.lower()).select(
+        return _prune_to_terms(postings, [term]).where(F.col("token") == term.lower()).select(
             "doc_id",
             F.transform("positions", lambda p: p - F.lit(i)).alias(f"starts_{i}"),
         )
@@ -234,7 +289,7 @@ def search_ranked(
     terms_df = F.broadcast(
         postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
     )
-    hits = postings.join(terms_df, "token").select(
+    hits = _prune_to_terms(postings, terms).join(terms_df, "token").select(
         "token", "doc_id", F.size("positions").alias("tf")
     )
     if stats is None:
@@ -263,7 +318,9 @@ def search_and_not(postings: DataFrame, include: list[str], exclude: list[str]) 
     excl_df = F.broadcast(
         postings.sparkSession.createDataFrame([(t.lower(),) for t in set(exclude)], ["token"])
     )
-    excluded = postings.join(excl_df, "token").select("doc_id").distinct()
+    excluded = (
+        _prune_to_terms(postings, exclude).join(excl_df, "token").select("doc_id").distinct()
+    )
     return matched.join(excluded, "doc_id", "left_anti")
 
 
@@ -293,7 +350,7 @@ def search_bm25(
     doc_len = stats.doc_len
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
-    hits = postings.join(terms_df, "token").select(
+    hits = _prune_to_terms(postings, terms).join(terms_df, "token").select(
         "token", "doc_id", F.size("positions").alias("tf")
     )
     df_counts = stats.df.join(terms_df, "token")
@@ -347,7 +404,11 @@ def search_proximity_ranked(
     sp = postings.sparkSession
     terms_df = F.broadcast(sp.createDataFrame([(t,) for t in uniq], ["token"]))
     matched = search_all(postings, uniq)
-    hits = postings.join(terms_df, "token").join(matched, "doc_id", "left_semi")
+    hits = (
+        _prune_to_terms(postings, uniq)
+        .join(terms_df, "token")
+        .join(matched, "doc_id", "left_semi")
+    )
 
     if stats is None:
         stats = CorpusStats(postings, cache=False)
@@ -492,14 +553,19 @@ def search_query(postings: DataFrame, q: str) -> DataFrame:
     def ev(node) -> DataFrame:
         kind = node[0]
         if kind == "term":
-            return postings.where(F.col("token") == node[1]).select("doc_id").distinct()
-        if kind == "prefix":
-            # PG 'word:*'. A range scan over the token order; on the
-            # hash-bucketed persisted index this scans all buckets — a
-            # token-RANGE-partitioned layout restores pruning if prefix
-            # queries dominate a workload.
             return (
-                postings.where(F.col("token").startswith(node[1]))
+                _prune_to_terms(postings, [node[1]])
+                .where(F.col("token") == node[1])
+                .select("doc_id")
+                .distinct()
+            )
+        if kind == "prefix":
+            # PG 'word:*'. On the hash layout this scans all buckets (hash
+            # destroys token order); on the prefix layout the bucket
+            # predicate prunes to the prefix's directories at plan time.
+            return (
+                _prune_to_prefix(postings, node[1])
+                .where(F.col("token").startswith(node[1]))
                 .select("doc_id")
                 .distinct()
             )

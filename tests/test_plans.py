@@ -204,6 +204,46 @@ def test_fts_stats_sidecar_roundtrip(spark, tmp_path):
     assert stats2 is None
 
 
+def test_fts_prefix_layout_prunes_prefix_and_term_queries(spark, tmp_path):
+    """The prefix-partitioned index layout: a `word:*` tsquery prunes to the
+    prefix's partition directories (the hash layout must scan every bucket
+    — hash destroys token order), exact-term search prunes to the term's
+    directory, and both layouts return identical results."""
+    from sec_dl_spark.operators.fts import (
+        build_inverted_index,
+        read_index,
+        search_all,
+        search_query,
+        write_index,
+    )
+    from sec_dl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF, "documents")
+    postings = build_inverted_index(docs)
+    hash_path = str(tmp_path / "fts_hash")
+    pref_path = str(tmp_path / "fts_prefix")
+    write_index(postings, hash_path, buckets=16, with_stats=False)
+    write_index(postings, pref_path, with_stats=False, layout="prefix")
+
+    served_hash, _ = read_index(spark, hash_path)
+    served_pref, _ = read_index(spark, pref_path)
+
+    q = "spa:*"
+    out_pref = search_query(served_pref, q)
+    ids_pref = {r["doc_id"] for r in out_pref.collect()}
+    ids_hash = {r["doc_id"] for r in search_query(served_hash, q).collect()}
+    ids_live = {r["doc_id"] for r in search_query(postings, q).collect()}
+    assert ids_pref == ids_hash == ids_live and len(ids_pref) > 0
+
+    plan = physical_plan(out_pref)
+    scan = plan.split("PartitionFilters")
+    assert len(scan) >= 2 and "prefix_bucket" in scan[1].split("]")[0]
+
+    # exact-term search prunes too (bucket value is a function of the term)
+    term_plan = physical_plan(search_all(served_pref, ["spark"]))
+    assert "prefix_bucket" in term_plan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
     names; round 3 front-loads exactly the 50 stalest queries (9 never
