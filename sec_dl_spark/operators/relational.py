@@ -119,40 +119,159 @@ def exact_percentiles(
     df: DataFrame,
     group_col: str,
     specs: dict[str, list[tuple[float, str]]],
+    buckets: int = 1024,
+    strategy: str = "sort",
 ) -> DataFrame:
     """Exact interpolated (quantile_cont / type-7) percentiles per group,
-    as a distinct-value + cumulative-count plan instead of Spark's
-    `percentile` TypedImperativeAggregate.
+    over distinct values + multiplicities instead of Spark's `percentile`
+    TypedImperativeAggregate (which buffers every value per group and
+    merges per-group in one task).
 
-    Why: `percentile` buffers EVERY value per group in an interpreted
-    aggregation buffer and merges per-group in a single task — the final
-    merge is the serial cost center, and the buffer is O(group size). This
-    formulation shuffles only (group, distinct value, count) — map-side
-    combinable, fully codegen, merge parallel across distinct values — so
-    it survives groups of any row count; cost scales with DISTINCT values
-    per group, not rows.
+    Two physical strategies, identical results:
 
-    Plan: stack every value column into (group, which, value) rows — ONE
-    count shuffle and ONE window pass cover all columns — then per
-    distinct value compute its cumulative rank range [lo, hi] (+ lead for
-    interpolation); the row whose range contains the target rank
-    k = floor((n-1)·p) emits x_k + frac·(x_{k+1} − x_k); max() per group
-    picks the single non-null. NULL values are excluded, matching the
-    builtin's semantics.
+    - ``strategy="sort"`` (default): one map-combinable distinct-value
+      shuffle, then a cumulative-count window ordered by value. The sort
+      parallelism caps at |groups| × |value cols| partitions — measured
+      FASTER up to millions of distinct values per group (the sort is
+      cheap; fewer stage barriers win).
+    - ``strategy="bucketed"``: the two-level quantized plan below —
+      per-task sort input drops by the bucket factor. Use when distinct
+      values per (group, col) reach the hundreds of millions and the
+      single-partition sort becomes the critical path (100 TB regime).
+
+    Bucketed plan: stack every value column into (group, which, value)
+    rows, then
+
+      1. aggregate to (group, which, distinct value, multiplicity) — the
+         ONLY pass over the data, map-side combinable; min/max/n derive
+         from this frame and its shuffle exchange is reused by every
+         branch below;
+      2. quantize each distinct value into ``buckets`` equi-width range
+         buckets (the bucket id is monotone in the value, so bucket
+         counts are a coarse CDF); cumulate the per-bucket counts — the
+         window sees at most ``buckets`` rows per (group, which);
+      3. locate the buckets whose rank range contains a target rank
+         k = floor((n-1)·p) or its interpolation partner k+1 — a handful
+         of directories of the value space;
+      4. sort distinct values WITHIN needed buckets only (parallel across
+         buckets, pruned to the ~distinct/buckets rows that matter),
+         reconstruct global ranks as bucket_base + rank-in-bucket, and
+         emit x_k + frac·(x_{k+1} − x_k).
+
+    Every shuffle is map-side combinable and codegen; the only sorts left
+    touch the needed buckets (the per-(group, which) GLOBAL value sort —
+    whose parallelism caps at |groups|·|cols| tasks and whose per-task
+    input grows with distinct values — is gone). NULL values are
+    excluded, matching the builtin's semantics.
 
     ``specs``: {value_col: [(p, out_name), ...]}. Returns one row per
     group with every out_name column (double).
     """
+    from functools import reduce
+    from operator import or_
+
     cols = list(specs)
     stack_args = ", ".join(f"'{c}', cast({c} as double)" for c in cols)
     stacked = df.selectExpr(
         group_col, f"stack({len(cols)}, {stack_args}) as (which, val)"
     ).where(F.col("val").isNotNull())
-    c = stacked.groupBy(group_col, "which", "val").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # The ONLY full-data pass: distinct values + multiplicities, map-side
+    # combinable. Everything below works on this frame; Spark reuses its
+    # shuffle exchange across the branches (identical subtree), so the
+    # base data is scanned and shuffled exactly once.
+    dv = stacked.groupBy(group_col, "which", "val").agg(F.count(F.lit(1)).alias("cnt"))
+
+    if strategy == "sort":
+        return _percentiles_from_sorted_dv(dv, group_col, specs)
+    if strategy != "bucketed":
+        raise ValueError(f"unknown strategy {strategy!r} (sort|bucketed)")
+
+    mm = dv.groupBy(group_col, "which").agg(
+        F.min("val").alias("_mn"),
+        F.max("val").alias("_mx"),
+        F.sum("cnt").alias("n"),
+    )
+    span = F.col("_mx") - F.col("_mn")
+    bucket_id = (
+        F.when(span == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("val") - F.col("_mn")) / span * buckets),
+                F.lit(buckets - 1),
+            )
+        )
+        .cast("long")
+    )
+    dvb = (
+        dv.join(F.broadcast(mm), [group_col, "which"])
+        .withColumn("_b", bucket_id)
+        .drop("_mn", "_mx")
+    )
+
+    bc = dvb.groupBy(group_col, "which", "_b", "n").agg(F.sum("cnt").alias("bcnt"))
+    wb = Window.partitionBy(group_col, "which").orderBy("_b")
+    bc = bc.withColumn("b_hi", F.sum("bcnt").over(wb) - 1).withColumn(
+        "b_lo", F.col("b_hi") - F.col("bcnt") + 1
+    )
+
+    needed_conds = []
+    for value_col, ps in specs.items():
+        for p, _name in ps:
+            h = (F.col("n") - 1) * F.lit(float(p))
+            k = F.floor(h)
+            in_range = (k >= F.col("b_lo")) & (k <= F.col("b_hi"))
+            partner = (h > k) & (k + 1 >= F.col("b_lo")) & (k + 1 <= F.col("b_hi"))
+            needed_conds.append((F.col("which") == value_col) & (in_range | partner))
+    needed = bc.where(reduce(or_, needed_conds)).select(
+        group_col, "which", "_b", "b_lo"
+    )
+
+    lvl2 = dvb.join(F.broadcast(needed), [group_col, "which", "_b"])
+    w2 = Window.partitionBy(group_col, "which", "_b").orderBy("val")
+    lvl2 = lvl2.withColumn("g_hi", F.col("b_lo") + F.sum("cnt").over(w2) - 1)
+    g_lo = F.col("g_hi") - F.col("cnt") + 1
+
+    aggs = []
+    for value_col, ps in specs.items():
+        for p, name in ps:
+            h = (F.col("n") - 1) * F.lit(float(p))
+            k = F.floor(h)
+            is_col = F.col("which") == value_col
+            at_k = F.when(is_col & (k >= g_lo) & (k <= F.col("g_hi")), F.col("val"))
+            at_k1 = F.when(
+                is_col & (k + 1 >= g_lo) & (k + 1 <= F.col("g_hi")), F.col("val")
+            )
+            aggs += [
+                F.max(at_k).alias(f"_vk_{name}"),
+                F.max(at_k1).alias(f"_vk1_{name}"),
+                F.max(F.when(is_col, F.col("n"))).alias(f"_n_{name}"),
+            ]
+    agg_df = lvl2.groupBy(group_col).agg(*aggs)
+
+    finals = [F.col(group_col)]
+    for value_col, ps in specs.items():
+        for p, name in ps:
+            h = (F.col(f"_n_{name}") - 1) * F.lit(float(p))
+            frac = h - F.floor(h)
+            vk, vk1 = F.col(f"_vk_{name}"), F.col(f"_vk1_{name}")
+            finals.append(
+                F.when(frac > 0, vk + frac * (vk1 - vk)).otherwise(vk).alias(name)
+            )
+    return agg_df.select(*finals)
+
+
+def _percentiles_from_sorted_dv(
+    dv: DataFrame, group_col: str, specs: dict[str, list[tuple[float, str]]]
+) -> DataFrame:
+    """The sort strategy: cumulative counts over a per-(group, which)
+    value-ordered window. Each distinct value's rank range [lo, hi] plus
+    lead(val) gives the interpolation pair; the row containing rank
+    k = floor((n-1)·p) emits x_k + frac·(x_{k+1} − x_k)."""
     w = Window.partitionBy(group_col, "which").orderBy("val")
     wp = Window.partitionBy(group_col, "which")
     c = (
-        c.withColumn("hi", F.sum("cnt").over(w) - 1)
+        dv.withColumn("hi", F.sum("cnt").over(w) - 1)
         .withColumn("n", F.sum("cnt").over(wp))
         .withColumn("nxt", F.lead("val").over(w))
     )

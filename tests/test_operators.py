@@ -221,10 +221,12 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
 
 def test_exact_percentiles_matches_builtin(spark):
-    """The distinct-value + cumulative-count formulation must reproduce
+    """BOTH strategies (sort and two-level bucketed) must reproduce
     Spark's `percentile` (quantile_cont / type-7 interpolation) exactly —
-    including duplicate-heavy data, a group of one row, and interpolation
-    between distinct values."""
+    including duplicate-heavy data, a group of one row, interpolation
+    between distinct values, and bucket-boundary rank pairs (the bucketed
+    strategy must fetch x_{k+1} from the NEXT bucket when k is a bucket's
+    last rank)."""
     import random
 
     from sec_dl_spark.operators.relational import exact_percentiles
@@ -236,12 +238,6 @@ def test_exact_percentiles_matches_builtin(spark):
     rows += [("a", None), ("b", None)]  # NULLs excluded, like the builtin
     df = spark.createDataFrame(rows, "g string, x double")
 
-    got = {
-        r["g"]: (r["p10"], r["p50"], r["p99"])
-        for r in exact_percentiles(
-            df, "g", {"x": [(0.1, "p10"), (0.5, "p50"), (0.99, "p99")]}
-        ).collect()
-    }
     want = {
         r["g"]: (r["p10"], r["p50"], r["p99"])
         for r in df.groupBy("g")
@@ -252,10 +248,20 @@ def test_exact_percentiles_matches_builtin(spark):
         )
         .collect()
     }
-    assert set(got) == set(want)
-    for g in want:
-        for a, b in zip(got[g], want[g]):
-            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+    # buckets=7 on 51 distinct values forces many bucket-boundary (k, k+1)
+    # pairs through the two-level path
+    for kwargs in ({"strategy": "sort"}, {"strategy": "bucketed"},
+                   {"strategy": "bucketed", "buckets": 7}):
+        got = {
+            r["g"]: (r["p10"], r["p50"], r["p99"])
+            for r in exact_percentiles(
+                df, "g", {"x": [(0.1, "p10"), (0.5, "p50"), (0.99, "p99")]}, **kwargs
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            for a, b in zip(got[g], want[g]):
+                assert abs(a - b) < 1e-9, (kwargs, g, got[g], want[g])
 
 
 def test_proximity_ranked_prefers_tight_covers(spark):
