@@ -67,8 +67,19 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, rtol: float = 1e-9) -> list
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--jobs",
+        type=int,
+        default=4,
+        help="concurrent query comparisons (threads share the SparkSession; "
+        "the sweep is scheduling/JIT-latency-bound, not CPU-bound, so "
+        "overlapping submissions cuts wall-clock ~linearly). 1 = serial.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     from sec_dl_spark.plans.catalog import load_all
     from sec_dl_spark.session import get_spark
@@ -76,32 +87,39 @@ def main() -> int:
     specs = load_all()
     names = args.names or sorted(specs)
     spark = get_spark("compare_oracle", shuffle_partitions=8)
-    con = duck_connection(args.sf)
+    # one DuckDB connection per worker thread — a connection is not
+    # thread-safe, and per-thread view registration is milliseconds
+    tls = threading.local()
 
-    failed = []
-    for name in names:
+    def run_one(name: str) -> tuple[str, str, bool]:
         spec = specs[name]
         try:
             sdf = spec.spark_fn(spark, args.sf).toPandas()
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
-            failed.append(name)
-            continue
+            return name, f"FAIL {name}: spark error: {exc}", True
         if spec.oracle is None:
-            print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
-            continue
+            return name, f"SKIP {name}: rows-only ({len(sdf)} rows)", False
         try:
-            odf = con.sql(spec.oracle).df()
+            if not hasattr(tls, "con"):
+                tls.con = duck_connection(args.sf)
+            odf = tls.con.sql(spec.oracle).df()
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: oracle error: {exc}")
-            failed.append(name)
-            continue
+            return name, f"FAIL {name}: oracle error: {exc}", True
         errs = compare_frames(sdf, odf)
         if errs:
-            print(f"FAIL {name}: " + "; ".join(errs))
-            failed.append(name)
-        else:
-            print(f"OK   {name} ({len(sdf)} rows)")
+            return name, f"FAIL {name}: " + "; ".join(errs), True
+        return name, f"OK   {name} ({len(sdf)} rows)", False
+
+    failed = []
+    if args.jobs <= 1:
+        results = [run_one(n) for n in names]
+    else:
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            results = list(pool.map(run_one, names))
+    for _name, line, bad in results:
+        print(line)
+        if bad:
+            failed.append(_name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
