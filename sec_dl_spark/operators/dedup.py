@@ -371,3 +371,110 @@ def minhash_band_keys(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
     return sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash")
     )
+
+
+# Winnowing fingerprint packing: key = hash * 2^POS_BITS + position gives a
+# single BIGINT whose min over a window is the (hash, leftmost-pos) argmin —
+# total order with deterministic ties, identical integer arithmetic in any
+# SQL engine (the oracle runs the same expression).
+WINNOW_POS_BITS = 20
+WINNOW_MOD = 2147483647  # 2^31 - 1: poly-hash state stays < 2^31, *257 < 2^40
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of the token
+    stream, then keep the minimum hash of each sliding window of
+    ``window`` consecutive k-grams. Guarantees: any shared token run of
+    length >= window + k - 1 between two documents yields at least one
+    IDENTICAL selected fingerprint — the partial-overlap/quote detector
+    that whole-document MinHash cannot provide.
+
+    Spark-first shape: one posexplode (k-grams with positions), a pure
+    codegen polynomial hash over the gram's chars (tokens are [a-z0-9]
+    by construction, so char codes are engine-portable ASCII), and ONE
+    trailing-window min per document — a single shuffle keyed by doc.
+    Selected (hash, pos) pairs dedupe to the fingerprint set. Returns
+    (doc_id, fp_hash, pos), deterministic.
+    """
+    tk = spread(docs).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_tk")
+    ).where(F.size("_tk") >= k)
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - k),
+                lambda i: F.array_join(F.slice("_tk", i + 1, k), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("gram")),
+        lambda j: F.ascii(F.substring(F.col("gram"), j, F.lit(1))),
+    )
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * WINNOW_BASE + c) % WINNOW_MOD,
+    )
+    pos_ok = F.when(
+        F.col("pos") >= F.lit(1 << WINNOW_POS_BITS),
+        F.raise_error(
+            F.format_string(
+                "winnow_fingerprints: document %s has >= 2^"
+                + str(WINNOW_POS_BITS)
+                + " k-grams; widen WINNOW_POS_BITS",
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("pos"))
+    keyed = grams.select(
+        "doc_id", "pos", (h * F.lit(1 << WINNOW_POS_BITS) + pos_ok).alias("_key")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    sel = keyed.select("doc_id", F.min("_key").over(w).alias("_sel")).distinct()
+    return sel.select(
+        "doc_id",
+        F.expr(f"_sel div {1 << WINNOW_POS_BITS}").alias("fp_hash"),
+        (F.col("_sel") % F.lit(1 << WINNOW_POS_BITS)).cast("long").alias("pos"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing >= ``min_shared``
+    distinct winnowing fingerprints. The join is keyed by fingerprint hash
+    (posting co-occurrence, like jaccard_pairs) — pair volume is driven by
+    shared content, never |corpus|². Returns (id_a, id_b, n_shared)."""
+    fps = (
+        winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, window=window)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1161,3 +1161,72 @@ def text_extract_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "match")
         .limit(20)
     )
+
+
+# DuckDB mirror of operators/dedup.py:winnow_fingerprints — same k-gram
+# construction, same polynomial hash (tokens are [a-z0-9], so ord()/ascii()
+# agree), same packed (hash, pos) min-window selection. k=3, window=4.
+WINNOW_SQL = f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(range(len(toks) - 2)) AS pos,
+             unnest(list_transform(range(len(toks) - 2),
+                    i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+      FROM tk WHERE len(toks) >= 3
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             list_reduce(list_transform(range(1, length(gram)+1),
+                                        j -> CAST(ord(gram[j]) AS BIGINT)),
+                         (acc, c) -> (acc * 257 + c) % 2147483647)
+               * 1048576 + pos AS key
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS skey
+      FROM keyed
+    )
+    SELECT doc_id, skey // 1048576 AS fp_hash, CAST(skey % 1048576 AS BIGINT) AS pos
+    FROM sel
+"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=WINNOW_SQL + " ORDER BY doc_id, pos",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, Schleimer et al. SIGMOD'03):
+    min polynomial k-gram hash per sliding window — the local-fingerprint
+    step for partial-overlap/quote detection, which whole-document MinHash
+    cannot see. One posexplode + codegen hash + one windowed min per doc
+    (operators/dedup.py:winnow_fingerprints)."""
+    from sec_dl_spark.operators.dedup import winnow_fingerprints
+
+    d = t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d).orderBy("doc_id", "pos")
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle=f"""
+    WITH sel AS ({WINNOW_SQL}),
+    fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs off shared winnowing fingerprints —
+    fingerprint-keyed posting co-occurrence (pair volume driven by shared
+    content, never |corpus|²), the copy/quote-detection complement to
+    dedup_jaccard_pairs' whole-document similarity."""
+    from sec_dl_spark.operators.dedup import winnow_overlap_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")

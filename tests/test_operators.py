@@ -552,3 +552,33 @@ def test_pack_sequences_invariants(spark):
         totals[r["seq_id"]][1] += 1
     for total, ndocs in totals.values():
         assert ndocs == 1 or total <= 512
+
+
+def test_winnow_guarantee_on_planted_overlap(spark):
+    """Winnowing's detection guarantee: any shared token run of length
+    >= window + k - 1 (here 4 + 3 - 1 = 6) yields at least one identical
+    selected fingerprint in both documents; disjoint content shares
+    nothing."""
+    from sec_dl_spark.operators.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    shared = "alpha bravo charlie delta echo foxtrot"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated head words {shared} tail piece closing remark"),
+            (2, f"{shared} wholly different continuation text follows here"),
+            (3, "nothing in common with any other row at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert pairs == {(1, 2)}
