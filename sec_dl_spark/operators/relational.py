@@ -291,3 +291,36 @@ def _percentiles_from_sorted_dv(
             )
             aggs.append(F.max(px).alias(name))
     return c.groupBy(group_col).agg(*aggs)
+
+
+def deterministic_mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Reproducible per-group downsampling to target mixture rates — the
+    training-data step that rebalances a corpus (e.g. cap web text, keep
+    all code). A row survives iff hash(key) lands under its group's rate
+    threshold, so the SAME rows are kept on every run, on any cluster, at
+    any parallelism — unlike df.sample/sampleBy, whose output depends on
+    partitioning. Keeps ≈ rate·|group| rows without any shuffle: the
+    filter is a pure row-local codegen predicate.
+
+    The hash is Knuth's multiplicative scheme over the integer key —
+    deliberately portable integer arithmetic (the DuckDB oracle evaluates
+    the identical expression); swap in xxhash64 when oracle parity is not
+    needed. ``salt`` decorrelates successive sampling passes.
+    """
+    mod = 1 << 20
+    h = ((F.col(key_col) + F.lit(salt)) * F.lit(2654435761)) % F.lit(mod)
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        t_val = F.lit(int(r * mod))
+        expr = F.when(cond, t_val) if expr is None else expr.when(cond, t_val)
+    thresh = expr.otherwise(F.lit(int(default_rate * mod)))
+    return df.where(h < thresh)

@@ -1230,3 +1230,179 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return winnow_overlap_pairs(d, min_shared=2).orderBy("id_a", "id_b")
+
+
+# GPT-2-style pretokenizer (contractions | space?+letters | space?+digits |
+# space?+punct-run) — no lookarounds, so the pattern is portable between
+# Java regex (Spark) and RE2 (DuckDB). Applied to lowercased text.
+BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+# SQL-literal form: apostrophes doubled for embedding in a quoted string
+BPE_PAT_SQL = BPE_PAT.replace("'", "''")
+
+
+@query(
+    "text_token_estimate",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+                      '{BPE_PAT_SQL}')) AS BIGINT) AS n_pieces,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words, n_pieces,
+           round(CAST(n_chars AS DOUBLE) / n_pieces + 1e-8, 4) AS chars_per_piece
+    FROM c WHERE n_pieces > 0 ORDER BY doc_id
+    """,
+)
+def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-token budgeting (SURVEY §2.11 'token counting: whitespace + a
+    BPE-ish regex'): whitespace word count next to a GPT-2-style
+    pretokenizer match count — the cheap LLM-token estimator used to size
+    training mixes before any real tokenizer runs. Pure codegen regex,
+    no UDF."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    pieces = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PAT), F.lit(0))
+    ).cast("long")
+    out = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        pieces.alias("n_pieces"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).where(F.col("n_pieces") > 0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.round(F.col("n_chars") / F.col("n_pieces") + 1e-8, 4).alias("chars_per_piece"),
+    ).orderBy("doc_id")
+
+
+# The fixtures contain no real PII, so the query plants deterministic
+# synthetic identifiers per row and redacts them — the operator chain is
+# exercised non-vacuously (r1's vacuous-extract lesson) and stays oracled.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+PII_SSN = r"\d{3}-\d{2}-\d{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or call 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' ssn 123-45-6789' AS aug
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '{PII_SSN}')) AS BIGINT) AS n_ssns,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(aug, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_SSN}', '<SSN>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT doc_id, n_emails, n_ssns,
+           CAST(length(redacted) AS BIGINT) AS red_len,
+           substring(redacted, length(redacted) - 39, 40) AS red_tail
+    FROM red ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / phone numbers / SSN-shaped ids → typed
+    placeholder tokens) — the compliance pass every training-data pipeline
+    runs before text leaves the lake. Chained codegen regexp_replace, with
+    match counts emitted for audit. SSN redaction runs before phone so the
+    3-2-4 shape is never half-eaten by the 3-3-4 pattern."""
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    a = d.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL, "<EMAIL>"),
+            PII_SSN,
+            "<SSN>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    out = a.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_SSN), F.lit(0)))
+        .cast("long")
+        .alias("n_ssns"),
+        redacted.alias("redacted"),
+    )
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ssns",
+        F.length("redacted").cast("long").alias("red_len"),
+        F.substring(F.col("redacted"), F.length("redacted") - 39, 40).alias("red_tail"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN ((doc_id * 2654435761) % 1048576) <
+                  CASE lang WHEN 'en' THEN 314572
+                            WHEN 'de' THEN 1048576
+                            WHEN 'fr' THEN 838860
+                            ELSE 104857 END
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible mixture rebalancing: per-language hash-threshold
+    sampling to target rates (keep all de, 80% fr, 30% en, 10% rest) —
+    unlike sample/sampleBy the kept set is a pure function of doc_id, so
+    reruns, retries and different partitionings keep identical rows
+    (operators/relational.py:deterministic_mixture_sample). Output is the
+    per-group audit (total vs kept)."""
+    from sec_dl_spark.operators.relational import deterministic_mixture_sample
+
+    d = t(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "de": 1.0, "fr": 0.8}
+    kept = deterministic_mixture_sample(d, rates, default_rate=0.1).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
