@@ -272,11 +272,16 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     with cluster_id = min doc_id in the component — the step that turns
     pairwise near-dup evidence into actionable keep/drop sets.
 
-    Iterative min-label propagation in pure DataFrame ops: each round every
-    node adopts the smallest label among itself and its neighbors; stops
-    when no label changes. Rounds are O(component diameter); localCheckpoint
-    every round truncates lineage so plan size stays constant (the classic
-    iterative-algorithm trap on Spark). Deterministic.
+    Iterative min-label propagation + POINTER JUMPING in pure DataFrame
+    ops: each round every node adopts the smallest label among itself and
+    its neighbors, then shortcuts through its label's label
+    (label ← label(label)). The shortcut makes label depth collapse
+    geometrically, so rounds are O(log diameter) instead of O(diameter) —
+    a 1M-long duplication chain converges in ~20 rounds where plain
+    propagation would silently hit max_iterations and return wrong labels.
+    localCheckpoint every round truncates lineage so plan size stays
+    constant (the classic iterative-algorithm trap on Spark).
+    Deterministic.
 
     ``pairs``: (id_a, id_b) rows, any extra columns ignored.
     """
@@ -299,14 +304,30 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("p_label"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jumping: adopt the label of your label (labels only ever
+        # decrease and every label value is itself a node, so the lookup
+        # frame is `propagated` keyed by node; one self-join per round on
+        # the O(nodes) label frame, cheap next to the edge join)
+        hop = propagated.select(
+            F.col("node").alias("_h_node"), F.col("p_label").alias("_h_label")
+        )
         updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            propagated.join(hop, propagated["p_label"] == hop["_h_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("p_label"), F.coalesce(F.col("_h_label"), F.col("p_label"))
                 ).alias("new_label"),
-                F.col("label").alias("old_label"),
+                "old_label",
             )
         ).localCheckpoint(eager=True)
         labels = updated.select("node", F.col("new_label").alias("label"))

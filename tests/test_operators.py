@@ -582,3 +582,20 @@ def test_winnow_guarantee_on_planted_overlap(spark):
         for r in winnow_overlap_pairs(docs, min_shared=1).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 200-node duplication chain converges well inside
+    the default iteration budget (plain diameter-bound propagation would
+    need ~200 rounds and silently return wrong labels)."""
+    from sec_dl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, max_iterations=12).collect()
+    }
+    assert len(got) == 201
+    assert set(got.values()) == {0}
