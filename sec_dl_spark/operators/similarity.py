@@ -328,3 +328,38 @@ def ann_index_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) ∈ [-127, 127] — 4× smaller storage and
+    int8-SIMD-friendly dot products, the standard first compression rung
+    for a 100 TB embedding store (finer rungs: PQ/OPQ). Adds ``out_col``
+    (ARRAY<TINYINT>... stored as INT for portability) and ``q_scale``.
+    floor(x + 0.5) instead of round() so every engine reproduces the
+    exact same codes (round() tie rules differ across engines).
+
+    Reconstruction error per element is bounded by scale/2, so cosine
+    against the dequantized vector stays ≥ ~0.999 for typical
+    distributions — audited by the oracled emb_quantize_int8 query.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.aggregate(
+        xd, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(
+            F.col("q_scale") > 0, F.floor(x.cast("double") / F.col("q_scale") + 0.5)
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return df.withColumn("q_scale", scale).withColumn(out_col, q)
+
+
+def dequantize(q_col: Column, scale_col: Column) -> Column:
+    """Inverse of quantize_int8: x̂_i = q_i · scale."""
+    return F.transform(q_col, lambda v: v.cast("double") * scale_col)

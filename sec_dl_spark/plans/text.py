@@ -1406,3 +1406,44 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, xd, q_scale,
+             list_transform(xd, x -> CASE WHEN q_scale > 0
+                    THEN floor(x / q_scale + 0.5) * q_scale ELSE 0.0 END) AS deq
+      FROM s
+    )
+    SELECT vec_id,
+           round(q_scale + 1e-9, 6) AS scale_r,
+           round(list_inner_product(xd, deq) /
+                 (sqrt(list_inner_product(xd, xd)) * sqrt(list_inner_product(deq, deq)))
+                 + 1e-9, 4) AS recon_cos
+    FROM q ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit (similarity.quantize_int8): per
+    vector, the quantization scale and the cosine between the original
+    and dequantized vector — the 4×-compression/recall trade every large
+    embedding store makes before PQ. floor(x/scale + 0.5) quantization is
+    bit-identical across engines, so the audit is fully oracled."""
+    from sec_dl_spark.operators.similarity import cosine, dequantize, quantize_int8
+
+    e = t(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    deq = dequantize(F.col("q_vec"), F.col("q_scale"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("q_scale") + 1e-9, 6).alias("scale_r"),
+        F.round(cosine(F.col("embedding"), deq) + 1e-9, 4).alias("recon_cos"),
+    ).orderBy("vec_id")

@@ -599,3 +599,24 @@ def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
     }
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Symmetric int8 quantization keeps per-element error <= scale/2, so
+    reconstruction cosine stays near 1 on the fixture corpus; codes are
+    integers in [-127, 127]."""
+    from sec_dl_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb)
+    rows = q.select(
+        "vec_id",
+        F.array_min("q_vec").alias("lo"),
+        F.array_max("q_vec").alias("hi"),
+    ).collect()
+    assert all(-127 <= r["lo"] and r["hi"] <= 127 for r in rows)
+
+    from sec_dl_spark.plans.catalog import load_all
+
+    audit = load_all()["emb_quantize_int8"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert audit.agg(F.min("recon_cos")).collect()[0][0] >= 0.999
