@@ -314,13 +314,27 @@ def deterministic_mixture_sample(
     the identical expression); swap in xxhash64 when oracle parity is not
     needed. ``salt`` decorrelates successive sampling passes.
     """
+    return df.where(
+        mixture_keep_expr(rates, group_col, key_col, default_rate, salt)
+    )
+
+
+def mixture_keep_expr(
+    rates: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+):
+    """The row-local keep predicate behind deterministic_mixture_sample,
+    exposed so audits can aggregate it (count kept per group in ONE pass)
+    instead of filtering and re-joining."""
     mod = 1 << 20
     h = ((F.col(key_col) + F.lit(salt)) * F.lit(2654435761)) % F.lit(mod)
-    thresh = F.lit(None).cast("long")
     expr = None
     for g, r in rates.items():
         cond = F.col(group_col) == g
         t_val = F.lit(int(r * mod))
         expr = F.when(cond, t_val) if expr is None else expr.when(cond, t_val)
     thresh = expr.otherwise(F.lit(int(default_rate * mod)))
-    return df.where(h < thresh)
+    return h < thresh

@@ -1389,20 +1389,16 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns, retries and different partitionings keep identical rows
     (operators/relational.py:deterministic_mixture_sample). Output is the
     per-group audit (total vs kept)."""
-    from sec_dl_spark.operators.relational import deterministic_mixture_sample
+    from sec_dl_spark.operators.relational import mixture_keep_expr
 
     d = t(spark, sf_dir, "documents")
     rates = {"en": 0.3, "de": 1.0, "fr": 0.8}
-    kept = deterministic_mixture_sample(d, rates, default_rate=0.1).groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    )
-    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    keep = mixture_keep_expr(rates, default_rate=0.1)
     return (
-        totals.join(kept, "lang", "left")
-        .select(
-            "lang",
-            "n_total",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
         )
         .orderBy("lang")
     )
