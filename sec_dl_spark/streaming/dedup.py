@@ -213,3 +213,86 @@ def incremental_minhash_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_winnow_dedup_sink(
+    docs_stream: DataFrame,
+    accepted_path: str,
+    registry_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+):
+    """Streaming PARTIAL-OVERLAP gate: drop an arriving document if it
+    shares >= ``min_shared`` winnowing fingerprints with anything already
+    accepted (or with a smaller-id document in its own batch) — catches
+    quotes/copied passages that neither the exact-fingerprint sink nor
+    the whole-document MinHash gate can see (winnowing guarantees a
+    shared fingerprint for any common token run of length >= window+k-1).
+
+    Registry rows are (fp_bucket, fp_hash, doc_id) — a few longs per
+    selected fingerprint, never text — partitioned by fingerprint bucket
+    so the per-batch semi-join prunes. Same idempotent (run, batch)
+    dynamic-partition-overwrite commit as the sibling sinks.
+    """
+    from sec_dl_spark.operators.dedup import winnow_fingerprints
+
+    run = _run_token(checkpoint_dir)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = (
+            winnow_fingerprints(
+                batch_df, id_col=id_col, text_col=text_col, k=k, window=window
+            )
+            .select("doc_id", "fp_hash")
+            .distinct()
+            .withColumn("fp_bucket", F.abs(F.col("fp_hash")) % REGISTRY_PREFIX_BUCKETS)
+            .localCheckpoint(eager=True)
+        )
+        smaller = fps.select(F.col("fp_hash"), F.col("doc_id").alias("other_id"))
+        in_batch_dups = (
+            fps.join(smaller, "fp_hash")
+            .where(F.col("other_id") < F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("fp_hash").alias("_n"))
+            .where(F.col("_n") >= min_shared)
+            .select("doc_id")
+        )
+        dup_ids = in_batch_dups
+        seen = _try_read_parquet(spark, registry_path)
+        if seen is not None:
+            seen = seen.where(_not_own_batch(run, batch_id))
+            hist_dups = (
+                fps.join(
+                    seen.select("fp_hash").distinct(), "fp_hash", "left_semi"
+                )
+                .groupBy("doc_id")
+                .agg(F.count_distinct("fp_hash").alias("_n"))
+                .where(F.col("_n") >= min_shared)
+                .select("doc_id")
+            )
+            dup_ids = dup_ids.unionByName(hist_dups).distinct()
+        survivors = batch_df.join(
+            dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        _commit_batch_partition(survivors, accepted_path, run, batch_id)
+        _commit_batch_partition(
+            fps.join(
+                survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            ),
+            registry_path,
+            run,
+            batch_id,
+            "fp_bucket",
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

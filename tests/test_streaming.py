@@ -357,3 +357,46 @@ def test_incremental_dedup_batch_retry_is_idempotent(spark, tmp_path_factory):
     )
     assert first == again == [(1, "alpha beta"), (2, "wholly unrelated text")]
     assert spark.read.parquet(registry).count() == 2
+
+
+def test_incremental_winnow_overlap_gate_across_batches(spark, tmp_path_factory):
+    """Streaming partial-overlap gate: a later batch's document that copies
+    a passage from an accepted document drops via the persisted winnow
+    fingerprint registry; unrelated content passes; in-batch copies
+    collapse to the smallest id."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.dedup import incremental_winnow_dedup_sink
+
+    src = tmp_path_factory.mktemp("wn_stream")
+    accepted = str(tmp_path_factory.mktemp("wn_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("wn_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("wn_ckpt"))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    passage = " ".join(f"shared{i} word{i}" for i in range(12))  # 24-token run
+    b1 = spark.createDataFrame(
+        [(1, f"opening remarks {passage} closing remarks")], schema
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, f"totally new framing then {passage} and a different tail"),
+            (11, "independent fresh content with nothing copied at all here today"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=1")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = incremental_winnow_dedup_sink(stream, accepted, registry, ckpt)
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert kept == {1, 11}  # 10 copies an accepted passage -> dropped
