@@ -363,3 +363,100 @@ def quantize_int8(
 def dequantize(q_col: Column, scale_col: Column) -> Column:
     """Inverse of quantize_int8: x̂_i = q_i · scale."""
     return F.transform(q_col, lambda v: v.cast("double") * scale_col)
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    n_centroids: int = 32,
+    seed: int = 42,
+    max_iter: int = 4,
+):
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and k-means each independently. Returns
+    [(sub_idx, centroids: list[list[float]])] — m small codebooks that
+    broadcast to every executor (m·n_centroids·(dim/m) floats, a few KB).
+
+    PQ is the compression rung after int8: dim·4 bytes → m bytes per
+    vector (one centroid id per subspace), the layout IVF-PQ engines use
+    at billion scale. Training cost is m small fits over the (sampled)
+    corpus; encoding/search are pure vectorized lookups.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        feats = corpus.select(
+            array_to_vector(
+                F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                )
+            ).alias("features")
+        )
+        km = KMeans(
+            k=n_centroids, seed=seed + j, maxIter=max_iter, initSteps=1,
+            featuresCol="features", predictionCol="code",
+        )
+        model = km.fit(feats)
+        books.append((j, [[float(x) for x in c] for c in model.clusterCenters()]))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to ``m`` centroid ids (nearest centroid per
+    subspace) with ONE vectorized Arrow pass — each batch does m small
+    (batch × n_centroids) distance matmuls against the broadcast
+    codebooks; no per-row Python."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = [np.asarray(c, dtype=np.float64) for _, c in sorted(codebooks)]
+    m = len(cb)
+    sub = cb[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            # argmin ||s - c||² = argmin (||c||² - 2 s·c) — one matmul
+            d = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ cb[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_decode(codes_col: Column, codebooks) -> Column:
+    """Reconstruct the PQ approximation: concatenate each subspace's
+    centroid. Pure JVM expression over a literal codebook array."""
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+            for _, book in sorted(codebooks)
+        ]
+    )
+    m = len(codebooks)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(F.element_at(cb_lit, j + 1), codes_col[j] + 1),
+        )
+    )

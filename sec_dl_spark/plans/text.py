@@ -1443,3 +1443,28 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q_scale") + 1e-9, 6).alias("scale_r"),
         F.round(cosine(F.col("embedding"), deq) + 1e-9, 4).alias("recon_cos"),
     ).orderBy("vec_id")
+
+
+@query("emb_pq_topk", oracle=None)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 retrieval against a product-quantized corpus (m=4 subspaces,
+    32 centroids each → 4 bytes/vector, the IVF-PQ memory layout at
+    billion scale): codebooks trained on a deterministic 20% slice,
+    corpus encoded in one Arrow pass, candidates ranked by cosine against
+    the DECODED approximation. Rows-only — centroids aren't portable to
+    the oracle; pytest pins recall@5 >= 0.8 on a planted-cluster corpus
+    (similarity.pq_train_codebooks/pq_encode/pq_decode)."""
+    from sec_dl_spark.operators.similarity import (
+        cosine_topk,
+        pq_decode,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(e.where(F.col("vec_id") % 5 == 0), m=4, n_centroids=32)
+    decoded = pq_encode(e, books).select(
+        "vec_id", pq_decode(F.col("pq_codes"), books).alias("embedding")
+    )
+    q = e.where(F.col("vec_id") < 5)
+    return cosine_topk(decoded, q, k=5).orderBy("query_id", "rank")
