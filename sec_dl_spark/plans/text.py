@@ -1462,7 +1462,9 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = t(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(e.where(F.col("vec_id") % 5 == 0), m=4, n_centroids=32)
+    books = pq_train_codebooks(
+        e.where(F.col("vec_id") % 5 == 0), m=4, n_centroids=32, max_iter=2
+    )
     decoded = pq_encode(e, books).select(
         "vec_id", pq_decode(F.col("pq_codes"), books).alias("embedding")
     )
