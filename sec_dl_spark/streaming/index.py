@@ -1,21 +1,34 @@
 """Incremental inverted-index maintenance over a document stream — the
 engine-native analog of the reference's "near real time full text search"
 (README.md:7): there, a tsvector trigger indexes each filing as its text
-lands (init_tables.py:59-67); here, each micro-batch's postings append to
+lands (init_tables.py:59-67); here, each micro-batch's postings commit to
 the persisted token-bucket index, so a search sees a document one batch
 after it arrives.
 
 Append-only by design: new documents add postings; amended documents are
 deduplicated upstream (watermark + dropDuplicates on the stream) before
 they reach the index. A full rebuild (operators/fts.py:write_index) stays
-the compaction path, exactly like reindexing in the reference's PG."""
+the compaction path, exactly like reindexing in the reference's PG.
+
+Delivery semantics match streaming/dedup.py: every write is a DYNAMIC
+partition overwrite scoped to (checkpoint-derived run token, batch id),
+so a replayed batch replaces its own earlier output instead of appending
+duplicate postings beside it.
+
+The stats sidecar is maintained incrementally too: per-batch doc_len rows
+(new documents only → plain union is correct) and PARTIAL token document
+frequencies; `read_incremental_index` sums the partials at open time — a
+sidecar-sized aggregation instead of a full posting-table pass — and
+rehydrates CorpusStats so ranked (TF-IDF/BM25) search runs with zero
+stats jobs, same contract as the batch sidecar."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sec_dl_spark.operators.fts import build_inverted_index
+from sec_dl_spark.operators.fts import CorpusStats, build_inverted_index
+from sec_dl_spark.streaming.dedup import _commit_batch_partition, _run_token
 
 
 def incremental_index_sink(
@@ -25,23 +38,40 @@ def incremental_index_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 256,
+    with_stats: bool = True,
 ):
-    """docs readStream → per-batch postings appended to the bucketed index.
+    """docs readStream → per-batch postings committed to the bucketed index
+    (+ stats sidecar partials unless ``with_stats=False``).
 
     Each batch: tokenize + posexplode + per-doc position lists (the same
-    build as the batch index), bucket by token hash, append. Checkpointing
-    makes delivery effectively-once — a replayed batch re-appends, which
-    dedup at read time would mask; in practice the checkpoint prevents it.
+    build as the batch index), bucket by token hash, commit idempotently
+    under this batch's own (run, batch) partition.
     """
 
+    run = _run_token(checkpoint_dir)
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        postings = build_inverted_index(batch_df, id_col=id_col, text_col=text_col)
-        (
-            postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets)
-            .write.mode("append")
-            .partitionBy("token_bucket")
-            .parquet(index_path)
+        postings = build_inverted_index(
+            batch_df, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+        _commit_batch_partition(
+            postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets),
+            index_path,
+            run,
+            batch_id,
+            "token_bucket",
         )
+        if with_stats:
+            stats = CorpusStats(postings, cache=False)
+            _commit_batch_partition(
+                stats.doc_len, f"{index_path}_stats/doc_len", run, batch_id
+            )
+            _commit_batch_partition(
+                stats.df.withColumnRenamed("df", "df_part"),
+                f"{index_path}_stats/token_df",
+                run,
+                batch_id,
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(on_batch)
@@ -49,3 +79,34 @@ def incremental_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_incremental_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, CorpusStats | None]:
+    """Open an incrementally-built index: postings plus CorpusStats
+    rehydrated from the sidecar partials (token df = sum of per-batch
+    partial counts; n_docs/avgdl = one sidecar-sized aggregation —
+    never a pass over the posting table). Returns (postings, None) when
+    the sink ran with_stats=False."""
+    from sec_dl_spark.streaming.dedup import _try_read_parquet
+
+    postings = spark.read.parquet(index_path).drop(
+        "token_bucket", "ingest_run", "ingest_batch"
+    )
+    doc_len = _try_read_parquet(spark, f"{index_path}_stats/doc_len")
+    df_part = _try_read_parquet(spark, f"{index_path}_stats/token_df")
+    if doc_len is None or df_part is None:
+        return postings, None
+    doc_len = doc_len.select("doc_id", "dl")
+    df = df_part.groupBy("token").agg(F.sum("df_part").alias("df"))
+    row = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    stats = CorpusStats(
+        doc_len=doc_len,
+        df=df,
+        n_docs=int(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+    )
+    return postings, stats

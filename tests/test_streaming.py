@@ -400,3 +400,58 @@ def test_incremental_winnow_overlap_gate_across_batches(spark, tmp_path_factory)
 
     kept = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     assert kept == {1, 11}  # 10 copies an accepted passage -> dropped
+
+
+def test_incremental_index_stats_and_replay_idempotency(spark, tmp_path_factory):
+    """The incremental index's sidecar partials rehydrate CorpusStats that
+    rank exactly like the stats-free computation over the full postings,
+    and a replayed batch (wiped checkpoint, same sinks) commits over its
+    own earlier output instead of duplicating postings/partials."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.operators.fts import build_inverted_index, search_bm25
+    from sec_dl_spark.streaming.index import (
+        incremental_index_sink,
+        read_incremental_index,
+    )
+
+    src = tmp_path_factory.mktemp("inc2_src")
+    idx = str(tmp_path_factory.mktemp("inc2_index") / "postings")
+    ckpt = str(tmp_path_factory.mktemp("inc2_ckpt") / "ckpt")
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    docs.repartition(2).write.mode("overwrite").parquet(str(src))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        incremental_index_sink(stream, idx, ckpt, buckets=8).awaitTermination(120)
+
+    run_once()
+    served, stats = read_incremental_index(spark, idx)
+    assert stats is not None
+    live = build_inverted_index(docs)
+    terms = ["spark", "sort", "vector"]
+    with_stats = [
+        tuple(r) for r in search_bm25(served, terms, k=10, stats=stats).collect()
+    ]
+    without = [tuple(r) for r in search_bm25(live, terms, k=10).collect()]
+    assert with_stats == without and len(with_stats) > 0
+
+    n_postings = served.count()
+    shutil.rmtree(ckpt)  # replay every batch against the already-written sinks
+    run_once()
+    served2, stats2 = read_incremental_index(spark, idx)
+    assert served2.count() == n_postings  # no duplicated postings
+    assert stats2.n_docs == stats.n_docs
+    assert abs(stats2.avgdl - stats.avgdl) < 1e-9
