@@ -398,7 +398,7 @@ def minhash_band_keys(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
 # single BIGINT whose min over a window is the (hash, leftmost-pos) argmin —
 # total order with deterministic ties, identical integer arithmetic in any
 # SQL engine (the oracle runs the same expression).
-WINNOW_POS_BITS = 20
+WINNOW_POS_BITS = 32
 WINNOW_MOD = 2147483647  # 2^31 - 1: poly-hash state stays < 2^31, *257 < 2^40
 WINNOW_BASE = 257
 
@@ -446,8 +446,11 @@ def winnow_fingerprints(
         F.lit(0).cast("long"),
         lambda acc, c: (acc * WINNOW_BASE + c) % WINNOW_MOD,
     )
+    # 32 pos bits: (2^31-1 hash) * 2^32 + (2^32-1) < 2^63, and a single
+    # row's token array physically cannot reach 2^32 entries — the guard
+    # is enforced anyway so a future narrowing fails loudly, not silently.
     pos_ok = F.when(
-        F.col("pos") >= F.lit(1 << WINNOW_POS_BITS),
+        F.col("pos").cast("long") >= F.lit(1 << WINNOW_POS_BITS),
         F.raise_error(
             F.format_string(
                 "winnow_fingerprints: document %s has >= 2^"

@@ -146,6 +146,13 @@ def write_index(
         part_col = "prefix_bucket"
     else:
         raise ValueError(f"unknown index layout {layout!r} (hash|prefix)")
+    # Remove any existing sidecar BEFORE touching the postings: a crash
+    # between the postings overwrite and the sidecar rewrite would
+    # otherwise leave the previous corpus's stats next to the new
+    # postings — silently wrong TF-IDF/BM25 with no signal. Deleting
+    # first turns that crash window into a detectable missing-sidecar
+    # state (read_index returns stats=None).
+    _hadoop_delete(postings.sparkSession, f"{path}_stats")
     (
         bucketed.repartition(part_col)
         .write.mode("overwrite")
@@ -160,35 +167,26 @@ def write_index(
         spark.createDataFrame(
             [(stats.n_docs, stats.avgdl)], "n_docs long, avgdl double"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}_stats/corpus")
-    else:
-        # A sidecar left over from an earlier with_stats=True build would
-        # silently rehydrate stale N/avgdl/df against the rewritten
-        # postings — wrong TF-IDF/BM25 scores with no signal. Remove it via
-        # the Hadoop FS API so any filesystem scheme is covered.
-        _hadoop_delete(postings.sparkSession, f"{path}_stats")
 
 
-def _hadoop_delete(spark, path: str) -> None:
-    """Recursively delete ``path`` on whatever filesystem it lives on
-    (no-op if absent) — driver-local shutil would miss remote schemes."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+from sec_dl_spark.util import hadoop_delete as _hadoop_delete  # noqa: E402
 
 
 def read_index(spark, path: str) -> tuple[DataFrame, CorpusStats | None]:
     """Load a persisted index + its stats sidecar (None if written with
     ``with_stats=False``). The scalar read is one tiny single-file scan at
     open time; queries then run with zero stats jobs."""
-    from pyspark.errors import AnalysisException
+    from sec_dl_spark.util import try_read_parquet
 
     postings = spark.read.parquet(path).drop("token_bucket")
-    try:
-        # probe by reading, not os.path — works on any filesystem scheme
-        row = spark.read.parquet(f"{path}_stats/corpus").collect()[0]
-    except AnalysisException:
+    # probe by reading, not os.path — works on any filesystem scheme; an
+    # empty-but-present sidecar (crash between delete and rewrite) also
+    # reads as "no stats" rather than raising
+    corpus = try_read_parquet(spark, f"{path}_stats/corpus")
+    rows = corpus.collect() if corpus is not None else []
+    if not rows:
         return postings, None
+    row = rows[0]
     stats = CorpusStats(
         doc_len=spark.read.parquet(f"{path}_stats/doc_len"),
         df=spark.read.parquet(f"{path}_stats/token_df"),

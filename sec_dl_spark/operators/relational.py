@@ -330,7 +330,14 @@ def mixture_keep_expr(
     exposed so audits can aggregate it (count kept per group in ONE pass)
     instead of filtering and re-joining."""
     mod = 1 << 20
-    h = ((F.col(key_col) + F.lit(salt)) * F.lit(2654435761)) % F.lit(mod)
+    # Pre-reduce the key to 31 bits so the Knuth multiply stays < 2^63:
+    # without it, keys above ~3.4e9 overflow BIGINT — an ArithmeticException
+    # under ANSI mode, silent negative-wrap mis-sampling without it, and an
+    # out-of-range error in the DuckDB oracle. For keys < 2^31 the result
+    # is unchanged.
+    h = (
+        ((F.col(key_col) + F.lit(salt)) % F.lit(1 << 31)) * F.lit(2654435761)
+    ) % F.lit(mod)
     expr = None
     for g, r in rates.items():
         cond = F.col(group_col) == g

@@ -1180,7 +1180,7 @@ WINNOW_SQL = f"""
              list_reduce(list_transform(range(1, length(gram)+1),
                                         j -> CAST(ord(gram[j]) AS BIGINT)),
                          (acc, c) -> (acc * 257 + c) % 2147483647)
-               * 1048576 + pos AS key
+               * 4294967296 + pos AS key
       FROM g
     ),
     sel AS (
@@ -1189,7 +1189,7 @@ WINNOW_SQL = f"""
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS skey
       FROM keyed
     )
-    SELECT doc_id, skey // 1048576 AS fp_hash, CAST(skey % 1048576 AS BIGINT) AS pos
+    SELECT doc_id, skey // 4294967296 AS fp_hash, CAST(skey % 4294967296 AS BIGINT) AS pos
     FROM sel
 """
 
@@ -1235,7 +1235,10 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GPT-2-style pretokenizer (contractions | space?+letters | space?+digits |
 # space?+punct-run) — no lookarounds, so the pattern is portable between
 # Java regex (Spark) and RE2 (DuckDB). Applied to lowercased text.
-BPE_PAT = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+# [ \t\n\r\f] instead of \s: Java's \s includes \x0B (vertical tab),
+# RE2's does not — an explicit class keeps Spark and the oracle identical.
+WS = " \\t\\n\\r\\f"
+BPE_PAT = rf"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{WS}']+"
 # SQL-literal form: apostrophes doubled for embedding in a quoted string
 BPE_PAT_SQL = BPE_PAT.replace("'", "''")
 
@@ -1245,7 +1248,7 @@ BPE_PAT_SQL = BPE_PAT.replace("'", "''")
     oracle=f"""
     WITH c AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             CAST(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'),
                                   x -> x <> '')) AS BIGINT) AS n_words,
              CAST(len(regexp_extract_all(lower(text),
                       '{BPE_PAT_SQL}')) AS BIGINT) AS n_pieces,
@@ -1265,7 +1268,7 @@ def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF."""
     d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
     words = F.size(
-        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+"), lambda x: x != "")
     ).cast("long")
     pieces = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PAT), F.lit(0))
@@ -1369,7 +1372,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT lang,
-             CASE WHEN ((doc_id * 2654435761) % 1048576) <
+             CASE WHEN (((doc_id % 2147483648) * 2654435761) % 1048576) <
                   CASE lang WHEN 'en' THEN 314572
                             WHEN 'de' THEN 1048576
                             WHEN 'fr' THEN 838860

@@ -33,7 +33,7 @@ of themselves. Registry existence is probed by attempting the parquet read
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -48,45 +48,14 @@ def _fingerprints(batch_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
-    """Probe a parquet dataset by reading it — os.path/os.walk only see the
-    driver's local disk and silently no-op on any remote filesystem."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None  # absent (or empty: no schema to infer)
-
-
-def _run_token(checkpoint_dir: str) -> str:
-    """Stable identifier for a logical ingest run: survives query restarts
-    (same checkpoint → same token) yet never collides across runs, unlike
-    foreachBatch's batch_id which restarts at 0 per checkpoint."""
-    import hashlib
-
-    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
-
-
-def _commit_batch_partition(
-    df: DataFrame, path: str, run: str, batch_id: int, *extra_cols: str
-) -> None:
-    """Idempotent per-batch commit: dynamic partition overwrite of this
-    batch's own `ingest_run=…/ingest_batch=…` partition (plus
-    ``extra_cols`` sub-partitions). A retried batch replaces its earlier
-    partial write; every other (run, batch) partition is untouched."""
-    (
-        df.withColumn("ingest_run", F.lit(run))
-        .withColumn("ingest_batch", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_run", "ingest_batch", *extra_cols)
-        .parquet(path)
-    )
-
-
-def _not_own_batch(run: str, batch_id: int):
-    return ~((F.col("ingest_run") == run) & (F.col("ingest_batch") == batch_id))
+# Shared commit/probe machinery (see streaming/commit.py for the run-token
+# and replay contract); module-local aliases keep call sites terse.
+from sec_dl_spark.streaming.commit import (  # noqa: E402
+    commit_batch_partition as _commit_batch_partition,
+    not_own_batch as _not_own_batch,
+    run_token as _run_token,
+)
+from sec_dl_spark.util import try_read_parquet as _try_read_parquet  # noqa: E402
 
 
 def incremental_dedup_sink(
@@ -253,27 +222,39 @@ def incremental_winnow_dedup_sink(
             .withColumn("fp_bucket", F.abs(F.col("fp_hash")) % REGISTRY_PREFIX_BUCKETS)
             .localCheckpoint(eager=True)
         )
-        smaller = fps.select(F.col("fp_hash"), F.col("doc_id").alias("other_id"))
+        # min_shared counts fingerprints shared WITH ONE other document
+        # (the winnow_overlap_pairs contract) — a union-level count would
+        # drop a doc for two coincidental single-fingerprint collisions
+        # with two different documents.
+        smaller = fps.select(
+            "fp_bucket", "fp_hash", F.col("doc_id").alias("other_id")
+        )
         in_batch_dups = (
-            fps.join(smaller, "fp_hash")
+            fps.join(smaller, ["fp_bucket", "fp_hash"])
             .where(F.col("other_id") < F.col("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count_distinct("fp_hash").alias("_n"))
+            .groupBy("doc_id", "other_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") >= min_shared)
             .select("doc_id")
+            .distinct()
         )
         dup_ids = in_batch_dups
         seen = _try_read_parquet(spark, registry_path)
         if seen is not None:
-            seen = seen.where(_not_own_batch(run, batch_id))
+            # (fp_bucket, fp_hash) join key keeps the shuffle co-located
+            # with the registry's bucket partitioning; registry rows are
+            # unique per (doc, fingerprint) by construction, so the pair
+            # count needs no distinct on either side.
+            seen = seen.where(_not_own_batch(run, batch_id)).select(
+                "fp_bucket", "fp_hash", F.col("doc_id").alias("other_id")
+            )
             hist_dups = (
-                fps.join(
-                    seen.select("fp_hash").distinct(), "fp_hash", "left_semi"
-                )
-                .groupBy("doc_id")
-                .agg(F.count_distinct("fp_hash").alias("_n"))
+                fps.join(seen, ["fp_bucket", "fp_hash"])
+                .groupBy("doc_id", "other_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
                 .where(F.col("_n") >= min_shared)
                 .select("doc_id")
+                .distinct()
             )
             dup_ids = dup_ids.unionByName(hist_dups).distinct()
         survivors = batch_df.join(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sec_dl_spark.operators.fts import CorpusStats, build_inverted_index
-from sec_dl_spark.streaming.dedup import _commit_batch_partition, _run_token
+from sec_dl_spark.streaming.commit import commit_batch_partition, run_token
 
 
 def incremental_index_sink(
@@ -48,13 +48,13 @@ def incremental_index_sink(
     under this batch's own (run, batch) partition.
     """
 
-    run = _run_token(checkpoint_dir)
+    run = run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         postings = build_inverted_index(
             batch_df, id_col=id_col, text_col=text_col
         ).localCheckpoint(eager=True)
-        _commit_batch_partition(
+        commit_batch_partition(
             postings.withColumn("token_bucket", F.abs(F.hash("token")) % buckets),
             index_path,
             run,
@@ -63,10 +63,10 @@ def incremental_index_sink(
         )
         if with_stats:
             stats = CorpusStats(postings, cache=False)
-            _commit_batch_partition(
+            commit_batch_partition(
                 stats.doc_len, f"{index_path}_stats/doc_len", run, batch_id
             )
-            _commit_batch_partition(
+            commit_batch_partition(
                 stats.df.withColumnRenamed("df", "df_part"),
                 f"{index_path}_stats/token_df",
                 run,
@@ -89,13 +89,13 @@ def read_incremental_index(
     partial counts; n_docs/avgdl = one sidecar-sized aggregation —
     never a pass over the posting table). Returns (postings, None) when
     the sink ran with_stats=False."""
-    from sec_dl_spark.streaming.dedup import _try_read_parquet
+    from sec_dl_spark.util import try_read_parquet
 
     postings = spark.read.parquet(index_path).drop(
         "token_bucket", "ingest_run", "ingest_batch"
     )
-    doc_len = _try_read_parquet(spark, f"{index_path}_stats/doc_len")
-    df_part = _try_read_parquet(spark, f"{index_path}_stats/token_df")
+    doc_len = try_read_parquet(spark, f"{index_path}_stats/doc_len")
+    df_part = try_read_parquet(spark, f"{index_path}_stats/token_df")
     if doc_len is None or df_part is None:
         return postings, None
     doc_len = doc_len.select("doc_id", "dl")
