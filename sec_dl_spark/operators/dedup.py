@@ -483,16 +483,33 @@ def winnow_overlap_pairs(
     k: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Partial-overlap candidate pairs: documents sharing >= ``min_shared``
     distinct winnowing fingerprints. The join is keyed by fingerprint hash
     (posting co-occurrence, like jaccard_pairs) — pair volume is driven by
-    shared content, never |corpus|². Returns (id_a, id_b, n_shared)."""
+    shared content, never |corpus|². Returns (id_a, id_b, n_shared).
+
+    ``max_df`` drops "stop fingerprints" appearing in more than that many
+    documents before pairing (the MOSS boilerplate filter): a fingerprint
+    shared by d documents contributes d² candidate pairs, so one
+    common-trigram fingerprint across a 100 TB corpus would otherwise be
+    both a hot shuffle key and a pair-count explosion. Unset (None)
+    keeps exact semantics for oracle comparison; set it (e.g. 1000) on
+    real corpora — overlaps evidenced only by boilerplate are noise."""
     fps = (
         winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, window=window)
         .select("doc_id", "fp_hash")
         .distinct()
     )
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fp_hash")
+        )
+        fps = fps.join(rare, "fp_hash", "left_semi")
     a = fps.select(F.col("doc_id").alias("id_a"), "fp_hash")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp_hash")
     return (

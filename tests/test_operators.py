@@ -664,3 +664,32 @@ def test_pq_retrieval_recall_on_planted_clusters(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"PQ recall too low: {recall}"
+
+
+def test_winnow_stop_fingerprint_cutoff(spark):
+    """max_df drops boilerplate fingerprints before pairing: three docs
+    sharing only a common header stop pairing once the header's
+    fingerprints exceed the document-frequency cutoff, while a genuine
+    two-doc overlap survives."""
+    from sec_dl_spark.operators.dedup import winnow_overlap_pairs
+
+    header = "standard corporate boilerplate header used on every filing page"
+    unique_overlap = "rare shared passage alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} first body content entirely its own words"),
+            (2, f"{header} second body other material {unique_overlap}"),
+            (3, f"{header} third body distinct prose {unique_overlap} tail"),
+        ],
+        "doc_id long, text string",
+    )
+    with_boiler = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert with_boiler == {(1, 2), (1, 3), (2, 3)}  # header links everything
+    filtered = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(docs, min_shared=1, max_df=2).collect()
+    }
+    assert (2, 3) in filtered and (1, 2) not in filtered and (1, 3) not in filtered
