@@ -460,3 +460,98 @@ def pq_decode(codes_col: Column, codebooks) -> Column:
             lambda j: F.element_at(F.element_at(cb_lit, j + 1), codes_col[j] + 1),
         )
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_centroids: int = 32,
+    rerank: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN composition — IVF cells bound WHICH
+    vectors are touched (~n_probe/n_cells of the corpus per query), PQ
+    codes bound the BYTES each touch costs (m bytes instead of dim·4),
+    and only the ``rerank`` best PQ-approximate candidates per query are
+    scored against full-precision vectors.
+
+    Candidate scoring here ranks against the PQ-decoded approximation as
+    a plain column expression; a production kernel replaces that with an
+    ADC lookup table (m table probes per candidate) — same semantics,
+    same candidate sets, so recall characteristics measured here carry
+    over. Approximation affects recall only: reported cosine_sim comes
+    from the exact rerank. Deterministic under the fixed seed. Returns
+    (query_id, neighbor_id, cosine_sim, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=4, initSteps=1,
+        featuresCol="features", predictionCol="cell",
+    )
+    model = km.fit(c_feat)
+    books = pq_train_codebooks(
+        corpus, vec_col=vec_col, m=m, n_centroids=n_centroids, seed=seed
+    )
+    encoded = pq_encode(
+        model.transform(c_feat).select("neighbor_id", "c_vec", "cell"),
+        books,
+        vec_col="c_vec",
+    )
+
+    centroids = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("centroid_sim").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(centroids)
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("centroid_sim"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    approx = (
+        encoded.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "c_vec",
+            cosine(F.col("q_vec"), pq_decode(F.col("pq_codes"), books)).alias("_approx"),
+        )
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(F.col("_approx").desc(), F.col("neighbor_id"))
+    shortlist = approx.withColumn("_cr", F.row_number().over(cand_w)).where(
+        F.col("_cr") <= rerank
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

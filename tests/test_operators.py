@@ -693,3 +693,28 @@ def test_winnow_stop_fingerprint_cutoff(spark):
         for r in winnow_overlap_pairs(docs, min_shared=1, max_df=2).collect()
     }
     assert (2, 3) in filtered and (1, 2) not in filtered and (1, 3) not in filtered
+
+
+def test_ivfpq_recall_on_planted_clusters(spark):
+    """IVF-PQ composition: cell pruning + PQ-approximate shortlist + exact
+    rerank keeps recall@5 >= 0.8 on the clustered corpus, and reported
+    similarities come from the exact rerank (identical values to exact
+    search for the hits both return)."""
+    from sec_dl_spark.operators.similarity import cosine_topk, cosine_topk_ivfpq
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([i * 6 for i in range(10)]))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk_ivfpq(
+            emb, q, k=5, n_cells=16, n_probe=4, m=4, n_centroids=64
+        ).collect()
+    }
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
+    for key in set(exact) & set(got):
+        assert abs(exact[key] - got[key]) < 1e-9  # exact-rerank scores
