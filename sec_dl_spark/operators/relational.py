@@ -330,18 +330,29 @@ def mixture_keep_expr(
     exposed so audits can aggregate it (count kept per group in ONE pass)
     instead of filtering and re-joining."""
     mod = 1 << 20
-    # Pre-reduce the key to 31 bits so the Knuth multiply stays < 2^63:
-    # without it, keys above ~3.4e9 overflow BIGINT — an ArithmeticException
-    # under ANSI mode, silent negative-wrap mis-sampling without it, and an
-    # out-of-range error in the DuckDB oracle. For keys < 2^31 the result
-    # is unchanged.
-    h = (
-        ((F.col(key_col) + F.lit(salt)) % F.lit(1 << 31)) * F.lit(2654435761)
-    ) % F.lit(mod)
-    expr = None
-    for g, r in rates.items():
-        cond = F.col(group_col) == g
-        t_val = F.lit(int(r * mod))
-        expr = F.when(cond, t_val) if expr is None else expr.when(cond, t_val)
-    thresh = expr.otherwise(F.lit(int(default_rate * mod)))
+    # Two multiply-xorshift rounds (murmur-style finalizer) in portable
+    # 63-bit-safe integer arithmetic:
+    #   - every operand is pre-reduced below 2^31 so multiplies never
+    #     overflow BIGINT (ANSI-safe; identical in the DuckDB oracle);
+    #   - the output takes the HIGH bits of each product — the low bits of
+    #     (x*C) mod 2^20 are a bijection of x mod 2^20, which would keep
+    #     0% or 100% of any id family sharing low bits (shard-packed ids);
+    #   - the xor of high and low product halves between rounds breaks
+    #     linearity, so different salts give genuinely decorrelated
+    #     passes (an additive salt in a linear hash is just a constant
+    #     offset of the keep set).
+    x = (F.col(key_col) + F.lit(1_000_003) * F.lit(salt)) % F.lit(1 << 31)
+    p1 = x * F.lit(2654435761)
+    x2 = F.shiftrightunsigned(p1, 31).bitwiseXOR(p1) % F.lit(1 << 31)
+    p2 = x2 * F.lit(2246822519)
+    h = F.shiftrightunsigned(p2, 31) % F.lit(mod)
+    if not rates:
+        thresh = F.lit(int(default_rate * mod))
+    else:
+        expr = None
+        for g, r in rates.items():
+            cond = F.col(group_col) == g
+            t_val = F.lit(int(r * mod))
+            expr = F.when(cond, t_val) if expr is None else expr.when(cond, t_val)
+        thresh = expr.otherwise(F.lit(int(default_rate * mod)))
     return h < thresh

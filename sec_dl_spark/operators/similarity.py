@@ -446,20 +446,30 @@ def pq_encode(
 
 def pq_decode(codes_col: Column, codebooks) -> Column:
     """Reconstruct the PQ approximation: concatenate each subspace's
-    centroid. Pure JVM expression over a literal codebook array."""
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
-            for _, book in sorted(codebooks)
-        ]
-    )
-    m = len(codebooks)
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(F.element_at(cb_lit, j + 1), codes_col[j] + 1),
-        )
-    )
+    centroid. Arrow-batched lookup against the broadcast numpy codebooks
+    (same transport as pq_encode) — a literal-expression formulation
+    embeds n_centroids·dim constant nodes in the plan, which blows past
+    codegen method/constant-pool limits at production sizes
+    (dim 768 × 256 centroids ≈ 200k nodes)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cb = [np.asarray(c, dtype=np.float64) for _, c in sorted(codebooks)]
+    m = len(cb)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def decode(codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # n × m
+        out = np.concatenate(
+            [cb[j][C[:, j]] for j in range(m)], axis=1
+        )  # n × dim
+        return pd.Series([row.tolist() for row in out])
+
+    return decode(codes_col)
 
 
 def cosine_topk_ivfpq(

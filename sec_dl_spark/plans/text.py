@@ -1290,7 +1290,9 @@ def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fixtures contain no real PII, so the query plants deterministic
 # synthetic identifiers per row and redacts them — the operator chain is
 # exercised non-vacuously (r1's vacuous-extract lesson) and stays oracled.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# (?i) — both Java regex and RE2 support the inline flag, so a mixed-case
+# 'John.Doe@Example.COM' redacts fully instead of leaving 'J<EMAIL>'.
+PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
 PII_SSN = r"\d{3}-\d{2}-\d{4}"
 
@@ -1370,15 +1372,22 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_mixture_sample",
     oracle="""
-    WITH s AS (
+    WITH p1 AS (
+      SELECT lang, (doc_id % 2147483648) * 2654435761 AS p1 FROM documents
+    ),
+    p2 AS (
+      SELECT lang, (xor(p1 // 2147483648, p1) % 2147483648) * 2246822519 AS p2
+      FROM p1
+    ),
+    s AS (
       SELECT lang,
-             CASE WHEN (((doc_id % 2147483648) * 2654435761) % 1048576) <
+             CASE WHEN ((p2 // 2147483648) % 1048576) <
                   CASE lang WHEN 'en' THEN 314572
                             WHEN 'de' THEN 1048576
                             WHEN 'fr' THEN 838860
                             ELSE 104857 END
                   THEN 1 ELSE 0 END AS kept
-      FROM documents
+      FROM p2
     )
     SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
            CAST(sum(kept) AS BIGINT) AS n_kept

@@ -100,13 +100,7 @@ def read_incremental_index(
         return postings, None
     doc_len = doc_len.select("doc_id", "dl")
     df = df_part.groupBy("token").agg(F.sum("df_part").alias("df"))
-    row = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    stats = CorpusStats(
-        doc_len=doc_len,
-        df=df,
-        n_docs=int(row["n_docs"]),
-        avgdl=float(row["avgdl"]),
-    )
-    return postings, stats
+    # n_docs/avgdl stay lazy: CorpusStats._scalars computes them from the
+    # sidecar-sized doc_len frame on first ranked use — opening the index
+    # launches no jobs at all
+    return postings, CorpusStats(doc_len=doc_len, df=df)

@@ -718,3 +718,52 @@ def test_ivfpq_recall_on_planted_clusters(spark):
     assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
     for key in set(exact) & set(got):
         assert abs(exact[key] - got[key]) < 1e-9  # exact-rerank scores
+
+
+def test_mixture_sample_avalanche_and_salt_independence(spark):
+    """The keep-hash must behave on structured key families (shard-packed
+    ids = multiples of 2^20, which share ALL low bits) and give genuinely
+    decorrelated passes under different salts — a linear hash fails both
+    (keeps 0% or 100% of the family; salts just shift the keep set)."""
+    from sec_dl_spark.operators.relational import deterministic_mixture_sample
+
+    ids = spark.range(0, 2000).select(
+        (F.col("id") * (1 << 20)).alias("doc_id"), F.lit("en").alias("lang")
+    )
+    kept = deterministic_mixture_sample(ids, {"en": 0.3}).count()
+    assert 0.25 * 2000 < kept < 0.35 * 2000, kept
+
+    a = {
+        r["doc_id"]
+        for r in deterministic_mixture_sample(ids, {"en": 0.3}, salt=1).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in deterministic_mixture_sample(ids, {"en": 0.3}, salt=2).collect()
+    }
+    overlap = len(a & b) / 2000
+    # independent 30% passes overlap ~9%; allow generous slack either side
+    assert 0.04 < overlap < 0.16, overlap
+
+
+def test_mixture_sample_empty_rates_uses_default(spark):
+    from sec_dl_spark.operators.relational import deterministic_mixture_sample
+
+    ids = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    kept = deterministic_mixture_sample(ids, {}, default_rate=0.5).count()
+    assert 400 < kept < 600, kept
+
+
+def test_mixture_sample_large_keys_ansi_safe(spark):
+    """Keys above 2^31 must neither overflow (ANSI ArithmeticException /
+    negative wrap) nor collapse to degenerate sampling."""
+    from sec_dl_spark.operators.relational import deterministic_mixture_sample
+
+    ids = spark.range(0, 1000).select(
+        (F.col("id") + F.lit(4_000_000_000)).alias("doc_id"),
+        F.lit("en").alias("lang"),
+    )
+    kept = deterministic_mixture_sample(ids, {"en": 0.3}).count()
+    assert 0.2 * 1000 < kept < 0.4 * 1000, kept

@@ -101,3 +101,20 @@ def test_strip_embedded_files_keeps_all_when_no_binaries(spark):
     df = spark.createDataFrame([(1, raw)], ["filing_id", "text"])
     out = strip_embedded_files(df).first()["text"]
     assert "alpha" in out
+
+
+def test_pii_email_pattern_case_insensitive(spark):
+    """Mixed-case emails must redact FULLY — a lowercase-only pattern
+    partially matches 'John@example.com' as 'ohn@example.com', leaving the
+    identity-revealing prefix in place."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.plans.text import PII_EMAIL
+
+    df = spark.createDataFrame(
+        [(1, "reach John.Doe@Example.COM or jane@test.org today")], "id long, t string"
+    )
+    out = df.select(
+        F.regexp_replace("t", PII_EMAIL, "<EMAIL>").alias("red")
+    ).collect()[0]["red"]
+    assert out == "reach <EMAIL> or <EMAIL> today"
