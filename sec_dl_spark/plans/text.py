@@ -1482,3 +1482,46 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.where(F.col("vec_id") < 5)
     return cosine_topk(decoded, q, k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "sample_exact_n_per_group",
+    oracle="""
+    WITH p1 AS (
+      SELECT lang, doc_id, (doc_id % 2147483648) * 2654435761 AS p1
+      FROM documents
+    ),
+    h AS (
+      SELECT lang, doc_id,
+             ((((xor(p1 // 2147483648, p1) % 2147483648) * 2246822519)
+               // 2147483648) % 1048576) AS hk
+      FROM p1
+    ),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM h
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3 ORDER BY lang, rn
+    """,
+)
+def sample_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-N-per-group sampling (reservoir-equivalent):
+    order each group by the avalanche keep-hash of the key and take the
+    first N — the same rows on every run, any partitioning, any engine
+    (sampleBy gives approximate counts and partition-dependent rows).
+    One window per group; at scale, a pre-filter on hash rank bounds the
+    sort input. Fully oracled, unlike fraction-based sampling."""
+    d = t(spark, sf_dir, "documents")
+    x = (F.col("doc_id") % F.lit(1 << 31)) * F.lit(2654435761)
+    x2 = F.shiftrightunsigned(x, 31).bitwiseXOR(x) % F.lit(1 << 31)
+    hk = F.shiftrightunsigned(x2 * F.lit(2246822519), 31) % F.lit(1 << 20)
+    w = Window.partitionBy("lang").orderBy(hk, "doc_id")
+    return (
+        d.select("lang", "doc_id", hk.alias("_hk"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("lang").orderBy("_hk", "doc_id")).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
