@@ -50,68 +50,69 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The driver's correctness sweep truncates to the FIRST 50 registered names,
 # so registration order is rotated each round to aim driver evidence at the
 # stalest queries.  Round 1 proved the first-50 relational slice; round 2
-# front-loaded text/FTS/dedup (CORRECTNESS_r02 greened exactly those).  Round
-# 3 front-loads the complement: the 9 queries that had NEVER been
-# driver-checked, multimodal_features (r2's one harness-crashed row, now
-# returning scalar columns), and the 40 queries whose only driver evidence is
-# r1-era — together exactly 50, so after r3 every registered query has driver
-# evidence from some round.  Queries NOT listed here keep their module
-# registration order after the priority block (r2-proven names, then any new
-# this round — those rotate to the front in r4).
+# front-loaded text/FTS/dedup; round 3 the 9 never-checked + the r1-stale 40
+# (CORRECTNESS_r01..r03 green exactly those slices).  Round 4 front-loads the
+# 8 queries registered after the r3 rotation freeze (only judge evidence so
+# far) plus the 42 oracled r2-proven names — the stalest slice after r3.  The
+# 7 rows-only r2 names (corpus_pack_sequences, dedup_clusters,
+# dedup_minhash_lsh, dedup_simhash, emb_cosine_topk_ivf, emb_cosine_topk_lsh,
+# sample_stratified) are left to rotate in next: the driver's rows-only check
+# adds least over their pytest pins.  Queries NOT listed here keep module
+# registration order after the priority block.
 _PRIORITY = (
-    # never driver-checked in any round (VERDICT r2 TL;DR list)
-    "events_sliding_window",
-    "events_zscore_pandas",
-    "agg_udaf_geomean",
-    "events_unpivot",
-    "events_funnel",
-    "events_asof_tolerance",
-    "events_retention_cohort",
-    "scalar_map_fns",
-    "events_gap_filled",
-    # r2 harness-crash row, re-checked after the scalar-projection fix
-    "multimodal_features",
-    # driver evidence only from round 1 (CORRECTNESS_r01 minus r02 overlap)
-    "join_semi",
-    "join_anti",
-    "join_cross_urls",
-    "join_q3_topk",
-    "join_q5_region_revenue",
-    "join_range",
-    "sort_multi_key_limit",
-    "topk_per_group",
-    "set_ops",
-    "union_by_name",
-    "distinct_rows",
-    "filter_isin",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_rank",
-    "scalar_string_fns",
-    "scalar_date_fns",
-    "scalar_math_case",
-    "scalar_json",
-    "null_handling",
-    "sample_systematic",
-    "sample_bernoulli_seeded",
-    "agg_percentiles",
-    "agg_collect_list",
-    "join_skew_salted",
-    "agg_salted_distinct",
-    "window_range_frame",
-    "agg_minmax_by",
-    "sql_adhoc_q6",
-    "scalar_encode_decode",
-    "agg_approx_distinct_hll",
-    "join_null_safe",
-    "subquery_exists",
-    "window_distribution_fns",
-    "entity_match_levenshtein",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "events_asof_join",
-    "events_dedup_first",
-    "events_pivot",
+    # registered after the r3 rotation freeze — never driver-checked
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "text_token_estimate",
+    "text_pii_redact",
+    "corpus_mixture_sample",
+    "emb_quantize_int8",
+    "emb_pq_topk",
+    "sample_exact_n_per_group",
+    # driver evidence last from round 2 (oracled slice; rows-only r2 names
+    # deferred — see comment above)
+    "q1_pricing_summary",
+    "agg_count_filter",
+    "agg_distinct",
+    "agg_minmax_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_star_3way",
+    "join_left_outer",
+    "join_full_outer",
+    "text_clean_chain",
+    "text_token_stats",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_lang_guess",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
+    "fts_search_and",
+    "fts_search_or",
+    "fts_phrase",
+    "fts_top_df_tokens",
+    "emb_cosine_topk",
+    "emb_cosine_neardup",
+    "multimodal_binary_meta",
+    "multimodal_audio_chunks",
+    "multimodal_keyframes",
+    "doc_chunks",
+    "fts_ranked_tfidf",
+    "text_contamination",
+    "fts_search_not",
+    "fts_ranked_bm25",
+    "fts_proximity_ranked",
+    "fts_tsquery_prefix",
+    "corpus_filter_pipeline",
+    "fts_tsquery_expr",
+    "multimodal_dedup",
+    "crossmodal_dup_agreement",
+    "fts_tsquery_phrase",
+    "text_tfidf_cosine",
+    "corpus_quality_filter",
+    "text_extract_matches",
 )
 
 
