@@ -372,6 +372,7 @@ def pq_train_codebooks(
     n_centroids: int = 32,
     seed: int = 42,
     max_iter: int = 4,
+    max_train_rows: int | None = 100_000,
 ):
     """Train product-quantization codebooks: split the vector into ``m``
     contiguous subspaces and k-means each independently. Returns
@@ -380,33 +381,53 @@ def pq_train_codebooks(
 
     PQ is the compression rung after int8: dim·4 bytes → m bytes per
     vector (one centroid id per subspace), the layout IVF-PQ engines use
-    at billion scale. Training cost is m small fits over the (sampled)
-    corpus; encoding/search are pure vectorized lookups.
+    at billion scale. Training is O(sample), not O(corpus): when the
+    corpus exceeds ``max_train_rows`` a seeded Bernoulli sample (capped
+    with ``limit``) is taken ONCE, cached, and reused by all m fits —
+    codebook quality saturates around ~100k training vectors (the
+    standard faiss guidance), so full-corpus fits at 100 TB would be m
+    sequential full-table passes for no recall gain. Pass
+    ``max_train_rows=None`` to force full-corpus training.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        feats = corpus.select(
-            array_to_vector(
-                F.transform(
-                    F.slice(F.col(vec_col), j * sub + 1, sub),
-                    lambda x: x.cast("double"),
-                )
-            ).alias("features")
-        )
-        km = KMeans(
-            k=n_centroids, seed=seed + j, maxIter=max_iter, initSteps=1,
-            featuresCol="features", predictionCol="code",
-        )
-        model = km.fit(feats)
-        books.append((j, [[float(x) for x in c] for c in model.clusterCenters()]))
-    return books
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    if max_train_rows is not None:
+        n = vecs.count()
+        if n > max_train_rows:
+            # Bernoulli sampling is approximate — oversample 5% then cap
+            # with limit so the fit input is firmly bounded.
+            frac = min(1.0, 1.05 * max_train_rows / n)
+            vecs = vecs.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    vecs = vecs.persist()
+    try:
+        first = vecs.select("_v").first()
+        if first is None:
+            raise ValueError("empty training corpus")
+        dim = len(first[0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        books = []
+        for j in range(m):
+            feats = vecs.select(
+                array_to_vector(
+                    F.transform(
+                        F.slice(F.col("_v"), j * sub + 1, sub),
+                        lambda x: x.cast("double"),
+                    )
+                ).alias("features")
+            )
+            km = KMeans(
+                k=n_centroids, seed=seed + j, maxIter=max_iter, initSteps=1,
+                featuresCol="features", predictionCol="code",
+            )
+            model = km.fit(feats)
+            books.append((j, [[float(x) for x in c] for c in model.clusterCenters()]))
+        return books
+    finally:
+        vecs.unpersist()
 
 
 def pq_encode(
@@ -472,6 +493,55 @@ def pq_decode(codes_col: Column, codebooks) -> Column:
     return decode(codes_col)
 
 
+def _adc_approx_udf(q_rows, codebooks):
+    """Arrow-batched ADC (asymmetric distance computation) scorer: for
+    each query an m × n_centroids lookup table of subspace dot products
+    is built ONCE (m tiny matmuls), then every candidate costs m table
+    probes + m norm-table probes instead of a dim-element decode+cosine —
+    the kernel faiss-style IVF-PQ engines run per cell. Returns a
+    pandas_udf (query_id, pq_codes) -> approximate cosine against the
+    PQ reconstruction, numerically the same quantity the decode
+    formulation computes.
+
+    ``q_rows`` is the collected (id, vector) query list — queries are the
+    small broadcast side by contract, so shipping them in the closure is
+    the same transport as ``F.broadcast`` and lets candidates travel as
+    (query_id, neighbor_id, m codes) with no vector payload at all."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    cb = [np.asarray(c, dtype=np.float64) for _, c in sorted(codebooks)]
+    m = len(cb)
+    sub = cb[0].shape[1]
+    # ||x̂||² decomposes per subspace — query-independent, built once
+    n2lut = np.stack([(b**2).sum(axis=1) for b in cb])  # m × n_centroids
+    q_map = {k: np.asarray(v, dtype=np.float64) for k, v in q_rows}
+
+    @F.pandas_udf(DoubleType())
+    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(qids) == 0:
+            return pd.Series([], dtype=float)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # n × m
+        rows = np.arange(m)[:, None]
+        out = np.empty(len(qids), dtype=np.float64)
+        arr = qids.to_numpy()
+        for qid in pd.unique(arr):
+            mask = arr == qid
+            qv = q_map[qid]
+            lut = np.stack([qv[j * sub : (j + 1) * sub] @ cb[j].T for j in range(m)])
+            q_norm = float(np.sqrt((qv * qv).sum()))
+            Ct = C[mask].T  # m × n_sel
+            dot = lut[rows, Ct].sum(axis=0)
+            n2 = n2lut[rows, Ct].sum(axis=0)
+            denom = q_norm * np.sqrt(n2)
+            out[mask] = np.divide(dot, denom, out=np.zeros_like(dot), where=denom > 0)
+        return pd.Series(out)
+
+    return adc
+
+
 def cosine_topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -484,6 +554,7 @@ def cosine_topk_ivfpq(
     n_centroids: int = 32,
     rerank: int = 32,
     seed: int = 42,
+    kernel: str = "adc",
 ) -> DataFrame:
     """IVF-PQ: the billion-scale ANN composition — IVF cells bound WHICH
     vectors are touched (~n_probe/n_cells of the corpus per query), PQ
@@ -491,13 +562,19 @@ def cosine_topk_ivfpq(
     and only the ``rerank`` best PQ-approximate candidates per query are
     scored against full-precision vectors.
 
-    Candidate scoring here ranks against the PQ-decoded approximation as
-    a plain column expression; a production kernel replaces that with an
-    ADC lookup table (m table probes per candidate) — same semantics,
-    same candidate sets, so recall characteristics measured here carry
-    over. Approximation affects recall only: reported cosine_sim comes
-    from the exact rerank. Deterministic under the fixed seed. Returns
-    (query_id, neighbor_id, cosine_sim, rank)."""
+    Candidate scoring uses the ADC lookup-table kernel by default
+    (``kernel="adc"``: per-query m × n_centroids table, m probes per
+    candidate); ``kernel="decode"`` keeps the reference decode+cosine
+    formulation — same quantity, so candidate sets and recall match
+    (pinned by the kernel-parity test). The shortlist ranking shuffles
+    ONLY (query_id, neighbor_id, _approx): full-precision vectors rejoin
+    AFTER the per-query cut — corpus side via a broadcast join on the
+    ≤ |queries|·rerank survivor ids (the corpus never shuffles), query
+    side via broadcast — so at dim 768 the rank exchange carries ~24
+    bytes/candidate instead of ~12 KB. Approximation affects recall
+    only: reported cosine_sim comes from the exact rerank. Deterministic
+    under the fixed seed. Returns (query_id, neighbor_id, cosine_sim,
+    rank)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -540,28 +617,52 @@ def cosine_topk_ivfpq(
         .where(F.col("_pr") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
-    approx = (
-        encoded.join(F.broadcast(probes), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "q_vec",
-            "c_vec",
-            cosine(F.col("q_vec"), pq_decode(F.col("pq_codes"), books)).alias("_approx"),
+    if kernel == "adc":
+        adc = _adc_approx_udf(
+            [(r[0], list(r[1])) for r in q.collect()], books
         )
-    )
+        approx = (
+            encoded.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                adc(F.col("query_id"), F.col("pq_codes")).alias("_approx"),
+            )
+        )
+    elif kernel == "decode":
+        approx = (
+            encoded.join(F.broadcast(probes), "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("q_vec"), pq_decode(F.col("pq_codes"), books)).alias("_approx"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown kernel {kernel!r} (expected 'adc' or 'decode')")
     cand_w = Window.partitionBy("query_id").orderBy(F.col("_approx").desc(), F.col("neighbor_id"))
-    shortlist = approx.withColumn("_cr", F.row_number().over(cand_w)).where(
-        F.col("_cr") <= rerank
+    shortlist_ids = (
+        approx.withColumn("_cr", F.row_number().over(cand_w))
+        .where(F.col("_cr") <= rerank)
+        .select("query_id", "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return (
-        shortlist.select(
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    scored = (
+        c_vecs.join(F.broadcast(shortlist_ids), "neighbor_id")
+        .join(q_vecs, "query_id")
+        .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )

@@ -720,6 +720,67 @@ def test_ivfpq_recall_on_planted_clusters(spark):
         assert abs(exact[key] - got[key]) < 1e-9  # exact-rerank scores
 
 
+def test_ivfpq_adc_decode_kernel_parity(spark):
+    """The ADC lookup-table kernel scores cosine(query, PQ reconstruction)
+    via per-subspace table probes — numerically the same quantity the
+    decode+cosine formulation computes — so both kernels must pick the
+    same shortlists and return identical exact-rerank results."""
+    from sec_dl_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([i * 6 for i in range(10)]))
+    kw = dict(k=5, n_cells=16, n_probe=4, m=4, n_centroids=64)
+    adc = {tuple(r) for r in cosine_topk_ivfpq(emb, q, kernel="adc", **kw).collect()}
+    dec = {tuple(r) for r in cosine_topk_ivfpq(emb, q, kernel="decode", **kw).collect()}
+    assert adc == dec and len(adc) > 0
+
+
+def test_ivfpq_shortlist_exchange_excludes_vectors(spark):
+    """The candidate-ranking exchange (per-query row_number over _approx)
+    must carry only (query_id, neighbor_id, _approx); full-precision
+    vectors rejoin after the rerank cut. At dim 768 that is ~24 B vs
+    ~12 KB per candidate of shuffle payload."""
+    import re
+
+    from sec_dl_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([0, 6]))
+    out = cosine_topk_ivfpq(emb, q, k=5, n_cells=8, n_probe=2, m=4, n_centroids=16)
+    jvm = out.sparkSession._jvm
+    fmt = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    blocks = re.split(r"\n\(\d+\) ", fmt)
+    shortlist_ex = [
+        b
+        for b in blocks
+        if b.startswith("Exchange")
+        and "_approx" in b.split("Arguments:")[0]
+    ]
+    assert shortlist_ex, "expected a shortlist exchange carrying _approx"
+    for b in shortlist_ex:
+        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "q_vec" not in input_line and "c_vec" not in input_line, input_line
+
+
+def test_pq_train_sample_cap_bounds_training(spark):
+    """Codebook training is O(sample), not O(corpus): with max_train_rows
+    below the corpus size the seeded sample keeps codebooks deterministic
+    across invocations, and max_train_rows=None still forces the
+    full-corpus fit. Recall quality under the default cap is covered by
+    the planted-cluster tests (the fixture is below the 100k default, so
+    they exercise the uncapped branch of the same code path)."""
+    from sec_dl_spark.operators.similarity import pq_train_codebooks
+
+    emb = _clustered_embeddings(spark)
+    b1 = pq_train_codebooks(emb, m=4, n_centroids=8, max_train_rows=100)
+    b2 = pq_train_codebooks(emb, m=4, n_centroids=8, max_train_rows=100)
+    assert b1 == b2  # seeded sample + seeded fits → deterministic books
+    full = pq_train_codebooks(emb, m=4, n_centroids=8, max_train_rows=None)
+    assert len(full) == 4 and all(len(cb) == 8 for _, cb in full)
+
+
 def test_mixture_sample_avalanche_and_salt_independence(spark):
     """The keep-hash must behave on structured key families (shard-packed
     ids = multiples of 2^20, which share ALL low bits) and give genuinely

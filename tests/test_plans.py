@@ -246,9 +246,10 @@ def test_fts_prefix_layout_prunes_prefix_and_term_queries(spark, tmp_path):
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
-    names; round 3 front-loads exactly the 50 stalest queries (9 never
-    driver-checked + multimodal_features + 40 r1-only) so that after r3
-    every registered query has driver evidence from some round."""
+    names; round 4 front-loads the 8 queries registered after the r3
+    rotation freeze (never driver-checked) plus the 42 stalest r2-proven
+    names, so every registered query keeps driver evidence within the
+    last two rounds."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
@@ -257,16 +258,14 @@ def test_catalog_rotation_front_loads_stale_queries():
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
     never_checked = {
-        "events_sliding_window",
-        "events_zscore_pandas",
-        "agg_udaf_geomean",
-        "events_unpivot",
-        "events_funnel",
-        "events_asof_tolerance",
-        "events_retention_cohort",
-        "scalar_map_fns",
-        "events_gap_filled",
-        "multimodal_features",
+        "text_winnow_fingerprints",
+        "dedup_winnow_pairs",
+        "text_token_estimate",
+        "text_pii_redact",
+        "corpus_mixture_sample",
+        "emb_quantize_int8",
+        "emb_pq_topk",
+        "sample_exact_n_per_group",
     }
     assert never_checked <= set(names[:50])
 
