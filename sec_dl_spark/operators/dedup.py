@@ -298,6 +298,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = None
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -341,6 +342,21 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             )
             if changed == 0:
                 break
+    if changed != 0:
+        # the final-round probe is always taken (i == max_iterations-1), so
+        # a nonzero count here means labels were still moving when the
+        # iteration budget ran out — the result would silently merge fewer
+        # components than the true connected components. Surface it.
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            "iterations; returned cluster labels are NOT fixed-point "
+            "connected components. Raise max_iterations (rounds needed is "
+            "~log2 of the longest duplication chain).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -424,6 +440,16 @@ def winnow_fingerprints(
     trailing-window min per document — a single shuffle keyed by doc.
     Selected (hash, pos) pairs dedupe to the fingerprint set. Returns
     (doc_id, fp_hash, pos), deterministic.
+
+    DELIBERATE DEVIATION from the canonical full-window definition: the
+    trailing frame below also emits mins of the TRUNCATED leading
+    windows (pos < window-1), selecting a few extra early fingerprints
+    per document. Extra fingerprints only ADD overlap candidates, so the
+    shared-run guarantee above is preserved, and the DuckDB oracle
+    mirrors the same frame so parity holds. Do NOT "fix" this to
+    canonical full windows without updating the oracle SQL AND accepting
+    that persisted streaming winnow registries built under this
+    definition stop matching new fingerprints.
     """
     tk = spread(docs).select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_tk")

@@ -176,9 +176,12 @@ def read_index(spark, path: str) -> tuple[DataFrame, CorpusStats | None]:
     """Load a persisted index + its stats sidecar (None if written with
     ``with_stats=False``). The scalar read is one tiny single-file scan at
     open time; queries then run with zero stats jobs."""
-    from sec_dl_spark.util import try_read_parquet
+    from sec_dl_spark.util import read_string_partitioned, try_read_parquet
 
-    postings = spark.read.parquet(path).drop("token_bucket")
+    # type inference OFF: the prefix layout's partition values are token
+    # prefixes — an all-digit prefix set would otherwise infer numeric and
+    # collapse distinct prefixes like '0'/'00' (see util helper docstring)
+    postings = read_string_partitioned(spark, path).drop("token_bucket")
     # probe by reading, not os.path — works on any filesystem scheme; an
     # empty-but-present sidecar (crash between delete and rewrite) also
     # reads as "no stats" rather than raising

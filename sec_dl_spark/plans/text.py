@@ -1511,17 +1511,45 @@ def sample_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     order each group by the avalanche keep-hash of the key and take the
     first N — the same rows on every run, any partitioning, any engine
     (sampleBy gives approximate counts and partition-dependent rows).
-    One window per group; at scale, a pre-filter on hash rank bounds the
-    sort input. Fully oracled, unlike fraction-based sampling."""
+
+    At-scale shape: a hash pre-filter sits BELOW the window sort. Group
+    sizes come from one cheap partial-agg pass; each group keeps only
+    rows with hash below a broadcast per-group cutoff targeting ~64·N
+    expected survivors (cutoff 2^20·64·N/|group|, clamped to keep-all
+    for groups ≤ 64·N). The window then sorts ~192 rows per group
+    instead of the whole group — the full-group sort was the unbounded
+    cost at 100 TB. With 64× headroom, losing a true top-N row needs a
+    group to land < N of ~192 expected sub-cutoff rows (Chernoff tail
+    ~e^-100, and deterministic for any fixed corpus — verified by the
+    oracle, which runs WITHOUT the pre-filter). Fully oracled, unlike
+    fraction-based sampling."""
+    n, margin = 3, 64
     d = t(spark, sf_dir, "documents")
     x = (F.col("doc_id") % F.lit(1 << 31)) * F.lit(2654435761)
     x2 = F.shiftrightunsigned(x, 31).bitwiseXOR(x) % F.lit(1 << 31)
     hk = F.shiftrightunsigned(x2 * F.lit(2246822519), 31) % F.lit(1 << 20)
-    w = Window.partitionBy("lang").orderBy(hk, "doc_id")
+    hashed = d.select("lang", "doc_id", hk.alias("_hk"))
+    cutoffs = (
+        hashed.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1 << 20),
+                F.ceil(F.lit((1 << 20) * margin * n) / F.col("_g")),
+            ).alias("_cut"),
+        )
+    )
     return (
-        d.select("lang", "doc_id", hk.alias("_hk"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("lang").orderBy("_hk", "doc_id")).cast("long"))
-        .where(F.col("rn") <= 3)
+        hashed.join(F.broadcast(cutoffs), "lang")
+        .where(F.col("_hk") < F.col("_cut"))
+        .withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy("_hk", "doc_id"))
+            .cast("long"),
+        )
+        .where(F.col("rn") <= n)
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "rn")
     )

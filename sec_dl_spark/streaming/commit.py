@@ -14,7 +14,13 @@ source is a safe replay (batch boundaries reproduce, partitions overwrite
 in place). Starting a genuinely NEW ingest — different source files or
 batching — requires a NEW checkpoint path: reusing the old path reuses
 the old run token, and batches that no longer exist in the new run would
-leave their old partitions in place beside the new ones.
+leave their old partitions in place beside the new ones. That contract is
+ENFORCED, not just documented: the first batch of every run persists a
+content fingerprint marker next to the sink, and a later batch 0 under
+the same run token fails fast if its fingerprint differs — the
+wiped-checkpoint-over-a-changed-source hazard surfaces as an error
+instead of silently leaving stale partitions beside new output
+(``check_source_marker``).
 """
 
 from __future__ import annotations
@@ -26,10 +32,13 @@ from pyspark.sql import functions as F
 def run_token(checkpoint_dir: str) -> str:
     """Stable identifier for a logical ingest run: survives query restarts
     (same checkpoint → same token) yet never collides across runs, unlike
-    foreachBatch's batch_id which restarts at 0 per checkpoint."""
+    foreachBatch's batch_id which restarts at 0 per checkpoint. The 'r'
+    prefix keeps the value non-numeric so readers that infer partition
+    column types never parse an all-digit token as a number (which would
+    collapse distinct tokens differing only in leading zeros)."""
     import hashlib
 
-    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    return "r" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
 
 def commit_batch_partition(
@@ -54,3 +63,56 @@ def not_own_batch(run: str, batch_id: int):
     historical read — a retry's earlier attempt may have landed registry
     rows for the very documents being re-processed."""
     return ~((F.col("ingest_run") == run) & (F.col("ingest_batch") == batch_id))
+
+
+def check_source_marker(
+    batch_df: DataFrame, sink_path: str, run: str, batch_id: int, id_col: str
+) -> None:
+    """Fail-fast guard for the replay contract. Called on every batch but
+    acts only on batch 0 (the batch a wiped-and-restarted checkpoint always
+    re-runs): computes an order-independent content fingerprint of the
+    batch (count + sum of xxhash64 over ``id_col``) and compares it to the
+    marker persisted beside the sink by the first run. A mismatch means
+    the checkpoint was wiped and re-pointed at a CHANGED source while
+    keeping the same run token — exactly the silent-stale-partition hazard
+    the module docstring describes — so raise instead of degrading.
+
+    Marker writes are idempotent per run (dynamic overwrite of the run's
+    own partition) so a batch-0 retry with an unchanged source re-verifies
+    and rewrites the same marker."""
+    if batch_id != 0:
+        return
+    spark = batch_df.sparkSession
+    marker_path = f"{sink_path}_runs"
+    # top 31 hash bits per row: the sum stays < 2^31 · rows, so it cannot
+    # hit ANSI long overflow before ~2^32 rows in one batch, while staying
+    # order-independent and sensitive to any id multiset change
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.shiftrightunsigned(F.xxhash64(F.col(id_col)), 33)), F.lit(0)
+        ).alias("fp"),
+    ).first()
+    from sec_dl_spark.util import try_read_parquet
+
+    existing = try_read_parquet(spark, marker_path)
+    if existing is not None:
+        prior = existing.where(F.col("ingest_run") == run).select("n", "fp").collect()
+        if prior and (prior[0]["n"] != row["n"] or prior[0]["fp"] != row["fp"]):
+            raise ValueError(
+                f"run token {run!r} at {sink_path!r} was first committed from a "
+                f"source with batch-0 fingerprint (n={prior[0]['n']}, "
+                f"fp={prior[0]['fp']}), but this batch 0 has (n={row['n']}, "
+                f"fp={row['fp']}): the checkpoint was wiped over a CHANGED "
+                "source. Use a NEW checkpoint path (new run token) for a new "
+                "ingest — replaying a stale token would leave the old run's "
+                "extra batch partitions beside the new output."
+            )
+    (
+        spark.createDataFrame([(row["n"], row["fp"])], "n long, fp long")
+        .withColumn("ingest_run", F.lit(run))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_run")
+        .parquet(marker_path)
+    )

@@ -51,6 +51,7 @@ def _fingerprints(batch_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Shared commit/probe machinery (see streaming/commit.py for the run-token
 # and replay contract); module-local aliases keep call sites terse.
 from sec_dl_spark.streaming.commit import (  # noqa: E402
+    check_source_marker as _check_source_marker,
     commit_batch_partition as _commit_batch_partition,
     not_own_batch as _not_own_batch,
     run_token as _run_token,
@@ -79,6 +80,7 @@ def incremental_dedup_sink(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         fp = _fingerprints(batch_df, id_col, text_col)
         # in-batch dedup: first id per fingerprint wins (deterministic)
         w = Window.partitionBy("_fp").orderBy(id_col)
@@ -137,6 +139,7 @@ def incremental_minhash_dedup_sink(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         bands = minhash_band_keys(
             minhash_signatures(batch_df, id_col=id_col, text_col=text_col, num_perm=num_perm),
             rows_per_band=rows_per_band,
@@ -213,6 +216,7 @@ def incremental_winnow_dedup_sink(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         fps = (
             winnow_fingerprints(
                 batch_df, id_col=id_col, text_col=text_col, k=k, window=window

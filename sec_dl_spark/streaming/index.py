@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sec_dl_spark.operators.fts import CorpusStats, build_inverted_index
-from sec_dl_spark.streaming.commit import commit_batch_partition, run_token
+from sec_dl_spark.streaming.commit import (
+    check_source_marker,
+    commit_batch_partition,
+    run_token,
+)
 
 
 def incremental_index_sink(
@@ -51,6 +55,7 @@ def incremental_index_sink(
     run = run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        check_source_marker(batch_df, index_path, run, batch_id, id_col)
         postings = build_inverted_index(
             batch_df, id_col=id_col, text_col=text_col
         ).localCheckpoint(eager=True)
@@ -89,9 +94,12 @@ def read_incremental_index(
     partial counts; n_docs/avgdl = one sidecar-sized aggregation —
     never a pass over the posting table). Returns (postings, None) when
     the sink ran with_stats=False."""
-    from sec_dl_spark.util import try_read_parquet
+    from sec_dl_spark.util import read_string_partitioned, try_read_parquet
 
-    postings = spark.read.parquet(index_path).drop(
+    # type inference OFF for the partition columns: ingest_run is a string
+    # token that could be all-digit (md5 prefix), and the bucket/batch
+    # columns are dropped right here anyway (see util helper docstring)
+    postings = read_string_partitioned(spark, index_path).drop(
         "token_bucket", "ingest_run", "ingest_batch"
     )
     doc_len = try_read_parquet(spark, f"{index_path}_stats/doc_len")

@@ -244,6 +244,44 @@ def test_fts_prefix_layout_prunes_prefix_and_term_queries(spark, tmp_path):
     assert "prefix_bucket" in term_plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_fts_prefix_layout_numeric_prefixes_stay_distinct(spark, tmp_path):
+    """Partition-column type inference collapses an all-digit partition
+    value set ('05' and '5' both parse as the number 5, merging their
+    directories' rows under one value); read_index reads with inference
+    disabled so numeric-token prefixes round-trip distinctly and the
+    injected bucket predicates match exactly."""
+    from sec_dl_spark.operators.fts import (
+        build_inverted_index,
+        read_index,
+        search_all,
+        write_index,
+    )
+
+    # every token starts with a digit → every prefix_bucket value is
+    # all-digit → the inference trap actually arms
+    docs = spark.createDataFrame(
+        [(1, "05 10k"), (2, "5 20f")], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "fts_digit")
+    write_index(build_inverted_index(docs), idx_path, layout="prefix", with_stats=False)
+    served, _ = read_index(spark, idx_path)
+    buckets = {r["prefix_bucket"] for r in served.select("prefix_bucket").distinct().collect()}
+    assert {"05", "5"} <= buckets  # distinct directories, not collapsed
+    assert {r["doc_id"] for r in search_all(served, ["05"]).collect()} == {1}
+    assert {r["doc_id"] for r in search_all(served, ["5"]).collect()} == {2}
+
+
+def test_exact_n_sample_prefilter_below_window(spark, specs):
+    """sample_exact_n_per_group's hash cutoff must filter BEFORE the
+    window exchange/sort — the pre-filter is what bounds the per-group
+    sort at scale. In the printed tree the Window sits above the Filter
+    on the broadcast cutoff."""
+    plan = physical_plan(specs["sample_exact_n_per_group"].spark_fn(spark, SF))
+    win = plan.index("Window")
+    cut_filter = plan.index("_cut")
+    assert win < cut_filter  # tree prints root-first: filter is deeper
+
+
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
     names; round 4 front-loads the 8 queries registered after the r3

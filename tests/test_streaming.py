@@ -455,3 +455,48 @@ def test_incremental_index_stats_and_replay_idempotency(spark, tmp_path_factory)
     assert served2.count() == n_postings  # no duplicated postings
     assert stats2.n_docs == stats.n_docs
     assert abs(stats2.avgdl - stats.avgdl) < 1e-9
+
+
+def test_source_marker_blocks_wiped_checkpoint_over_changed_source(
+    spark, tmp_path_factory
+):
+    """The replay contract is ENFORCED, not just documented: wiping a
+    checkpoint and re-running the same sink paths against a CHANGED source
+    reuses the old run token, which would silently leave the old run's
+    stale partitions beside the new output — the batch-0 source
+    fingerprint marker turns that into a fail-fast error. An unchanged
+    source replays cleanly (covered by the retry-idempotency test)."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.commit import run_token
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    # the 'r' prefix keeps run tokens non-numeric for partition inference
+    assert run_token("any/ckpt/path").startswith("r")
+
+    src = tmp_path_factory.mktemp("marker_src")
+    accepted = str(tmp_path_factory.mktemp("marker_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("marker_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("marker_ckpt") / "ckpt")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/b")
+        incremental_dedup_sink(stream, accepted, registry, ckpt).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "unrelated words")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+    run_once()
+
+    shutil.rmtree(ckpt)  # wipe the checkpoint AND change the source
+    spark.createDataFrame(
+        [(7, "completely different"), (8, "new corpus"), (9, "extra doc")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+    with pytest.raises(Exception, match="CHANGED"):
+        run_once()
