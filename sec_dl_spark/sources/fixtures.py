@@ -23,16 +23,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushed down into this scan by Catalyst (verify with .explain:
     PushedFilters / ReadSchema)."""
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): read as int64 nanos (see
-        # session.RUNTIME_CONFS) and truncate to micros with integer
-        # division — double division would lose precision at ~1.7e18 ns.
-        # DuckDB's parquet reader truncates ns→us the same way, so oracle
-        # comparisons line up exactly. The conf must be set BEFORE the
-        # first scan or an untuned session throws on TIMESTAMP(NANOS).
+        # The fixture generator has shipped `ts` two ways across rounds:
+        # parquet TIMESTAMP(NANOS) (readable only as int64 nanos, see
+        # session.RUNTIME_CONFS) and plain TIMESTAMP(MICROS)/NTZ. Adapt to
+        # whichever landed so both generations of testdata load identically.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # int64 nanos → truncate to micros with integer division —
+            # double division would lose precision at ~1.7e18 ns. DuckDB's
+            # parquet reader truncates ns→us the same way, so oracle
+            # comparisons line up exactly.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive micros: reinterpret in the session tz (UTC, session.py)
+            # so downstream window/date functions see the same TIMESTAMP
+            # type as the nanos path produced. Values are unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
