@@ -50,69 +50,69 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # The driver's correctness sweep truncates to the FIRST 50 registered names,
 # so registration order is rotated each round to aim driver evidence at the
 # stalest queries.  Round 1 proved the first-50 relational slice; round 2
-# front-loaded text/FTS/dedup; round 3 the 9 never-checked + the r1-stale 40
-# (CORRECTNESS_r01..r03 green exactly those slices).  Round 4 front-loads the
-# 8 queries registered after the r3 rotation freeze (only judge evidence so
-# far) plus the 42 oracled r2-proven names — the stalest slice after r3.  The
-# 7 rows-only r2 names (corpus_pack_sequences, dedup_clusters,
-# dedup_minhash_lsh, dedup_simhash, emb_cosine_topk_ivf, emb_cosine_topk_lsh,
-# sample_stratified) are left to rotate in next: the driver's rows-only check
-# adds least over their pytest pins.  Queries NOT listed here keep module
-# registration order after the priority block.
+# front-loaded text/FTS/dedup; round 3 the 9 never-checked + the r1-stale 40;
+# round 4 the 8 post-freeze queries + the 42 stalest r2-proven oracled names
+# (CORRECTNESS_r01..r04 green exactly those slices — zero failures ever).
+# Round 5 front-loads the 7 rows-only r2 names (driver evidence last from
+# round 2 — the stalest anywhere) plus 43 of the r3-proven slice.  Deferred
+# to r6: the r3 rows-only trio (agg_approx_distinct_hll,
+# sample_bernoulli_seeded, multimodal_features — their rows-only check adds
+# least over pytest pins) and four trivial filters (filter_isin,
+# null_handling, distinct_rows, union_by_name), all judge-r4-verified.
+# Queries NOT listed here keep module registration order after the block.
 _PRIORITY = (
-    # registered after the r3 rotation freeze — never driver-checked
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "text_token_estimate",
-    "text_pii_redact",
-    "corpus_mixture_sample",
-    "emb_quantize_int8",
-    "emb_pq_topk",
-    "sample_exact_n_per_group",
-    # driver evidence last from round 2 (oracled slice; rows-only r2 names
-    # deferred — see comment above)
-    "q1_pricing_summary",
-    "agg_count_filter",
-    "agg_distinct",
-    "agg_minmax_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_star_3way",
-    "join_left_outer",
-    "join_full_outer",
-    "text_clean_chain",
-    "text_token_stats",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_lang_guess",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_keep_list",
-    "fts_search_and",
-    "fts_search_or",
-    "fts_phrase",
-    "fts_top_df_tokens",
-    "emb_cosine_topk",
-    "emb_cosine_neardup",
-    "multimodal_binary_meta",
-    "multimodal_audio_chunks",
-    "multimodal_keyframes",
-    "doc_chunks",
-    "fts_ranked_tfidf",
-    "text_contamination",
-    "fts_search_not",
-    "fts_ranked_bm25",
-    "fts_proximity_ranked",
-    "fts_tsquery_prefix",
-    "corpus_filter_pipeline",
-    "fts_tsquery_expr",
-    "multimodal_dedup",
-    "crossmodal_dup_agreement",
-    "fts_tsquery_phrase",
-    "text_tfidf_cosine",
-    "corpus_quality_filter",
-    "text_extract_matches",
+    # rows-only r2 names — driver evidence last from round 2
+    "corpus_pack_sequences",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_cosine_topk_ivf",
+    "emb_cosine_topk_lsh",
+    "sample_stratified",
+    # oracled names last driver-checked in round 3 (stalest oracled slice)
+    "agg_collect_list",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_salted_distinct",
+    "agg_udaf_geomean",
+    "entity_match_levenshtein",
+    "events_asof_join",
+    "events_asof_tolerance",
+    "events_dedup_first",
+    "events_funnel",
+    "events_gap_filled",
+    "events_pivot",
+    "events_retention_cohort",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_hourly",
+    "events_unpivot",
+    "events_zscore_pandas",
+    "join_anti",
+    "join_cross_urls",
+    "join_null_safe",
+    "join_q3_topk",
+    "join_q5_region_revenue",
+    "join_range",
+    "join_semi",
+    "join_skew_salted",
+    "sample_systematic",
+    "scalar_date_fns",
+    "scalar_encode_decode",
+    "scalar_json",
+    "scalar_map_fns",
+    "scalar_math_case",
+    "scalar_string_fns",
+    "set_ops",
+    "sort_multi_key_limit",
+    "sql_adhoc_q6",
+    "subquery_exists",
+    "topk_per_group",
+    "window_distribution_fns",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank",
+    "window_running_sum",
 )
 
 

@@ -37,9 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # comparisons line up exactly.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # Naive micros: reinterpret in the session tz (UTC, session.py)
-            # so downstream window/date functions see the same TIMESTAMP
-            # type as the nanos path produced. Values are unchanged.
+            # Naive micros: reinterpret in UTC so downstream window/date
+            # functions see the same TIMESTAMP type AND values as the nanos
+            # path produced. The cast reads the NTZ value in the session tz,
+            # so pin it to UTC defensively (mirroring the nanosAsLong set
+            # above) — an external session built without session.tune()
+            # would otherwise shift ts by the host tz offset, while the
+            # bigint/nanos branch is tz-independent.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -284,10 +284,10 @@ def test_exact_n_sample_prefilter_below_window(spark, specs):
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
-    names; round 4 front-loads the 8 queries registered after the r3
-    rotation freeze (never driver-checked) plus the 42 stalest r2-proven
-    names, so every registered query keeps driver evidence within the
-    last two rounds."""
+    names; round 5 front-loads the 7 rows-only names whose driver evidence
+    dates from round 2 (the stalest anywhere) plus 43 of the r3-proven
+    oracled slice, so every registered query keeps driver evidence within
+    the last two rounds."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
@@ -295,17 +295,35 @@ def test_catalog_rotation_front_loads_stale_queries():
     # every priority name is actually registered, and they occupy the
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
-    never_checked = {
-        "text_winnow_fingerprints",
-        "dedup_winnow_pairs",
-        "text_token_estimate",
-        "text_pii_redact",
-        "corpus_mixture_sample",
-        "emb_quantize_int8",
-        "emb_pq_topk",
-        "sample_exact_n_per_group",
+    stale_rows_only = {
+        "corpus_pack_sequences",
+        "dedup_clusters",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "emb_cosine_topk_ivf",
+        "emb_cosine_topk_lsh",
+        "sample_stratified",
     }
-    assert never_checked <= set(names[:50])
+    assert stale_rows_only <= set(names[:50])
+
+
+def test_events_ts_load_is_timezone_independent(spark):
+    """The NTZ→timestamp cast in load_table reads the naive value in the
+    session tz; an external session built without session.tune() (e.g. a
+    bare verification driver) could carry a host tz and silently shift ts.
+    load_table must pin UTC itself so both fixture `ts` encodings load
+    identically regardless of session construction (ADVICE r4)."""
+    from sec_dl_spark.sources.fixtures import load_table
+
+    baseline = load_table(spark, SF, "events").agg(F.min("ts"), F.max("ts")).collect()[0]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = load_table(spark, SF, "events").agg(F.min("ts"), F.max("ts")).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # values identical, and (on the NTZ path) the loader restored UTC itself
+    assert tuple(shifted) == tuple(baseline)
 
 
 def test_text_extract_matches_nonvacuous(spark):
