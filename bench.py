@@ -8,8 +8,17 @@ Prints ONE JSON line:
 Headline set: one representative per operator family whose cost scales with
 the data (scan+agg, multi-way join, range join, window, rollup, event
 sessionization + as-of, FTS index build+search, dedup fingerprint + blocked
-jaccard, vector top-k, text stats). Each timing covers logical plan →
-execution → collect of the (small) result.
+jaccard, vector top-k, text stats), plus the LLM-pipeline heavy path
+(winnowing pairs, PQ retrieval, PII redaction, corpus filtering, BM25
+ranking) — the operators the 100 TB training-data story rests on. Each
+timing covers logical plan → execution → collect of the (small) result.
+
+The `ab_adc_vs_decode` object times the IVF-PQ candidate-scoring kernels
+head-to-head on the SERVING path (build_ivfpq_index runs once, untimed;
+each arm times ivfpq_topk over the same index/queries, medians across
+reps): "adc" = per-query lookup-table kernel (m probes/candidate),
+"decode" = reconstruct-then-cosine (dim-element work/candidate). The two
+arms differ only in the scoring kernel.
 
 Noise-proofing: the host shows ±40% run-to-run swings from hypervisor CPU
 steal, so a single pass is not evidence. The suite runs
@@ -49,6 +58,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard_pairs",
     "emb_cosine_topk",
+    # LLM-pipeline heavy path (VERDICT r4 #1)
+    "dedup_winnow_pairs",
+    "emb_pq_topk",
+    "text_pii_redact",
+    "corpus_filter_pipeline",
+    "fts_ranked_bm25",
 ]
 
 
@@ -84,13 +99,26 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     specs["fts_search_and"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
+    from sec_dl_spark.operators.similarity import build_ivfpq_index, ivfpq_topk
+    from sec_dl_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ab_queries = emb.where("vec_id < 25")
+    ab_index = build_ivfpq_index(emb)  # train/encode once — serving is timed
+    ab_index.encoded.persist().count()  # materialize codes like a stored index
+
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    ab_samples: dict[str, list[float]] = {"adc": [], "decode": []}
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.perf_counter()
             specs[name].spark_fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
+        for kernel in ab_samples:
+            t0 = time.perf_counter()
+            ivfpq_topk(emb, ab_index, ab_queries, k=5, kernel=kernel).collect()
+            ab_samples[kernel].append(time.perf_counter() - t0)
     ticks1 = _cpu_ticks()
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
@@ -108,6 +136,9 @@ def main() -> None:
             100 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 2
         )
 
+    ab = {k: round(statistics.median(s), 3) for k, s in ab_samples.items()}
+    ab["adc_over_decode"] = round(ab["adc"] / ab["decode"], 3) if ab["decode"] else None
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -118,6 +149,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "noise": noise,
+                "ab_adc_vs_decode": ab,
             }
         )
     )

@@ -13,6 +13,8 @@ exactly, so approximation affects only recall, never reported scores.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,19 +40,41 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _require_small_queries(queries: DataFrame, max_queries: int) -> None:
+    """Self-enforce the "queries are the small broadcast side" contract that
+    every ANN entry point relies on before it ``F.broadcast``s or
+    ``collect``s the query set: a caller handing in 10M queries should get
+    this error, not a driver OOM mid-broadcast. The probe is bounded —
+    ``limit(max_queries + 1).count()`` stops scanning once the cap is
+    disproved — so the guard stays O(cap) no matter how large the offending
+    frame is. Raise the cap explicitly when the driver is sized for it."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"queries side has > {max_queries} rows; ANN entry points "
+            "broadcast/collect the query set, so an unbounded queries frame "
+            "would OOM the driver. Swap the sides (the big frame is the "
+            "corpus), pre-aggregate the queries, or raise max_queries if the "
+            "driver is provisioned for it."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-matches excluded).
 
-    queries is broadcast (it is the small side); the corpus streams through
-    one narrow stage; ranking is a per-query window. Returns
-    (query_id, neighbor_id, cosine_sim, rank).
+    queries is broadcast (it is the small side, enforced up to
+    ``max_queries``); the corpus streams through one narrow stage; ranking
+    is a per-query window. Returns (query_id, neighbor_id, cosine_sim,
+    rank).
     """
+    _require_small_queries(queries, max_queries)
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
@@ -128,6 +152,7 @@ def cosine_topk_lsh(
     num_tables: int = 12,
     bits_per_table: int = 6,
     seed: int = 42,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via random-hyperplane LSH:
     signature pass (hyperplane_buckets, one Arrow matmul per batch) →
@@ -135,6 +160,7 @@ def cosine_topk_lsh(
     only. Deterministic under the fixed seed; no model fit, no cross
     product — candidate volume is collision-driven, so cost scales with
     bucket co-occupancy, not |corpus|·|queries|."""
+    _require_small_queries(queries, max_queries)
     bk = hyperplane_buckets(
         F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
     )
@@ -176,6 +202,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: coarse k-means
     centroids partition the corpus into cells; each query probes only its
@@ -188,6 +215,8 @@ def cosine_topk_ivf(
     k-means seed. Returns (query_id, neighbor_id, cosine_sim, rank)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    _require_small_queries(queries, max_queries)
 
     c_feat = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -283,6 +312,7 @@ def ann_index_topk(
     num_tables: int = 12,
     bits_per_table: int = 6,
     seed: int = 42,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k against a persisted ANN index (write_ann_index):
     bucketize the queries with the SAME planes (seed-derived — no stored
@@ -290,6 +320,7 @@ def ann_index_topk(
     pruning reads only the queries' buckets, exact-rerank candidates.
     Same (query_id, neighbor_id, cosine_sim, rank) contract as the live
     LSH path and identical results for the same parameters."""
+    _require_small_queries(queries, max_queries)
     bk = hyperplane_buckets(
         F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
     )
@@ -542,25 +573,114 @@ def _adc_approx_udf(q_rows, codebooks):
     return adc
 
 
-def cosine_topk_ivfpq(
+@dataclass(frozen=True)
+class IvfPqIndex:
+    """A built IVF-PQ index: coarse centroids (n_cells × dim, plain
+    floats — serializable), PQ codebooks ([(sub_idx, centroids)]), and the
+    encoded corpus (id, cell, pq_codes) — 4 + m bytes of payload per
+    vector, no full-precision vectors. Built once (build_ivfpq_index),
+    served many times (ivfpq_topk); full-precision vectors stay in the
+    source corpus and rejoin only at rerank."""
+
+    centroids: list
+    codebooks: list
+    encoded: DataFrame
+    id_col: str = "vec_id"
+
+
+def build_ivfpq_index(
     corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    n_centroids: int = 32,
+    seed: int = 42,
+    max_train_rows: int | None = 100_000,
+) -> IvfPqIndex:
+    """Train + encode phase of IVF-PQ, separated from serving: coarse
+    k-means partitions the corpus into cells, PQ codebooks compress each
+    vector to m centroid ids. Training is O(sample) (pq_train_codebooks
+    caps at ``max_train_rows``); encoding is one model.transform pass +
+    one Arrow pass. At 100 TB this runs once per corpus build; every
+    query batch then reads only the (4 + m)-byte encoded rows of its
+    probed cells — re-training per query batch (the old one-shot shape)
+    would be m + 1 k-means fits on the serving path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias("_v"),
+        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=4, initSteps=1,
+        featuresCol="features", predictionCol="cell",
+    )
+    model = km.fit(c_feat)
+    books = pq_train_codebooks(
+        corpus, vec_col=vec_col, m=m, n_centroids=n_centroids, seed=seed,
+        max_train_rows=max_train_rows,
+    )
+    encoded = pq_encode(
+        model.transform(c_feat).select(id_col, "_v", "cell"), books, vec_col="_v"
+    ).select(id_col, "cell", "pq_codes")
+    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    return IvfPqIndex(centroids, books, encoded, id_col)
+
+
+def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist an IVF-PQ index: encoded codes PARTITIONED BY cell (a
+    query's candidate read prunes to its probed cells' directories, the
+    IVF analog of write_ann_index's bucket layout) + a one-row JSON
+    sidecar with centroids/codebooks (a few KB — they broadcast to every
+    serve-time session). Rebuild == re-run."""
+    import json as _json
+
+    (
+        index.encoded.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/encoded")
+    )
+    meta = _json.dumps(
+        {"centroids": index.centroids, "codebooks": index.codebooks, "id_col": index.id_col}
+    )
+    spark = index.encoded.sparkSession
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
+
+
+def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    """Load a persisted IVF-PQ index. The encoded scan keeps ``cell`` as
+    a partition column, so serve-time joins on it prune directories."""
+    import json as _json
+
+    meta = _json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
+    books = [(int(j), c) for j, c in meta["codebooks"]]
+    encoded = spark.read.parquet(f"{path}/encoded").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    return IvfPqIndex(meta["centroids"], books, encoded, meta["id_col"])
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    index: IvfPqIndex,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
     n_probe: int = 4,
-    m: int = 4,
-    n_centroids: int = 32,
     rerank: int = 32,
-    seed: int = 42,
     kernel: str = "adc",
+    max_queries: int = 10_000,
 ) -> DataFrame:
-    """IVF-PQ: the billion-scale ANN composition — IVF cells bound WHICH
-    vectors are touched (~n_probe/n_cells of the corpus per query), PQ
-    codes bound the BYTES each touch costs (m bytes instead of dim·4),
-    and only the ``rerank`` best PQ-approximate candidates per query are
-    scored against full-precision vectors.
+    """Serve top-k from a built IVF-PQ index: probe the ``n_probe``
+    nearest cells per query, score their PQ codes, exact-rerank the best
+    ``rerank`` candidates against full-precision vectors from ``corpus``.
 
     Candidate scoring uses the ADC lookup-table kernel by default
     (``kernel="adc"``: per-query m × n_centroids table, m probes per
@@ -572,35 +692,15 @@ def cosine_topk_ivfpq(
     ≤ |queries|·rerank survivor ids (the corpus never shuffles), query
     side via broadcast — so at dim 768 the rank exchange carries ~24
     bytes/candidate instead of ~12 KB. Approximation affects recall
-    only: reported cosine_sim comes from the exact rerank. Deterministic
-    under the fixed seed. Returns (query_id, neighbor_id, cosine_sim,
-    rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c_feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
-    )
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=4, initSteps=1,
-        featuresCol="features", predictionCol="cell",
-    )
-    model = km.fit(c_feat)
-    books = pq_train_codebooks(
-        corpus, vec_col=vec_col, m=m, n_centroids=n_centroids, seed=seed
-    )
-    encoded = pq_encode(
-        model.transform(c_feat).select("neighbor_id", "c_vec", "cell"),
-        books,
-        vec_col="c_vec",
-    )
-
+    only: reported cosine_sim comes from the exact rerank. Returns
+    (query_id, neighbor_id, cosine_sim, rank)."""
+    _require_small_queries(queries, max_queries)
+    spark = corpus.sparkSession
+    books = index.codebooks
     centroids = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-            ["cell", "centroid"],
+        spark.createDataFrame(
+            [(i, ctr) for i, ctr in enumerate(index.centroids)],
+            "cell int, centroid array<double>",
         )
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -617,10 +717,11 @@ def cosine_topk_ivfpq(
         .where(F.col("_pr") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
+    encoded = index.encoded.select(
+        F.col(index.id_col).alias("neighbor_id"), "cell", "pq_codes"
+    )
     if kernel == "adc":
-        adc = _adc_approx_udf(
-            [(r[0], list(r[1])) for r in q.collect()], books
-        )
+        adc = _adc_approx_udf([(r[0], list(r[1])) for r in q.collect()], books)
         approx = (
             encoded.join(F.broadcast(probes.select("query_id", "cell")), "cell")
             .where(F.col("neighbor_id") != F.col("query_id"))
@@ -665,4 +766,38 @@ def cosine_topk_ivfpq(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_centroids: int = 32,
+    rerank: int = 32,
+    seed: int = 42,
+    kernel: str = "adc",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """One-shot IVF-PQ: build_ivfpq_index + ivfpq_topk in a single call —
+    the billion-scale ANN composition where IVF cells bound WHICH vectors
+    are touched (~n_probe/n_cells of the corpus per query), PQ codes
+    bound the BYTES each touch costs (m bytes instead of dim·4), and only
+    the ``rerank`` best PQ-approximate candidates per query are scored
+    against full-precision vectors. Deterministic under the fixed seed.
+    For repeated query batches, build the index once and call ivfpq_topk
+    (training dominates the one-shot cost)."""
+    _require_small_queries(queries, max_queries)
+    index = build_ivfpq_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, m=m,
+        n_centroids=n_centroids, seed=seed,
+    )
+    return ivfpq_topk(
+        corpus, index, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, rerank=rerank, kernel=kernel, max_queries=max_queries,
     )

@@ -3,6 +3,7 @@ family, similarity search."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from sec_dl_spark.operators.dedup import (
@@ -133,6 +134,28 @@ def test_cosine_topk_exact(spark):
     out = cosine_topk(df, df.where(F.col("vec_id") == 0), k=3).collect()
     order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert order == [1, 2, 3]  # cos: .994, 0, -1
+
+
+def test_ann_oversized_queries_rejected_before_broadcast(spark):
+    """Every ANN entry point broadcasts/collects the query side; a caller
+    passing an unbounded frame must get a clear error up front, not a
+    driver OOM mid-broadcast (VERDICT r4 'What's wrong' #2). The guard
+    probe is bounded (limit(cap+1).count()), so even a huge offender
+    fails fast."""
+    from sec_dl_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivfpq,
+    )
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    for fn in (cosine_topk, cosine_topk_lsh, cosine_topk_ivf, cosine_topk_ivfpq):
+        with pytest.raises(ValueError, match="queries side"):
+            fn(emb, emb, k=3, max_queries=10)
+    # at-the-cap queries still pass (guard is > cap, not >=)
+    cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=3, max_queries=10).collect()
 
 
 def test_cosine_topk_lsh_recall_vs_exact(spark):
@@ -718,6 +741,58 @@ def test_ivfpq_recall_on_planted_clusters(spark):
     assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
     for key in set(exact) & set(got):
         assert abs(exact[key] - got[key]) < 1e-9  # exact-rerank scores
+
+
+def test_ivfpq_build_serve_matches_oneshot(spark):
+    """build_ivfpq_index + ivfpq_topk (the train-once/serve-many shape)
+    must return exactly what the one-shot cosine_topk_ivfpq returns for
+    the same seed — the split changes WHEN training happens, never the
+    result."""
+    from sec_dl_spark.operators.similarity import (
+        build_ivfpq_index,
+        cosine_topk_ivfpq,
+        ivfpq_topk,
+    )
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([0, 6, 12]))
+    kw = dict(k=5, n_probe=4, rerank=32)
+    oneshot = {
+        tuple(r)
+        for r in cosine_topk_ivfpq(emb, q, n_cells=16, m=4, n_centroids=64, **kw).collect()
+    }
+    idx = build_ivfpq_index(emb, n_cells=16, m=4, n_centroids=64)
+    served = {tuple(r) for r in ivfpq_topk(emb, idx, q, **kw).collect()}
+    assert served == oneshot and len(served) > 0
+
+
+def test_ivfpq_persisted_index_roundtrip_and_pruning(spark, tmp_path):
+    """write_ivfpq_index / read_ivfpq_index round-trip: served results are
+    identical to the in-memory index, and the persisted encoded table is
+    partitioned by cell so serve-time candidate reads prune to the probed
+    cells' directories."""
+    import os
+
+    from sec_dl_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _clustered_embeddings(spark)
+    q = emb.where(F.col("vec_id").isin([0, 6, 12]))
+    idx = build_ivfpq_index(emb, n_cells=8, m=4, n_centroids=16)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(idx, path)
+    # cell is a physical partition directory, the pruning unit
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/encoded"))
+    loaded = read_ivfpq_index(spark, path)
+    assert loaded.centroids == idx.centroids
+    assert loaded.codebooks == idx.codebooks  # json float round-trip is exact
+    mem = {tuple(r) for r in ivfpq_topk(emb, idx, q, k=5).collect()}
+    disk = {tuple(r) for r in ivfpq_topk(emb, loaded, q, k=5).collect()}
+    assert disk == mem and len(disk) > 0
 
 
 def test_ivfpq_adc_decode_kernel_parity(spark):
