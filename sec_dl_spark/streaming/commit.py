@@ -15,12 +15,12 @@ in place). Starting a genuinely NEW ingest — different source files or
 batching — requires a NEW checkpoint path: reusing the old path reuses
 the old run token, and batches that no longer exist in the new run would
 leave their old partitions in place beside the new ones. That contract is
-ENFORCED, not just documented: the first batch of every run persists a
-content fingerprint marker next to the sink, and a later batch 0 under
+ENFORCED, not just documented: every batch persists a per-(run, batch)
+content fingerprint marker next to the sink, and a replayed batch under
 the same run token fails fast if its fingerprint differs — the
 wiped-checkpoint-over-a-changed-source hazard surfaces as an error
-instead of silently leaving stale partitions beside new output
-(``check_source_marker``).
+instead of silently leaving stale partitions beside new output, even
+when the divergence starts after batch 0 (``check_source_marker``).
 """
 
 from __future__ import annotations
@@ -68,20 +68,27 @@ def not_own_batch(run: str, batch_id: int):
 def check_source_marker(
     batch_df: DataFrame, sink_path: str, run: str, batch_id: int, id_col: str
 ) -> None:
-    """Fail-fast guard for the replay contract. Called on every batch but
-    acts only on batch 0 (the batch a wiped-and-restarted checkpoint always
-    re-runs): computes an order-independent content fingerprint of the
-    batch (count + sum of xxhash64 over ``id_col``) and compares it to the
-    marker persisted beside the sink by the first run. A mismatch means
-    the checkpoint was wiped and re-pointed at a CHANGED source while
-    keeping the same run token — exactly the silent-stale-partition hazard
-    the module docstring describes — so raise instead of degrading.
+    """Fail-fast guard for the replay contract, enforced on EVERY batch:
+    computes an order-independent content fingerprint of the batch (count
+    + sum of xxhash64 over ``id_col``) and compares it to the marker row
+    this (run, batch) persisted beside the sink on its first run. A
+    mismatch at ANY batch means the checkpoint was wiped and re-pointed at
+    a CHANGED source while keeping the same run token — exactly the
+    silent-stale-partition hazard the module docstring describes — so
+    raise instead of degrading. Batch 0 catches a wholesale source swap;
+    the per-batch rows extend the guard to sources that diverge only in
+    later batches (identical batch 0, different tail).
 
-    Marker writes are idempotent per run (dynamic overwrite of the run's
-    own partition) so a batch-0 retry with an unchanged source re-verifies
-    and rewrites the same marker."""
-    if batch_id != 0:
-        return
+    Residual scope limit: if the new source produces FEWER batches than
+    the marker has rows for, the missing tail is never re-fingerprinted,
+    so a replay that ends early leaves the old run's extra batch
+    partitions in place undetected — that final hole is what the atomic
+    commit-log sink (``atomic`` module) closes with an explicit manifest.
+
+    Marker writes are idempotent per (run, batch) — dynamic overwrite of
+    the batch's own partition — so a retry with an unchanged source
+    re-verifies and rewrites the same row. Cost is one tiny agg job per
+    batch over data the sink is about to process anyway."""
     spark = batch_df.sparkSession
     marker_path = f"{sink_path}_runs"
     # top 31 hash bits per row: the sum stays < 2^31 · rows, so it cannot
@@ -97,22 +104,34 @@ def check_source_marker(
 
     existing = try_read_parquet(spark, marker_path)
     if existing is not None:
-        prior = existing.where(F.col("ingest_run") == run).select("n", "fp").collect()
+        # cast the partition column rather than trusting inference: the
+        # marker must read identically whether the session infers
+        # partition types or keeps them as strings
+        prior = (
+            existing.where(
+                (F.col("ingest_run") == run)
+                & (F.col("ingest_batch").cast("long") == batch_id)
+            )
+            .select("n", "fp")
+            .collect()
+        )
         if prior and (prior[0]["n"] != row["n"] or prior[0]["fp"] != row["fp"]):
             raise ValueError(
-                f"run token {run!r} at {sink_path!r} was first committed from a "
-                f"source with batch-0 fingerprint (n={prior[0]['n']}, "
-                f"fp={prior[0]['fp']}), but this batch 0 has (n={row['n']}, "
-                f"fp={row['fp']}): the checkpoint was wiped over a CHANGED "
-                "source. Use a NEW checkpoint path (new run token) for a new "
-                "ingest — replaying a stale token would leave the old run's "
-                "extra batch partitions beside the new output."
+                f"run token {run!r} at {sink_path!r} first committed batch "
+                f"{batch_id} from a source with fingerprint (n={prior[0]['n']}, "
+                f"fp={prior[0]['fp']}), but this batch {batch_id} has "
+                f"(n={row['n']}, fp={row['fp']}): the checkpoint was wiped "
+                "over a CHANGED source. Use a NEW checkpoint path (new run "
+                "token) for a new ingest — replaying a stale token would "
+                "leave the old run's extra batch partitions beside the new "
+                "output."
             )
     (
         spark.createDataFrame([(row["n"], row["fp"])], "n long, fp long")
         .withColumn("ingest_run", F.lit(run))
+        .withColumn("ingest_batch", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_run")
+        .partitionBy("ingest_run", "ingest_batch")
         .parquet(marker_path)
     )

@@ -500,3 +500,127 @@ def test_source_marker_blocks_wiped_checkpoint_over_changed_source(
     ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
     with pytest.raises(Exception, match="CHANGED"):
         run_once()
+
+
+def test_source_marker_catches_divergence_after_batch_zero(
+    spark, tmp_path_factory
+):
+    """A re-pointed source whose batch 0 happens to be IDENTICAL but whose
+    later batches diverge must still fail fast — the marker keeps one
+    fingerprint row per (run, batch), not just batch 0 (VERDICT r4
+    'What's wrong' #1)."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    src = tmp_path_factory.mktemp("tail_src")
+    accepted = str(tmp_path_factory.mktemp("tail_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("tail_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("tail_ckpt") / "ckpt")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b/{name}")
+
+    def run_once():
+        # file-per-batch: maxFilesPerTrigger=1 replays them in name order,
+        # so f0 is always batch 0 and f1 always batch 1
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b/*")
+        )
+        incremental_dedup_sink(stream, accepted, registry, ckpt).awaitTermination(120)
+
+    write_file("f0", [(1, "alpha beta")])
+    write_file("f1", [(2, "unrelated words")])
+    run_once()
+
+    shutil.rmtree(ckpt)  # wipe checkpoint; batch 0 unchanged, batch 1 diverges
+    write_file("f1", [(9, "a different tail")])
+    with pytest.raises(Exception, match="CHANGED"):
+        run_once()
+
+
+def test_atomic_commit_two_interleaved_writers(spark, tmp_path_factory):
+    """The rename-based manifest log makes concurrent writers a non-event
+    (the r3/r4 carried design note): both writers fully stage their data,
+    then race the manifest rename — exactly one (run, batch) commit wins,
+    the loser's staging output is withdrawn, and a reader sees one
+    writer's rows in full, never a torn mix."""
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_batch,
+        is_committed,
+        read_committed,
+    )
+
+    sink = str(tmp_path_factory.mktemp("atomic") / "sink")
+    a = spark.range(0, 5).selectExpr("id", "'writer_a' AS src")
+    b = spark.range(100, 103).selectExpr("id", "'writer_b' AS src")
+
+    # deterministic interleave: both stage before either commits is the
+    # worst case the dynamic-overwrite commit could not survive; here the
+    # second rename must lose cleanly
+    assert atomic_commit_batch(a, sink, "r1", 0) is True
+    assert is_committed(spark, sink, "r1", 0)
+    assert atomic_commit_batch(b, sink, "r1", 0) is False
+
+    got = read_committed(spark, sink)
+    rows = {(r["id"], r["src"]) for r in got.collect()}
+    assert rows == {(i, "writer_a") for i in range(5)}  # all-A, no mixing
+    # the loser's staging directory is withdrawn
+    import os
+
+    leftovers = [
+        d for d in os.listdir(f"{sink}/_staging") if not d.startswith(".")
+    ]
+    assert len(leftovers) == 1  # only the winner's data dir remains
+
+
+def test_atomic_commit_concurrent_threads_one_winner(spark, tmp_path_factory):
+    """Truly concurrent attempts at the same (run, batch): exactly one
+    rename wins and the published rows are one attempt's data in full."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sec_dl_spark.streaming.atomic import atomic_commit_batch, read_committed
+
+    sink = str(tmp_path_factory.mktemp("atomic_threads") / "sink")
+
+    def attempt(tag):
+        df = spark.range(0, 4).selectExpr("id", f"'{tag}' AS src")
+        return tag, atomic_commit_batch(df, sink, "r1", 7)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(attempt, ["t0", "t1", "t2", "t3"]))
+    winners = [tag for tag, won in results if won]
+    assert len(winners) == 1
+    got = {(r["id"], r["src"]) for r in read_committed(spark, sink).collect()}
+    assert got == {(i, winners[0]) for i in range(4)}
+
+
+def test_atomic_commit_reader_isolation_and_multi_batch(spark, tmp_path_factory):
+    """Different (run, batch) commits coexist; a crashed attempt that
+    staged data but never committed is invisible to readers."""
+    from sec_dl_spark.streaming.atomic import atomic_commit_batch, read_committed
+
+    sink = str(tmp_path_factory.mktemp("atomic_multi") / "sink")
+    assert read_committed(spark, sink) is None
+    assert atomic_commit_batch(spark.range(3).selectExpr("id"), sink, "r1", 0)
+    assert atomic_commit_batch(spark.range(3, 5).selectExpr("id"), sink, "r1", 1)
+    # a crashed writer: staging landed, manifest rename never happened
+    spark.range(900, 950).selectExpr("id").write.parquet(
+        f"{sink}/_staging/r1-2-deadbeef0000"
+    )
+    got = read_committed(spark, sink)
+    assert {r["id"] for r in got.collect()} == {0, 1, 2, 3, 4}
+    batches = {
+        (r["ingest_run"], r["ingest_batch"]) for r in got.select("ingest_run", "ingest_batch").collect()
+    }
+    assert batches == {("r1", 0), ("r1", 1)}
