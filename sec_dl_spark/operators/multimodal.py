@@ -8,7 +8,8 @@ UDF signature, batch shape) is real and tested; the actual codec work is
 stubbed behind import gates because image/audio libraries are not in this
 container: with_real_decoders=False uses a deterministic fake (stable
 feature vectors from the bytes), True raises NotImplementedError at the
-decode step only.
+decode step only. Exception: PCM WAV needs no external codec — decode_audio
+is a REAL stdlib-``wave`` decode path, tested round-trip.
 """
 
 from __future__ import annotations
@@ -229,6 +230,80 @@ def chunk_audio(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=CHUNKS_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_audio(media: DataFrame, downmix: bool = True) -> DataFrame:
+    """REAL audio decode for PCM WAV payloads — stdlib ``wave`` needs no
+    external codec, so unlike the other media stages this path is not a
+    gate: (media_id, kind, content) → (media_id, sample_rate, n_channels,
+    n_samples, duration_ms, samples FLOAT in [-1, 1)). 8/16/32-bit PCM;
+    multi-channel input downmixes to mono by mean (``downmix=False``
+    interleaves channels as stored). Rows whose kind is not 'wav' raise
+    NotImplementedError at decode — compressed formats (mp3/flac/ogg)
+    still need librosa/soundfile, which this container lacks; route them
+    through the gated stages.
+
+    Same Arrow-batched mapInPandas shape as the gated stages, so swapping
+    a library decoder in later changes one inner function, not the plan.
+    """
+
+    def _decode_wav(content: bytes):
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(content), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        try:
+            dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+        except KeyError:
+            raise NotImplementedError(f"unsupported PCM sample width {sw}")
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        # 8-bit WAV is unsigned (offset-binary); wider widths are signed
+        x = (x - 128.0) / 128.0 if sw == 1 else x / float(2 ** (8 * sw - 1))
+        if nch > 1 and downmix:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return sr, nch, x
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if content is None:
+                    continue
+                if kind != "wav":
+                    raise NotImplementedError(
+                        f"decode_audio handles PCM WAV via stdlib wave; kind "
+                        f"{kind!r} needs librosa/soundfile (not in this "
+                        "environment) — use the gated stages for fakes"
+                    )
+                sr, nch, x = _decode_wav(content)
+                frames = len(x) if (nch == 1 or downmix) else len(x) // nch
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(frames)
+                out["duration_ms"].append(int(frames * 1000 / sr) if sr else 0)
+                out["samples"].append(x.astype("float32"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 KEYFRAMES_SCHEMA = T.StructType(

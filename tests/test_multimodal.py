@@ -96,3 +96,72 @@ def test_select_keyframes_scene_changes(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real video"):
         select_keyframes(media, with_real_decoders=True).collect()
+
+
+def test_decode_audio_wav_roundtrip(spark):
+    """Real (non-stubbed) PCM WAV decode via stdlib wave: generate a known
+    16-bit mono sine + a stereo ramp, push them through the Arrow-batched
+    decode stage, and check rate/channels/length/values against the
+    generated signal (VERDICT r4 #8)."""
+    import io
+    import math
+    import wave
+
+    from sec_dl_spark.operators.multimodal import decode_audio
+
+    def make_wav(nch, sr, samples_per_ch):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = bytearray()
+            for i in range(samples_per_ch):
+                for ch in range(nch):
+                    v = int(
+                        20000 * math.sin(2 * math.pi * 440 * i / sr)
+                        if nch == 1
+                        else (i * (ch + 1)) % 3000
+                    )
+                    frames += v.to_bytes(2, "little", signed=True)
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    sr = 8000
+    mono = make_wav(1, sr, 800)  # 100 ms of 440 Hz
+    stereo = make_wav(2, sr, 400)
+    media = spark.createDataFrame(
+        [(1, "wav", bytearray(mono)), (2, "wav", bytearray(stereo))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_audio(media).collect()}
+
+    m = rows[1]
+    assert (m["sample_rate"], m["n_channels"], m["n_samples"]) == (sr, 1, 800)
+    assert m["duration_ms"] == 100
+    # decoded values match the generated sine to int16 quantization
+    for i in (0, 100, 271):
+        expect = int(20000 * math.sin(2 * math.pi * 440 * i / sr)) / 32768
+        assert abs(m["samples"][i] - expect) < 1e-6
+
+    s = rows[2]
+    assert (s["n_channels"], s["n_samples"]) == (2, 400)  # downmixed length
+    # mean of the two channel ramps at frame i: (i + 2i)/2 / 32768
+    for i in (1, 7):
+        expect = ((i % 3000) + (2 * i % 3000)) / 2 / 32768
+        assert abs(s["samples"][i] - expect) < 1e-6
+
+
+def test_decode_audio_rejects_compressed_kinds(spark):
+    """Only PCM WAV decodes for real; compressed formats still need the
+    absent codec libraries and must fail loudly, not fake silently."""
+    import pytest
+
+    from sec_dl_spark.operators.multimodal import decode_audio
+
+    media = spark.createDataFrame(
+        [(1, "mp3", bytearray(b"\xff\xfb\x90\x00"))],
+        "media_id long, kind string, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        decode_audio(media).collect()
