@@ -28,7 +28,12 @@ Scope: rename atomicity holds on HDFS and POSIX local filesystems.
 Object stores without atomic rename (S3) need a coordination service or
 a full table format (Delta/Iceberg) — the documented trade-off carried
 from the round-3 design note, now closed for every filesystem Spark's
-default committers target.
+default committers target. This layer serializes PHYSICAL commits of
+one (run, batch); two logically distinct runs racing to admit the same
+content into one corpus additionally need optimistic conflict detection
+at the registry level (re-validate the anti-join against commits that
+landed while the batch was in flight) — Delta's ConcurrentAppend model,
+noted here as the boundary of what file-level atomicity can give.
 """
 
 from __future__ import annotations
@@ -58,29 +63,61 @@ def atomic_commit_batch(
     share one), so the only contended operation is the manifest rename —
     atomic on HDFS/POSIX — and a reader can never observe a torn batch.
     """
-    spark = df.sparkSession
-    fs, Path = _fs(spark, path)
+    return atomic_commit_outputs({"data": (df, path)}, path, run, batch_id)
+
+
+def atomic_commit_outputs(
+    outputs: dict[str, tuple[DataFrame, str]],
+    log_path: str,
+    run: str,
+    batch_id: int,
+    partition_by: dict[str, list[str]] | None = None,
+) -> bool:
+    """Publish SEVERAL named outputs as ONE atomic (run, batch) commit —
+    the multi-sink form a dedup gate needs: the accepted documents and
+    their registry rows become visible together or not at all, so the
+    'batch dies between the two writes' window of the partition-overwrite
+    commit does not exist here, and a zombie writer's late duplicate
+    commit loses the manifest rename cleanly instead of interleaving.
+
+    ``outputs`` maps name → (DataFrame, target root); each stages under
+    its own root (data stays local to its sink) while the single manifest
+    lives under ``log_path``/_commits. ``partition_by`` optionally keys a
+    physical layout per output (e.g. the registry's fingerprint-bucket
+    dirs) — staging preserves it, so committed reads prune the same way
+    a direct write would."""
+    spark = next(iter(outputs.values()))[0].sparkSession
+    fs, Path = _fs(spark, log_path)
     attempt = uuid.uuid4().hex[:12]
-    staging = f"{path}/_staging/{run}-{batch_id}-{attempt}"
-    df.write.mode("error").parquet(staging)
+    staged: dict[str, str] = {}
+    for name, (df, root) in outputs.items():
+        staging = f"{root}/_staging/{run}-{batch_id}-{attempt}/{name}"
+        writer = df.write.mode("error")
+        cols = (partition_by or {}).get(name)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.parquet(staging)
+        staged[name] = staging
 
     manifest = json.dumps(
-        {"dir": staging, "ingest_run": run, "ingest_batch": batch_id}
+        {"dirs": staged, "ingest_run": run, "ingest_batch": batch_id}
     )
-    tmp = Path(f"{path}/_staging/.manifest-{run}-{batch_id}-{attempt}.json")
+    tmp = Path(f"{log_path}/_staging/.manifest-{run}-{batch_id}-{attempt}.json")
     out = fs.create(tmp, True)
     try:
         out.write(manifest.encode("utf-8"))
     finally:
         out.close()
 
-    commits_dir = Path(f"{path}/_commits")
+    commits_dir = Path(f"{log_path}/_commits")
     fs.mkdirs(commits_dir)
-    dst = Path(f"{path}/_commits/{run}-{batch_id}.json")
+    dst = Path(f"{log_path}/_commits/{run}-{batch_id}.json")
     won = fs.rename(tmp, dst)
     if not won:
         # another writer holds this (run, batch): withdraw this attempt
-        fs.delete(Path(staging), True)
+        for name, staging in staged.items():
+            sfs, SPath = _fs(spark, staging)
+            sfs.delete(SPath(f"{outputs[name][1]}/_staging/{run}-{batch_id}-{attempt}"), True)
         fs.delete(tmp, False)
     return bool(won)
 
@@ -92,10 +129,13 @@ def is_committed(spark: SparkSession, path: str, run: str, batch_id: int) -> boo
     return bool(fs.exists(Path(f"{path}/_commits/{run}-{batch_id}.json")))
 
 
-def read_committed(spark: SparkSession, path: str) -> DataFrame | None:
-    """Union of all PUBLISHED batches (manifest-listed directories only —
-    staging output is invisible), with ingest_run/ingest_batch columns
-    restored from the manifests. None if nothing has committed yet."""
+def read_committed(
+    spark: SparkSession, path: str, name: str = "data"
+) -> DataFrame | None:
+    """Union of all PUBLISHED batches of the ``name`` output
+    (manifest-listed directories only — staging output is invisible),
+    with ingest_run/ingest_batch columns restored from the manifests.
+    None if nothing has committed yet."""
     from pyspark.sql import functions as F
 
     fs, Path = _fs(spark, path)
@@ -107,13 +147,18 @@ def read_committed(spark: SparkSession, path: str) -> DataFrame | None:
         for st in fs.listStatus(commits)
         if st.getPath().getName().endswith(".json")
     ]
-    if not manifests:
+    dirs = [
+        (m["dirs"][name], m["ingest_run"], m["ingest_batch"])
+        for m in manifests
+        if name in m.get("dirs", {})
+    ]
+    if not dirs:
         return None
     parts = [
-        spark.read.parquet(m["dir"])
-        .withColumn("ingest_run", F.lit(m["ingest_run"]))
-        .withColumn("ingest_batch", F.lit(m["ingest_batch"]))
-        for m in manifests
+        spark.read.parquet(d)
+        .withColumn("ingest_run", F.lit(run))
+        .withColumn("ingest_batch", F.lit(batch))
+        for d, run, batch in dirs
     ]
     out = parts[0]
     for p in parts[1:]:

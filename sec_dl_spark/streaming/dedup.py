@@ -66,6 +66,7 @@ def incremental_dedup_sink(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    commit_mode: str = "overwrite",
 ):
     """docs readStream → historical-exact-dedup → accepted parquet commit.
 
@@ -74,29 +75,68 @@ def incremental_dedup_sink(
     distinct fingerprints against the bucket-pruned registry would be the
     100 TB refinement; at any scale the join is keyed by fingerprint, so
     it shuffles hashes, never text).
+
+    ``commit_mode="overwrite"`` (default) is the idempotent dynamic
+    partition overwrite described in the module docstring — retry-safe
+    for a single writer. ``commit_mode="atomic"`` publishes BOTH sinks
+    through one rename-arbitrated manifest (streaming/atomic.py): the
+    accepted docs and their registry rows appear together or not at all,
+    an already-committed batch is skipped outright on replay, and a
+    zombie writer's late duplicate commit loses the rename cleanly. In
+    atomic mode read the outputs via
+    ``read_committed(spark, registry_path, "accepted"|"registry")``.
     """
+    if commit_mode not in ("overwrite", "atomic"):
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
 
     run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from sec_dl_spark.streaming.atomic import (
+            atomic_commit_outputs,
+            is_committed,
+            read_committed,
+        )
+
         spark = batch_df.sparkSession
+        atomic = commit_mode == "atomic"
+        if atomic and is_committed(spark, registry_path, run, batch_id):
+            return  # replayed batch already published — nothing to redo
         _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         fp = _fingerprints(batch_df, id_col, text_col)
         # in-batch dedup: first id per fingerprint wins (deterministic)
         w = Window.partitionBy("_fp").orderBy(id_col)
         fresh = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-        seen = _try_read_parquet(spark, registry_path)
+        seen = (
+            read_committed(spark, registry_path, "registry")
+            if atomic
+            else _try_read_parquet(spark, registry_path)
+        )
         if seen is not None:
             # exclude this batch's own partition: a retry's earlier attempt
             # may have landed registry rows for these very documents
             seen = seen.where(_not_own_batch(run, batch_id))
             fresh = fresh.join(seen.select("_fp"), "_fp", "left_anti")
         survivors = fresh.drop("_rn").localCheckpoint(eager=True)
-        _commit_batch_partition(
-            survivors.drop("_fp", "_fp_bucket"), accepted_path, run, batch_id
+        accepted_df = survivors.drop("_fp", "_fp_bucket")
+        registry_df = survivors.select(
+            "_fp", "_fp_bucket", F.col(id_col).alias("canonical_id")
         )
+        if atomic:
+            atomic_commit_outputs(
+                {
+                    "accepted": (accepted_df, accepted_path),
+                    "registry": (registry_df, registry_path),
+                },
+                registry_path,
+                run,
+                batch_id,
+                partition_by={"registry": ["_fp_bucket"]},
+            )
+            return
+        _commit_batch_partition(accepted_df, accepted_path, run, batch_id)
         _commit_batch_partition(
-            survivors.select("_fp", "_fp_bucket", F.col(id_col).alias("canonical_id")),
+            registry_df,
             registry_path,
             run,
             batch_id,

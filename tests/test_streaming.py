@@ -624,3 +624,76 @@ def test_atomic_commit_reader_isolation_and_multi_batch(spark, tmp_path_factory)
         (r["ingest_run"], r["ingest_batch"]) for r in got.select("ingest_run", "ingest_batch").collect()
     }
     assert batches == {("r1", 0), ("r1", 1)}
+
+
+def test_atomic_dedup_sink_replay_and_zombie_commit(spark, tmp_path_factory):
+    """Sink-level wiring of the atomic log: incremental_dedup_sink in
+    atomic mode publishes accepted+registry through ONE manifest per
+    batch, a wiped-checkpoint replay short-circuits on the existing
+    commits (identical output, no rework), and a zombie writer's late
+    conflicting commit for an already-published batch loses the rename —
+    the corpus is byte-identical before and after."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.atomic import atomic_commit_outputs, read_committed
+    from sec_dl_spark.streaming.commit import run_token
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    src = tmp_path_factory.mktemp("at_src")
+    accepted = str(tmp_path_factory.mktemp("at_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("at_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("at_ckpt") / "ckpt")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "unrelated words")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+    spark.createDataFrame(
+        [(9, "alpha beta"), (10, "fresh content")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        incremental_dedup_sink(
+            stream, accepted, registry, ckpt, commit_mode="atomic"
+        ).awaitTermination(120)
+
+    run_once()
+    got = {
+        (r["doc_id"], r["text"])
+        for r in read_committed(spark, registry, "accepted").collect()
+    }
+    # in-batch dup (2) and historical dup (9) dropped, across batches
+    assert got == {(1, "alpha beta"), (3, "unrelated words"), (10, "fresh content")}
+
+    shutil.rmtree(ckpt)  # replay: every batch already committed → no-ops
+    run_once()
+    again = {
+        (r["doc_id"], r["text"])
+        for r in read_committed(spark, registry, "accepted").collect()
+    }
+    assert again == got
+
+    # zombie writer: a late conflicting commit for batch 0 must lose
+    run = run_token(ckpt)
+    zombie = spark.createDataFrame([(666, "evil overwrite")], schema)
+    won = atomic_commit_outputs(
+        {"accepted": (zombie, accepted), "registry": (zombie.limit(0), registry)},
+        registry,
+        run,
+        0,
+    )
+    assert won is False
+    final = {
+        (r["doc_id"], r["text"])
+        for r in read_committed(spark, registry, "accepted").collect()
+    }
+    assert final == got
