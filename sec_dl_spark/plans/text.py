@@ -1553,3 +1553,145 @@ def sample_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "text_passage_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tiles AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS passage
+      FROM tk, UNNEST(range(CAST(len(toks) // 8 AS BIGINT))) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, tile_idx,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, tile_idx) AS rn
+      FROM tiles
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) duplication audit — the span-dedup
+    signal training pipelines act on when whole-document dedup misses
+    copied sections (the fixture plants them; 1000+ 8-grams repeat across
+    docs at sf0.01). Text tiles into non-overlapping 8-token passages;
+    a passage is a duplicate when an identical passage exists earlier in
+    (doc_id, tile) order. One shuffle keyed by the passage; at 100 TB the
+    key would be xxhash64(passage) so the exchange carries 8 bytes per
+    passage instead of the string (same composition, cheaper payload —
+    kept as the string here for oracle portability)."""
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
+    tiles = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 8 - 1), "
+                "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+            )
+        ).alias("tile_idx", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "tile_idx")
+    ranked = tiles.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_passages"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(CAST(c12 AS DOUBLE) / c1)) + 1e-9, 4) AS avg_logprob
+    FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style quality scoring without KenLM: a corpus-trained bigram
+    LM (P(w2|w1) = c12/c1, maximum likelihood — every scored bigram is in
+    the corpus by construction, so no smoothing term) scores each doc by
+    mean log-likelihood. Low scores flag gibberish/outlier docs — the
+    perplexity filter of C4/CCNet pipelines, expressed as two aggregations
+    and a broadcast join: the model table is O(vocab²) (tiny next to the
+    corpus), so scoring is map-side — the corpus text never reshuffles."""
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 2)
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = bi.join(uni, "w1")
+    return (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c12").cast("double") / F.col("c1"))) + 1e-9, 4
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_word_entropy",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c) + 1e-9, 4) AS entropy
+    FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy — low entropy flags
+    repetitive/templated text (the Gopher repetition family's
+    information-theoretic cousin). Uses H = ln(n) − Σc·ln(c)/n so the
+    whole computation is two partial-aggregating groupBys; the wide text
+    never shuffles, only (doc_id, word, count) triples do."""
+    tk = tok_docs(spark, sf_dir)
+    wc = (
+        tk.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
+                + 1e-9,
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
