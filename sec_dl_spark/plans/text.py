@@ -1695,3 +1695,19 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("emb_semantic_dedup", oracle=None)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings fixture: k-means cells bound the pair
+    space, within-cell cosine >= 0.35 collapses to the smallest id (0.35
+    keeps the gate non-vacuous — the synthetic corpus tops out near cos
+    0.5). Rows-only: cell assignments come from the seeded k-means fit,
+    which has no SQL oracle; the greedy-collapse semantics are pinned by
+    the planted-cluster pytest (operators/similarity.py:semantic_dedup)."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        similarity.semantic_dedup(e, threshold=0.35, n_cells=8)
+        .select("vec_id", "cell", "keep", "dup_of")
+        .orderBy("vec_id")
+    )

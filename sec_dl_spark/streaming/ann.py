@@ -1,0 +1,75 @@
+"""Streaming ANN query serving: a stream of query vectors answered from a
+persisted IVF-PQ index (operators/similarity.py) — the online half of the
+build-once/serve-many split. Each micro-batch of queries probes the
+cell-partitioned codes, scores with the ADC kernel, exact-reranks against
+the full-precision corpus, and commits results idempotently per (run,
+batch) — the serving layout a 100 TB vector store runs: the index builds
+offline at corpus cadence, queries arrive continuously, and nothing
+retrains on the query path.
+
+The index loads ONCE per sink (codebooks/centroids are a few KB; the
+encoded codes DataFrame is cached so repeated batches share the scan),
+not per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sec_dl_spark.streaming.commit import (
+    commit_batch_partition,
+    run_token,
+)
+
+
+def ann_query_sink(
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int = 32,
+    kernel: str = "adc",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """queries readStream → IVF-PQ top-k per micro-batch → parquet commit.
+
+    Results carry (query_id, neighbor_id, cosine_sim, rank) under the
+    usual (ingest_run, ingest_batch) partitions; a retried batch
+    overwrites its own earlier output. The per-batch query-side size
+    guard rides along from ivfpq_topk (an oversized batch fails loudly
+    rather than OOMing the driver mid-collect)."""
+    from sec_dl_spark.operators.similarity import ivfpq_topk, read_ivfpq_index
+
+    run = run_token(checkpoint_dir)
+    holder: dict = {}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = holder.get("idx")
+        if idx is None:
+            idx = read_ivfpq_index(spark, index_path)
+            idx.encoded.persist()
+            holder["idx"] = idx
+        out = ivfpq_topk(
+            corpus,
+            idx,
+            batch_df,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_probe=n_probe,
+            rerank=rerank,
+            kernel=kernel,
+        )
+        commit_batch_partition(out, output_path, run, batch_id)
+
+    return (
+        queries_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

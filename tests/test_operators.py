@@ -903,3 +903,32 @@ def test_mixture_sample_large_keys_ansi_safe(spark):
     )
     kept = deterministic_mixture_sample(ids, {"en": 0.3}).count()
     assert 0.2 * 1000 < kept < 0.4 * 1000, kept
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    """SemDeDup greedy collapse on planted near-dup clusters: every
+    group's smallest id survives (no smaller-id vector anywhere is
+    semantically close to it), most other members drop, and verdicts are
+    deterministic across runs."""
+    from sec_dl_spark.operators.similarity import semantic_dedup
+
+    n_clusters, per = 30, 6
+    emb = _clustered_embeddings(spark, n_clusters=n_clusters, per_cluster=per)
+    out = semantic_dedup(emb, threshold=0.85, n_cells=30).collect()
+    verdict = {r["vec_id"]: r for r in out}
+    assert len(verdict) == emb.count()  # one verdict per vector
+    planted = n_clusters * per
+    group_mins = [g * per for g in range(n_clusters)]
+    assert all(verdict[m]["keep"] for m in group_mins)
+    kept_planted = sum(1 for v in range(planted) if verdict[v]["keep"])
+    # most planted redundancy collapses (k-means cell splits may spare a
+    # few members; SemDeDup accepts that miss by design)
+    assert kept_planted <= 2 * n_clusters, kept_planted
+    # dropped rows name a smaller-id duplicate
+    for v in range(planted):
+        r = verdict[v]
+        if not r["keep"]:
+            assert r["dup_of"] is not None and r["dup_of"] < v
+    again = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in
+             semantic_dedup(emb, threshold=0.85, n_cells=30).collect()}
+    assert again == {k: (r["keep"], r["dup_of"]) for k, r in verdict.items()}

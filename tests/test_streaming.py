@@ -697,3 +697,58 @@ def test_atomic_dedup_sink_replay_and_zombie_commit(spark, tmp_path_factory):
         for r in read_committed(spark, registry, "accepted").collect()
     }
     assert final == got
+
+
+def test_ann_query_sink_matches_batch_serving(spark, tmp_path_factory):
+    """Streaming ANN serving: two micro-batches of queries answered from
+    the persisted IVF-PQ index produce exactly the rows batch ivfpq_topk
+    returns for the same queries — serving is stateless per batch, so
+    stream/batch parity must be exact."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from sec_dl_spark.streaming.ann import ann_query_sink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    index_path = str(tmp_path_factory.mktemp("ann_idx") / "ivfpq")
+    out_path = str(tmp_path_factory.mktemp("ann_out") / "results")
+    ckpt = str(tmp_path_factory.mktemp("ann_ckpt") / "ckpt")
+    qsrc = tmp_path_factory.mktemp("ann_queries")
+
+    write_ivfpq_index(build_ivfpq_index(emb, n_cells=8), index_path)
+
+    q1 = emb.where(F.col("vec_id") < 3)
+    q2 = emb.where(F.col("vec_id").between(3, 5))
+    q1.coalesce(1).write.parquet(f"{qsrc}/f0")
+    q2.coalesce(1).write.parquet(f"{qsrc}/f1")
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{qsrc}/*")
+    )
+    ann_query_sink(stream, emb, index_path, out_path, ckpt, k=5).awaitTermination(180)
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    idx = read_ivfpq_index(spark, index_path)
+    expect = {
+        tuple(r)
+        for r in ivfpq_topk(emb, idx, emb.where(F.col("vec_id") < 6), k=5).collect()
+    }
+    assert got == expect and len(got) == 30  # 6 queries × k
