@@ -451,6 +451,46 @@ def dequantize(q_col: Column, scale_col: Column) -> Column:
     return F.transform(q_col, lambda v: v.cast("double") * scale_col)
 
 
+# above this many sample elements (rows × dim) the training sample stays
+# distributed; below it, one collect + vectorized numpy Lloyd's replaces m
+# sequential Spark fits (each a scheduler round-trip) — the sample is
+# driver-sized by construction (max_train_rows), so this is the common case
+_DRIVER_FIT_MAX_ELEMS = 50_000_000
+
+
+def _kmeans_np(X, k: int, seed: int, max_iter: int):
+    """Seeded vectorized Lloyd's with k-means++ init on a driver-local
+    sample — deterministic for a given (X, k, seed). Duplicates in the
+    init draw and emptied clusters both re-seed from the farthest point,
+    so k distinct centroids survive whenever the data has k distinct
+    rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[i] = X[rng.randint(n)]
+            continue
+        centers[i] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        # assign: argmin ||x-c||² = argmin ||c||² − 2x·c (one matmul)
+        dist = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+        assign = dist.argmin(axis=1)
+        for i in range(k):
+            mask = assign == i
+            if mask.any():
+                centers[i] = X[mask].mean(axis=0)
+            else:
+                centers[i] = X[dist.min(axis=1).argmax()]
+    return centers
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -469,32 +509,60 @@ def pq_train_codebooks(
     vector (one centroid id per subspace), the layout IVF-PQ engines use
     at billion scale. Training is O(sample), not O(corpus): when the
     corpus exceeds ``max_train_rows`` a seeded Bernoulli sample (capped
-    with ``limit``) is taken ONCE, cached, and reused by all m fits —
-    codebook quality saturates around ~100k training vectors (the
-    standard faiss guidance), so full-corpus fits at 100 TB would be m
-    sequential full-table passes for no recall gain. Pass
-    ``max_train_rows=None`` to force full-corpus training.
-    """
+    with ``limit``) is taken ONCE and reused by all m fits — codebook
+    quality saturates around ~100k training vectors (the standard faiss
+    guidance), so full-corpus fits at 100 TB would be m sequential
+    full-table passes for no recall gain. Pass ``max_train_rows=None``
+    to force full-corpus training.
+
+    Because the sample is driver-sized by construction, the m fits run
+    as ONE collect + vectorized numpy Lloyd's when the sample is small
+    enough (_DRIVER_FIT_MAX_ELEMS) — m Spark ML fits on a few hundred
+    rows cost m scheduler round-trips for no quality gain. Larger
+    samples (or ``max_train_rows=None``) keep the distributed Spark ML
+    fit. Both paths are deterministic under ``seed``; recall floors are
+    pinned by the PQ/IVF-PQ pytest suite either way."""
+    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.select(F.col(vec_col).alias("_v"))
-    if max_train_rows is not None:
-        n = vecs.count()
-        if n > max_train_rows:
-            # Bernoulli sampling is approximate — oversample 5% then cap
-            # with limit so the fit input is firmly bounded.
-            frac = min(1.0, 1.05 * max_train_rows / n)
-            vecs = vecs.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("empty training corpus")
+    if max_train_rows is not None and n > max_train_rows:
+        # Bernoulli sampling is approximate — oversample 5% then cap
+        # with limit so the fit input is firmly bounded.
+        frac = min(1.0, 1.05 * max_train_rows / n)
+        vecs = vecs.sample(fraction=frac, seed=seed).limit(max_train_rows)
+        n = max_train_rows
+    first = vecs.select("_v").first()
+    if first is None:
+        raise ValueError("empty training corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    if max_train_rows is not None and n * dim <= _DRIVER_FIT_MAX_ELEMS:
+        X = np.asarray(
+            [r[0] for r in vecs.collect()], dtype=np.float64
+        )  # bounded: ≤ max_train_rows × dim
+        return [
+            (
+                j,
+                [
+                    [float(x) for x in c]
+                    for c in _kmeans_np(
+                        X[:, j * sub : (j + 1) * sub], n_centroids, seed + j, max_iter
+                    )
+                ],
+            )
+            for j in range(m)
+        ]
+
     vecs = vecs.persist()
     try:
-        first = vecs.select("_v").first()
-        if first is None:
-            raise ValueError("empty training corpus")
-        dim = len(first[0])
-        if dim % m != 0:
-            raise ValueError(f"dim {dim} not divisible by m={m}")
-        sub = dim // m
         books = []
         for j in range(m):
             feats = vecs.select(

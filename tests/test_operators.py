@@ -932,3 +932,21 @@ def test_semantic_dedup_collapses_planted_groups(spark):
     again = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in
              semantic_dedup(emb, threshold=0.85, n_cells=30).collect()}
     assert again == {k: (r["keep"], r["dup_of"]) for k, r in verdict.items()}
+
+
+def test_pq_training_distributed_path_still_works(spark, monkeypatch):
+    """The Spark ML fallback for training samples too large to collect
+    must stay live (the numpy fast path now covers every small-sample
+    call): force it via the element threshold and check codebook shape,
+    determinism, and that encoding still round-trips through it."""
+    from sec_dl_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_DRIVER_FIT_MAX_ELEMS", 0)
+    emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=4, n_noise=40)
+    books = similarity.pq_train_codebooks(emb, m=4, n_centroids=8, seed=1)
+    assert [j for j, _ in books] == [0, 1, 2, 3]
+    assert all(len(c) == 8 and len(c[0]) == 8 for _, c in books)  # dim 32 / m 4
+    again = similarity.pq_train_codebooks(emb, m=4, n_centroids=8, seed=1)
+    assert books == again
+    codes = similarity.pq_encode(emb, books).select("pq_codes").first()[0]
+    assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
