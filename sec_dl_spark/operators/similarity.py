@@ -193,6 +193,78 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
+def _coarse_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    max_train_rows: int = 100_000,
+):
+    """Shared coarse quantizer for the IVF family (IVF, IVF-PQ, SemDeDup):
+    fit ``n_cells`` centroids on the L2-normalized corpus — euclidean on
+    normalized vectors orders like cosine — then assign EVERY row to its
+    nearest centroid in one vectorized Arrow pass (a batch × n_cells
+    matmul, the same transport as pq_encode).
+
+    Training is O(sample) like PQ training: coarse cells only need a
+    rough Voronoi partition, and a full-corpus fit at 100 TB would be
+    several full-table passes for no recall gain (probes rerank exactly;
+    cell quality only shifts recall at the margin — pinned by the
+    recall-floor tests). Driver-sized samples use the vectorized numpy
+    Lloyd's; larger ones the distributed Spark ML fit. Deterministic
+    under ``seed`` either way. Returns (assigned(id, vec, cell),
+    centroids as plain lists)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    n = corpus.count()
+    sample = corpus.select(F.col(vec_col).alias("_v"))
+    if n > max_train_rows:
+        frac = min(1.0, 1.05 * max_train_rows / n)
+        sample = sample.sample(fraction=frac, seed=seed).limit(max_train_rows)
+        n = max_train_rows
+    first = sample.first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+
+    if n * dim <= _DRIVER_FIT_MAX_ELEMS:
+        X = _norm_rows(np.asarray([r[0] for r in sample.collect()], dtype=np.float64))
+        centers = _kmeans_np(X, n_cells, seed, max_iter=4)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = sample.select(
+            array_to_vector(normalize_vec(F.col("_v"))).alias("features")
+        )
+        km = KMeans(
+            k=n_cells, seed=seed, maxIter=4, initSteps=1,
+            featuresCol="features", predictionCol="cell",
+        )
+        centers = np.asarray(
+            [[float(x) for x in c] for c in km.fit(feats).clusterCenters()]
+        )
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        M = _norm_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        d = (centers**2).sum(axis=1)[None, :] - 2.0 * (M @ centers.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    assigned = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    return assigned, [[float(x) for x in c] for c in centers]
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,35 +285,16 @@ def cosine_topk_ivf(
     a query touches n_probe partitions instead of the whole table. The
     centroid table (n_cells rows) broadcasts. Deterministic under the fixed
     k-means seed. Returns (query_id, neighbor_id, cosine_sim, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     _require_small_queries(queries, max_queries)
-
-    c_feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
+    cells, centers = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
+    assigned = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )
-    # coarse cells only need a rough Voronoi partition — 4 Lloyd iterations
-    # and a single k-means|| init step are plenty (the defaults just
-    # multiply fit jobs; probes rerank exactly, so cell quality only
-    # shifts recall at the margin — pinned by the recall-floor tests)
-    km = KMeans(
-        k=n_cells,
-        seed=seed,
-        maxIter=4,
-        initSteps=1,
-        featuresCol="features",
-        predictionCol="cell",
-    )
-    model = km.fit(c_feat)
-    assigned = model.transform(c_feat).select("neighbor_id", "c_vec", "cell")
 
     centroids = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-            ["cell", "centroid"],
+            [(i, ctr) for i, ctr in enumerate(centers)],
+            "cell int, centroid array<double>",
         )
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -383,19 +436,10 @@ def semantic_dedup(
     executor-local per cell (SemDeDup's own trick; cross-cluster dups are
     the accepted miss, measured <1% in the paper). Returns one row per
     vector: (id, cell, keep, dup_of nullable)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
+    cells, _ = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
+    assigned = cells.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "cell"
     )
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=4, initSteps=1,
-        featuresCol="features", predictionCol="cell",
-    )
-    assigned = km.fit(feat).transform(feat).select("vec_id", "vec", "cell")
     left = assigned.select("cell", F.col("vec_id").alias("a"), F.col("vec").alias("va"))
     right = assigned.select("cell", F.col("vec_id").alias("b"), F.col("vec").alias("vb"))
     dup_pairs = (
@@ -456,6 +500,15 @@ def dequantize(q_col: Column, scale_col: Column) -> Column:
 # sequential Spark fits (each a scheduler round-trip) — the sample is
 # driver-sized by construction (max_train_rows), so this is the common case
 _DRIVER_FIT_MAX_ELEMS = 50_000_000
+
+
+def _norm_rows(M):
+    """Row-wise L2 normalization (zero rows pass through unchanged)."""
+    import numpy as np
+
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms
 
 
 def _kmeans_np(X, k: int, seed: int, max_iter: int):
@@ -727,29 +780,16 @@ def build_ivfpq_index(
     caps at ``max_train_rows``); encoding is one model.transform pass +
     one Arrow pass. At 100 TB this runs once per corpus build; every
     query batch then reads only the (4 + m)-byte encoded rows of its
-    probed cells — re-training per query batch (the old one-shot shape)
+    probed cells — re-training per query batch (the one-shot shape)
     would be m + 1 k-means fits on the serving path."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c_feat = corpus.select(
-        F.col(id_col).alias(id_col),
-        F.col(vec_col).alias("_v"),
-        array_to_vector(normalize_vec(F.col(vec_col))).alias("features"),
-    )
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=4, initSteps=1,
-        featuresCol="features", predictionCol="cell",
-    )
-    model = km.fit(c_feat)
+    cells, centroids = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
     books = pq_train_codebooks(
         corpus, vec_col=vec_col, m=m, n_centroids=n_centroids, seed=seed,
         max_train_rows=max_train_rows,
     )
-    encoded = pq_encode(
-        model.transform(c_feat).select(id_col, "_v", "cell"), books, vec_col="_v"
-    ).select(id_col, "cell", "pq_codes")
-    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    encoded = pq_encode(cells, books, vec_col=vec_col).select(
+        id_col, "cell", "pq_codes"
+    )
     return IvfPqIndex(centroids, books, encoded, id_col)
 
 
