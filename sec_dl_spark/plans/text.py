@@ -1711,3 +1711,49 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", "keep", "dup_of")
         .orderBy("vec_id")
     )
+
+
+# Memoized BPE merges per (session, sf_dir) — training reads the word
+# frequency table once (same build-once discipline as fts_index/tok_docs);
+# encode is the distributed half and runs per query.
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    from sec_dl_spark.functions.bpe import bpe_train
+
+    key = (id(spark), sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    merges = bpe_train(t(spark, sf_dir, "documents"), n_merges=200)
+    _BPE_CACHE[key] = (spark, merges)
+    return merges
+
+
+@query("text_bpe_tokens", oracle=None)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE token accounting (functions/bpe.py): merges
+    learned once from the word-frequency table (driver-side, vocab-sized
+    input), documents encoded distributed with the ranks broadcast in the
+    UDF closure. n_bpe >= n_words always (a word is >= 1 subword);
+    compression = words/subwords rises as merges cover the vocabulary.
+    Rows-only: the learned merge table has no SQL oracle; merge/encode
+    semantics are pinned by the round-trip pytest."""
+    from sec_dl_spark.functions.bpe import bpe_encode_udf
+
+    merges = _bpe_merges(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    enc = bpe_encode_udf(merges)
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokenize(F.col("text"))).cast("long").alias("n_words"),
+            F.size(enc(F.col("text"))).cast("long").alias("n_bpe"),
+        )
+        .withColumn(
+            "bpe_per_word",
+            F.round(F.col("n_bpe") / F.greatest(F.col("n_words"), F.lit(1)) + 1e-9, 4),
+        )
+        .orderBy("doc_id")
+    )

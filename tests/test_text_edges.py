@@ -118,3 +118,38 @@ def test_pii_email_pattern_case_insensitive(spark):
         F.regexp_replace("t", PII_EMAIL, "<EMAIL>").alias("red")
     ).collect()[0]["red"]
     assert out == "reach <EMAIL> or <EMAIL> today"
+
+
+def test_bpe_train_and_encode_roundtrip(spark):
+    """Corpus-trained BPE: deterministic merges (frequency then
+    lexicographic tie-break), greedy encode reconstructs the original
+    words by concatenation, and frequent words collapse toward single
+    tokens as merges accumulate."""
+    from sec_dl_spark.functions.bpe import (
+        EOW,
+        _segment_word,
+        bpe_encode_udf,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    merges = bpe_train(df, n_merges=30)
+    # most frequent pair is (e,s): 9 occurrences (newest×6 + widest×3),
+    # tied with (s,t) and (t,</w>) — lexicographic tie-break picks (e,s)
+    assert merges[0] == ("e", "s")
+    assert merges == bpe_train(df, n_merges=30)  # deterministic
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # with 30 merges this tiny vocab fully collapses
+    assert _segment_word("newest", ranks) == ["newest" + EOW]
+    # unseen word still segments (into known subwords/chars) and round-trips
+    for w in ("newest", "lowest", "zq"):
+        seg = _segment_word(w, ranks)
+        assert "".join(seg).replace(EOW, "") == w
+
+    toks = df.select(bpe_encode_udf(merges)(F.col("text")).alias("t")).first()["t"]
+    assert "".join(toks).replace(EOW, "") == text.replace(" ", "")
+    # 16 words → exactly 16 end-of-word markers survive encoding
+    assert sum(1 for t in toks if t.endswith(EOW)) == 16
