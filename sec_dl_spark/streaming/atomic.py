@@ -142,28 +142,108 @@ def read_committed(
     commits = Path(f"{path}/_commits")
     if not fs.exists(commits):
         return None
-    manifests = [
-        json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8"))
+    entries = [
+        (st.getPath().getName(), json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8")))
         for st in fs.listStatus(commits)
         if st.getPath().getName().endswith(".json")
     ]
-    dirs = [
-        (m["dirs"][name], m["ingest_run"], m["ingest_batch"])
-        for m in manifests
-        if name in m.get("dirs", {})
-    ]
-    if not dirs:
+    checkpoints = [(f, m) for f, m in entries if "checkpoint" in m]
+    covered: set[str] = set()
+    parts = []
+    if checkpoints:
+        # latest checkpoint supersedes everything it covers; its data
+        # already carries the ingest_run/ingest_batch columns
+        _, latest = max(checkpoints, key=lambda fm: fm[1]["checkpoint"])
+        covered = set(latest["covers"])
+        if name in latest.get("dirs", {}):
+            parts.append(spark.read.parquet(latest["dirs"][name]))
+    for fname, m in entries:
+        if "checkpoint" in m or fname in covered or name not in m.get("dirs", {}):
+            continue
+        parts.append(
+            spark.read.parquet(m["dirs"][name])
+            .withColumn("ingest_run", F.lit(m["ingest_run"]))
+            .withColumn("ingest_batch", F.lit(m["ingest_batch"]))
+        )
+    if not parts:
         return None
-    parts = [
-        spark.read.parquet(d)
-        .withColumn("ingest_run", F.lit(run))
-        .withColumn("ingest_batch", F.lit(batch))
-        for d, run, batch in dirs
-    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compact_committed(spark: SparkSession, log_path: str) -> bool:
+    """Checkpoint the manifest log (the Delta-checkpoint analog): rewrite
+    every currently-committed batch of every output into one consolidated
+    directory per output, publish a single ``checkpoint-<g>.json``
+    manifest that supersedes the covered manifests, then delete the
+    covered manifests and their now-redundant staged data. Without this,
+    a long-running sink's readers union one parquet read per batch ever
+    committed — compaction restores O(1) manifests + O(outputs) reads.
+
+    Safe under the same rename arbitration as batch commits: generation
+    ``g`` increments per compaction, two racing compactors collide on the
+    ``checkpoint-<g>.json`` rename and the loser withdraws. A writer
+    committing a NEW batch during compaction is untouched — its manifest
+    is not in ``covers`` and stays visible beside the checkpoint. Returns
+    False if this attempt lost the race (state unchanged).
+
+    Vacuum caveat (same as any table format): covered data dirs are
+    deleted immediately after the checkpoint publishes, so a reader that
+    listed manifests BEFORE the compaction and reads data AFTER it can
+    miss files — long-lived readers should re-list, or deletion can be
+    deferred by the caller."""
+    from pyspark.sql import functions as F  # noqa: F401 — parity with read path
+
+    fs, Path = _fs(spark, log_path)
+    commits = Path(f"{log_path}/_commits")
+    if not fs.exists(commits):
+        return False
+    entries = [
+        (st.getPath().getName(), json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8")))
+        for st in fs.listStatus(commits)
+        if st.getPath().getName().endswith(".json")
+    ]
+    if not entries:
+        return False
+    gen = 1 + max(
+        (m.get("checkpoint", 0) for _, m in entries), default=0
+    )
+    names = sorted({n for _, m in entries for n in m.get("dirs", {})})
+    attempt = uuid.uuid4().hex[:12]
+    staged: dict[str, str] = {}
+    for name in names:
+        df = read_committed(spark, log_path, name)
+        out_dir = f"{log_path}/_checkpoints/{gen}-{attempt}/{name}"
+        df.write.mode("error").parquet(out_dir)
+        staged[name] = out_dir
+
+    manifest = json.dumps(
+        {
+            "checkpoint": gen,
+            "dirs": staged,
+            "covers": sorted(fname for fname, _ in entries),
+        }
+    )
+    tmp = Path(f"{log_path}/_staging/.checkpoint-{gen}-{attempt}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(manifest.encode("utf-8"))
+    finally:
+        out.close()
+    dst = Path(f"{log_path}/_commits/checkpoint-{gen}.json")
+    won = fs.rename(tmp, dst)
+    if not won:
+        fs.delete(Path(f"{log_path}/_checkpoints/{gen}-{attempt}"), True)
+        fs.delete(tmp, False)
+        return False
+    # vacuum the superseded manifests and their staged data
+    for fname, m in entries:
+        for d in m.get("dirs", {}).values():
+            fs.delete(Path(d), True)
+        fs.delete(Path(f"{log_path}/_commits/{fname}"), False)
+    return True
 
 
 def _read_small_file(fs, jpath) -> bytearray:

@@ -752,3 +752,48 @@ def test_ann_query_sink_matches_batch_serving(spark, tmp_path_factory):
         for r in ivfpq_topk(emb, idx, emb.where(F.col("vec_id") < 6), k=5).collect()
     }
     assert got == expect and len(got) == 30  # 6 queries × k
+
+
+def test_atomic_log_compaction_preserves_view(spark, tmp_path_factory):
+    """Checkpointing the manifest log: after compaction the reader sees
+    identical rows from ONE manifest, later commits land beside the
+    checkpoint, and a second compaction folds both in. Batch identity
+    (ingest_run/ingest_batch) survives the rewrite."""
+    import os
+
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_batch,
+        compact_committed,
+        read_committed,
+    )
+
+    sink = str(tmp_path_factory.mktemp("compact_log") / "sink")
+    for b in range(3):
+        assert atomic_commit_batch(
+            spark.range(b * 10, b * 10 + 3).selectExpr("id"), sink, "r1", b
+        )
+    before = {
+        (r["id"], r["ingest_run"], r["ingest_batch"])
+        for r in read_committed(spark, sink).collect()
+    }
+    assert len(before) == 9
+
+    assert compact_committed(spark, sink) is True
+    manifests = [f for f in os.listdir(f"{sink}/_commits") if f.endswith(".json")]
+    assert manifests == ["checkpoint-1.json"]
+    after = {
+        (r["id"], r["ingest_run"], r["ingest_batch"])
+        for r in read_committed(spark, sink).collect()
+    }
+    assert after == before
+
+    # a commit after compaction is additive, and a second compaction
+    # folds checkpoint + new batch into generation 2
+    assert atomic_commit_batch(spark.range(100, 102).selectExpr("id"), sink, "r1", 3)
+    assert {r["id"] for r in read_committed(spark, sink).collect()} == (
+        {r for r, _, _ in before} | {100, 101}
+    )
+    assert compact_committed(spark, sink) is True
+    manifests = [f for f in os.listdir(f"{sink}/_commits") if f.endswith(".json")]
+    assert manifests == ["checkpoint-2.json"]
+    assert len(read_committed(spark, sink).collect()) == 11
