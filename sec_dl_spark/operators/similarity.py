@@ -247,6 +247,23 @@ def _coarse_cells(
             [[float(x) for x in c] for c in km.fit(feats).clusterCenters()]
         )
 
+    centroids = [[float(x) for x in c] for c in centers]
+    return assign_cells(corpus, centroids, id_col, vec_col), centroids
+
+
+def assign_cells(
+    df: DataFrame, centroids: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid cell assignment (cosine order via normalized
+    euclidean) in one vectorized Arrow pass — the serve/maintain-time
+    half of the coarse quantizer, usable against STORED centroids (e.g.
+    appending new vectors to a persisted IVF-PQ index without
+    retraining)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    centers = np.asarray(centroids, dtype=np.float64)
+
     @F.pandas_udf(IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
         import numpy as np
@@ -257,12 +274,11 @@ def _coarse_cells(
         d = (centers**2).sum(axis=1)[None, :] - 2.0 * (M @ centers.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    assigned = corpus.select(
+    return df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).alias(vec_col),
         cell_of(F.col(vec_col)).alias("cell"),
     )
-    return assigned, [[float(x) for x in c] for c in centers]
 
 
 def cosine_topk_ivf(
@@ -818,15 +834,31 @@ def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
 
 def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
     """Load a persisted IVF-PQ index. The encoded scan keeps ``cell`` as
-    a partition column, so serve-time joins on it prune directories."""
+    a partition column, so serve-time joins on it prune directories.
+    Streamed appends (streaming/ann.py:incremental_ann_index_sink) live
+    under ``increments`` with the same (cell, codes) content keyed by
+    (run, batch) — they union in here, so a loaded index always serves
+    the base build plus everything committed since."""
     import json as _json
+
+    from sec_dl_spark.util import try_read_parquet
 
     meta = _json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
     books = [(int(j), c) for j, c in meta["codebooks"]]
-    encoded = spark.read.parquet(f"{path}/encoded").withColumn(
-        "cell", F.col("cell").cast("int")
+    id_col = meta["id_col"]
+    encoded = (
+        spark.read.parquet(f"{path}/encoded")
+        .withColumn("cell", F.col("cell").cast("int"))
+        .select(id_col, "cell", "pq_codes")
     )
-    return IvfPqIndex(meta["centroids"], books, encoded, meta["id_col"])
+    inc = try_read_parquet(spark, f"{path}/increments")
+    if inc is not None:
+        encoded = encoded.unionByName(
+            inc.withColumn("cell", F.col("cell").cast("int")).select(
+                id_col, "cell", "pq_codes"
+            )
+        )
+    return IvfPqIndex(meta["centroids"], books, encoded, id_col)
 
 
 def ivfpq_topk(

@@ -15,11 +15,57 @@ not per batch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sec_dl_spark.streaming.commit import (
     commit_batch_partition,
     run_token,
 )
+
+
+def incremental_ann_index_sink(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maintain a persisted IVF-PQ index from a vector stream: each
+    micro-batch assigns cells against the STORED centroids and encodes
+    with the STORED codebooks (no retraining on the ingest path — the
+    faiss add() discipline), committing (id, cell, pq_codes) rows under
+    ``increments`` keyed by (run, batch, cell). read_ivfpq_index unions
+    base + increments, so queries see appended vectors as soon as their
+    batch commits. Centroid/codebook drift under distribution shift is
+    the documented trade-off — fold-in happens at the next offline
+    rebuild, exactly as in IVF services."""
+    import json as _json
+
+    from sec_dl_spark.operators.similarity import assign_cells, pq_encode
+
+    run = run_token(checkpoint_dir)
+    holder: dict = {}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta = holder.get("meta")
+        if meta is None:
+            meta = _json.loads(spark.read.json(f"{index_path}/meta").collect()[0]["meta"])
+            meta["codebooks"] = [(int(j), c) for j, c in meta["codebooks"]]
+            holder["meta"] = meta
+        enc = pq_encode(
+            assign_cells(batch_df, meta["centroids"], id_col, vec_col),
+            meta["codebooks"],
+            vec_col=vec_col,
+        ).select(F.col(id_col).alias(meta["id_col"]), "cell", "pq_codes")
+        commit_batch_partition(enc, f"{index_path}/increments", run, batch_id, "cell")
+
+    return (
+        vectors_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def ann_query_sink(

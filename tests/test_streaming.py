@@ -797,3 +797,63 @@ def test_atomic_log_compaction_preserves_view(spark, tmp_path_factory):
     manifests = [f for f in os.listdir(f"{sink}/_commits") if f.endswith(".json")]
     assert manifests == ["checkpoint-2.json"]
     assert len(read_committed(spark, sink).collect()) == 11
+
+
+def test_incremental_ann_index_append_matches_full_encode(spark, tmp_path_factory):
+    """Streaming index maintenance: vectors appended through the sink are
+    encoded with the STORED centroids/codebooks, so serving from
+    base+increments must exactly equal serving from an index whose
+    encoded table was produced in one pass over the full corpus with the
+    same frozen model."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.operators.similarity import (
+        IvfPqIndex,
+        assign_cells,
+        build_ivfpq_index,
+        ivfpq_topk,
+        pq_encode,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from sec_dl_spark.streaming.ann import incremental_ann_index_sink
+
+    full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = full.where(F.col("vec_id") < 80)
+    tail = full.where(F.col("vec_id") >= 80)
+    index_path = str(tmp_path_factory.mktemp("inc_ann") / "ivfpq")
+    ckpt = str(tmp_path_factory.mktemp("inc_ann_ckpt") / "ckpt")
+    vsrc = tmp_path_factory.mktemp("inc_ann_vecs")
+
+    write_ivfpq_index(build_ivfpq_index(base, n_cells=8), index_path)
+    tail.where(F.col("vec_id") < 90).coalesce(1).write.parquet(f"{vsrc}/f0")
+    tail.where(F.col("vec_id") >= 90).coalesce(1).write.parquet(f"{vsrc}/f1")
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{vsrc}/*")
+    )
+    incremental_ann_index_sink(stream, index_path, ckpt).awaitTermination(180)
+
+    loaded = read_ivfpq_index(spark, index_path)
+    assert loaded.encoded.count() == full.count()  # base + both batches
+
+    q = full.where(F.col("vec_id") < 3)
+    got = {tuple(r) for r in ivfpq_topk(full, loaded, q, k=5).collect()}
+    # one-pass reference encode with the SAME frozen model
+    ref_encoded = pq_encode(
+        assign_cells(full, loaded.centroids, "vec_id", "embedding"),
+        loaded.codebooks,
+    ).select("vec_id", "cell", "pq_codes")
+    ref = IvfPqIndex(loaded.centroids, loaded.codebooks, ref_encoded, "vec_id")
+    expect = {tuple(r) for r in ivfpq_topk(full, ref, q, k=5).collect()}
+    assert got == expect and len(got) == 15
