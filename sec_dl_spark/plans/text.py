@@ -1757,3 +1757,78 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH x AS (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    a AS (
+      SELECT label, CAST(pos - 1 AS BIGINT) AS dim_idx,
+             round(avg(CAST(val AS DOUBLE)) + 1e-9, 4) AS mean_val
+      FROM x GROUP BY label, pos
+    ),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT label, n_vecs, dim_idx, mean_val
+    FROM a JOIN n USING (label)
+    ORDER BY label, dim_idx
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling) in long form — the
+    class-centroid primitive behind clustering seeds, per-source drift
+    monitoring, and centroid-classifier baselines. One posexplode +
+    groupBy (label, dim): the shuffle carries (label, dim, partial sums),
+    never whole vectors, and parallelism is labels × dim rather than
+    bounded by label count alone."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
+    a = x.groupBy("label", "dim_idx").agg(
+        F.round(F.avg(F.col("val").cast("double")) + 1e-9, 4).alias("mean_val")
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        a.join(F.broadcast(n), "label")
+        .select("label", "n_vecs", F.col("dim_idx").cast("long").alias("dim_idx"), "mean_val")
+        .orderBy("label", "dim_idx")
+    )
+
+
+@query(
+    "text_top_ngrams",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT toks[i] || ' ' || toks[i+1] AS bigram
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS c
+    FROM bg GROUP BY bigram
+    ORDER BY c DESC, bigram LIMIT 20
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram frequency table quality
+    filters and contamination screens consult. Map-side partial counts
+    collapse the shuffle to distinct bigrams; the final top-k is a
+    TakeOrdered over the counts, never a full sort of the corpus."""
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 2)
+    bg = tk.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(20)
+    )
