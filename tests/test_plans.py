@@ -349,3 +349,15 @@ def test_cached_table_serves_from_memory(spark):
         assert "In-memory table" in plan or "InMemoryTableScan" in plan
     finally:
         spark.catalog.uncacheTable("nation_cached_t")
+
+
+def test_bigram_model_join_is_broadcast(spark, specs):
+    """text_bigram_logprob scores against an O(vocab²) model table: the
+    scoring join must broadcast the model, never shuffle the corpus
+    bigrams; and no plan in the new text-quality family may cartesian."""
+    for name in ("text_bigram_logprob", "text_passage_dedup", "text_word_entropy",
+                 "text_top_ngrams", "emb_label_centroids"):
+        plan = physical_plan(specs[name].spark_fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+    plan = physical_plan(specs["text_bigram_logprob"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
