@@ -1,4 +1,5 @@
-"""Atomic batch commits via a rename-based manifest log.
+"""Atomic batch commits via a linear, rename-arbitrated manifest log —
+the Delta-/Iceberg-style commit protocol, reduced to its primitive.
 
 The partition-overwrite commit (``commit.py``) is idempotent for RETRIES
 of a single writer, but two CONCURRENT writers sharing a sink can
@@ -6,34 +7,32 @@ interleave their dynamic overwrites — the parquet committer is not
 transactional across independent jobs, so reference behavior
 (``/root/reference/sec_dl/utils/scrape_all_filings.py`` runs 20 workers
 against one PostgreSQL table, where the database serializes writers)
-needs an explicit commit protocol on a file sink. This module provides
-the primitive Delta-/Iceberg-style logs are built on:
+needs an explicit commit protocol on a file sink. Protocol:
 
-1. Each attempt writes its data to a WRITE-ONCE staging directory with a
+1. Each attempt writes its data to WRITE-ONCE staging directories with a
    unique suffix — never overwritten, never read by anyone yet.
 2. The commit is ONE atomic ``FileSystem.rename`` of a small manifest
-   file into ``_commits/<run>-<batch>.json``. Rename-if-absent is the
-   arbiter: exactly one writer per (run, batch) wins; the loser's rename
-   returns false and it deletes its own staging directory — no partial
-   state, no interleaving, nothing to repair.
-3. Readers list ``_commits/`` and read ONLY published directories, so
-   half-written staging output is invisible by construction.
+   into the linear log ``_commits/v{N+1}.json``. Rename-if-absent is the
+   arbiter: version numbers are dense, so exactly one writer wins each
+   version; a loser either retries at the next version (default), or —
+   when the caller passed ``expected_version`` — withdraws and reports a
+   conflict so the caller can REVALIDATE against the commits that landed
+   in between and try again. That compare-and-swap loop is exactly
+   Delta's optimistic concurrency control, and it is what makes two
+   logical ingest runs racing to admit the same content into one corpus
+   safe: the loser recomputes its anti-join against the winner's rows.
+3. Readers list the log and read ONLY published directories, so a
+   half-written staging dir is invisible by construction.
+4. ``compact_committed`` folds the log prefix into a checkpoint manifest
+   (``covers_through`` = highest folded version); readers take the
+   newest checkpoint plus every later manifest, so the log stays O(new
+   batches) regardless of sink age.
 
-A lost commit is not an error for idempotent producers (same (run,
-batch) content): the data is already published by the winner. Producers
-with diverging content for the same (run, batch) are the replay hazard
-``check_source_marker`` guards; here the first writer simply wins.
-
-Scope: rename atomicity holds on HDFS and POSIX local filesystems.
-Object stores without atomic rename (S3) need a coordination service or
-a full table format (Delta/Iceberg) — the documented trade-off carried
-from the round-3 design note, now closed for every filesystem Spark's
-default committers target. This layer serializes PHYSICAL commits of
-one (run, batch); two logically distinct runs racing to admit the same
-content into one corpus additionally need optimistic conflict detection
-at the registry level (re-validate the anti-join against commits that
-landed while the batch was in flight) — Delta's ConcurrentAppend model,
-noted here as the boundary of what file-level atomicity can give.
+A lost duplicate commit — same (run, batch) already published by a
+zombie or twin writer — returns False and withdraws cleanly; the data is
+already in the log. Scope: rename atomicity holds on HDFS and POSIX
+local filesystems; object stores without atomic rename (S3) need a
+coordination service or a full table format (Delta/Iceberg).
 """
 
 from __future__ import annotations
@@ -43,6 +42,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MAX_COMMIT_RETRIES = 50
+
 
 def _fs(spark: SparkSession, path: str):
     """(Hadoop FileSystem for ``path``, Path constructor)."""
@@ -51,18 +52,57 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm.org.apache.hadoop.fs.Path
 
 
+def _list_manifests(spark: SparkSession, log_path: str):
+    """[(version, manifest dict)] sorted by version; [] if no log yet."""
+    fs, Path = _fs(spark, log_path)
+    commits = Path(f"{log_path}/_commits")
+    if not fs.exists(commits):
+        return []
+    out = []
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        out.append(
+            (
+                int(name[1:-5]),
+                json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8")),
+            )
+        )
+    out.sort(key=lambda vm: vm[0])
+    return out
+
+
+def current_version(spark: SparkSession, log_path: str) -> int:
+    """Highest committed version (0 when the log is empty) — the snapshot
+    token for an ``expected_version`` compare-and-swap commit."""
+    entries = _list_manifests(spark, log_path)
+    return entries[-1][0] if entries else 0
+
+
+def _committed_batches(entries) -> set[tuple[str, int]]:
+    done: set[tuple[str, int]] = set()
+    for _, m in entries:
+        if m.get("checkpoint"):
+            done.update((r, b) for r, b in m.get("batches", []))
+        else:
+            done.add((m["ingest_run"], m["ingest_batch"]))
+    return done
+
+
+def is_committed(spark: SparkSession, path: str, run: str, batch_id: int) -> bool:
+    """True if some writer already published (run, batch) — lets a
+    restarted producer skip the data write entirely."""
+    return (run, batch_id) in _committed_batches(_list_manifests(spark, path))
+
+
 def atomic_commit_batch(
     df: DataFrame, path: str, run: str, batch_id: int
 ) -> bool:
     """Publish ``df`` as the committed output of (run, batch). Returns
-    True if this attempt won the commit, False if another writer already
-    published this (run, batch) — in which case this attempt's staging
-    output is deleted and the sink is untouched.
-
-    The data write targets a unique staging dir (no two attempts ever
-    share one), so the only contended operation is the manifest rename —
-    atomic on HDFS/POSIX — and a reader can never observe a torn batch.
-    """
+    True if this attempt won, False if another writer already published
+    this (run, batch) — in which case this attempt's staging output is
+    deleted and the sink is untouched."""
     return atomic_commit_outputs({"data": (df, path)}, path, run, batch_id)
 
 
@@ -72,24 +112,40 @@ def atomic_commit_outputs(
     run: str,
     batch_id: int,
     partition_by: dict[str, list[str]] | None = None,
+    expected_version: int | None = None,
 ) -> bool:
     """Publish SEVERAL named outputs as ONE atomic (run, batch) commit —
     the multi-sink form a dedup gate needs: the accepted documents and
     their registry rows become visible together or not at all, so the
     'batch dies between the two writes' window of the partition-overwrite
-    commit does not exist here, and a zombie writer's late duplicate
-    commit loses the manifest rename cleanly instead of interleaving.
+    commit does not exist here.
 
     ``outputs`` maps name → (DataFrame, target root); each stages under
-    its own root (data stays local to its sink) while the single manifest
-    lives under ``log_path``/_commits. ``partition_by`` optionally keys a
-    physical layout per output (e.g. the registry's fingerprint-bucket
-    dirs) — staging preserves it, so committed reads prune the same way
-    a direct write would."""
+    its own root while the single manifest lives in ``log_path``'s linear
+    log. ``partition_by`` optionally keys a physical layout per output
+    (e.g. the registry's fingerprint-bucket dirs).
+
+    Without ``expected_version`` the commit retries at successive
+    versions until it lands (single-logical-writer case — concurrent
+    UNRELATED batches just serialize). With ``expected_version`` the
+    commit succeeds ONLY as version ``expected_version + 1``: if any
+    other commit landed since that snapshot, the staging output is
+    withdrawn and False is returned so the caller can revalidate against
+    the interleaved commits and retry — optimistic concurrency for
+    writers whose VALIDITY depends on log state (dedup admission).
+
+    Returns False (withdrawing staging) when (run, batch) is already
+    published, or on ``expected_version`` conflict."""
     spark = next(iter(outputs.values()))[0].sparkSession
     fs, Path = _fs(spark, log_path)
     attempt = uuid.uuid4().hex[:12]
     staged: dict[str, str] = {}
+
+    def _withdraw():
+        for name, staging in staged.items():
+            sfs, SPath = _fs(spark, staging)
+            sfs.delete(SPath(f"{outputs[name][1]}/_staging/{run}-{batch_id}-{attempt}"), True)
+
     for name, (df, root) in outputs.items():
         staging = f"{root}/_staging/{run}-{batch_id}-{attempt}/{name}"
         writer = df.write.mode("error")
@@ -99,34 +155,36 @@ def atomic_commit_outputs(
         writer.parquet(staging)
         staged[name] = staging
 
-    manifest = json.dumps(
-        {"dirs": staged, "ingest_run": run, "ingest_batch": batch_id}
-    )
-    tmp = Path(f"{log_path}/_staging/.manifest-{run}-{batch_id}-{attempt}.json")
-    out = fs.create(tmp, True)
-    try:
-        out.write(manifest.encode("utf-8"))
-    finally:
-        out.close()
-
-    commits_dir = Path(f"{log_path}/_commits")
-    fs.mkdirs(commits_dir)
-    dst = Path(f"{log_path}/_commits/{run}-{batch_id}.json")
-    won = fs.rename(tmp, dst)
-    if not won:
-        # another writer holds this (run, batch): withdraw this attempt
-        for name, staging in staged.items():
-            sfs, SPath = _fs(spark, staging)
-            sfs.delete(SPath(f"{outputs[name][1]}/_staging/{run}-{batch_id}-{attempt}"), True)
+    fs.mkdirs(Path(f"{log_path}/_commits"))
+    for _ in range(_MAX_COMMIT_RETRIES):
+        entries = _list_manifests(spark, log_path)
+        if (run, batch_id) in _committed_batches(entries):
+            _withdraw()
+            return False
+        v = (entries[-1][0] if entries else 0) + 1
+        if expected_version is not None and v != expected_version + 1:
+            # the log advanced past the caller's snapshot: its validation
+            # is stale — withdraw so it can revalidate and recommit
+            _withdraw()
+            return False
+        manifest = json.dumps(
+            {"version": v, "dirs": staged, "ingest_run": run, "ingest_batch": batch_id}
+        )
+        tmp = Path(f"{log_path}/_staging/.manifest-{run}-{batch_id}-{attempt}-{v}.json")
+        out = fs.create(tmp, True)
+        try:
+            out.write(manifest.encode("utf-8"))
+        finally:
+            out.close()
+        if fs.rename(tmp, Path(f"{log_path}/_commits/v{v}.json")):
+            return True
         fs.delete(tmp, False)
-    return bool(won)
-
-
-def is_committed(spark: SparkSession, path: str, run: str, batch_id: int) -> bool:
-    """True if some writer already published (run, batch) — lets a
-    restarted producer skip the data write entirely."""
-    fs, Path = _fs(spark, path)
-    return bool(fs.exists(Path(f"{path}/_commits/{run}-{batch_id}.json")))
+        # lost the version race to some other commit — loop re-lists
+    _withdraw()
+    raise RuntimeError(
+        f"atomic commit of ({run}, {batch_id}) at {log_path!r} lost "
+        f"{_MAX_COMMIT_RETRIES} version races — log under pathological contention"
+    )
 
 
 def read_committed(
@@ -134,31 +192,23 @@ def read_committed(
 ) -> DataFrame | None:
     """Union of all PUBLISHED batches of the ``name`` output
     (manifest-listed directories only — staging output is invisible),
-    with ingest_run/ingest_batch columns restored from the manifests.
-    None if nothing has committed yet."""
+    with ingest_run/ingest_batch columns restored. The newest checkpoint
+    replaces every version ≤ its ``covers_through``; later manifests
+    apply on top. None if nothing has committed yet."""
     from pyspark.sql import functions as F
 
-    fs, Path = _fs(spark, path)
-    commits = Path(f"{path}/_commits")
-    if not fs.exists(commits):
-        return None
-    entries = [
-        (st.getPath().getName(), json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8")))
-        for st in fs.listStatus(commits)
-        if st.getPath().getName().endswith(".json")
-    ]
-    checkpoints = [(f, m) for f, m in entries if "checkpoint" in m]
-    covered: set[str] = set()
+    entries = _list_manifests(spark, path)
+    checkpoints = [(v, m) for v, m in entries if m.get("checkpoint")]
+    covers_through = -1
     parts = []
     if checkpoints:
-        # latest checkpoint supersedes everything it covers; its data
-        # already carries the ingest_run/ingest_batch columns
-        _, latest = max(checkpoints, key=lambda fm: fm[1]["checkpoint"])
-        covered = set(latest["covers"])
+        _, latest = max(checkpoints, key=lambda vm: vm[1]["covers_through"])
+        covers_through = latest["covers_through"]
         if name in latest.get("dirs", {}):
+            # checkpoint data already carries the ingest_run/ingest_batch cols
             parts.append(spark.read.parquet(latest["dirs"][name]))
-    for fname, m in entries:
-        if "checkpoint" in m or fname in covered or name not in m.get("dirs", {}):
+    for v, m in entries:
+        if m.get("checkpoint") or v <= covers_through or name not in m.get("dirs", {}):
             continue
         parts.append(
             spark.read.parquet(m["dirs"][name])
@@ -175,74 +225,60 @@ def read_committed(
 
 def compact_committed(spark: SparkSession, log_path: str) -> bool:
     """Checkpoint the manifest log (the Delta-checkpoint analog): rewrite
-    every currently-committed batch of every output into one consolidated
-    directory per output, publish a single ``checkpoint-<g>.json``
-    manifest that supersedes the covered manifests, then delete the
-    covered manifests and their now-redundant staged data. Without this,
-    a long-running sink's readers union one parquet read per batch ever
-    committed — compaction restores O(1) manifests + O(outputs) reads.
+    every batch committed up to the current version into one consolidated
+    directory per output and publish a checkpoint manifest with
+    ``covers_through`` = that version, then vacuum the folded manifests
+    and their staged data. Readers see the checkpoint plus anything that
+    committed after the fold point — a writer landing a new batch DURING
+    compaction stays visible because its version exceeds covers_through.
+    Returns False if this attempt lost its commit race (state unchanged).
 
-    Safe under the same rename arbitration as batch commits: generation
-    ``g`` increments per compaction, two racing compactors collide on the
-    ``checkpoint-<g>.json`` rename and the loser withdraws. A writer
-    committing a NEW batch during compaction is untouched — its manifest
-    is not in ``covers`` and stays visible beside the checkpoint. Returns
-    False if this attempt lost the race (state unchanged).
-
-    Vacuum caveat (same as any table format): covered data dirs are
+    Vacuum caveat (same as any table format): folded data dirs are
     deleted immediately after the checkpoint publishes, so a reader that
-    listed manifests BEFORE the compaction and reads data AFTER it can
-    miss files — long-lived readers should re-list, or deletion can be
-    deferred by the caller."""
-    from pyspark.sql import functions as F  # noqa: F401 — parity with read path
-
-    fs, Path = _fs(spark, log_path)
-    commits = Path(f"{log_path}/_commits")
-    if not fs.exists(commits):
-        return False
-    entries = [
-        (st.getPath().getName(), json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8")))
-        for st in fs.listStatus(commits)
-        if st.getPath().getName().endswith(".json")
-    ]
+    listed the log BEFORE compaction and reads data AFTER it can miss
+    files — long-lived readers should re-list."""
+    entries = _list_manifests(spark, log_path)
     if not entries:
         return False
-    gen = 1 + max(
-        (m.get("checkpoint", 0) for _, m in entries), default=0
-    )
+    fs, Path = _fs(spark, log_path)
+    covers_through = entries[-1][0]
     names = sorted({n for _, m in entries for n in m.get("dirs", {})})
+    batches = sorted(_committed_batches(entries))
     attempt = uuid.uuid4().hex[:12]
     staged: dict[str, str] = {}
     for name in names:
         df = read_committed(spark, log_path, name)
-        out_dir = f"{log_path}/_checkpoints/{gen}-{attempt}/{name}"
+        out_dir = f"{log_path}/_checkpoints/{covers_through}-{attempt}/{name}"
         df.write.mode("error").parquet(out_dir)
         staged[name] = out_dir
 
+    v = covers_through + 1
     manifest = json.dumps(
         {
-            "checkpoint": gen,
+            "version": v,
+            "checkpoint": True,
+            "covers_through": covers_through,
             "dirs": staged,
-            "covers": sorted(fname for fname, _ in entries),
+            "batches": [[r, b] for r, b in batches],
         }
     )
-    tmp = Path(f"{log_path}/_staging/.checkpoint-{gen}-{attempt}.json")
+    tmp = Path(f"{log_path}/_staging/.checkpoint-{attempt}.json")
     out = fs.create(tmp, True)
     try:
         out.write(manifest.encode("utf-8"))
     finally:
         out.close()
-    dst = Path(f"{log_path}/_commits/checkpoint-{gen}.json")
-    won = fs.rename(tmp, dst)
-    if not won:
-        fs.delete(Path(f"{log_path}/_checkpoints/{gen}-{attempt}"), True)
+    if not fs.rename(tmp, Path(f"{log_path}/_commits/v{v}.json")):
+        # a writer (or rival compactor) took this version — withdraw; the
+        # caller can simply compact again
+        fs.delete(Path(f"{log_path}/_checkpoints/{covers_through}-{attempt}"), True)
         fs.delete(tmp, False)
         return False
-    # vacuum the superseded manifests and their staged data
-    for fname, m in entries:
+    # vacuum the folded manifests and their staged data
+    for fv, m in entries:
         for d in m.get("dirs", {}).values():
             fs.delete(Path(d), True)
-        fs.delete(Path(f"{log_path}/_commits/{fname}"), False)
+        fs.delete(Path(f"{log_path}/_commits/v{fv}.json"), False)
     return True
 
 

@@ -79,11 +79,16 @@ def incremental_dedup_sink(
     ``commit_mode="overwrite"`` (default) is the idempotent dynamic
     partition overwrite described in the module docstring — retry-safe
     for a single writer. ``commit_mode="atomic"`` publishes BOTH sinks
-    through one rename-arbitrated manifest (streaming/atomic.py): the
-    accepted docs and their registry rows appear together or not at all,
-    an already-committed batch is skipped outright on replay, and a
-    zombie writer's late duplicate commit loses the rename cleanly. In
-    atomic mode read the outputs via
+    through one rename-arbitrated manifest in a linear log
+    (streaming/atomic.py): the accepted docs and their registry rows
+    appear together or not at all, an already-committed batch is skipped
+    outright on replay, a zombie writer's late duplicate commit loses
+    cleanly, AND admission is serializable across CONCURRENT logical
+    runs sharing the corpus — each batch commits with compare-and-swap
+    on the log version; on conflict the anti-join recomputes against the
+    interleaved registry rows before retrying (Delta-style optimistic
+    concurrency), so two racing runs can never both admit the same
+    content. In atomic mode read the outputs via
     ``read_committed(spark, registry_path, "accepted"|"registry")``.
     """
     if commit_mode not in ("overwrite", "atomic"):
@@ -94,6 +99,7 @@ def incremental_dedup_sink(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         from sec_dl_spark.streaming.atomic import (
             atomic_commit_outputs,
+            current_version,
             is_committed,
             read_committed,
         )
@@ -106,34 +112,50 @@ def incremental_dedup_sink(
         fp = _fingerprints(batch_df, id_col, text_col)
         # in-batch dedup: first id per fingerprint wins (deterministic)
         w = Window.partitionBy("_fp").orderBy(id_col)
-        fresh = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-        seen = (
-            read_committed(spark, registry_path, "registry")
-            if atomic
-            else _try_read_parquet(spark, registry_path)
-        )
-        if seen is not None:
-            # exclude this batch's own partition: a retry's earlier attempt
-            # may have landed registry rows for these very documents
-            seen = seen.where(_not_own_batch(run, batch_id))
-            fresh = fresh.join(seen.select("_fp"), "_fp", "left_anti")
-        survivors = fresh.drop("_rn").localCheckpoint(eager=True)
-        accepted_df = survivors.drop("_fp", "_fp_bucket")
-        registry_df = survivors.select(
-            "_fp", "_fp_bucket", F.col(id_col).alias("canonical_id")
-        )
-        if atomic:
-            atomic_commit_outputs(
-                {
-                    "accepted": (accepted_df, accepted_path),
-                    "registry": (registry_df, registry_path),
-                },
-                registry_path,
-                run,
-                batch_id,
-                partition_by={"registry": ["_fp_bucket"]},
+        deduped = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+
+        def survivors_against(seen):
+            fresh = deduped
+            if seen is not None:
+                # exclude this batch's own rows: a retry's earlier attempt
+                # may have landed registry rows for these very documents
+                seen = seen.where(_not_own_batch(run, batch_id))
+                fresh = fresh.join(seen.select("_fp"), "_fp", "left_anti")
+            s = fresh.drop("_rn").localCheckpoint(eager=True)
+            return (
+                s.drop("_fp", "_fp_bucket"),
+                s.select("_fp", "_fp_bucket", F.col(id_col).alias("canonical_id")),
             )
-            return
+
+        if atomic:
+            # optimistic concurrency: validate against the log snapshot,
+            # CAS-commit at snapshot+1, recompute on interference
+            for _ in range(10):
+                base_v = current_version(spark, registry_path)
+                accepted_df, registry_df = survivors_against(
+                    read_committed(spark, registry_path, "registry")
+                )
+                if atomic_commit_outputs(
+                    {
+                        "accepted": (accepted_df, accepted_path),
+                        "registry": (registry_df, registry_path),
+                    },
+                    registry_path,
+                    run,
+                    batch_id,
+                    partition_by={"registry": ["_fp_bucket"]},
+                    expected_version=base_v,
+                ):
+                    return
+                if is_committed(spark, registry_path, run, batch_id):
+                    return  # a twin writer published this very batch
+            raise RuntimeError(
+                f"batch {batch_id} of run {run!r} lost 10 admission races at "
+                f"{registry_path!r} — pathological writer contention"
+            )
+        accepted_df, registry_df = survivors_against(
+            _try_read_parquet(spark, registry_path)
+        )
         _commit_batch_partition(accepted_df, accepted_path, run, batch_id)
         _commit_batch_partition(
             registry_df,

@@ -780,7 +780,7 @@ def test_atomic_log_compaction_preserves_view(spark, tmp_path_factory):
 
     assert compact_committed(spark, sink) is True
     manifests = [f for f in os.listdir(f"{sink}/_commits") if f.endswith(".json")]
-    assert manifests == ["checkpoint-1.json"]
+    assert manifests == ["v4.json"]  # checkpoint took the next version
     after = {
         (r["id"], r["ingest_run"], r["ingest_batch"])
         for r in read_committed(spark, sink).collect()
@@ -795,7 +795,7 @@ def test_atomic_log_compaction_preserves_view(spark, tmp_path_factory):
     )
     assert compact_committed(spark, sink) is True
     manifests = [f for f in os.listdir(f"{sink}/_commits") if f.endswith(".json")]
-    assert manifests == ["checkpoint-2.json"]
+    assert manifests == ["v6.json"]  # folded checkpoint v4 + batch v5
     assert len(read_committed(spark, sink).collect()) == 11
 
 
@@ -857,3 +857,117 @@ def test_incremental_ann_index_append_matches_full_encode(spark, tmp_path_factor
     ref = IvfPqIndex(loaded.centroids, loaded.codebooks, ref_encoded, "vec_id")
     expect = {tuple(r) for r in ivfpq_topk(full, ref, q, k=5).collect()}
     assert got == expect and len(got) == 15
+
+
+def test_atomic_cas_commit_detects_interleaved_writer(spark, tmp_path_factory):
+    """expected_version turns the commit into compare-and-swap: a commit
+    validated against snapshot V succeeds only as V+1, so a writer that
+    raced in between forces a clean conflict (False, staging withdrawn)
+    instead of publishing stale-validated data."""
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_outputs,
+        current_version,
+        read_committed,
+    )
+
+    sink = str(tmp_path_factory.mktemp("cas") / "sink")
+    base_v = current_version(spark, sink)
+    assert base_v == 0
+
+    # writer B lands first (plain commit)
+    assert atomic_commit_outputs(
+        {"data": (spark.range(3).selectExpr("id"), sink)}, sink, "rB", 0
+    )
+    # writer A validated against the empty log → its CAS must fail
+    assert (
+        atomic_commit_outputs(
+            {"data": (spark.range(100, 103).selectExpr("id"), sink)},
+            sink,
+            "rA",
+            0,
+            expected_version=base_v,
+        )
+        is False
+    )
+    # A revalidates at the current version and succeeds
+    v = current_version(spark, sink)
+    assert atomic_commit_outputs(
+        {"data": (spark.range(100, 103).selectExpr("id"), sink)},
+        sink,
+        "rA",
+        0,
+        expected_version=v,
+    )
+    got = {r["id"] for r in read_committed(spark, sink).collect()}
+    assert got == {0, 1, 2, 100, 101, 102}
+
+
+def test_atomic_dedup_occ_across_two_runs(spark, tmp_path_factory):
+    """Two LOGICAL runs racing to admit the same content into one corpus:
+    run B commits a registry row for the shared fingerprint after run A
+    validated its batch but before A commits. A's CAS commit loses, its
+    revalidation sees B's row, and the duplicate is dropped — exactly one
+    copy of the shared text survives corpus-wide."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming import atomic as atomic_mod
+    from sec_dl_spark.streaming.atomic import read_committed
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    accepted = str(tmp_path_factory.mktemp("occ_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("occ_reg") / "registry")
+    src = tmp_path_factory.mktemp("occ_src")
+    ckpt_a = str(tmp_path_factory.mktemp("occ_ckpt") / "a")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    spark.createDataFrame(
+        [(1, "shared passage"), (2, "unique to run a")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+
+    # interleave run B's conflicting admission between A's validation and
+    # A's first commit by intercepting the commit call once
+    real_commit = atomic_mod.atomic_commit_outputs
+    state = {"interleaved": False}
+
+    def racing_commit(outputs, log_path, run, batch_id, **kw):
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            from sec_dl_spark.streaming.dedup import _fingerprints
+
+            b_docs = spark.createDataFrame([(50, "shared passage")], schema)
+            b_fp = _fingerprints(b_docs, "doc_id", "text")
+            real_commit(
+                {
+                    "accepted": (b_fp.drop("_fp", "_fp_bucket"), accepted),
+                    "registry": (
+                        b_fp.select(
+                            "_fp", "_fp_bucket", F.col("doc_id").alias("canonical_id")
+                        ),
+                        registry,
+                    ),
+                },
+                registry,
+                "runB",
+                0,
+            )
+        return real_commit(outputs, log_path, run, batch_id, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(atomic_mod, "atomic_commit_outputs", racing_commit):
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        incremental_dedup_sink(
+            stream, accepted, registry, ckpt_a, commit_mode="atomic"
+        ).awaitTermination(120)
+
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in read_committed(spark, registry, "accepted").collect()
+    ]
+    texts = sorted(t for _, t in rows)
+    # the shared passage survives EXACTLY once (run B's copy won), and
+    # run A's unique doc still landed
+    assert texts == ["shared passage", "unique to run a"]
+    assert (50, "shared passage") in rows and (2, "unique to run a") in rows
