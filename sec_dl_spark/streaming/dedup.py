@@ -343,3 +343,84 @@ def incremental_winnow_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_semantic_dedup_sink(
+    vectors_stream: DataFrame,
+    accepted_path: str,
+    registry_path: str,
+    checkpoint_dir: str,
+    centroids: list,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming SemDeDup gate: drop an arriving vector if something
+    already accepted (or a smaller-id vector in its own batch) in the
+    SAME coarse cell has cosine >= ``threshold`` — the online form of
+    operators/similarity.semantic_dedup, completing the cross-batch gate
+    family (exact fingerprint / MinHash / winnow / semantic).
+
+    ``centroids`` is a FROZEN coarse quantizer (train offline with
+    _coarse_cells or reuse a persisted IVF-PQ index's meta — the same
+    add()-with-frozen-model discipline as incremental_ann_index_sink),
+    so cell assignment is one Arrow matmul per batch and the candidate
+    join is cell-keyed: the pair space is batch × registry co-occupancy
+    per cell, never batch × corpus. The registry persists (cell, id,
+    embedding) of ACCEPTED vectors only — at 100 TB store int8/PQ codes
+    there and rerank the few candidates, same layout as the ANN stack.
+    Same idempotent (run, batch) dynamic-overwrite commit as the sibling
+    gates, partitioned by cell for pruned reads."""
+    from sec_dl_spark.operators.similarity import assign_cells, cosine
+
+    run = _run_token(checkpoint_dir)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
+        assigned = assign_cells(batch_df, centroids, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        left = assigned.select(
+            "cell", F.col(id_col).alias("_id"), F.col(vec_col).alias("_va")
+        )
+        # in-batch: smaller id in the same cell within threshold wins
+        right = assigned.select(
+            "cell", F.col(id_col).alias("_other"), F.col(vec_col).alias("_vb")
+        )
+        in_batch = (
+            left.join(right, "cell")
+            .where(F.col("_other") < F.col("_id"))
+            .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+            .select(F.col("_id"))
+            .distinct()
+        )
+        dup_ids = in_batch
+        seen = _try_read_parquet(spark, registry_path)
+        if seen is not None:
+            seen = seen.where(_not_own_batch(run, batch_id)).select(
+                "cell", F.col(vec_col).alias("_vb")
+            )
+            hist = (
+                left.join(seen, "cell")
+                .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+                .select(F.col("_id"))
+                .distinct()
+            )
+            dup_ids = dup_ids.unionByName(hist).distinct()
+        survivors = assigned.join(
+            dup_ids, assigned[id_col] == dup_ids["_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        _commit_batch_partition(
+            survivors.drop("cell"), accepted_path, run, batch_id
+        )
+        _commit_batch_partition(
+            survivors.select("cell", id_col, vec_col), registry_path, run, batch_id, "cell"
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

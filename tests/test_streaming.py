@@ -971,3 +971,64 @@ def test_atomic_dedup_occ_across_two_runs(spark, tmp_path_factory):
     # run A's unique doc still landed
     assert texts == ["shared passage", "unique to run a"]
     assert (50, "shared passage") in rows and (2, "unique to run a") in rows
+
+
+def test_incremental_semantic_dedup_gate_across_batches(spark, tmp_path_factory):
+    """Streaming SemDeDup: a later batch's vector that is semantically
+    near an accepted one (same frozen cell, cosine >= threshold) drops;
+    novel directions pass; in-batch near-twins collapse to the smaller
+    id."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.operators.similarity import _coarse_cells
+    from sec_dl_spark.streaming.dedup import incremental_semantic_dedup_sink
+
+    dim = 8
+
+    def unit(axis, eps=0.0, other=None):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim if other is None else other] = eps
+        n = sum(x * x for x in v) ** 0.5
+        return [float(x / n) for x in v]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    # training corpus spanning the axes so cells separate directions
+    train = spark.createDataFrame(
+        [(i, unit(i % dim, 0.05 * (i // dim), other=(i + 1) % dim)) for i in range(64)],
+        schema,
+    )
+    _, centroids = _coarse_cells(train, "vec_id", "embedding", 8, seed=3)
+
+    src = tmp_path_factory.mktemp("sem_src")
+    accepted = str(tmp_path_factory.mktemp("sem_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("sem_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("sem_ckpt") / "ckpt")
+
+    # batch 0: axis-0 vector + its near-twin (collapse in-batch) + axis-1
+    spark.createDataFrame(
+        [(1, unit(0)), (2, unit(0, 0.05)), (10, unit(1))], schema
+    ).coalesce(1).write.parquet(f"{src}/f0")
+    # batch 1: near axis-0 again (historical dup) + novel axis-2
+    spark.createDataFrame(
+        [(20, unit(0, 0.08)), (30, unit(2))], schema
+    ).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    incremental_semantic_dedup_sink(
+        stream, accepted, registry, ckpt, centroids, threshold=0.95
+    ).awaitTermination(120)
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(accepted).collect())
+    assert kept == [1, 10, 30]  # 2 in-batch dup, 20 historical dup
+    reg = spark.read.parquet(registry)
+    assert sorted(r["vec_id"] for r in reg.collect()) == [1, 10, 30]
