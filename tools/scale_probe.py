@@ -51,6 +51,8 @@ PROBE = [
     "emb_cosine_topk",
     "fts_search_and",
     "doc_chunks",
+    "text_passage_dedup",
+    "text_bigram_logprob",
 ]
 
 # key spans safely above the sf0.1 max of each offset key
