@@ -1832,3 +1832,20 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "bigram")
         .limit(20)
     )
+
+
+@query("emb_ivfpq_topk", oracle=None)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full billion-scale ANN composition as one catalog entry:
+    IVF cells bound WHICH vectors a query touches, PQ codes bound the
+    BYTES per touch, the ADC lookup-table kernel scores the shortlist,
+    and exact rerank on full-precision vectors produces the reported
+    similarities. Deterministic under the fixed seed. Rows-only — the
+    seeded k-means fits have no SQL oracle; kernel parity, recall
+    floors, and the slim-exchange plan are pinned by pytest
+    (operators/similarity.py:cosine_topk_ivfpq)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk_ivfpq(
+        e, q, k=5, n_cells=16, n_probe=4, m=4, n_centroids=32
+    ).orderBy("query_id", "rank")

@@ -165,3 +165,21 @@ def test_tsquery_roundtrip_and_eval(spark, ast):
 
     expected = {d for d, text in corpus.items() if holds(ast, set(text.split()))}
     assert got == expected
+
+
+@EX
+@given(st.lists(st.text(alphabet="abc01", min_size=1, max_size=8), min_size=1, max_size=10))
+def test_bpe_roundtrip_property(spark, corpus_words):
+    """Any corpus of [a-z0-9] words round-trips through corpus-trained BPE:
+    concatenating a word's subword tokens (marker stripped) reproduces the
+    word, for seen AND unseen inputs."""
+    from sec_dl_spark.functions.bpe import EOW, _segment_word, bpe_train
+
+    text = " ".join(corpus_words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=20)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    for w in corpus_words + ["zz9zz"]:
+        seg = _segment_word(w, ranks)
+        assert "".join(seg).replace(EOW, "") == w
+        assert all(t for t in seg)
