@@ -104,6 +104,119 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_ppm(b: bytes):
+    """Parse binary PPM (P6): returns (width, height, RGB bytes row-major).
+    Pure stdlib — whitespace/comment-tolerant header, 8-bit maxval."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    pix = b[i : i + need]
+    if len(pix) != need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, pix
+
+
+def _encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def _parse_bmp(b: bytes):
+    """Parse uncompressed 24-bpp BMP: returns (width, height, RGB bytes
+    row-major top-down). Handles BGR order, 4-byte row padding, and the
+    bottom-up row layout — pure stdlib struct work."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h - 1, -1, -1) if h_raw > 0 else range(h)  # bottom-up default
+    for r in order:
+        row = b[data_off + r * stride : data_off + r * stride + w * 3]
+        # BGR → RGB
+        rows.append(
+            bytes(
+                c
+                for px in (row[i : i + 3] for i in range(0, w * 3, 3))
+                for c in (px[2], px[1], px[0])
+            )
+        )
+    return w, h, b"".join(rows)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_rgb", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL image decode for stdlib-parseable raster formats — P6 PPM and
+    uncompressed 24-bpp BMP need no codec library, so like decode_audio
+    this is not a gate: (media_id, kind, content) → (media_id, kind,
+    width, height, mean_rgb). Compressed formats (png/jpeg) still need
+    PIL and raise NotImplementedError at decode. Same Arrow-batched
+    mapInPandas shape as every media stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in IMAGE_SCHEMA.fields}
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if content is None:
+                    continue
+                if kind == "ppm":
+                    w, h, rgb = _parse_ppm(bytes(content))
+                elif kind == "bmp":
+                    w, h, rgb = _parse_bmp(bytes(content))
+                else:
+                    raise NotImplementedError(
+                        f"decode_image handles PPM/BMP via stdlib; kind "
+                        f"{kind!r} needs real image codecs (PIL), not in "
+                        "this environment"
+                    )
+                px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_rgb"].append(px.mean(axis=0).astype("float32"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -120,23 +233,45 @@ def resize_images(
 ) -> DataFrame:
     """Image resize stage: (media_id, kind, content) → same + target dims.
 
-    Production shape: PIL decode → resize → re-encode inside the Arrow
-    batch loop. Here the decode/re-encode is the marked stub — the fake
-    'resize' truncates/pads the payload to a deterministic size so batch
-    shape, schema and partitioning behavior are all real and testable.
+    Production shape: decode → resample → re-encode inside the Arrow
+    batch loop. ``with_real_decoders=True`` runs a REAL nearest-neighbor
+    resample for P6 PPM payloads (stdlib parse → numpy index-gather →
+    re-encode, no codec library needed) and raises for compressed
+    formats that need PIL. The default fake path truncates/pads the
+    payload to a deterministic size so batch shape, schema and
+    partitioning behavior stay testable with arbitrary bytes.
     """
     target_len = width * height // 64  # deterministic fake payload size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if with_real_decoders:
-            raise NotImplementedError(
-                "real image codecs (PIL) are not available in this "
-                "environment; use with_real_decoders=False"
-            )
+        import numpy as np
+
         for pdf in batches:
-            content = pdf["content"].map(
-                lambda b: None if b is None else (b * (target_len // max(len(b), 1) + 1))[:target_len]
-            )
+            if with_real_decoders:
+                contents = []
+                for kind, content in zip(pdf["kind"], pdf["content"]):
+                    if content is None:
+                        contents.append(None)
+                        continue
+                    if kind != "ppm":
+                        raise NotImplementedError(
+                            f"real resize handles P6 PPM via stdlib; kind "
+                            f"{kind!r} needs real image codecs (PIL), not "
+                            "in this environment"
+                        )
+                    w0, h0, rgb = _parse_ppm(bytes(content))
+                    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    resized = px[ys][:, xs]  # nearest-neighbor gather
+                    contents.append(_encode_ppm(width, height, resized.tobytes()))
+                content = pd.Series(contents)
+            else:
+                content = pdf["content"].map(
+                    lambda b: None
+                    if b is None
+                    else (b * (target_len // max(len(b), 1) + 1))[:target_len]
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -165,3 +165,83 @@ def test_decode_audio_rejects_compressed_kinds(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
         decode_audio(media).collect()
+
+
+def _ppm_bytes(w, h, fn):
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes(fn(x, y))
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def _bmp_bytes(w, h, fn):
+    """Minimal 24bpp bottom-up BMP."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows
+        row = bytearray()
+        for x in range(w):
+            r, g, b = fn(x, y)
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + bytes(pix)
+
+
+def test_decode_image_ppm_and_bmp(spark):
+    """Real stdlib raster decode: a generated P6 PPM and a 24bpp BMP of
+    the SAME image decode to identical dimensions and channel means
+    (BMP's BGR order and bottom-up rows must be unwound correctly)."""
+    from sec_dl_spark.operators.multimodal import decode_image
+
+    fn = lambda x, y: (x * 30 % 256, y * 40 % 256, (x + y) * 20 % 256)
+    media = spark.createDataFrame(
+        [
+            (1, "ppm", bytearray(_ppm_bytes(5, 4, fn))),
+            (2, "bmp", bytearray(_bmp_bytes(5, 4, fn))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (5, 4)
+    assert (rows[2]["width"], rows[2]["height"]) == (5, 4)
+    for c in range(3):
+        assert abs(rows[1]["mean_rgb"][c] - rows[2]["mean_rgb"][c]) < 1e-5
+    # exact mean of the known generator for the red channel
+    expect_r = sum(x * 30 % 256 for x in range(5) for _ in range(4)) / 20
+    assert abs(rows[1]["mean_rgb"][0] - expect_r) < 1e-4
+
+
+def test_resize_ppm_real_nearest_neighbor(spark):
+    """Real PPM resize: 4×4 checkerboard → 2×2 via nearest neighbor picks
+    the exact source pixels; output re-encodes as valid PPM."""
+    from sec_dl_spark.operators.multimodal import _parse_ppm, resize_images
+
+    fn = lambda x, y: ((255, 0, 0) if (x // 2 + y // 2) % 2 == 0 else (0, 0, 255))
+    media = spark.createDataFrame(
+        [(1, "ppm", bytearray(_ppm_bytes(4, 4, fn)))],
+        "media_id long, kind string, content binary",
+    )
+    out = resize_images(media, width=2, height=2, with_real_decoders=True).collect()[0]
+    w, h, rgb = _parse_ppm(bytes(out["content"]))
+    assert (w, h) == (2, 2)
+    px = [tuple(rgb[i : i + 3]) for i in range(0, 12, 3)]
+    assert px == [(255, 0, 0), (0, 0, 255), (0, 0, 255), (255, 0, 0)]
+
+
+def test_decode_image_rejects_compressed_kinds(spark):
+    import pytest
+
+    from sec_dl_spark.operators.multimodal import decode_image
+
+    media = spark.createDataFrame(
+        [(1, "png", bytearray(b"\x89PNG\r\n"))],
+        "media_id long, kind string, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_image(media).collect()
