@@ -245,3 +245,38 @@ def test_decode_image_rejects_compressed_kinds(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         decode_image(media).collect()
+
+
+def test_sample_frames_y4m_real_demux(spark):
+    """Real Y4M demux: a generated 2×2 4:2:0 clip at 25 fps sampled every
+    80 ms emits the nearest Y planes (frames 0, 2, 4); compressed
+    containers still raise."""
+    from sec_dl_spark.operators.multimodal import sample_frames
+
+    w = h = 2
+    header = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n"
+    frames = []
+    payload = bytearray(header)
+    for i in range(5):
+        y = bytes([i * 10 + k for k in range(w * h)])
+        frames.append(y)
+        payload += b"FRAME\n" + y + b"\x00" * (w * h // 2)  # chroma stub
+
+    media = spark.createDataFrame(
+        [(1, "y4m", bytearray(bytes(payload)))],
+        "media_id long, kind string, content binary",
+    )
+    got = sorted(
+        (r["frame_idx"], r["frame_ms"], bytes(r["frame"]))
+        for r in sample_frames(media, every_ms=80, with_real_decoders=True).collect()
+    )
+    assert got == [(0, 0, frames[0]), (1, 80, frames[2]), (2, 160, frames[4])]
+
+    bad = spark.createDataFrame(
+        [(1, "mp4", bytearray(b"\x00\x00\x00 ftypmp42"))],
+        "media_id long, kind string, content binary",
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|av/ffmpeg"):
+        sample_frames(bad, with_real_decoders=True).collect()
