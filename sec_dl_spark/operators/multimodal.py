@@ -515,19 +515,16 @@ def select_keyframes(
     a video training pipeline runs before captioning/encoding so compute
     goes to distinct scenes.
 
-    Frame signal = mean byte value of the frame window (the deterministic
-    stand-in; a real decoder would use a luma histogram — that import is
-    the marked stub). Frame 0 always emits; frame i emits when
-    |signal_i − signal_{i−1}| > threshold. Per-row sequential scan inside
-    mapInPandas (frame deltas are inherently ordered within one media
-    row; rows parallelize freely)."""
+    Frame signal = mean luma. ``with_real_decoders=True`` REALLY demuxes
+    YUV4MPEG2 (same stdlib parse as sample_frames) and uses each frame's
+    actual Y-plane mean; compressed containers raise. The fake path uses
+    the mean byte value of a ``frame_ms``-sized window so the plumbing
+    stays testable with arbitrary bytes. Frame 0 always emits; frame i
+    emits when |signal_i − signal_{i−1}| > threshold. Per-row sequential
+    scan inside mapInPandas (frame deltas are inherently ordered within
+    one media row; rows parallelize freely)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if with_real_decoders:
-            raise NotImplementedError(
-                "real video demuxers (av/ffmpeg) are not available in this "
-                "environment; use with_real_decoders=False"
-            )
         for pdf in batches:
             out: dict[str, list] = {
                 "media_id": [],
@@ -535,13 +532,28 @@ def select_keyframes(
                 "frame_ms": [],
                 "delta": [],
             }
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 if content is None or len(content) == 0:
                     continue
+                if with_real_decoders:
+                    if kind != "y4m":
+                        raise NotImplementedError(
+                            f"real keyframe selection handles YUV4MPEG2 via "
+                            f"stdlib; kind {kind!r} needs real video "
+                            "demuxers (av/ffmpeg), not in this environment"
+                        )
+                    _, _, fps, frames = _parse_y4m(bytes(content))
+                    signals = [
+                        (int(i * 1000 / fps), sum(y) / len(y))
+                        for i, y in enumerate(frames)
+                    ]
+                else:
+                    signals = [
+                        (ms, sum(content[ms : ms + frame_ms]) / len(content[ms : ms + frame_ms]))
+                        for ms in range(0, len(content), frame_ms)
+                    ]
                 prev = None
-                for idx, ms in enumerate(range(0, len(content), frame_ms)):
-                    window = content[ms : ms + frame_ms]
-                    sig = sum(window) / len(window)
+                for idx, (ms, sig) in enumerate(signals):
                     delta = abs(sig - prev) if prev is not None else float("inf")
                     if prev is None or delta > threshold:
                         out["media_id"].append(mid)

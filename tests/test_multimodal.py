@@ -280,3 +280,23 @@ def test_sample_frames_y4m_real_demux(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|av/ffmpeg"):
         sample_frames(bad, with_real_decoders=True).collect()
+
+
+def test_select_keyframes_y4m_real_scene_change(spark):
+    """Real Y4M keyframe selection: three flat-luma scenes (two frames
+    each) emit exactly one keyframe per scene boundary."""
+    from sec_dl_spark.operators.multimodal import select_keyframes
+
+    w = h = 2
+    payload = bytearray(b"YUV4MPEG2 W2 H2 F10:1 C420\n")
+    for luma in (10, 10, 100, 100, 200, 200):
+        payload += b"FRAME\n" + bytes([luma] * (w * h)) + b"\x00" * (w * h // 2)
+    media = spark.createDataFrame(
+        [(1, "y4m", bytearray(bytes(payload)))],
+        "media_id long, kind string, content binary",
+    )
+    got = sorted(
+        (r["frame_idx"], r["frame_ms"], r["delta"])
+        for r in select_keyframes(media, threshold=8.0, with_real_decoders=True).collect()
+    )
+    assert got == [(0, 0, 0.0), (2, 200, 90.0), (4, 400, 100.0)]
