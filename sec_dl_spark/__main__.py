@@ -25,7 +25,47 @@ import argparse
 from pyspark.sql import functions as F
 
 
+def query_main(argv: list[str]) -> None:
+    """`python -m sec_dl_spark query <name>... [--sf DIR] [--limit N]
+    [--explain]` — run any catalog query against the parquet fixtures and
+    print its rows (or its formatted physical plan), `query list` to
+    enumerate. The developer surface for poking one operator without
+    writing a script."""
+    ap = argparse.ArgumentParser(prog="sec_dl_spark query")
+    ap.add_argument("names", nargs="+", help="catalog query name(s), or 'list'")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01", help="fixture dir")
+    ap.add_argument("--limit", type=int, default=20, help="rows to print per query")
+    ap.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
+    args = ap.parse_args(argv)
+
+    from sec_dl_spark.plans.catalog import load_all
+    from sec_dl_spark.session import get_spark
+
+    specs = load_all()
+    if args.names == ["list"]:
+        for name, spec in specs.items():
+            kind = "oracled" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}\t{spec.doc.splitlines()[0] if spec.doc else ''}")
+        return
+    unknown = [n for n in args.names if n not in specs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {', '.join(unknown)} (try 'query list')")
+    spark = get_spark("sec_dl_spark_query")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in args.names:
+        df = specs[name].spark_fn(spark, args.sf)
+        print(f"== {name} ==")
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=80)
+
+
 def main() -> None:
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "query":
+        return query_main(sys.argv[2:])
     ap = argparse.ArgumentParser(prog="sec_dl_spark")
     ap.add_argument("--base", required=True, help="warehouse base path")
     ap.add_argument("--companies", required=True, help="companies seed CSV")

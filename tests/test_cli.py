@@ -49,3 +49,32 @@ def test_pipeline_cli_end_to_end(tmp_path):
     ]
     assert len(debug_lines) == 2
     assert all("\t" in line and "annual report" in line for line in debug_lines)
+
+
+def test_query_cli_runs_and_lists(tmp_path):
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "sec_dl_spark", "query", "list"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "q1_pricing_summary\toracled" in out.stdout
+    assert "emb_pq_topk\trows-only" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sec_dl_spark", "query", "agg_distinct",
+         "--sf", "/root/testdata/sf0.001", "--limit", "5"],
+        capture_output=True, text=True, timeout=240, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "== agg_distinct ==" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sec_dl_spark", "query", "no_such_query"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode != 0 and "unknown queries" in out.stderr
