@@ -361,3 +361,37 @@ def test_bigram_model_join_is_broadcast(spark, specs):
         assert "CartesianProduct" not in plan, name
     plan = physical_plan(specs["text_bigram_logprob"].spark_fn(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_join_reduction(spark):
+    """At 100 TB a selective dimension-side filter should shrink the fact
+    shuffle BEFORE the join via Spark's runtime bloom filter
+    (InjectRuntimeFilter). The local thresholds hide it (application side
+    must look >10 GB), so pin the lever by scaling the thresholds down
+    the way a real cluster's defaults would naturally apply: the
+    might_contain probe must appear on the fact side of a non-broadcast
+    join."""
+    from sec_dl_spark.sources.fixtures import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan  # bloom probe pushed to the fact scan side
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
