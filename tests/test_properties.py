@@ -183,3 +183,95 @@ def test_bpe_roundtrip_property(spark, corpus_words):
         seg = _segment_word(w, ranks)
         assert "".join(seg).replace(EOW, "") == w
         assert all(t for t in seg)
+
+
+@EX
+@given(st.lists(st.lists(words, min_size=0, max_size=20).map(" ".join), min_size=1, max_size=6))
+def test_passage_dedup_matches_bruteforce(spark, docs):
+    """Spark passage tiling/dup-ranking vs a direct Python computation on
+    random small corpora — catches tiling off-by-ones and rank-order bugs
+    the planted fixture can't."""
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute force: 8-token non-overlapping tiles, duplicate iff an
+    # identical passage occurs earlier in (doc_id, tile_idx) order
+    tiles = []
+    for doc_id, text in rows:
+        toks = [w for w in text.split() if w]
+        for ti in range(len(toks) // 8):
+            tiles.append((doc_id, ti, " ".join(toks[ti * 8 : ti * 8 + 8])))
+    seen: dict = {}
+    expect: dict = {}
+    for doc_id, ti, passage in sorted(tiles):
+        n, d = expect.get(doc_id, (0, 0))
+        dup = passage in seen
+        expect[doc_id] = (n + 1, d + (1 if dup else 0))
+        seen.setdefault(passage, (doc_id, ti))
+
+    # run the same plan body against the constructed frame (the catalog
+    # query reads the fixture; this mirrors its exact expression tree)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from sec_dl_spark.functions.text import tokenize
+
+    tk = df.select("doc_id", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    tiles_df = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 8 - 1), "
+                "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+            )
+        ).alias("tile_idx", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "tile_idx")
+    got = {
+        r["doc_id"]: (r["n"], r["d"])
+        for r in tiles_df.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("d"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+@EX
+@given(st.lists(words, min_size=1, max_size=15).map(" ".join))
+def test_word_entropy_matches_bruteforce(spark, text):
+    """H = ln n − Σ c·ln c / n must equal the direct Shannon entropy."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from sec_dl_spark.functions.text import tokenize
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wc = (
+        df.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
+            ).alias("h"),
+        )
+        .collect()
+    )
+    toks = [w for w in text.split() if w]
+    counts = Counter(toks)
+    n = len(toks)
+    expect = -sum((c / n) * math.log(c / n) for c in counts.values())
+    assert row[0]["n"] == n
+    assert abs(row[0]["h"] - expect) < 1e-9
