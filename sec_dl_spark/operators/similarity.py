@@ -258,7 +258,8 @@ def assign_cells(
     euclidean) in one vectorized Arrow pass — the serve/maintain-time
     half of the coarse quantizer, usable against STORED centroids (e.g.
     appending new vectors to a persisted IVF-PQ index without
-    retraining)."""
+    retraining). Adds a ``cell`` column; every input column passes
+    through untouched (gates must not silently drop payload/metadata)."""
     import numpy as np
     from pyspark.sql.types import IntegerType
 
@@ -274,11 +275,7 @@ def assign_cells(
         d = (centers**2).sum(axis=1)[None, :] - 2.0 * (M @ centers.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
-    return df.select(
-        F.col(id_col).alias(id_col),
-        F.col(vec_col).alias(vec_col),
-        cell_of(F.col(vec_col)).alias("cell"),
-    )
+    return df.withColumn("cell", cell_of(F.col(vec_col)))
 
 
 def cosine_topk_ivf(
@@ -547,16 +544,24 @@ def _kmeans_np(X, k: int, seed: int, max_iter: int):
             continue
         centers[i] = X[rng.choice(n, p=d2 / total)]
         d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    x2 = (X**2).sum(axis=1)
     for _ in range(max_iter):
-        # assign: argmin ||x-c||² = argmin ||c||² − 2x·c (one matmul)
+        # assign: argmin ||x-c||² = argmin ||c||² − 2x·c (one matmul);
+        # the dropped ||x||² term is safe for ASSIGNMENT (constant per
+        # row) but NOT for comparing distances across rows, so reseeding
+        # adds it back
         dist = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
         assign = dist.argmin(axis=1)
+        # farthest-first reseed order for clusters that emptied this
+        # iteration — successive picks so two empty clusters never get
+        # the same point
+        far_order = iter(np.argsort(dist.min(axis=1) + x2)[::-1])
         for i in range(k):
             mask = assign == i
             if mask.any():
                 centers[i] = X[mask].mean(axis=0)
             else:
-                centers[i] = X[dist.min(axis=1).argmax()]
+                centers[i] = X[next(far_order)]
     return centers
 
 
@@ -871,7 +876,7 @@ def ivfpq_topk(
     n_probe: int = 4,
     rerank: int = 32,
     kernel: str = "adc",
-    max_queries: int = 10_000,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Serve top-k from a built IVF-PQ index: probe the ``n_probe``
     nearest cells per query, score their PQ codes, exact-rerank the best
@@ -888,8 +893,11 @@ def ivfpq_topk(
     side via broadcast — so at dim 768 the rank exchange carries ~24
     bytes/candidate instead of ~12 KB. Approximation affects recall
     only: reported cosine_sim comes from the exact rerank. Returns
-    (query_id, neighbor_id, cosine_sim, rank)."""
-    _require_small_queries(queries, max_queries)
+    (query_id, neighbor_id, cosine_sim, rank). ``max_queries=None``
+    skips the size guard — for callers that already enforced it
+    (cosine_topk_ivfpq), avoiding a second count job per call."""
+    if max_queries is not None:
+        _require_small_queries(queries, max_queries)
     spark = corpus.sparkSession
     books = index.codebooks
     centroids = F.broadcast(
@@ -986,7 +994,9 @@ def cosine_topk_ivfpq(
     the ``rerank`` best PQ-approximate candidates per query are scored
     against full-precision vectors. Deterministic under the fixed seed.
     For repeated query batches, build the index once and call ivfpq_topk
-    (training dominates the one-shot cost)."""
+    (training dominates the one-shot cost). The query-size guard runs
+    ONCE, here, before any training job — ivfpq_topk is told to skip its
+    own check."""
     _require_small_queries(queries, max_queries)
     index = build_ivfpq_index(
         corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, m=m,
@@ -994,5 +1004,5 @@ def cosine_topk_ivfpq(
     )
     return ivfpq_topk(
         corpus, index, queries, k=k, id_col=id_col, vec_col=vec_col,
-        n_probe=n_probe, rerank=rerank, kernel=kernel, max_queries=max_queries,
+        n_probe=n_probe, rerank=rerank, kernel=kernel, max_queries=None,
     )

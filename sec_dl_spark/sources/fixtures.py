@@ -37,15 +37,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # comparisons line up exactly.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # Naive micros: reinterpret in UTC so downstream window/date
+            # Naive micros: reinterpret AS UTC so downstream window/date
             # functions see the same TIMESTAMP type AND values as the nanos
-            # path produced. The cast reads the NTZ value in the session tz,
-            # so pin it to UTC defensively (mirroring the nanosAsLong set
-            # above) — an external session built without session.tune()
-            # would otherwise shift ts by the host tz offset, while the
-            # bigint/nanos branch is tz-independent.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # path produced. A bare cast would read the NTZ value in the
+            # session timezone — value-shifting on any session built
+            # without session.tune() — so convert at the EXPRESSION level
+            # instead: NTZ-to-NTZ subtraction is timezone-free, giving
+            # micros-since-epoch that timestamp_micros reinterprets as an
+            # instant. No session conf is read or mutated (ADVICE r4; a
+            # conf set here would also leak a global behavior change out
+            # of a loader, and being lazy it wouldn't even reliably cover
+            # execution).
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -85,21 +85,22 @@ def ann_query_sink(
 
     Results carry (query_id, neighbor_id, cosine_sim, rank) under the
     usual (ingest_run, ingest_batch) partitions; a retried batch
-    overwrites its own earlier output. The per-batch query-side size
-    guard rides along from ivfpq_topk (an oversized batch fails loudly
-    rather than OOMing the driver mid-collect)."""
+    overwrites its own earlier output. The index is RE-OPENED per batch:
+    the centroids/codebooks are a tiny json read, and re-resolving the
+    encoded scan is what makes increments committed by a co-running
+    incremental_ann_index_sink visible to the very next query batch —
+    a first-batch cache would serve a frozen view for the stream's
+    lifetime (and pin the cached codes in executor memory after the
+    stream ends). The per-batch query-side size guard rides along from
+    ivfpq_topk (an oversized batch fails loudly rather than OOMing the
+    driver mid-collect)."""
     from sec_dl_spark.operators.similarity import ivfpq_topk, read_ivfpq_index
 
     run = run_token(checkpoint_dir)
-    holder: dict = {}
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx = holder.get("idx")
-        if idx is None:
-            idx = read_ivfpq_index(spark, index_path)
-            idx.encoded.persist()
-            holder["idx"] = idx
+        idx = read_ivfpq_index(spark, index_path)
         out = ivfpq_topk(
             corpus,
             idx,

@@ -11,16 +11,18 @@ needs an explicit commit protocol on a file sink. Protocol:
 
 1. Each attempt writes its data to WRITE-ONCE staging directories with a
    unique suffix — never overwritten, never read by anyone yet.
-2. The commit is ONE atomic ``FileSystem.rename`` of a small manifest
-   into the linear log ``_commits/v{N+1}.json``. Rename-if-absent is the
-   arbiter: version numbers are dense, so exactly one writer wins each
-   version; a loser either retries at the next version (default), or —
-   when the caller passed ``expected_version`` — withdraws and reports a
-   conflict so the caller can REVALIDATE against the commits that landed
-   in between and try again. That compare-and-swap loop is exactly
-   Delta's optimistic concurrency control, and it is what makes two
-   logical ingest runs racing to admit the same content into one corpus
-   safe: the loser recomputes its anti-join against the winner's rows.
+2. The commit is ONE atomic claim of the next name in the linear log
+   ``_commits/v{N+1}.json`` — create-if-absent (O_CREAT|O_EXCL) on local
+   filesystems, rename-if-absent on HDFS; see ``_publish_manifest`` for
+   why the two schemes need different primitives. Version numbers are
+   dense, so exactly one writer wins each version; a loser either
+   retries at the next version (default), or — when the caller passed
+   ``expected_version`` — withdraws and reports a conflict so the caller
+   can REVALIDATE against the commits that landed in between and try
+   again. That compare-and-swap loop is exactly Delta's optimistic
+   concurrency control, and it is what makes two logical ingest runs
+   racing to admit the same content into one corpus safe: the loser
+   recomputes its anti-join against the winner's rows.
 3. Readers list the log and read ONLY published directories, so a
    half-written staging dir is invisible by construction.
 4. ``compact_committed`` folds the log prefix into a checkpoint manifest
@@ -30,9 +32,10 @@ needs an explicit commit protocol on a file sink. Protocol:
 
 A lost duplicate commit — same (run, batch) already published by a
 zombie or twin writer — returns False and withdraws cleanly; the data is
-already in the log. Scope: rename atomicity holds on HDFS and POSIX
-local filesystems; object stores without atomic rename (S3) need a
-coordination service or a full table format (Delta/Iceberg).
+already in the log. Scope: the claim primitive is atomic on HDFS
+(rename-if-absent) and local filesystems (O_EXCL create); object stores
+without either (S3) need a coordination service or a full table format
+(Delta/Iceberg).
 """
 
 from __future__ import annotations
@@ -52,32 +55,93 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm.org.apache.hadoop.fs.Path
 
 
-def _list_manifests(spark: SparkSession, log_path: str):
-    """[(version, manifest dict)] sorted by version; [] if no log yet."""
+def _publish_manifest(spark: SparkSession, fs, Path, dst: str, payload: str) -> bool:
+    """Atomically claim the manifest name ``dst`` and write ``payload``
+    into it. Returns False (nothing written) if the name is taken.
+
+    The claim primitive is scheme-dependent, because 'atomic rename' and
+    'atomic rename-IF-ABSENT' are different guarantees: HDFS rename(src,
+    dst) fails atomically when dst exists, but on local filesystems the
+    Hadoop wrappers reduce to a check-then-act over POSIX rename(2),
+    which silently REPLACES an existing destination — two racing writers
+    could both think they won and one manifest would vanish. For file://
+    the claim is java.io.File.createNewFile(), which the JDK implements
+    with O_CREAT|O_EXCL — genuinely atomic — and the payload is then
+    written into the claimed (exclusively owned) name. A crash between
+    claim and payload leaves an empty manifest: readers skip it, and the
+    version number stays burned (the same hole a failed Delta commit
+    leaves). Other schemes use rename-if-absent, which HDFS provides
+    atomically."""
+    uri = spark._jvm.java.net.URI(dst)
+    if uri.getScheme() in (None, "file"):
+        f = spark._jvm.java.io.File(uri.getPath() if uri.getScheme() else dst)
+        spark._jvm.java.io.File(f.getParent()).mkdirs()
+        if not f.createNewFile():
+            return False
+        out = spark._jvm.java.io.FileOutputStream(f)
+        try:
+            out.write(payload.encode("utf-8"))
+        finally:
+            out.close()
+        return True
+    tmp = Path(f"{dst}.tmp-{uuid.uuid4().hex[:12]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload.encode("utf-8"))
+    finally:
+        out.close()
+    if fs.rename(tmp, Path(dst)):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
+# Manifests are immutable once published, so parsed content is cached by
+# (log path, filename) across listings — a listing only pays one payload
+# read per NEW manifest, not per scan.
+_MANIFEST_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _scan_log(spark: SparkSession, log_path: str):
+    """(parsed entries [(version, manifest)] sorted, highest version
+    NUMBER present by filename). The two can differ: a writer that
+    crashed between claiming v{N} and writing its payload leaves an
+    empty/partial manifest — readers skip it, but the version number
+    stays burned so allocation never retries into it."""
     fs, Path = _fs(spark, log_path)
     commits = Path(f"{log_path}/_commits")
     if not fs.exists(commits):
-        return []
+        return [], 0
     out = []
+    top = 0
     for st in fs.listStatus(commits):
         name = st.getPath().getName()
         if not (name.startswith("v") and name.endswith(".json")):
             continue
-        out.append(
-            (
-                int(name[1:-5]),
-                json.loads(bytes(_read_small_file(fs, st.getPath())).decode("utf-8")),
-            )
-        )
+        v = int(name[1:-5])
+        top = max(top, v)
+        key = (log_path, name)
+        m = _MANIFEST_CACHE.get(key)
+        if m is None:
+            try:
+                m = json.loads(_read_small_file(spark, fs, st.getPath()).decode("utf-8"))
+            except ValueError:
+                continue  # in-flight or crashed claim — skip, version stays burned
+            _MANIFEST_CACHE[key] = m
+        out.append((v, m))
     out.sort(key=lambda vm: vm[0])
-    return out
+    return out, top
+
+
+def _list_manifests(spark: SparkSession, log_path: str):
+    """[(version, manifest dict)] sorted by version; [] if no log yet."""
+    return _scan_log(spark, log_path)[0]
 
 
 def current_version(spark: SparkSession, log_path: str) -> int:
-    """Highest committed version (0 when the log is empty) — the snapshot
+    """Highest claimed version (0 when the log is empty) — the snapshot
     token for an ``expected_version`` compare-and-swap commit."""
-    entries = _list_manifests(spark, log_path)
-    return entries[-1][0] if entries else 0
+    return _scan_log(spark, log_path)[1]
 
 
 def _committed_batches(entries) -> set[tuple[str, int]]:
@@ -157,11 +221,11 @@ def atomic_commit_outputs(
 
     fs.mkdirs(Path(f"{log_path}/_commits"))
     for _ in range(_MAX_COMMIT_RETRIES):
-        entries = _list_manifests(spark, log_path)
+        entries, top = _scan_log(spark, log_path)
         if (run, batch_id) in _committed_batches(entries):
             _withdraw()
             return False
-        v = (entries[-1][0] if entries else 0) + 1
+        v = top + 1
         if expected_version is not None and v != expected_version + 1:
             # the log advanced past the caller's snapshot: its validation
             # is stale — withdraw so it can revalidate and recommit
@@ -170,16 +234,9 @@ def atomic_commit_outputs(
         manifest = json.dumps(
             {"version": v, "dirs": staged, "ingest_run": run, "ingest_batch": batch_id}
         )
-        tmp = Path(f"{log_path}/_staging/.manifest-{run}-{batch_id}-{attempt}-{v}.json")
-        out = fs.create(tmp, True)
-        try:
-            out.write(manifest.encode("utf-8"))
-        finally:
-            out.close()
-        if fs.rename(tmp, Path(f"{log_path}/_commits/v{v}.json")):
+        if _publish_manifest(spark, fs, Path, f"{log_path}/_commits/v{v}.json", manifest):
             return True
-        fs.delete(tmp, False)
-        # lost the version race to some other commit — loop re-lists
+        # lost the version race to some other commit — loop re-scans
     _withdraw()
     raise RuntimeError(
         f"atomic commit of ({run}, {batch_id}) at {log_path!r} lost "
@@ -237,11 +294,11 @@ def compact_committed(spark: SparkSession, log_path: str) -> bool:
     deleted immediately after the checkpoint publishes, so a reader that
     listed the log BEFORE compaction and reads data AFTER it can miss
     files — long-lived readers should re-list."""
-    entries = _list_manifests(spark, log_path)
+    entries, top = _scan_log(spark, log_path)
     if not entries:
         return False
     fs, Path = _fs(spark, log_path)
-    covers_through = entries[-1][0]
+    covers_through = top
     names = sorted({n for _, m in entries for n in m.get("dirs", {})})
     batches = sorted(_committed_batches(entries))
     attempt = uuid.uuid4().hex[:12]
@@ -262,17 +319,10 @@ def compact_committed(spark: SparkSession, log_path: str) -> bool:
             "batches": [[r, b] for r, b in batches],
         }
     )
-    tmp = Path(f"{log_path}/_staging/.checkpoint-{attempt}.json")
-    out = fs.create(tmp, True)
-    try:
-        out.write(manifest.encode("utf-8"))
-    finally:
-        out.close()
-    if not fs.rename(tmp, Path(f"{log_path}/_commits/v{v}.json")):
+    if not _publish_manifest(spark, fs, Path, f"{log_path}/_commits/v{v}.json", manifest):
         # a writer (or rival compactor) took this version — withdraw; the
         # caller can simply compact again
         fs.delete(Path(f"{log_path}/_checkpoints/{covers_through}-{attempt}"), True)
-        fs.delete(tmp, False)
         return False
     # vacuum the folded manifests and their staged data
     for fv, m in entries:
@@ -282,16 +332,20 @@ def compact_committed(spark: SparkSession, log_path: str) -> bool:
     return True
 
 
-def _read_small_file(fs, jpath) -> bytearray:
-    """Read a (tiny) manifest through the Hadoop stream API."""
+def _read_small_file(spark: SparkSession, fs, jpath) -> bytes:
+    """Read a (tiny) manifest in ONE call — local files through Python
+    directly, remote schemes via a single JVM-side stream copy (a
+    byte-per-Py4J-round-trip loop would cost hundreds of JVM calls per
+    manifest)."""
+    uri = jpath.toUri()
+    if uri.getScheme() in (None, "file"):
+        with open(uri.getPath(), "rb") as f:
+            return f.read()
+    jvm = spark._jvm
     stream = fs.open(jpath)
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-        return buf
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray())
     finally:
         stream.close()

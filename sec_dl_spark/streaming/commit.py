@@ -104,6 +104,28 @@ def check_source_marker(
 
     existing = try_read_parquet(spark, marker_path)
     if existing is not None:
+        if "ingest_batch" not in existing.columns:
+            # Marker written by the earlier batch-0-only format (one row
+            # per run, partitioned by ingest_run alone): its single row IS
+            # the batch-0 fingerprint. Migrate the directory to the
+            # per-batch layout in place — appending the new layout beside
+            # the old one would mix partition depths, which Spark's
+            # partition discovery rejects on the next read.
+            rows = existing.select("n", "fp", "ingest_run").collect()
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(marker_path)
+            jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+            (
+                spark.createDataFrame(
+                    [(r["n"], r["fp"], r["ingest_run"]) for r in rows],
+                    "n long, fp long, ingest_run string",
+                )
+                .withColumn("ingest_batch", F.lit(0))
+                .write.mode("overwrite")
+                .partitionBy("ingest_run", "ingest_batch")
+                .parquet(marker_path)
+            )
+            existing = try_read_parquet(spark, marker_path)
         # cast the partition column rather than trusting inference: the
         # marker must read identically whether the session infers
         # partition types or keeps them as strings

@@ -950,3 +950,25 @@ def test_pq_training_distributed_path_still_works(spark, monkeypatch):
     assert books == again
     codes = similarity.pq_encode(emb, books).select("pq_codes").first()[0]
     assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+
+
+def test_kmeans_np_reseeds_distinct_true_farthest_points():
+    """Empty-cluster reseeding must rank rows by TRUE distance (the
+    assignment shortcut drops the per-row ||x||² term, which is only
+    valid within a row) and must give two simultaneously-empty clusters
+    DIFFERENT points."""
+    import numpy as np
+
+    from sec_dl_spark.operators.similarity import _kmeans_np
+
+    # two tight groups far apart + a duplicate-heavy blob: forcing k=6 on
+    # 3 distinct values guarantees empties every iteration
+    X = np.array([[0.0, 0.0]] * 10 + [[100.0, 0.0]] * 10 + [[0.0, 90.0]] * 10)
+    centers = _kmeans_np(X, 6, seed=7, max_iter=6)
+    # every distinct data value must be represented by some centroid
+    for target in ([0.0, 0.0], [100.0, 0.0], [0.0, 90.0]):
+        d = np.abs(centers - np.array(target)).sum(axis=1).min()
+        assert d < 1e-9, (target, centers)
+    # determinism
+    again = _kmeans_np(X, 6, seed=7, max_iter=6)
+    assert np.array_equal(centers, again)

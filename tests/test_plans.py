@@ -308,21 +308,25 @@ def test_catalog_rotation_front_loads_stale_queries():
 
 
 def test_events_ts_load_is_timezone_independent(spark):
-    """The NTZ→timestamp cast in load_table reads the naive value in the
-    session tz; an external session built without session.tune() (e.g. a
-    bare verification driver) could carry a host tz and silently shift ts.
-    load_table must pin UTC itself so both fixture `ts` encodings load
-    identically regardless of session construction (ADVICE r4)."""
+    """A bare NTZ→timestamp cast reads the naive value in the session tz;
+    an external session built without session.tune() (e.g. a bare
+    verification driver) could carry a host tz and silently shift ts.
+    load_table must convert at the expression level (tz-free NTZ
+    arithmetic) so both fixture `ts` encodings load identically under ANY
+    session timezone — and without mutating the caller's session conf as
+    a side effect (ADVICE r4)."""
     from sec_dl_spark.sources.fixtures import load_table
 
     baseline = load_table(spark, SF, "events").agg(F.min("ts"), F.max("ts")).collect()[0]
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
+        # collect AFTER the conf change: a conf-set inside the loader
+        # could not save a lazy cast executed under a restored tz
         shifted = load_table(spark, SF, "events").agg(F.min("ts"), F.max("ts")).collect()[0]
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    # values identical, and (on the NTZ path) the loader restored UTC itself
     assert tuple(shifted) == tuple(baseline)
 
 

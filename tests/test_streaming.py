@@ -992,16 +992,20 @@ def test_incremental_semantic_dedup_gate_across_batches(spark, tmp_path_factory)
         n = sum(x * x for x in v) ** 0.5
         return [float(x / n) for x in v]
 
-    schema = T.StructType(
+    train_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
+    # payload column rides along: gates must not silently drop metadata
+    schema = T.StructType(
+        list(train_schema.fields) + [T.StructField("tag", T.StringType())]
+    )
     # training corpus spanning the axes so cells separate directions
     train = spark.createDataFrame(
         [(i, unit(i % dim, 0.05 * (i // dim), other=(i + 1) % dim)) for i in range(64)],
-        schema,
+        train_schema,
     )
     _, centroids = _coarse_cells(train, "vec_id", "embedding", 8, seed=3)
 
@@ -1012,11 +1016,11 @@ def test_incremental_semantic_dedup_gate_across_batches(spark, tmp_path_factory)
 
     # batch 0: axis-0 vector + its near-twin (collapse in-batch) + axis-1
     spark.createDataFrame(
-        [(1, unit(0)), (2, unit(0, 0.05)), (10, unit(1))], schema
+        [(1, unit(0), "t1"), (2, unit(0, 0.05), "t2"), (10, unit(1), "t10")], schema
     ).coalesce(1).write.parquet(f"{src}/f0")
     # batch 1: near axis-0 again (historical dup) + novel axis-2
     spark.createDataFrame(
-        [(20, unit(0, 0.08)), (30, unit(2))], schema
+        [(20, unit(0, 0.08), "t20"), (30, unit(2), "t30")], schema
     ).coalesce(1).write.parquet(f"{src}/f1")
 
     stream = (
@@ -1028,7 +1032,67 @@ def test_incremental_semantic_dedup_gate_across_batches(spark, tmp_path_factory)
         stream, accepted, registry, ckpt, centroids, threshold=0.95
     ).awaitTermination(120)
 
-    kept = sorted(r["vec_id"] for r in spark.read.parquet(accepted).collect())
+    acc = spark.read.parquet(accepted)
+    kept = sorted(r["vec_id"] for r in acc.collect())
     assert kept == [1, 10, 30]  # 2 in-batch dup, 20 historical dup
+    # payload columns survive the gate (VERDICT-style silent-drop check)
+    assert {r["tag"] for r in acc.collect()} == {"t1", "t10", "t30"}
     reg = spark.read.parquet(registry)
     assert sorted(r["vec_id"] for r in reg.collect()) == [1, 10, 30]
+
+
+def test_publish_manifest_claim_is_exclusive_and_preserves_winner(spark, tmp_path):
+    """The local-FS claim must be create-if-absent (O_EXCL), not
+    check-then-rename: a second publish to the same name returns False
+    and the FIRST payload survives byte-for-byte (a raw rename(2) would
+    silently replace it — the lost-commit hazard)."""
+    from sec_dl_spark.streaming.atomic import _fs, _publish_manifest
+
+    dst = str(tmp_path / "_commits" / "v1.json")
+    fs, Path = _fs(spark, str(tmp_path))
+    assert _publish_manifest(spark, fs, Path, dst, '{"who": "first"}') is True
+    assert _publish_manifest(spark, fs, Path, dst, '{"who": "second"}') is False
+    with open(dst) as f:
+        assert f.read() == '{"who": "first"}'
+
+
+def test_source_marker_migrates_legacy_batch0_layout(spark, tmp_path_factory):
+    """Markers written by the earlier batch-0-only format (partitioned by
+    ingest_run alone) must keep enforcing the replay contract: the loader
+    migrates them to the per-batch layout in place — an unchanged source
+    replays clean, a changed one still fails fast."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.commit import check_source_marker, run_token
+
+    sink = str(tmp_path_factory.mktemp("legacy_marker") / "registry")
+    run = run_token("some/ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    batch = spark.createDataFrame([(1, "alpha"), (2, "beta")], schema)
+
+    # write the marker the way the OLD code did: one row per run, no batch col
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.shiftrightunsigned(F.xxhash64(F.col("doc_id")), 33)).alias("fp"),
+    ).first()
+    (
+        spark.createDataFrame([(row["n"], row["fp"], run)], "n long, fp long, ingest_run string")
+        .write.mode("overwrite")
+        .partitionBy("ingest_run")
+        .parquet(f"{sink}_runs")
+    )
+
+    # unchanged batch 0 passes and the directory migrates to per-batch rows
+    check_source_marker(batch, sink, run, 0, "doc_id")
+    migrated = spark.read.parquet(f"{sink}_runs")
+    assert "ingest_batch" in migrated.columns
+    # later batches now write beside it without partition-depth conflicts
+    check_source_marker(batch, sink, run, 1, "doc_id")
+    assert spark.read.parquet(f"{sink}_runs").count() == 2
+
+    # a CHANGED batch 0 under the same run still fails fast post-migration
+    changed = spark.createDataFrame([(9, "other")], schema)
+    with pytest.raises(ValueError, match="CHANGED"):
+        check_source_marker(changed, sink, run, 0, "doc_id")
