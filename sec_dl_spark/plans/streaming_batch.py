@@ -423,3 +423,54 @@ def events_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_start", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("hour_start")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, min(med) AS med, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(sum(CASE WHEN d.ad > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(min(m.med) + 1e-9, 4) AS med,
+           round(min(m.mad) + 1e-9, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging per event type: median absolute deviation
+    (5×MAD fence) instead of mean/stddev, so the fence itself is immune
+    to the outliers it hunts. Two aggregate-then-broadcast-join passes —
+    the medians table is O(event types), so the events scan never
+    shuffles on value."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ad") > 5 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med") + 1e-9, 4).alias("med"),
+            F.round(F.min("mad") + 1e-9, 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

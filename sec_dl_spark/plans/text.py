@@ -1849,3 +1849,40 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivfpq(
         e, q, k=5, n_cells=16, n_probe=4, m=4, n_centroids=32
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    -- width_bucket(n_chars, 0, 1000, 10) spelled arithmetically (DuckDB
+    -- has no width_bucket): bucket i covers [i*100, (i+1)*100), 11 = >= max
+    SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+                     WHEN n_chars >= 1000 THEN 11
+                     ELSE n_chars // 100 + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(n_chars) AS BIGINT) AS lo,
+           CAST(max(n_chars) AS BIGINT) AS hi
+    FROM documents GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (width_bucket over n_chars) — the
+    profiling pass every corpus-filter threshold is tuned against. One
+    partial-aggregating groupBy on an 11-value key; the scan reads a
+    single integer column (plan-prunable)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(1000), F.lit(10))
+            .cast("long")
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
