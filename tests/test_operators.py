@@ -972,3 +972,38 @@ def test_kmeans_np_reseeds_distinct_true_farthest_points():
     # determinism
     again = _kmeans_np(X, 6, seed=7, max_iter=6)
     assert np.array_equal(centers, again)
+
+
+def test_cms_counts_one_sided_bound(spark):
+    """Count-min estimates are NEVER below the true count, and with a
+    tight eps on this small corpus they should be exact for hot keys."""
+    from collections import Counter
+
+    from sec_dl_spark.operators.sketch import cms_counts
+
+    rows = [("a",)] * 500 + [("b",)] * 100 + [("c",)] * 7 + [(f"x{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    true = Counter(r[0] for r in rows)
+    n = len(rows)
+    keys = ["a", "b", "c", "x0", "absent"]
+    est = cms_counts(df, "k", keys, eps=0.001, confidence=0.99)
+    for k in keys:
+        assert est[k] >= true.get(k, 0)  # one-sided: never undercounts
+        assert est[k] <= true.get(k, 0) + 0.001 * n + 1
+    again = cms_counts(df, "k", keys, eps=0.001, confidence=0.99)
+    assert est == again  # fixed seed → deterministic
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Bloom membership: every present key answers True (no false
+    negatives, ever); a batch of absent probes stays under the
+    configured false-positive rate with slack."""
+    from sec_dl_spark.operators.sketch import bloom_membership
+
+    present = [f"k{i}" for i in range(1000)]
+    df = spark.createDataFrame([(k,) for k in present], "k string")
+    absent = [f"zz{i}" for i in range(1000)]
+    got = bloom_membership(df, "k", present + absent, expected_items=1000, fpp=0.01)
+    assert all(got[k] for k in present)
+    false_pos = sum(1 for a in absent if got[a])
+    assert false_pos <= 50  # 1% fpp with generous slack
