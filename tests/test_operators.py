@@ -1007,3 +1007,23 @@ def test_bloom_membership_no_false_negatives(spark):
     assert all(got[k] for k in present)
     false_pos = sum(1 for a in absent if got[a])
     assert false_pos <= 50  # 1% fpp with generous slack
+
+
+def test_hot_keys_detects_planted_skew(spark):
+    """Sample+sketch hot-key detection: planted heavy keys (20% / 5%)
+    surface, the long uniform tail does not, and detection is
+    deterministic — all without a groupBy shuffle keyed by the skewed
+    column."""
+    from sec_dl_spark.operators.skew import hot_keys
+
+    rows = (
+        [("whale",)] * 2000
+        + [("shark",)] * 500
+        + [(f"minnow{i % 400}",) for i in range(7500)]  # ~0.19% each
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = hot_keys(df, "k", min_fraction=0.03, sample_fraction=0.05)
+    assert got == ["shark", "whale"]
+    assert hot_keys(df, "k", min_fraction=0.03, sample_fraction=0.05) == got
+    # raising the bar past the second key's 5% leaves only the whale
+    assert hot_keys(df, "k", min_fraction=0.1, sample_fraction=0.05) == ["whale"]
