@@ -332,6 +332,43 @@ def compact_committed(spark: SparkSession, log_path: str) -> bool:
     return True
 
 
+def vacuum_staging(
+    spark: SparkSession,
+    data_root: str,
+    log_path: str,
+    older_than_hours: float = 1.0,
+) -> int:
+    """Delete staging directories under ``data_root``/_staging that are
+    (a) referenced by NO committed manifest and (b) older than
+    ``older_than_hours`` — the leftovers of crashed or lost commit
+    attempts. The age gate is what makes this safe to run beside live
+    writers (Delta's vacuum retention, same reasoning): a freshly staged
+    dir whose commit is still in flight is never touched. Returns the
+    number of directories removed."""
+    import time
+
+    fs, Path = _fs(spark, data_root)
+    staging_root = Path(f"{data_root}/_staging")
+    if not fs.exists(staging_root):
+        return 0
+    referenced: set[str] = set()
+    for _, m in _list_manifests(spark, log_path):
+        for d in m.get("dirs", {}).values():
+            # staged layout is <root>/_staging/<attempt-dir>/<name>
+            referenced.add(d.rstrip("/").rsplit("/", 2)[1])
+    cutoff_ms = (time.time() - older_than_hours * 3600) * 1000
+    removed = 0
+    for st in fs.listStatus(staging_root):
+        name = st.getPath().getName()
+        if name.startswith("."):
+            continue  # manifest temp files are claimed/cleaned by commits
+        if name in referenced or st.getModificationTime() > cutoff_ms:
+            continue
+        fs.delete(st.getPath(), True)
+        removed += 1
+    return removed
+
+
 def _read_small_file(spark: SparkSession, fs, jpath) -> bytes:
     """Read a (tiny) manifest in ONE call — local files through Python
     directly, remote schemes via a single JVM-side stream copy (a

@@ -1096,3 +1096,34 @@ def test_source_marker_migrates_legacy_batch0_layout(spark, tmp_path_factory):
     changed = spark.createDataFrame([(9, "other")], schema)
     with pytest.raises(ValueError, match="CHANGED"):
         check_source_marker(changed, sink, run, 0, "doc_id")
+
+
+def test_vacuum_staging_removes_only_old_orphans(spark, tmp_path_factory):
+    """Staging vacuum: an old unreferenced attempt dir (crashed commit) is
+    removed; the committed batch's staged data and a FRESH orphan (a
+    possibly in-flight commit) are left alone."""
+    import os
+    import time
+
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_batch,
+        read_committed,
+        vacuum_staging,
+    )
+
+    sink = str(tmp_path_factory.mktemp("vac") / "sink")
+    assert atomic_commit_batch(spark.range(3).selectExpr("id"), sink, "r1", 0)
+
+    old_orphan = f"{sink}/_staging/r1-9-deadbeefcafe"
+    os.makedirs(f"{old_orphan}/data")
+    stale = time.time() - 7200
+    os.utime(old_orphan, (stale, stale))
+    fresh_orphan = f"{sink}/_staging/r1-10-aaaaaaaaaaaa"
+    os.makedirs(f"{fresh_orphan}/data")
+
+    removed = vacuum_staging(spark, sink, sink, older_than_hours=1.0)
+    assert removed == 1
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh_orphan)
+    # the committed batch still reads fine (its staging dir survived)
+    assert {r["id"] for r in read_committed(spark, sink).collect()} == {0, 1, 2}
