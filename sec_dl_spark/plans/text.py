@@ -1886,3 +1886,66 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, lang, unnest(toks) AS w FROM tk),
+    cc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    tc AS (SELECT w, count(*) AS c FROM w WHERE lang = 'en' GROUP BY w),
+    scal AS (SELECT (SELECT count(*) FROM cc) AS V,
+                    (SELECT sum(c) FROM cc) AS NC,
+                    (SELECT coalesce(sum(c), 0) FROM tc) AS NT),
+    model AS (
+      SELECT cc.w,
+             ln((coalesce(tc.c, 0) + 1.0) / (NT + V))
+             - ln((cc.c + 1.0) / (NC + V)) AS logr
+      FROM cc LEFT JOIN tc USING (w), scal
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(logr) + 1e-9, 4) AS dsir_logratio
+    FROM w JOIN model USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    with Importance Resampling): score every document by the mean
+    log-ratio of a TARGET-domain unigram LM (here the lang='en' slice)
+    to the full-corpus LM, both add-one smoothed over the shared
+    vocabulary. High scores = looks like the target domain; resampling
+    ∝ exp(weight) shifts the corpus mixture toward it (compose with
+    deterministic_mixture_sample). The two LMs are word-count
+    aggregations; scoring is a broadcast join on the O(vocab) model —
+    the corpus text never reshuffles, the DSIR shape at 100 TB."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("toks")
+    )
+    w = d.select("doc_id", "lang", F.explode("toks").alias("w"))
+    cc = w.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    tc = w.where(F.col("lang") == "en").groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    scal = cc.agg(
+        F.count(F.lit(1)).alias("V"), F.sum("cc").alias("NC")
+    ).crossJoin(tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("NT")))
+    model = (
+        cc.join(tc, "w", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("NT") + F.col("V")))
+                - F.log((F.col("cc") + 1.0) / (F.col("NC") + F.col("V")))
+            ).alias("logr"),
+        )
+    )
+    return (
+        w.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logr") + 1e-9, 4).alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )
