@@ -59,6 +59,72 @@ from sec_dl_spark.streaming.commit import (  # noqa: E402
 from sec_dl_spark.util import try_read_parquet as _try_read_parquet  # noqa: E402
 
 
+def _commit_gated_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    run: str,
+    accepted_path: str,
+    registry_path: str,
+    commit_mode: str,
+    id_col: str,
+    survivors_against,
+    registry_partition_cols: list[str],
+) -> None:
+    """Shared commit driver for every cross-batch dedup gate.
+
+    ``survivors_against(seen_registry)`` computes this batch's verdicts
+    against a historical registry frame (or None) and returns
+    (accepted_df, registry_df). ``commit_mode="overwrite"`` runs the
+    idempotent dynamic-partition-overwrite pair; ``"atomic"`` runs the
+    Delta-style optimistic-concurrency loop — validate against the log
+    snapshot, CAS-commit both outputs as ONE manifest at snapshot+1,
+    recompute on interference — so admission is serializable across
+    concurrent logical runs for EVERY gate, not just the exact one."""
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_outputs,
+        current_version,
+        is_committed,
+        read_committed,
+    )
+
+    spark = batch_df.sparkSession
+    if commit_mode == "atomic":
+        if is_committed(spark, registry_path, run, batch_id):
+            return  # replayed batch already published — nothing to redo
+        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
+        # optimistic concurrency: validate against the log snapshot,
+        # CAS-commit at snapshot+1, recompute on interference
+        for _ in range(10):
+            base_v = current_version(spark, registry_path)
+            accepted_df, registry_df = survivors_against(
+                read_committed(spark, registry_path, "registry")
+            )
+            if atomic_commit_outputs(
+                {
+                    "accepted": (accepted_df, accepted_path),
+                    "registry": (registry_df, registry_path),
+                },
+                registry_path,
+                run,
+                batch_id,
+                partition_by={"registry": registry_partition_cols},
+                expected_version=base_v,
+            ):
+                return
+            if is_committed(spark, registry_path, run, batch_id):
+                return  # a twin writer published this very batch
+        raise RuntimeError(
+            f"batch {batch_id} of run {run!r} lost 10 admission races at "
+            f"{registry_path!r} — pathological writer contention"
+        )
+    _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
+    accepted_df, registry_df = survivors_against(_try_read_parquet(spark, registry_path))
+    _commit_batch_partition(accepted_df, accepted_path, run, batch_id)
+    _commit_batch_partition(
+        registry_df, registry_path, run, batch_id, *registry_partition_cols
+    )
+
+
 def incremental_dedup_sink(
     docs_stream: DataFrame,
     accepted_path: str,
@@ -97,18 +163,6 @@ def incremental_dedup_sink(
     run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from sec_dl_spark.streaming.atomic import (
-            atomic_commit_outputs,
-            current_version,
-            is_committed,
-            read_committed,
-        )
-
-        spark = batch_df.sparkSession
-        atomic = commit_mode == "atomic"
-        if atomic and is_committed(spark, registry_path, run, batch_id):
-            return  # replayed batch already published — nothing to redo
-        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         fp = _fingerprints(batch_df, id_col, text_col)
         # in-batch dedup: first id per fingerprint wins (deterministic)
         w = Window.partitionBy("_fp").orderBy(id_col)
@@ -127,42 +181,9 @@ def incremental_dedup_sink(
                 s.select("_fp", "_fp_bucket", F.col(id_col).alias("canonical_id")),
             )
 
-        if atomic:
-            # optimistic concurrency: validate against the log snapshot,
-            # CAS-commit at snapshot+1, recompute on interference
-            for _ in range(10):
-                base_v = current_version(spark, registry_path)
-                accepted_df, registry_df = survivors_against(
-                    read_committed(spark, registry_path, "registry")
-                )
-                if atomic_commit_outputs(
-                    {
-                        "accepted": (accepted_df, accepted_path),
-                        "registry": (registry_df, registry_path),
-                    },
-                    registry_path,
-                    run,
-                    batch_id,
-                    partition_by={"registry": ["_fp_bucket"]},
-                    expected_version=base_v,
-                ):
-                    return
-                if is_committed(spark, registry_path, run, batch_id):
-                    return  # a twin writer published this very batch
-            raise RuntimeError(
-                f"batch {batch_id} of run {run!r} lost 10 admission races at "
-                f"{registry_path!r} — pathological writer contention"
-            )
-        accepted_df, registry_df = survivors_against(
-            _try_read_parquet(spark, registry_path)
-        )
-        _commit_batch_partition(accepted_df, accepted_path, run, batch_id)
-        _commit_batch_partition(
-            registry_df,
-            registry_path,
-            run,
-            batch_id,
-            "_fp_bucket",
+        _commit_gated_batch(
+            batch_df, batch_id, run, accepted_path, registry_path,
+            commit_mode, id_col, survivors_against, ["_fp_bucket"],
         )
 
     return (
@@ -182,6 +203,7 @@ def incremental_minhash_dedup_sink(
     text_col: str = "text",
     num_perm: int = 32,
     rows_per_band: int = 4,
+    commit_mode: str = "overwrite",
 ):
     """Streaming NEAR-dup gate: drop an arriving document if it shares any
     MinHash LSH band with anything already accepted (or with a smaller-id
@@ -194,14 +216,16 @@ def incremental_minhash_dedup_sink(
     near-dup of an already-dropped doc still drops (transitive chains
     collapse to the earliest-accepted member). With r rows per band and
     b bands, the accept threshold follows the LSH S-curve
-    P[drop] = 1 − (1 − j^r)^b (r=4, b=8 centers near jaccard 0.6)."""
+    P[drop] = 1 − (1 − j^r)^b (r=4, b=8 centers near jaccard 0.6).
+    ``commit_mode`` as in incremental_dedup_sink — "atomic" gives the
+    CAS/OCC admission loop."""
+    if commit_mode not in ("overwrite", "atomic"):
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
     from sec_dl_spark.operators.dedup import minhash_band_keys, minhash_signatures
 
     run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         bands = minhash_band_keys(
             minhash_signatures(batch_df, id_col=id_col, text_col=text_col, num_perm=num_perm),
             rows_per_band=rows_per_band,
@@ -216,29 +240,28 @@ def incremental_minhash_dedup_sink(
             .select("doc_id")
             .distinct()
         )
-        dup_ids = in_batch_dups
-        seen = _try_read_parquet(spark, registry_path)
-        if seen is not None:
-            seen = seen.where(_not_own_batch(run, batch_id))
-            hist_dups = (
-                bands.join(seen, ["band", "band_hash"], "left_semi")
-                .select("doc_id")
-                .distinct()
-            )
-            dup_ids = dup_ids.unionByName(hist_dups).distinct()
-        survivors = (
-            batch_df.join(dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        _commit_batch_partition(survivors, accepted_path, run, batch_id)
-        _commit_batch_partition(
-            bands.join(
+
+        def survivors_against(seen):
+            dup_ids = in_batch_dups
+            if seen is not None:
+                seen2 = seen.where(_not_own_batch(run, batch_id))
+                hist_dups = (
+                    bands.join(seen2, ["band", "band_hash"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                dup_ids = dup_ids.unionByName(hist_dups).distinct()
+            survivors = batch_df.join(
+                dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti"
+            ).localCheckpoint(eager=True)
+            registry_df = bands.join(
                 survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-            ),
-            registry_path,
-            run,
-            batch_id,
-            "band",
+            )
+            return survivors, registry_df
+
+        _commit_gated_batch(
+            batch_df, batch_id, run, accepted_path, registry_path,
+            commit_mode, id_col, survivors_against, ["band"],
         )
 
     return (
@@ -259,6 +282,7 @@ def incremental_winnow_dedup_sink(
     k: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    commit_mode: str = "overwrite",
 ):
     """Streaming PARTIAL-OVERLAP gate: drop an arriving document if it
     shares >= ``min_shared`` winnowing fingerprints with anything already
@@ -269,16 +293,16 @@ def incremental_winnow_dedup_sink(
 
     Registry rows are (fp_bucket, fp_hash, doc_id) — a few longs per
     selected fingerprint, never text — partitioned by fingerprint bucket
-    so the per-batch semi-join prunes. Same idempotent (run, batch)
-    dynamic-partition-overwrite commit as the sibling sinks.
+    so the per-batch semi-join prunes. ``commit_mode`` as in
+    incremental_dedup_sink — "atomic" gives the CAS/OCC admission loop.
     """
+    if commit_mode not in ("overwrite", "atomic"):
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
     from sec_dl_spark.operators.dedup import winnow_fingerprints
 
     run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         fps = (
             winnow_fingerprints(
                 batch_df, id_col=id_col, text_col=text_col, k=k, window=window
@@ -304,37 +328,36 @@ def incremental_winnow_dedup_sink(
             .select("doc_id")
             .distinct()
         )
-        dup_ids = in_batch_dups
-        seen = _try_read_parquet(spark, registry_path)
-        if seen is not None:
-            # (fp_bucket, fp_hash) join key keeps the shuffle co-located
-            # with the registry's bucket partitioning; registry rows are
-            # unique per (doc, fingerprint) by construction, so the pair
-            # count needs no distinct on either side.
-            seen = seen.where(_not_own_batch(run, batch_id)).select(
-                "fp_bucket", "fp_hash", F.col("doc_id").alias("other_id")
-            )
-            hist_dups = (
-                fps.join(seen, ["fp_bucket", "fp_hash"])
-                .groupBy("doc_id", "other_id")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") >= min_shared)
-                .select("doc_id")
-                .distinct()
-            )
-            dup_ids = dup_ids.unionByName(hist_dups).distinct()
-        survivors = batch_df.join(
-            dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti"
-        ).localCheckpoint(eager=True)
-        _commit_batch_partition(survivors, accepted_path, run, batch_id)
-        _commit_batch_partition(
-            fps.join(
+        def survivors_against(seen):
+            dup_ids = in_batch_dups
+            if seen is not None:
+                # (fp_bucket, fp_hash) join key keeps the shuffle co-located
+                # with the registry's bucket partitioning; registry rows are
+                # unique per (doc, fingerprint) by construction, so the pair
+                # count needs no distinct on either side.
+                seen2 = seen.where(_not_own_batch(run, batch_id)).select(
+                    "fp_bucket", "fp_hash", F.col("doc_id").alias("other_id")
+                )
+                hist_dups = (
+                    fps.join(seen2, ["fp_bucket", "fp_hash"])
+                    .groupBy("doc_id", "other_id")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") >= min_shared)
+                    .select("doc_id")
+                    .distinct()
+                )
+                dup_ids = dup_ids.unionByName(hist_dups).distinct()
+            survivors = batch_df.join(
+                dup_ids, batch_df[id_col] == dup_ids["doc_id"], "left_anti"
+            ).localCheckpoint(eager=True)
+            registry_df = fps.join(
                 survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
-            ),
-            registry_path,
-            run,
-            batch_id,
-            "fp_bucket",
+            )
+            return survivors, registry_df
+
+        _commit_gated_batch(
+            batch_df, batch_id, run, accepted_path, registry_path,
+            commit_mode, id_col, survivors_against, ["fp_bucket"],
         )
 
     return (

@@ -1127,3 +1127,51 @@ def test_vacuum_staging_removes_only_old_orphans(spark, tmp_path_factory):
     assert os.path.exists(fresh_orphan)
     # the committed batch still reads fine (its staging dir survived)
     assert {r["id"] for r in read_committed(spark, sink).collect()} == {0, 1, 2}
+
+
+def test_atomic_minhash_gate_cross_batch(spark, tmp_path_factory):
+    """The shared commit driver gives every gate the atomic/OCC mode: the
+    MinHash near-dup gate in atomic mode drops a later batch's near-copy
+    via the committed registry and replays as a no-op on the existing
+    commits."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.atomic import read_committed
+    from sec_dl_spark.streaming.dedup import incremental_minhash_dedup_sink
+
+    src = tmp_path_factory.mktemp("amh_src")
+    accepted = str(tmp_path_factory.mktemp("amh_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("amh_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("amh_ckpt") / "ckpt")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    other = " ".join(f"q{i}" for i in range(50))
+    spark.createDataFrame([(1, base), (2, other)], schema).coalesce(1).write.parquet(
+        f"{src}/f0"
+    )
+    spark.createDataFrame([(9, near)], schema).coalesce(1).write.parquet(f"{src}/f1")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        incremental_minhash_dedup_sink(
+            stream, accepted, registry, ckpt, commit_mode="atomic"
+        ).awaitTermination(120)
+
+    run_once()
+    got = {r["doc_id"] for r in read_committed(spark, registry, "accepted").collect()}
+    assert got == {1, 2}  # 9 near-dups batch-0's doc 1 across batches
+
+    shutil.rmtree(ckpt)  # replay: both batches already committed → no-ops
+    run_once()
+    again = {r["doc_id"] for r in read_committed(spark, registry, "accepted").collect()}
+    assert again == got
