@@ -377,6 +377,7 @@ def incremental_semantic_dedup_sink(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    commit_mode: str = "overwrite",
 ):
     """Streaming SemDeDup gate: drop an arriving vector if something
     already accepted (or a smaller-id vector in its own batch) in the
@@ -392,15 +393,16 @@ def incremental_semantic_dedup_sink(
     per cell, never batch × corpus. The registry persists (cell, id,
     embedding) of ACCEPTED vectors only — at 100 TB store int8/PQ codes
     there and rerank the few candidates, same layout as the ANN stack.
-    Same idempotent (run, batch) dynamic-overwrite commit as the sibling
-    gates, partitioned by cell for pruned reads."""
+    ``commit_mode`` as in incremental_dedup_sink — "atomic" gives the
+    CAS/OCC admission loop; the default is the idempotent (run, batch)
+    dynamic-overwrite commit, partitioned by cell for pruned reads."""
+    if commit_mode not in ("overwrite", "atomic"):
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
     from sec_dl_spark.operators.similarity import assign_cells, cosine
 
     run = _run_token(checkpoint_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         assigned = assign_cells(batch_df, centroids, id_col, vec_col).localCheckpoint(
             eager=True
         )
@@ -418,27 +420,31 @@ def incremental_semantic_dedup_sink(
             .select(F.col("_id"))
             .distinct()
         )
-        dup_ids = in_batch
-        seen = _try_read_parquet(spark, registry_path)
-        if seen is not None:
-            seen = seen.where(_not_own_batch(run, batch_id)).select(
-                "cell", F.col(vec_col).alias("_vb")
+
+        def survivors_against(seen):
+            dup_ids = in_batch
+            if seen is not None:
+                seen2 = seen.where(_not_own_batch(run, batch_id)).select(
+                    "cell", F.col(vec_col).alias("_vb")
+                )
+                hist = (
+                    left.join(seen2, "cell")
+                    .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+                    .select(F.col("_id"))
+                    .distinct()
+                )
+                dup_ids = dup_ids.unionByName(hist).distinct()
+            survivors = assigned.join(
+                dup_ids, assigned[id_col] == dup_ids["_id"], "left_anti"
+            ).localCheckpoint(eager=True)
+            return (
+                survivors.drop("cell"),
+                survivors.select("cell", id_col, vec_col),
             )
-            hist = (
-                left.join(seen, "cell")
-                .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
-                .select(F.col("_id"))
-                .distinct()
-            )
-            dup_ids = dup_ids.unionByName(hist).distinct()
-        survivors = assigned.join(
-            dup_ids, assigned[id_col] == dup_ids["_id"], "left_anti"
-        ).localCheckpoint(eager=True)
-        _commit_batch_partition(
-            survivors.drop("cell"), accepted_path, run, batch_id
-        )
-        _commit_batch_partition(
-            survivors.select("cell", id_col, vec_col), registry_path, run, batch_id, "cell"
+
+        _commit_gated_batch(
+            batch_df, batch_id, run, accepted_path, registry_path,
+            commit_mode, id_col, survivors_against, ["cell"],
         )
 
     return (
