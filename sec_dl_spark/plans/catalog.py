@@ -49,70 +49,68 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # The driver's correctness sweep truncates to the FIRST 50 registered names,
 # so registration order is rotated each round to aim driver evidence at the
-# stalest queries.  Round 1 proved the first-50 relational slice; round 2
-# front-loaded text/FTS/dedup; round 3 the 9 never-checked + the r1-stale 40;
-# round 4 the 8 post-freeze queries + the 42 stalest r2-proven oracled names
-# (CORRECTNESS_r01..r04 green exactly those slices — zero failures ever).
-# Round 5 front-loads the 7 rows-only r2 names (driver evidence last from
-# round 2 — the stalest anywhere) plus 43 of the r3-proven slice.  Deferred
-# to r6: the r3 rows-only trio (agg_approx_distinct_hll,
-# sample_bernoulli_seeded, multimodal_features — their rows-only check adds
-# least over pytest pins) and four trivial filters (filter_isin,
-# null_handling, distinct_rows, union_by_name), all judge-r4-verified.
-# Queries NOT listed here keep module registration order after the block.
+# stalest queries.  Rounds 1-5 each proved a distinct 50-name slice
+# (CORRECTNESS_r01..r05 green exactly those slices — zero failures ever).
+# Round 6 front-loads the 11 round-5 additions (never driver-checked), then
+# the 7 names deferred from the r5 rotation (driver evidence last from r3),
+# then 32 of the r4-proven slice (2 rounds stale), alphabetical — the 18
+# remaining r4 names (multimodal_*/q1/sample_exact/text_* tail + emb_pq_topk)
+# rotate in next round.  Queries NOT listed here keep module registration
+# order after the block.
 _PRIORITY = (
-    # rows-only r2 names — driver evidence last from round 2
-    "corpus_pack_sequences",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "emb_cosine_topk_ivf",
-    "emb_cosine_topk_lsh",
-    "sample_stratified",
-    # oracled names last driver-checked in round 3 (stalest oracled slice)
-    "agg_collect_list",
-    "agg_minmax_by",
-    "agg_percentiles",
-    "agg_salted_distinct",
-    "agg_udaf_geomean",
-    "entity_match_levenshtein",
-    "events_asof_join",
-    "events_asof_tolerance",
-    "events_dedup_first",
-    "events_funnel",
-    "events_gap_filled",
-    "events_pivot",
-    "events_retention_cohort",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_tumbling_hourly",
-    "events_unpivot",
-    "events_zscore_pandas",
-    "join_anti",
-    "join_cross_urls",
-    "join_null_safe",
-    "join_q3_topk",
-    "join_q5_region_revenue",
-    "join_range",
-    "join_semi",
-    "join_skew_salted",
-    "sample_systematic",
-    "scalar_date_fns",
-    "scalar_encode_decode",
-    "scalar_json",
-    "scalar_map_fns",
-    "scalar_math_case",
-    "scalar_string_fns",
-    "set_ops",
-    "sort_multi_key_limit",
-    "sql_adhoc_q6",
-    "subquery_exists",
-    "topk_per_group",
-    "window_distribution_fns",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank",
-    "window_running_sum",
+    # round-5 additions — never driver-checked before this round
+    "text_passage_dedup",
+    "text_bigram_logprob",
+    "text_word_entropy",
+    "emb_semantic_dedup",
+    "text_bpe_tokens",
+    "emb_label_centroids",
+    "text_top_ngrams",
+    "emb_ivfpq_topk",
+    "text_length_histogram",
+    "events_anomaly_mad",
+    "corpus_dsir_weights",
+    # deferred from the r5 rotation — driver evidence last from round 3
+    "agg_approx_distinct_hll",
+    "sample_bernoulli_seeded",
+    "multimodal_features",
+    "filter_isin",
+    "null_handling",
+    "distinct_rows",
+    "union_by_name",
+    # r4-proven slice, stalest-alphabetical fill to 50
+    "agg_count_filter",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_minmax_having",
+    "agg_rollup",
+    "corpus_filter_pipeline",
+    "corpus_mixture_sample",
+    "corpus_quality_filter",
+    "crossmodal_dup_agreement",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
+    "dedup_winnow_pairs",
+    "doc_chunks",
+    "emb_cosine_neardup",
+    "emb_cosine_topk",
+    "emb_quantize_int8",
+    "fts_phrase",
+    "fts_proximity_ranked",
+    "fts_ranked_bm25",
+    "fts_ranked_tfidf",
+    "fts_search_and",
+    "fts_search_not",
+    "fts_search_or",
+    "fts_top_df_tokens",
+    "fts_tsquery_expr",
+    "fts_tsquery_phrase",
+    "fts_tsquery_prefix",
+    "join_full_outer",
+    "join_left_outer",
+    "join_star_3way",
 )
 
 

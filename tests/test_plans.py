@@ -284,10 +284,9 @@ def test_exact_n_sample_prefilter_below_window(spark, specs):
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
-    names; round 5 front-loads the 7 rows-only names whose driver evidence
-    dates from round 2 (the stalest anywhere) plus 43 of the r3-proven
-    oracled slice, so every registered query keeps driver evidence within
-    the last two rounds."""
+    names; round 6 front-loads the 11 round-5 additions (never driver-checked
+    before) plus the 7 names deferred from the r5 rotation (evidence last
+    from round 3), filling to 50 with the stalest r4-proven names."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
@@ -295,16 +294,20 @@ def test_catalog_rotation_front_loads_stale_queries():
     # every priority name is actually registered, and they occupy the
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
-    stale_rows_only = {
-        "corpus_pack_sequences",
-        "dedup_clusters",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "emb_cosine_topk_ivf",
-        "emb_cosine_topk_lsh",
-        "sample_stratified",
+    never_driver_checked = {
+        "text_passage_dedup",
+        "text_bigram_logprob",
+        "text_word_entropy",
+        "emb_semantic_dedup",
+        "text_bpe_tokens",
+        "emb_label_centroids",
+        "text_top_ngrams",
+        "emb_ivfpq_topk",
+        "text_length_histogram",
+        "events_anomaly_mad",
+        "corpus_dsir_weights",
     }
-    assert stale_rows_only <= set(names[:50])
+    assert never_driver_checked <= set(names[:11])
 
 
 def test_events_ts_load_is_timezone_independent(spark):
