@@ -1617,7 +1617,8 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(toks) >= 2
     ),
     uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-    bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+    bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+           HAVING count(*) >= 2)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(ln(CAST(c12 AS DOUBLE) / c1)) + 1e-9, 4) AS avg_logprob
     FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
@@ -1626,12 +1627,18 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-style quality scoring without KenLM: a corpus-trained bigram
-    LM (P(w2|w1) = c12/c1, maximum likelihood — every scored bigram is in
-    the corpus by construction, so no smoothing term) scores each doc by
-    mean log-likelihood. Low scores flag gibberish/outlier docs — the
-    perplexity filter of C4/CCNet pipelines, expressed as two aggregations
-    and a broadcast join: the model table is O(vocab²) (tiny next to the
-    corpus), so scoring is map-side — the corpus text never reshuffles."""
+    LM (P(w2|w1) = c12/c1, maximum likelihood) scores each doc by mean
+    log-likelihood over the bigrams the model retains. Low scores flag
+    gibberish/outlier docs — the perplexity filter of C4/CCNet pipelines.
+    Scale posture: the raw distinct-bigram table is O(10^10) rows on a
+    web corpus, so the model is pruned to bigrams seen >= MIN_COUNT times
+    (standard LM count-pruning; singleton bigrams carry no reusable
+    signal), and the scoring join carries NO broadcast hint — AQE picks
+    broadcast vs shuffle from the measured pruned-model size, degrading
+    to a (w1, w2)-keyed shuffle instead of an OOM when the model is
+    large. Docs whose every bigram was pruned drop out (inner join),
+    mirrored by the oracle."""
+    MIN_COUNT = 2
     tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 2)
     bg = tk.select(
         "doc_id",
@@ -1643,10 +1650,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
     uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= MIN_COUNT)
+    )
     model = bi.join(uni, "w1")
     return (
-        bg.join(F.broadcast(model), ["w1", "w2"])
+        bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1888,25 +1899,45 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashes unigram features into a fixed bucket count so the model is
+# bounded regardless of corpus vocabulary (the paper's own construction).
+# Bucket = low 17 bits of the little-endian lower-64 of md5(w) — chosen
+# because BOTH engines can compute it exactly: DuckDB has md5_number_lower;
+# Spark reconstructs the same bits from md5 hex bytes 8..10 (byte 8 is the
+# least significant; only bit 0 of byte 10 survives the % 2^17).
+_DSIR_BUCKETS = 131072  # 2^17
+
+
+def _dsir_bucket(col):
+    b8 = F.conv(F.substring(F.md5(col), 17, 2), 16, 10).cast("long")
+    b9 = F.conv(F.substring(F.md5(col), 19, 2), 16, 10).cast("long")
+    b10 = F.conv(F.substring(F.md5(col), 21, 2), 16, 10).cast("long")
+    return (b8 + b9 * 256 + (b10 % 2) * 65536).alias("b")
+
+
+_DSIR_BUCKET_SQL = f"CAST(md5_number_lower(w) % {_DSIR_BUCKETS} AS BIGINT)"
+
+
 @query(
     "corpus_dsir_weights",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
-    w AS (SELECT doc_id, lang, unnest(toks) AS w FROM tk),
-    cc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
-    tc AS (SELECT w, count(*) AS c FROM w WHERE lang = 'en' GROUP BY w),
+    wd AS (SELECT doc_id, lang, unnest(toks) AS w FROM tk),
+    w AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM wd),
+    cc AS (SELECT b, count(*) AS c FROM w GROUP BY b),
+    tc AS (SELECT b, count(*) AS c FROM w WHERE lang = 'en' GROUP BY b),
     scal AS (SELECT (SELECT count(*) FROM cc) AS V,
                     (SELECT sum(c) FROM cc) AS NC,
                     (SELECT coalesce(sum(c), 0) FROM tc) AS NT),
     model AS (
-      SELECT cc.w,
+      SELECT cc.b,
              ln((coalesce(tc.c, 0) + 1.0) / (NT + V))
              - ln((cc.c + 1.0) / (NC + V)) AS logr
-      FROM cc LEFT JOIN tc USING (w), scal
+      FROM cc LEFT JOIN tc USING (b), scal
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            round(avg(logr) + 1e-9, 4) AS dsir_logratio
-    FROM w JOIN model USING (w)
+    FROM w JOIN model USING (b)
     GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -1914,26 +1945,33 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, Data Selection
     with Importance Resampling): score every document by the mean
     log-ratio of a TARGET-domain unigram LM (here the lang='en' slice)
-    to the full-corpus LM, both add-one smoothed over the shared
-    vocabulary. High scores = looks like the target domain; resampling
-    ∝ exp(weight) shifts the corpus mixture toward it (compose with
-    deterministic_mixture_sample). The two LMs are word-count
-    aggregations; scoring is a broadcast join on the O(vocab) model —
-    the corpus text never reshuffles, the DSIR shape at 100 TB."""
+    to the full-corpus LM, both add-one smoothed over the observed
+    feature space. High scores = looks like the target domain;
+    resampling ∝ exp(weight) shifts the corpus mixture toward it
+    (compose with deterministic_mixture_sample). Scale posture: words
+    are hashed into a FIXED 2^17-bucket feature space (the paper's own
+    move — an open web-scale vocabulary reaches 10^8-10^9 distinct
+    tokens, a hashed model is bounded at 131072 rows forever), and the
+    scoring join carries NO broadcast hint — AQE sees a <=2^17-row model
+    and picks broadcast on its own, with a keyed-shuffle fallback rather
+    than a forced-broadcast OOM. The bucket function is md5-derived so
+    the DuckDB oracle computes bit-identical buckets."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokenize(F.col("text")).alias("toks")
     )
-    w = d.select("doc_id", "lang", F.explode("toks").alias("w"))
-    cc = w.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
-    tc = w.where(F.col("lang") == "en").groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    w = d.select("doc_id", "lang", F.explode("toks").alias("w")).select(
+        "doc_id", "lang", _dsir_bucket(F.col("w"))
+    )
+    cc = w.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    tc = w.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     scal = cc.agg(
         F.count(F.lit(1)).alias("V"), F.sum("cc").alias("NC")
     ).crossJoin(tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("NT")))
     model = (
-        cc.join(tc, "w", "left")
+        cc.join(tc, "b", "left")
         .crossJoin(F.broadcast(scal))
         .select(
-            "w",
+            "b",
             (
                 F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("NT") + F.col("V")))
                 - F.log((F.col("cc") + 1.0) / (F.col("NC") + F.col("V")))
@@ -1941,7 +1979,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        w.join(F.broadcast(model), "w")
+        w.join(model, "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

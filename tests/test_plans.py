@@ -282,6 +282,58 @@ def test_exact_n_sample_prefilter_below_window(spark, specs):
     assert win < cut_filter  # tree prints root-first: filter is deeper
 
 
+def test_no_forced_broadcast_of_corpus_derived_models(spark, specs):
+    """text_bigram_logprob and corpus_dsir_weights score docs against a
+    model TRAINED ON THE CORPUS ITSELF — a forced F.broadcast on such a
+    table turns into a driver/executor OOM at web scale because the hint
+    strips AQE's ability to fall back to a keyed shuffle. The logical
+    plans must therefore carry no broadcast hint on any corpus-derived
+    aggregate (the only allowed hint is the 1-row scalar attach in DSIR,
+    which is size-bounded by construction)."""
+    for name, allowed_hints in (("text_bigram_logprob", 0), ("corpus_dsir_weights", 1)):
+        df = specs[name].spark_fn(spark, SF)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert logical.count("ResolvedHint") <= allowed_hints, name
+    # the DSIR scalar hint must be on a 1-row aggregate (global agg →
+    # cross join), never on the per-bucket model
+    dsir = specs["corpus_dsir_weights"].spark_fn(spark, SF)
+    plan = physical_plan(dsir)
+    # model join keyed by the hashed bucket; AQE free to choose strategy
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_model_is_count_pruned(spark, specs):
+    """The bigram-LM model must be pruned to c12 >= MIN_COUNT before the
+    scoring join — the prune is what bounds the model at web scale. The
+    filter on the aggregated count must appear in the physical plan."""
+    plan = physical_plan(specs["text_bigram_logprob"].spark_fn(spark, SF))
+    assert "c12" in plan and ">= 2" in plan
+
+
+def test_dsir_model_is_hash_bucketed(spark, specs):
+    """DSIR's scoring exchange must be keyed by the FIXED hashed bucket
+    (8-byte long), never by the raw word — the bucket bound (2^17) is
+    what keeps the model broadcastable at any corpus size. The Spark
+    bucket function must agree bit-for-bit with the DuckDB oracle's
+    md5_number_lower(w) % 2^17."""
+    import duckdb
+
+    from sec_dl_spark.plans.text import _DSIR_BUCKETS, _dsir_bucket
+
+    words = ["hello", "the", "a1b2", "0", "zzzz", "supercalifragilistic"]
+    got = {
+        r["w"]: r["b"]
+        for r in spark.createDataFrame([(w,) for w in words], ["w"])
+        .select("w", _dsir_bucket(F.col("w")))
+        .collect()
+    }
+    for w in words:
+        exp = duckdb.sql(
+            f"SELECT CAST(md5_number_lower('{w}') % {_DSIR_BUCKETS} AS BIGINT)"
+        ).fetchone()[0]
+        assert got[w] == exp, (w, got[w], exp)
+
+
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
     names; round 6 front-loads the 11 round-5 additions (never driver-checked
