@@ -13,6 +13,7 @@ exactly, so approximation affects only recall, never reported scores.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 import pandas as pd
@@ -554,8 +555,10 @@ def _kmeans_np(X, k: int, seed: int, max_iter: int):
         assign = dist.argmin(axis=1)
         # farthest-first reseed order for clusters that emptied this
         # iteration — successive picks so two empty clusters never get
-        # the same point
-        far_order = iter(np.argsort(dist.min(axis=1) + x2)[::-1])
+        # the same point; cycle when more clusters empty than there are
+        # sample rows (k > n), so a tiny fit degrades to duplicate
+        # centroids instead of a bare StopIteration
+        far_order = itertools.cycle(np.argsort(dist.min(axis=1) + x2)[::-1])
         for i in range(k):
             mask = assign == i
             if mask.any():

@@ -119,6 +119,10 @@ def hot_keys(
         return []
     est = cms_counts(df, col, cand, eps=eps, confidence=confidence, seed=seed)
     cut = min_fraction * n
-    # CMS overestimates by ≤ eps·n whp: subtract the slack so a key just
-    # UNDER the threshold is not promoted by sketch error
-    return sorted(k for k, e in est.items() if e - eps * n >= cut)
+    # CMS is one-sided (estimate ≥ truth), so comparing est >= cut keeps
+    # the no-miss guarantee the docstring promises: every truly hot key
+    # passes. The cost is keys up to eps·n UNDER the threshold may be
+    # promoted by sketch error — benign here, because the consumer salts
+    # the key, and salting a borderline-hot key is harmless while FAILING
+    # to salt a genuinely hot one is the error that matters.
+    return sorted(k for k, e in est.items() if e >= cut)

@@ -65,25 +65,38 @@ def _publish_manifest(spark: SparkSession, fs, Path, dst: str, payload: str) -> 
     Hadoop wrappers reduce to a check-then-act over POSIX rename(2),
     which silently REPLACES an existing destination — two racing writers
     could both think they won and one manifest would vanish. For file://
-    the claim is java.io.File.createNewFile(), which the JDK implements
-    with O_CREAT|O_EXCL — genuinely atomic — and the payload is then
-    written into the claimed (exclusively owned) name. A crash between
-    claim and payload leaves an empty manifest: readers skip it, and the
-    version number stays burned (the same hole a failed Delta commit
-    leaves). Other schemes use rename-if-absent, which HDFS provides
-    atomically."""
+    the payload is fully written to a tmp file first and the claim is
+    java.nio.file.Files.createLink(dst, tmp) — link(2) fails atomically
+    if dst exists — so CLAIM AND PAYLOAD ARE ONE STEP: a published name
+    is complete by construction, and no reader or compactor can ever
+    observe a claimed-but-empty manifest (the race a bare
+    createNewFile-then-write claim leaves open: a scanner in that window
+    would skip the burning claim and let a rival re-publish the same
+    (run, batch) at the next version). A crash before the link leaves
+    only an orphan tmp file, never a burned half-claim. Other schemes
+    use write-tmp-then-rename-if-absent, which HDFS provides atomically
+    with the same claim-carries-payload property."""
     uri = spark._jvm.java.net.URI(dst)
     if uri.getScheme() in (None, "file"):
-        f = spark._jvm.java.io.File(uri.getPath() if uri.getScheme() else dst)
-        spark._jvm.java.io.File(f.getParent()).mkdirs()
-        if not f.createNewFile():
-            return False
-        out = spark._jvm.java.io.FileOutputStream(f)
+        jvm = spark._jvm
+        local = uri.getPath() if uri.getScheme() else dst
+        jvm.java.io.File(jvm.java.io.File(local).getParent()).mkdirs()
+        tmp = f"{local}.tmp-{uuid.uuid4().hex[:12]}"
+        out = jvm.java.io.FileOutputStream(tmp)
         try:
             out.write(payload.encode("utf-8"))
         finally:
             out.close()
-        return True
+        tmp_p = jvm.java.io.File(tmp).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(jvm.java.io.File(local).toPath(), tmp_p)
+            return True
+        except Exception as e:  # noqa: BLE001 — py4j wraps the Java exception
+            if "FileAlreadyExistsException" not in str(e):
+                raise
+            return False
+        finally:
+            jvm.java.nio.file.Files.deleteIfExists(tmp_p)
     tmp = Path(f"{dst}.tmp-{uuid.uuid4().hex[:12]}")
     out = fs.create(tmp, True)
     try:
@@ -298,7 +311,12 @@ def compact_committed(spark: SparkSession, log_path: str) -> bool:
     if not entries:
         return False
     fs, Path = _fs(spark, log_path)
-    covers_through = top
+    # Fold only through the highest PARSED manifest, never the highest
+    # claimed filename: with the link/rename claim a published name always
+    # carries its payload, but a legacy or foreign half-claim above the
+    # parsed prefix must not be declared covered — that would permanently
+    # hide a commit that reported success to its writer.
+    covers_through = max(v for v, _ in entries)
     names = sorted({n for _, m in entries for n in m.get("dirs", {})})
     batches = sorted(_committed_batches(entries))
     attempt = uuid.uuid4().hex[:12]

@@ -89,9 +89,14 @@ def _commit_gated_batch(
 
     spark = batch_df.sparkSession
     if commit_mode == "atomic":
+        # The marker check runs BEFORE the already-committed short-circuit:
+        # a wiped-checkpoint replay over a CHANGED source must fail fast in
+        # atomic mode too, not silently no-op past every committed batch and
+        # drop the new source's data (the replay contract commit.py
+        # documents as enforced). The check is idempotent per (run, batch).
+        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         if is_committed(spark, registry_path, run, batch_id):
             return  # replayed batch already published — nothing to redo
-        _check_source_marker(batch_df, registry_path, run, batch_id, id_col)
         # optimistic concurrency: validate against the log snapshot,
         # CAS-commit at snapshot+1, recompute on interference
         for _ in range(10):

@@ -974,6 +974,23 @@ def test_kmeans_np_reseeds_distinct_true_farthest_points():
     assert np.array_equal(centers, again)
 
 
+def test_kmeans_np_survives_k_exceeding_sample_rows():
+    """k larger than the number of training rows (e.g. semantic_dedup's
+    default n_cells on a handful of vectors) must degrade to duplicate
+    centroids, not exhaust the farthest-first reseed iterator with a
+    bare StopIteration (ADVICE r5 #4)."""
+    import numpy as np
+
+    from sec_dl_spark.operators.similarity import _kmeans_np
+
+    X = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+    centers = _kmeans_np(X, 16, seed=3, max_iter=4)
+    assert centers.shape == (16, 2)
+    # every centroid is one of the data points (reseeds cycle the sample)
+    for c in centers:
+        assert min(((X - c) ** 2).sum(axis=1)) < 1e-18
+
+
 def test_cms_counts_one_sided_bound(spark):
     """Count-min estimates are NEVER below the true count, and with a
     tight eps on this small corpus they should be exact for hot keys."""

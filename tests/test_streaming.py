@@ -549,6 +549,53 @@ def test_source_marker_catches_divergence_after_batch_zero(
         run_once()
 
 
+def test_atomic_mode_replay_over_changed_source_fails_fast(
+    spark, tmp_path_factory
+):
+    """In atomic commit_mode the source-marker check must run BEFORE the
+    already-committed short-circuit: a wiped-checkpoint replay over a
+    CHANGED source would otherwise silently no-op for every committed
+    batch and drop the new source's data — the hazard must surface as an
+    error in BOTH commit modes, not just overwrite (ADVICE r5 #2)."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    src = tmp_path_factory.mktemp("at_replay_src")
+    accepted = str(tmp_path_factory.mktemp("at_replay_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("at_replay_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("at_replay_ckpt") / "ckpt")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b/{name}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b/*")
+        )
+        incremental_dedup_sink(
+            stream, accepted, registry, ckpt, commit_mode="atomic"
+        ).awaitTermination(120)
+
+    write_file("f0", [(1, "alpha beta")])
+    run_once()
+
+    shutil.rmtree(ckpt)  # wipe checkpoint; re-point batch 0 at NEW content
+    write_file("f0", [(9, "entirely different doc")])
+    with pytest.raises(Exception, match="CHANGED"):
+        run_once()
+
+
 def test_atomic_commit_two_interleaved_writers(spark, tmp_path_factory):
     """The rename-based manifest log makes concurrent writers a non-event
     (the r3/r4 carried design note): both writers fully stage their data,
@@ -1054,6 +1101,12 @@ def test_publish_manifest_claim_is_exclusive_and_preserves_winner(spark, tmp_pat
     assert _publish_manifest(spark, fs, Path, dst, '{"who": "second"}') is False
     with open(dst) as f:
         assert f.read() == '{"who": "first"}'
+    # claim carries payload atomically (hard-link of a fully written tmp):
+    # a published name is complete by construction, and the loser's tmp is
+    # cleaned up — no half-claims or orphans left behind
+    import os
+
+    assert os.listdir(tmp_path / "_commits") == ["v1.json"]
 
 
 def test_source_marker_migrates_legacy_batch0_layout(spark, tmp_path_factory):
