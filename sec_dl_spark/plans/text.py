@@ -1581,10 +1581,17 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copied sections (the fixture plants them; 1000+ 8-grams repeat across
     docs at sf0.01). Text tiles into non-overlapping 8-token passages;
     a passage is a duplicate when an identical passage exists earlier in
-    (doc_id, tile) order. One shuffle keyed by the passage; at 100 TB the
-    key would be xxhash64(passage) so the exchange carries 8 bytes per
-    passage instead of the string (same composition, cheaper payload —
-    kept as the string here for oracle portability)."""
+    (doc_id, tile) order. One shuffle, keyed by xxhash64(passage) BY
+    DEFAULT so the exchange carries an 8-byte long per passage instead of
+    the passage string — at 100 TB the string key is most of the shuffle
+    payload for zero semantic gain. An xxhash64 collision would merge two
+    distinct passages (one extra dup counted); at 2^64 key space that is
+    vanishingly rarer than data corruption, and ``hash_key=False`` keeps
+    the exact string-keyed plan (pinned equal by the parity test)."""
+    return _passage_dedup(spark, sf_dir, hash_key=True)
+
+
+def _passage_dedup(spark: SparkSession, sf_dir: str, hash_key: bool = True) -> DataFrame:
     tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
     tiles = tk.select(
         "doc_id",
@@ -1595,7 +1602,14 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tile_idx", "passage"),
     )
-    w = Window.partitionBy("passage").orderBy("doc_id", "tile_idx")
+    if hash_key:
+        # drop the string BEFORE the window exchange: the shuffle then
+        # moves (doc_id, tile_idx, _pk) — 24 bytes/row — not the passage
+        tiles = tiles.select("doc_id", "tile_idx", F.xxhash64("passage").alias("_pk"))
+        key = "_pk"
+    else:
+        key = "passage"
+    w = Window.partitionBy(key).orderBy("doc_id", "tile_idx")
     ranked = tiles.withColumn("rn", F.row_number().over(w))
     return (
         ranked.groupBy("doc_id")

@@ -334,6 +334,26 @@ def test_dsir_model_is_hash_bucketed(spark, specs):
         assert got[w] == exp, (w, got[w], exp)
 
 
+def test_passage_dedup_exchange_carries_hashed_key(spark, specs):
+    """The passage-dedup window exchange must be keyed by the 8-byte
+    xxhash64 of the passage with the string projected away before the
+    shuffle — at 100 TB the passage strings are most of the exchange
+    payload. The string-keyed variant must produce identical results
+    (hash collisions aside, which 2^64 keys make vanishingly rare)."""
+    from sec_dl_spark.plans.text import _passage_dedup
+
+    df = specs["text_passage_dedup"].spark_fn(spark, SF)
+    plan = physical_plan(df)
+    assert "xxhash64" in plan
+    exchanges = [ln for ln in plan.split("\n") if "Exchange hashpartitioning(" in ln]
+    assert any("_pk" in ln for ln in exchanges)
+    assert not any("passage" in ln for ln in exchanges)
+    # oracle-parity: hashed and string keys agree row-for-row
+    hashed = {tuple(r) for r in df.collect()}
+    exact = {tuple(r) for r in _passage_dedup(spark, SF, hash_key=False).collect()}
+    assert hashed == exact and hashed
+
+
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
     names; round 6 front-loads the 11 round-5 additions (never driver-checked
