@@ -454,13 +454,33 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5×MAD fence) instead of mean/stddev, so the fence itself is immune
     to the outliers it hunts. Two aggregate-then-broadcast-join passes —
     the medians table is O(event types), so the events scan never
-    shuffles on value."""
+    shuffles on value.
+
+    Scale regime: exact ``percentile`` buffers every distinct value per
+    group in aggregation state — O(rows of the hottest event_type), fine
+    while a single type's values fit an executor (the fixture regime and
+    well beyond), unbounded in principle. Past that, switch
+    ``approx=True``: ``approx_percentile`` keeps a bounded KLL-style
+    sketch per group (state O(accuracy), error ≤ 1/accuracy quantile
+    rank), the tolerance-tested scale path. Exact stays the default
+    because it is what the SQL oracle computes."""
+    return _anomaly_mad(spark, sf_dir, approx=False)
+
+
+def _anomaly_mad(
+    spark: SparkSession, sf_dir: str, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    def _median(col: str):
+        if approx:
+            return F.expr(f"approx_percentile({col}, 0.5, {accuracy})")
+        return F.expr(f"percentile({col}, 0.5)")
+
     e = t(spark, sf_dir, "events").select("event_type", "value")
-    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    med = e.groupBy("event_type").agg(_median("value").alias("med"))
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    mad = dev.groupBy("event_type").agg(_median("ad").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

@@ -334,6 +334,27 @@ def test_dsir_model_is_hash_bucketed(spark, specs):
         assert got[w] == exp, (w, got[w], exp)
 
 
+def test_anomaly_mad_approx_switch_tracks_exact(spark, specs):
+    """The approx=True scale path (bounded-state approx_percentile, the
+    switch for when one event_type's values outgrow exact percentile's
+    per-group buffer) must track the exact result: identical group keys
+    and counts, medians/MADs within sketch tolerance, and a fence that
+    flags nearly the same outlier set."""
+    from sec_dl_spark.plans.streaming_batch import _anomaly_mad
+
+    exact = {r["event_type"]: r for r in specs["events_anomaly_mad"].spark_fn(spark, SF).collect()}
+    approx = {r["event_type"]: r for r in _anomaly_mad(spark, SF, approx=True).collect()}
+    assert exact.keys() == approx.keys()
+    for k, ex in exact.items():
+        ap = approx[k]
+        assert ap["n_events"] == ex["n_events"]
+        assert abs(ap["med"] - ex["med"]) <= max(0.01, 0.01 * abs(ex["med"]))
+        assert abs(ap["mad"] - ex["mad"]) <= max(0.01, 0.01 * abs(ex["mad"]))
+        # the 5x fence is far from the bulk: a sketch-shifted median moves
+        # the outlier count by at most a sliver of the group
+        assert abs(ap["n_outliers"] - ex["n_outliers"]) <= max(2, 0.01 * ex["n_events"])
+
+
 def test_passage_dedup_exchange_carries_hashed_key(spark, specs):
     """The passage-dedup window exchange must be keyed by the 8-byte
     xxhash64 of the passage with the string projected away before the
