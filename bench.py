@@ -20,6 +20,14 @@ reps): "adc" = per-query lookup-table kernel (m probes/candidate),
 "decode" = reconstruct-then-cosine (dim-element work/candidate). The two
 arms differ only in the scoring kernel.
 
+The `gate_atomic_overhead` object prices the atomic (manifest-log OCC)
+commit mode against the plain partition-overwrite mode on the exact
+cross-batch dedup gate: the sf documents table streams through
+incremental_dedup_sink as 4 file-batches into a fresh sink per arm, and
+each arm times the full availableNow run (medians across reps). The two
+arms differ only in commit_mode — same data, same batching, same gate —
+so the ratio is the cost of serializable admission.
+
 Noise-proofing: the host shows ±40% run-to-run swings from hypervisor CPU
 steal, so a single pass is not evidence. The suite runs
 $SPARK_GRAFT_BENCH_REPS times (default 3, rep-major so cross-query cache
@@ -107,9 +115,40 @@ def main() -> None:
     ab_index = build_ivfpq_index(emb)  # train/encode once — serving is timed
     ab_index.encoded.persist().count()  # materialize codes like a stored index
 
+    import shutil
+    import tempfile
+
+    from sec_dl_spark.streaming.dedup import incremental_dedup_sink
+
+    gate_src = tempfile.mkdtemp(prefix="bench_gate_src_")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.mode("overwrite").parquet(gate_src)
+    gate_schema = spark.read.parquet(gate_src).schema
+
+    def _run_gate(mode: str) -> float:
+        work = tempfile.mkdtemp(prefix=f"bench_gate_{mode}_")
+        stream = (
+            spark.readStream.schema(gate_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(gate_src)
+        )
+        t0 = time.perf_counter()
+        incremental_dedup_sink(
+            stream,
+            f"{work}/accepted",
+            f"{work}/registry",
+            f"{work}/ckpt",
+            commit_mode=mode,
+        ).awaitTermination(600)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        return dt
+
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     ab_samples: dict[str, list[float]] = {"adc": [], "decode": []}
+    gate_samples: dict[str, list[float]] = {"overwrite": [], "atomic": []}
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -119,7 +158,10 @@ def main() -> None:
             t0 = time.perf_counter()
             ivfpq_topk(emb, ab_index, ab_queries, k=5, kernel=kernel).collect()
             ab_samples[kernel].append(time.perf_counter() - t0)
+        for mode in gate_samples:
+            gate_samples[mode].append(_run_gate(mode))
     ticks1 = _cpu_ticks()
+    shutil.rmtree(gate_src, ignore_errors=True)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
@@ -139,6 +181,11 @@ def main() -> None:
     ab = {k: round(statistics.median(s), 3) for k, s in ab_samples.items()}
     ab["adc_over_decode"] = round(ab["adc"] / ab["decode"], 3) if ab["decode"] else None
 
+    gate = {k: round(statistics.median(s), 3) for k, s in gate_samples.items()}
+    gate["atomic_over_overwrite"] = (
+        round(gate["atomic"] / gate["overwrite"], 3) if gate["overwrite"] else None
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -150,6 +197,7 @@ def main() -> None:
                 "sf": sf,
                 "noise": noise,
                 "ab_adc_vs_decode": ab,
+                "gate_atomic_overhead": gate,
             }
         )
     )
