@@ -1256,3 +1256,35 @@ def entity_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
         .limit(50)
     )
+
+
+from sec_dl_spark.operators.layout import zorder_key, zorder_sql  # noqa: E402
+
+_ZSQL = zorder_sql(["l_orderkey", "l_suppkey"], bits=16)
+
+
+@query(
+    "layout_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_suppkey, CAST({_ZSQL} AS BIGINT) AS zkey
+    FROM lineitem
+    ORDER BY zkey, l_orderkey, l_suppkey
+    LIMIT 100
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two scan columns — the layout
+    primitive behind multi-column file pruning at 100 TB (operators/
+    layout.py:zorder_key; Delta's OPTIMIZE ZORDER BY re-expressed as one
+    codegen projection + repartitionByRange). The catalog entry checks the
+    bit-interleave arithmetic against the oracle computing the identical
+    key independently; the file-bbox pruning effect is pinned by
+    tests/test_layout.py."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.withColumn(
+            "zkey", zorder_key(["l_orderkey", "l_suppkey"], bits=16).cast("long")
+        )
+        .orderBy("zkey", "l_orderkey", "l_suppkey")
+        .limit(100)
+    )

@@ -2001,3 +2001,183 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, n_chars,
+                       md5(array_to_string({TOKS}, ' ')) AS fp FROM documents)
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) = 1)
+             AS keep,
+           CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size
+    FROM fp ORDER BY doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: within each content-fingerprint group keep
+    the HIGHEST-quality copy (longest n_chars, ties to min doc_id) instead
+    of dedup_keep_list's arbitrary min-id canonical — the production rule
+    when near-identical scrapes differ in truncation and the pipeline wants
+    the fullest one. Same scale shape as dedup_keep_list: one shuffle keyed
+    by fingerprint carrying only (doc_id, n_chars, fp); text never
+    shuffles."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
+    fp = d.select(
+        "doc_id", "n_chars", A.fingerprint_of(tokenize(F.col("text"))).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    wr = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        fp.select(
+            "doc_id",
+            (F.row_number().over(wr) == 1).alias("keep"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_split_assign",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, n_chars,
+                      substr(md5(array_to_string({TOKS}, ' ')), 1, 1) AS hx
+               FROM documents),
+    s AS (SELECT lang, n_chars,
+                 CASE WHEN hx BETWEEN '0' AND '9' OR hx IN ('a', 'b') THEN 'train'
+                      WHEN hx IN ('c', 'd') THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h)
+    SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, leakage-free train/val/test split: the split key is a
+    hash of the CANONICAL CONTENT (the dedup fingerprint), not the row id,
+    so byte-identical duplicates — and re-crawls of the same page under new
+    ids — always land in the same split and can never leak train text into
+    eval. Buckets by the first md5 hex nibble: 12/16 train, 2/16 val, 2/16
+    test. Embarrassingly parallel (one projection, one partial agg); the
+    only shuffle is the final 16-group rollup."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars"))
+    hx = F.substring(A.fingerprint_of(tokenize(F.col("text"))), 1, 1)
+    split = (
+        F.when(hx.between("0", "9") | hx.isin("a", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+    tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+    dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tfc GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+             tfc.tf * ln((n_docs + 1.0) / (dfc.df + 1.0)) AS score,
+             row_number() OVER (PARTITION BY tfc.doc_id
+                                ORDER BY tfc.tf DESC, dfc.df ASC, tfc.token) AS rk
+      FROM tfc JOIN dfc USING (token), n
+    )
+    SELECT doc_id, token, CAST(rk AS BIGINT) AS rank,
+           round(score + 1e-8, 4) AS tfidf
+    FROM scored WHERE rk <= 3 AND doc_id < 30
+    ORDER BY doc_id, rank
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens ranked by (tf desc,
+    df asc, token) — term frequency with corpus-rarity tiebreak, an
+    INTEGER-deterministic ordering so both engines rank identically — with
+    the smoothed tf-idf score reported alongside. The df model is a
+    token-keyed aggregate joined back WITHOUT a broadcast hint (same AQE
+    posture as corpus_dsir_weights: web-scale vocabularies outgrow any
+    broadcast budget; let measured size decide). Output bounded to
+    doc_id < 30 to keep the comparison frame small."""
+    tk = tok_docs(spark, sf_dir)
+    tfc = (
+        tk.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    scored = (
+        tfc.join(dfc, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias(
+                "score"
+            ),
+            F.row_number().over(wr).alias("rank"),
+        )
+    )
+    return (
+        scored.where((F.col("rank") <= 3) & (F.col("doc_id") < 30))
+        .select(
+            "doc_id",
+            "token",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("score") + 1e-8, 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                      unnest(embedding) AS v FROM embeddings),
+    e AS (SELECT dim, CAST(v AS DOUBLE) AS v FROM x)
+    SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+           round(avg(v) + 1e-8, 4) AS mean_v,
+           round(stddev(v) + 1e-8, 4) AS sd_v,
+           round(min(v) + 1e-8, 4) AS min_v,
+           round(max(v) + 1e-8, 4) AS max_v
+    FROM e GROUP BY dim ORDER BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding corpus (the
+    normalize/whiten/clip preprocessing any ANN or clustering stage needs):
+    posexplode to (dim, value), then pure codegen partial aggs keyed by
+    dim. State is O(dims), not O(vectors) — the shuffle carries dims x
+    n_partitions partial rows regardless of corpus size, the
+    embarrassingly-scalable shape."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "v0")
+    )
+    e = e.select((F.col("pos") + 1).cast("long").alias("dim"), F.col("v0").cast("double").alias("v"))
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v") + 1e-8, 4).alias("mean_v"),
+            F.round(F.stddev_samp("v") + 1e-8, 4).alias("sd_v"),
+            F.round(F.min("v") + 1e-8, 4).alias("min_v"),
+            F.round(F.max("v") + 1e-8, 4).alias("max_v"),
+        )
+        .orderBy("dim")
+    )

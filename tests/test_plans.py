@@ -495,3 +495,76 @@ def test_runtime_bloom_filter_join_reduction(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_dedup_keep_best_keeps_highest_quality_copy(spark, specs):
+    from sec_dl_spark.functions import analysis as A
+    from sec_dl_spark.functions.text import tokenize
+
+    res = specs["dedup_keep_best"].spark_fn(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars", A.fingerprint_of(tokenize(F.col("text"))).alias("fp")
+    )
+    j = res.join(docs, "doc_id")
+    # exactly one keeper per fingerprint group
+    per_group = j.groupBy("fp").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.max("group_size").alias("gs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_group.where(F.col("n_keep") != 1).count() == 0
+    assert per_group.where(F.col("gs") != F.col("n")).count() == 0
+    # the keeper has the group's max n_chars
+    best = j.groupBy("fp").agg(F.max("n_chars").alias("mx"))
+    kept = j.where("keep").join(best, "fp")
+    assert kept.where(F.col("n_chars") != F.col("mx")).count() == 0
+
+
+def test_corpus_split_is_content_hashed_and_exhaustive(spark, specs):
+    res = specs["corpus_split_assign"].spark_fn(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in res) == n_docs
+    splits = {r.split for r in res}
+    assert splits <= {"train", "val", "test"}
+    # deterministic: the same inputs give byte-identical assignments
+    again = specs["corpus_split_assign"].spark_fn(spark, SF).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+    # duplicate content must land in one split: every fingerprint group maps
+    # to exactly one split value (leakage-free property)
+    from sec_dl_spark.functions import analysis as A
+    from sec_dl_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hx = F.substring(A.fingerprint_of(tokenize(F.col("text"))), 1, 1)
+    split = (
+        F.when(hx.between("0", "9") | hx.isin("a", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    fp_splits = (
+        docs.select(A.fingerprint_of(tokenize(F.col("text"))).alias("fp"), split.alias("s"))
+        .groupBy("fp")
+        .agg(F.count_distinct("s").alias("ns"))
+    )
+    assert fp_splits.where(F.col("ns") != 1).count() == 0
+
+
+def test_keywords_df_model_join_not_force_broadcast(spark, specs):
+    # the token-df model join must leave strategy choice to AQE (no hint):
+    # the analyzed plan must not carry a broadcast hint on the df-model side
+    df = specs["text_keywords_tfidf"].spark_fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly one deliberate broadcast: the 1-row n_docs scalar attach
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") <= 1
+
+
+def test_emb_dim_stats_state_is_o_dims(spark, specs):
+    res = specs["emb_dim_stats"].spark_fn(spark, SF)
+    rows = res.collect()
+    dim = len(
+        spark.read.parquet(f"{SF}/embeddings.parquet").first().embedding
+    )
+    assert len(rows) == dim
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert all(r.n == n_vecs for r in rows)
+    assert all(r.sd_v >= 0 for r in rows)

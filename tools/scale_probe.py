@@ -53,6 +53,10 @@ PROBE = [
     "doc_chunks",
     "text_passage_dedup",
     "text_bigram_logprob",
+    # ANN / PQ family — the billion-vector path (r5 verdict ask #3)
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "emb_semantic_dedup",
 ]
 
 # key spans safely above the sf0.1 max of each offset key
