@@ -61,11 +61,49 @@ def query_main(argv: list[str]) -> None:
             df.show(args.limit, truncate=80)
 
 
+def corpus_main(argv: list[str]) -> None:
+    """`python -m sec_dl_spark corpus --src DIR --out DIR [...]` — the
+    end-to-end training-corpus build (etl/corpus.py): clean → quality →
+    exact dedup → near-dedup → split → pack, printing the funnel JSON."""
+    ap = argparse.ArgumentParser(prog="sec_dl_spark corpus")
+    ap.add_argument("--src", default="/root/testdata/sf0.01", help="fixture dir")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--min-quality", type=float, default=0.25)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--seq-budget", type=int, default=512)
+    ap.add_argument("--compact-target-mb", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import json
+
+    from sec_dl_spark.session import get_spark
+
+    spark = get_spark("sec_dl_spark_corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    # import AFTER the session exists: operators/grouped.py declares a
+    # module-level pandas_udf whose DDL type parse needs an active context
+    from sec_dl_spark.etl.corpus import build_corpus
+    funnel = build_corpus(
+        spark,
+        args.src,
+        args.out,
+        min_quality=args.min_quality,
+        near_dup_threshold=args.near_dup_threshold,
+        seq_budget=args.seq_budget,
+        compact_target_bytes=(
+            args.compact_target_mb * 1024 * 1024 if args.compact_target_mb else None
+        ),
+    )
+    print(json.dumps(funnel))
+
+
 def main() -> None:
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "query":
         return query_main(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+        return corpus_main(sys.argv[2:])
     ap = argparse.ArgumentParser(prog="sec_dl_spark")
     ap.add_argument("--base", required=True, help="warehouse base path")
     ap.add_argument("--companies", required=True, help="companies seed CSV")

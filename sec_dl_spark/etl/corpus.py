@@ -1,0 +1,162 @@
+"""End-to-end training-corpus build: clean → quality-filter → exact dedup →
+near-dedup → leakage-free split → sequence packing, composed from the
+engine's operators into one job with funnel telemetry.
+
+This is the "a user of the reference could run their whole pipeline here"
+surface for the LLM-data extensions (SURVEY.md §2.11): every stage is one
+of the already-oracled/benched operators, chained so each stage consumes
+the prior stage's survivors. Scale shape: per stage the only shuffles are
+the ones the operators themselves need (fingerprint groupBy, band-hash
+join, 16-group rollup); document TEXT flows straight from the scan to the
+final partitioned write — dedup decisions travel as (doc_id) keep-lists
+joined back semi-style, so the wide column never rides a dedup shuffle.
+
+Funnel counts are driver-side scalars (one count() per stage boundary —
+bounded, observability-grade actions, not data movement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sec_dl_spark.functions import analysis as A
+from sec_dl_spark.functions.text import clean_filing_text, tokenize
+from sec_dl_spark.operators import dedup
+from sec_dl_spark.operators.grouped import pack_sequences
+from sec_dl_spark.operators.layout import compact_small_files
+from sec_dl_spark.session import spread
+
+
+def assign_split(text_col) -> "F.Column":
+    """train/val/test by the first hex nibble of the canonical-content
+    fingerprint (12/2/2 of 16) — duplicates and re-crawls always co-land,
+    so train text can never leak into eval (same rule as the
+    corpus_split_assign catalog query)."""
+    hx = F.substring(A.fingerprint_of(tokenize(text_col)), 1, 1)
+    return (
+        F.when(hx.between("0", "9") | hx.isin("a", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
+def build_corpus(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    min_quality: float = 0.25,
+    near_dup_threshold: float = 0.7,
+    num_hashes: int = 32,
+    seq_budget: int = 512,
+    compact_target_bytes: int | None = None,
+) -> dict:
+    """Run the full corpus pipeline over ``src_dir``/documents.parquet and
+    write ``out_dir``/documents (partitioned by split) plus
+    ``out_dir``/sequences (the packed-sequence map). Returns the funnel:
+    raw → cleaned-nonempty → quality → exact-unique → near-unique, plus
+    per-split counts and sequence totals."""
+    raw = spark.read.parquet(f"{src_dir}/documents.parquet")
+    n_raw = raw.count()
+
+    # 1. clean + retokenize; drop docs that clean to nothing
+    cleaned = (
+        spread(raw)
+        .withColumn("text", clean_filing_text(F.col("text")))
+        .withColumn("toks", tokenize(F.col("text")))
+        .where(F.size("toks") > 0)
+        .withColumn("n_chars", F.length("text"))
+    )
+
+    # 2. quality gate (length/punct/stopword composite, row-local)
+    quality = cleaned.where(
+        A.quality_score_of(F.col("toks"), F.col("text")) >= F.lit(min_quality)
+    )
+    # one narrow cache feeds every downstream stage: (id, text, meta, toks)
+    quality = quality.cache()
+    n_quality = quality.count()
+
+    # 3. exact dedup, quality-aware: keep the longest copy per fingerprint
+    from pyspark.sql.window import Window
+
+    fp = quality.select(
+        "doc_id", "n_chars", A.fingerprint_of(F.col("toks")).alias("_fp")
+    )
+    wr = Window.partitionBy("_fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    exact_keep = (
+        fp.withColumn("_rn", F.row_number().over(wr)).where(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    exact = quality.join(exact_keep, "doc_id", "left_semi")
+    n_exact = exact.count()
+
+    # 4. near-dedup: MinHash/LSH candidates → connected components → keep
+    #    the min-id representative per cluster. Non-clustered docs have no
+    #    pair, so they survive by anti-join.
+    pairs = dedup.minhash_lsh_pairs(
+        exact, num_hashes=num_hashes, jaccard_threshold=near_dup_threshold
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    near = exact.join(drops, "doc_id", "left_anti")
+    n_near = near.count()
+
+    # 5. leakage-free split on the SURVIVOR's canonical content
+    final = near.withColumn("split", assign_split(F.col("text")))
+
+    # 6. write documents partitioned by split (partition pruning for the
+    #    train/val/test consumers), then pack sequences per (split, source)
+    docs_out = f"{out_dir}/documents"
+    (
+        final.select("doc_id", "text", "lang", "source", "n_chars", "split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(docs_out)
+    )
+
+    persisted = spark.read.parquet(docs_out)
+    counts = persisted.select(
+        "split",
+        "source",
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    seqs = (
+        counts.withColumn("source", F.concat_ws("/", "split", "source"))
+        .select("source", "doc_id", "n_tokens")
+        .transform(lambda df: pack_sequences(df, budget=seq_budget))
+    )
+    seq_out = f"{out_dir}/sequences"
+    seqs.write.mode("overwrite").parquet(seq_out)
+
+    split_counts = {
+        r.split: r.n for r in persisted.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n_sequences = (
+        spark.read.parquet(seq_out).agg(F.count_distinct("source", "seq_id")).first()[0]
+    )
+
+    compaction = None
+    if compact_target_bytes:
+        compaction = {
+            "documents": compact_small_files(spark, docs_out, compact_target_bytes),
+            "sequences": compact_small_files(spark, seq_out, compact_target_bytes),
+        }
+        compaction = {
+            k: {"rewritten": v["rewritten"], "files": v["after"]["n_files"]}
+            for k, v in compaction.items()
+        }
+
+    quality.unpersist()
+    return {
+        "n_raw": n_raw,
+        "n_quality": n_quality,
+        "n_exact_unique": n_exact,
+        "n_near_unique": n_near,
+        "splits": split_counts,
+        "n_sequences": n_sequences,
+        "documents_path": docs_out,
+        "sequences_path": seq_out,
+        "compaction": compaction,
+    }

@@ -157,6 +157,39 @@ def current_version(spark: SparkSession, log_path: str) -> int:
     return _scan_log(spark, log_path)[1]
 
 
+def log_history(spark: SparkSession, log_path: str) -> list[dict]:
+    """The commit log as audit rows (the DESCRIBE HISTORY analog), oldest
+    first: one dict per retained manifest with version, kind
+    (commit/checkpoint), the (run, batch) it published — or the folded
+    batch list for a checkpoint — and the output names it carries.
+    Versions burned by crashed claims appear in no row (their payload
+    never published); versions folded by compaction are represented only
+    by the covering checkpoint, which is exactly what remains readable."""
+    out = []
+    for v, m in _list_manifests(spark, log_path):
+        if m.get("checkpoint"):
+            out.append(
+                {
+                    "version": v,
+                    "kind": "checkpoint",
+                    "covers_through": m["covers_through"],
+                    "batches": [tuple(b) for b in m.get("batches", [])],
+                    "outputs": sorted(m.get("dirs", {})),
+                }
+            )
+        else:
+            out.append(
+                {
+                    "version": v,
+                    "kind": "commit",
+                    "run": m["ingest_run"],
+                    "batch": m["ingest_batch"],
+                    "outputs": sorted(m.get("dirs", {})),
+                }
+            )
+    return out
+
+
 def _committed_batches(entries) -> set[tuple[str, int]]:
     done: set[tuple[str, int]] = set()
     for _, m in entries:
@@ -258,16 +291,47 @@ def atomic_commit_outputs(
 
 
 def read_committed(
-    spark: SparkSession, path: str, name: str = "data"
+    spark: SparkSession, path: str, name: str = "data", as_of_version: int | None = None
 ) -> DataFrame | None:
     """Union of all PUBLISHED batches of the ``name`` output
     (manifest-listed directories only — staging output is invisible),
     with ingest_run/ingest_batch columns restored. The newest checkpoint
     replaces every version ≤ its ``covers_through``; later manifests
-    apply on top. None if nothing has committed yet."""
+    apply on top. None if nothing has committed yet.
+
+    ``as_of_version`` time-travels the read: only commits with version ≤
+    that snapshot token participate, so a reader can pin the exact table
+    state any earlier decision was made against (the Delta
+    ``versionAsOf`` analog; tokens come from ``current_version`` or
+    ``log_history``). Because the log is LINEAR, a version number is a
+    complete snapshot spec — no timestamp resolution. Raises ValueError
+    when the requested version predates the oldest retained manifest
+    (compaction vacuums folded history, exactly like a table format's
+    checkpoint+vacuum): the state is genuinely unreconstructable, and
+    silently returning the post-checkpoint view would be a wrong answer."""
     from pyspark.sql import functions as F
 
     entries = _list_manifests(spark, path)
+    if as_of_version is not None and entries:
+        # A checkpoint manifest at version K+1 IS the state at its
+        # covers_through=K, so it serves any snapshot ≥ K even though its
+        # own version exceeds it; plain manifests participate by version.
+        kept = [
+            (v, m)
+            for v, m in entries
+            if (m["covers_through"] if m.get("checkpoint") else v) <= as_of_version
+        ]
+        # Oldest reconstructable snapshot among RETAINED manifests:
+        # compaction vacuums folded history, so anything older is gone.
+        floor = min(
+            (m["covers_through"] if m.get("checkpoint") else v) for v, m in entries
+        )
+        if 0 < as_of_version < floor:
+            raise ValueError(
+                f"version {as_of_version} of {path!r} was folded away by "
+                f"compaction (oldest reconstructable version: {floor})"
+            )
+        entries = kept
     checkpoints = [(v, m) for v, m in entries if m.get("checkpoint")]
     covers_through = -1
     parts = []

@@ -218,3 +218,50 @@ def test_parse_master_idx_malformed_rows(spark, tmp_path_factory):
     # the short row parses with a NULL path; the all-pipes row is dropped
     assert None in rows and rows[None]["cik"] == 300
     assert len(rows) == 3
+
+
+def test_build_corpus_end_to_end(spark, tmp_path):
+    """The composed corpus pipeline: monotone funnel, no duplicate
+    fingerprints among survivors, leakage-free splits, packed sequences
+    within budget, rerun idempotent."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.etl.corpus import build_corpus
+    from sec_dl_spark.functions import analysis as A
+    from sec_dl_spark.functions.text import tokenize
+
+    out = str(tmp_path / "corpus")
+    funnel = build_corpus(
+        spark, "/root/testdata/sf0.001", out, seq_budget=64,
+        compact_target_bytes=64 * 1024 * 1024,
+    )
+    assert funnel["n_raw"] >= funnel["n_quality"] >= funnel["n_exact_unique"] >= funnel["n_near_unique"] > 0
+    assert sum(funnel["splits"].values()) == funnel["n_near_unique"]
+    assert set(funnel["splits"]) <= {"train", "val", "test"}
+
+    docs = spark.read.parquet(funnel["documents_path"])
+    # exact-dup-free: every surviving fingerprint is unique
+    fps = docs.select(A.fingerprint_of(tokenize(F.col("text"))).alias("fp"))
+    assert fps.count() == fps.distinct().count()
+    # split column restored from the partitioned layout
+    assert "split" in docs.columns
+
+    seqs = spark.read.parquet(funnel["sequences_path"])
+    assert seqs.count() == docs.count()  # every kept doc is packed exactly once
+    # no sequence exceeds the budget unless it is a single long doc
+    over = (
+        seqs.groupBy("source", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .where((F.col("tot") > 64) & (F.col("n") > 1))
+    )
+    assert over.count() == 0
+    assert funnel["n_sequences"] > 0
+    assert funnel["compaction"]["documents"]["files"] >= 1
+
+    # deterministic rerun: same funnel
+    funnel2 = build_corpus(
+        spark, "/root/testdata/sf0.001", out, seq_budget=64,
+        compact_target_bytes=64 * 1024 * 1024,
+    )
+    assert {k: funnel2[k] for k in ("n_raw", "n_quality", "n_exact_unique", "n_near_unique", "splits")} == \
+        {k: funnel[k] for k in ("n_raw", "n_quality", "n_exact_unique", "n_near_unique", "splits")}

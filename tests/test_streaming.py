@@ -1228,3 +1228,77 @@ def test_atomic_minhash_gate_cross_batch(spark, tmp_path_factory):
     run_once()
     again = {r["doc_id"] for r in read_committed(spark, registry, "accepted").collect()}
     assert again == got
+
+
+def test_atomic_time_travel_reads_each_version(spark, tmp_path_factory):
+    """read_committed(as_of_version=N) reconstructs exactly the state any
+    earlier decision was made against — the versionAsOf analog on the
+    linear log."""
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_batch,
+        current_version,
+        log_history,
+        read_committed,
+    )
+
+    sink = str(tmp_path_factory.mktemp("atomic_tt") / "sink")
+    assert atomic_commit_batch(spark.range(0, 2).selectExpr("id"), sink, "r1", 0)
+    v1 = current_version(spark, sink)
+    assert atomic_commit_batch(spark.range(2, 5).selectExpr("id"), sink, "r1", 1)
+    assert atomic_commit_batch(spark.range(5, 6).selectExpr("id"), sink, "r1", 2)
+
+    assert read_committed(spark, sink, as_of_version=0) is None
+    assert sorted(
+        r.id for r in read_committed(spark, sink, as_of_version=v1).collect()
+    ) == [0, 1]
+    assert sorted(
+        r.id for r in read_committed(spark, sink, as_of_version=v1 + 1).collect()
+    ) == [0, 1, 2, 3, 4]
+    # unpinned read = latest
+    assert read_committed(spark, sink).count() == 6
+    # a future version token just reads latest (nothing above it yet)
+    assert read_committed(spark, sink, as_of_version=99).count() == 6
+
+    hist = log_history(spark, sink)
+    assert [h["kind"] for h in hist] == ["commit"] * 3
+    assert [(h["run"], h["batch"]) for h in hist] == [("r1", 0), ("r1", 1), ("r1", 2)]
+
+
+def test_atomic_time_travel_across_compaction(spark, tmp_path_factory):
+    """Compaction folds history: snapshots at/after the checkpoint's
+    covers_through stay readable (the checkpoint IS that state); older
+    snapshots raise instead of silently returning the wrong view."""
+    import pytest as _pytest
+
+    from sec_dl_spark.streaming.atomic import (
+        atomic_commit_batch,
+        compact_committed,
+        current_version,
+        log_history,
+        read_committed,
+    )
+
+    sink = str(tmp_path_factory.mktemp("atomic_ttc") / "sink")
+    assert atomic_commit_batch(spark.range(0, 2).selectExpr("id"), sink, "r1", 0)
+    assert atomic_commit_batch(spark.range(2, 4).selectExpr("id"), sink, "r1", 1)
+    folded = current_version(spark, sink)
+    assert compact_committed(spark, sink)
+    assert atomic_commit_batch(spark.range(4, 7).selectExpr("id"), sink, "r1", 2)
+
+    # snapshot at the fold point: served by the checkpoint itself
+    assert sorted(
+        r.id for r in read_committed(spark, sink, as_of_version=folded).collect()
+    ) == [0, 1, 2, 3]
+    # snapshot between checkpoint version and the later commit: same state
+    assert read_committed(spark, sink, as_of_version=folded + 1).count() == 4
+    # latest includes the post-compaction commit
+    assert read_committed(spark, sink).count() == 7
+    # pre-fold snapshot is genuinely gone -> loud error, not a wrong answer
+    with _pytest.raises(ValueError, match="folded away"):
+        read_committed(spark, sink, as_of_version=folded - 1)
+
+    kinds = [h["kind"] for h in log_history(spark, sink)]
+    assert kinds == ["checkpoint", "commit"]
+    ck = log_history(spark, sink)[0]
+    assert ck["covers_through"] == folded
+    assert ("r1", 0) in ck["batches"] and ("r1", 1) in ck["batches"]
