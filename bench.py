@@ -28,6 +28,12 @@ each arm times the full availableNow run (medians across reps). The two
 arms differ only in commit_mode — same data, same batching, same gate —
 so the ratio is the cost of serializable admission.
 
+The `corpus_e2e` object times the COMPOSED pipeline (etl/corpus.py:
+clean → quality gate → exact dedup → MinHash near-dedup → content-hashed
+split → sequence packing) over the sf documents table, once per bench run,
+with docs/sec throughput — the end-to-end number a corpus team would
+capacity-plan against.
+
 Noise-proofing: the host shows ±40% run-to-run swings from hypervisor CPU
 steal, so a single pass is not evidence. The suite runs
 $SPARK_GRAFT_BENCH_REPS times (default 3, rep-major so cross-query cache
@@ -145,6 +151,25 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
         return dt
 
+    # end-to-end corpus build throughput: the composed pipeline (clean →
+    # quality → exact dedup → near-dedup → split → pack, etl/corpus.py)
+    # over the sf documents table, run ONCE (it is a multi-stage job whose
+    # median-of-reps would double bench wall-time for one number; the
+    # per-stage operators are already median-timed above).
+    from sec_dl_spark.etl.corpus import build_corpus
+
+    corpus_out = tempfile.mkdtemp(prefix="bench_corpus_")
+    t0 = time.perf_counter()
+    funnel = build_corpus(spark, sf_dir, corpus_out)
+    corpus_s = time.perf_counter() - t0
+    corpus = {
+        "seconds": round(corpus_s, 3),
+        "docs_in": funnel["n_raw"],
+        "docs_out": funnel["n_near_unique"],
+        "docs_per_sec": round(funnel["n_raw"] / corpus_s, 1) if corpus_s else None,
+    }
+    shutil.rmtree(corpus_out, ignore_errors=True)
+
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     ab_samples: dict[str, list[float]] = {"adc": [], "decode": []}
@@ -198,6 +223,7 @@ def main() -> None:
                 "noise": noise,
                 "ab_adc_vs_decode": ab,
                 "gate_atomic_overhead": gate,
+                "corpus_e2e": corpus,
             }
         )
     )

@@ -2181,3 +2181,118 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "fts_headline",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    hit AS (SELECT doc_id, toks, list_position(toks, 'spark') AS idx FROM tk),
+    win AS (SELECT doc_id, idx, greatest(idx - 3, 1) AS s,
+                   least(idx + 3, len(toks)) AS e, toks
+            FROM hit WHERE idx > 0)
+    SELECT doc_id, CAST(idx AS BIGINT) AS pos,
+           array_to_string(list_slice(toks, s, e), ' ') AS headline
+    FROM win ORDER BY doc_id LIMIT 50
+    """,
+)
+def fts_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL ts_headline parity (the reference's serving tier renders
+    snippets from its GIN-indexed text; SURVEY §2.7 F11): for documents
+    matching a term, emit a ±3-token context window around the FIRST
+    occurrence. Pure codegen array ops on the shared tokenized frame — no
+    re-scan of raw text, no UDF; at scale the match set comes from the
+    inverted index and only matched docs compute windows."""
+    tk = tok_docs(spark, sf_dir)
+    hit = tk.select("doc_id", "toks", F.array_position("toks", "spark").alias("idx"))
+    win = (
+        hit.where(F.col("idx") > 0)
+        .select(
+            "doc_id",
+            "idx",
+            F.greatest(F.col("idx") - 3, F.lit(1)).alias("s"),
+            F.least(F.col("idx") + 3, F.size("toks").cast("long")).alias("e"),
+            "toks",
+        )
+    )
+    return (
+        win.select(
+            "doc_id",
+            F.col("idx").cast("long").alias("pos"),
+            F.array_join(
+                F.slice("toks", F.col("s").cast("int"), (F.col("e") - F.col("s") + 1).cast("int")),
+                " ",
+            ).alias("headline"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+_G5 = (
+    "list_distinct(list_transform(range(len(toks) - 4), i -> "
+    "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))"
+)
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, toks,
+                 CASE WHEN substr(md5(array_to_string(toks, ' ')), 1, 1)
+                           BETWEEN '0' AND '9'
+                        OR substr(md5(array_to_string(toks, ' ')), 1, 1) IN ('a', 'b')
+                      THEN 'train'
+                      WHEN substr(md5(array_to_string(toks, ' ')), 1, 1) IN ('c', 'd')
+                      THEN 'val' ELSE 'test' END AS split
+          FROM tk WHERE len(toks) >= 5),
+    test_g AS (SELECT DISTINCT unnest({_G5}) AS gram FROM s WHERE split = 'test'),
+    train_g AS (SELECT doc_id, lang, unnest({_G5}) AS gram FROM s WHERE split = 'train'),
+    dropped AS (SELECT DISTINCT g.doc_id FROM train_g g
+                WHERE EXISTS (SELECT 1 FROM test_g t WHERE t.gram = g.gram)),
+    train AS (SELECT doc_id, lang FROM s WHERE split = 'train')
+    SELECT train.lang, count(*) AS n_train,
+           CAST(count(dropped.doc_id) AS BIGINT) AS n_dropped,
+           count(*) - CAST(count(dropped.doc_id) AS BIGINT) AS n_clean
+    FROM train LEFT JOIN dropped ON train.doc_id = dropped.doc_id
+    GROUP BY train.lang ORDER BY train.lang
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination as an ACTION, not just a measurement
+    (complements text_contamination): split the corpus by content hash
+    (corpus_split_assign's rule), then drop every train document sharing
+    any 5-gram with the test split — the leakage screen a pretraining
+    pipeline runs before training. Shape: the test-gram set is built once
+    and the shuffle is keyed by gram (never by doc); at 100 TB the
+    test-gram table is tiny relative to train and AQE broadcasts it —
+    unhinted, same posture as the other corpus-derived models."""
+    d = tok_docs(spark, sf_dir).where(F.size("toks") >= 5)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hx = F.substring(A.fingerprint_of(F.col("toks")), 1, 1)
+    split = (
+        F.when(hx.between("0", "9") | hx.isin("a", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    s = d.select("doc_id", "toks", split.alias("split")).join(docs, "doc_id")
+    grams = A.shingles_of(F.col("toks"), 5)
+    test_g = (
+        s.where(F.col("split") == "test")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = s.where(F.col("split") == "train")
+    train_g = train.select("doc_id", F.explode(grams).alias("gram"))
+    dropped = train_g.join(test_g, "gram", "left_semi").select("doc_id").distinct()
+    return (
+        train.join(dropped.withColumn("_hit", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("_hit").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
