@@ -149,6 +149,12 @@ def compact_small_files(
 ) -> dict:
     """Rewrite the parquet dataset at ``path`` into ~``target_bytes`` files.
 
+    Scope split with ``sinks/compact.py:compact_parquet``: that one
+    rewrites PARTITIONED layouts partition-by-partition (preserving
+    partition dirs, driver-local paths); this one is the filesystem-
+    agnostic flat-directory form (Hadoop FS listing, works on any
+    scheme) used by the corpus pipeline's outputs.
+
     The output file count derives from the MEASURED input size
     (ceil(total/target)), not a guessed partition constant — the same
     dataset compacts to 1 file at 10 MB and 800 files at 100 GB without

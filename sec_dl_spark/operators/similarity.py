@@ -433,7 +433,8 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    cell_target: int = 256,
     seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
@@ -445,11 +446,21 @@ def semantic_dedup(
     partitioning-independent.
 
     The pair space is bounded by the CLUSTER, not the corpus: the only
-    shuffle keys by cell, and the quadratic term is Σ|cell|² — at 100 TB
-    you raise n_cells so cells stay ~10⁴-10⁵ vectors and the join stays
-    executor-local per cell (SemDeDup's own trick; cross-cluster dups are
-    the accepted miss, measured <1% in the paper). Returns one row per
-    vector: (id, cell, keep, dup_of nullable)."""
+    shuffle keys by cell, and the quadratic term is Σ|cell|². By default
+    ``n_cells`` therefore SCALES WITH THE CORPUS — ceil(N / cell_target)
+    cells, so Σ|cell|² ≈ N·cell_target stays LINEAR in N (SemDeDup's own
+    trick; cross-cluster dups are the accepted miss, measured <1% in the
+    paper). A fixed ``n_cells`` is the classic scale trap the 10× probe
+    caught (82× wall-time on 10× data): cells grow with N and the
+    within-cell join goes quadratic — pass an explicit ``n_cells`` only
+    for fixture-pinned tests. ``cell_target`` is the knob trading recall
+    (bigger cells, fewer cross-cell misses) against pair volume
+    (Σ|cell|² ≈ N·cell_target); 256 keeps the per-pair HOF cosine—the
+    interpreted per-element cost that dominates this operator—bounded. Returns one row per vector: (id, cell, keep, dup_of
+    nullable)."""
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(8, -(-n // cell_target))
     cells, _ = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
     assigned = cells.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "cell"

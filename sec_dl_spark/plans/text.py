@@ -1729,10 +1729,15 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the gate non-vacuous — the synthetic corpus tops out near cos
     0.5). Rows-only: cell assignments come from the seeded k-means fit,
     which has no SQL oracle; the greedy-collapse semantics are pinned by
-    the planted-cluster pytest (operators/similarity.py:semantic_dedup)."""
+    the planted-cluster pytest (operators/similarity.py:semantic_dedup).
+    Cell count auto-scales with the corpus (ceil(N/1024), floor 8 — same
+    8 cells on every fixture SF, ~50 at the probe's sf1) so the
+    within-cell pair space stays linear in N; the 10× scale probe caught
+    the fixed-cell quadratic blowup this replaces (82× wall-time on 10×
+    data → see SCALE.md)."""
     e = t(spark, sf_dir, "embeddings")
     return (
-        similarity.semantic_dedup(e, threshold=0.35, n_cells=8)
+        similarity.semantic_dedup(e, threshold=0.35)
         .select("vec_id", "cell", "keep", "dup_of")
         .orderBy("vec_id")
     )

@@ -21,6 +21,12 @@ def compact_parquet(
 ) -> dict[str, int]:
     """Rewrite a partitioned parquet dataset with consolidated files.
 
+    Scope split with ``operators/layout.py:compact_small_files``: this
+    form preserves a PARTITIONED layout (partition dirs survive, sized
+    per-partition via repartition on the partition columns); the layout
+    module's form is the filesystem-agnostic flat-directory rewrite
+    (Hadoop FS listing) the corpus pipeline uses.
+
     Sizes output by rows (estimated from the dataset's bytes/row when
     target_rows_per_file is not given). Writes to <path>__compact then
     atomically swaps directories — readers never see a half-written layout.

@@ -568,3 +568,25 @@ def test_emb_dim_stats_state_is_o_dims(spark, specs):
     n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert all(r.n == n_vecs for r in rows)
     assert all(r.sd_v >= 0 for r in rows)
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    """The re-layout costs exactly its one inherent shuffle: a single
+    range exchange on the z-key, no extra hash exchanges."""
+    from sec_dl_spark.operators.layout import zorder_layout
+
+    df = spark.range(10_000).selectExpr("id % 100 AS x", "id % 97 AS y")
+    plan = physical_plan(zorder_layout(df, ["x", "y"], num_files=8, bits=8))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_gram_model_join_unhinted(spark, specs):
+    """The test-gram set must reach the train side without a forced
+    broadcast hint (AQE decides from measured size)."""
+    df = specs["corpus_decontaminate"].spark_fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast)" not in analyzed
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
