@@ -1302,3 +1302,72 @@ def test_atomic_time_travel_across_compaction(spark, tmp_path_factory):
     ck = log_history(spark, sink)[0]
     assert ck["covers_through"] == folded
     assert ("r1", 0) in ck["batches"] and ("r1", 1) in ck["batches"]
+
+
+def test_incremental_corpus_sink_prep_plus_dedup(spark, tmp_path_factory):
+    """The streaming corpus gate: stateless clean/quality/split prep on
+    each micro-batch, cross-batch exact dedup via the registry, split
+    column preserved in the accepted output and identical to the batch
+    pipeline's assignment for the same content."""
+    import pyspark.sql.types as T
+
+    from sec_dl_spark.etl.corpus import assign_split
+    from sec_dl_spark.functions.text import clean_filing_text
+    from sec_dl_spark.streaming.corpus import (
+        incremental_corpus_sink,
+        prepare_corpus_stream,
+    )
+
+    src = tmp_path_factory.mktemp("corpus_stream")
+    accepted = str(tmp_path_factory.mktemp("corpus_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("corpus_reg") / "registry")
+    ckpt = str(tmp_path_factory.mktemp("corpus_ckpt"))
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    long_doc = "the quick brown fox jumps over the lazy dog " * 4
+    b1 = spark.createDataFrame(
+        [
+            (1, long_doc),
+            (2, "!!! ??? ///"),  # cleans to punctuation-only → quality-dropped
+            (3, long_doc.upper()),  # canonical dup of 1 → in-batch collapse
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, long_doc + "  "),  # cross-batch dup of 1 → registry-dropped
+            (11, "a completely different and quite reasonable document here " * 3),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=1")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = incremental_corpus_sink(stream, accepted, registry, ckpt)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(accepted)
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 11}
+    assert "split" in out.columns
+    assert set(out.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test",
+    }
+    # the streaming split matches the batch rule for the same cleaned text
+    batch = spark.createDataFrame([(1, long_doc)], schema).withColumn(
+        "text", clean_filing_text(F.col("text"))
+    )
+    expected = batch.select(assign_split(F.col("text")).alias("s")).first().s
+    got = out.where("doc_id = 1").first().split
+    assert got == expected
+    # prepare_corpus_stream is stateless: batch application gives the
+    # same survivors as what the stream admitted (before dedup)
+    prepped = prepare_corpus_stream(b1.unionByName(b2))
+    assert {r.doc_id for r in prepped.collect()} == {1, 3, 10, 11}
