@@ -2301,3 +2301,64 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id, toks,
+                 round(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                     + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+                     + 0.25 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks))
+                     + 1e-8, 4) AS quality,
+                 CASE WHEN substr(md5(array_to_string(toks, ' ')), 1, 1)
+                           BETWEEN '0' AND '9'
+                        OR substr(md5(array_to_string(toks, ' ')), 1, 1) IN ('a', 'b')
+                      THEN 'train'
+                      WHEN substr(md5(array_to_string(toks, ' ')), 1, 1) IN ('c', 'd')
+                      THEN 'val' ELSE 'test' END AS split
+          FROM tk WHERE len(toks) > 0 AND length(text) > 0)
+    SELECT doc_id, split, quality,
+           CAST(row_number() OVER (PARTITION BY split
+                                   ORDER BY quality DESC, doc_id) AS BIGINT)
+             AS curriculum_rank
+    FROM q ORDER BY split, curriculum_rank LIMIT 200
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling order: within each split, rank documents by
+    the composite quality score (easy/clean-first curricula train on
+    high-quality text before the noisy tail). Ranking keys on the ROUNDED
+    score with doc_id tiebreak so both engines order identically; one
+    window per split partition, no extra shuffle beyond the rank's own.
+    Composes the split and quality stages the corpus pipeline already
+    runs — the last prep step before pack_sequences."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks")).where(
+        (F.size("toks") > 0) & (F.length("text") > 0)
+    )
+    hx = F.substring(A.fingerprint_of(F.col("toks")), 1, 1)
+    split = (
+        F.when(hx.between("0", "9") | hx.isin("a", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    q = tk.select(
+        "doc_id",
+        split.alias("split"),
+        F.round(A.quality_score_of(F.col("toks"), F.col("text")) + 1e-8, 4).alias(
+            "quality"
+        ),
+    )
+    wr = Window.partitionBy("split").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.select(
+            "doc_id",
+            "split",
+            "quality",
+            F.row_number().over(wr).cast("long").alias("curriculum_rank"),
+        )
+        .orderBy("split", "curriculum_rank")
+        .limit(200)
+    )

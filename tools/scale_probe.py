@@ -57,6 +57,9 @@ PROBE = [
     "emb_pq_topk",
     "emb_ivfpq_topk",
     "emb_semantic_dedup",
+    # r6 additions with non-trivial scaling shape (gram join / window dedup)
+    "corpus_decontaminate",
+    "dedup_keep_best",
 ]
 
 # key spans safely above the sf0.1 max of each offset key
