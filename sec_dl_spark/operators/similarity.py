@@ -436,6 +436,7 @@ def semantic_dedup(
     n_cells: int | None = None,
     cell_target: int = 256,
     seed: int = 42,
+    kernel: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space coarsely with k-means, then WITHIN each cluster
@@ -455,9 +456,27 @@ def semantic_dedup(
     within-cell join goes quadratic — pass an explicit ``n_cells`` only
     for fixture-pinned tests. ``cell_target`` is the knob trading recall
     (bigger cells, fewer cross-cell misses) against pair volume
-    (Σ|cell|² ≈ N·cell_target); 256 keeps the per-pair HOF cosine—the
-    interpreted per-element cost that dominates this operator—bounded. Returns one row per vector: (id, cell, keep, dup_of
-    nullable)."""
+    (Σ|cell|² ≈ N·cell_target).
+
+    Two scoring kernels, identical verdicts (parity-tested):
+
+    - ``kernel="expr"`` (default): the pure-DataFrame pair join with the
+      HOF cosine — zero Python in the plan, AQE-planned. Measured A/B at
+      sf1 (20k×64-dim, cached input): expr 1.8s vs arrow 2.2s at
+      cell_target=256 and 0.9s vs 1.5s at 2048 — at these cell×dim
+      products the operator is fixed-cost-dominated and Arrow transport
+      of the vectors costs more than the interpreted per-element cosine
+      saves.
+    - ``kernel="arrow"``: grouped-map applyInPandas per cell — ONE numpy
+      V·Vᵀ matmul scores all of a cell's pairs, then a masked argmax
+      finds each row's smallest similar predecessor. The right kernel
+      when cell×dim grows (e.g. 1024-dim embeddings at cell_target 10⁴:
+      interpreted HOF work scales with pairs×dim, the matmul flattens
+      it); per-task buffer is |cell|² doubles.
+
+    Returns one row per vector: (id, cell, keep, dup_of nullable)."""
+    if kernel not in ("arrow", "expr"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     if n_cells is None:
         n = corpus.count()
         n_cells = max(8, -(-n // cell_target))
@@ -465,6 +484,56 @@ def semantic_dedup(
     assigned = cells.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "cell"
     )
+    if kernel == "arrow":
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("cell", IntegerType()),
+                StructField("keep", BooleanType()),
+                StructField("dup_of", LongType()),
+            ]
+        )
+        thr = float(threshold)
+
+        def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            V = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Vn = V / norms[:, None]  # zero-norm rows -> nan -> no match
+            S = Vn @ Vn.T
+            # smaller-id predecessors only (strict lower triangle)
+            M = np.tril(S >= thr, k=-1)
+            has = M.any(axis=1)
+            first = M.argmax(axis=1)  # index of the SMALLEST similar id
+            ids = pdf["vec_id"].to_numpy()
+            dup_of = np.where(has, ids[first], -1)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": pdf["cell"].to_numpy(),
+                    "keep": ~has,
+                    "dup_of": dup_of,
+                }
+            )
+
+        out = assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+        return out.select(
+            F.col("vec_id").alias(id_col),
+            "cell",
+            "keep",
+            F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
+        )
     left = assigned.select("cell", F.col("vec_id").alias("a"), F.col("vec").alias("va"))
     right = assigned.select("cell", F.col("vec_id").alias("b"), F.col("vec").alias("vb"))
     dup_pairs = (

@@ -1044,3 +1044,25 @@ def test_hot_keys_detects_planted_skew(spark):
     assert hot_keys(df, "k", min_fraction=0.03, sample_fraction=0.05) == got
     # raising the bar past the second key's 5% leaves only the whale
     assert hot_keys(df, "k", min_fraction=0.1, sample_fraction=0.05) == ["whale"]
+
+
+def test_semantic_dedup_kernels_agree(spark):
+    """The arrow (per-cell numpy matmul) and expr (pair-join HOF cosine)
+    scoring kernels must produce IDENTICAL verdicts — same keeps, same
+    dup_of targets — on the real fixture."""
+    from sec_dl_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        (r.vec_id, r.keep, r.dup_of)
+        for r in semantic_dedup(e, threshold=0.35, kernel="arrow").collect()
+    }
+    b = {
+        (r.vec_id, r.keep, r.dup_of)
+        for r in semantic_dedup(e, threshold=0.35, kernel="expr").collect()
+    }
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kernel"):
+        semantic_dedup(e, kernel="simd")
