@@ -1288,3 +1288,41 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "l_orderkey", "l_suppkey")
         .limit(100)
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity) + 1e-8, 4)
+             AS w_avg_price,
+           round(sum(l_extendedprice * (1 - l_discount) * l_quantity)
+                 / sum(l_quantity) + 1e-8, 4) AS w_avg_net,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average prices per flag/status — the weighted-mean
+    agg shape (sum(x*w)/sum(w)) that avg() cannot express. Two partial
+    sums per weight, one shuffle keyed by the group: identical scale
+    posture to q1_pricing_summary."""
+    li = t(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round((F.sum(F.col("l_extendedprice") * w) / F.sum(w)) + 1e-8, 4).alias(
+                "w_avg_price"
+            ),
+            F.round(
+                (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * w) / F.sum(w))
+                + 1e-8,
+                4,
+            ).alias("w_avg_net"),
+            F.sum(w).cast("long").alias("total_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -494,3 +494,32 @@ def _anomaly_mad(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_hourly_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def events_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user traffic per (hour, type) — the cardinality twin of
+    events_tumbling_hourly. Exact distinct inside a grouped agg keeps the
+    two-phase partial/final shape (Expand + partial count-distinct); at
+    100x the per-group exact state is bounded by active users per hour,
+    with agg_approx_distinct_hll as the documented sketch fallback when
+    groups stop fitting."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
