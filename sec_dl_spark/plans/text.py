@@ -66,6 +66,23 @@ def tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
+# Zero-normalizing rounded float aggregate, both engines. IEEE round() keeps
+# the sign bit, so a tiny NEGATIVE average rounds to -0.0 in DuckDB but +0.0
+# in Spark — same magnitude, different serialized hash (this exact class
+# failed corpus_dsir_weights' driver hash in round 6). Appending `+ 0.0`
+# AFTER the round normalizes: IEEE defines -0.0 + 0.0 = +0.0, and every
+# nonzero value is unchanged. Use these for any float aggregate whose
+# rounded value can straddle zero.
+def rz(col, digits: int = 4, nudge: float = 1e-9):
+    """Spark side: round(col + nudge, digits) with -0.0 normalized to +0.0."""
+    return F.round(col + F.lit(nudge), digits) + F.lit(0.0)
+
+
+def rz_sql(expr: str, digits: int = 4, nudge: str = "1e-9") -> str:
+    """DuckDB oracle twin of :func:`rz` (identical nudge + normalization)."""
+    return f"(round(({expr}) + {nudge}, {digits}) + 0.0)"
+
+
 # DuckDB-side canonical tokenizer / shingler (mirrors functions/text.py).
 TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 SHINGLES = (
@@ -1955,7 +1972,7 @@ _DSIR_BUCKET_SQL = f"CAST(md5_number_lower(w) % {_DSIR_BUCKETS} AS BIGINT)"
       FROM cc LEFT JOIN tc USING (b), scal
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(logr) + 1e-9, 4) AS dsir_logratio
+           {rz_sql('avg(logr)')} AS dsir_logratio
     FROM w JOIN model USING (b)
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -2002,7 +2019,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("logr") + 1e-9, 4).alias("dsir_logratio"),
+            rz(F.avg("logr")).alias("dsir_logratio"),
         )
         .orderBy("doc_id")
     )
@@ -2152,15 +2169,15 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_dim_stats",
-    oracle="""
+    oracle=f"""
     WITH x AS (SELECT generate_subscripts(embedding, 1) AS dim,
                       unnest(embedding) AS v FROM embeddings),
     e AS (SELECT dim, CAST(v AS DOUBLE) AS v FROM x)
     SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
-           round(avg(v) + 1e-8, 4) AS mean_v,
-           round(stddev(v) + 1e-8, 4) AS sd_v,
-           round(min(v) + 1e-8, 4) AS min_v,
-           round(max(v) + 1e-8, 4) AS max_v
+           {rz_sql('avg(v)', nudge='1e-8')} AS mean_v,
+           {rz_sql('stddev(v)', nudge='1e-8')} AS sd_v,
+           {rz_sql('min(v)', nudge='1e-8')} AS min_v,
+           {rz_sql('max(v)', nudge='1e-8')} AS max_v
     FROM e GROUP BY dim ORDER BY dim
     """,
 )
@@ -2179,10 +2196,10 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("v") + 1e-8, 4).alias("mean_v"),
-            F.round(F.stddev_samp("v") + 1e-8, 4).alias("sd_v"),
-            F.round(F.min("v") + 1e-8, 4).alias("min_v"),
-            F.round(F.max("v") + 1e-8, 4).alias("max_v"),
+            rz(F.avg("v"), nudge=1e-8).alias("mean_v"),
+            rz(F.stddev_samp("v"), nudge=1e-8).alias("sd_v"),
+            rz(F.min("v"), nudge=1e-8).alias("min_v"),
+            rz(F.max("v"), nudge=1e-8).alias("max_v"),
         )
         .orderBy("dim")
     )

@@ -377,9 +377,11 @@ def test_passage_dedup_exchange_carries_hashed_key(spark, specs):
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
-    names; round 6 front-loads the 11 round-5 additions (never driver-checked
-    before) plus the 7 names deferred from the r5 rotation (evidence last
-    from round 3), filling to 50 with the stalest r4-proven names."""
+    names; round 7 front-loads the 10 round-6 additions (never
+    driver-checked before, all pre-verified byte-exact via
+    tools/compare_oracle.py --exact), then the 18 r4-proven names deferred
+    from the r6 rotation (3 rounds stale), filling to 50 with the stalest
+    oracled r5-proven names."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
@@ -388,19 +390,18 @@ def test_catalog_rotation_front_loads_stale_queries():
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
     never_driver_checked = {
-        "text_passage_dedup",
-        "text_bigram_logprob",
-        "text_word_entropy",
-        "emb_semantic_dedup",
-        "text_bpe_tokens",
-        "emb_label_centroids",
-        "text_top_ngrams",
-        "emb_ivfpq_topk",
-        "text_length_histogram",
-        "events_anomaly_mad",
-        "corpus_dsir_weights",
+        "dedup_keep_best",
+        "corpus_split_assign",
+        "text_keywords_tfidf",
+        "emb_dim_stats",
+        "layout_zorder_key",
+        "fts_headline",
+        "corpus_decontaminate",
+        "corpus_curriculum_order",
+        "events_hourly_distinct_users",
+        "agg_weighted_avg",
     }
-    assert never_driver_checked <= set(names[:11])
+    assert never_driver_checked <= set(names[:10])
 
 
 def test_events_ts_load_is_timezone_independent(spark):

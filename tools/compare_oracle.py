@@ -4,7 +4,14 @@ Runs every registry query through Spark AND its DuckDB oracle on the same
 parquet fixtures, then compares row count, column names/dtypes, and values
 (rows sorted, floats compared with tolerance). Usage:
 
-    python tools/compare_oracle.py [--sf /root/testdata/sf0.001] [names...]
+    python tools/compare_oracle.py [--sf /root/testdata/sf0.001] [--exact] [names...]
+
+``--exact`` switches float comparison from tolerance to byte-exact repr
+equality (sign of zero included), mirroring the driver's serialized value
+hash. The tolerance default is useful while developing an operator; the
+exact mode is the pre-round gate — round 6 shipped a ``-0.0`` vs ``+0.0``
+driver hash mismatch (corpus_dsir_weights) that the tolerance mode was
+blind to, so every pre-round sweep must run with ``--exact``.
 """
 
 from __future__ import annotations
@@ -33,8 +40,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def compare_frames(a: pd.DataFrame, b: pd.DataFrame, rtol: float = 1e-9) -> list[str]:
-    """a=spark, b=oracle. Returns list of mismatch descriptions."""
+def _float_repr(x) -> str:
+    """Canonical serialized form of one float cell: distinguishes -0.0 from
+    +0.0 (repr keeps the sign bit) and collapses every NaN to 'nan' — the
+    same distinctions the driver's value hash makes."""
+    if x is None:
+        return "<null>"
+    fx = float(x)
+    return "nan" if math.isnan(fx) else repr(fx)
+
+
+def compare_frames(
+    a: pd.DataFrame, b: pd.DataFrame, rtol: float = 1e-9, exact: bool = False
+) -> list[str]:
+    """a=spark, b=oracle. Returns list of mismatch descriptions.
+
+    ``exact=True`` compares floats by serialized repr (sign-of-zero exact),
+    mirroring the driver hash; default compares with rel/abs tolerance."""
     errs: list[str] = []
     if sorted(a.columns) != sorted(b.columns):
         return [f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"]
@@ -46,14 +68,24 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, rtol: float = 1e-9) -> list
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = True
-                for x, y in zip(av.tolist(), bv.tolist()):
+                bad_at = None
+                for i, (x, y) in enumerate(zip(av.tolist(), bv.tolist())):
+                    if exact:
+                        if _float_repr(x) != _float_repr(y):
+                            ok, bad_at = False, (i, x, y)
+                            break
+                        continue
                     xn = x is None or (isinstance(x, float) and math.isnan(x))
                     yn = y is None or (isinstance(y, float) and math.isnan(y))
                     if xn != yn or (not xn and not math.isclose(float(x), float(y), rel_tol=rtol, abs_tol=1e-9)):
-                        ok = False
+                        ok, bad_at = False, (i, x, y)
                         break
                 if not ok:
-                    errs.append(f"column {col}: float values differ")
+                    i, x, y = bad_at
+                    errs.append(
+                        f"column {col}: float values differ "
+                        f"(row {i}: spark={x!r} oracle={y!r})"
+                    )
             else:
                 if not av.astype(str).equals(bv.astype(str)):
                     n_diff = int((av.astype(str) != bv.astype(str)).sum())
@@ -74,6 +106,12 @@ def main() -> int:
         help="concurrent query comparisons (threads share the SparkSession; "
         "the sweep is scheduling/JIT-latency-bound, not CPU-bound, so "
         "overlapping submissions cuts wall-clock ~linearly). 1 = serial.",
+    )
+    ap.add_argument(
+        "--exact",
+        action="store_true",
+        help="byte-exact float comparison (sign-of-zero included), mirroring "
+        "the driver's value hash; use for the pre-round gate",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -105,7 +143,7 @@ def main() -> int:
             odf = tls.con.sql(spec.oracle).df()
         except Exception as exc:  # noqa: BLE001
             return name, f"FAIL {name}: oracle error: {exc}", True
-        errs = compare_frames(sdf, odf)
+        errs = compare_frames(sdf, odf, exact=args.exact)
         if errs:
             return name, f"FAIL {name}: " + "; ".join(errs), True
         return name, f"OK   {name} ({len(sdf)} rows)", False
