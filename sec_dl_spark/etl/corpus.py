@@ -25,6 +25,7 @@ from sec_dl_spark.functions.text import clean_filing_text, tokenize
 from sec_dl_spark.operators import dedup
 from sec_dl_spark.operators.grouped import pack_sequences
 from sec_dl_spark.operators.layout import compact_small_files
+from sec_dl_spark.sinks.compact import compact_parquet
 from sec_dl_spark.session import spread
 
 
@@ -139,13 +140,24 @@ def build_corpus(
 
     compaction = None
     if compact_target_bytes:
+        # documents is PARTITIONED BY split — it must compact through the
+        # partition-preserving form (compact_parquet), or the split=...
+        # directories would be flattened and the partition pruning promised
+        # to train/val/test consumers silently lost. The flat compactor is
+        # only for the unpartitioned sequences output.
+        docs_c = compact_parquet(
+            spark, docs_out, ["split"], target_file_bytes=compact_target_bytes
+        )
+        seqs_c = compact_small_files(spark, seq_out, compact_target_bytes)
         compaction = {
-            "documents": compact_small_files(spark, docs_out, compact_target_bytes),
-            "sequences": compact_small_files(spark, seq_out, compact_target_bytes),
-        }
-        compaction = {
-            k: {"rewritten": v["rewritten"], "files": v["after"]["n_files"]}
-            for k, v in compaction.items()
+            "documents": {
+                "rewritten": docs_c["files_after"] != docs_c["files_before"],
+                "files": docs_c["files_after"],
+            },
+            "sequences": {
+                "rewritten": seqs_c["rewritten"],
+                "files": seqs_c["after"]["n_files"],
+            },
         }
 
     quality.unpersist()

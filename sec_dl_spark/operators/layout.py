@@ -19,7 +19,8 @@ prune. ``compact_small_files`` rewrites a parquet directory into
 target-sized files (size-derived partition count, not a guessed constant).
 
 Reference parity: the reference engine orders its tables by primary key
-only and relies on PostgreSQL for storage (sec_dl/utils/table_builders.py);
+only and relies on PostgreSQL for storage (the table DDL at
+sec_dl/utils/init_tables.py:31-52);
 the layout operators here are the additional 100 TB design-rule surface
 SURVEY.md §2.11 calls for.
 """
@@ -159,9 +160,14 @@ def compact_small_files(
     (ceil(total/target)), not a guessed partition constant — the same
     dataset compacts to 1 file at 10 MB and 800 files at 100 GB without
     retuning. Rewrite goes to a sibling temp dir first and swaps in via
-    rename, so a crash mid-rewrite leaves the original intact (single-
-    writer maintenance op; concurrent-writer datasets belong behind the
-    atomic commit log in streaming/atomic.py).
+    two renames (path→bak, tmp→path). A crash during the REWRITE leaves
+    the original intact; a crash BETWEEN the two renames leaves the
+    dataset absent at ``path`` and requires manual recovery by renaming
+    the ``.__compact_bak__`` sibling back — the swap is not atomic for a
+    reader racing it. Single-writer maintenance op; concurrent-writer or
+    reader-racing datasets belong behind the atomic commit log in
+    streaming/atomic.py, which publishes via a manifest, never a
+    directory swap.
 
     Returns the before/after stats dict; no-ops (rewritten=False) when the
     directory already has fewer than ``min_files_to_compact`` files or is
@@ -191,9 +197,11 @@ def compact_small_files(
         return jvm.org.apache.hadoop.fs.Path(s)
 
     if not fs.rename(_p(path), _p(bak)):
+        hadoop_delete(spark, tmp)
         raise IOError(f"compact: could not move {path} aside")
     if not fs.rename(_p(tmp), _p(path)):
         fs.rename(_p(bak), _p(path))  # restore
+        hadoop_delete(spark, tmp)
         raise IOError(f"compact: could not publish rewrite of {path}")
     hadoop_delete(spark, bak)
 

@@ -477,28 +477,36 @@ def semantic_dedup(
     Returns one row per vector: (id, cell, keep, dup_of nullable)."""
     if kernel not in ("arrow", "expr"):
         raise ValueError(f"unknown kernel {kernel!r}")
+    narrow = corpus.select(id_col, vec_col)
     if n_cells is None:
-        n = corpus.count()
+        # Auto-sizing needs a count, and the k-means fit + assignment each
+        # scan the input again — persist the narrow (id, vec) projection so
+        # an expensive uncached upstream plan is computed once, not three
+        # times. The persisted frame backs the returned lazy plan (Spark
+        # evicts it LRU); callers pinning memory across many dedups can
+        # pass an explicit n_cells to skip the count entirely.
+        narrow = narrow.persist()
+        n = narrow.count()
         n_cells = max(8, -(-n // cell_target))
-    cells, _ = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
+    cells, _ = _coarse_cells(narrow, id_col, vec_col, n_cells, seed)
     assigned = cells.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"), "cell"
     )
     if kernel == "arrow":
-        from pyspark.sql.types import (
-            BooleanType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
-        )
+        from pyspark.sql.types import BooleanType, StructField, StructType
 
+        # id/cell types follow the INPUT schema — a string or int id column
+        # round-trips unchanged (the expr kernel is id-type-generic; the
+        # arrow twin must be too), and absent dup_of is a real NULL, never
+        # an in-band sentinel that would mislabel a legitimate id value.
+        id_type = assigned.schema["vec_id"].dataType
+        cell_type = assigned.schema["cell"].dataType
         out_schema = StructType(
             [
-                StructField("vec_id", LongType()),
-                StructField("cell", IntegerType()),
+                StructField("vec_id", id_type),
+                StructField("cell", cell_type),
                 StructField("keep", BooleanType()),
-                StructField("dup_of", LongType()),
+                StructField("dup_of", id_type),
             ]
         )
         thr = float(threshold)
@@ -517,22 +525,19 @@ def semantic_dedup(
             has = M.any(axis=1)
             first = M.argmax(axis=1)  # index of the SMALLEST similar id
             ids = pdf["vec_id"].to_numpy()
-            dup_of = np.where(has, ids[first], -1)
+            dup_of = [ids[first[i]] if has[i] else None for i in range(len(ids))]
             return pd.DataFrame(
                 {
                     "vec_id": ids,
                     "cell": pdf["cell"].to_numpy(),
                     "keep": ~has,
-                    "dup_of": dup_of,
+                    "dup_of": pd.Series(dup_of, dtype="object"),
                 }
             )
 
         out = assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
         return out.select(
-            F.col("vec_id").alias(id_col),
-            "cell",
-            "keep",
-            F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
+            F.col("vec_id").alias(id_col), "cell", "keep", "dup_of"
         )
     left = assigned.select("cell", F.col("vec_id").alias("a"), F.col("vec").alias("va"))
     right = assigned.select("cell", F.col("vec_id").alias("b"), F.col("vec").alias("vb"))

@@ -257,6 +257,15 @@ def test_build_corpus_end_to_end(spark, tmp_path):
     assert over.count() == 0
     assert funnel["n_sequences"] > 0
     assert funnel["compaction"]["documents"]["files"] >= 1
+    # compaction must PRESERVE the split=... partition layout — the flat
+    # compactor would silently flatten it and lose partition pruning for
+    # train/val/test consumers (ADVICE r6)
+    import os as _os
+
+    part_dirs = {
+        d for d in _os.listdir(funnel["documents_path"]) if d.startswith("split=")
+    }
+    assert part_dirs == {f"split={s}" for s in funnel["splits"]}
 
     # deterministic rerun: same funnel
     funnel2 = build_corpus(

@@ -1066,3 +1066,38 @@ def test_semantic_dedup_kernels_agree(spark):
 
     with _pytest.raises(ValueError, match="kernel"):
         semantic_dedup(e, kernel="simd")
+
+
+def test_semantic_dedup_arrow_kernel_is_id_type_generic(spark):
+    """The arrow kernel's output schema must follow the INPUT id type (the
+    expr kernel is id-type-generic, so its twin must be): string ids
+    round-trip, and a legitimate id of -1 is never mislabeled by an
+    in-band no-dup sentinel — absent dup_of is a real NULL (ADVICE r6)."""
+    from sec_dl_spark.operators.similarity import semantic_dedup
+
+    v1, v2 = [1.0, 0.0, 0.0], [0.99, 0.14, 0.0]  # cosine ≈ 0.99
+    vf = [0.0, 1.0, 0.0]
+    # string ids: 'a' dups to... smallest-id-first means 'a' keeps, 'b' dups
+    rows = [("a", v1), ("b", v2), ("c", vf)]
+    sdf = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    for kernel in ("arrow", "expr"):
+        got = {
+            r.doc: (r.keep, r.dup_of)
+            for r in semantic_dedup(
+                sdf, threshold=0.9, id_col="doc", vec_col="embedding",
+                n_cells=1, kernel=kernel,
+            ).collect()
+        }
+        assert got == {"a": (True, None), "b": (False, "a"), "c": (True, None)}
+    # a REAL id of -1 that is a unique keeper must come back dup_of=NULL,
+    # and a dup of it must point AT -1
+    rows = [(-1, v1), (7, v2), (9, vf)]
+    ldf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for kernel in ("arrow", "expr"):
+        got = {
+            r.vec_id: (r.keep, r.dup_of)
+            for r in semantic_dedup(
+                ldf, threshold=0.9, n_cells=1, kernel=kernel
+            ).collect()
+        }
+        assert got == {-1: (True, None), 7: (False, -1), 9: (True, None)}
