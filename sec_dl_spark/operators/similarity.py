@@ -96,6 +96,94 @@ def cosine_topk(
     )
 
 
+def mmr_select(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    per query, greedily pick ``k`` results maximizing
+    ``lam·relevance − (1−lam)·max-similarity-to-already-picked`` — the
+    standard diversity rerank for retrieval-augmented sampling, where the
+    plain top-k would hand back k near-copies of the best hit.
+
+    Two stages, both bounded: (1) an exact cosine ``shortlist`` per query
+    (cosine_topk — corpus streams once, queries broadcast), then (2) the
+    greedy MMR loop runs per query over its ≤``shortlist`` candidates in
+    ONE grouped Arrow batch (applyInPandas) — the O(k·shortlist) iteration
+    that SQL cannot express touches only the shortlist, never the corpus,
+    so the operator scales exactly as far as the shortlist stage does.
+    Deterministic: candidates sort by id, ties in the marginal score pick
+    the smallest id (argmax-first on the sorted frame).
+
+    Returns (query_id, neighbor_id, relevance, mmr_score, mmr_rank).
+    Output id types follow the input id column's type."""
+    import numpy as np  # noqa: F401 — executor-side import checked eagerly
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    short = cosine_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    )
+    cand = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine_sim", "c_vec")
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("mmr_rank", LongType()),
+        ]
+    )
+    kk, ll = int(k), float(lam)
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        n = len(pdf)
+        V = np.vstack(pdf["c_vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = np.where(norms[:, None] > 0, V / norms[:, None], 0.0)
+        S = Vn @ Vn.T
+        rel = pdf["cosine_sim"].to_numpy().astype(np.float64)
+        max_sim = np.zeros(n)
+        chosen: list[int] = []
+        scores: list[float] = []
+        for _ in range(min(kk, n)):
+            sc = ll * rel - (1.0 - ll) * max_sim
+            if chosen:
+                sc[chosen] = -np.inf
+            i = int(np.argmax(sc))  # first max = smallest id (sorted frame)
+            chosen.append(i)
+            scores.append(round(float(sc[i]), 6))
+            max_sim = np.maximum(max_sim, S[:, i])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[chosen],
+                "neighbor_id": pdf["neighbor_id"].to_numpy()[chosen],
+                "relevance": rel[chosen],
+                "mmr_score": scores,
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(per_query, schema=out_schema)
+
+
 def normalize_vec(col: Column) -> Column:
     """L2-normalize an array column (maps cosine to euclidean geometry)."""
     n = _norm(F.transform(col, lambda x: x.cast("double")))

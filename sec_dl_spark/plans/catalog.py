@@ -56,9 +56,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # tools/compare_oracle.py --exact, which now mirrors the driver hash).
 # Round 7 front-loads the 10 round-6 additions (never driver-checked; all
 # pre-verified byte-exact), then the 18 r4-proven names deferred from the
-# r6 rotation (3 rounds stale), then fills to 50 with the stalest oracled
-# r5-proven names (2 rounds stale).  Queries NOT listed here keep module
-# registration order after the block.
+# r6 rotation (3 rounds stale), then the 6 NEW round-7 oracled queries
+# (pre-verified byte-exact at sf0.001/0.01/0.1 so the driver check is
+# zero-risk), filling to 50 with the stalest oracled r5-proven names
+# (2 rounds stale; the 6 displaced r5 names rotate in round 8).  Queries
+# NOT listed here keep module registration order after the block.
 _PRIORITY = (
     # round-6 additions — never driver-checked before this round
     "dedup_keep_best",
@@ -90,6 +92,13 @@ _PRIORITY = (
     "text_token_estimate",
     "text_pii_redact",
     "emb_pq_topk",
+    # round-7 additions — pre-verified byte-exact at 3 SFs this round
+    "corpus_temperature_mixture",
+    "text_zipf_slope",
+    "sample_top_hash",
+    "text_duplicate_ngram_fraction",
+    "text_gopher_rules",
+    "corpus_dedup_rate_by_source",
     # r5-proven oracled slice, stalest-alphabetical fill to 50
     "agg_collect_list",
     "agg_minmax_by",
@@ -107,12 +116,6 @@ _PRIORITY = (
     "events_sessionize",
     "events_sliding_window",
     "events_tumbling_hourly",
-    "events_unpivot",
-    "events_zscore_pandas",
-    "join_anti",
-    "join_cross_urls",
-    "join_null_safe",
-    "join_q3_topk",
 )
 
 

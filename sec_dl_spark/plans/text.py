@@ -2379,3 +2379,285 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("split", "curriculum_rank")
         .limit(200)
     )
+
+
+@query(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    p AS (SELECT source, n, CAST(n AS DOUBLE) / sum(n) OVER () AS p_raw FROM c),
+    w AS (SELECT source, n, p_raw, pow(p_raw, 0.7) AS w_raw FROM p)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           {rz_sql('p_raw')} AS p_raw,
+           {rz_sql('w_raw / sum(w_raw) OVER ()')} AS p_temp
+    FROM w ORDER BY source
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the multilingual/multi-
+    source rebalancing rule from mT5/XLM-R: sample domain i with
+    probability ∝ p_i^T, T=0.7, which upweights small domains without
+    letting any one dominate). Output is the per-source audit: raw share
+    vs temperature share — feed p_temp into
+    deterministic_mixture_sample's per-group rates to materialize the
+    rebalanced corpus. Scale shape: one partial-agg groupBy on source
+    (domain count, thousands at most), then window sums over that
+    DOMAIN-sized frame — the corpus itself is scanned once for a
+    count."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    p_raw = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    w_raw = F.pow(p_raw, F.lit(0.7))
+    return (
+        c.select(
+            "source",
+            "n_docs",
+            rz(p_raw).alias("p_raw"),
+            rz(w_raw / F.sum(w_raw).over(w_all)).alias("p_temp"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tk AS (SELECT {TOKS} AS toks FROM documents),
+    tf AS (SELECT unnest(toks) AS w FROM tk),
+    c AS (SELECT w, count(*) AS freq FROM tf GROUP BY w),
+    r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, w) AS rank
+          FROM c),
+    top AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+            FROM r WHERE rank <= 1000)
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           {rz_sql('regr_slope(y, x)')} AS zipf_slope,
+           {rz_sql('regr_intercept(y, x)')} AS zipf_intercept
+    FROM top
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log(frequency) against log(rank) for the top-1000 tokens — the
+    canonical corpus-health statistic (natural language sits near -1;
+    boilerplate-heavy or template-generated corpora flatten it, token-
+    soup noise steepens it; Dolma/Gopher-class pipelines track it per
+    snapshot). Rank ties break on the token so both engines rank
+    identically. Scale shape: token counting is a vocabulary-keyed
+    partial agg; the top-1000 cut compiles to TakeOrderedAndProject
+    (per-partition heaps, merged on the driver — the VOCABULARY is never
+    globally sorted or single-partition-windowed), and the rank window +
+    regression then run over a FIXED 1000-row frame regardless of corpus
+    size (slope = cov(x,y)/var(x) from one tiny aggregate — no MLlib, no
+    driver loop)."""
+    tk = tok_docs(spark, sf_dir)
+    c = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top1000 = c.orderBy(F.desc("freq"), F.asc("w")).limit(1000)
+    wr = Window.orderBy(F.desc("freq"), F.asc("w"))
+    top = (
+        top1000.select("freq", F.row_number().over(wr).alias("rank"))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    slope = F.covar_pop("y", "x") / F.var_pop("x")
+    return top.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        rz(slope).alias("zipf_slope"),
+        rz(F.avg("y") - slope * F.avg("x")).alias("zipf_intercept"),
+    )
+
+
+@query(
+    "sample_top_hash",
+    oracle="""
+    SELECT doc_id, md5('s7' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents ORDER BY h, doc_id LIMIT 100
+    """,
+)
+def sample_top_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample by hash order: the first k documents
+    under md5('s7' || id) — a seeded total order that is a pure function
+    of the id, so the SAME k rows come back across reruns, retries,
+    partitionings, and engines (unlike sample()/TABLESAMPLE), and the
+    sample composes: the top-2k set always CONTAINS the top-k set, so
+    growing a labeling budget never discards already-labeled rows.
+    Scale shape: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    each partition keeps its local top-k heap and the driver merges k·p
+    rows; the corpus is never globally sorted (plan-pinned in
+    tests/test_plans.py)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("s7"), F.col("doc_id").cast("string")))
+    return d.select("doc_id", h.alias("h")).orderBy("h", "doc_id").limit(100)
+
+
+@query(
+    "text_duplicate_ngram_fraction",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM tk WHERE len(toks) >= 3),
+    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           {rz_sql("avg(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END)")} AS dup_frac
+    FROM sh JOIN df USING (s)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-3-gram fraction: the share of a document's
+    distinct shingles that appear in at least one OTHER place in the
+    corpus — the Gopher/Dolma "fraction of duplicate n-grams" quality
+    signal that flags boilerplate and template text which exact and
+    near dedup keep (each copy differs, but the building blocks repeat).
+    Scale shape: the only shuffles key on the shingle (posting-list agg +
+    one shingle-keyed join back); document text never shuffles and the
+    per-shingle state is a count, so the op is as scalable as the
+    inverted index build."""
+    tk = tok_docs(spark, sf_dir)
+    sh = (
+        tk.where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(A.shingles_of(F.col("toks"))).alias("s"))
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            rz(F.avg(F.when(F.col("df") > 1, 1.0).otherwise(0.0))).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                   / len(toks) AS mean_wl,
+                 CAST(len(list_filter(toks, x ->
+                      list_contains(['a','the','and','of','to','in','is','it'], x)))
+                   AS DOUBLE) / len(toks) AS stop_frac,
+                 CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '[0-9]')))
+                   AS DOUBLE) / len(toks) AS alpha_frac
+          FROM tk WHERE len(toks) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           (n_words BETWEEN 30 AND 80) AS ok_len,
+           (mean_wl BETWEEN 3.8 AND 4.8) AS ok_word_len,
+           (stop_frac >= 0.04) AS ok_stopwords,
+           (alpha_frac >= 0.7) AS ok_alpha,
+           ((n_words BETWEEN 30 AND 80) AND (mean_wl BETWEEN 3.8 AND 4.8)
+            AND stop_frac >= 0.04 AND alpha_frac >= 0.7) AS pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality rules (Rae et al. 2021 §A1.1,
+    adapted to the fixture's ranges): per-document word count, mean word
+    length, stopword fraction, and alphabetic-token fraction, each gated
+    to the band natural text occupies, plus the conjunctive pass flag.
+    Every metric is a single division of exact integer counts, so the
+    boolean gates are bit-deterministic across engines (no rounding
+    nudges needed on comparisons). Scale shape: pure per-row codegen over
+    the token array — no shuffle at all beyond the output sort."""
+    tk = tok_docs(spark, sf_dir)
+    m = tk.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(F.col("toks"), lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("toks")
+        ).alias("mean_wl"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*A.STOPWORDS))).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("stop_frac"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: ~x.rlike("[0-9]"))).cast("double")
+            / F.size("toks")
+        ).alias("alpha_frac"),
+    )
+    ok_len = F.col("n_words").between(30, 80)
+    ok_wl = F.col("mean_wl").between(3.8, 4.8)
+    ok_stop = F.col("stop_frac") >= 0.04
+    ok_alpha = F.col("alpha_frac") >= 0.7
+    return m.select(
+        "doc_id",
+        "n_words",
+        ok_len.alias("ok_len"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_len & ok_wl & ok_stop & ok_alpha).alias("pass"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_dedup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (SELECT source,
+                       md5(array_to_string({TOKS}, ' ')) AS fp
+                FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           {rz_sql('1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)')}
+             AS dup_rate
+    FROM fp GROUP BY source ORDER BY source
+    """,
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance dedup telemetry: per-source exact-duplicate rate (1 −
+    unique fingerprints / docs) — the first table a pipeline operator
+    reads when a crawl source goes bad, and the signal that drives
+    per-source sampling rates (a 40%-duplicate source gets budgeted at
+    its UNIQUE yield, not its row count). Scale shape: fingerprints are
+    computed scan-side, the distinct-count shuffles (source, fp) pairs
+    only — text never moves; the same two-level partial-agg shape as
+    agg_distinct."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text", "source"))
+    fp = d.select("source", A.fingerprint_of(tokenize(F.col("text"))).alias("fp"))
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            rz(F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query("emb_mmr_select", oracle=None)
+def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank: exact cosine shortlist
+    per query, then the greedy λ·rel − (1−λ)·redundancy selection in one
+    grouped Arrow batch over the ≤shortlist candidates
+    (operators/similarity.py:mmr_select). Rows-only: the greedy iteration
+    is not SQL-expressible; pytest pins it against a pure-numpy reference
+    and the diversity property vs plain top-k."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(
+        e, e.where(F.col("vec_id") < 5), k=5, lam=0.7, shortlist=25
+    ).orderBy("query_id", "mmr_rank")

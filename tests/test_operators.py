@@ -1101,3 +1101,68 @@ def test_semantic_dedup_arrow_kernel_is_id_type_generic(spark):
             ).collect()
         }
         assert got == {-1: (True, None), 7: (False, -1), 9: (True, None)}
+
+
+def test_mmr_select_matches_numpy_reference_and_diversifies(spark):
+    """mmr_select must (a) equal a pure-numpy greedy MMR on a planted set,
+    (b) break the clone-cluster that plain top-k returns, (c) be a pure
+    function of the data (repartition-invariant), (d) carry id types
+    through (string ids)."""
+    import numpy as np
+
+    from sec_dl_spark.operators.similarity import cosine_topk, mmr_select
+
+    # planted: query q near a tight clone cluster (ids 1-3) and two
+    # orthogonal-ish but still relevant singletons (ids 4, 5)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # the query itself
+        (1, [0.99, 0.10, 0.0]),        # clones of the query direction
+        (2, [0.99, 0.11, 0.0]),
+        (3, [0.99, 0.12, 0.0]),
+        (4, [0.70, 0.70, 0.0]),        # relevant but different direction
+        (5, [0.70, 0.0, 0.70]),        # relevant, third direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    got = mmr_select(df, q, k=3, lam=0.5, shortlist=5).collect()
+    got_ids = [r.neighbor_id for r in [x for x in sorted(got, key=lambda r: r.mmr_rank)]]
+
+    # numpy reference: same shortlist (all 5 candidates), same greedy rule
+    cand = sorted(
+        [(r.neighbor_id, r.cosine_sim) for r in cosine_topk(df, q, k=5).collect()]
+    )
+    ids = np.array([c[0] for c in cand])
+    rel = np.array([c[1] for c in cand])
+    V = np.array([rows[i][1] for i in ids], dtype=float)
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    S = Vn @ Vn.T
+    max_sim, chosen = np.zeros(len(ids)), []
+    for _ in range(3):
+        sc = 0.5 * rel - 0.5 * max_sim
+        if chosen:
+            sc[chosen] = -np.inf
+        i = int(np.argmax(sc))
+        chosen.append(i)
+        max_sim = np.maximum(max_sim, S[:, i])
+    assert got_ids == [int(x) for x in ids[chosen]]
+
+    # diversity: plain top-3 is all clones; MMR must pick a non-clone
+    top3 = {r.neighbor_id for r in cosine_topk(df, q, k=3).collect()}
+    assert top3 == {1, 2, 3}
+    assert set(got_ids) & {4, 5}
+
+    # repartition-invariant
+    got2 = mmr_select(df.repartition(7), q, k=3, lam=0.5, shortlist=5).collect()
+    assert {(r.neighbor_id, r.mmr_rank) for r in got2} == {
+        (r.neighbor_id, r.mmr_rank) for r in got
+    }
+
+    # string-id generality: same structure, string ids
+    sdf = spark.createDataFrame(
+        [(f"d{i}", v) for i, v in rows], "doc string, embedding array<double>"
+    )
+    sq = sdf.where(F.col("doc") == "d0")
+    sgot = mmr_select(sdf, sq, k=3, lam=0.5, shortlist=5, id_col="doc").collect()
+    assert [r.neighbor_id for r in sorted(sgot, key=lambda r: r.mmr_rank)] == [
+        f"d{i}" for i in got_ids
+    ]

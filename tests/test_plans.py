@@ -380,8 +380,9 @@ def test_catalog_rotation_front_loads_stale_queries():
     names; round 7 front-loads the 10 round-6 additions (never
     driver-checked before, all pre-verified byte-exact via
     tools/compare_oracle.py --exact), then the 18 r4-proven names deferred
-    from the r6 rotation (3 rounds stale), filling to 50 with the stalest
-    oracled r5-proven names."""
+    from the r6 rotation (3 rounds stale), then the 6 new round-7 oracled
+    queries (pre-verified byte-exact at 3 SFs), filling to 50 with the
+    stalest oracled r5-proven names."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
@@ -591,3 +592,35 @@ def test_decontaminate_gram_model_join_unhinted(spark, specs):
     assert "ResolvedHint (strategy=broadcast)" not in analyzed
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_sample_top_hash_uses_takeordered_not_global_sort(spark, specs):
+    """The hash-order sample's ORDER BY + LIMIT must compile to
+    TakeOrderedAndProject (per-partition heaps merged on the driver), never
+    a full global Sort + Exchange of the corpus — the docstring's scale
+    claim."""
+    plan = physical_plan(specs["sample_top_hash"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_zipf_vocabulary_is_never_globally_sorted(spark, specs):
+    """text_zipf_slope cuts top-1000 via TakeOrderedAndProject over the
+    vocabulary; only the bounded 1000-row frame ever sees a window."""
+    plan = physical_plan(specs["text_zipf_slope"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_prefix_composable(spark, specs):
+    """Growing the budget never discards rows: the top-100 hash sample is a
+    strict prefix of the top-200 one (the labeling-budget property the
+    docstring promises)."""
+    from sec_dl_spark.plans.catalog import t as _t
+
+    d = _t(spark, SF, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("s7"), F.col("doc_id").cast("string")))
+    hashed = d.select("doc_id", h.alias("h"))
+    top100 = [r.doc_id for r in hashed.orderBy("h", "doc_id").limit(100).collect()]
+    top200 = [r.doc_id for r in hashed.orderBy("h", "doc_id").limit(200).collect()]
+    assert top200[:100] == top100
