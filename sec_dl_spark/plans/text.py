@@ -1954,9 +1954,10 @@ def _dsir_bucket(col):
 _DSIR_BUCKET_SQL = f"CAST(md5_number_lower(w) % {_DSIR_BUCKETS} AS BIGINT)"
 
 
-@query(
-    "corpus_dsir_weights",
-    oracle=f"""
+# Shared DSIR oracle core: per-doc mean log-ratio of the target ('en') LM
+# to the full-corpus LM over hashed unigram buckets. Used verbatim by both
+# corpus_dsir_weights (the audit) and corpus_dsir_resample (the action).
+_DSIR_CORE_SQL = f"""
     WITH tk AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
     wd AS (SELECT doc_id, lang, unnest(toks) AS w FROM tk),
     w AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM wd),
@@ -1970,11 +1971,19 @@ _DSIR_BUCKET_SQL = f"CAST(md5_number_lower(w) % {_DSIR_BUCKETS} AS BIGINT)"
              ln((coalesce(tc.c, 0) + 1.0) / (NT + V))
              - ln((cc.c + 1.0) / (NC + V)) AS logr
       FROM cc LEFT JOIN tc USING (b), scal
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           {rz_sql('avg(logr)')} AS dsir_logratio
-    FROM w JOIN model USING (b)
-    GROUP BY doc_id ORDER BY doc_id
+    ),
+    wts AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             {rz_sql('avg(logr)')} AS dsir_logratio
+      FROM w JOIN model USING (b)
+      GROUP BY doc_id
+    )"""
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""{_DSIR_CORE_SQL}
+    SELECT doc_id, n_tokens, dsir_logratio FROM wts ORDER BY doc_id
     """,
 )
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2661,3 +2670,118 @@ def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(
         e, e.where(F.col("vec_id") < 5), k=5, lam=0.7, shortlist=25
     ).orderBy("query_id", "mmr_rank")
+
+
+@query(
+    "corpus_dsir_resample",
+    oracle=f"""{_DSIR_CORE_SQL},
+    hp1 AS (SELECT doc_id, n_tokens, dsir_logratio,
+                   ((doc_id + 1000003) % 2147483648) * 2654435761 AS p1
+            FROM wts),
+    hp2 AS (SELECT doc_id, n_tokens, dsir_logratio,
+                   (xor(p1 // 2147483648, p1) % 2147483648) * 2246822519 AS p2
+            FROM hp1),
+    acc AS (SELECT doc_id, n_tokens, dsir_logratio,
+                   (p2 // 2147483648) % 1048576 AS h,
+                   CAST(floor(least(1.0, exp(dsir_logratio)) * 1048576) AS BIGINT)
+                     AS thresh
+            FROM hp2)
+    SELECT doc_id, n_tokens, dsir_logratio,
+           {rz_sql('least(1.0, exp(dsir_logratio))')} AS accept_prob,
+           (h < thresh) AS accepted
+    FROM acc ORDER BY doc_id
+    """,
+)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step: importance-resample each document with
+    acceptance probability min(1, exp(weight)) — docs that look more
+    target-like than corpus-average always survive, off-target docs
+    survive proportionally to their likelihood ratio (Xie et al. 2023
+    run exactly this accept/reject over their weights). The uniform draw
+    is the same DETERMINISTIC multiply-xorshift hash of doc_id as
+    deterministic_mixture_sample (salt 1000003): reruns, retries, and
+    repartitions accept identical rows, and the oracle reproduces the
+    draw bit-for-bit. The threshold compares INTEGERS (h < floor(p·2^20))
+    so engine ULP noise in exp() cannot flip a verdict unless p·2^20
+    lands within one ULP of an integer (p is built from the 4-dp-rounded
+    weight, so it never does). Scale shape: everything past the weights
+    frame is a pure per-row projection — no new shuffle, no window."""
+    wts = corpus_dsir_weights(spark, sf_dir)
+    mod = 1 << 20
+    x = (F.col("doc_id") + F.lit(1_000_003)) % F.lit(1 << 31)
+    p1 = x * F.lit(2654435761)
+    x2 = F.shiftrightunsigned(p1, 31).bitwiseXOR(p1) % F.lit(1 << 31)
+    p2 = x2 * F.lit(2246822519)
+    h = F.shiftrightunsigned(p2, 31) % F.lit(mod)
+    p = F.least(F.lit(1.0), F.exp(F.col("dsir_logratio")))
+    return wts.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logratio",
+        rz(p).alias("accept_prob"),
+        (h < F.floor(p * mod).cast("long")).alias("accepted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_quantile_by_lang",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id, lang,
+                 round(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                     + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+                     + 0.25 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks))
+                     + 1e-8, 4) AS quality
+          FROM tk WHERE len(toks) > 0 AND length(text) > 0)
+    SELECT doc_id, lang, quality,
+           {rz_sql('percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id)')}
+             AS lang_pct_rank,
+           CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id)
+                AS BIGINT) AS lang_decile
+    FROM q ORDER BY doc_id
+    """,
+)
+def text_quality_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality normalization: percent-rank and decile of each
+    document's composite quality score WITHIN its language — the filter
+    calibration step for multilingual corpora, where one global threshold
+    silently deletes whole languages (quality heuristics are
+    language-biased: stopword lists, punctuation norms and length
+    distributions all differ). Downstream keeps e.g. the top 70% per
+    language instead of the top 70% overall. Ranking keys on the ROUNDED
+    score with doc_id tiebreak so both engines order identically; scale
+    shape: ONE window per language partition over (doc_id, lang, quality)
+    triples — the text itself never shuffles."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    tk = d.select(
+        "doc_id", "lang", "text", tokenize(F.col("text")).alias("toks")
+    ).where((F.size("toks") > 0) & (F.length("text") > 0))
+    q = tk.select(
+        "doc_id",
+        "lang",
+        F.round(A.quality_score_of(F.col("toks"), F.col("text")) + 1e-8, 4).alias(
+            "quality"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("quality"), F.asc("doc_id"))
+    return q.select(
+        "doc_id",
+        "lang",
+        "quality",
+        rz(F.percent_rank().over(w)).alias("lang_pct_rank"),
+        F.ntile(10).over(w).cast("long").alias("lang_decile"),
+    ).orderBy("doc_id")
+
+
+@query("emb_pca_whiten", oracle=None)
+def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitened embeddings (operators/similarity.py:pca_whiten):
+    decorrelate + variance-equalize before quantization/threshold reuse.
+    Rows-only: the d×d eigendecomposition is not SQL-expressible; pytest
+    pins the identity-covariance property, determinism, and shape."""
+    e = t(spark, sf_dir, "embeddings")
+    out = similarity.pca_whiten(e, out_col="white")
+    return out.select(
+        "vec_id",
+        F.transform(F.col("white"), lambda x: F.round(x, 4)).alias("white_r"),
+    ).orderBy("vec_id")

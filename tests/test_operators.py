@@ -1166,3 +1166,32 @@ def test_mmr_select_matches_numpy_reference_and_diversifies(spark):
     assert [r.neighbor_id for r in sorted(sgot, key=lambda r: r.mmr_rank)] == [
         f"d{i}" for i in got_ids
     ]
+
+
+def test_pca_whiten_decorrelates_and_is_deterministic(spark):
+    """Whitened output must have ≈identity covariance on planted
+    correlated data, be invariant to input partitioning, and preserve row
+    identity/shape."""
+    import numpy as np
+
+    from sec_dl_spark.operators.similarity import pca_whiten
+
+    rng = np.random.RandomState(3)
+    # strongly correlated 3-D cloud
+    z = rng.standard_normal((400, 3))
+    A = np.array([[2.0, 0.0, 0.0], [1.5, 0.5, 0.0], [-1.0, 0.3, 0.2]])
+    X = z @ A.T + np.array([5.0, -2.0, 0.5])
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = pca_whiten(df, out_col="white")
+    got = {r.vec_id: np.array(r.white) for r in out.collect()}
+    assert set(got) == set(range(400))
+    W = np.vstack([got[i] for i in range(400)])
+    C = np.cov(W - W.mean(0), rowvar=False, bias=True)
+    assert np.allclose(C, np.eye(3), atol=0.01), C
+
+    # repartition-invariant (fit sample is collected in id order)
+    out2 = pca_whiten(df.repartition(13), out_col="white")
+    got2 = {r.vec_id: np.array(r.white) for r in out2.collect()}
+    assert all(np.array_equal(got[i], got2[i]) for i in range(400))

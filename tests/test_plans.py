@@ -377,10 +377,11 @@ def test_passage_dedup_exchange_carries_hashed_key(spark, specs):
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
-    names; round 7 front-loads the 10 round-6 additions (never
-    driver-checked before, all pre-verified byte-exact via
+    names; round 7 front-loads corpus_dsir_weights (its r6 -0.0 hash fix
+    must show green in CORRECTNESS_r07) plus the 10 round-6 additions
+    (never driver-checked before, all pre-verified byte-exact via
     tools/compare_oracle.py --exact), then the 18 r4-proven names deferred
-    from the r6 rotation (3 rounds stale), then the 6 new round-7 oracled
+    from the r6 rotation (3 rounds stale), then the 9 new round-7 oracled
     queries (pre-verified byte-exact at 3 SFs), filling to 50 with the
     stalest oracled r5-proven names."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
@@ -402,7 +403,8 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_hourly_distinct_users",
         "agg_weighted_avg",
     }
-    assert never_driver_checked <= set(names[:10])
+    assert names[0] == "corpus_dsir_weights"
+    assert never_driver_checked <= set(names[:11])
 
 
 def test_events_ts_load_is_timezone_independent(spark):

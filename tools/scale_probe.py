@@ -60,7 +60,32 @@ PROBE = [
     # r6 additions with non-trivial scaling shape (gram join / window dedup)
     "corpus_decontaminate",
     "dedup_keep_best",
+    # corpus-split + curriculum stages (r6 verdict ask #5)
+    "corpus_split_assign",
+    "corpus_curriculum_order",
 ]
+
+# Composed pipelines probed as a whole (not catalog queries): name →
+# callable(spark, sf_dir) that runs the pipeline and returns when done.
+# build_corpus chains quality→keep-best→MinHash/LSH→split→pack — the
+# funnel's fingerprint/band shuffles are exactly where a skewed key would
+# bite at 100×, so the END-TO-END ratio matters, not just per-stage rows.
+
+
+def _probe_build_corpus(spark, sf_dir: str) -> None:
+    import shutil
+    import tempfile
+
+    from sec_dl_spark.etl.corpus import build_corpus
+
+    out = tempfile.mkdtemp(prefix="scale_corpus_")
+    try:
+        build_corpus(spark, sf_dir, out, seq_budget=512)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+PIPELINES = {"corpus_build_e2e": _probe_build_corpus}
 
 # key spans safely above the sf0.1 max of each offset key
 K = 10_000_000
@@ -145,16 +170,23 @@ def main() -> None:
     specs["fts_search_and"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
     result: dict[str, dict] = {}
-    for name in PROBE:
+    for name in PROBE + list(PIPELINES):
+        pipeline = PIPELINES.get(name)
         times = {}
         plans = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             samples = []
-            for _ in range(args.reps):
+            for _ in range(args.reps if pipeline is None else 1):
                 t0 = time.perf_counter()
-                specs[name].spark_fn(spark, sf_dir).collect()
+                if pipeline is not None:
+                    pipeline(spark, sf_dir)
+                else:
+                    specs[name].spark_fn(spark, sf_dir).collect()
                 samples.append(time.perf_counter() - t0)
             times[label] = round(statistics.median(samples), 3)
+            if pipeline is not None:
+                plans[label] = ""
+                continue
             plans[label] = (
                 specs[name]
                 .spark_fn(spark, sf_dir)
