@@ -78,6 +78,11 @@ HEADLINE = [
     "text_pii_redact",
     "corpus_filter_pipeline",
     "fts_ranked_bm25",
+    # round-7 additions — keep the 25 names above unchanged so per-query
+    # medians stay comparable across rounds; the TOTAL now covers 28
+    "text_duplicate_ngram_fraction",
+    "corpus_dsir_resample",
+    "text_quality_quantile_by_lang",
 ]
 
 
