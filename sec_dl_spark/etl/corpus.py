@@ -42,6 +42,12 @@ def assign_split(text_col) -> "F.Column":
     )
 
 
+# Registry partition buckets: enough for pruning to matter, few enough
+# that fixture-scale writes stay cheap. At 100 TB this is a config knob
+# (more buckets = finer delta pruning, more small files between compactions).
+_REG_BUCKETS = 16
+
+
 def build_corpus(
     spark: SparkSession,
     src_dir: str,
@@ -105,6 +111,25 @@ def build_corpus(
 
     # 5. leakage-free split on the SURVIVOR's canonical content
     final = near.withColumn("split", assign_split(F.col("text")))
+
+    # 5b. fingerprint registry sidecar: (fp, canonical_id, batch) for every
+    #     survivor, bucket-partitioned so later delta appends prune their
+    #     anti-join to the buckets the delta's fingerprints hash into —
+    #     append_corpus dedups against THIS table in O(delta + registry),
+    #     never rescanning the corpus text (same sidecar discipline as the
+    #     streaming registry, streaming/dedup.py)
+    reg_out = f"{out_dir}/registry"
+    (
+        final.select(
+            A.fingerprint_of(F.col("toks")).alias("fp"),
+            F.col("doc_id").alias("canonical_id"),
+            F.lit("initial").alias("batch"),
+        )
+        .withColumn("fp_bucket", (F.abs(F.hash("fp")) % _REG_BUCKETS).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("fp_bucket")
+        .parquet(reg_out)
+    )
 
     # 6. write documents partitioned by split (partition pruning for the
     #    train/val/test consumers), then pack sequences per (split, source)
@@ -170,5 +195,131 @@ def build_corpus(
         "n_sequences": n_sequences,
         "documents_path": docs_out,
         "sequences_path": seq_out,
+        "registry_path": reg_out,
         "compaction": compaction,
+    }
+
+
+def append_corpus(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    batch: str,
+    min_quality: float = 0.25,
+    seq_budget: int = 512,
+) -> dict:
+    """Incremental delta append to a ``build_corpus`` output: prep the new
+    batch with the SAME stateless stages (clean → quality gate → in-batch
+    keep-best exact dedup), reject anything whose content fingerprint is
+    already in the corpus via an anti-join against the registry sidecar,
+    then APPEND the novel docs to ``out_dir``/documents (per-split
+    partition append), their packed sequences to ``out_dir``/sequences
+    (sequence sources namespaced ``<batch>/<split>/<source>`` so seq_ids
+    never collide with prior batches), and their fingerprints to the
+    registry.
+
+    Scale shape: cost is O(delta + registry-join), never O(corpus) — the
+    existing documents' TEXT is not read at all; dedup state lives in the
+    fingerprint sidecar exactly like the streaming gate's registry
+    (streaming/dedup.py). The anti-join keys on the fingerprint, so only
+    hashes shuffle.
+
+    Idempotent per ``batch`` token: a rerun whose token already appears in
+    the registry is a NO-OP (returns skipped=True) — the single-writer
+    batch twin of the streaming sink's (run, batch) replay guard. For
+    concurrent writers or crash-exactly-between-appends guarantees, use
+    incremental_corpus_sink's atomic/OCC mode instead; plain appends
+    cannot be transactional across three directories.
+
+    Near-dedup note: the delta gate is EXACT dedup (the registry holds
+    fingerprints). Cross-batch near-dedup composes the same way the
+    streaming gates chain: run minhash/winnow gates on the accepted
+    output, or periodically re-run build_corpus as a compaction pass.
+
+    Returns the delta funnel: raw → prepped → in-batch-unique → novel,
+    plus per-split appended counts."""
+    docs_out = f"{out_dir}/documents"
+    seq_out = f"{out_dir}/sequences"
+    reg_out = f"{out_dir}/registry"
+    registry = spark.read.parquet(reg_out)
+    if registry.where(F.col("batch") == batch).limit(1).count() > 0:
+        return {"skipped": True, "batch": batch}
+
+    raw = spark.read.parquet(f"{src_dir}/documents.parquet")
+    n_raw = raw.count()
+    prepped = (
+        spread(raw)
+        .withColumn("text", clean_filing_text(F.col("text")))
+        .withColumn("toks", tokenize(F.col("text")))
+        .where(F.size("toks") > 0)
+        .withColumn("n_chars", F.length("text"))
+        .where(A.quality_score_of(F.col("toks"), F.col("text")) >= F.lit(min_quality))
+        .withColumn("fp", A.fingerprint_of(F.col("toks")))
+        .cache()
+    )
+    n_prepped = prepped.count()
+
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    in_batch = (
+        prepped.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    n_in_batch = in_batch.count()
+
+    # anti-join keyed by (bucket, fp): only hashes shuffle, and the bucket
+    # key keeps the layout ready for bucket-pruned registry serving
+    novel = in_batch.withColumn(
+        "fp_bucket", (F.abs(F.hash("fp")) % _REG_BUCKETS).cast("int")
+    ).join(
+        registry.select("fp", "fp_bucket"), ["fp_bucket", "fp"], "left_anti"
+    )
+    final = novel.withColumn("split", assign_split(F.col("text"))).cache()
+    n_novel = final.count()
+
+    (
+        final.select("doc_id", "text", "lang", "source", "n_chars", "split")
+        .write.mode("append")
+        .partitionBy("split")
+        .parquet(docs_out)
+    )
+    counts = final.select(
+        F.concat_ws("/", F.lit(batch), "split", "source").alias("source"),
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    counts.transform(lambda df: pack_sequences(df, budget=seq_budget)).write.mode(
+        "append"
+    ).parquet(seq_out)
+    (
+        final.select(
+            "fp",
+            F.col("doc_id").alias("canonical_id"),
+            F.lit(batch).alias("batch"),
+            "fp_bucket",
+        )
+        .write.mode("append")
+        .partitionBy("fp_bucket")
+        .parquet(reg_out)
+    )
+    splits = {
+        r.split: r.n
+        for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    prepped.unpersist()
+    final.unpersist()
+    return {
+        "skipped": False,
+        "batch": batch,
+        "n_raw": n_raw,
+        "n_prepped": n_prepped,
+        "n_in_batch_unique": n_in_batch,
+        "n_novel": n_novel,
+        "splits": splits,
+        "documents_path": docs_out,
+        "sequences_path": seq_out,
+        "registry_path": reg_out,
     }

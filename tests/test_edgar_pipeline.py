@@ -274,3 +274,73 @@ def test_build_corpus_end_to_end(spark, tmp_path):
     )
     assert {k: funnel2[k] for k in ("n_raw", "n_quality", "n_exact_unique", "n_near_unique", "splits")} == \
         {k: funnel[k] for k in ("n_raw", "n_quality", "n_exact_unique", "n_near_unique", "splits")}
+
+
+def test_append_corpus_delta_dedups_against_registry(spark, tmp_path):
+    """Incremental append: duplicates of already-corpus content are
+    rejected via the registry sidecar (without reading corpus text), novel
+    docs land in the right split partitions, sequences get a
+    batch-namespaced source, the registry grows, and a rerun with the same
+    batch token is a no-op."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.etl.corpus import append_corpus, build_corpus
+
+    out = str(tmp_path / "corpus")
+    base = build_corpus(spark, "/root/testdata/sf0.001", out, seq_budget=64)
+    docs0 = spark.read.parquet(base["documents_path"])
+    n0 = docs0.count()
+
+    # delta: 5 exact copies of corpus docs (same text, new ids) + 3 novel
+    # docs built from corpus texts with every word suffixed (new content,
+    # same quality shape so the gate keeps them)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup = src.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    novel = (
+        src.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit("qz"))
+                ),
+            ),
+        )
+    )
+    delta_dir = str(tmp_path / "delta")
+    dup.unionByName(novel).write.mode("overwrite").parquet(
+        f"{delta_dir}/documents.parquet"
+    )
+
+    funnel = append_corpus(spark, delta_dir, out, batch="b1", seq_budget=64)
+    assert funnel["skipped"] is False
+    assert funnel["n_raw"] == 8
+    assert funnel["n_novel"] == 3  # the 5 dups rejected by the registry
+    docs1 = spark.read.parquet(base["documents_path"])
+    assert docs1.count() == n0 + 3
+    # appended rows landed under split partitions and carry the column
+    added = docs1.where(F.col("doc_id") >= 2_000_000)
+    assert added.count() == 3
+    assert added.where(F.col("split").isin("train", "val", "test")).count() == 3
+
+    # sequences for the delta are batch-namespaced — no seq_id collisions
+    seqs = spark.read.parquet(base["sequences_path"])
+    b1 = seqs.where(F.col("source").startswith("b1/"))
+    assert b1.count() == 3
+    # registry grew by exactly the accepted fingerprints
+    reg = spark.read.parquet(base["registry_path"])
+    assert reg.where(F.col("batch") == "b1").count() == 3
+
+    # idempotent rerun: same token → no-op, nothing double-appended
+    again = append_corpus(spark, delta_dir, out, batch="b1", seq_budget=64)
+    assert again["skipped"] is True
+    assert spark.read.parquet(base["documents_path"]).count() == n0 + 3
+
+    # a second batch re-offering batch-1 content is rejected cross-batch
+    funnel2 = append_corpus(spark, delta_dir, out, batch="b2", seq_budget=64)
+    assert funnel2["n_novel"] == 0
+    assert spark.read.parquet(base["documents_path"]).count() == n0 + 3
