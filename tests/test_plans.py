@@ -626,3 +626,18 @@ def test_hash_sample_is_prefix_composable(spark, specs):
     top100 = [r.doc_id for r in hashed.orderBy("h", "doc_id").limit(100).collect()]
     top200 = [r.doc_id for r in hashed.orderBy("h", "doc_id").limit(200).collect()]
     assert top200[:100] == top100
+
+
+def test_q10_q18_plans_hold_their_regime(spark, specs):
+    """The TPC-H Q10/Q18 analogs must keep their scale shape: top-k via
+    TakeOrderedAndProject (never a global sort of the report), no
+    cartesian products, and pushed scan filters on the date/returnflag
+    predicates (Q10)."""
+    p10 = physical_plan(specs["join_q10_returned_revenue"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in p10
+    assert "CartesianProduct" not in p10
+    assert "EqualTo(l_returnflag,R)" in p10
+    assert "GreaterThanOrEqual(o_orderdate" in p10
+    p18 = physical_plan(specs["join_q18_large_orders"].spark_fn(spark, SF))
+    assert "TakeOrderedAndProject" in p18
+    assert "CartesianProduct" not in p18
