@@ -1242,3 +1242,152 @@ def cosine_topk_ivfpq(
         corpus, index, queries, k=k, id_col=id_col, vec_col=vec_col,
         n_probe=n_probe, rerank=rerank, kernel=kernel, max_queries=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming search
+#
+# The cheapest tier of the quantization ladder (float32 -> int8 -> PQ ->
+# 1 bit/dim): each dimension keeps only its sign, packed 62 bits per 64-bit
+# word.  At 100 TB this is the pre-filter tier: signatures are dim/8 bytes
+# (32x smaller than float32), the whole scan stays in JVM codegen
+# (XOR + popcount, no Python, no floats), and the shortlist is re-ranked
+# against full-precision vectors only for the few candidates that survive.
+# 62 bits/word (not 64) keeps the packing portable: engines with checked
+# arithmetic (DuckDB among them) reject 1<<63, and the oracle twin must
+# pack identically.  Spark's shiftleft(1L, 62) and `|` fold reproduce the
+# words bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def binary_signature_expr(vec_col: str, bits_per_word: int = 62):
+    """Column: packed sign signature of ARRAY<numeric> column ``vec_col``.
+
+    Word w, bit j is set iff vec[w*bits_per_word + j] > 0 — one JVM
+    higher-order-function expression (transform/aggregate), zero Python.
+    Returns ARRAY<BIGINT> of ceil(dim / bits_per_word) words.
+    """
+    if not 1 <= bits_per_word <= 62:
+        raise ValueError(
+            f"bits_per_word={bits_per_word} not in [1, 62]: 63 overflows "
+            "checked-shift engines (the DuckDB oracle raises on 1::BIGINT<<63) "
+            "and 64 overflows the long itself"
+        )
+    b = bits_per_word
+    return F.expr(
+        f"""
+        IF(size({vec_col}) = 0, array(),
+          transform(
+            sequence(0, cast(ceil(size({vec_col}) / {b}.0) as int) - 1),
+            w -> aggregate(
+                   transform(slice({vec_col}, w * {b} + 1, {b}),
+                             (x, j) -> IF(cast(x as double) > 0D, shiftleft(1L, j), 0L)),
+                   0L, (a, v) -> a | v)))
+        """
+    )
+
+
+def binary_signature_sql(vec_expr: str, bits_per_word: int = 62) -> str:
+    """DuckDB twin of binary_signature_expr — identical packing (62-bit
+    words, LSB-first within a word) so signatures compare byte-exact
+    across engines.  DuckDB lambdas index 1-based, hence (j-1)."""
+    b = bits_per_word
+    return (
+        f"CASE WHEN len({vec_expr}) = 0 THEN [] ELSE "
+        f"list_transform(range(0, CAST(ceil(len({vec_expr}) / {b}.0) AS INT)), "
+        f"w -> list_reduce(list_transform(list_slice({vec_expr}, w * {b} + 1, w * {b} + {b}), "
+        f"(x, j) -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END), "
+        f"(a, v) -> a | v)) END"
+    )
+
+
+def hamming_expr(sig_a: str, sig_b: str):
+    """Column: Hamming distance between two packed ARRAY<BIGINT> signature
+    columns — XOR + popcount per word, summed; pure JVM codegen."""
+    return F.expr(
+        f"aggregate(zip_with({sig_a}, {sig_b}, "
+        f"(x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (a, v) -> a + v)"
+    )
+
+
+def binary_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_word: int = 62,
+    out_col: str = "sig",
+) -> DataFrame:
+    """(id, packed signature) for every vector — the persisted form of the
+    binary tier (write this narrow frame, not the floats, for the scan
+    tier of a two-stage index)."""
+    return df.select(
+        F.col(id_col), binary_signature_expr(vec_col, bits_per_word).alias(out_col)
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_word: int = 62,
+    rerank: int = 0,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Top-k nearest neighbors by Hamming distance over packed sign bits.
+
+    Signatures are computed (or, in a real deployment, read pre-packed via
+    binary_quantize) BEFORE the query join, so the scan stage moves
+    dim/8-byte words, never dim*4-byte float arrays.  Ranking is
+    (hamming asc, neighbor_id asc) — integer distances tie often, so the
+    id tiebreak pins determinism.  Returns (query_id, neighbor_id,
+    hamming, rank).
+
+    rerank > 0 switches to the production two-stage shape: shortlist
+    ``rerank`` candidates per query by Hamming, join the shortlist ids
+    (and only them) back to full-precision vectors, re-score exact cosine,
+    return (query_id, neighbor_id, hamming, cosine_sim, rank) ranked by
+    cosine.  Approximation then affects recall only — reported scores are
+    exact, same contract as the LSH/IVF paths.
+    """
+    _require_small_queries(queries, max_queries)
+    q_sig = F.broadcast(
+        binary_quantize(queries, id_col, vec_col, bits_per_word, "q_sig")
+        .withColumnRenamed(id_col, "query_id")
+    )
+    c_sig = binary_quantize(corpus, id_col, vec_col, bits_per_word, "c_sig") \
+        .withColumnRenamed(id_col, "neighbor_id")
+    scored = (
+        c_sig.crossJoin(q_sig)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", hamming_expr("q_sig", "c_sig").alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    if rerank <= 0:
+        return ranked.where(F.col("rank") <= k)
+
+    shortlist = ranked.where(F.col("rank") <= rerank).drop("rank")
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vec = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    rescored = (
+        shortlist.join(full, "neighbor_id")
+        .join(q_vec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.asc("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2).cast("long")).where(
+        F.col("rank") <= k
+    )

@@ -2785,3 +2785,65 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("white"), lambda x: F.round(x, 4)).alias("white_r"),
     ).orderBy("vec_id")
+
+
+_SIG_SQL = similarity.binary_signature_sql("CAST(embedding AS DOUBLE[])")
+
+
+@query(
+    "emb_binary_signature",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, {_SIG_SQL} AS sig FROM embeddings)
+    SELECT vec_id, sig,
+           CAST(list_sum(list_transform(sig, w -> bit_count(w))) AS BIGINT) AS n_set
+    FROM s ORDER BY vec_id
+    """,
+)
+def emb_binary_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sign-bit signatures (operators/similarity.py:binary_quantize):
+    1 bit per dimension, 62 bits per BIGINT word — the 32x-compressed scan
+    tier of a two-stage binary index. The oracle packs with the identical
+    portable layout (binary_signature_sql), so the words compare
+    byte-exact across engines; n_set (popcount) cross-checks the bit
+    budget. Scale shape: one narrow projection, zero shuffles."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = similarity.binary_quantize(e)
+    return sig.select(
+        "vec_id",
+        "sig",
+        F.expr(
+            "aggregate(transform(sig, w -> cast(bit_count(w) as bigint)), 0L, (a, v) -> a + v)"
+        ).alias("n_set"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "emb_hamming_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CASE WHEN (qv[i] > 0) <> (v[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT)
+               AS hamming
+      FROM q CROSS JOIN e WHERE vec_id <> query_id)
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 over packed sign bits (operators/similarity.py:
+    hamming_topk): XOR + popcount per 62-bit word, all JVM codegen — the
+    cheapest ANN tier, scanning dim/8 bytes per vector instead of dim*4.
+    The oracle counts sign mismatches directly on the float lists
+    (packing-independent ground truth), so a packing bug cannot cancel
+    out of both sides. Integer distances tie often; neighbor_id tiebreak
+    pins determinism."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(e, e.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )

@@ -1195,3 +1195,108 @@ def test_pca_whiten_decorrelates_and_is_deterministic(spark):
     out2 = pca_whiten(df.repartition(13), out_col="white")
     got2 = {r.vec_id: np.array(r.white) for r in out2.collect()}
     assert all(np.array_equal(got[i], got2[i]) for i in range(400))
+
+
+# ---------------------------------------------------------------------------
+# binary sign-bit quantization + Hamming search
+# ---------------------------------------------------------------------------
+
+
+def test_binary_signature_packing_matches_direct_bit_count(spark):
+    """Packed-popcount Hamming must equal the direct sign-mismatch count
+    computed on the float vectors — a packing bug (wrong word split, wrong
+    endianness, off-by-one bit index) cannot cancel out of both sides."""
+    from sec_dl_spark.operators.similarity import (
+        binary_quantize,
+        hamming_expr,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(80)
+    a = binary_quantize(emb).withColumnRenamed("vec_id", "id_a").withColumnRenamed("sig", "sa")
+    b = binary_quantize(emb).withColumnRenamed("vec_id", "id_b").withColumnRenamed("sig", "sb")
+    packed = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_expr("sa", "sb").alias("h"))
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("fa"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("fb"))
+    direct = (
+        va.crossJoin(vb)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(fa, fb, (x, y) -> IF((cast(x as double) > 0D) != "
+                "(cast(y as double) > 0D), 1L, 0L)), 0L, (a, v) -> a + v)"
+            ).alias("h"),
+        )
+    )
+    got = {(r["id_a"], r["id_b"]): r["h"] for r in packed.collect()}
+    want = {(r["id_a"], r["id_b"]): r["h"] for r in direct.collect()}
+    assert got == want
+
+
+def test_binary_signature_word_layout(spark):
+    """62-bit word split pinned on a hand-built 64-dim vector: dims 0..61
+    land in word 0 (LSB-first), dims 62..63 in word 1."""
+    from sec_dl_spark.operators.similarity import binary_quantize
+
+    vec = [0.0] * 64
+    vec[0] = 1.0    # word 0, bit 0
+    vec[61] = 1.0   # word 0, bit 61
+    vec[62] = 1.0   # word 1, bit 0
+    vec[63] = -5.0  # negative: bit stays 0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    [row] = binary_quantize(df).collect()
+    assert row["sig"] == [(1 << 0) | (1 << 61), 1]
+
+
+def test_binary_signature_rejects_unportable_word_width(spark):
+    from sec_dl_spark.operators.similarity import binary_signature_expr
+
+    for bad in (0, 63, 64):
+        with pytest.raises(ValueError, match="bits_per_word"):
+            binary_signature_expr("embedding", bits_per_word=bad)
+
+
+def test_hamming_topk_rerank_scores_are_exact_cosine(spark):
+    """Two-stage mode: Hamming shortlists, exact cosine re-ranks — every
+    reported cosine_sim must equal the brute-force score for that pair,
+    and recall vs exact top-k must clear a floor on the fixture."""
+    from sec_dl_spark.operators.similarity import hamming_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    two_stage = hamming_topk(emb, q, k=5, rerank=50).collect()
+    assert {r["rank"] for r in two_stage} == {1, 2, 3, 4, 5}
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk(emb, q, k=len(exact) * 100).collect()
+    }
+    for r in two_stage:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_all:
+            assert r["cosine_sim"] == exact_all[key]
+    recall = len(exact.keys() & {(r["query_id"], r["neighbor_id"]) for r in two_stage}) / len(exact)
+    assert recall >= 0.5, f"hamming+rerank recall too low: {recall}"
+
+
+def test_hamming_topk_guard_and_determinism(spark):
+    from sec_dl_spark.operators.similarity import hamming_topk
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) - 0.5 for i in range(8)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="queries side"):
+        hamming_topk(emb, emb, k=3, max_queries=10)
+    q = emb.where(F.col("vec_id") < 4)
+    r1 = [tuple(r) for r in hamming_topk(emb, q, k=3).orderBy("query_id", "rank").collect()]
+    r2 = [tuple(r) for r in hamming_topk(emb, q, k=3).orderBy("query_id", "rank").collect()]
+    assert r1 == r2 and len(r1) == 12

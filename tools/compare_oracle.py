@@ -33,10 +33,43 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_cell(x):
+    """Canonical python form of one cell: numpy arrays / lists -> nested
+    tuples, numpy scalars -> python scalars. DuckDB hands array columns back
+    as numpy arrays and Spark as python lists; both must sort and compare
+    identically."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return tuple(_canon_cell(v) for v in x.tolist())
+    if isinstance(x, (list, tuple)):
+        return tuple(_canon_cell(v) for v in x)
+    if isinstance(x, np.generic):
+        return x.item()
+    return x
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+        # object columns (strings, arrays, structs) sort by canonical string
+        # form — pandas can't sort unhashable array cells natively; numeric
+        # columns keep their native sort so the tolerance mode still pairs
+        # close-but-unequal floats correctly
+        keys = pd.DataFrame(
+            {
+                c: (
+                    df[c].map(lambda x: str(_canon_cell(x)))
+                    if df[c].dtype.kind == "O"
+                    else df[c]
+                )
+                for c in df.columns
+            }
+        )
+        order = keys.sort_values(
+            by=list(keys.columns), kind="mergesort", na_position="first"
+        ).index
+        df = df.loc[order]
     return df.reset_index(drop=True)
 
 
@@ -87,8 +120,10 @@ def compare_frames(
                         f"(row {i}: spark={x!r} oracle={y!r})"
                     )
             else:
-                if not av.astype(str).equals(bv.astype(str)):
-                    n_diff = int((av.astype(str) != bv.astype(str)).sum())
+                av = av.map(_canon_cell).astype(str)
+                bv = bv.map(_canon_cell).astype(str)
+                if not av.equals(bv):
+                    n_diff = int((av != bv).sum())
                     errs.append(f"column {col}: {n_diff} values differ "
                                 f"(spark head={av.head(3).tolist()} oracle head={bv.head(3).tolist()})")
         except Exception as exc:  # noqa: BLE001
