@@ -105,20 +105,24 @@ _PRIORITY = (
     "corpus_dedup_rate_by_source",
     "corpus_dsir_resample",
     "text_quality_quantile_by_lang",
-    # r5-proven oracled slice, stalest-alphabetical fill to 50
+    # round-7 second-session additions — never driver-checked, all
+    # pre-verified byte-exact at 3 SFs (binary-Hamming ANN tier + the
+    # Q7/Q12/Q14/Q16/Q19/Q22-style relational reports)
+    "emb_binary_signature",
+    "emb_hamming_topk",
+    "join_q7_nation_volume",
+    "join_q12_ship_delay",
+    "agg_q14_promo_share",
+    "join_q16_supplier_cnt",
+    "join_q19_or_predicates",
+    "join_q22_idle_customers",
+    # r5-proven oracled slice, stalest-alphabetical fill to 50 (the
+    # displaced events_/entity_ names rotate into the round-8 slice)
     "agg_collect_list",
     "agg_minmax_by",
     "agg_percentiles",
     "agg_salted_distinct",
     "agg_udaf_geomean",
-    "entity_match_levenshtein",
-    "events_asof_join",
-    "events_asof_tolerance",
-    "events_dedup_first",
-    "events_funnel",
-    "events_gap_filled",
-    "events_pivot",
-    "events_retention_cohort",
 )
 
 

@@ -1435,3 +1435,274 @@ def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style report queries continued (Q7/Q12/Q14/Q16/Q19/Q22 shapes,
+# adapted to the trimmed fixture schema — no partsupp/shipmode/phone
+# columns, so the joins keep the canonical plan shape with the columns the
+# fixtures carry). Reference parity: the reference serves exactly this
+# class of warehouse report over PostgreSQL (SURVEY.md §3.2;
+# sec_dl/utils/init_tables.py:31-52 is its star schema).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: lineitem joined to BOTH ends
+    (supplier nation and customer nation) with the nation dim broadcast
+    twice under different aliases, the disjunctive pair filter applied
+    after both attaches, yearly rollup. Scale shape: the fact shuffles on
+    its join keys only; both nation attaches are broadcasts; the OR filter
+    prunes to the two nation pair rows before the aggregate."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "join_q12_ship_delay",
+    oracle="""
+    SELECT delay_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                  WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                  ELSE 'slow' END AS delay_class
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    GROUP BY delay_class ORDER BY delay_class
+    """,
+)
+def join_q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style priority-by-delay matrix (the fixtures carry no
+    shipmode/commitdate, so the Q12 'late shipment' class derives from the
+    l_shipdate - o_orderdate gap): conditional counts split order
+    priorities per delay bucket — one fact-fact equi join, one aggregate,
+    CASE arithmetic all codegen."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(delay <= 30, "fast")
+            .when(delay <= 90, "normal")
+            .otherwise("slow")
+            .alias("delay_class"),
+            high.alias("is_high"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@query(
+    "agg_q14_promo_share",
+    oracle="""
+    SELECT (round((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount))) + 1e-9, 4) + 0.0)
+             AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def agg_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue share for one ship month: conditional
+    aggregate ratio, part dim broadcast, shipdate predicate pushed to the
+    parquet scan. Rounded with the +1e-9 nudge and -0.0 normalization
+    (plans/text.py:rz convention) — a ratio is a double division, so the
+    engines' summation orders must not leak into the serialized value."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    share = 100.0 * promo / F.sum(rev)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg((F.round(share + F.lit(1e-9), 4) + F.lit(0.0)).alias("promo_share"))
+    )
+
+
+@query(
+    "join_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 20
+    """,
+)
+def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier diversity count (lineitem stands in for the
+    absent partsupp association; the excluded-supplier subquery keys on
+    negative account balance instead of the absent comment column): NOT IN
+    becomes a broadcast left-anti join, then a distinct count per
+    (brand, type, size). The limit's cut boundary is deterministic — the
+    group key completes the total order after the count."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1"))
+    bad = F.broadcast(
+        t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@query(
+    "join_q19_or_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def join_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue (brand/size stand in
+    for the absent container column): three AND-blocks OR-ed across both
+    join sides. Catalyst splits the disjunction — the p_brand IN (...) and
+    l_quantity range hulls push to the scans, the full residual applies
+    after the broadcast join — the exact pattern Q19 exists to test."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(block("Brand#1", 15, 1, 11) | block("Brand#2", 25, 10, 20) | block("Brand#3", 35, 20, 30))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_q22_idle_customers",
+    oracle="""
+    WITH pool AS (SELECT * FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)),
+    cutoff AS (SELECT avg(c_acctbal) AS ab FROM pool WHERE c_acctbal > 0.0)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM pool, cutoff
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey ORDER BY nationkey
+    """,
+)
+def join_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style dormant high-balance customers (nation keys stand in
+    for the absent phone country codes; 'dormant' = no order since
+    2000-01-01 — the dense fixtures give every customer SOME order, so
+    total absence would be vacuous): a 1-row aggregate broadcast as the
+    comparison scalar, NOT EXISTS as a left-anti join against the
+    date-filtered orders, per-nation rollup. Scale shape: the scalar
+    attach is a broadcast of one row; the anti join shuffles on custkey
+    (and only the recent slice of orders); nothing else moves."""
+    pool = t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    )
+    cutoff = pool.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
