@@ -116,13 +116,13 @@ _PRIORITY = (
     "join_q16_supplier_cnt",
     "join_q19_or_predicates",
     "join_q22_idle_customers",
+    "entity_match_trigram",
     # r5-proven oracled slice, stalest-alphabetical fill to 50 (the
     # displaced events_/entity_ names rotate into the round-8 slice)
     "agg_collect_list",
     "agg_minmax_by",
     "agg_percentiles",
     "agg_salted_distinct",
-    "agg_udaf_geomean",
 )
 
 

@@ -1706,3 +1706,44 @@ def join_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+from sec_dl_spark.operators.fts import trgm_match, trigrams_sql  # noqa: E402
+
+_TG_SQL = trigrams_sql("nm")
+
+
+@query(
+    "entity_match_trigram",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+    tg AS (SELECT nm, {_TG_SQL} AS t FROM names)
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           (round((len(list_intersect(a.t, b.t))::DOUBLE
+                   / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))))
+                  + 1e-9, 4) + 0.0) AS sim
+    FROM tg a JOIN tg b ON a.nm < b.nm
+    WHERE len(list_intersect(a.t, b.t))::DOUBLE
+          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+    ORDER BY name_a, name_b
+    """,
+)
+def entity_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style fuzzy name matching (operators/fts.py:trgm_match —
+    the reference's PostgreSQL similarity()/GIN-trigram capability,
+    SURVEY §2.2 K7 family): dedupe part names to a dictionary, generate
+    candidates by a trigram posting-list self-join, score exact Jaccard
+    per candidate. The oracle computes the QUADRATIC ground truth over
+    the dictionary, so a candidate-generation gap (a >=0.5 pair the
+    posting join misses) fails the compare — with no df cutoff the
+    posting join is provably exhaustive (sim > 0 needs a shared trigram).
+    Scale shape: the fact table never joins — only the distinct-name
+    dictionary moves, and pair volume is bounded by trigram posting
+    lists."""
+    names = t(spark, sf_dir, "part").select(F.col("p_name").alias("nm")).distinct()
+    m = trgm_match(names, "nm", threshold=0.5)
+    return m.select(
+        "name_a",
+        "name_b",
+        (F.round(F.col("sim") + F.lit(1e-9), 4) + F.lit(0.0)).alias("sim"),
+    ).orderBy("name_a", "name_b")

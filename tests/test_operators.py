@@ -1300,3 +1300,93 @@ def test_hamming_topk_guard_and_determinism(spark):
     r1 = [tuple(r) for r in hamming_topk(emb, q, k=3).orderBy("query_id", "rank").collect()]
     r2 = [tuple(r) for r in hamming_topk(emb, q, k=3).orderBy("query_id", "rank").collect()]
     assert r1 == r2 and len(r1) == 12
+
+
+# ---------------------------------------------------------------------------
+# pg_trgm-style trigram matching
+# ---------------------------------------------------------------------------
+
+
+def test_trigrams_match_pg_trgm_semantics(spark):
+    """Trigram extraction pinned to pg_trgm's documented padding: each
+    lowercased alnum word padded with two leading + one trailing space,
+    distinct 3-grams. show_trgm('cat') = {'  c',' ca','at ','cat'}."""
+    from sec_dl_spark.operators.fts import trigrams_expr
+
+    df = spark.createDataFrame(
+        [("Cat",), ("two words",), ("",), ("!!",)], "s string"
+    )
+    rows = df.select(F.col("s"), trigrams_expr("s").alias("tg")).collect()
+    got = {r["s"]: sorted(r["tg"]) for r in rows}
+    assert got["Cat"] == sorted(["  c", " ca", "cat", "at "])
+    assert got["two words"] == sorted(
+        ["  t", " tw", "two", "wo ", "  w", " wo", "wor", "ord", "rds", "ds "]
+    )
+    assert got[""] == []
+    assert got["!!"] == []
+
+
+def test_trgm_similarity_matches_pg_trgm_example(spark):
+    """similarity('word', 'two words') = 2/11 with distinct-set Jaccard:
+    shared {' wo','wor'} over union of 11 (pg_trgm counts 'ord'+'rd '
+    vs 'ord'+'rds'+'ds ' — 'word' has 6 trigrams, 'two words' has 10,
+    intersection is {' wo','wor','ord',' w '...}: pin by direct
+    computation against python sets, not a hand-guess)."""
+    from sec_dl_spark.operators.fts import trgm_similarity, trigrams_expr
+
+    def py_trgm(s):
+        import re
+
+        out = set()
+        for w in re.split(r"[^a-z0-9]+", s.lower()):
+            if not w:
+                continue
+            p = f"  {w} "
+            out |= {p[i : i + 3] for i in range(len(p) - 2)}
+        return out
+
+    pairs = [("word", "two words"), ("cold widget", "old widget"), ("abc", "xyz")]
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        "a",
+        "b",
+        trgm_similarity(trigrams_expr("a"), trigrams_expr("b")).alias("sim"),
+    )
+    for r in df.collect():
+        ta, tb = py_trgm(r["a"]), py_trgm(r["b"])
+        want = len(ta & tb) / len(ta | tb)
+        assert abs(r["sim"] - want) < 1e-12, (r["a"], r["b"], r["sim"], want)
+
+
+def test_trgm_match_is_exhaustive_without_cutoff(spark):
+    """Posting-join candidates == quadratic ground truth when max_df is
+    None (sim > 0 requires a shared trigram), and max_df only ever
+    REMOVES pairs, never changes a surviving pair's score."""
+    from sec_dl_spark.operators.fts import trgm_match, trgm_similarity, trigrams_expr
+
+    names = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select(F.col("p_name").alias("nm"))
+        .distinct()
+    )
+    full = {
+        (r["name_a"], r["name_b"]): r["sim"]
+        for r in trgm_match(names, "nm", threshold=0.3).collect()
+    }
+    a = names.select(F.col("nm").alias("name_a"), trigrams_expr("nm").alias("ta"))
+    b = names.select(F.col("nm").alias("name_b"), trigrams_expr("nm").alias("tb"))
+    quad = {
+        (r["name_a"], r["name_b"]): r["sim"]
+        for r in a.crossJoin(b)
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", trgm_similarity(F.col("ta"), F.col("tb")).alias("sim"))
+        .where(F.col("sim") >= 0.3)
+        .collect()
+    }
+    assert full == quad and len(full) > 0
+    capped = {
+        (r["name_a"], r["name_b"]): r["sim"]
+        for r in trgm_match(names, "nm", threshold=0.3, max_df=5).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]
