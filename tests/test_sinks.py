@@ -252,3 +252,87 @@ def test_targeted_delete_emptying_every_touched_partition(spark, tmp_path):
     assert not os.path.isdir(f"{path}/part=1")
     left = {r["doc_id"] for r in spark.read.parquet(path).collect()}
     assert left == {0}
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_jsonl_round_trip_with_quarantine(spark, tmp_path):
+    """Good lines parse to the schema, malformed lines land in quarantine
+    verbatim, missing optional fields are nulls (not corrupt), and a
+    write->read round trip preserves values."""
+    from sec_dl_spark.sources.jsonl import (
+        jsonl_health,
+        read_jsonl_corpus,
+        write_jsonl_shards,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "this is not json\n"
+        '{"doc_id": "not-a-long", "text": "bad type"}\n'
+        '{"doc_id": 3, "text": "ok", "meta": {"k": "v"}}\n'
+    )
+    good, quarantine = read_jsonl_corpus(spark, str(src))
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["source"] is None          # missing optional -> null
+    assert rows[3]["meta"] == {"k": "v"}
+    bad = [r["_corrupt_record"] for r in quarantine.collect()]
+    assert "this is not json" in bad
+    assert any("not-a-long" in b for b in bad)
+    h = jsonl_health(good, quarantine)
+    assert h == {"rows": 3, "quarantined": 2, "bad_fraction": 2 / 5}
+
+    out = tmp_path / "out"
+    shards = write_jsonl_shards(good, str(out), compression=None)
+    assert shards == 1
+    good2, q2 = read_jsonl_corpus(spark, str(out))
+    assert {r["doc_id"]: r["text"] for r in good2.collect()} == {
+        1: "hello world", 2: "bonjour", 3: "ok"
+    }
+    assert q2.count() == 0
+
+
+def test_jsonl_shard_sizing_scales_with_bytes(spark, tmp_path):
+    """Shard count tracks estimated serialized bytes / target: ~200 rows
+    of ~120-byte lines at a 4 KB target needs ~6 shards, and the output
+    directory carries that many part files."""
+    from sec_dl_spark.sources.jsonl import write_jsonl_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+    )
+    out = tmp_path / "sharded"
+    shards = write_jsonl_shards(
+        df, str(out), target_shard_bytes=4096, compression=None
+    )
+    assert shards >= 4
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == shards
+    # empty frame still writes one shard
+    assert write_jsonl_shards(df.where(F.lit(False)), str(tmp_path / "e"), compression=None) == 1
+
+
+def test_jsonl_gzip_round_trip(spark, tmp_path):
+    """Compressed shards read back identically (codec path, not a
+    plain-text fallback)."""
+    from sec_dl_spark.sources.jsonl import read_jsonl_corpus, write_jsonl_shards
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+    )
+    out = tmp_path / "gz"
+    write_jsonl_shards(df, str(out), compression="gzip")
+    assert any(p.endswith(".gz") for p in os.listdir(out) if p.startswith("part-"))
+    good, q = read_jsonl_corpus(spark, str(out))
+    assert good.count() == 50 and q.count() == 0
