@@ -79,10 +79,15 @@ HEADLINE = [
     "corpus_filter_pipeline",
     "fts_ranked_bm25",
     # round-7 additions — keep the 25 names above unchanged so per-query
-    # medians stay comparable across rounds; the TOTAL now covers 28
+    # medians stay comparable across rounds; the TOTAL now covers 31
     "text_duplicate_ngram_fraction",
     "corpus_dsir_resample",
     "text_quality_quantile_by_lang",
+    # r7 second-session additions: the binary ANN scan tier, the trigram
+    # dictionary matcher, and the heaviest new relational report
+    "emb_hamming_topk",
+    "entity_match_trigram",
+    "join_q7_nation_volume",
 ]
 
 

@@ -136,3 +136,64 @@ def write_jsonl_shards(
         writer = writer.option("compression", compression)
     writer.json(path)
     return shards
+
+
+def parse_jsonl_lines(
+    lines: DataFrame,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    line_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from a frame of raw JSONL lines — the parse stage
+    shared by the batch and streaming readers.
+
+    Uses ``from_json`` with the corrupt-record column declared IN the
+    parse schema, which reproduces the file source's PERMISSIVE semantics
+    (malformed line → corrupt; type-mismatched field → corrupt with the
+    parseable fields kept; missing optional field → null, NOT corrupt)
+    while sidestepping the file source's restriction that a corrupt-column
+    filter needs the parsed frame cached first — ``from_json`` is a plain
+    projection, legal on streams, where ``.cache()`` is not."""
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = lines.select(
+        F.col(line_col),
+        F.from_json(
+            F.col(line_col),
+            read_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_rec"),
+    )
+    good = parsed.where(F.col(f"_rec.{CORRUPT_COL}").isNull()).select(
+        *[F.col(f"_rec.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.where(F.col(f"_rec.{CORRUPT_COL}").isNotNull()).select(
+        F.col(line_col).alias(CORRUPT_COL)
+    )
+    return good, quarantine
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming (good, quarantine) over a JSONL drop directory — the
+    readStream twin of :func:`read_jsonl_corpus`, for feeding
+    ``streaming/corpus.py:incremental_corpus_sink`` (good side) and a
+    quarantine audit sink (bad side) as new dumps land.
+
+    Reads through the TEXT source (newline framing IS the JSONL record
+    framing; gzip decodes transparently) and parses with
+    :func:`parse_jsonl_lines`, so the corrupt-record split works on the
+    stream without the file-json source's cache-first restriction. Both
+    returned frames derive from ONE source stream; attaching two sinks to
+    them creates two independent queries with separate checkpoints, each
+    tracking file progress on its own — file sources are replay-stable,
+    so the two sides never disagree about a file's contents."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(path)
+    return parse_jsonl_lines(lines, schema)

@@ -1371,3 +1371,60 @@ def test_incremental_corpus_sink_prep_plus_dedup(spark, tmp_path_factory):
     # same survivors as what the stream admitted (before dedup)
     prepped = prepare_corpus_stream(b1.unionByName(b2))
     assert {r.doc_id for r in prepped.collect()} == {1, 3, 10, 11}
+
+
+def test_jsonl_stream_ingest_with_quarantine(spark, tmp_path_factory):
+    """End-to-end streaming JSONL ingest: a drop directory of JSONL files
+    feeds the corpus gate through the good side while malformed lines
+    land verbatim in a quarantine sink — and the streaming split agrees
+    with the batch reader over the same files."""
+    from sec_dl_spark.sources.jsonl import (
+        DOCUMENT_SCHEMA,
+        read_jsonl_corpus,
+        stream_jsonl_corpus,
+    )
+    from sec_dl_spark.streaming.corpus import incremental_corpus_sink
+
+    src = tmp_path_factory.mktemp("jsonl_drop")
+    accepted = str(tmp_path_factory.mktemp("jsonl_out") / "accepted")
+    registry = str(tmp_path_factory.mktemp("jsonl_reg") / "registry")
+    ckpt_good = str(tmp_path_factory.mktemp("jsonl_ckpt_good"))
+    ckpt_bad = str(tmp_path_factory.mktemp("jsonl_ckpt_bad"))
+    qpath = str(tmp_path_factory.mktemp("jsonl_q") / "quarantine")
+
+    long_doc = "the quick brown fox jumps over the lazy dog " * 4
+    (src / "a.jsonl").write_text(
+        f'{{"doc_id": 1, "text": "{long_doc}", "lang": "en", "source": "web"}}\n'
+        "garbage line\n"
+        f'{{"doc_id": 2, "text": "{long_doc.upper()}", "lang": "en", "source": "web"}}\n'
+    )
+    (src / "b.jsonl").write_text(
+        f'{{"doc_id": "oops", "text": "bad id type"}}\n'
+        f'{{"doc_id": 3, "text": "a completely different and quite reasonable document here {"x " * 30}", "lang": "en", "source": "web"}}\n'
+    )
+
+    good, quarantine = stream_jsonl_corpus(spark, str(src))
+    q1 = incremental_corpus_sink(good, accepted, registry, ckpt_good)
+    q2 = (
+        quarantine.writeStream.format("parquet")
+        .option("path", qpath)
+        .option("checkpointLocation", ckpt_bad)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(accepted)
+    # doc 2 is a canonical dup of doc 1 (case-folded) → gate collapses it
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+    assert "split" in out.columns
+
+    bad = [r["_corrupt_record"] for r in spark.read.parquet(qpath).collect()]
+    assert "garbage line" in bad
+    assert any("oops" in b for b in bad)
+
+    # stream parse == batch parse over the same drop directory
+    bgood, bquar = read_jsonl_corpus(spark, str(src))
+    assert {r.doc_id for r in bgood.collect()} == {1, 2, 3}
+    assert bquar.count() == len(bad) == 2

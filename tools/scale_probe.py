@@ -63,6 +63,12 @@ PROBE = [
     # corpus-split + curriculum stages (r6 verdict ask #5)
     "corpus_split_assign",
     "corpus_curriculum_order",
+    # r7 second-session additions: binary-Hamming ANN scan (per-corpus-row
+    # cost must stay linear), trigram posting self-join (dictionary-sized,
+    # must NOT scale with the fact table), Q7's double-dim fact join
+    "emb_hamming_topk",
+    "entity_match_trigram",
+    "join_q7_nation_volume",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
