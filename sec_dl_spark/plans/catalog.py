@@ -117,12 +117,12 @@ _PRIORITY = (
     "join_q19_or_predicates",
     "join_q22_idle_customers",
     "entity_match_trigram",
-    # r5-proven oracled slice, stalest-alphabetical fill to 50 (the
-    # displaced events_/entity_ names rotate into the round-8 slice)
+    "join_q13_order_count_dist",
+    "join_q15_top_supplier",
+    "join_q17_small_qty_revenue",
+    # r5-proven oracled fill (the displaced agg_/events_/entity_ names
+    # rotate into the round-8 slice)
     "agg_collect_list",
-    "agg_minmax_by",
-    "agg_percentiles",
-    "agg_salted_distinct",
 )
 
 

@@ -1747,3 +1747,120 @@ def entity_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         (F.round(F.col("sim") + F.lit(1e-9), 4) + F.lit(0.0)).alias("sim"),
     ).orderBy("name_a", "name_b")
+
+
+@query(
+    "join_q13_order_count_dist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def join_q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join so
+    zero-order customers keep a 0 bucket (count(o_orderkey) skips the
+    null-extended rows — the exact outer-join-plus-count subtlety Q13
+    exists to test; the priority filter must live in the JOIN condition,
+    not WHERE, or those customers vanish), then a histogram of the
+    counts. Two aggregations, both key-partitioned; the second input is
+    one row per customer."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "join_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier(s) by quarterly revenue: the revenue CTE is
+    computed ONCE and reused for both the per-supplier rows and the max
+    scalar (Q15's 'view' semantics) — here a cached narrow aggregate, the
+    max attached as a 1-row broadcast crossJoin. Ties all surface (the
+    max filter, not a LIMIT 1), ordered by key. Revenue is rounded
+    BEFORE the max compare on both engines so the tie set is identical."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def join_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity order revenue: the correlated per-part
+    average decorrelates into ONE grouped aggregate joined back to the
+    fact (what Catalyst does to the subquery anyway, written explicitly
+    so the plan is visibly a single extra key-partitioned agg, not a
+    per-row subquery). The brand filter applies to the OUTER side only —
+    the average is over ALL lineitems of the part, which is exactly the
+    trap mis-decorrelations fall into."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.round(F.sum("l_extendedprice") / 7.0 + F.lit(1e-9), 2)).alias(
+                "avg_yearly"
+            )
+        )
+    )
