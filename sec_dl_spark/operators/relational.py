@@ -356,3 +356,69 @@ def mixture_keep_expr(
             expr = F.when(cond, t_val) if expr is None else expr.when(cond, t_val)
         thresh = expr.otherwise(F.lit(int(default_rate * mod)))
     return h < thresh
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    key_cols: list[str],
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Self-join of an interval table on time overlap, without the
+    quadratic cross product: the bucketed interval-join pattern.
+
+    Each interval explodes into the fixed-width time buckets it covers
+    (integer ``DIV`` on the microsecond bounds — no float rounding at
+    bucket edges), candidates come from a bucket equi-join, the exact
+    overlap predicate ``a.start <= b.end AND b.start <= a.end`` (closed
+    intervals: touching endpoints count, so single-point sessions still
+    pair) filters them, and duplicates from multi-bucket co-occurrence
+    collapse on the pair key.  Returns one row per unordered pair —
+    ``a_*`` strictly before ``b_*`` by the key tuple — with both bounds
+    and ``overlap_us``.
+
+    Scale shape: shuffle is keyed by bucket; per-bucket work is
+    |bucket|², so ``bucket_seconds`` trades explode factor against bucket
+    fan-in — set it near the typical interval length (long-interval skew
+    is bounded because an interval of length L lands in L/bucket buckets,
+    linearly).  At 100 TB this is the standard replacement for an
+    unbounded range-condition join, which Spark would otherwise plan as a
+    broadcast nested loop.
+    """
+    b_us = bucket_seconds * 1_000_000
+    bucket = F.explode(
+        F.expr(f"sequence({start_col} DIV {b_us}, {end_col} DIV {b_us})")
+    ).alias("_bucket")
+    iv = intervals.select(*key_cols, start_col, end_col, bucket)
+    a = iv.select(
+        F.col("_bucket"),
+        F.struct(*key_cols).alias("a_key"),
+        F.col(start_col).alias("a_s"),
+        F.col(end_col).alias("a_e"),
+    )
+    b = iv.select(
+        F.col("_bucket"),
+        F.struct(*key_cols).alias("b_key"),
+        F.col(start_col).alias("b_s"),
+        F.col(end_col).alias("b_e"),
+    )
+    pairs = (
+        a.join(b, "_bucket")
+        .where(F.col("a_key") < F.col("b_key"))
+        .where((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select(
+            *[F.col(f"a_key.{k}").alias(f"a_{k}") for k in key_cols],
+            *[F.col(f"b_key.{k}").alias(f"b_{k}") for k in key_cols],
+            "a_s",
+            "a_e",
+            "b_s",
+            "b_e",
+            (
+                F.least(F.col("a_e"), F.col("b_e"))
+                - F.greatest(F.col("a_s"), F.col("b_s"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -523,3 +523,71 @@ def events_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@query(
+    "events_concurrent_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+      FROM ordered),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+             us
+      FROM flagged),
+    iv AS (
+      SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_a, user_b, n_overlaps, total_overlap_us FROM (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(count(*) AS BIGINT) AS n_overlaps,
+             CAST(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) AS BIGINT)
+               AS total_overlap_us
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+      GROUP BY a.user_id, b.user_id)
+    ORDER BY total_overlap_us DESC, user_a, user_b LIMIT 20
+    """,
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user pairs are online together: sessionize (30-min gap) →
+    per-session [min_ts, max_ts] intervals → interval-overlap SELF-join →
+    per-user-pair overlap rollup, top 20 by shared time. The Spark side
+    runs the bucketed interval join (operators/relational.py:
+    interval_overlap_pairs — explode to hour buckets, bucket equi-join,
+    exact predicate, pair-key dedup); the ORACLE is the quadratic
+    range-condition join — so a candidate the bucketing misses (an
+    overlapping pair split across bucket boundaries) fails the compare,
+    not just a recall metric. Closed-interval semantics: single-event
+    sessions (zero length) still pair when inside another session."""
+    from sec_dl_spark.operators.relational import interval_overlap_pairs
+
+    e = t(spark, sf_dir, "events")
+    s = sessionize(
+        e, key="user_id", ts_col="ts", gap_seconds=1800, order_cols=["event_id"]
+    )
+    us = F.unix_micros(F.col("ts"))
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min(us).alias("s_us"), F.max(us).alias("e_us")
+    )
+    pairs = interval_overlap_pairs(
+        iv, key_cols=["user_id", "session_id"], bucket_seconds=3600
+    )
+    return (
+        pairs.where(F.col("a_user_id") != F.col("b_user_id"))
+        .groupBy(
+            F.col("a_user_id").alias("user_a"), F.col("b_user_id").alias("user_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("overlap_us").cast("long").alias("total_overlap_us"),
+        )
+        .orderBy(F.col("total_overlap_us").desc(), "user_a", "user_b")
+        .limit(20)
+    )

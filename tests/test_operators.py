@@ -1390,3 +1390,61 @@ def test_trgm_match_is_exhaustive_without_cutoff(spark):
     assert set(capped) <= set(full)
     for k, v in capped.items():
         assert v == full[k]
+
+
+def test_interval_overlap_pairs_matches_quadratic(spark):
+    """Bucketed interval self-join == quadratic ground truth on intervals
+    engineered to stress the bucketing: pairs overlapping across a bucket
+    boundary, long intervals spanning many buckets, zero-length (point)
+    intervals touching an endpoint, and disjoint intervals."""
+    from sec_dl_spark.operators.relational import interval_overlap_pairs
+
+    H = 3600 * 1_000_000
+    rows = [
+        # (key, start, end) — times in us
+        (1, 0, H // 2),                 # first half of bucket 0
+        (2, H // 2, H + H // 2),        # spans the 0/1 boundary
+        (3, H + H // 4, H + H // 3),    # inside bucket 1
+        (4, 10 * H, 20 * H),            # long: spans 10 buckets
+        (5, 15 * H, 15 * H),            # point interval inside 4
+        (6, H // 2, H // 2),            # point touching 1's end and 2's start
+        (7, 30 * H, 31 * H),            # disjoint from everything
+    ]
+    iv = spark.createDataFrame(rows, "k long, s_us long, e_us long")
+    got = {
+        (r["a_k"], r["b_k"]): r["overlap_us"]
+        for r in interval_overlap_pairs(
+            iv, key_cols=["k"], start_col="s_us", end_col="e_us"
+        ).collect()
+    }
+    want = {}
+    for ka, sa, ea in rows:
+        for kb, sb, eb in rows:
+            if ka < kb and sa <= eb and sb <= ea:
+                want[(ka, kb)] = min(ea, eb) - max(sa, sb)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0   # touching endpoints pair
+    assert (4, 5) in got and got[(4, 5)] == 0   # point inside long interval
+    assert (2, 3) in got                        # cross-boundary overlap
+    assert all(k != (4, 7) for k in got)        # disjoint stays out
+
+
+def test_interval_overlap_pairs_no_cross_product_plan(spark):
+    """The physical plan must be a bucket equi-join (SortMergeJoin or
+    hash join on _bucket), never a broadcast nested loop / cartesian —
+    the exact plan shape an unbounded range join degenerates to."""
+    from sec_dl_spark.operators.relational import interval_overlap_pairs
+
+    iv = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1000).alias("s_us"),
+        (F.col("id") * 1000 + 500).alias("e_us"),
+    )
+    plan = (
+        interval_overlap_pairs(iv, key_cols=["k"], bucket_seconds=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
