@@ -2847,3 +2847,174 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hamming_topk(e, e.where(F.col("vec_id") < 5), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "text_quality_ks_drift",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),
+    sc AS (SELECT source,
+                  round(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                      + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+                      + 0.25 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks))
+                      + 1e-8, 4) AS q
+           FROM tk WHERE len(toks) > 0 AND length(text) > 0),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM sc GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+    cnt AS (SELECT source, q, count(*) AS c FROM sc GROUP BY source, q),
+    grid AS (
+      SELECT s.source, p.q, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM sc) s
+      CROSS JOIN (SELECT DISTINCT q FROM sc) p
+      LEFT JOIN cnt c ON c.source = s.source AND c.q = p.q),
+    cum AS (
+      SELECT source, q,
+             sum(c) OVER (PARTITION BY source ORDER BY q) AS cum_s
+      FROM grid),
+    cumall AS (
+      SELECT q, sum(c) OVER (ORDER BY q) AS cum_all
+      FROM (SELECT q, sum(c) AS c FROM grid GROUP BY q)),
+    ks AS (
+      SELECT cum.source,
+             max(abs(CAST(cum.cum_s AS DOUBLE) / ns.n_s
+                     - CAST(cumall.cum_all - cum.cum_s AS DOUBLE) / (tot.n - ns.n_s)))
+               AS ks_raw
+      FROM cum JOIN cumall USING (q) JOIN ns ON ns.source = cum.source, tot
+      GROUP BY cum.source)
+    SELECT source, n_s, {rz_sql('ks_raw')} AS ks
+    FROM ks JOIN ns USING (source)
+    ORDER BY ks DESC, source
+    """,
+)
+def text_quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: EXACT two-sample Kolmogorov-Smirnov
+    statistic of each source's quality-score distribution against all
+    other sources pooled — the per-source alarm a production corpus
+    pipeline watches between snapshots (a source whose crawler broke
+    shifts its whole CDF, which KS catches even when the mean doesn't
+    move). Exact, not sampled: scores are 4dp-rounded, so the
+    source x distinct-score grid is bounded (|sources| * <=10^4 points)
+    no matter the corpus size — cumulative counts come from one window
+    per source partition plus one GLOBAL window that is safe despite its
+    single-partition execution because it runs over the per-score rollup
+    (<=10^4 rows by construction), and every division is integer/integer,
+    so both engines agree to the bit before the final rounding."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    tk = d.select(
+        "source", "text", tokenize(F.col("text")).alias("toks")
+    ).where((F.size("toks") > 0) & (F.length("text") > 0))
+    sc = tk.select(
+        "source",
+        F.round(A.quality_score_of(F.col("toks"), F.col("text")) + 1e-8, 4).alias("q"),
+    )
+    ns = sc.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_total = sc.agg(F.count(F.lit(1)).alias("n"))
+    cnt = sc.groupBy("source", "q").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        sc.select("source").distinct()
+        .crossJoin(sc.select("q").distinct())
+        .join(cnt, ["source", "q"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_s = Window.partitionBy("source").orderBy("q")
+    cum = grid.withColumn("cum_s", F.sum("c").over(w_s))
+    per_q = grid.groupBy("q").agg(F.sum("c").alias("cq"))
+    w_all = Window.orderBy("q")
+    cumall = per_q.withColumn("cum_all", F.sum("cq").over(w_all)).select("q", "cum_all")
+    ks = (
+        cum.join(cumall, "q")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("source", "n_s")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s").cast("double") / F.col("n_s")
+                    - (F.col("cum_all") - F.col("cum_s")).cast("double")
+                    / (F.col("n") - F.col("n_s"))
+                )
+            ).alias("ks_raw")
+        )
+    )
+    return (
+        ks.select("source", F.col("n_s").cast("long").alias("n_s"), rz(F.col("ks_raw")).alias("ks"))
+        .orderBy(F.col("ks").desc(), "source")
+    )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, vec_id % 2 AS snap,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (
+      SELECT label, snap, generate_subscripts(v, 1) AS d, unnest(v) AS x
+      FROM e),
+    cent AS (
+      SELECT label, snap, d, avg(x) AS m
+      FROM dims GROUP BY label, snap, d),
+    paired AS (
+      SELECT a.label, a.d, a.m AS ma, b.m AS mb
+      FROM cent a JOIN cent b ON a.label = b.label AND a.d = b.d
+      WHERE a.snap = 0 AND b.snap = 1),
+    agg AS (
+      SELECT label,
+             sum(ma * mb) AS dot, sqrt(sum(ma * ma)) AS na, sqrt(sum(mb * mb)) AS nb,
+             sqrt(sum((ma - mb) * (ma - mb))) AS shift
+      FROM paired GROUP BY label),
+    cnts AS (
+      SELECT label,
+             CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM e GROUP BY label)
+    SELECT label, n_a, n_b,
+           {rz_sql('dot / (na * nb)', nudge='1e-8')} AS centroid_cosine,
+           {rz_sql('shift', nudge='1e-8')} AS centroid_shift_l2
+    FROM agg JOIN cnts USING (label)
+    ORDER BY label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor between two corpus snapshots (halves
+    by vec_id parity here; in production, yesterday's batch vs today's):
+    per label, the cosine between snapshot centroids and the L2 centroid
+    shift — the standard early-warning that an upstream embedding model
+    or data mix changed. Scale shape: ONE posexplode + ONE
+    (label, snap, dim)-keyed aggregate — the d-dimensional centroids are
+    |labels| * 2 * d rows however big the corpus; everything downstream
+    is dimension-table sized."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("snap"), "embedding"
+    )
+    dims = e.select(
+        "label", "snap", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    cent = dims.groupBy("label", "snap", "d").agg(F.avg("x").alias("m"))
+    a = cent.where(F.col("snap") == 0).select("label", "d", F.col("m").alias("ma"))
+    b = cent.where(F.col("snap") == 1).select("label", "d", F.col("m").alias("mb"))
+    agg = (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+            F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))).alias("shift"),
+        )
+    )
+    cnts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return (
+        agg.join(cnts, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            rz(F.col("dot") / (F.col("na") * F.col("nb")), nudge=1e-8).alias("centroid_cosine"),
+            rz(F.col("shift"), nudge=1e-8).alias("centroid_shift_l2"),
+        )
+        .orderBy("label")
+    )
