@@ -1864,3 +1864,172 @@ def join_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "join_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD')
+    SELECT o_year,
+           (round((sum(CASE WHEN supp_nation = 'NATION_18' THEN volume ELSE 0 END)
+                   / sum(volume)) + 1e-9, 4) + 0.0) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_18's share of STANDARD-part
+    revenue sold to EUROPE customers, by order year — an 8-way star join
+    where every dimension (nation twice, region, part, supplier) is
+    broadcast and only lineitem–orders shuffles, then a conditional-sum
+    ratio per year. The region and part filters prune their broadcasts
+    BEFORE the join, so the fact rows that survive carry two small
+    attached attributes, not eight."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey"))
+    n2 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    r = F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    s = t(spark, sf_dir, "supplier")
+    p = F.broadcast(
+        t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nk"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("s_nk"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_18", F.col("volume")).otherwise(F.lit(0.0))
+    ) / F.sum("volume")
+    return (
+        joined.groupBy("o_year")
+        .agg((F.round(share + F.lit(1e-9), 4) + F.lit(0.0)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "join_q21_waiting_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      FROM li a
+      WHERE a.l_shipdate > a.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM li b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey
+                          AND c.l_shipdate > c.o_orderdate + INTERVAL 60 DAY)) w
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def join_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting ('late' = shipped more
+    than 60 days after the order date — the fixtures carry no
+    commit/receipt dates): the sole late supplier on a multi-supplier
+    order. The ORACLE states it with correlated EXISTS / NOT EXISTS; the
+    Spark side uses the DECORRELATED form — one per-order aggregate
+    (distinct supplier count, distinct LATE supplier count) joined back,
+    keeping exactly the late rows where n_suppliers > 1 and
+    n_late_suppliers = 1. Different formulations, same semantics, so a
+    decorrelation bug fails the compare. Scale shape: the per-order agg
+    and the join-back shuffle on l_orderkey; supplier attaches broadcast."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late_flag = F.col("l_shipdate") > F.date_add(
+        F.col("o_orderdate").cast("date"), 60
+    ).cast("timestamp")
+    pairs = li.select("l_orderkey", "l_suppkey", late_flag.alias("is_late")).distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_sup"),
+    )
+    waiting = (
+        pairs.where(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1)),
+            "l_orderkey",
+        )
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT c_custkey,
+           first_value(c_name) OVER w AS seg_poorest,
+           last_value(c_name) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS seg_richest,
+           nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS seg_second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value window functions (completing §2.8's navigation
+    surface beyond lag/lead): per-segment poorest, richest, and
+    second-poorest customer attached to every row. last_value/nth_value
+    REQUIRE the unbounded-following frame — the default frame ends at the
+    current row, which silently yields the running last/nth instead (the
+    classic last_value trap; first_value is frame-insensitive here).
+    Ordering tie-broken by key so both engines pick identical rows."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.first("c_name").over(w).alias("seg_poorest"),
+        F.last("c_name").over(w_full).alias("seg_richest"),
+        F.nth_value("c_name", 2).over(w_full).alias("seg_second"),
+    ).orderBy("c_custkey")
