@@ -275,3 +275,95 @@ def test_word_entropy_matches_bruteforce(spark, text):
     expect = -sum((c / n) * math.log(c / n) for c in counts.values())
     assert row[0]["n"] == n
     assert abs(row[0]["h"] - expect) < 1e-9
+
+
+@EX
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(1, 7),
+)
+def test_interval_overlap_pairs_matches_bruteforce(spark, raw, bucket_s):
+    """Bucketed interval self-join == quadratic reference for random
+    intervals and random bucket widths (including widths far smaller and
+    far larger than the intervals)."""
+    from sec_dl_spark.operators.relational import interval_overlap_pairs
+
+    rows = [(k, s * 1_000_000, (s + d) * 1_000_000) for k, (s, d) in enumerate(raw)]
+    if not rows:
+        return
+    iv = spark.createDataFrame(rows, "k long, s_us long, e_us long")
+    got = {
+        (r["a_k"], r["b_k"]): r["overlap_us"]
+        for r in interval_overlap_pairs(
+            iv, key_cols=["k"], bucket_seconds=bucket_s
+        ).collect()
+    }
+    want = {
+        (ka, kb): min(ea, eb) - max(sa, sb)
+        for ka, sa, ea in rows
+        for kb, sb, eb in rows
+        if ka < kb and sa <= eb and sb <= ea
+    }
+    assert got == want
+
+
+@EX
+@given(st.lists(st.text(alphabet="ab1 .-X", min_size=0, max_size=12), min_size=1, max_size=6))
+def test_trigram_sets_match_python_reference(spark, strings):
+    """Spark trigram extraction == the pg_trgm python reference for
+    arbitrary strings (mixed case, digits, punctuation runs, empties)."""
+    import re
+
+    from sec_dl_spark.operators.fts import trigrams_expr
+
+    def py_trgm(s):
+        out = set()
+        for w in re.split(r"[^a-z0-9]+", s.lower()):
+            if not w:
+                continue
+            p = f"  {w} "
+            out |= {p[i : i + 3] for i in range(len(p) - 2)}
+        return out
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    rows = df.select("i", trigrams_expr("s").alias("tg")).collect()
+    for r in rows:
+        assert set(r["tg"]) == py_trgm(strings[r["i"]]), strings[r["i"]]
+        assert len(r["tg"]) == len(set(r["tg"]))  # distinct, no dupes
+
+
+@EX
+@given(
+    st.lists(
+        st.lists(st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_hamming_matches_signbit_reference(spark, vecs):
+    """Packed Hamming distance == python sign-bit reference for random
+    short vectors (including exact zeros, which are NOT positive on
+    either side)."""
+    from sec_dl_spark.operators.similarity import binary_quantize, hamming_expr
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    a = binary_quantize(df).withColumnRenamed("vec_id", "ia").withColumnRenamed("sig", "sa")
+    b = binary_quantize(df).withColumnRenamed("vec_id", "ib").withColumnRenamed("sig", "sb")
+    got = {
+        (r["ia"], r["ib"]): r["h"]
+        for r in a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", hamming_expr("sa", "sb").alias("h"))
+        .collect()
+    }
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            want = sum((x > 0) != (y > 0) for x, y in zip(vecs[i], vecs[j]))
+            assert got[(i, j)] == want
