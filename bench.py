@@ -221,6 +221,20 @@ def main() -> None:
         round(gate["atomic"] / gate["overwrite"], 3) if gate["overwrite"] else None
     )
 
+    # binary-tier price check from the already-collected medians: the
+    # Hamming scan (1 bit/dim, XOR+popcount) vs the exact float cosine
+    # scan over the same corpus and query set — the ratio the two-stage
+    # (hamming shortlist -> cosine rerank) design banks on.
+    hamming_ab = {
+        "hamming": timings.get("emb_hamming_topk"),
+        "cosine": timings.get("emb_cosine_topk"),
+        "hamming_over_cosine": (
+            round(timings["emb_hamming_topk"] / timings["emb_cosine_topk"], 3)
+            if timings.get("emb_cosine_topk")
+            else None
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -232,6 +246,7 @@ def main() -> None:
                 "sf": sf,
                 "noise": noise,
                 "ab_adc_vs_decode": ab,
+                "ab_hamming_vs_cosine": hamming_ab,
                 "gate_atomic_overhead": gate,
                 "corpus_e2e": corpus,
             }

@@ -2033,3 +2033,104 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_name").over(w_full).alias("seg_richest"),
         F.nth_value("c_name", 2).over(w_full).alias("seg_second"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "join_q9_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           (round(sum(l_extendedprice * (1 - l_discount)
+                      - 0.6 * p_retailprice * l_quantity) + 1e-6, 2) + 0.0)
+             AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-line profit by supplier nation and year (the
+    fixtures carry no partsupp.ps_supplycost, so cost is modeled as 60%
+    of the part's retail price per unit): a five-way join where part
+    (pre-filtered by the name pattern), supplier, and nation broadcast,
+    lineitem-orders shuffle on the order key, and the LIKE predicate
+    prunes the broadcast BEFORE the join builds."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.round(F.sum(profit) + F.lit(1e-6), 2) + F.lit(0.0)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "join_q2_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             (round(avg(l_extendedprice / l_quantity) + 1e-9, 4) + 0.0) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT p_partkey, p_name, s_name, unit_price,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY unit_price, l_suppkey) AS rn
+      FROM unit
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size = 25)
+    SELECT p_partkey, p_name, s_name, unit_price
+    FROM ranked WHERE rn = 1
+    ORDER BY unit_price, p_partkey LIMIT 20
+    """,
+)
+def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier per part (lineitem history stands in
+    for the absent partsupp: a part's cost from a supplier is the average
+    observed unit price): the correlated min-subquery decorrelates into
+    one (part, supplier) aggregate and a per-part argmin window, supplier
+    and the size-filtered part dim broadcast onto the aggregate. Unit
+    price is ROUNDED before the argmin on both engines so the winning
+    supplier is identical; suppkey breaks exact ties."""
+    li = t(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")) + F.lit(1e-9), 4)
+            + F.lit(0.0)
+        ).alias("unit_price")
+    )
+    p = F.broadcast(
+        t(spark, sf_dir, "part").where(F.col("p_size") == 25).select("p_partkey", "p_name")
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        unit.join(p, unit.l_partkey == p.p_partkey)
+        .join(s, unit.l_suppkey == s.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+        .orderBy("unit_price", "p_partkey")
+        .limit(20)
+    )
