@@ -1,0 +1,150 @@
+"""Declarative data-quality rules over DataFrames (expectations-style).
+
+The reference's warehouse has no validation layer — malformed rows are
+dropped ad hoc at load time (/root/reference/sec_dl/utils/
+load_filings_idx.py:33-48). A 100 TB pipeline needs the opposite: named,
+composable rules evaluated in ONE pass, producing a violation report a
+gate can act on (fail the batch, quarantine, alert) — the shape of
+dbt tests / Great Expectations, re-expressed as Spark aggregates.
+
+Scale design:
+- Row-level rules (not_null, in_range, in_set, matches, custom predicate)
+  compile to conditional-count expressions evaluated in a SINGLE
+  aggregate over one scan — adding a rule adds a column to the agg, not a
+  job.
+- Dataset-level rules go through their cheapest distributed form:
+  ``unique`` is a groupBy-count-filter (one shuffle on the key),
+  ``references`` is a left-anti join against the parent keys (broadcast
+  when the parent is a dim).
+- Nothing collects except the final per-rule counters (one row per rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One named expectation. ``kind`` picks the evaluation strategy:
+    'row' rules carry a violation predicate Column; 'unique' and
+    'references' carry the data they need for their own jobs."""
+
+    name: str
+    kind: str
+    violation: Column | None = None
+    cols: tuple[str, ...] = ()
+    parent: DataFrame | None = None
+    parent_key: str | None = None
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "row", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    """NULL passes (pair with not_null to also reject nulls) — a range rule
+    should not double-report missingness."""
+    c = F.col(col)
+    return Rule(f"in_range({col},{lo},{hi})", "row", c.isNotNull() & ~c.between(lo, hi))
+
+
+def in_set(col: str, values) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"in_set({col})", "row", c.isNotNull() & ~c.isin(*list(values))
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"matches({col})", "row", c.isNotNull() & ~c.rlike(pattern)
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Rule:
+    """Custom row rule: ``predicate`` is the PASS condition."""
+    return Rule(f"satisfies({name})", "row", ~predicate)
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(f"unique({','.join(cols)})", "unique", cols=tuple(cols))
+
+
+def references(col: str, parent: DataFrame, parent_key: str) -> Rule:
+    """Referential integrity: every non-null ``col`` exists in
+    ``parent[parent_key]`` (foreign-key check as a left-anti join)."""
+    return Rule(
+        f"references({col}->{parent_key})",
+        "references",
+        cols=(col,),
+        parent=parent,
+        parent_key=parent_key,
+    )
+
+
+def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate all rules; returns (rule STRING, violations BIGINT) with
+    one row per rule, in rule order.
+
+    All 'row' rules share ONE aggregate job; each dataset rule adds its
+    own cheapest-form job, unioned into the report lazily (the union is
+    of 1-row frames — driver-light, executor-cheap)."""
+    parts: list[DataFrame] = []
+    row_rules = [r for r in rules if r.kind == "row"]
+    if row_rules:
+        agg = df.agg(
+            *[
+                F.sum(F.when(r.violation, 1).otherwise(0)).cast("long").alias(str(i))
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        stacked = agg.selectExpr(
+            "stack({n}, {pairs}) as (rule, violations)".format(
+                n=len(row_rules),
+                pairs=", ".join(f"'{r.name}', `{i}`" for i, r in enumerate(row_rules)),
+            )
+        )
+        parts.append(stacked)
+    for r in rules:
+        if r.kind == "unique":
+            dup_rows = (
+                df.groupBy(*r.cols)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > 1)
+                .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("violations"))
+                .select(F.lit(r.name).alias("rule"), "violations")
+            )
+            parts.append(dup_rows)
+        elif r.kind == "references":
+            orphans = (
+                df.where(F.col(r.cols[0]).isNotNull())
+                .join(
+                    F.broadcast(
+                        r.parent.select(F.col(r.parent_key).alias(r.cols[0])).distinct()
+                    ),
+                    r.cols[0],
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(F.lit(r.name).alias("rule"), "violations")
+            )
+            parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def gate(df: DataFrame, rules: list[Rule], max_violations: int = 0) -> DataFrame:
+    """Hard quality gate: raise if total violations exceed the budget,
+    else return ``df`` unchanged (for pipeline composition)."""
+    report = check(df, rules).collect()
+    bad = {r["rule"]: r["violations"] for r in report if r["violations"] > max_violations}
+    if bad:
+        raise ValueError(f"quality gate failed: {bad}")
+    return df

@@ -2134,3 +2134,63 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("unit_price", "p_partkey")
         .limit(20)
     )
+
+
+@query(
+    "dq_violation_report",
+    oracle="""
+    SELECT rule, violations FROM (
+      SELECT 'not_null(l_orderkey)' AS rule,
+             CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'in_range(l_quantity,1,25)',
+             CAST(count(CASE WHEN l_quantity IS NOT NULL
+                              AND l_quantity NOT BETWEEN 1 AND 25 THEN 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'in_set(l_returnflag)',
+             CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                              AND l_returnflag NOT IN ('A', 'N') THEN 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'satisfies(discount_cap)',
+             CAST(count(CASE WHEN NOT (l_discount <= 0.1) THEN 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique(l_orderkey,l_linenumber)',
+             CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'references(l_suppkey->s_suppkey)',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem
+      WHERE l_suppkey IS NOT NULL
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0))
+    ORDER BY rule
+    """,
+)
+def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py — the
+    dbt-tests/expectations layer the reference's warehouse lacks): six
+    named rules over lineitem evaluated in ONE conditional-count
+    aggregate (row rules) plus the two cheapest-form dataset jobs —
+    duplicate (orderkey, linenumber) pairs as a key-partitioned count
+    (the fixtures genuinely violate this one), and solvent-supplier
+    referential integrity as a broadcast anti join. The report is one
+    row per rule; a pipeline gate consumes it (quality.gate raises on
+    budget overrun)."""
+    from sec_dl_spark.operators import quality as Q
+
+    li = t(spark, sf_dir, "lineitem")
+    solvent = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") >= 0)
+    rules = [
+        Q.not_null("l_orderkey"),
+        Q.in_range("l_quantity", 1, 25),
+        Q.in_set("l_returnflag", ["A", "N"]),
+        Q.satisfies("discount_cap", F.col("l_discount") <= 0.1),
+        Q.unique("l_orderkey", "l_linenumber"),
+        Q.references("l_suppkey", solvent, "s_suppkey"),
+    ]
+    return Q.check(li, rules).orderBy("rule")

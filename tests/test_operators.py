@@ -1448,3 +1448,76 @@ def test_interval_overlap_pairs_no_cross_product_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality rules
+# ---------------------------------------------------------------------------
+
+
+def test_quality_rules_count_violations(spark):
+    """Each rule kind counts exactly its violations: nulls, out-of-range
+    (nulls pass), out-of-set, regex, custom predicate, duplicate keys
+    (extras beyond the first), and orphaned foreign keys (nulls pass)."""
+    from sec_dl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", "ok-1"),
+            (2, None, "A", "ok-2"),      # null qty: not_null flags, in_range passes
+            (2, 200, "X", "bad id"),     # dup key, out of range, out of set, bad format
+            (3, 5, "B", "ok-3"),
+            (None, 5, "A", "ok-4"),      # null key
+            (2, 7, "A", "ok-5"),         # third copy of key 2
+        ],
+        "k long, qty long, flag string, label string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    rules = [
+        Q.not_null("k"),
+        Q.not_null("qty"),
+        Q.in_range("qty", 1, 100),
+        Q.in_set("flag", ["A", "B"]),
+        Q.matches("label", r"^ok-\d$"),
+        Q.satisfies("qty_odd_or_null", F.col("qty").isNull() | (F.col("qty") % 2 == 1)),
+        Q.unique("k"),
+        Q.references("k", parent, "pk"),
+    ]
+    got = {r["rule"]: r["violations"] for r in Q.check(df, rules).collect()}
+    assert got == {
+        "not_null(k)": 1,
+        "not_null(qty)": 1,
+        "in_range(qty,1,100)": 1,
+        "in_set(flag)": 1,
+        "matches(label)": 1,
+        "satisfies(qty_odd_or_null)": 2,   # qty 10 and 200 are even
+        "unique(k)": 2,                    # key 2 appears 3x -> 2 extras
+        "references(k->pk)": 1,            # k=3 orphaned; null k passes
+    }
+
+
+def test_quality_gate_raises_and_passes(spark):
+    from sec_dl_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not_null"):
+        Q.gate(df, [Q.not_null("k")])
+    # within budget: returns the frame unchanged for chaining
+    out = Q.gate(df, [Q.not_null("k")], max_violations=1)
+    assert out.count() == 2
+
+
+def test_quality_row_rules_single_aggregate_plan(spark):
+    """All row rules must share ONE aggregate over one scan — adding a
+    rule must not add a job. The plan has exactly one scan of the input."""
+    from sec_dl_spark.operators import quality as Q
+
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    rep = Q.check(
+        df,
+        [Q.not_null("k"), Q.in_range("v", 0, 5), Q.satisfies("even", F.col("v") % 2 == 0)],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
