@@ -1,0 +1,80 @@
+"""Incremental aggregate maintenance: mergeable partial rollups.
+
+A 100 TB warehouse cannot recompute its rollup tables from scratch per
+batch — it maintains PARTIAL aggregates (count / sum / min / max per
+group) and folds each delta in, because those aggregates form a monoid:
+merge(a, b) per key is (cnt_a+cnt_b, sum_a+sum_b, min(min_a,min_b),
+max(max_a,max_b)), and non-mergeable stats derive at read time
+(avg = sum/cnt). This is materialized-view maintenance re-expressed as
+two Spark primitives: build = one groupBy over the delta; merge =
+union + one groupBy over (existing ∪ delta-partial) — the second groupBy
+touches ROLLUP-sized data (|groups|), never the history.
+
+The reference recomputes its progress counts from full scans every time
+(/root/reference/sec_dl/utils/monitor_progress.py); this module is the
+scalable form of that capability (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One measured column. The partial columns are named
+    ``cnt_<col>``, ``sum_<col>``, ``min_<col>``, ``max_<col>``."""
+
+    col: str
+
+
+def _partial_cols(m: Measure):
+    return (
+        F.count(F.col(m.col)).cast("long").alias(f"cnt_{m.col}"),
+        F.sum(F.col(m.col)).alias(f"sum_{m.col}"),
+        F.min(F.col(m.col)).alias(f"min_{m.col}"),
+        F.max(F.col(m.col)).alias(f"max_{m.col}"),
+    )
+
+
+def _merge_cols(m: Measure):
+    return (
+        F.sum(F.col(f"cnt_{m.col}")).cast("long").alias(f"cnt_{m.col}"),
+        F.sum(F.col(f"sum_{m.col}")).alias(f"sum_{m.col}"),
+        F.min(F.col(f"min_{m.col}")).alias(f"min_{m.col}"),
+        F.max(F.col(f"max_{m.col}")).alias(f"max_{m.col}"),
+    )
+
+
+def build_rollup(df: DataFrame, keys: list[str], measures: list[Measure]) -> DataFrame:
+    """Partial-aggregate table of ``df``: one row per key combination with
+    mergeable (cnt/sum/min/max) columns per measure. One shuffle on the
+    keys; map-side combine applies."""
+    aggs = [c for m in measures for c in _partial_cols(m)]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollups(
+    existing: DataFrame, delta: DataFrame, keys: list[str], measures: list[Measure]
+) -> DataFrame:
+    """Fold a delta partial into an existing partial: union + one groupBy
+    re-aggregation with each column's own merge function. Keys present in
+    only one side pass through (count/sum of the absent side contribute
+    nothing; min/max ignore NULL), so no outer-join null plumbing."""
+    aggs = [c for m in measures for c in _merge_cols(m)]
+    return existing.unionByName(delta).groupBy(*keys).agg(*aggs)
+
+
+def finalize(rollup: DataFrame, measures: list[Measure]) -> DataFrame:
+    """Attach derived stats that are NOT mergeable but are exact functions
+    of the partials (avg = sum/cnt). Read-time projection, zero jobs."""
+    out = rollup
+    for m in measures:
+        out = out.withColumn(
+            f"avg_{m.col}",
+            F.col(f"sum_{m.col}") / F.col(f"cnt_{m.col}"),
+        )
+    return out

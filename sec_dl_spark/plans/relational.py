@@ -2194,3 +2194,48 @@ def dq_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.references("l_suppkey", solvent, "s_suppkey"),
     ]
     return Q.check(li, rules).orderBy("rule")
+
+
+@query(
+    "rollup_incremental_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(l_quantity) AS BIGINT) AS cnt_l_quantity,
+           (round(sum(l_quantity) + 1e-6, 2) + 0.0) AS sum_q,
+           round(min(l_quantity), 2) AS min_l_quantity,
+           round(max(l_quantity), 2) AS max_l_quantity,
+           (round(avg(l_quantity) + 1e-8, 4) + 0.0) AS avg_q
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (operators/rollup.py):
+    the fact table arrives as two batches (split by l_orderkey parity
+    here); batch 1 builds the partial rollup, batch 2 folds in as a
+    delta MERGE over rollup-sized data — never a recompute of history —
+    and avg derives from the partials at read time. The ORACLE is the
+    full-recompute groupBy, so any merge bug (double count, lost key,
+    min/max regression) fails the compare. count/min/max merge exactly;
+    the summed double takes the rounding nudge (summation order differs
+    from the one-pass sum by design)."""
+    from sec_dl_spark.operators.rollup import (
+        Measure,
+        build_rollup,
+        finalize,
+        merge_rollups,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    ms = [Measure("l_quantity")]
+    batch1 = build_rollup(li.where(F.col("l_orderkey") % 2 == 0), ["l_returnflag"], ms)
+    delta = build_rollup(li.where(F.col("l_orderkey") % 2 == 1), ["l_returnflag"], ms)
+    merged = finalize(merge_rollups(batch1, delta, ["l_returnflag"], ms), ms)
+    return merged.select(
+        "l_returnflag",
+        "cnt_l_quantity",
+        (F.round(F.col("sum_l_quantity") + F.lit(1e-6), 2) + F.lit(0.0)).alias("sum_q"),
+        F.round("min_l_quantity", 2).alias("min_l_quantity"),
+        F.round("max_l_quantity", 2).alias("max_l_quantity"),
+        (F.round(F.col("avg_l_quantity") + F.lit(1e-8), 4) + F.lit(0.0)).alias("avg_q"),
+    ).orderBy("l_returnflag")

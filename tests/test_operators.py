@@ -1521,3 +1521,66 @@ def test_quality_row_rules_single_aggregate_plan(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+def test_rollup_merge_matches_full_recompute(spark):
+    """Folding N deltas one at a time == one full-recompute rollup:
+    count/min/max exactly, sum within float tolerance, including keys
+    that appear in only some batches and all-null measure groups."""
+    import math
+
+    from sec_dl_spark.operators.rollup import (
+        Measure,
+        build_rollup,
+        finalize,
+        merge_rollups,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("b", 10.0),
+        ("b", None), ("c", 5.0),             # null measure ignored by count/sum
+        ("a", 3.0), ("d", -7.0),             # d appears only in batch 3
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    ms = [Measure("v")]
+    batches = [
+        df.limit(3),
+        df.offset(3).limit(2) if hasattr(df, "offset") else df.subtract(df.limit(3)).limit(2),
+        df.subtract(df.limit(5)),
+    ]
+    # build incrementally
+    acc = build_rollup(batches[0], ["k"], ms)
+    for b in batches[1:]:
+        acc = merge_rollups(acc, build_rollup(b, ["k"], ms), ["k"], ms)
+    got = {r["k"]: r.asDict() for r in finalize(acc, ms).collect()}
+    want = {r["k"]: r.asDict() for r in finalize(build_rollup(df, ["k"], ms), ms).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["cnt_v"] == want[k]["cnt_v"]
+        assert got[k]["min_v"] == want[k]["min_v"]
+        assert got[k]["max_v"] == want[k]["max_v"]
+        for col in ("sum_v", "avg_v"):
+            a, b = got[k][col], want[k][col]
+            assert (a is None and b is None) or math.isclose(a, b, rel_tol=1e-12)
+
+
+def test_rollup_merge_is_rollup_sized(spark):
+    """The merge job's inputs are the two partial tables, not the raw
+    history — the plan scans no base-table source."""
+    from sec_dl_spark.operators.rollup import Measure, build_rollup, merge_rollups
+
+    base = spark.range(1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    ms = [Measure("v")]
+    a = build_rollup(base, ["k"], ms).cache()
+    a.count()  # materialize: the merge below must read the cached partial
+    d = build_rollup(base.where(F.col("id") > 500), ["k"], ms).cache()
+    d.count()
+    plan = (
+        merge_rollups(a, d, ["k"], ms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan and "Range" not in plan.split("InMemoryTableScan")[0]
