@@ -26,27 +26,38 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Measure:
     """One measured column. The partial columns are named
-    ``cnt_<col>``, ``sum_<col>``, ``min_<col>``, ``max_<col>``."""
+    ``cnt_<col>``, ``sum_<col>``, ``min_<col>``, ``max_<col>``, and — with
+    ``distinct=True`` — ``hll_<col>``, a DataSketches HLL binary sketch
+    (count-distinct is NOT a monoid on exact values, but the sketch is:
+    union merges losslessly, so incremental distinct counts cost the
+    sketch's ~1% error instead of a full recompute)."""
 
     col: str
+    distinct: bool = False
 
 
 def _partial_cols(m: Measure):
-    return (
+    cols = [
         F.count(F.col(m.col)).cast("long").alias(f"cnt_{m.col}"),
         F.sum(F.col(m.col)).alias(f"sum_{m.col}"),
         F.min(F.col(m.col)).alias(f"min_{m.col}"),
         F.max(F.col(m.col)).alias(f"max_{m.col}"),
-    )
+    ]
+    if m.distinct:
+        cols.append(F.hll_sketch_agg(F.col(m.col)).alias(f"hll_{m.col}"))
+    return cols
 
 
 def _merge_cols(m: Measure):
-    return (
+    cols = [
         F.sum(F.col(f"cnt_{m.col}")).cast("long").alias(f"cnt_{m.col}"),
         F.sum(F.col(f"sum_{m.col}")).alias(f"sum_{m.col}"),
         F.min(F.col(f"min_{m.col}")).alias(f"min_{m.col}"),
         F.max(F.col(f"max_{m.col}")).alias(f"max_{m.col}"),
-    )
+    ]
+    if m.distinct:
+        cols.append(F.hll_union_agg(F.col(f"hll_{m.col}")).alias(f"hll_{m.col}"))
+    return cols
 
 
 def build_rollup(df: DataFrame, keys: list[str], measures: list[Measure]) -> DataFrame:
@@ -70,11 +81,17 @@ def merge_rollups(
 
 def finalize(rollup: DataFrame, measures: list[Measure]) -> DataFrame:
     """Attach derived stats that are NOT mergeable but are exact functions
-    of the partials (avg = sum/cnt). Read-time projection, zero jobs."""
+    of the partials (avg = sum/cnt; approx distinct from the HLL sketch).
+    Read-time projection, zero jobs."""
     out = rollup
     for m in measures:
         out = out.withColumn(
             f"avg_{m.col}",
             F.col(f"sum_{m.col}") / F.col(f"cnt_{m.col}"),
         )
+        if m.distinct:
+            out = out.withColumn(
+                f"approx_distinct_{m.col}",
+                F.hll_sketch_estimate(F.col(f"hll_{m.col}")),
+            ).drop(f"hll_{m.col}")
     return out

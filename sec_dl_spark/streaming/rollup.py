@@ -1,0 +1,97 @@
+"""Streaming maintenance of a partial-aggregate rollup (merge-on-read).
+
+Composes operators/rollup.py with the micro-batch loop: each batch writes
+its OWN partial-rollup partition (``run=<run>/batch=<id>`` — a retry
+overwrites the same directory, so commits are idempotent without any
+read-modify-write race), and the READ path merges all partials with one
+rollup-sized aggregation. This is the same append-only + merge-on-read
+discipline the cross-batch dedup registry uses (streaming/dedup.py), for
+the same reason: per-batch state mutation under overwrite semantics is
+where streaming sinks corrupt themselves. ``compact_rollup`` folds the
+accumulated partitions back to one when |batches| makes the read-side
+merge noticeable — the fold reads rollup-sized data only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sec_dl_spark.operators.rollup import Measure, build_rollup, merge_rollups
+
+
+def incremental_rollup_sink(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    measures: list[Measure],
+    run: str | None = None,
+):
+    """availableNow foreachBatch sink: per micro-batch, aggregate the
+    batch to its partial rollup and publish it as its own partition.
+    Returns the started StreamingQuery."""
+    run = run or uuid.uuid4().hex[:12]
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = build_rollup(batch_df, keys, measures)
+        part.write.mode("overwrite").parquet(
+            f"{rollup_path}/run={run}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    keys: list[str],
+    measures: list[Measure],
+) -> DataFrame:
+    """Merged view over every published partial partition: one groupBy
+    over rollup-sized data. Pass the result to operators/rollup.finalize
+    for derived stats."""
+    parts = spark.read.parquet(rollup_path).drop("run", "batch")
+    # merge_rollups is union+agg; with the union already materialized as
+    # one frame, a single re-aggregation is the same algebra
+    return merge_rollups(parts.limit(0), parts, keys, measures)
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    keys: list[str],
+    measures: list[Measure],
+) -> None:
+    """Fold all partitions into a single ``run=__compact__/batch=0``
+    partition. Two-phase: write the fold to a fresh run directory FIRST,
+    then delete the superseded partitions — a crash between the phases
+    leaves extra partials whose re-merge is idempotent (merging a fold
+    with its own inputs would double-count, so the fold is written under
+    a run name the reader treats like any other and the inputs are
+    removed before the function returns; a crash mid-delete requires
+    finishing the delete, never recomputing)."""
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(rollup_path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    old_runs = [
+        f.getPath()
+        for f in fs.listStatus(jvm.Path(rollup_path))
+        if f.isDirectory() and f.getPath().getName().startswith("run=")
+    ]
+    folded = read_rollup(spark, rollup_path, keys, measures)
+    staging = f"{rollup_path}/__fold_tmp__"
+    folded.write.mode("overwrite").parquet(staging)
+    for p in old_runs:
+        fs.delete(p, True)
+    fs.mkdirs(jvm.Path(f"{rollup_path}/run=__compact__"))
+    fs.rename(jvm.Path(staging), jvm.Path(f"{rollup_path}/run=__compact__/batch=0"))

@@ -1584,3 +1584,38 @@ def test_rollup_merge_is_rollup_sized(spark):
         .toString()
     )
     assert "InMemoryTableScan" in plan and "Range" not in plan.split("InMemoryTableScan")[0]
+
+
+def test_rollup_hll_distinct_merges_losslessly(spark):
+    """Measure(distinct=True): HLL sketch partials union across deltas,
+    and the merged estimate equals the single-pass sketch's estimate
+    EXACTLY (same sketch algebra), staying within 2% of the true
+    distinct count at this cardinality."""
+    from sec_dl_spark.operators.rollup import (
+        Measure,
+        build_rollup,
+        finalize,
+        merge_rollups,
+    )
+
+    base = spark.range(20_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 4999).alias("v")
+    )
+    ms = [Measure("v", distinct=True)]
+    a = build_rollup(base.where(F.col("id") < 12_000), ["k"], ms)
+    d = build_rollup(base.where(F.col("id") >= 12_000), ["k"], ms)
+    merged = {
+        r["k"]: r["approx_distinct_v"]
+        for r in finalize(merge_rollups(a, d, ["k"], ms), ms).collect()
+    }
+    single = {
+        r["k"]: r["approx_distinct_v"]
+        for r in finalize(build_rollup(base, ["k"], ms), ms).collect()
+    }
+    true = {
+        r["k"]: r["d"]
+        for r in base.groupBy("k").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    assert merged == single  # sketch union == sketch of union
+    for k, est in merged.items():
+        assert abs(est - true[k]) / true[k] < 0.02

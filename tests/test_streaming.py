@@ -1428,3 +1428,77 @@ def test_jsonl_stream_ingest_with_quarantine(spark, tmp_path_factory):
     bgood, bquar = read_jsonl_corpus(spark, str(src))
     assert {r.doc_id for r in bgood.collect()} == {1, 2, 3}
     assert bquar.count() == len(bad) == 2
+
+
+def test_streaming_rollup_matches_batch_and_compacts(spark, tmp_path_factory):
+    """Micro-batched rollup maintenance == batch recompute: events stream
+    in as file-batches, each publishing its partial partition; the merged
+    read equals the one-pass groupBy (count/min/max exactly, sum to float
+    tolerance), survives compaction unchanged, and a replayed run with a
+    fresh checkpoint overwrites its partitions instead of double-counting."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.operators.rollup import Measure, build_rollup, finalize
+    from sec_dl_spark.streaming.rollup import (
+        compact_rollup,
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    src = tmp_path_factory.mktemp("rollup_src")
+    rollup = str(tmp_path_factory.mktemp("rollup_out") / "rollup")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    data = [(["a", "b", "c"][i % 3], float(i % 17)) for i in range(300)]
+    full = spark.createDataFrame(data, schema)
+    for b in range(3):
+        spark.createDataFrame(data[b * 100 : (b + 1) * 100], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/b={b}")
+
+    keys, ms = ["k"], [Measure("v")]
+
+    def run_stream(ckpt: str, run: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b=*")
+        )
+        incremental_rollup_sink(
+            stream, rollup, ckpt, keys, ms, run=run
+        ).awaitTermination(120)
+
+    run_stream(str(tmp_path_factory.mktemp("rollup_ckpt1")), run="r1")
+
+    def snap(df):
+        return {
+            r["k"]: (r["cnt_v"], r["min_v"], r["max_v"], r["sum_v"], r["avg_v"])
+            for r in finalize(df, ms).collect()
+        }
+
+    got = snap(read_rollup(spark, rollup, keys, ms))
+    want = snap(build_rollup(full, keys, ms))
+    assert set(got) == set(want) == {"a", "b", "c"}
+    for k in want:
+        assert got[k][:3] == want[k][:3]
+        assert math.isclose(got[k][3], want[k][3], rel_tol=1e-12)
+        assert math.isclose(got[k][4], want[k][4], rel_tol=1e-12)
+
+    # replay same run with a fresh checkpoint: partitions overwrite, no
+    # double counting
+    run_stream(str(tmp_path_factory.mktemp("rollup_ckpt2")), run="r1")
+    assert snap(read_rollup(spark, rollup, keys, ms)) == got
+
+    # compaction folds partitions; the merged view is unchanged
+    compact_rollup(spark, rollup, keys, ms)
+    assert snap(read_rollup(spark, rollup, keys, ms)) == got
+    import os
+
+    runs = [d for d in os.listdir(rollup) if d.startswith("run=")]
+    assert runs == ["run=__compact__"]
