@@ -591,3 +591,80 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_overlap_us").desc(), "user_a", "user_b")
         .limit(20)
     )
+
+
+@query(
+    "cdc_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/cdc.py:apply_changes): the events stream read
+    as a change log — per user the highest-(ts, event_id) change wins,
+    and users whose latest change is an 'error' (the delete operation
+    here) drop out of the snapshot entirely. The classic upsert-with-
+    tombstones materialization: one key-partitioned window, one
+    shuffle, history length only widens partitions."""
+    from sec_dl_spark.operators.cdc import apply_changes
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    snap = apply_changes(
+        e, key_cols=["user_id"], seq_cols=["us", "event_id"],
+        op_col="event_type", delete_op="error",
+    )
+    return snap.select("user_id", "event_type", "value").orderBy("user_id")
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS value, valid_from, valid_to FROM (
+      SELECT user_id, event_id, value, epoch_us(ts) AS valid_from,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS valid_to,
+             event_type
+      FROM events)
+    WHERE event_type <> 'error' AND user_id < 20
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history (operators/cdc.py:scd2_history): every non-delete
+    change becomes a validity interval [valid_from, valid_to), closed by
+    the NEXT change of the same key (deletes close their predecessor but
+    emit no row); the latest live version carries an open (NULL)
+    valid_to. One lead window per key — the standard dimension-history
+    build, which downstream as-of joins consume."""
+    from sec_dl_spark.operators.cdc import scd2_history
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_type",
+        )
+    )
+    hist = scd2_history(
+        e, key_cols=["user_id"], seq_cols=["us", "event_id"],
+        op_col="event_type", delete_op="error",
+    )
+    return hist.select(
+        "user_id", "event_id", "value", "valid_from", "valid_to"
+    ).orderBy("user_id", "valid_from", "event_id")

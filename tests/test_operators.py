@@ -1619,3 +1619,52 @@ def test_rollup_hll_distinct_merges_losslessly(spark):
     assert merged == single  # sketch union == sketch of union
     for k, est in merged.items():
         assert abs(est - true[k]) / true[k] < 0.02
+
+
+def test_cdc_apply_changes_tombstones_and_ties(spark):
+    """Latest change per key wins; a delete as the latest change removes
+    the key; a delete FOLLOWED by an upsert resurrects it; sequence ties
+    break on the composite seq columns."""
+    from sec_dl_spark.operators.cdc import apply_changes
+
+    rows = [
+        # key, seq1, seq2, op, payload
+        (1, 10, 0, "U", "a"),
+        (1, 20, 0, "U", "b"),       # latest for 1 -> survives as "b"
+        (2, 10, 0, "U", "x"),
+        (2, 20, 0, "D", None),      # tombstone latest -> 2 vanishes
+        (3, 10, 0, "D", None),
+        (3, 20, 0, "U", "alive"),   # resurrection
+        (4, 10, 1, "U", "late"),    # same seq1, higher seq2 wins
+        (4, 10, 0, "U", "early"),
+    ]
+    df = spark.createDataFrame(rows, "k long, s1 long, s2 long, op string, v string")
+    snap = {
+        r["k"]: r["v"]
+        for r in apply_changes(df, ["k"], ["s1", "s2"]).collect()
+    }
+    assert snap == {1: "b", 3: "alive", 4: "late"}
+
+
+def test_cdc_scd2_intervals(spark):
+    """SCD2: each non-delete change is valid until the NEXT change (which
+    may be a delete — it closes the interval without emitting a row);
+    the live latest version has an open (NULL) valid_to."""
+    from sec_dl_spark.operators.cdc import scd2_history
+
+    rows = [
+        (1, 10, "U", "v1"),
+        (1, 20, "U", "v2"),
+        (1, 30, "D", None),     # closes v2, emits nothing
+        (2, 10, "U", "w1"),     # still live -> open interval
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, op string, v string")
+    hist = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in scd2_history(df, ["k"], ["s"]).collect()
+    }
+    assert hist == {
+        (1, "v1"): (10, 20),
+        (1, "v2"): (20, 30),
+        (2, "w1"): (10, None),
+    }
