@@ -88,6 +88,11 @@ HEADLINE = [
     "emb_hamming_topk",
     "entity_match_trigram",
     "join_q7_nation_volume",
+    # warehouse-maintenance family: quality audit (one-pass rule agg +
+    # anti join), incremental rollup fold, CDC snapshot window
+    "dq_violation_report",
+    "rollup_incremental_merge",
+    "cdc_latest_snapshot",
 ]
 
 

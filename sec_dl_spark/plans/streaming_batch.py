@@ -668,3 +668,38 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "event_id", "value", "valid_from", "valid_to"
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+@query(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           (round(avg(CAST(k AS DOUBLE)) + 1e-8, 4) + 0.0) AS avg_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics through Spark 4's VARIANT type:
+    ``parse_json`` once, ``try_variant_get`` typed extraction — the
+    binary variant encoding decodes fields without re-parsing the JSON
+    text per access, which is the point at 100 TB (parse once per row,
+    not once per extracted path; malformed payloads yield NULL rather
+    than failing the scan under ANSI mode). The oracle extracts the same
+    path with DuckDB's JSON functions."""
+    e = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+            (F.round(F.avg(F.col("k").cast("double")) + F.lit(1e-8), 4) + F.lit(0.0)).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -69,6 +69,13 @@ PROBE = [
     "emb_hamming_topk",
     "entity_match_trigram",
     "join_q7_nation_volume",
+    # warehouse-maintenance + interval family: the DQ one-pass audit, the
+    # rollup fold (must stay rollup-sized), the CDC snapshot window, and
+    # the bucketed session-overlap join (pair volume is the risk)
+    "dq_violation_report",
+    "rollup_incremental_merge",
+    "cdc_latest_snapshot",
+    "events_concurrent_sessions",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
