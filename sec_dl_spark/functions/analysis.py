@@ -193,3 +193,30 @@ def contamination_ngrams(
             ).alias("contamination"),
         )
     )
+
+
+def compressed_len():
+    """Arrow-batched zlib-compressed byte length (the Gopher/RedPajama-class
+    "compressibility" quality signal: near-incompressible text is noise or
+    already-compressed junk; hyper-compressible text is boilerplate or
+    repetition). No SQL-engine analog exists, so queries built on this are
+    rows-only checked; pytest pins parity against direct ``zlib`` calls.
+
+    Deterministic for a fixed zlib level (6) and library — zlib's output is
+    stable across platforms for the same level/strategy. Defined lazily
+    (function returning the pandas_udf) so importing this module never
+    needs an active session and the closure ships clean to executors."""
+    import pandas as pd  # noqa: PLC0415 (annotation target below)
+    from pyspark.sql.types import LongType  # noqa: PLC0415
+
+    globals().setdefault("pd", pd)  # resolve the postponed annotation
+
+    @F.pandas_udf(LongType())
+    def _zlen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(
+            lambda x: len(zlib.compress(x.encode("utf-8"), 6)) if x is not None else None
+        )
+
+    return _zlen

@@ -45,6 +45,54 @@ def apply_changes(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    change_col: str = "change_type",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two table snapshots (the inverse of
+    ``apply_changes``: given two materialized states, recover the change
+    set). Full outer join on the key; each key classifies as ``added``
+    (key only in ``new``), ``removed`` (only in ``old``) or ``changed``
+    (present in both with any compared column differing — null-safe
+    comparison, so NULL→value and value→NULL both count as changes).
+
+    Returns the key columns, ``change_type``, and ``old_<c>`` / ``new_<c>``
+    for every compared column. ``compare_cols`` defaults to all shared
+    non-key columns. One shuffle per side on the key; at 100 TB both
+    snapshots are typically bucketed/partitioned by the same key so the
+    exchange is avoidable — and AQE handles the skewed-key case. The
+    reference's DELETE+reinsert maintenance
+    (sec_dl/utils/load_filings_idx.py:51-56) is the degenerate form where
+    every key is treated as changed; this computes the minimal set."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    any_diff = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(any_diff, "changed")
+        .otherwise("unchanged")
+    )
+    out = joined.withColumn(change_col, change).drop("_in_old", "_in_new")
+    if not include_unchanged:
+        out = out.where(F.col(change_col) != "unchanged")
+    return out
+
+
 def scd2_history(
     changes: DataFrame,
     key_cols: list[str],

@@ -89,3 +89,37 @@ def pack_sequences(
         return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
 
     return docs_with_counts.groupBy(key).applyInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    order_cols: list[str] | None = None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Weight-balanced shard assignment (the training-output step that
+    spreads documents across N output shards so every shard carries a
+    near-equal token load): rank rows by descending weight, then deal them
+    out boustrophedon (snake) — rank r goes to shard ``r mod N`` on even
+    passes and ``N-1-(r mod N)`` on odd passes. With sorted weights this is
+    the classic LPT-style greedy: each pass pairs the currently-largest
+    remaining items against the shards that received the smallest items
+    last pass, so shard totals converge instead of drifting.
+
+    The rank comes from :func:`sec_dl_spark.operators.relational.global_rank`
+    — the distributed range-partition + offset formulation, NOT a global
+    window (which would collapse every row into one partition); the dealing
+    itself is a codegen projection. No driver loop, no Python.
+    Deterministic: ties broken by ``order_cols`` (required to make the
+    rank total), so the assignment is oracle-checkable against a SQL
+    ``row_number`` twin."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    order = [F.col(weight_col).desc()] + [F.asc(c) for c in (order_cols or [])]
+    ranked = global_rank(df, order, rank_col="_r")
+    r = F.col("_r")
+    pos = r % n_shards
+    fwd = F.floor(r / n_shards) % 2 == 0
+    shard = F.when(fwd, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn(shard_col, shard.cast("int")).drop("_r")

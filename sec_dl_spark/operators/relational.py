@@ -422,3 +422,49 @@ def interval_overlap_pairs(
         .distinct()
     )
     return pairs
+
+
+def global_rank(
+    df: DataFrame,
+    order: list,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """0-based global dense row rank WITHOUT the single-partition collapse
+    of ``row_number() OVER (ORDER BY ...)`` (a global window moves every
+    row into one partition — the textbook 100 TB scale-killer).
+
+    Three-step distributed formulation, all JVM-side:
+
+    1. ``repartitionByRange`` on the full order key (a range exchange —
+       partition i holds keys strictly before partition i+1's);
+    2. per-partition local ``row_number`` (window partitioned by
+       ``spark_partition_id()`` — one hash exchange on the partition id,
+       each window partition is one bounded range chunk);
+    3. partition row-counts (a tiny O(num_partitions) aggregate) become
+       cumulative offsets, broadcast-joined back; global rank =
+       offset + local rank.
+
+    ``order`` must be a TOTAL order (break ties) — then the result equals
+    the global ``row_number`` regardless of where the sampled range
+    boundaries land, so it is deterministic and oracle-checkable even
+    though the partitioning itself is not."""
+    ranged = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order)) - 1
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranged.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )

@@ -2239,3 +2239,72 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_l_quantity", 2).alias("max_l_quantity"),
         (F.round(F.col("avg_l_quantity") + F.lit(1e-8), 4) + F.lit(0.0)).alias("avg_q"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+       OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+       OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/cdc.py:snapshot_diff — the inverse of CDC
+    apply: recover the minimal change set between two materialized table
+    states). The 'new' snapshot is a deterministic mutation of orders —
+    every 13th key dropped (removed), every 7th repriced by +10.0
+    (changed; IEEE double add, bit-identical cross-engine), every 17th
+    re-keyed past the keyspace (added). One full-outer join on the key;
+    unchanged keys (the overwhelming majority — the point of diffing at
+    100 TB) never leave the join."""
+    from sec_dl_spark.operators.cdc import snapshot_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    diff = snapshot_diff(
+        o, new.unionByName(added), key_cols=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return diff.select(
+        "o_orderkey",
+        "change_type",
+        "old_o_totalprice",
+        "new_o_totalprice",
+        "old_o_orderstatus",
+        "new_o_orderstatus",
+    ).orderBy("o_orderkey")

@@ -703,3 +703,43 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_equidepth_bins",
+    oracle="""
+    WITH r AS (SELECT value, event_id,
+                      row_number() OVER (ORDER BY value, event_id) - 1 AS rk
+               FROM events),
+    n AS (SELECT count(*) AS n_total FROM events)
+    SELECT CAST((rk * 8) // n_total AS INTEGER) AS bin,
+           count(*) AS n_events, min(value) AS min_v, max(value) AS max_v
+    FROM r, n GROUP BY bin ORDER BY bin
+    """,
+)
+def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of the value column — the
+    data-profiling/optimizer-statistics primitive: 8 bins, each holding
+    N/8 rows, with exact value bounds per bin. Bin = floor(rank*8/N) on
+    the DISTRIBUTED global rank (operators/relational.py:global_rank —
+    range partition + offsets, never a single-partition window), so the
+    same plan profiles a 10^12-row column. Raw double min/max per bin are
+    byte-exact cross-engine; tie-break by event_id makes the rank total."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    e = t(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_rank(
+        e, [F.col("value").asc(), F.col("event_id").asc()], rank_col="_r"
+    )
+    tot = e.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("bin", F.expr("CAST((_r * 8) DIV _n AS INT)"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("bin")
+    )

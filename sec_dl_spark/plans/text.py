@@ -669,6 +669,148 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ix AS (SELECT doc_id, toks,
+                  unnest(generate_series(1, CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS i
+           FROM tk WHERE len(toks) > 0)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+           CAST((i - 1) * 25 AS BIGINT) AS start_tok,
+           array_to_string(toks[(i-1)*25+1:(i-1)*25+50], ' ') AS chunk_text
+    FROM ix
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows (size 50, stride 25): the RAG/pretraining
+    chunker that keeps a half-window overlap so no span is ever split across
+    a hard boundary. Same generator shape as doc_chunks — a transform over
+    window starts + posexplode, all codegen, chunking pipelines inside the
+    scan stage. Windows start at every stride multiple below the doc length,
+    so trailing windows shorten and every token appears in ≤ 2 windows."""
+    tk = tok_docs(spark, sf_dir).select("doc_id", "toks").where(F.size("toks") > 0)
+    n_windows = F.ceil(F.size("toks") / F.lit(25.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * 25 + 1, 50), " "),
+    )
+    return (
+        tk.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * 25).cast("long").alias("start_tok"),
+            "chunk_text",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "corpus_shard_assign",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, len({TOKS}) AS n_tokens FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+          FROM tk)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                     ELSE 7 - (rk % 8) END AS INTEGER) AS shard
+    FROM r ORDER BY doc_id
+    """,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding (operators/grouped.py:assign_shards):
+    rank docs by descending token count, deal boustrophedon across 8 shards
+    so shard token totals converge (LPT-style greedy). The rank comes from
+    operators/relational.py:global_rank — range partition + per-partition
+    offsets, never a single-partition global window — so the same plan
+    holds when the corpus is 10^11 docs. Oracle is the plain SQL
+    row_number twin: the distributed rank must equal it exactly."""
+    from sec_dl_spark.operators.grouped import assign_shards
+
+    tk = tok_docs(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return (
+        assign_shards(tk, n_shards=8, weight_col="n_tokens", order_cols=["doc_id"])
+        .select("doc_id", "n_tokens", "shard")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_token_spans_udtf",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE doc_id < 100),
+    ix AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS token
+           FROM tk),
+    off AS (SELECT doc_id, i, token,
+                   sum(length(token)) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+            FROM ix)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS tok_idx, token,
+           CAST(coalesce(prev, 0) + (i - 1) AS BIGINT) AS start_char,
+           CAST(coalesce(prev, 0) + (i - 1) + length(token) AS BIGINT) AS end_char
+    FROM off ORDER BY doc_id, tok_idx
+    """,
+)
+def doc_token_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token spans through a REAL Python UDTF (§2.10 — the ``@udtf`` class
+    API, invoked via LATERAL): each document expands to one row per token
+    with character offsets (functions/udtf.py:token_spans_udtf — the
+    annotation-pipeline tokenizer). The oracle recomputes offsets in SQL
+    from the fixture's single-space-joined token layout (verified at all
+    SFs), so the UDTF's Arrow plumbing itself is what's being checked.
+    Bounded to doc_id < 100 to keep the driver compare small (~12k rows)."""
+    from sec_dl_spark.functions.udtf import token_spans_udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("token_spans", token_spans_udtf())
+    t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok_idx, s.token, s.start_char, s.end_char
+        FROM _udtf_docs d, LATERAL token_spans(d.text) s
+        ORDER BY doc_id, tok_idx
+        """
+    )
+
+
+@query("text_compress_ratio", oracle=None)
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal (zlib level 6, Arrow-batched —
+    functions/analysis.py:compressed_len): boilerplate/repetition compresses
+    far below prose, binary junk barely compresses at all. No SQL analog
+    (rows-only check); pytest pins parity against direct zlib calls and the
+    repetitive<prose<random ordering. Embarrassingly parallel: one Arrow
+    pass, no shuffle."""
+    from sec_dl_spark.functions.analysis import compressed_len
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    zlen = compressed_len()
+    return (
+        d.select(
+            "doc_id",
+            F.length(F.col("text")).cast("long").alias("n_chars"),
+            zlen(F.col("text")).alias("z_bytes"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "z_bytes",
+            rz(F.col("z_bytes") / F.col("n_chars")).alias("compress_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "fts_ranked_tfidf",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),

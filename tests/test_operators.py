@@ -1668,3 +1668,136 @@ def test_cdc_scd2_intervals(spark):
         (1, "v2"): (20, 30),
         (2, "w1"): (10, None),
     }
+
+
+def test_snapshot_diff_classifies(spark):
+    """added / removed / changed (null-safe: NULL->value counts) with
+    unchanged keys dropped by default and kept on request."""
+    from sec_dl_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (3, 30.0, "c"), (4, 40.0, "D"), (5, 50.0, "e")],
+        "k long, price double, status string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "removed", 3: "changed", 4: "changed", 5: "added"}
+    full = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert {r["k"]: r["change_type"] for r in full.collect()}[1] == "unchanged"
+    # changed rows carry both sides
+    row3 = {r["k"]: r for r in full.collect()}[3]
+    assert row3["old_price"] is None and row3["new_price"] == 30.0
+
+
+def test_global_rank_matches_row_number_and_stays_distributed(spark):
+    """The distributed rank equals the global row_number for a total
+    order, regardless of partitioning; the plan range-partitions instead
+    of collapsing the input into a single-partition window."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.relational import global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(13)
+    ranked = global_rank(df, [F.col("w").desc(), F.col("id").asc()], "r")
+    got = {r["id"]: r["r"] for r in ranked.collect()}
+    expect = {
+        id_: rk
+        for rk, (id_, _) in enumerate(sorted(rows, key=lambda t: (-t[1], t[0])))
+    }
+    assert got == expect
+    plan = ranked._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+
+
+def test_assign_shards_balances_and_is_deterministic(spark):
+    """Snake dealing over the descending-weight rank: every shard gets
+    n/N rows, shard weight totals stay within a few percent, and the
+    assignment is a pure function of (weight, tiebreak)."""
+    import random
+
+    from sec_dl_spark.operators.grouped import assign_shards
+
+    rng = random.Random(11)
+    rows = [(i, 50 + rng.randrange(1000)) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = assign_shards(df, 8, "w", order_cols=["id"]).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["w"])
+    assert set(by_shard) == set(range(8))
+    counts = {s: len(v) for s, v in by_shard.items()}
+    assert set(counts.values()) == {100}
+    sums = {s: sum(v) for s, v in by_shard.items()}
+    assert max(sums.values()) / min(sums.values()) < 1.05
+    # deterministic under different input partitioning
+    out2 = assign_shards(df.repartition(17), 8, "w", order_cols=["id"]).collect()
+    assert {r["id"]: r["shard"] for r in out2} == {r["id"]: r["shard"] for r in out}
+
+
+def test_udtf_sentence_split_and_token_spans(spark):
+    """The real @udtf classes: sentence splitting on punctuated text
+    (rule: punctuation + spaces ends a sentence) and token spans with
+    correct character offsets into the lowercased text."""
+    from sec_dl_spark.functions.udtf import sentence_udtf, token_spans_udtf
+
+    spark.udtf.register("t_sent", sentence_udtf())
+    spark.udtf.register("t_spans", token_spans_udtf())
+    spark.createDataFrame(
+        [(1, "Hi there. Second one!  Trailing? ")], "id long, text string"
+    ).createOrReplaceTempView("udtf_t")
+
+    sents = spark.sql(
+        "SELECT s.* FROM udtf_t, LATERAL t_sent(text) s ORDER BY sent_idx"
+    ).collect()
+    assert [r["sentence"] for r in sents] == ["Hi there.", "Second one!", "Trailing?"]
+    assert [r["sent_idx"] for r in sents] == [0, 1, 2]
+
+    spans = spark.sql(
+        "SELECT s.* FROM udtf_t, LATERAL t_spans(text) s ORDER BY tok_idx"
+    ).collect()
+    text = "hi there. second one!  trailing? "
+    assert [r["token"] for r in spans] == ["hi", "there", "second", "one", "trailing"]
+    for r in spans:
+        assert text[r["start_char"] : r["end_char"]] == r["token"]
+
+
+def test_compressed_len_matches_zlib_and_orders_quality(spark):
+    """Arrow zlib length == direct zlib; repetition compresses below
+    prose, random junk barely compresses."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.functions.analysis import compressed_len
+
+    import random
+
+    rng = random.Random(3)
+    prose = "the quick brown fox jumps over the lazy dog " * 20
+    repeat = "spam " * 180
+    junk = "".join(chr(rng.randrange(0x20, 0x2FF)) for _ in range(900))
+    df = spark.createDataFrame(
+        [(1, prose), (2, repeat), (3, junk), (4, None)], "id long, text string"
+    )
+    zlen = compressed_len()
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", zlen(F.col("text")).alias("z")).collect()
+    }
+    for i, s in ((1, prose), (2, repeat), (3, junk)):
+        assert got[i] == len(zlib.compress(s.encode("utf-8"), 6))
+    assert got[4] is None
+    r1 = got[1] / len(prose.encode())
+    r2 = got[2] / len(repeat.encode())
+    r3 = got[3] / len(junk.encode())
+    assert r2 < r1 < r3
