@@ -92,6 +92,45 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Asymmetric containment pairs: c / min(|A|, |B|) — the quote/subset
+    detector Jaccard misses. A short document wholly quoted inside a long
+    one has tiny Jaccard (the union is dominated by the long doc) but
+    containment 1.0; dedup pipelines use it to drop excerpts, boilerplate
+    wrappers, and re-posts with added commentary.
+
+    Same posting-list co-occurrence plan as :func:`jaccard_pairs` (shuffle
+    keyed by shingle, never a blocked cross join); only the final scoring
+    expression differs, so the scale shape is identical. Returns
+    (id_a, id_b, containment) with id_a < id_b, containment >= threshold;
+    pairs sharing no shingle are never materialized."""
+    sh = _shingled(docs, id_col, text_col, block_col, n).withColumn("_sz", F.size("_sh"))
+    post = sh.select("_id", "_blk", "_sz", F.explode("_sh").alias("_t"))
+    a = post.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), F.col("_blk"), F.col("_t")
+    )
+    b = post.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), F.col("_blk"), F.col("_t")
+    )
+    pairs = (
+        a.join(b, ["_blk", "_t"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cont = F.col("_c").cast("double") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return pairs.select("id_a", "id_b", cont.alias("containment")).where(
+        F.col("containment") >= threshold
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

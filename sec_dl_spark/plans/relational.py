@@ -2308,3 +2308,58 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_o_orderstatus",
         "new_o_orderstatus",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(o_orderkey) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_v,
+           (round(avg(CAST(o_orderkey AS DOUBLE)) + 1e-9, 4) + 0.0) AS avg_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(o_custkey) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE),
+           CAST(max(o_custkey) AS DOUBLE),
+           (round(avg(CAST(o_custkey AS DOUBLE)) + 1e-9, 4) + 0.0)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE),
+           CAST(max(o_totalprice) AS DOUBLE),
+           (round(avg(o_totalprice) + 1e-9, 4) + 0.0)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (operators/quality.py:profile): per-column
+    non-null/null/exact-distinct counts + min/max/mean from a SINGLE
+    aggregate over one scan (the stack() pivot is free — profiling k
+    columns never costs k passes; the oracle's k-subquery UNION is the
+    naive form this replaces). Exact distincts ride Catalyst's Expand;
+    the report is the standard pre-ingest data-contract check."""
+    from sec_dl_spark.operators.quality import profile
+
+    p = profile(
+        t(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return p.select(
+        "col_name",
+        "n",
+        "n_null",
+        "n_distinct",
+        "min_v",
+        "max_v",
+        (F.round(F.col("avg_v") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_v"),
+    ).orderBy("col_name")

@@ -743,3 +743,61 @@ def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "cdc_temporal_join",
+    oracle="""
+    WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                  FROM events WHERE user_id < 5),
+    hist AS (
+      SELECT user_id, event_id AS version_id, us AS valid_from, event_type,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+      FROM base),
+    live AS (SELECT * FROM hist WHERE event_type <> 'error')
+    SELECT p.event_id, p.user_id, l.version_id, l.valid_from
+    FROM base p LEFT JOIN live l
+      ON p.user_id = l.user_id AND p.us >= l.valid_from
+     AND (l.valid_to IS NULL OR p.us < l.valid_to)
+    ORDER BY p.event_id
+    """,
+)
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup — the consumption side of SCD2: each fact
+    (probe event) joins the dimension VERSION valid at its timestamp
+    (key equi-join + half-open interval predicate over the scd2_history
+    table; 'error' changes are tombstones, so probes landing in a deleted
+    period match nothing and stay NULL via the left join). Intervals per
+    key are disjoint by construction, so every probe matches at most one
+    version. Scale shape: the equi key carries the shuffle; the range
+    predicate evaluates within the key's partition (never a
+    broadcast-nested-loop)."""
+    from sec_dl_spark.operators.cdc import scd2_history
+
+    base = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 5)
+        .select(
+            "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"), "event_type"
+        )
+    )
+    hist = scd2_history(
+        base, key_cols=["user_id"], seq_cols=["us", "event_id"],
+        op_col="event_type", delete_op="error",
+    ).select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("event_id").alias("version_id"),
+        "valid_from",
+        "valid_to",
+    )
+    p = base.select("event_id", "user_id", "us")
+    joined = p.join(
+        hist,
+        (F.col("user_id") == F.col("h_user_id"))
+        & (F.col("us") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("us") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select("event_id", "user_id", "version_id", "valid_from").orderBy(
+        "event_id"
+    )

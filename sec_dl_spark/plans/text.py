@@ -329,6 +329,92 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / least(len(a.sh), len(b.sh)) + 1e-9, 6) AS containment
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+    ORDER BY containment DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py:containment_pairs):
+    shared shingles over the SMALLER set — the quote/subset detector. A
+    short doc fully quoted inside a long one scores 1.0 here but near 0 on
+    Jaccard, so excerpt/boilerplate-wrapper dedup keys on this. Same
+    posting-list co-occurrence plan as dedup_jaccard_pairs (shuffle keyed
+    by shingle, blocked by source), only the scoring expression differs."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(d, block_col="source", n=3, threshold=0.0)
+    return (
+        pairs.where(F.col("containment") > 0)
+        .select(
+            "id_a", "id_b", F.round(F.col("containment") + 1e-9, 6).alias("containment")
+        )
+        .orderBy(F.col("containment").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+    c AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+    v AS (SELECT w FROM c ORDER BY freq DESC, w LIMIT 1000),
+    hits AS (SELECT doc_id, count(*) AS n_in FROM tok
+             WHERE w IN (SELECT w FROM v) GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM tk WHERE len(toks) > 0)
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(h.n_in, 0) AS BIGINT) AS n_oov,
+           {rz_sql('(t.n_tokens - coalesce(h.n_in, 0)) / CAST(t.n_tokens AS DOUBLE)')} AS oov_rate
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage signal: per-doc fraction of tokens outside the
+    corpus top-1000 vocabulary (rank by frequency desc, token asc — ties
+    deterministic). High OOV rate flags token-soup noise, foreign-script
+    leakage, and docs a fixed tokenizer vocabulary would shred. The vocab
+    cut compiles to TakeOrderedAndProject (per-partition heaps — the
+    vocabulary is never globally sorted); the membership check is a
+    token-keyed semi-join with NO broadcast hint (corpus-derived model —
+    AQE decides, per the de-hinting rule the plan tests pin)."""
+    tk = tok_docs(spark, sf_dir)
+    c = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = c.orderBy(F.desc("freq"), F.asc("w")).limit(1000).select("w")
+    tok = tk.select("doc_id", F.explode("toks").alias("w"))
+    hits = tok.join(vocab, "w", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    tot = tk.where(F.size("toks") > 0).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    n_oov = F.col("n_tokens") - F.coalesce(F.col("n_in"), F.lit(0))
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_oov.cast("long").alias("n_oov"),
+            rz(n_oov / F.col("n_tokens").cast("double")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_keep_list",
     oracle=f"""
     WITH fp AS (SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents)

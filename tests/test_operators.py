@@ -1801,3 +1801,45 @@ def test_compressed_len_matches_zlib_and_orders_quality(spark):
     r2 = got[2] / len(repeat.encode())
     r3 = got[3] / len(junk.encode())
     assert r2 < r1 < r3
+
+
+def test_containment_detects_quotes_jaccard_misses(spark):
+    """A short doc fully contained in a long doc: containment 1.0 while
+    Jaccard stays far below — the excerpt-detection property."""
+    from sec_dl_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    assert jac[(1, 2)] < 0.15
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_profile_single_pass_stats(spark):
+    """Profiler stats match hand-computed values (nulls, distincts, mixed
+    int/double columns stack into one DOUBLE report) and the plan runs
+    ONE aggregate over one scan."""
+    from sec_dl_spark.operators.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, None), (4, 20.0)], "k long, v double"
+    )
+    rows = {r["col_name"]: r for r in profile(df, ["k", "v"]).collect()}
+    k, v = rows["k"], rows["v"]
+    assert (k["n"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_v"], k["max_v"], k["avg_v"]) == (1.0, 4.0, 2.25)
+    assert (v["n"], v["n_null"], v["n_distinct"]) == (3, 1, 2)
+    assert v["min_v"] == 10.0 and v["max_v"] == 20.0
+    plan = profile(df, ["k", "v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan existingrdd") <= 1
