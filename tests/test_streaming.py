@@ -1502,3 +1502,89 @@ def test_streaming_rollup_matches_batch_and_compacts(spark, tmp_path_factory):
 
     runs = [d for d in os.listdir(rollup) if d.startswith("run=")]
     assert runs == ["run=__compact__"]
+
+
+def test_streaming_change_feed_cross_batch(spark, tmp_path_factory):
+    """Change-data-feed sink: per micro-batch, added/changed/removed
+    classification against the pre-batch state (tombstones remove; an
+    unchanged re-upsert emits nothing; deleting an absent key emits
+    nothing), merge-on-read current state equals the hand-applied result,
+    a replay of the same run is idempotent, and a foreign run token is
+    refused on an existing state dir."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.cdc import (
+        change_feed_sink,
+        current_state,
+        read_change_feed,
+    )
+
+    src = tmp_path_factory.mktemp("cdc_src")
+    state = str(tmp_path_factory.mktemp("cdc_out") / "state")
+    feed = str(tmp_path_factory.mktemp("cdc_out") / "feed")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    batches = [
+        [("k1", "U", 1.0), ("k2", "U", 2.0)],
+        [("k1", "U", 9.0), ("k3", "U", 3.0), ("k2", "D", None)],
+        [("k2", "U", 5.0), ("k4", "D", None), ("k1", "U", 9.0)],
+    ]
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b={b}")
+
+    def run_stream(ckpt: str, run: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b=*")
+        )
+        change_feed_sink(
+            stream, state, feed, ckpt, ["k"], ["v"], run=run
+        ).awaitTermination(120)
+
+    run_stream(str(tmp_path_factory.mktemp("cdc_ckpt1")), run="cdcrun")
+
+    feed_rows = {
+        (r["batch"], r["k"]): r["change_type"]
+        for r in read_change_feed(spark, feed).collect()
+    }
+    assert feed_rows == {
+        (0, "k1"): "added",
+        (0, "k2"): "added",
+        (1, "k1"): "changed",
+        (1, "k3"): "added",
+        (1, "k2"): "removed",
+        (2, "k2"): "added",  # resurrection after tombstone
+        # (2, "k4") absent: delete of a key that never existed
+        # (2, "k1") absent: unchanged re-upsert
+    }
+
+    snap = {
+        r["k"]: (r["op"], r["v"])
+        for r in current_state(spark, state, ["k"]).collect()
+    }
+    assert snap == {"k1": ("U", 9.0), "k2": ("U", 5.0), "k3": ("U", 3.0)}
+
+    # replay same run, fresh checkpoint: partitions overwrite, identical feed
+    run_stream(str(tmp_path_factory.mktemp("cdc_ckpt2")), run="cdcrun")
+    assert {
+        (r["batch"], r["k"]): r["change_type"]
+        for r in read_change_feed(spark, feed).collect()
+    } == feed_rows
+    assert {
+        r["k"]: (r["op"], r["v"])
+        for r in current_state(spark, state, ["k"]).collect()
+    } == snap
+
+    # a different run token over the same state dir must be refused
+    with pytest.raises(Exception, match="another run"):
+        run_stream(str(tmp_path_factory.mktemp("cdc_ckpt3")), run="other")
