@@ -93,6 +93,11 @@ HEADLINE = [
     "dq_violation_report",
     "rollup_incremental_merge",
     "cdc_latest_snapshot",
+    # distributed-global-rank family (range partition + offsets — never a
+    # single-partition window) and the snapshot-diff full-outer join
+    "corpus_shard_assign",
+    "events_equidepth_bins",
+    "snapshot_diff_orders",
 ]
 
 

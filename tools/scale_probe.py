@@ -76,6 +76,15 @@ PROBE = [
     "rollup_incremental_merge",
     "cdc_latest_snapshot",
     "events_concurrent_sessions",
+    # session-3 additions: the distributed global rank (range partition +
+    # offsets — the probe verifies no single-partition collapse creeps
+    # in), the snapshot-diff full-outer join, the posting-list containment
+    # variant, and the vocab semi-join OOV signal
+    "corpus_shard_assign",
+    "events_equidepth_bins",
+    "snapshot_diff_orders",
+    "dedup_containment_pairs",
+    "text_oov_rate",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
