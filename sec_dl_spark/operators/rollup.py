@@ -34,6 +34,14 @@ class Measure:
 
     col: str
     distinct: bool = False
+    # hist_bins > 0 adds ``hist_<col>``: fixed-bin counts over
+    # [hist_lo, hist_hi) with under/overflow slots at index 0 and bins+1
+    # (width_bucket layout). Unlike sketches this partial is EXACTLY
+    # mergeable — element-wise sum — so incremental distribution tracking
+    # is lossless at the chosen resolution.
+    hist_bins: int = 0
+    hist_lo: float = 0.0
+    hist_hi: float = 1.0
 
 
 def _partial_cols(m: Measure):
@@ -45,6 +53,18 @@ def _partial_cols(m: Measure):
     ]
     if m.distinct:
         cols.append(F.hll_sketch_agg(F.col(m.col)).alias(f"hll_{m.col}"))
+    if m.hist_bins:
+        wb = F.width_bucket(
+            F.col(m.col), F.lit(m.hist_lo), F.lit(m.hist_hi), F.lit(m.hist_bins)
+        )
+        cols.append(
+            F.array(
+                *[
+                    F.sum(F.when(wb == i, 1).otherwise(0)).cast("long")
+                    for i in range(m.hist_bins + 2)
+                ]
+            ).alias(f"hist_{m.col}")
+        )
     return cols
 
 
@@ -57,6 +77,15 @@ def _merge_cols(m: Measure):
     ]
     if m.distinct:
         cols.append(F.hll_union_agg(F.col(f"hll_{m.col}")).alias(f"hll_{m.col}"))
+    if m.hist_bins:
+        zero = F.array(*[F.lit(0).cast("long")] * (m.hist_bins + 2))
+        cols.append(
+            F.aggregate(
+                F.collect_list(F.col(f"hist_{m.col}")),
+                zero,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias(f"hist_{m.col}")
+        )
     return cols
 
 

@@ -2735,6 +2735,51 @@ def sample_top_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_hash",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             CAST(md5_number_lower('ws1' || CAST(doc_id AS VARCHAR)) % 1048576
+                  AS BIGINT) + 1 AS u
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(u AS DOUBLE) / n_chars AS priority
+    FROM u ORDER BY priority, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample (bottom-50 by hash priority u/w,
+    w = n_chars): longer documents draw proportionally smaller priorities,
+    so selection probability grows with weight — the seeded, partition-
+    independent analog of weighted reservoir sampling. The textbook
+    Efraimidis-Spirakis key u^(1/w) needs ln(), whose last-ulp rounding
+    differs across engines (libm vs JVM) and could flip ranks at the
+    cut; this priority is one IEEE division of two exactly-representable
+    integers (20-bit hash draw + 1, over the integer weight), so every
+    engine computes bit-identical priorities and the sample is
+    byte-reproducible. Same prefix-composability as sample_top_hash
+    (bottom-2k contains bottom-k); compiles to TakeOrderedAndProject.
+    The 20-bit draw reconstructs DuckDB's md5_number_lower % 2^20 from
+    md5 hex bytes 8..10 (byte 8 least significant, _dsir_bucket
+    convention)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.md5(F.concat(F.lit("ws1"), F.col("doc_id").cast("string")))
+    b8 = F.conv(F.substring(h, 17, 2), 16, 10).cast("long")
+    b9 = F.conv(F.substring(h, 19, 2), 16, 10).cast("long")
+    b10 = F.conv(F.substring(h, 21, 2), 16, 10).cast("long")
+    u = b8 + b9 * 256 + (b10 % 16) * 65536 + 1
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (u.cast("double") / F.col("n_chars")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+@query(
     "text_duplicate_ngram_fraction",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),

@@ -1843,3 +1843,27 @@ def test_profile_single_pass_stats(spark):
     assert v["min_v"] == 10.0 and v["max_v"] == 20.0
     plan = profile(df, ["k", "v"])._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("scan existingrdd") <= 1
+
+
+def test_rollup_histogram_merges_losslessly(spark):
+    """Fixed-bin histogram partials are EXACTLY mergeable (element-wise
+    sum): batch-split build + merge equals the one-pass build bin for
+    bin, with under/overflow landing in slots 0 and bins+1."""
+    from sec_dl_spark.operators.rollup import Measure, build_rollup, merge_rollups
+
+    rows = [("a", float(v)) for v in range(-5, 105, 1)] + [
+        ("b", float(v * 7 % 100)) for v in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    m = [Measure("v", hist_bins=10, hist_lo=0.0, hist_hi=100.0)]
+
+    full = {r["k"]: r["hist_v"] for r in build_rollup(df, ["k"], m).collect()}
+    b1 = build_rollup(df.where("v < 40"), ["k"], m)
+    b2 = build_rollup(df.where("v >= 40"), ["k"], m)
+    merged = {
+        r["k"]: r["hist_v"] for r in merge_rollups(b1, b2, ["k"], m).collect()
+    }
+    assert merged == full
+    # "a" covers -5..104: 5 underflow, 5 overflow (100..104)
+    assert full["a"][0] == 5 and full["a"][-1] == 5
+    assert sum(full["a"]) == 110 and sum(full["b"]) == 60
