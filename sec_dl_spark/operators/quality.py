@@ -181,3 +181,46 @@ def gate(df: DataFrame, rules: list[Rule], max_violations: int = 0) -> DataFrame
     if bad:
         raise ValueError(f"quality gate failed: {bad}")
     return df
+
+
+def with_observed_metrics(df: DataFrame, name: str, metrics: dict):
+    """Attach zero-cost pipeline telemetry via Spark's Observation API:
+    the metric expressions (aggregates over the FULL frame) are computed
+    as a side-effect of whatever action next runs the plan — no second
+    scan, no extra job — and land on the returned Observation's ``get``.
+
+    This is how a 100 TB ingest reports row counts, null rates, and
+    bounds without paying for a telemetry pass: ``check()`` runs the
+    rules as their own job; this rides along with the job you already
+    run. Works on streaming frames too (metrics per micro-batch via
+    QueryProgress.observedMetrics).
+
+    Returns (observed_df, observation); call an action on observed_df
+    (or anything built on it) before reading ``observation.get``."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = [expr.alias(alias) for alias, expr in metrics.items()]
+    return df.observe(obs, *cols), obs
+
+
+def partition_skew_report(df: DataFrame) -> DataFrame:
+    """Physical-partition balance report: rows per Spark partition
+    (spark_partition_id groupBy — one cheap agg) plus each partition's
+    share of the max. The first thing to look at when a stage straggles:
+    a top-heavy report means the upstream partitioner (or a skewed key)
+    concentrated the work. Returns (pid, n_rows, frac_of_max) sorted by
+    n_rows descending."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    mx = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "frac_of_max",
+            F.col("n_rows").cast("double") / F.max("n_rows").over(mx),
+        )
+        .orderBy(F.desc("n_rows"), "pid")
+    )

@@ -2363,3 +2363,76 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_v",
         (F.round(F.col("avg_v") + F.lit(1e-9), 4) + F.lit(0.0)).alias("avg_v"),
     ).orderBy("col_name")
+
+
+@query(
+    "join_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND date_diff('day', o_orderdate, l_shipdate) > 60)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority checking (the fixtures carry no
+    commitdate/receiptdate, so 'late' adapts to a line shipped > 60 days
+    after the order date): one quarter of orders, EXISTS against their
+    lineitems, counts per priority. The correlated EXISTS decorrelates to
+    a left-semi join with the date gap as a residual condition — orders
+    scan prunes on the quarter predicate (pushed filter), lineitem only
+    shuffles its join key + shipdate."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_q6_forecast_revenue",
+    oracle="""
+    SELECT (round(sum(l_extendedprice * l_discount) + 1e-6, 2) + 0.0) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan-filter-aggregate —
+    the query whose entire cost is how much of the fact table the scan
+    can SKIP. All three predicates push into the parquet reader
+    (PushedFilters), no shuffle beyond the final 1-row reduce; at 100 TB
+    this is the poster child for partition pruning + min/max row-group
+    skipping on a shipdate-sorted layout (operators/layout.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + F.lit(1e-6), 2)
+                + F.lit(0.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

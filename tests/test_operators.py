@@ -1867,3 +1867,45 @@ def test_rollup_histogram_merges_losslessly(spark):
     # "a" covers -5..104: 5 underflow, 5 overflow (100..104)
     assert full["a"][0] == 5 and full["a"][-1] == 5
     assert sum(full["a"]) == 110 and sum(full["b"]) == 60
+
+
+def test_observed_metrics_ride_the_job(spark):
+    """Observation metrics arrive as a side-effect of the action — no
+    second scan — and report the aggregates over the full frame."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.quality import with_observed_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    observed, obs = with_observed_metrics(
+        df,
+        "ingest",
+        {
+            "n": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+            "max_v": F.max("v"),
+        },
+    )
+    assert observed.where("k >= 0").count() == 3  # the action
+    got = obs.get
+    assert got == {"n": 3, "n_null_v": 1, "max_v": 30.0}
+
+
+def test_partition_skew_report_flags_imbalance(spark):
+    """A frame repartitioned onto one hot key shows top-heavy shares; a
+    round-robin repartition shows near-equal ones."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.quality import partition_skew_report
+
+    df = spark.range(1000).withColumn("k", F.lit(1))
+    skewed = df.repartition(8, "k")  # all rows hash to one partition
+    rep = partition_skew_report(skewed).collect()
+    assert rep[0]["n_rows"] == 1000 and rep[0]["frac_of_max"] == 1.0
+    assert all(r["n_rows"] == 0 or r["frac_of_max"] in (0.0, 1.0) for r in rep)
+
+    even = partition_skew_report(df.repartition(8)).collect()
+    assert sum(r["n_rows"] for r in even) == 1000
+    assert min(r["n_rows"] for r in even) > 0
