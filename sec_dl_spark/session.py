@@ -32,6 +32,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # timestamp; read the raw int64 and truncate to micros in the scan
     # (sources/fixtures.py) — exactly what DuckDB's reader does implicitly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown (sources/pyds.py implements
+    # pushFilters; Spark refuses such readers unless this is on).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

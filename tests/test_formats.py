@@ -49,3 +49,102 @@ def test_text_read_requires_schema(spark, tmp_path):
 
 def test_formats_constant_lists_all():
     assert FORMATS == ("parquet", "orc", "json", "csv")
+
+
+IDX_PREAMBLE = """Description:           Master Index of EDGAR Dissemination Feed
+Last Data Received:    March 31, 1996
+Anonymous FTP:         ftp://ftp.sec.gov/edgar/
+
+ 
+ 
+ 
+CIK|Company Name|Form Type|Date Filed|Filename
+--------------------------------------------------------------------------------
+"""
+
+
+def _write_idx(path, rows):
+    with open(path, "w") as fh:
+        fh.write(IDX_PREAMBLE)
+        for r in rows:
+            fh.write("|".join(str(x) for x in r) + "\n")
+
+
+def test_python_datasource_parses_partitions_and_pushes_filters(spark, tmp_path):
+    """The custom Python DataSource: per-file partitions, preamble and
+    malformed rows skipped, and form_type equality pruned INSIDE the
+    Python reader (plan shows no residual filter for the pushed
+    predicate)."""
+    from sec_dl_spark.sources.pyds import EdgarIdxDataSource
+
+    _write_idx(
+        tmp_path / "q1.idx",
+        [
+            (1001, "ACME CORP", "10-K", "1996-01-02", "edgar/data/1001/0001.txt"),
+            (1002, "BETA INC", "10-Q", "1996-02-03", "edgar/data/1002/0002.txt"),
+            ("garbled line without pipes",),
+        ],
+    )
+    _write_idx(
+        tmp_path / "q2.idx",
+        [
+            (1003, "GAMMA LLC", "10-K", "1996-04-05", "edgar/data/1003/0003.txt"),
+            (1001, "ACME CORP", "8-K", "1996-05-06", "edgar/data/1001/0004.txt"),
+        ],
+    )
+    spark.dataSource.register(EdgarIdxDataSource)
+    df = spark.read.format("edgar_idx").load(str(tmp_path / "*.idx"))
+
+    all_rows = df.collect()
+    assert len(all_rows) == 4  # garbled + preamble rows dropped
+    assert df.rdd.getNumPartitions() == 2  # one per file
+
+    tenk = df.where(df.form_type == "10-K")
+    got = {(r["cik"], r["filename"]) for r in tenk.collect()}
+    assert got == {
+        (1001, "edgar/data/1001/0001.txt"),
+        (1003, "edgar/data/1003/0003.txt"),
+    }
+    # the accepted filter is NOT re-applied by Spark: the equality
+    # predicate vanishes from the plan (only isnotnull remains residual)
+    plan = tenk._jdf.queryExecution().executedPlan().toString()
+    assert "10-K" not in plan
+    assert "isnotnull(form_type" in plan
+
+
+def test_python_datasource_streaming_tails_new_files(spark, tmp_path):
+    """The custom streaming reader admits each idx file exactly once
+    across micro-batches: batch 1 sees file 1's rows, a later trigger
+    sees only file 2's."""
+    from sec_dl_spark.sources.pyds import EdgarIdxDataSource
+
+    spark.dataSource.register(EdgarIdxDataSource)
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_idx(src / "1996q1.idx", [(1001, "ACME", "10-K", "1996-01-02", "f1.txt")])
+
+    seen: list = []
+
+    def run_once():
+        q = (
+            spark.readStream.format("edgar_idx")
+            .load(str(src / "*.idx"))
+            .writeStream.foreachBatch(
+                lambda df, bid: seen.extend(
+                    (bid, r["cik"], r["filename"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert [(c, f) for _, c, f in seen] == [(1001, "f1.txt")]
+
+    _write_idx(src / "1996q2.idx", [(1002, "BETA", "10-Q", "1996-04-02", "f2.txt")])
+    seen.clear()
+    run_once()  # same checkpoint: only the NEW file's rows arrive
+    assert [(c, f) for _, c, f in seen] == [(1002, "f2.txt")]
