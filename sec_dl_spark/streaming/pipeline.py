@@ -231,3 +231,58 @@ def purchases_with_recent_clicks(
         ),
         "inner",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "purchase_value", "c_ts", "click_value")
+
+
+def running_user_totals_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Running per-user totals via Spark 4's ``transformWithStateInPandas``
+    — the successor of applyInPandasWithState: state is TYPED and NAMED
+    (ValueState/ListState/MapState variables with their own schemas,
+    optional TTL, timers via handleExpiredTimer) instead of one opaque
+    tuple, and the processor object carries init/close lifecycle. Same
+    semantics as :func:`running_user_totals`, so the test pins both APIs
+    to identical final totals. RocksDB state store only — the caller must
+    set ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider before starting the query. Runtime dependency note: the
+    Python↔state-server protocol is protobuf-based, so ``google.protobuf``
+    must be installed (pyspark bundles only the generated stubs); the
+    test env-gates on it, mirroring the container-dependent live tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, total = tuple(self._totals.get())
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="update",
+            timeMode="eventTime",
+        )
+    )

@@ -1588,3 +1588,50 @@ def test_streaming_change_feed_cross_batch(spark, tmp_path_factory):
     # a different run token over the same state dir must be refused
     with pytest.raises(Exception, match="another run"):
         run_stream(str(tmp_path_factory.mktemp("cdc_ckpt3")), run="other")
+
+
+def test_running_totals_transform_with_state(spark, events_dir):
+    """transformWithStateInPandas (typed-state successor API) emits the
+    same final per-user totals as the applyInPandasWithState operator and
+    the batch groupBy. ENV-GATED like the live HTTP/PG tests: the state
+    server protocol needs google.protobuf, which this container lacks
+    (pyspark ships the generated stubs but not the runtime) — skips
+    cleanly here, runs wherever protobuf is installed."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state server needs protobuf"
+    )
+    from sec_dl_spark.streaming.pipeline import (
+        run_update_stream_to_memory,
+        running_user_totals_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        got = run_update_stream_to_memory(
+            running_user_totals_tws(stream), "running_totals_tws_t", timeout_s=180
+        )
+        batch = load_table(spark, "/root/testdata/sf0.001", "events")
+        expected = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+            .collect()
+        }
+        best: dict = {}
+        for r in got.collect():
+            cur = best.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                best[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert best == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
