@@ -1391,3 +1391,51 @@ def hamming_topk(
     return rescored.withColumn("rank", F.row_number().over(w2).cast("long")).where(
         F.col("rank") <= k
     )
+
+
+def normalize_vecs_arrow(
+    df, vec_col: str = "embedding", out_col: str = "unit"
+):
+    """Arrow-NATIVE L2 normalization via ``mapInArrow`` — the third Python
+    batch surface beside pandas_udf and mapInPandas (§2.10): batches
+    arrive as raw ``pyarrow.RecordBatch``es, the list column's values
+    buffer is viewed as one contiguous numpy array (zero pandas
+    materialization, no per-row Python), normalized with two vectorized
+    ops, and rebuilt as an Arrow list array sharing the offsets.
+
+    Exists as the measured A/B twin of the pure-expression
+    :func:`normalize_vec` (which stays the default — JVM-side, no
+    transfer); the Arrow kernel wins only when the per-batch math is
+    heavy enough to beat the transfer cost, which a plain normalize is
+    not. Parity is pytest-pinned. Ragged (mixed-length) vectors are
+    fine: offsets drive the per-row norms."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema_out = df.select("*", F.col(vec_col).alias(out_col)).schema
+
+    def norm_batches(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            col = tbl.column(vec_col).combine_chunks()
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            # per-row norms via segmented reduction over the offsets
+            sq = np.add.reduceat(flat * flat, offsets[:-1]) if len(flat) else np.array([])
+            norms = np.sqrt(sq)
+            norms[norms == 0.0] = 1.0
+            reps = np.diff(offsets)
+            flat_out = flat / np.repeat(norms, reps)
+            unit = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(flat_out, pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [unit],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    from pyspark.sql import types as T
+
+    fields = list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.DoubleType()))
+    ]
+    return df.mapInArrow(norm_batches, T.StructType(fields))

@@ -2044,7 +2044,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (
       SELECT label, CAST(pos - 1 AS BIGINT) AS dim_idx,
-             round(avg(CAST(val AS DOUBLE)) + 1e-9, 4) AS mean_val
+             (round(avg(CAST(val AS DOUBLE)) + 1e-9, 4) + 0.0) AS mean_val
       FROM x GROUP BY label, pos
     ),
     n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
@@ -2059,11 +2059,14 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitoring, and centroid-classifier baselines. One posexplode +
     groupBy (label, dim): the shuffle carries (label, dim, partial sums),
     never whole vectors, and parallelism is labels × dim rather than
-    bounded by label count alone."""
+    bounded by label count alone. mean_val takes the rz zero-normalization
+    (embedding means straddle zero, so round() can emit -0.0 on one engine
+    and +0.0 on the other — the corpus_dsir_weights r6 class; caught here
+    by the sf0.1 byte-exact sweep)."""
     e = t(spark, sf_dir, "embeddings")
     x = e.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
     a = x.groupBy("label", "dim_idx").agg(
-        F.round(F.avg(F.col("val").cast("double")) + 1e-9, 4).alias("mean_val")
+        rz(F.avg(F.col("val").cast("double"))).alias("mean_val")
     )
     n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (

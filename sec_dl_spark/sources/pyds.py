@@ -23,12 +23,16 @@ SDK-wrapped feeds); keep spark.read.text + expressions where they suffice.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 IDX_SCHEMA = "cik bigint, company string, form_type string, date_filed string, filename string"
@@ -53,6 +57,9 @@ class EdgarIdxDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return EdgarIdxStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return EdgarIdxWriter(self.options, overwrite)
 
 
 class EdgarIdxReader(DataSourceReader):
@@ -148,3 +155,71 @@ class EdgarIdxStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start, end):
         delta = sorted(set(end["files"]) - set(start["files"]))
         return iter(r for f in delta for r in _parse_idx_file(f))
+
+
+@dataclass
+class _IdxCommit(WriterCommitMessage):
+    staged: str
+    n_rows: int
+
+
+class EdgarIdxWriter(DataSourceWriter):
+    """Two-phase-commit writer for the idx format — the write half of the
+    custom-source story. Each task streams its rows to a STAGED file
+    (``_staging/<uuid>.idx``) and returns a commit message; only the
+    driver-side ``commit`` renames staged files into place and publishes
+    a ``_committed`` manifest listing exactly the surviving files, while
+    ``abort`` removes the partials. A reader that honors the manifest
+    never sees a torn write — the same claim-then-publish discipline
+    streaming/atomic.py applies to its version log, expressed through
+    the DataSource writer protocol (task retries leave orphaned staged
+    files, never half-visible data; ``commit`` ignores everything the
+    final task set didn't report)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("edgar_idx write requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.idx")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            fh.write("CIK|Company Name|Form Type|Date Filed|Filename\n")
+            fh.write("-" * 60 + "\n")
+            for row in iterator:
+                fh.write(
+                    f"{row[0]}|{row[1]}|{row[2]}|{row[3]}|{row[4]}\n"
+                )
+                n += 1
+        return _IdxCommit(staged=staged, n_rows=n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        final = []
+        for i, m in enumerate(messages):
+            dst = os.path.join(self.path, f"part-{i:05d}.idx")
+            shutil.move(m.staged, dst)
+            final.append((os.path.basename(dst), m.n_rows))
+        with open(os.path.join(self.path, "_committed"), "w") as fh:
+            for name, n in final:
+                fh.write(f"{name}\t{n}\n")
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

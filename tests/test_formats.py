@@ -148,3 +148,34 @@ def test_python_datasource_streaming_tails_new_files(spark, tmp_path):
     seen.clear()
     run_once()  # same checkpoint: only the NEW file's rows arrive
     assert [(c, f) for _, c, f in seen] == [(1002, "f2.txt")]
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The custom writer: tasks stage files, the driver-side commit
+    renames them into place and publishes a _committed manifest; the
+    round-trip through the custom reader reproduces the rows and no
+    staging residue survives."""
+    import os
+
+    from sec_dl_spark.sources.pyds import EdgarIdxDataSource
+
+    spark.dataSource.register(EdgarIdxDataSource)
+    rows = [
+        (1001, "ACME CORP", "10-K", "1996-01-02", "f1.txt"),
+        (1002, "BETA INC", "10-Q", "1996-02-03", "f2.txt"),
+        (1003, "GAMMA LLC", "8-K", "1996-03-04", "f3.txt"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cik bigint, company string, form_type string, date_filed string, filename string",
+    ).repartition(2)
+    out = str(tmp_path / "idx_out")
+    df.write.format("edgar_idx").mode("append").save(out)
+
+    assert os.path.exists(os.path.join(out, "_committed"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    manifest = open(os.path.join(out, "_committed")).read().strip().splitlines()
+    assert sum(int(line.split("\t")[1]) for line in manifest) == 3
+
+    back = spark.read.format("edgar_idx").load(os.path.join(out, "*.idx"))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)

@@ -1909,3 +1909,41 @@ def test_partition_skew_report_flags_imbalance(spark):
     even = partition_skew_report(df.repartition(8)).collect()
     assert sum(r["n_rows"] for r in even) == 1000
     assert min(r["n_rows"] for r in even) > 0
+
+
+def test_map_in_arrow_normalize_parity(spark):
+    """mapInArrow zero-copy L2 kernel == the expression normalize_vec,
+    including ragged lengths and an all-zero vector."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.similarity import normalize_vec, normalize_vecs_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [1.0, 1.0, 1.0, 1.0]),
+            (3, [0.0, 0.0]),
+            (4, [5.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    arrow = {
+        r["vec_id"]: r["unit"] for r in normalize_vecs_arrow(df).collect()
+    }
+    # the expression form divides by the norm (ANSI: zero vector throws),
+    # so the parity set is the non-zero rows; the arrow kernel GUARDS the
+    # zero vector instead — assert that difference explicitly
+    expr = {
+        r["vec_id"]: r["unit"]
+        for r in df.where("vec_id <> 3")
+        .select("vec_id", normalize_vec(F.col("embedding")).alias("unit"))
+        .collect()
+    }
+    for k in expr:
+        assert len(arrow[k]) == len(expr[k])
+        for a, b in zip(arrow[k], expr[k]):
+            assert math.isclose(a, b, rel_tol=1e-12)
+    assert arrow[3] == [0.0, 0.0]  # zero vector guarded, not NaN/error
+    assert math.isclose(sum(x * x for x in arrow[1]), 1.0, rel_tol=1e-12)
