@@ -286,3 +286,17 @@ def running_user_totals_tws(events: DataFrame, watermark: str = "2 hours") -> Da
             timeMode="eventTime",
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps one row per key among events whose timestamps fall within the
+    watermark delay of each other, and — unlike plain ``dropDuplicates``,
+    whose key state grows FOREVER on a stream — evicts key state as the
+    watermark passes. The right tool when duplicates arrive close together
+    (retries, at-least-once sources); the registry-backed gates in
+    streaming/dedup.py remain the tool for ALL-TIME dedup, where
+    state must span the corpus, not a time window."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

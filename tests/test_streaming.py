@@ -1635,3 +1635,60 @@ def test_running_totals_transform_with_state(spark, events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path_factory):
+    """Duplicates of the same key arriving within the watermark window
+    collapse to one row across micro-batches (the bounded-state form of
+    streaming dedup — state evicts with the watermark instead of
+    growing forever)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.pipeline import dedup_within_watermark
+
+    src = tmp_path_factory.mktemp("wmdd_src")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # batch files replay in name order; id 1 repeats in b0 AND b1 (close
+    # in event time), id 2 repeats within one batch
+    spark.createDataFrame(
+        [(1, m(0), 1.0), (2, m(1), 2.0), (2, m(2), 2.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b=0")
+    spark.createDataFrame(
+        [(1, m(3), 9.0), (3, m(4), 3.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b=1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    out = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wmdd_t")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path_factory.mktemp("wmdd_ckpt"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("wmdd_t").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]
+    # the FIRST arrival of id 1 won (value 1.0, not the batch-1 re-send)
+    assert {r["event_id"]: r["value"] for r in rows}[1] == 1.0
