@@ -201,10 +201,17 @@ class EdgarIdxWriter(DataSourceWriter):
         return _IdxCommit(staged=staged, n_rows=n)
 
     def commit(self, messages):
+        import glob as _glob
         import os
         import shutil
 
         os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            # overwrite semantics resolve at COMMIT time: old part files
+            # vanish in the same step that publishes the new ones, so a
+            # failed job (no commit) leaves the previous data intact
+            for old in _glob.glob(os.path.join(self.path, "part-*.idx")):
+                os.remove(old)
         final = []
         for i, m in enumerate(messages):
             dst = os.path.join(self.path, f"part-{i:05d}.idx")

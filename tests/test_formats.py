@@ -179,3 +179,28 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
 
     back = spark.read.format("edgar_idx").load(os.path.join(out, "*.idx"))
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_python_datasource_writer_overwrite_replaces(spark, tmp_path):
+    """mode('overwrite') clears prior part files at commit time; append
+    keeps them."""
+    import os
+
+    from sec_dl_spark.sources.pyds import EdgarIdxDataSource
+
+    spark.dataSource.register(EdgarIdxDataSource)
+    out = str(tmp_path / "idx_ow")
+    df1 = spark.createDataFrame(
+        [(1, "A", "10-K", "1996-01-01", "a.txt")],
+        "cik bigint, company string, form_type string, date_filed string, filename string",
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [(2, "B", "10-Q", "1996-02-02", "b.txt")],
+        "cik bigint, company string, form_type string, date_filed string, filename string",
+    ).coalesce(1)
+    df1.write.format("edgar_idx").mode("append").save(out)
+    df2.write.format("edgar_idx").mode("overwrite").save(out)
+    back = spark.read.format("edgar_idx").load(os.path.join(out, "*.idx"))
+    assert [tuple(r) for r in back.collect()] == [
+        (2, "B", "10-Q", "1996-02-02", "b.txt")
+    ]

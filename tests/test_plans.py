@@ -641,3 +641,22 @@ def test_q10_q18_plans_hold_their_regime(spark, specs):
     p18 = physical_plan(specs["join_q18_large_orders"].spark_fn(spark, SF))
     assert "TakeOrderedAndProject" in p18
     assert "CartesianProduct" not in p18
+
+
+def test_parameterized_sql_named_args(spark):
+    """spark.sql named-parameter binding (Spark 4 API): literals bind
+    server-side — no string interpolation, injection-safe ad-hoc SQL
+    (the front door §3.2 users would actually use for dashboards)."""
+    spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "param_t"
+    )
+    got = spark.sql(
+        "SELECT sum(v) AS s FROM param_t WHERE id BETWEEN :lo AND :hi",
+        args={"lo": 2, "hi": 4},
+    ).collect()
+    assert got[0]["s"] == (2 + 3 + 4) * 2
+    # positional form
+    got2 = spark.sql(
+        "SELECT count(*) AS n FROM param_t WHERE id < ?", args=[5]
+    ).collect()
+    assert got2[0]["n"] == 5
