@@ -1439,3 +1439,36 @@ def normalize_vecs_arrow(
         T.StructField(out_col, T.ArrayType(T.DoubleType()))
     ]
     return df.mapInArrow(norm_batches, T.StructType(fields))
+
+
+def gram_matrix(df, vec_col: str = "embedding"):
+    """Distributed Gram matrix G = Xᵀ X over an embedding column — the
+    building block under covariance/PCA/whitening/linear probes. The
+    naive formulation (explode each vector twice, groupBy (i, j)) puts
+    N·d² rows through the shuffle; this one runs ONE numpy ``Mᵀ M`` per
+    Arrow batch inside mapInPandas and emits only the d(d+1)/2 upper-
+    triangle partials per PARTITION, so the shuffle carries
+    partitions × d² tiny rows no matter how large N grows — at 100 TB
+    the reduction is all in the map side, the exchange is
+    dimension-table sized. Returns (i, j, g) for i ≤ j (0-based),
+    g = Σ_rows v[i]·v[j]."""
+    import pandas as pd
+
+    def acc(batches):
+        import numpy as np
+
+        G = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            G = M.T @ M if G is None else G + M.T @ M
+        if G is None:
+            return
+        i, j = np.triu_indices(G.shape[0])
+        yield pd.DataFrame(
+            {"i": i.astype("int32"), "j": j.astype("int32"), "g": G[i, j]}
+        )
+
+    partials = df.select(vec_col).mapInPandas(acc, "i int, j int, g double")
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))

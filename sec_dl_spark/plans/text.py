@@ -3294,3 +3294,37 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "emb_gram_matrix",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j, a.v * b.v AS p
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           {rz_sql('sum(p)', nudge='1e-8')} AS g
+    FROM pairs GROUP BY i, j ORDER BY i, j
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix Xᵀ X of the embedding corpus
+    (operators/similarity.py:gram_matrix): one numpy matmul per Arrow
+    batch, d(d+1)/2 upper-triangle partials per partition, a
+    d²-sized final reduce — N never crosses the shuffle. The ORACLE is
+    the naive N·d² explode-pair join, so the map-side-reduction plan must
+    reproduce the brute-force sums (to the rounding nudge — partial-sum
+    order differs by design)."""
+    from sec_dl_spark.operators.similarity import gram_matrix
+
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    g = gram_matrix(e, "embedding")
+    return g.select(
+        "i", "j", rz(F.col("g"), nudge=1e-8).alias("g")
+    ).orderBy("i", "j")

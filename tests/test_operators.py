@@ -1947,3 +1947,32 @@ def test_map_in_arrow_normalize_parity(spark):
             assert math.isclose(a, b, rel_tol=1e-12)
     assert arrow[3] == [0.0, 0.0]  # zero vector guarded, not NaN/error
     assert math.isclose(sum(x * x for x in arrow[1]), 1.0, rel_tol=1e-12)
+
+
+def test_gram_matrix_matches_numpy_and_partitioning(spark):
+    """Map-side-reduced Gram == numpy X.T @ X regardless of input
+    partitioning; only upper-triangle entries are emitted."""
+    import math
+    import random
+
+    import numpy as np
+
+    from sec_dl_spark.operators.similarity import gram_matrix
+
+    rng = random.Random(5)
+    X = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(400)]
+    ref = np.array(X).T @ np.array(X)
+    df = spark.createDataFrame(
+        [(row,) for row in X], "embedding array<double>"
+    ).repartition(7)
+    got = {(r["i"], r["j"]): r["g"] for r in gram_matrix(df).collect()}
+    assert len(got) == 6 * 7 // 2
+    for (i, j), g in got.items():
+        assert i <= j
+        assert math.isclose(g, ref[i][j], rel_tol=1e-10)
+    got2 = {
+        (r["i"], r["j"]): r["g"]
+        for r in gram_matrix(df.coalesce(1)).collect()
+    }
+    for k in got:
+        assert math.isclose(got[k], got2[k], rel_tol=1e-12)
