@@ -98,6 +98,8 @@ HEADLINE = [
     "corpus_shard_assign",
     "events_equidepth_bins",
     "snapshot_diff_orders",
+    # map-side-reduced Gram matrix (shuffle stays d²-sized however big N)
+    "emb_gram_matrix",
 ]
 
 

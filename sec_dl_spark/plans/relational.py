@@ -2436,3 +2436,56 @@ def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "scalar_array_fns",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(len(list_filter(toks, x -> length(x) >= 20)) = 0 AS BOOLEAN) AS all_short,
+           CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS longest_len,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3,
+           toks[1] || '-' || toks[len(toks)] AS first_last
+    FROM tk ORDER BY doc_id
+    """,
+)
+def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function breadth (§2.7): filter / exists /
+    forall / transform+array_max / aggregate (fold) / sort+distinct+slice
+    / zip_with — every one a codegen-or-interpreted JVM expression, zero
+    Python. zip_with pairs each token with the reversed list; its first
+    element (first-last pairing) is the checked value. The fold's oracle
+    twin is list_sum over the same transform."""
+    from sec_dl_spark.functions.text import tokenize
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = tokenize(F.col("text"))
+    tk = d.select("doc_id", toks.alias("toks"))
+    zipped = F.zip_with(
+        F.col("toks"), F.reverse(F.col("toks")), lambda a, b: F.concat(a, F.lit("-"), b)
+    )
+    return (
+        tk.select(
+            "doc_id",
+            F.size(F.filter("toks", lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+            F.exists("toks", lambda x: x == F.lit("spark")).alias("has_spark"),
+            F.forall("toks", lambda x: F.length(x) < 20).alias("all_short"),
+            F.array_max(F.transform("toks", F.length)).cast("long").alias("longest_len"),
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).alias("total_chars"),
+            F.array_join(
+                F.slice(F.sort_array(F.array_distinct("toks")), 1, 3), ","
+            ).alias("top3"),
+            F.element_at(zipped, 1).alias("first_last"),
+        )
+        .orderBy("doc_id")
+    )

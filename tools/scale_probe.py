@@ -85,6 +85,9 @@ PROBE = [
     "snapshot_diff_orders",
     "dedup_containment_pairs",
     "text_oov_rate",
+    # Gram matrix: the probe verifies the shuffle stays d²-sized (ratio
+    # should track the map-side matmul, not the exchange)
+    "emb_gram_matrix",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
