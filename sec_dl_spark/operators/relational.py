@@ -6,6 +6,8 @@ ops — no UDFs, no driver-side loops.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -468,3 +470,105 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_off")
     )
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built bloom filter, held driver-side as ``m_bits/64`` long words.
+
+    Small by construction (1 MiB of words covers 8M bits — good for ~500k
+    keys at ~1% fpp with 7 hashes), so it ships to executors as a literal
+    array inside a codegen'd projection: the membership test costs zero
+    extra shuffles and zero Python, exactly like Spark's own runtime
+    bloom-filter row pruning (`spark.sql.optimizer.runtime.bloomFilter.*`),
+    but usable cross-stage and cross-job (build once, prune many scans).
+    """
+
+    words: tuple
+    m_bits: int
+    k_hashes: int
+
+
+def _bloom_positions(key, m_bits: int, k_hashes: int) -> list:
+    """k bit positions for a key: pmod(xxhash64(i, key), m) — the i literal
+    varies the seed, everything stays inside whole-stage codegen."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 17, k_hashes: int = 5
+) -> BloomFilter:
+    """Build a bloom filter over the distinct values of ``keys[key_col]``.
+
+    Distributed build: each key explodes to its k bit positions, positions
+    group to 64-bit words via ``bit_or(shiftleft(1, bit))`` (map-side
+    partial agg does most of the work), and only the ≤ ``m_bits/64``
+    non-zero words are collected — the collect is bounded by the filter
+    size, never by the key count. ``m_bits`` must be a multiple of 64;
+    size it at ~16-20 bits/key for ~1% false positives with 5 hashes.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos = (
+        keys.select(F.col(key_col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .select(F.explode(F.array(*_bloom_positions(F.col("_k"), m_bits, k_hashes))).alias("_pos"))
+    )
+    rows = (
+        pos.select(
+            F.floor(F.col("_pos") / 64).alias("_w"),
+            F.pmod(F.col("_pos"), 64).cast("int").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("_b"))).alias("_word"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r._w] = r._word
+    return BloomFilter(tuple(words), m_bits, k_hashes)
+
+
+def bloom_might_contain(bloom: BloomFilter, key) -> "F.Column":
+    """Membership-test column: true iff all k bits for ``key`` are set.
+
+    No false negatives (every built key passes), tunable false positives
+    (removed by the exact join that follows in bloom_prefilter_join). The
+    word array is a literal, so the whole test is one codegen expression.
+    """
+    words = F.lit(list(bloom.words))
+    conds = []
+    for pos in _bloom_positions(key, bloom.m_bits, bloom.k_hashes):
+        word = F.element_at(words, F.floor(pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, 64).cast("int")
+        )
+        conds.append(word.bitwiseAND(bit) != 0)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact equi-join with a bloom-filter semi-join reduction on the fact
+    side — the classic 100 TB shuffle cut: when ``dim`` is too big to
+    broadcast but selective against the fact, the bloom (built over dim's
+    keys, shipped as a literal) drops most non-matching fact rows BEFORE
+    the join exchange, so the shuffle moves only rows that might match.
+    False positives survive the prefilter but die in the exact join, so
+    the result is byte-identical to ``fact.join(dim, ...)``.
+    """
+    bf = bloom_build(dim, dim_key, m_bits=m_bits, k_hashes=k_hashes)
+    pre = fact.where(bloom_might_contain(bf, F.col(fact_key)))
+    return pre.join(dim, pre[fact_key] == dim[dim_key], how)

@@ -1976,3 +1976,56 @@ def test_gram_matrix_matches_numpy_and_partitioning(spark):
     }
     for k in got:
         assert math.isclose(got[k], got2[k], rel_tol=1e-12)
+
+
+def test_bloom_prefilter_join_exact_and_pruning(spark):
+    """The bloom prefilter never drops a true match (no false negatives),
+    the exact join removes every false positive (result == plain join),
+    and at 16+ bits/key the prefilter actually prunes the fact side."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.relational import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_prefilter_join,
+    )
+
+    rng = random.Random(3)
+    fact = spark.createDataFrame(
+        [(i, rng.randrange(1000)) for i in range(5000)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(0, 1000, 10)], "dk long, payload string")
+
+    bf = bloom_build(dim, "dk", m_bits=1 << 11, k_hashes=5)
+    pre = fact.where(bloom_might_contain(bf, F.col("k")))
+    pre_keys = {r["row_id"] for r in pre.collect()}
+    true_keys = {
+        r["row_id"]
+        for r in fact.join(dim, fact.k == dim.dk, "left_semi").collect()
+    }
+    assert true_keys <= pre_keys  # no false negatives, ever
+    assert len(pre_keys) < fact.count()  # actually prunes
+
+    got = sorted(
+        map(tuple, bloom_prefilter_join(fact, dim, "k", "dk").collect())
+    )
+    want = sorted(map(tuple, fact.join(dim, fact.k == dim.dk).collect()))
+    assert got == want
+
+    # the membership test is a literal-array codegen expression: the
+    # prefiltered scan plan gains no exchange and no python evaluation
+    plan = pre._jdf.queryExecution().executedPlan().toString().lower()
+    assert "exchange" not in plan
+    assert "python" not in plan
+
+
+def test_bloom_build_rejects_bad_width(spark):
+    import pytest as _pytest
+
+    from sec_dl_spark.operators.relational import bloom_build
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        bloom_build(df, "k", m_bits=100)
