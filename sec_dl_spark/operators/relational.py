@@ -572,3 +572,72 @@ def bloom_prefilter_join(
     bf = bloom_build(dim, dim_key, m_bits=m_bits, k_hashes=k_hashes)
     pre = fact.where(bloom_might_contain(bf, F.col(fact_key)))
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list,
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Global inclusive running sum of ``value_col`` in ``order`` WITHOUT a
+    single-partition window — the prefix-sum twin of :func:`global_rank`
+    (same three-step shape): range-exchange on the order key, per-partition
+    local running sum, then each partition's total becomes a broadcast
+    cumulative offset. ``order`` must be a total order for a deterministic,
+    oracle-checkable result (== ``sum(v) OVER (ORDER BY ...)``)."""
+    ranged = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    local = F.sum(value_col).over(
+        Window.partitionBy("_pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_t").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranged.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    order: list,
+    n_tokens_col: str,
+    seq_len: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pre-training
+    layout: documents are concatenated in a fixed total order and the
+    token stream is cut into fixed-``seq_len`` sequences, so a document
+    may span sequences and a sequence may hold many documents (zero
+    padding waste, unlike no-split bin packing). Emits per document:
+    ``start_off`` (global token offset), ``seq_first``/``seq_last`` (the
+    sequence ids the doc lands in), ``off_in_seq`` (offset inside the
+    first sequence) and ``n_seqs`` — everything a sharded tokenizer job
+    needs to materialize its sequences without re-scanning neighbors.
+
+    The only global coordination is the prefix sum, and that is the
+    distributed :func:`global_cumsum` (range exchange + broadcast
+    offsets), so the operator scales with the corpus, not with a
+    single-partition window."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    nonempty = docs.where(F.col(n_tokens_col) > 0)
+    cum = global_cumsum(nonempty, order, n_tokens_col, "_cum")
+    start = F.col("_cum") - F.col(n_tokens_col)
+    return (
+        cum.withColumn("start_off", start.cast("long"))
+        .withColumn("seq_first", F.floor(F.col("start_off") / seq_len).cast("long"))
+        .withColumn("seq_last", F.floor((F.col("_cum") - 1) / seq_len).cast("long"))
+        .withColumn("off_in_seq", F.pmod(F.col("start_off"), seq_len).cast("long"))
+        .withColumn("n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long"))
+        .drop("_cum")
+    )

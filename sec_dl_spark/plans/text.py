@@ -3328,3 +3328,39 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "i", "j", rz(F.col("g"), nudge=1e-8).alias("g")
     ).orderBy("i", "j")
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      FROM tk WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_off,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+           CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS off_in_seq,
+           CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS BIGINT) AS n_seqs
+    FROM c ORDER BY doc_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token training sequences
+    (operators/relational.py:pack_sequences) — the layout step between a
+    deduped corpus and the tokenizer shards: documents concatenate in
+    doc_id order and the token stream cuts at fixed boundaries, so every
+    doc knows its global offset, its first/last sequence id, and its
+    offset inside the first sequence. The global prefix sum is the
+    distributed global_cumsum (range exchange + per-partition running sum
+    + broadcast offsets) — never a single-partition ORDER BY window, which
+    is what the oracle's `sum() OVER (ORDER BY doc_id)` would be verbatim
+    and what 100 TB forbids. All-integer arithmetic, byte-exact."""
+    from sec_dl_spark.operators.relational import pack_sequences
+
+    tk = tok_docs(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(tk, [F.col("doc_id")], "n_tokens", seq_len=256).orderBy("doc_id")

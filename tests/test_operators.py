@@ -2029,3 +2029,65 @@ def test_bloom_build_rejects_bad_width(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError):
         bloom_build(df, "k", m_bits=100)
+
+
+def test_global_cumsum_matches_window_sum(spark):
+    """Distributed prefix sum == single-partition window running sum for a
+    total order, with a range exchange in the plan instead of a global
+    window collapse."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.relational import global_cumsum
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1, 50)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(17)
+    got = {
+        r["id"]: r["cs"]
+        for r in global_cumsum(df, [F.col("id")], "v", "cs").collect()
+    }
+    acc, expect = 0, {}
+    for i, v in rows:
+        acc += v
+        expect[i] = acc
+    assert got == expect
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing conserves tokens, produces contiguous offsets in order,
+    keeps every in-sequence offset under seq_len, and spans the right
+    number of sequences per document."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.relational import pack_sequences
+
+    rows = [(i, (i * 37) % 190 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    packed = sorted(
+        pack_sequences(df, [F.col("doc_id")], "n", seq_len=128).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    total = 0
+    for r in packed:
+        assert r["start_off"] == total  # contiguous concat in doc order
+        assert 0 <= r["off_in_seq"] < 128
+        assert r["seq_first"] == r["start_off"] // 128
+        assert r["seq_last"] == (r["start_off"] + r["n"] - 1) // 128
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        total += r["n"]
+    assert total == sum(n for _, n in rows)
+
+
+def test_pack_sequences_drops_empty_and_rejects_bad_len(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.relational import pack_sequences
+
+    df = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n long")
+    out = pack_sequences(df, [F.col("doc_id")], "n", seq_len=4).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    with _pytest.raises(ValueError):
+        pack_sequences(df, [F.col("doc_id")], "n", seq_len=0)
