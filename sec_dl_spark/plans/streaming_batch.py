@@ -801,3 +801,51 @@ def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "version_id", "valid_from").orderBy(
         "event_id"
     )
+
+
+@query(
+    "events_ewma_user",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           (round(reduce(
+              CAST(list_prepend(0.0, vals) AS DOUBLE[]),
+              (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc
+            ) + 1e-9, 6) + 0.0) AS ewma_value
+    FROM ordered ORDER BY user_id
+    """,
+)
+def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of the metric stream
+    (alpha = 0.25): collect each user's values in (ts, event_id) order and
+    fold them with a JVM higher-order `aggregate` — y ← α·x + (1−α)·y.
+    The fold is strictly left-to-right in BOTH engines, and α = 1/4 is an
+    exact binary fraction, so every intermediate IEEE operation is
+    identical and the result matches the oracle's `reduce` bit-for-bit
+    (the round+rz is belt-and-braces, not load-bearing). Per-user state is
+    one bounded array (sessions cap at ~100 events in the fixture; a real
+    deployment bounds it with a time window), grouped in a single shuffle
+    — the batch twin of a streaming EWMA kept in
+    applyInPandasWithState."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_evs"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    fold = F.aggregate(
+        F.transform("_evs", lambda s: s["value"]),
+        F.lit(0.0),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return (
+        g.select("user_id", "n_events", rz(fold, 6).alias("ewma_value"))
+        .orderBy("user_id")
+    )

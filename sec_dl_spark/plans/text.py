@@ -3364,3 +3364,81 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
     return pack_sequences(tk, [F.col("doc_id")], "n_tokens", seq_len=256).orderBy("doc_id")
+
+
+@query(
+    "fts_hybrid_rrf",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, t.term, len(list_filter(toks, x -> x = t.term)) AS tf
+      FROM tk, (SELECT unnest(['spark', 'sort', 'vector']) AS term) t
+      WHERE list_contains(toks, t.term)),
+    dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    bm AS (
+      SELECT h.doc_id,
+             round(sum(
+               ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM hits h, dfs d, dl, stats
+      WHERE h.term = d.term AND h.doc_id = dl.doc_id
+      GROUP BY h.doc_id),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 20),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings, q WHERE vec_id <> 0),
+    csr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+      FROM cs QUALIFY r <= 20),
+    fused AS (
+      SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + bmr.r), 0.0) + coalesce(1.0 / (60 + csr.r), 0.0)
+               AS rrf_score,
+             (bmr.doc_id IS NOT NULL) AS in_text,
+             (csr.doc_id IS NOT NULL) AS in_vector
+      FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id)
+    SELECT doc_id, rrf_score, in_text, in_vector,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 10 ORDER BY rank
+    """,
+)
+def fts_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — lexical BM25 and dense-vector cosine candidate
+    lists fused with reciprocal-rank fusion (score = Σ 1/(60 + rank), the
+    standard RRF constant): the composition every RAG/serving stack runs
+    over exactly the two index structures this engine already maintains
+    (the inverted posting table and the embedding table). Ranks are
+    integers, so 1/(60+r) is one identical IEEE division per engine and
+    the fused ordering is deterministic. Both 20-deep candidate lists are
+    tiny (top-k bounded), so the fusion join is a broadcast — the heavy
+    lifting stays in the index scans."""
+    postings, stats = fts_index(spark, sf_dir)
+    bm = fts.search_bm25(postings, ["spark", "sort", "vector"], k=20, stats=stats).select(
+        "doc_id", F.col("rank").alias("_rb")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    cs = similarity.cosine_topk(e, e.where(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("_rc")
+    )
+    fused = bm.join(cs, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.col("_rb") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("_rc") + 60), F.lit(0.0))
+        ).alias("rrf_score"),
+        F.col("_rb").isNotNull().alias("in_text"),
+        F.col("_rc").isNotNull().alias("in_vector"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
