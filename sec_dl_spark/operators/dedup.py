@@ -584,3 +584,93 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def strip_boilerplate_passages(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    tile: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """CCNet/C4-style boilerplate removal at passage granularity: tile each
+    document's token stream into non-overlapping ``tile``-token passages,
+    call a passage boilerplate when it appears in ≥ ``min_df`` DISTINCT
+    documents (headers, footers, licence blurbs — content that repeats
+    across documents), and rebuild each document from its surviving
+    passages plus the sub-tile tail, preserving order.
+
+    Returns (id, n_tiles, n_removed, clean_text).
+
+    Scale shape: the document-frequency aggregate runs on 8-byte
+    ``xxhash64`` passage keys — text never enters that exchange (same
+    discipline as the passage-dedup audit). Text moves exactly once, in
+    the per-document reassembly groupBy, which any rewrite of the corpus
+    must pay. An xxhash64 collision would strip a legitimate passage; at
+    2^64 keys that risk is far below corruption rates.
+    """
+    base = toks.select(
+        F.col(id_col).alias("_id"),
+        F.col(toks_col).alias("_tk"),
+        F.size(toks_col).alias("_n"),
+        (F.size(toks_col) / tile).cast("long").alias("_n8"),
+    )
+    tiles = base.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.col("_n8") > 0,
+                F.expr(
+                    f"transform(sequence(0, _n8 - 1), "
+                    f"i -> concat_ws(' ', slice(_tk, i*{tile}+1, {tile})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tile_idx", "passage"),
+    ).withColumn("_pk", F.xxhash64("passage"))
+    boil = (
+        tiles.groupBy("_pk")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_pk", F.lit(True).alias("_boil"))
+    )
+    flagged = tiles.join(boil, "_pk", "left").withColumn(
+        "_is_boil", F.coalesce(F.col("_boil"), F.lit(False))
+    )
+    kept = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.sum(F.col("_is_boil").cast("long")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_is_boil"), F.struct("tile_idx", "passage"))
+                    )
+                ),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("_kept_text"),
+    )
+    tails = base.select(
+        "_id",
+        F.concat_ws(
+            " ", F.expr(f"slice(_tk, _n8*{tile}+1, _n - _n8*{tile})")
+        ).alias("_tail"),
+    )
+    return (
+        base.select("_id")
+        .join(kept, "_id", "left")
+        .join(tails, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_tiles"), F.lit(0)).cast("long").alias("n_tiles"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.array(F.coalesce(F.col("_kept_text"), F.lit("")), F.col("_tail")),
+                    lambda x: x != "",
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -3442,3 +3442,51 @@ def fts_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+@query(
+    "text_boilerplate_removal",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n,
+                    CAST(len(toks) // 8 AS BIGINT) AS n8 FROM tk),
+    tiles AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
+             array_to_string(toks[i*8+1 : i*8+8], ' ') AS passage
+      FROM base, UNNEST(range(n8)) AS u(i)),
+    boil AS (SELECT passage FROM tiles GROUP BY passage
+             HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (
+      SELECT t.doc_id, t.tile_idx, t.passage, (b.passage IS NOT NULL) AS is_boil
+      FROM tiles t LEFT JOIN boil b ON t.passage = b.passage),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tiles,
+             CAST(sum(CASE WHEN is_boil THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             string_agg(CASE WHEN NOT is_boil THEN passage END, ' ' ORDER BY tile_idx)
+               AS kept_text
+      FROM flagged GROUP BY doc_id),
+    tails AS (SELECT doc_id, array_to_string(toks[n8*8+1 : n], ' ') AS tail FROM base)
+    SELECT b.doc_id,
+           CAST(coalesce(k.n_tiles, 0) AS BIGINT) AS n_tiles,
+           CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             list_filter([coalesce(k.kept_text, ''), coalesce(t.tail, '')],
+                         x -> x <> ''), ' '), '')
+             AS clean_text
+    FROM base b
+    LEFT JOIN kept k ON b.doc_id = k.doc_id
+    JOIN tails t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style cross-document boilerplate strip
+    (operators/dedup.py:strip_boilerplate_passages): 8-token passages that
+    recur in ≥2 distinct documents are removed and every document is
+    rebuilt from its surviving passages (+ sub-tile tail) in order — the
+    cleaning rewrite that runs AFTER dedup keeps whole documents but
+    repeated headers/footers still pollute the corpus. The df aggregate is
+    keyed by xxhash64(passage) so the counting exchange moves 8-byte keys;
+    text shuffles once, in the unavoidable per-document reassembly."""
+    tk = tok_docs(spark, sf_dir)
+    return dedup.strip_boilerplate_passages(tk, tile=8, min_df=2).orderBy("doc_id")

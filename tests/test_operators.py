@@ -2091,3 +2091,36 @@ def test_pack_sequences_drops_empty_and_rejects_bad_len(spark):
     assert [r["doc_id"] for r in out] == [2]
     with _pytest.raises(ValueError):
         pack_sequences(df, [F.col("doc_id")], "n", seq_len=0)
+
+
+def test_strip_boilerplate_passages(spark):
+    """A passage repeated across >= min_df documents is removed from every
+    document; unique passages and the sub-tile tail survive in order;
+    documents shorter than one tile pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.functions.text import tokenize
+    from sec_dl_spark.operators.dedup import strip_boilerplate_passages
+
+    header = "terms of use apply to this document here"  # 8 tokens
+    docs = [
+        (1, f"{header} alpha beta gamma delta epsilon zeta eta theta tail one"),
+        (2, f"{header} one two three four five six seven eight"),
+        (3, "just a short doc"),  # < 1 tile: untouched
+        (4, "unique eight token passage nothing shared at all plus extra"),
+    ]
+    tk = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate_passages(tk, min_df=2).collect()}
+
+    assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == (
+        "alpha beta gamma delta epsilon zeta eta theta tail one"
+    )
+    assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == (
+        "one two three four five six seven eight"
+    )
+    assert out[3]["n_tiles"] == 0 and out[3]["clean_text"] == "just a short doc"
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == (
+        "unique eight token passage nothing shared at all plus extra"
+    )
