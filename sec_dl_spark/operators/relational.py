@@ -608,7 +608,7 @@ def global_cumsum(
     )
 
 
-def pack_sequences(
+def concat_chunk_sequences(
     docs: DataFrame,
     order: list,
     n_tokens_col: str,
@@ -618,7 +618,8 @@ def pack_sequences(
     layout: documents are concatenated in a fixed total order and the
     token stream is cut into fixed-``seq_len`` sequences, so a document
     may span sequences and a sequence may hold many documents (zero
-    padding waste, unlike no-split bin packing). Emits per document:
+    padding waste — the complement of grouped.pack_sequences' no-split
+    greedy packing, which keeps documents whole at the cost of padding). Emits per document:
     ``start_off`` (global token offset), ``seq_first``/``seq_last`` (the
     sequence ids the doc lands in), ``off_in_seq`` (offset inside the
     first sequence) and ``n_seqs`` — everything a sharded tokenizer job

@@ -3331,7 +3331,7 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "corpus_pack_sequences",
+    "corpus_concat_chunks",
     oracle=f"""
     WITH tk AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
     c AS (
@@ -3347,9 +3347,9 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c ORDER BY doc_id
     """,
 )
-def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 256-token training sequences
-    (operators/relational.py:pack_sequences) — the layout step between a
+    (operators/relational.py:concat_chunk_sequences) — the layout step between a
     deduped corpus and the tokenizer shards: documents concatenate in
     doc_id order and the token stream cuts at fixed boundaries, so every
     doc knows its global offset, its first/last sequence id, and its
@@ -3358,12 +3358,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     + broadcast offsets) — never a single-partition ORDER BY window, which
     is what the oracle's `sum() OVER (ORDER BY doc_id)` would be verbatim
     and what 100 TB forbids. All-integer arithmetic, byte-exact."""
-    from sec_dl_spark.operators.relational import pack_sequences
+    from sec_dl_spark.operators.relational import concat_chunk_sequences
 
     tk = tok_docs(spark, sf_dir).select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
-    return pack_sequences(tk, [F.col("doc_id")], "n_tokens", seq_len=256).orderBy("doc_id")
+    return concat_chunk_sequences(tk, [F.col("doc_id")], "n_tokens", seq_len=256).orderBy("doc_id")
 
 
 @query(

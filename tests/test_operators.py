@@ -2055,18 +2055,18 @@ def test_global_cumsum_matches_window_sum(spark):
     assert got == expect
 
 
-def test_pack_sequences_invariants(spark):
-    """Packing conserves tokens, produces contiguous offsets in order,
+def test_concat_chunk_sequences_invariants(spark):
+    """Chunking conserves tokens, produces contiguous offsets in order,
     keeps every in-sequence offset under seq_len, and spans the right
     number of sequences per document."""
     from pyspark.sql import functions as F
 
-    from sec_dl_spark.operators.relational import pack_sequences
+    from sec_dl_spark.operators.relational import concat_chunk_sequences
 
     rows = [(i, (i * 37) % 190 + 1) for i in range(500)]
     df = spark.createDataFrame(rows, "doc_id long, n long")
     packed = sorted(
-        pack_sequences(df, [F.col("doc_id")], "n", seq_len=128).collect(),
+        concat_chunk_sequences(df, [F.col("doc_id")], "n", seq_len=128).collect(),
         key=lambda r: r["doc_id"],
     )
     total = 0
@@ -2080,17 +2080,17 @@ def test_pack_sequences_invariants(spark):
     assert total == sum(n for _, n in rows)
 
 
-def test_pack_sequences_drops_empty_and_rejects_bad_len(spark):
+def test_concat_chunk_sequences_drops_empty_and_rejects_bad_len(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F
 
-    from sec_dl_spark.operators.relational import pack_sequences
+    from sec_dl_spark.operators.relational import concat_chunk_sequences
 
     df = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n long")
-    out = pack_sequences(df, [F.col("doc_id")], "n", seq_len=4).collect()
+    out = concat_chunk_sequences(df, [F.col("doc_id")], "n", seq_len=4).collect()
     assert [r["doc_id"] for r in out] == [2]
     with _pytest.raises(ValueError):
-        pack_sequences(df, [F.col("doc_id")], "n", seq_len=0)
+        concat_chunk_sequences(df, [F.col("doc_id")], "n", seq_len=0)
 
 
 def test_strip_boilerplate_passages(spark):

