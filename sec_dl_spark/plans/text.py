@@ -3490,3 +3490,78 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     text shuffles once, in the unavoidable per-document reassembly."""
     tk = tok_docs(spark, sf_dir)
     return dedup.strip_boilerplate_passages(tk, tile=8, min_df=2).orderBy("doc_id")
+
+
+@query(
+    "graph_pagerank_neardup",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM ev a JOIN ev b ON a.label = b.label AND a.id <> b.id
+      WHERE list_cosine_similarity(a.v, b.v) > 0.3),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    p0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+
+    p1 AS (
+      SELECT n.id, CAST(150000000 + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS acc
+        FROM edges e JOIN p0 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.id = s.id),
+    p2 AS (
+      SELECT n.id, CAST(150000000 + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS acc
+        FROM edges e JOIN p1 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.id = s.id),
+    p3 AS (
+      SELECT n.id, CAST(150000000 + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS acc
+        FROM edges e JOIN p2 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.id = s.id),
+    p4 AS (
+      SELECT n.id, CAST(150000000 + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS acc
+        FROM edges e JOIN p3 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.id = s.id),
+    p5 AS (
+      SELECT n.id, CAST(150000000 + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS acc
+        FROM edges e JOIN p4 p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON n.id = s.id)
+    SELECT id AS vec_id, pr AS pr_int FROM p5 ORDER BY vec_id
+    """,
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding near-duplicate graph (label-blocked
+    cosine > 0.3 edges, symmetrized) — 5 Pregel-style iterations of
+    join + aggregate via operators/graph.py:pagerank_fixed_point. Ranks
+    are FIXED-POINT integers (scaled 1e9, damping as the exact ratio
+    85/100), so every iteration is summation-order-independent and the
+    result matches the oracle's unrolled CTE chain byte-for-byte — the
+    reproducibility discipline any cross-engine iterative algorithm
+    needs. Centrality here scores how 'hub-like' a document is inside
+    its duplicate neighborhood (high rank = canonical candidate)."""
+    from sec_dl_spark.operators.graph import pagerank_fixed_point
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
+    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    edges = (
+        a.join(b, "label")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(sim > 0.3)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        pagerank_fixed_point(edges, iterations=5)
+        .select(F.col("id").alias("vec_id"), "pr_int")
+        .orderBy("vec_id")
+    )

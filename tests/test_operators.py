@@ -2124,3 +2124,35 @@ def test_strip_boilerplate_passages(spark):
     assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == (
         "unique eight token passage nothing shared at all plus extra"
     )
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """On a directed star (spokes -> hub), the hub accumulates every
+    spoke's full contribution and the spokes keep only the base mass; the
+    result is deterministic across partitionings, and persist_every
+    checkpointing does not change values."""
+    from sec_dl_spark.operators.graph import SCALE, pagerank_fixed_point
+
+    spokes = list(range(1, 6))
+    edges = [(s, 0) for s in spokes] + [(0, s) for s in spokes]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r["id"]: r["pr_int"] for r in pagerank_fixed_point(df, iterations=3).collect()}
+
+    base = 15 * SCALE // 100
+    # hand-rolled integer reference on the same graph
+    ranks = {n: SCALE for n in range(6)}
+    deg = {0: 5, **{s: 1 for s in spokes}}
+    for _ in range(3):
+        nxt = {}
+        for n in range(6):
+            acc = sum(ranks[m] // deg[m] for m in range(6) if (m, n) in set(edges))
+            nxt[n] = base + (85 * acc) // 100
+        ranks = nxt
+    assert pr == ranks
+    assert pr[0] > pr[1] == pr[2]  # hub dominates, spokes symmetric
+
+    chk = {
+        r["id"]: r["pr_int"]
+        for r in pagerank_fixed_point(df.repartition(7), iterations=3, persist_every=1).collect()
+    }
+    assert chk == pr
