@@ -100,6 +100,14 @@ HEADLINE = [
     "snapshot_diff_orders",
     # map-side-reduced Gram matrix (shuffle stays d²-sized however big N)
     "emb_gram_matrix",
+    # r7 fourth-session additions: bloom semi-join reduction (fact rows
+    # drop before the join exchange), cross-document boilerplate strip
+    # (hash-keyed df count + per-doc reassembly), concat-and-chunk packing
+    # (distributed prefix sum), and 5-iteration fixed-point PageRank
+    "join_bloom_prefilter",
+    "text_boilerplate_removal",
+    "corpus_concat_chunks",
+    "graph_pagerank_neardup",
 ]
 
 

@@ -88,6 +88,17 @@ PROBE = [
     # Gram matrix: the probe verifies the shuffle stays d²-sized (ratio
     # should track the map-side matmul, not the exchange)
     "emb_gram_matrix",
+    # r7 fourth-session additions: bloom prefilter (the prefiltered fact
+    # shuffle must scale with the MATCHING rows, not the fact table),
+    # boilerplate strip (df-count on hashed tiles + text reassembly —
+    # both linear in tiles), concat-and-chunk packing (global prefix sum
+    # via range exchange; a single-partition collapse would flag here),
+    # and fixed-point PageRank (5 × |E|-sized join/agg rounds; the edge
+    # set is label-blocked so replicas keep pair volume linear)
+    "join_bloom_prefilter",
+    "text_boilerplate_removal",
+    "corpus_concat_chunks",
+    "graph_pagerank_neardup",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
