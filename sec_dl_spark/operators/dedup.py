@@ -674,3 +674,85 @@ def strip_boilerplate_passages(
             ).alias("clean_text"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Set-similarity join with PPJoin-style PREFIX FILTERING: exact
+    shingle-set Jaccard ≥ t pairs, generating candidates from only the
+    first ``p = |S| − ⌈t·|S|⌉ + 1`` shingles of each document under a
+    global rarest-first order (ascending document frequency). The prefix
+    theorem guarantees two sets with J ≥ t share a prefix shingle, so no
+    pair is missed; everything else never co-occurs in the candidate join.
+
+    This is the scale path when full posting co-occurrence (jaccard_pairs)
+    is too hot: common shingles sit at the END of the global order, so the
+    candidate join only ever keys on RARE shingles — the frequent-key skew
+    that dominates a plain posting self-join is filtered out by
+    construction, not capped by a max_df heuristic.
+
+    The threshold is the exact rational ``t_num/t_den``, applied as the
+    integer predicate ``(t_den + t_num)·|A∩B| ≥ t_num·(|A| + |B|)`` — no
+    float compare anywhere, so the pair set is byte-deterministic.
+
+    Exchanges: shingle-df join keyed by shingle hash (dictionary-sized,
+    unhinted — AQE decides), candidate join keyed by ``xxhash64`` prefix
+    keys (8 bytes; hash collisions only ever ADD candidates, which the
+    exact verification removes), verification join keyed by id. Returns
+    (id_a, id_b, jaccard) rounded to 6.
+    """
+    sh = _shingled(docs, id_col, text_col, block_col, n).where(F.size("_sh") > 0)
+    exploded = sh.select("_id", "_blk", F.explode("_sh").alias("_s"))
+    df_tbl = exploded.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first total order (df, shingle); keep the full sorted set for
+    # verification and the prefix slice for candidate generation
+    ordered = (
+        exploded.join(df_tbl, "_s")
+        .groupBy("_id", "_blk")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_s"))).alias("_os"))
+        .select(
+            "_id",
+            "_blk",
+            F.transform("_os", lambda x: x["_s"]).alias("_set"),
+            F.size("_os").alias("_n"),
+        )
+    )
+    # p = n - ceil(t*n) + 1 with ceil(t*n) = (t_num*n + t_den - 1) div t_den
+    p = F.col("_n") - F.expr(f"({t_num} * _n + {t_den} - 1) div {t_den}") + 1
+    prefixes = ordered.select(
+        "_id", "_blk", F.explode(F.slice("_set", 1, p)).alias("_ps")
+    ).select("_id", "_blk", F.xxhash64("_ps").alias("_pk"))
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a._pk") == F.col("b._pk"))
+            & (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("_ia"), F.col("b._id").alias("_ib"))
+        .distinct()
+    )
+    sa = ordered.select(F.col("_id").alias("_ia"), F.col("_set").alias("_sa"), F.col("_n").alias("_na"))
+    sb = ordered.select(F.col("_id").alias("_ib"), F.col("_set").alias("_sb"), F.col("_n").alias("_nb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cands.join(sa, "_ia")
+        .join(sb, "_ib")
+        .withColumn("_inter", inter)
+        .where((t_den + t_num) * F.col("_inter") >= t_num * (F.col("_na") + F.col("_nb")))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -3565,3 +3565,36 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "pr_int")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, lang,
+                  list_sort(list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS s
+           FROM tk WHERE len(toks) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM pairs WHERE 3 * inter >= na + nb
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard ≥ 1/2 pairs via PPJoin prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard_pairs): candidates come only
+    from each document's rarest-first prefix shingles, so the candidate
+    join never keys on a frequent shingle — the skew-proof alternative to
+    full posting co-occurrence, verified here against the oracle's
+    quadratic ground truth (lang-blocked). The threshold is the integer
+    predicate 3·|A∩B| ≥ |A|+|B| — float-free, byte-deterministic."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        d, block_col="lang", n=3, t_num=1, t_den=2
+    ).orderBy("id_a", "id_b")

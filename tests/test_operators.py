@@ -2156,3 +2156,45 @@ def test_pagerank_fixed_point_semantics(spark):
         for r in pagerank_fixed_point(df.repartition(7), iterations=3, persist_every=1).collect()
     }
     assert chk == pr
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    """Prefix filtering must generate EVERY pair with J >= t (the prefix
+    theorem) — verified against brute-force ground truth on docs built to
+    stress the filter: heavy shared boilerplate (frequent shingles that
+    must not be candidate keys) plus planted near-duplicates."""
+    import itertools
+    import random
+
+    from sec_dl_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "common header shared by every single document here"
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(30))
+        docs.append((i, f"{boiler} {body}"))
+    # planted near-dups: copy with a tiny edit
+    for i in range(30, 36):
+        base = docs[i - 30][1]
+        docs.append((i, base + " trailing extra token"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(df, t_num=1, t_den=2).collect()
+    }
+
+    def sh(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t_) for i, t_ in docs}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if 3 * len(sets[a] & sets[b]) >= len(sets[a]) + len(sets[b])
+    }
+    assert want  # the planted dups actually cross the threshold
+    assert got == want
