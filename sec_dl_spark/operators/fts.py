@@ -746,3 +746,60 @@ def trgm_match(
         .select("name_a", "name_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def crossencoder_rerank(
+    pairs: DataFrame,
+    query_col: str = "query_text",
+    doc_col: str = "doc_text",
+    scorer=None,
+    score_col: str = "ce_score",
+    rank_by: list[str] | None = None,
+) -> DataFrame:
+    """Second-stage reranking plumbing: score (query, document) text pairs
+    with a batch scorer and append ``score_col`` — the stage a serving
+    stack runs AFTER candidate retrieval (BM25/ANN/RRF), where a
+    cross-encoder model reads both texts together.
+
+    ``scorer`` is ``Callable[[pandas.Series, pandas.Series],
+    pandas.Series]`` (query texts, doc texts → float scores), applied via
+    ``mapInPandas`` so a real model sees whole Arrow batches — load the
+    model once per iterator, score per chunk, never per row. The default
+    scorer is a deterministic dependency-free stand-in (distinct-token
+    overlap count, canonical [a-z0-9]+ tokenization) so the plumbing —
+    schema widening, batching, executor-side scoring — is testable and
+    oracle-checkable without model weights.
+
+    Candidate sets are top-k-bounded per query, so this stage's input is
+    small by construction; the expensive part at scale is the model, not
+    the shuffle.
+    """
+    import pandas as pd  # noqa: F401 (annotation resolution inside closures)
+
+    if scorer is None:
+
+        def scorer(qs, ds):
+            import re
+
+            pat = re.compile(r"[a-z0-9]+")
+
+            def overlap(q, d):
+                return float(len(set(pat.findall(q.lower())) & set(pat.findall(d.lower()))))
+
+            return pd.Series([overlap(q, d) for q, d in zip(qs, ds)])
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # pairs.schema is the DataFrame's cached instance — mutating it
+    # corrupts pairs.columns for every later use
+    out_schema = StructType(
+        list(pairs.schema.fields) + [StructField(score_col, DoubleType())]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            pdf[score_col] = scorer(pdf[query_col], pdf[doc_col])
+            yield pdf
+
+    return pairs.mapInPandas(score_batches, schema=out_schema)

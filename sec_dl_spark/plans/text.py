@@ -3366,9 +3366,10 @@ def corpus_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_sequences(tk, [F.col("doc_id")], "n_tokens", seq_len=256).orderBy("doc_id")
 
 
-@query(
-    "fts_hybrid_rrf",
-    oracle=f"""
+# Shared oracle CTE chain for the hybrid-retrieval family: BM25 top-20 +
+# cosine top-20 fused by reciprocal rank (fts_hybrid_rrf consumes it
+# directly; fts_rerank_crossencoder reranks its top-10).
+_RRF_CTES = f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -3404,6 +3405,13 @@ def corpus_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              (bmr.doc_id IS NOT NULL) AS in_text,
              (csr.doc_id IS NOT NULL) AS in_vector
       FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id)
+    """
+
+
+@query(
+    "fts_hybrid_rrf",
+    oracle=_RRF_CTES
+    + """
     SELECT doc_id, rrf_score, in_text, in_vector,
            CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
     FROM fused QUALIFY rank <= 10 ORDER BY rank
@@ -3598,3 +3606,47 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_jaccard_pairs(
         d, block_col="lang", n=3, t_num=1, t_den=2
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "fts_rerank_crossencoder",
+    oracle=_RRF_CTES
+    + f"""
+    , shortlist AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank
+      FROM fused QUALIFY rrf_rank <= 10),
+    scored AS (
+      SELECT s.doc_id, s.rrf_rank,
+             CAST(len(list_intersect(['spark', 'sort', 'vector'],
+                                     list_distinct({TOKS}))) AS DOUBLE) AS ce_score
+      FROM shortlist s JOIN documents USING (doc_id))
+    SELECT doc_id, ce_score, rrf_rank,
+           CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored ORDER BY rank
+    """,
+)
+def fts_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: the RRF top-10 shortlist re-scored by a
+    cross-encoder stage (operators/fts.py:crossencoder_rerank) reading
+    (query, document) pairs through mapInPandas Arrow batches — the
+    serving pattern where a model too expensive for first-stage retrieval
+    reranks a bounded candidate list. The default scorer is the
+    deterministic token-overlap stand-in, so the whole pipeline (retrieve
+    → fuse → join texts → batch-score → rerank) is oracle-checked
+    end-to-end; swapping in a real model changes only the scorer
+    callable."""
+    shortlist = fts_hybrid_rrf(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rrf_rank")
+    )
+    pairs = shortlist.join(
+        t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("doc_text")),
+        "doc_id",
+    ).withColumn("query_text", F.lit("spark sort vector"))
+    scored = fts.crossencoder_rerank(pairs)
+    w = Window.orderBy(F.col("ce_score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "ce_score", "rrf_rank", "rank")
+        .orderBy("rank")
+    )

@@ -2198,3 +2198,34 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark):
     }
     assert want  # the planted dups actually cross the threshold
     assert got == want
+
+
+def test_crossencoder_rerank_plumbing(spark):
+    """The rerank stage widens the schema (never mutating the input
+    DataFrame's cached schema), applies a custom batch scorer through
+    Arrow batches, and the default scorer counts distinct-token overlap."""
+    import pandas as pd
+
+    from sec_dl_spark.operators.fts import crossencoder_rerank
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark sort", "the spark sort engine sorts"),
+            (2, "spark sort", "nothing relevant here"),
+        ],
+        "doc_id long, query_text string, doc_text string",
+    )
+    out = crossencoder_rerank(df)
+    assert out.columns == ["doc_id", "query_text", "doc_text", "ce_score"]
+    assert df.columns == ["doc_id", "query_text", "doc_text"]  # input untouched
+    scores = {r["doc_id"]: r["ce_score"] for r in out.collect()}
+    assert scores == {1: 2.0, 2: 0.0}
+
+    def length_scorer(qs, ds):
+        return pd.Series([float(len(d)) for d in ds])
+
+    custom = {
+        r["doc_id"]: r["ce_score"]
+        for r in crossencoder_rerank(df, scorer=length_scorer).collect()
+    }
+    assert custom[1] == float(len("the spark sort engine sorts"))
