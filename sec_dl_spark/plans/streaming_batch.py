@@ -849,3 +849,54 @@ def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("user_id", "n_events", rz(fold, 6).alias("ewma_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_rolling_median",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, ts,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(len(win) AS BIGINT) AS n_win,
+           (round(CASE WHEN len(win) % 2 = 1 THEN win[(len(win) + 1) // 2]
+                       ELSE (win[len(win) // 2] + win[len(win) // 2 + 1]) / 2.0
+                  END + 1e-9, 6) + 0.0) AS rolling_median
+    FROM w WHERE user_id < 30 ORDER BY user_id, event_id
+    """,
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of each user's last 5 metric values — the
+    robust-trend primitive dashboards overlay on noisy event streams. The
+    5-row frame collects into a bounded array per row; the median is pure
+    element access on the sorted array (odd: middle; even: mean of the two
+    middles — one identical IEEE add + halving per engine, so byte-exact).
+    The frame is O(k) per row regardless of history length — never a
+    growing window state."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    win = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(win)
+    med = F.when(
+        n % 2 == 1, F.element_at(win, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(win, (n / 2).cast("int")) + F.element_at(win, (n / 2).cast("int") + 1)) / 2.0
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            n.cast("long").alias("n_win"),
+            rz(med, 6).alias("rolling_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
