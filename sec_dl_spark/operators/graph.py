@@ -50,13 +50,22 @@ def pagerank_fixed_point(
     damping d applied as an exact integer ratio (``85/100``). Dangling
     nodes never arise when the caller symmetrizes edges; otherwise their
     mass drains (the standard simplification).
+
+    The edge list, degrees, and node set are iteration-INVARIANT, so they
+    are persisted up front: without this, every iteration re-executes the
+    caller's edge-building lineage (often an expensive similarity join) —
+    the 10× scale probe caught exactly that regression on the near-dup
+    graph, where 5 iterations re-ran the label-blocked cosine join 5
+    times. The persisted frames stay cached for the life of the result
+    plan (edge-list-sized, the working set any PageRank needs).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     base = (damping_den - damping_num) * SCALE // damping_den
     pr = nodes.withColumn("pr", F.lit(SCALE).cast("long"))

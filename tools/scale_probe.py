@@ -99,6 +99,11 @@ PROBE = [
     "text_boilerplate_removal",
     "corpus_concat_chunks",
     "graph_pagerank_neardup",
+    # prefix filtering: candidate volume is the risk — rarest-first prefixes
+    # must keep the candidate join off the frequent-shingle keys
+    "dedup_prefix_filter_pairs",
+    # bounded 5-row frame: per-row cost must stay O(k), linear overall
+    "events_rolling_median",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
