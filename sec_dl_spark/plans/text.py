@@ -3503,11 +3503,17 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_pagerank_neardup",
     oracle="""
-    WITH ev AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+    dtiles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i*8+1 : i*8+8], ' ') AS passage
+      FROM tk, UNNEST(range(CAST(len(toks) // 8 AS BIGINT))) AS u(i)),
+    shared AS (SELECT passage FROM dtiles GROUP BY passage
+               HAVING count(*) BETWEEN 2 AND 20),
     edges AS (
-      SELECT a.id AS src, b.id AS dst
-      FROM ev a JOIN ev b ON a.label = b.label AND a.id <> b.id
-      WHERE list_cosine_similarity(a.v, b.v) > 0.3),
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM dtiles a
+      JOIN shared USING (passage)
+      JOIN dtiles b ON a.passage = b.passage AND a.doc_id <> b.doc_id),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT src AS id FROM edges
               UNION SELECT DISTINCT dst FROM edges),
@@ -3543,35 +3549,55 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS acc
         FROM edges e JOIN p4 p ON e.src = p.id JOIN deg d ON e.src = d.src
         GROUP BY e.dst) s ON n.id = s.id)
-    SELECT id AS vec_id, pr AS pr_int FROM p5 ORDER BY vec_id
+    SELECT id AS doc_id, pr AS pr_int FROM p5 ORDER BY doc_id
     """,
 )
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the embedding near-duplicate graph (label-blocked
-    cosine > 0.3 edges, symmetrized) — 5 Pregel-style iterations of
-    join + aggregate via operators/graph.py:pagerank_fixed_point. Ranks
-    are FIXED-POINT integers (scaled 1e9, damping as the exact ratio
-    85/100), so every iteration is summation-order-independent and the
-    result matches the oracle's unrolled CTE chain byte-for-byte — the
-    reproducibility discipline any cross-engine iterative algorithm
-    needs. Centrality here scores how 'hub-like' a document is inside
-    its duplicate neighborhood (high rank = canonical candidate)."""
+    """PageRank over the shared-passage duplication graph — an edge links
+    two documents sharing a distinct 8-token tile that 2-20 documents
+    carry (the max_df cap keeps universal boilerplate from densifying the
+    graph) — 5 Pregel-style iterations of join + aggregate via
+    operators/graph.py:pagerank_fixed_point. Edge generation is
+    posting-keyed co-occurrence, the LINEAR candidate plan; the first
+    version of this query built edges from label-blocked all-pairs
+    cosine, and the 10x probe measured 55x — blocks grow with the corpus,
+    so blocked all-pairs is quadratic no matter how cheap the pair
+    predicate (the r6 semantic-dedup lesson, relearned on graphs). Ranks
+    are FIXED-POINT integers (scaled 1e9, damping as the exact 85/100
+    ratio), so every iteration is summation-order-independent and matches
+    the oracle's unrolled CTE chain byte-for-byte. Centrality scores how
+    hub-like a document is inside its duplication neighborhood (high
+    rank = canonical candidate)."""
     from sec_dl_spark.operators.graph import pagerank_fixed_point
 
-    e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
-    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
+    dtiles = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 8 - 1), "
+                "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+            )
+        ).alias("passage"),
+    ).distinct()
+    shared = (
+        dtiles.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= 20))
+        .select("passage")
+    )
+    a = dtiles.join(shared, "passage")
+    b = dtiles.select(F.col("doc_id").alias("_dst"), "passage")
     edges = (
-        a.join(b, "label")
-        .where(F.col("id_a") != F.col("id_b"))
-        .where(sim > 0.3)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        a.join(b, "passage")
+        .where(F.col("doc_id") != F.col("_dst"))
+        .select(F.col("doc_id").alias("src"), F.col("_dst").alias("dst"))
+        .distinct()
     )
     return (
         pagerank_fixed_point(edges, iterations=5)
-        .select(F.col("id").alias("vec_id"), "pr_int")
-        .orderBy("vec_id")
+        .select(F.col("id").alias("doc_id"), "pr_int")
+        .orderBy("doc_id")
     )
 
 
