@@ -900,3 +900,46 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (round(avg(least(greatest(e.value, b.lo), b.hi)) + 1e-8, 4) + 0.0)
+             AS winsorized_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-clamped) mean per event type — the outlier-robust KPI
+    a metrics pipeline publishes instead of the raw mean. Composes the
+    exact-percentile operator (the distinct-value + cumulative-count plan
+    behind agg_percentiles, quantile_cont/type-7 semantics) with a
+    broadcast bounds join and a clamped aggregate: two passes total, the
+    bounds frame is |groups|-sized, and nothing buffers per-group values
+    the way Spark's percentile TypedImperativeAggregate would."""
+    from sec_dl_spark.operators.relational import exact_percentiles
+    from sec_dl_spark.plans.text import rz
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    bounds = exact_percentiles(
+        e, "event_type", {"value": [(0.05, "lo"), (0.95, "hi")]}
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rz(F.avg(clamped), 4, 1e-8).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

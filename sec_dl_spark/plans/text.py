@@ -3676,3 +3676,52 @@ def fts_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ce_score", "rrf_rank", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    dt AS (
+      SELECT DISTINCT source, array_to_string(toks[i*8+1 : i*8+8], ' ') AS p
+      FROM tk, UNNEST(range(CAST(len(toks) // 8 AS BIGINT))) AS u(i))
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_passages
+    FROM dt a JOIN dt b ON a.p = b.p AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 8-token passages appear in BOTH feeds — the provenance audit
+    that tells a corpus team which sources mirror each other (at passage
+    granularity, where mirroring actually shows up — exact whole-document
+    cross-source dups are near-zero in this corpus). Tiles never leave
+    the per-source distinct projection as text: the pair join keys on
+    xxhash64(passage) (8-byte exchange; a collision adds one count to a
+    cell of an audit matrix — acceptable for a diagnostic, and the
+    string-keyed plan is a one-line swap); output is |sources|²-bounded."""
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    dt = (
+        tk.join(src, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) div 8 - 1), "
+                    "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.xxhash64("p").alias("_pk"))
+        .distinct()
+    )
+    b = dt.select(F.col("source").alias("source_b"), "_pk")
+    return (
+        dt.join(b, "_pk")
+        .where(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+        .orderBy("source_a", "source_b")
+    )
