@@ -104,6 +104,9 @@ PROBE = [
     "dedup_prefix_filter_pairs",
     # bounded 5-row frame: per-row cost must stay O(k), linear overall
     "events_rolling_median",
+    # cross-source passage matrix: pair volume rides the shared-tile df
+    # cap, must not grow quadratically with the corpus
+    "corpus_source_overlap",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
