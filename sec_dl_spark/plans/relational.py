@@ -2536,3 +2536,64 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_boolean_fns",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_deep_discount,
+           bool_and(l_quantity <= 50) AS all_small,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(count_if(l_shipdate >= TIMESTAMP '1997-01-01') AS BIGINT) AS n_recent
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_boolean_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate breadth in one pass: count_if / bool_and (every) /
+    bool_or (any) — predicate aggregates that fold map-side like any
+    conditional count, no distinct or window machinery."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_deep_discount"),
+            F.bool_and(F.col("l_quantity") <= 50).alias("all_small"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.count_if(
+                F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+            ).alias("n_recent"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "scalar_bitwise_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 1 AS BIGINT) AS set_lsb,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def scalar_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar breadth — popcount, xor, and/or masks, shifts: the
+    primitives the engine's own hash/bloom/simhash operators lean on,
+    exposed as one oracled projection (pure codegen, no exchange beyond
+    the pushed-filter scan)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.bit_count(k).cast("long").alias("popcount"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("key_xor"),
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).cast("long").alias("set_lsb"),
+        F.shiftleft(k.cast("int"), 2).cast("long").alias("shl2"),
+        F.shiftright(k.cast("int"), 3).cast("long").alias("shr3"),
+    ).orderBy("o_orderkey")
