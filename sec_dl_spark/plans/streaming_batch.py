@@ -943,3 +943,86 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Poisson(1) CDF cutoffs scaled to the 20-bit draw (floor(cum·2^20)):
+# weight = #cutoffs the draw exceeds, capping at 6 (P(w>6) < 1e-4).
+# IDENTICAL literals on both engines — the draw and the inverse-CDF are
+# pure integer arithmetic, so replicate weights are byte-deterministic.
+_POIS_CUTS = (385749, 771499, 964373, 1028665, 1044738, 1047952)
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(20)) AS rep),
+    drawn AS (
+      SELECT e.event_type, e.value, r.rep,
+             CAST(md5_number_lower('bs' || CAST(r.rep AS VARCHAR) || ':'
+                                   || CAST(e.event_id AS VARCHAR)) % 1048576
+                  AS BIGINT) + 1 AS u
+      FROM events e CROSS JOIN reps r),
+    weighted AS (
+      SELECT event_type, rep,
+             {" + ".join(f"(CASE WHEN u > {c} THEN 1 ELSE 0 END)" for c in _POIS_CUTS)}
+               AS w, value
+      FROM drawn),
+    repmeans AS (
+      SELECT event_type, rep,
+             (round(sum(w * value) / sum(w) + 1e-8, 4) + 0.0) AS m
+      FROM weighted GROUP BY event_type, rep)
+    SELECT event_type,
+           (round(avg(m) + 1e-8, 4) + 0.0) AS boot_mean,
+           min(m) AS ci_lo, max(m) AS ci_hi,
+           CAST(count(m) AS BIGINT) AS n_reps
+    FROM repmeans GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-type mean — the
+    one-pass resampling scheme that works on distributed data because
+    each row draws its replicate weights INDEPENDENTLY (Poisson(1)
+    approximates multinomial resampling without knowing N). The draws are
+    deterministic: a 20-bit md5 draw per (row, replicate) fed through the
+    integer inverse-CDF cutoffs, so both engines materialize the same 20
+    resamples and the interval is byte-reproducible — seeded statistics,
+    not flaky statistics. Cost: one explode×20 + two aggregations; no
+    per-group buffering, no shuffle beyond the group keys."""
+    from sec_dl_spark.plans.text import rz
+
+    e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    reps = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("bs"), F.col("rep").cast("string"), F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    b8 = F.conv(F.substring(h, 17, 2), 16, 10).cast("long")
+    b9 = F.conv(F.substring(h, 19, 2), 16, 10).cast("long")
+    b10 = F.conv(F.substring(h, 21, 2), 16, 10).cast("long")
+    u = b8 + b9 * 256 + (b10 % 16) * 65536 + 1
+    w = None
+    for c in _POIS_CUTS:
+        term = F.when(u > c, 1).otherwise(0)
+        w = term if w is None else w + term
+    repmeans = (
+        reps.withColumn("_w", w)
+        .groupBy("event_type", "rep")
+        .agg(rz(F.sum(F.col("_w") * F.col("value")) / F.sum("_w"), 4, 1e-8).alias("m"))
+    )
+    return (
+        repmeans.groupBy("event_type")
+        .agg(
+            rz(F.avg("m"), 4, 1e-8).alias("boot_mean"),
+            F.min("m").alias("ci_lo"),
+            F.max("m").alias("ci_hi"),
+            F.count("m").alias("n_reps"),
+        )
+        .orderBy("event_type")
+    )
