@@ -58,12 +58,22 @@ def build_corpus(
     num_hashes: int = 32,
     seq_budget: int = 512,
     compact_target_bytes: int | None = None,
+    strip_boilerplate_min_df: int | None = None,
 ) -> dict:
     """Run the full corpus pipeline over ``src_dir``/documents.parquet and
     write ``out_dir``/documents (partitioned by split) plus
     ``out_dir``/sequences (the packed-sequence map). Returns the funnel:
     raw → cleaned-nonempty → quality → exact-unique → near-unique, plus
-    per-split counts and sequence totals."""
+    per-split counts and sequence totals.
+
+    ``strip_boilerplate_min_df`` (off by default) inserts the CCNet-style
+    passage-boilerplate strip between near-dedup and splitting: 8-token
+    tiles recurring in ≥ that many surviving documents are removed and
+    each document is rebuilt from its remaining passages
+    (operators/dedup.py:strip_boilerplate_passages). It runs AFTER dedup
+    on purpose — dedup keeps whole documents, and this stage cleans the
+    repeated headers/footers dedup cannot reach; docs stripped to nothing
+    drop out of the corpus."""
     raw = spark.read.parquet(f"{src_dir}/documents.parquet")
     n_raw = raw.count()
 
@@ -108,6 +118,24 @@ def build_corpus(
     drops = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     near = exact.join(drops, "doc_id", "left_anti")
     n_near = near.count()
+
+    # 4b. optional cross-document boilerplate strip (see docstring): text
+    #     and its derived columns are REBUILT, so every later stage (split
+    #     hash, sequence packing, registry fingerprint) sees clean content
+    n_boiler_touched = None
+    if strip_boilerplate_min_df:
+        stripped = dedup.strip_boilerplate_passages(
+            near.select("doc_id", "toks"), min_df=strip_boilerplate_min_df
+        )
+        n_boiler_touched = stripped.where(F.col("n_removed") > 0).count()
+        near = (
+            near.drop("text", "toks", "n_chars")
+            .join(stripped.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+            .withColumn("toks", tokenize(F.col("text")))
+            .where(F.size("toks") > 0)
+            .withColumn("n_chars", F.length("text"))
+        )
+        n_near = near.count()
 
     # 5. leakage-free split on the SURVIVOR's canonical content
     final = near.withColumn("split", assign_split(F.col("text")))
@@ -191,6 +219,7 @@ def build_corpus(
         "n_quality": n_quality,
         "n_exact_unique": n_exact,
         "n_near_unique": n_near,
+        "n_boilerplate_touched": n_boiler_touched,
         "splits": split_counts,
         "n_sequences": n_sequences,
         "documents_path": docs_out,

@@ -344,3 +344,38 @@ def test_append_corpus_delta_dedups_against_registry(spark, tmp_path):
     funnel2 = append_corpus(spark, delta_dir, out, batch="b2", seq_budget=64)
     assert funnel2["n_novel"] == 0
     assert spark.read.parquet(base["documents_path"]).count() == n0 + 3
+
+
+def test_build_corpus_boilerplate_stage(spark, tmp_path):
+    """With strip_boilerplate_min_df set, cross-document header passages
+    vanish from every surviving document, the funnel reports how many
+    docs were touched, and the registry/splits see the CLEANED content."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.etl.corpus import build_corpus
+
+    header = "terms of use apply to this document here"  # one 8-token tile
+    rows = []
+    for i in range(40):
+        body = " ".join(f"word{i}x{j} filler{j} content{i}" for j in range(12))
+        rows.append({"doc_id": i, "text": f"{header} {body}",
+                     "lang": "en", "source": f"s{i % 3}", "n_chars": 0})
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(rows).to_parquet(src / "documents.parquet")
+
+    out = str(tmp_path / "corpus")
+    funnel = build_corpus(
+        spark, str(src), out, seq_budget=64, strip_boilerplate_min_df=2
+    )
+    assert funnel["n_boilerplate_touched"] > 0
+    docs = spark.read.parquet(funnel["documents_path"])
+    n_with_header = docs.where(F.col("text").contains(header)).count()
+    assert n_with_header == 0 and docs.count() > 0
+
+    # default path: stage off, funnel key present but None
+    funnel2 = build_corpus(spark, str(src), str(tmp_path / "c2"), seq_budget=64)
+    assert funnel2["n_boilerplate_touched"] is None
+    kept = spark.read.parquet(funnel2["documents_path"])
+    assert kept.where(F.col("text").contains(header)).count() > 0
