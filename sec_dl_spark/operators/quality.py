@@ -224,3 +224,62 @@ def partition_skew_report(df: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), "pid")
     )
+
+
+def range_checksums(
+    df: DataFrame,
+    key_col: str,
+    cols: list[str],
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Anti-entropy range digests: bucket rows by ``key div bucket_width``
+    and reduce each bucket to (n_rows, checksum) where the checksum is the
+    SUM of a 40-bit per-row md5 digest over the pipe-joined columns. Sum
+    is the merge operator on purpose — order-free, partition-independent,
+    map-side combinable — so two replicas of a table can each compute
+    digests locally and a join over the tiny digest tables localizes any
+    divergence to key ranges WITHOUT moving row data. The repair scan then
+    reads only the diverging buckets. (The 40-bit row digest makes a
+    colliding *pair of differences within one bucket* ~2^-40 per bucket —
+    a diagnostic bound, not a cryptographic one.)"""
+    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.md5(joined)
+    hv = None
+    for i in range(5):  # bytes 8..12 of the digest, little-endian (40 bits)
+        b = F.conv(F.substring(h, 17 + 2 * i, 2), 16, 10).cast("long")
+        hv = b if hv is None else hv + b * F.lit(1 << (8 * i))
+    return (
+        df.select(
+            F.expr(f"{key_col} div {bucket_width}").cast("long").alias("bucket"),
+            hv.alias("_hv"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_hv").alias("checksum"),
+        )
+    )
+
+
+def checksum_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Compare two range_checksums outputs: full-outer join on bucket,
+    keep buckets that disagree in row count or checksum (or exist on one
+    side only). Returns (bucket, n_rows_a, n_rows_b, checksum_a,
+    checksum_b) — the work list for a targeted repair scan."""
+    aa = a.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("checksum").alias("checksum_a"),
+    )
+    bb = b.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("checksum").alias("checksum_b"),
+    )
+    j = aa.join(bb, "bucket", "full_outer")
+    return j.where(
+        ~(
+            F.col("n_rows_a").eqNullSafe(F.col("n_rows_b"))
+            & F.col("checksum_a").eqNullSafe(F.col("checksum_b"))
+        )
+    )

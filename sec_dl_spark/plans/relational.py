@@ -2597,3 +2597,38 @@ def scalar_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k.cast("int"), 2).cast("long").alias("shl2"),
         F.shiftright(k.cast("int"), 3).cast("long").alias("shr3"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "dq_range_checksums",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey // 1000 AS bucket,
+             CAST(md5_number_lower(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' || o_orderpriority
+             ) % 1099511627776 AS BIGINT) AS hv
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(hv) AS BIGINT) AS checksum
+    FROM h GROUP BY bucket ORDER BY bucket
+    """,
+)
+def dq_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy range digests of the orders table
+    (operators/quality.py:range_checksums): each 1000-key bucket reduces
+    to a count + order-free 40-bit-digest SUM, so two replicas (a
+    warehouse copy and its serving mirror, a table before and after a
+    migration) can be reconciled by joining digest tables the size of
+    |key range|/1000 — the repair scan then touches only diverging
+    buckets. checksum_diff() is the comparison half, pytest-pinned with a
+    planted divergence."""
+    from sec_dl_spark.operators.quality import range_checksums
+
+    o = t(spark, sf_dir, "orders")
+    return range_checksums(
+        o, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        bucket_width=1000,
+    ).orderBy("bucket")

@@ -2229,3 +2229,30 @@ def test_crossencoder_rerank_plumbing(spark):
         for r in crossencoder_rerank(df, scorer=length_scorer).collect()
     }
     assert custom[1] == float(len("the spark sort engine sorts"))
+
+
+def test_range_checksums_localize_divergence(spark):
+    """Two replicas differing in exactly one row (one changed, one
+    missing) — checksum_diff reports exactly the buckets containing them,
+    with per-side counts that tell the repair job what to fetch."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.quality import checksum_diff, range_checksums
+
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 97).alias("v")
+    )
+    # replica b: row k=1234 corrupted, row k=4321 missing
+    b = a.withColumn(
+        "v", F.when(F.col("k") == 1234, F.lit(-1)).otherwise(F.col("v"))
+    ).where(F.col("k") != 4321)
+
+    ca = range_checksums(a, "k", ["k", "v"], bucket_width=100)
+    cb = range_checksums(b, "k", ["k", "v"], bucket_width=100)
+    diff = {r["bucket"]: r for r in checksum_diff(ca, cb).collect()}
+    assert set(diff) == {12, 43}
+    assert diff[12]["n_rows_a"] == diff[12]["n_rows_b"]  # corrupt, not missing
+    assert diff[43]["n_rows_a"] == diff[43]["n_rows_b"] + 1  # missing row
+
+    # identical replicas → empty diff
+    assert checksum_diff(ca, range_checksums(a, "k", ["k", "v"], 100)).count() == 0
