@@ -3725,3 +3725,46 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_passages"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "emb_rank_normalize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings WHERE vec_id < 200),
+    r AS (
+      SELECT vec_id, dim,
+             percent_rank() OVER (PARTITION BY dim ORDER BY v, vec_id) AS pr
+      FROM x)
+    SELECT vec_id, list(pr ORDER BY dim) AS ranked
+    FROM r GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension rank (quantile) normalization of the embedding matrix
+    — the distribution-free feature transform that makes dimensions
+    comparable before indexing or drift tests: each value becomes its
+    percent_rank within its dimension. Total order (v, vec_id) makes the
+    ranks distinct, so percent_rank is an integer-derived division and
+    byte-exact cross-engine. Plan: one posexplode, one window per
+    dimension (|dims| bounded partitions), one per-vector reassembly —
+    at real scale the per-dim sort swaps for equidepth binning on
+    global_rank, same output contract."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "_v")).select(
+        "vec_id", "dim", F.col("_v").cast("double").alias("v")
+    )
+    w = Window.partitionBy("dim").orderBy("v", "vec_id")
+    r = x.select("vec_id", "dim", F.percent_rank().over(w).alias("pr"))
+    return (
+        r.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "pr"))),
+                lambda s: s["pr"],
+            ).alias("ranked")
+        )
+        .orderBy("vec_id")
+    )
