@@ -3768,3 +3768,43 @@ def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("multimodal_image_phash", oracle=None)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pass over the REAL raster pipeline
+    (operators/multimodal.py:perceptual_hash): deterministic 16×16 P6 PPM
+    images are synthesized from each document's bytes (the container has
+    no image fixtures or codecs — the encode is a mapInPandas stage with
+    the same Arrow batch shape a reader would have), aHash'd on the real
+    decode path, then near-dup pairs counted at Hamming ≤ 8 over the
+    64-bit hashes via the banded hamming_pairs machinery. Rows-only (a
+    PPM encode is not SQL-expressible); the hash itself is pinned
+    bit-for-bit by the numpy-reference pytest."""
+    from sec_dl_spark.operators.dedup import hamming_pairs
+    from sec_dl_spark.operators.multimodal import perceptual_hash
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def to_ppm(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "content": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode()
+                need = 16 * 16 * 3
+                rgb = (raw * (need // len(raw) + 1))[:need]
+                out["media_id"].append(did)
+                out["kind"].append("ppm")
+                out["content"].append(b"P6\n16 16\n255\n" + rgb)
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(
+        to_ppm, schema="media_id long, kind string, content binary"
+    )
+    hashed = perceptual_hash(media).select(
+        F.col("media_id").alias("doc_id"), F.col("ahash").alias("simhash")
+    )
+    pairs = hamming_pairs(hashed, max_distance=8, band_bits=7)
+    return pairs.orderBy(pairs.columns[0], pairs.columns[1])

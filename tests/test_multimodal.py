@@ -300,3 +300,51 @@ def test_select_keyframes_y4m_real_scene_change(spark):
         for r in select_keyframes(media, threshold=8.0, with_real_decoders=True).collect()
     )
     assert got == [(0, 0, 0.0), (2, 200, 90.0), (4, 400, 100.0)]
+
+
+def test_perceptual_hash_near_dup_detection(spark):
+    """aHash over the real decode path: identical content in two formats
+    (PPM vs BMP) hashes IDENTICALLY; a tiny brightness-preserving edit
+    stays within a few Hamming bits; a structurally different image is
+    far away. Hashes match an independent numpy reference."""
+    import numpy as np
+
+    from sec_dl_spark.operators.multimodal import perceptual_hash
+
+    def gradient(x, y):
+        return ((x * 7) % 256, (y * 5) % 256, ((x + y) * 3) % 256)
+
+    def gradient_edited(x, y):
+        r, g, b = gradient(x, y)
+        if x == 3 and y == 3:  # one-pixel edit
+            return (255 - r, g, b)
+        return (r, g, b)
+
+    def checkers(x, y):
+        v = 255 if (x // 4 + y // 4) % 2 else 0
+        return (v, v, v)
+
+    w = h = 32
+    rows = [
+        (1, "ppm", _ppm_bytes(w, h, gradient)),
+        (2, "bmp", _bmp_bytes(w, h, gradient)),
+        (3, "ppm", _ppm_bytes(w, h, gradient_edited)),
+        (4, "ppm", _ppm_bytes(w, h, checkers)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r["media_id"]: r["ahash"] for r in perceptual_hash(media).collect()}
+
+    def ref_hash(fn):
+        px = np.array([[fn(x, y) for x in range(w)] for y in range(h)], dtype=float)
+        gray = px.mean(axis=2)
+        cells = gray.reshape(8, 4, 8, 4).mean(axis=(1, 3))  # 32/8 = 4 exact
+        bits = (cells >= cells.mean()).flatten()
+        v = sum(1 << i for i, b in enumerate(bits) if b)
+        return v & 0x7FFFFFFFFFFFFFFF
+
+    assert got[1] == ref_hash(gradient)
+    assert got[1] == got[2]  # format-independent
+    ham13 = bin(got[1] ^ got[3]).count("1")
+    ham14 = bin(got[1] ^ got[4]).count("1")
+    assert ham13 <= 2  # near-dup stays close
+    assert ham14 > 10  # different structure is far
