@@ -108,6 +108,10 @@ HEADLINE = [
     "text_boilerplate_removal",
     "corpus_concat_chunks",
     "graph_pagerank_neardup",
+    # deterministic resampling (explode x20 + two aggs) and the
+    # reconciliation digest scan
+    "agg_bootstrap_ci",
+    "dq_range_checksums",
 ]
 
 
