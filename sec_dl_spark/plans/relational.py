@@ -2632,3 +2632,64 @@ def dq_range_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
         bucket_width=1000,
     ).orderBy("bucket")
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_name,
+           CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM nation n JOIN LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t ON true
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers by balance per nation
+    written as the correlated per-row subquery a SQL user reaches for,
+    exercising Catalyst's DECORRELATION: the optimizer rewrites the
+    correlated LIMIT into the same window/aggregate shape the DataFrame
+    formulation (topk_per_group) builds by hand, so the per-nation
+    lookup never executes row-at-a-time."""
+    from sec_dl_spark.sources.fixtures import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(avg(c_acctbal) + 1e-8, 4) AS avg_bal
+    FROM customer WHERE c_acctbal > 5000
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same filtered segment rollup as
+    ANSI GROUP BY, expressed as a linear operator chain — the front-door
+    surface added in Spark 4.0 for composable ad-hoc analysis. The plan
+    is identical to the ANSI form (the pipe parser lowers to the same
+    logical operators), which is exactly what the oracle checks."""
+    from sec_dl_spark.sources.fixtures import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql("""
+        FROM customer
+        |> WHERE c_acctbal > 5000
+        |> AGGREGATE count(*) AS n, round(avg(c_acctbal) + 1e-8, 4) AS avg_bal
+           GROUP BY c_mktsegment
+        |> ORDER BY c_mktsegment
+    """)
