@@ -1026,3 +1026,40 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gap_islands",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS grp
+      FROM events WHERE user_id < 50)
+    SELECT user_id,
+           CAST(min(event_id) AS BIGINT) AS island_start,
+           CAST(max(event_id) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS island_len
+    FROM d GROUP BY user_id, grp
+    ORDER BY user_id, island_start
+    """,
+)
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — maximal runs of consecutive event ids per user
+    via the classic value-minus-row_number trick (consecutive values share
+    the difference, so one group-by collapses each island): the id-space
+    integrity audit that reports every contiguous range and hole without
+    a self-join. One window + one aggregate, all integers."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 50).select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = e.withColumn("_grp", F.col("event_id") - F.row_number().over(w))
+    return (
+        d.groupBy("user_id", "_grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("_grp")
+        .orderBy("user_id", "island_start")
+    )
