@@ -114,3 +114,30 @@ def scd2_history(
         .withColumn(valid_to_col, nxt)
         .where(F.col(op_col) != delete_op)
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on,
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join — the delta
+    rule: with A = A_old ∪ ΔA and B = B_old ∪ ΔB (disjoint unions),
+
+        Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    so a materialized join view advances by joining only the DELTAS
+    against the other side — cost O(|Δ| · matchrate), never a rescan of
+    A_old ⋈ B_old, which is the whole point when the view is 100 TB and
+    the delta is a day's partition. The three terms are row-disjoint by
+    construction, so plain unionByName is exact (no dedup step to pay).
+    Complements operators/rollup.py's aggregate IVM: together they
+    maintain join+aggregate views end-to-end.
+    """
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

@@ -2693,3 +2693,54 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY c_mktsegment
         |> ORDER BY c_mktsegment
     """)
+
+
+@query(
+    "cdc_join_delta",
+    oracle="""
+    WITH full_j AS (
+      SELECT o_orderkey, l_linenumber, l_returnflag
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    old_j AS (
+      SELECT o_orderkey, l_linenumber, l_returnflag
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        AND l_shipdate < TIMESTAMP '1997-07-01'),
+    delta AS (SELECT * FROM full_j EXCEPT ALL SELECT * FROM old_j)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_delta_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_delta_orders
+    FROM delta GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def cdc_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join view (operators/cdc.py:join_delta,
+    the delta rule Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB): orders and
+    lineitem each split at 1997-07-01 into an already-materialized OLD
+    part and a newly-arrived DELTA, and the view's increment is computed
+    joining only the deltas against the other side — never re-running
+    A_old⋈B_old. The oracle is deliberately INDEPENDENT of the rule: it
+    computes full join EXCEPT ALL old join, so the query proves the
+    algebra, not just repeats it."""
+    from sec_dl_spark.operators.cdc import join_delta
+
+    cut = F.lit("1997-07-01").cast("timestamp")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
+    )
+    delta = join_delta(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(F.col("o_orderdate") >= cut),
+        li.where(F.col("l_shipdate") < cut),
+        li.where(F.col("l_shipdate") >= cut),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        delta.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta_rows"),
+            F.count_distinct("o_orderkey").alias("n_delta_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2256,3 +2256,30 @@ def test_range_checksums_localize_divergence(spark):
 
     # identical replicas → empty diff
     assert checksum_diff(ca, range_checksums(a, "k", ["k", "v"], 100)).count() == 0
+
+
+def test_join_delta_equals_view_difference(spark):
+    """The delta rule: maintaining A ⋈ B from (A_old, ΔA, B_old, ΔB)
+    yields EXACTLY the multiset difference between the new view and the
+    old view — on data with duplicate join keys and rows landing in all
+    three delta terms."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.cdc import join_delta
+
+    a = spark.createDataFrame(
+        [(k, t_) for k in range(20) for t_ in range(3)], "ak long, at long"
+    )
+    b = spark.createDataFrame(
+        [(k % 10, t_) for k in range(30) for t_ in range(2)], "bk long, bt long"
+    )
+    a_old, a_new = a.where("at < 2"), a.where("at >= 2")
+    b_old, b_new = b.where("bt < 1"), b.where("bt >= 1")
+
+    cond = F.col("ak") == F.col("bk")
+    got = Counter(map(tuple, join_delta(a_old, a_new, b_old, b_new, cond).collect()))
+    full = Counter(map(tuple, a.join(b, cond).collect()))
+    old = Counter(map(tuple, a_old.join(b_old, cond).collect()))
+    assert got == full - old and sum(got.values()) > 0

@@ -107,6 +107,12 @@ PROBE = [
     # cross-source passage matrix: pair volume rides the shared-tile df
     # cap, must not grow quadratically with the corpus
     "corpus_source_overlap",
+    # late r7s4 additions — one-off 10x ratios recorded in NOTES.md this
+    # round (bootstrap 6.6x, checksums 4.1x, winsorized 1.4x); folded in
+    # here so the next full probe run covers them as first-class rows
+    "agg_bootstrap_ci",
+    "dq_range_checksums",
+    "events_winsorized_mean",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
