@@ -59,6 +59,7 @@ def build_corpus(
     seq_budget: int = 512,
     compact_target_bytes: int | None = None,
     strip_boilerplate_min_df: int | None = None,
+    write_registry: bool = True,
 ) -> dict:
     """Run the full corpus pipeline over ``src_dir``/documents.parquet and
     write ``out_dir``/documents (partitioned by split) plus
@@ -146,18 +147,23 @@ def build_corpus(
     #     append_corpus dedups against THIS table in O(delta + registry),
     #     never rescanning the corpus text (same sidecar discipline as the
     #     streaming registry, streaming/dedup.py)
+    #     ``write_registry=False`` skips the sidecar (a build that will
+    #     never take delta appends, or a bench arm pricing the build
+    #     alone — the sidecar is a real extra write job, priced as its
+    #     own feature, not hidden in the e2e number)
     reg_out = f"{out_dir}/registry"
-    (
-        final.select(
-            A.fingerprint_of(F.col("toks")).alias("fp"),
-            F.col("doc_id").alias("canonical_id"),
-            F.lit("initial").alias("batch"),
+    if write_registry:
+        (
+            final.select(
+                A.fingerprint_of(F.col("toks")).alias("fp"),
+                F.col("doc_id").alias("canonical_id"),
+                F.lit("initial").alias("batch"),
+            )
+            .withColumn("fp_bucket", (F.abs(F.hash("fp")) % _REG_BUCKETS).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("fp_bucket")
+            .parquet(reg_out)
         )
-        .withColumn("fp_bucket", (F.abs(F.hash("fp")) % _REG_BUCKETS).cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("fp_bucket")
-        .parquet(reg_out)
-    )
 
     # 6. write documents partitioned by split (partition pruning for the
     #    train/val/test consumers), then pack sequences per (split, source)
@@ -224,7 +230,7 @@ def build_corpus(
         "n_sequences": n_sequences,
         "documents_path": docs_out,
         "sequences_path": seq_out,
-        "registry_path": reg_out,
+        "registry_path": reg_out if write_registry else None,
         "compaction": compaction,
     }
 

@@ -272,6 +272,25 @@ def search_phrase(postings: DataFrame, phrase: list[str]) -> DataFrame:
     return acc.select("doc_id").distinct()
 
 
+def _topk_ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Scale-safe top-k with a dense 1..k rank column.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — each
+    partition computes a partial top-k and only k rows ever move — instead
+    of the unpartitioned-window shape (rank the WHOLE scored set in one
+    partition, then filter) that is invisible at sf0.1 but a single-executor
+    sort of the corpus on a common term at 100 TB.  The rank window then
+    runs over at most k surviving rows, so its single partition is bounded
+    by construction."""
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(win).cast("long")).select(
+        "doc_id", "score", "rank"
+    )
+
+
 def search_ranked(
     postings: DataFrame, terms: list[str], k: int = 10, stats: CorpusStats | None = None
 ) -> DataFrame:
@@ -285,8 +304,6 @@ def search_ranked(
 
     Pass ``stats`` (from the index build / sidecar) to skip the eager
     corpus-size job and the per-call df aggregation entirely."""
-    from pyspark.sql.window import Window
-
     terms_df = F.broadcast(
         postings.sparkSession.createDataFrame([(t.lower(),) for t in set(terms)], ["token"])
     )
@@ -303,12 +320,7 @@ def search_ranked(
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
-    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("doc_id", "score", "rank")
-    )
+    return _topk_ranked(scored, k)
 
 
 def search_and_not(postings: DataFrame, include: list[str], exclude: list[str]) -> DataFrame:
@@ -342,8 +354,6 @@ def search_bm25(
 
     Pass ``stats`` to reuse build-time corpus statistics instead of
     re-aggregating them per call."""
-    from pyspark.sql.window import Window
-
     sp = postings.sparkSession
     terms_df = F.broadcast(sp.createDataFrame([(t.lower(),) for t in set(terms)], ["token"]))
     if stats is None:
@@ -365,12 +375,7 @@ def search_bm25(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_term), 6).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("doc_id", "score", "rank")
-    )
+    return _topk_ranked(scored, k)
 
 
 def search_proximity_ranked(
@@ -449,12 +454,7 @@ def search_proximity_ranked(
             "score"
         ),
     )
-    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("doc_id", "score", "rank")
-    )
+    return _topk_ranked(scored, k)
 
 
 # --- tsquery-style string queries ------------------------------------------

@@ -611,9 +611,10 @@ def perceptual_hash(media: DataFrame, grid: int = 8) -> DataFrame:
             for i, b in enumerate(bits):
                 if b:
                     v |= 1 << i
-            # keep the packed value inside signed-long range (bit 63 off
-            # by construction only for grid<8; mask for safety)
-            return v & 0x7FFFFFFFFFFFFFFF
+            # store as signed two's complement so all grid*grid bits
+            # survive in the long (masking bit 63 would alias grid=8
+            # images that differ only in cell (7,7))
+            return v - (1 << 64) if v & (1 << 63) else v
 
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "kind": [], "ahash": []}

@@ -106,7 +106,12 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
         stacked = agg.selectExpr(
             "stack({n}, {pairs}) as (rule, violations)".format(
                 n=len(row_rules),
-                pairs=", ".join(f"'{r.name}', `{i}`" for i, r in enumerate(row_rules)),
+                pairs=", ".join(
+                    "'{}', `{}`".format(
+                        r.name.replace("\\", "\\\\").replace("'", "\\'"), i
+                    )
+                    for i, r in enumerate(row_rules)
+                ),
             )
         )
         parts.append(stacked)
@@ -163,8 +168,14 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.avg(F.col(c).cast("double")).alias(f"av_{i}"),
         ]
     agg = df.agg(*aggs)
+
+    def lit_str(s: str) -> str:
+        # backslash-escape so a column name with a quote/backslash cannot
+        # break (or mis-parse) the stack() expression
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     pairs = ", ".join(
-        f"'{c}', n_{i}, nn_{i}, nd_{i}, mn_{i}, mx_{i}, av_{i}"
+        f"{lit_str(c)}, n_{i}, nn_{i}, nd_{i}, mn_{i}, mx_{i}, av_{i}"
         for i, c in enumerate(cols)
     )
     return agg.selectExpr(

@@ -449,9 +449,23 @@ def global_rank(
     ``order`` must be a TOTAL order (break ties) — then the result equals
     the global ``row_number`` regardless of where the sampled range
     boundaries land, so it is deterministic and oracle-checkable even
-    though the partitioning itself is not."""
-    ranged = df.repartitionByRange(*order).withColumn(
-        "_pid", F.spark_partition_id()
+    though the partitioning itself is not.
+
+    The ranked rows and the counts/offsets aggregate both read the ranged
+    frame, and the range exchange samples its boundaries — if the two plan
+    branches ever compiled to SEPARATE exchanges, their partition
+    boundaries could diverge and ranks would silently skew. Persisting the
+    frame collapses both branches onto one InMemoryRelation (a single
+    materialization by construction) instead of relying on Spark's
+    ReuseExchange to deduplicate. The cache is the frame itself
+    (MEMORY_AND_DISK, spills instead of OOMing at scale); callers running
+    many ranks in one session may ``unpersist`` the result's lineage."""
+    from pyspark import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order)) - 1
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -568,7 +582,18 @@ def bloom_prefilter_join(
     the join exchange, so the shuffle moves only rows that might match.
     False positives survive the prefilter but die in the exact join, so
     the result is byte-identical to ``fact.join(dim, ...)``.
+
+    Only ``inner`` and ``left_semi`` are accepted: the prefilter drops
+    non-matching fact rows BEFORE the join, which is exactly the set of
+    rows a left/full/anti join must keep, so any other mode would be
+    silently wrong rather than merely slow.
     """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi only, got {how!r}: "
+            "the prefilter removes unmatched fact rows, which outer/anti "
+            "joins must retain"
+        )
     bf = bloom_build(dim, dim_key, m_bits=m_bits, k_hashes=k_hashes)
     pre = fact.where(bloom_might_contain(bf, F.col(fact_key)))
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)
@@ -585,8 +610,17 @@ def global_cumsum(
     (same three-step shape): range-exchange on the order key, per-partition
     local running sum, then each partition's total becomes a broadcast
     cumulative offset. ``order`` must be a total order for a deterministic,
-    oracle-checkable result (== ``sum(v) OVER (ORDER BY ...)``)."""
-    ranged = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    oracle-checkable result (== ``sum(v) OVER (ORDER BY ...)``).
+
+    Persisted for the same reason as :func:`global_rank`: the local-sum
+    and totals/offsets branches must observe ONE range materialization."""
+    from pyspark import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     local = F.sum(value_col).over(
         Window.partitionBy("_pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     )

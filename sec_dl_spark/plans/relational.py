@@ -2744,3 +2744,155 @@ def cdc_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "join_q11_important_stock",
+    oracle="""
+    WITH sup AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8')),
+    val AS (
+      SELECT l_partkey,
+             CAST(round(round(sum(l_extendedprice * (1 - l_discount)), 2) * 100)
+                  AS BIGINT) AS value_cents
+      FROM lineitem JOIN sup ON l_suppkey = sup.s_suppkey
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_key, value_cents
+    FROM val, (SELECT sum(value_cents) AS total FROM val) t
+    WHERE value_cents * 1000 > total
+    ORDER BY value_cents DESC, p_key
+    """,
+)
+def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock identification) over the lineitem
+    supply fact (the fixtures carry no partsupp): per-part supply value
+    from the target nations' suppliers, keeping parts above 0.1% of the
+    national total. The threshold compare runs on integer CENTS (the
+    2-decimal rounded value ×100 as BIGINT, total as an exact integer
+    sum), so the above-threshold set is byte-identical cross-engine — a
+    float `value > sum(value)*frac` compare would hinge on summation
+    order at the boundary. Plan shape: broadcast nation→supplier semi
+    join, one part-keyed aggregate, 1-row total broadcast back — the
+    group-then-global-threshold pattern of Q11 with zero extra
+    shuffles."""
+    n = t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    val = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.round(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("value_cents")
+    )
+    total = val.agg(F.sum("value_cents").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("total"))
+        .select("p_key", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_key")
+    )
+
+
+@query(
+    "join_q20_potential_promo",
+    oracle="""
+    WITH qty AS (
+      SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS promo_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, promo_qty
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN qty ON s_suppkey = l_suppkey
+    WHERE n_name = 'NATION_3' AND promo_qty > 100
+    ORDER BY s_suppkey
+    """,
+)
+def join_q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential part promotion): suppliers in the
+    target nation whose 1997 shipped quantity of PROMO-type parts exceeds
+    the excess threshold — the supplier shortlist Q20 feeds to Q21.
+    Quantities are integral doubles, so the BIGINT cast of their sum is
+    exact and order-independent. Plan shape: broadcast part filter prunes
+    lineitem BEFORE its supplier-keyed aggregate; the nation filter is a
+    broadcast semi join against the tiny supplier dim — the fact shuffles
+    once, on the aggregate key."""
+    p = F.broadcast(
+        t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = (
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("promo_qty"))
+        .where(F.col("promo_qty") > 100)
+    )
+    n = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        s.join(qty, s.s_suppkey == qty.l_suppkey)
+        .select("s_suppkey", "s_name", "promo_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '1998-12-01')
+    SELECT m AS month_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN (
+      SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
+      FROM orders GROUP BY mo) agg ON months.m = agg.mo
+    ORDER BY month_start
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-door breadth: WITH RECURSIVE (Spark 4's recursive CTE
+    support) generating a dense month calendar that gap-fills the monthly
+    order series — months with zero orders surface as explicit rows, the
+    report shape BI layers expect. The recursion is driver-bounded (one
+    row per month, 48 iterations) and the fact side is one grouped
+    aggregate left-joined against the generated spine — the recursive
+    branch never touches the fact table. Complements events_gap_filled
+    (sequence()-based): same semantics, exercised through the declarative
+    recursive-SQL surface a reference user would reach for first."""
+    from sec_dl_spark.sources.fixtures import register_fixtures
+
+    register_fixtures(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '1998-12-01')
+        SELECT m AS month_start,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n
+          FROM orders GROUP BY mo) agg ON months.m = agg.mo
+        ORDER BY month_start
+    """)

@@ -1063,3 +1063,30 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_grp")
         .orderBy("user_id", "island_start")
     )
+
+
+@query("events_hll_partial_merge", oracle=None)
+def events_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the incremental-rollup story
+    for COUNT(DISTINCT): per-day HLL sketches of active users
+    (``hll_sketch_agg``, Apache DataSketches inside Spark) merge into
+    weekly estimates via ``hll_union_agg`` WITHOUT rescanning the days.
+    At 100 TB this is how daily jobs maintain weekly/monthly/all-time
+    distinct users: each day is aggregated once, ever; every coarser
+    rollup is a union of byte-sized sketch partials (the same
+    merge==recompute contract the rollup operator pins for sums). The
+    estimate is deterministic for a given input (the sketch hash is
+    seeded), but not SQL-expressible — rows-only here; pytest pins
+    merged-vs-direct equality and the exact-regime accuracy."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = (
+        daily.groupBy(F.date_trunc("week", F.col("day")).alias("week_start"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_day_partials"),
+        )
+    )
+    return weekly.orderBy("week_start")

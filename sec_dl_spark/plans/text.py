@@ -3070,7 +3070,7 @@ _SIG_SQL = similarity.binary_signature_sql("CAST(embedding AS DOUBLE[])")
     "emb_binary_signature",
     oracle=f"""
     WITH s AS (SELECT vec_id, {_SIG_SQL} AS sig FROM embeddings)
-    SELECT vec_id, sig,
+    SELECT vec_id, array_to_string(sig, ',') AS sig_words,
            CAST(list_sum(list_transform(sig, w -> bit_count(w))) AS BIGINT) AS n_set
     FROM s ORDER BY vec_id
     """,
@@ -3079,14 +3079,19 @@ def emb_binary_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed sign-bit signatures (operators/similarity.py:binary_quantize):
     1 bit per dimension, 62 bits per BIGINT word — the 32x-compressed scan
     tier of a two-stage binary index. The oracle packs with the identical
-    portable layout (binary_signature_sql), so the words compare
-    byte-exact across engines; n_set (popcount) cross-checks the bit
-    budget. Scale shape: one narrow projection, zero shuffles."""
+    portable layout (binary_signature_sql); the words are emitted as one
+    comma-joined STRING column (integer-to-string is exact on both
+    engines, and a scalar column is canon-safe for the driver's pandas
+    sort — raw BIGINT[] output crashed its canonicalizer in r7); n_set
+    (popcount) cross-checks the bit budget. Scale shape: one narrow
+    projection, zero shuffles."""
     e = t(spark, sf_dir, "embeddings")
     sig = similarity.binary_quantize(e)
     return sig.select(
         "vec_id",
-        "sig",
+        F.array_join(F.expr("transform(sig, w -> cast(w as string))"), ",").alias(
+            "sig_words"
+        ),
         F.expr(
             "aggregate(transform(sig, w -> cast(bit_count(w) as bigint)), 0L, (a, v) -> a + v)"
         ).alias("n_set"),
@@ -3595,7 +3600,11 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        pagerank_fixed_point(edges, iterations=5)
+        # persist_every=2 truncates the rank lineage mid-iteration so the
+        # final plan stays bounded (without it the 5-iteration unrolled
+        # lineage compiled to ~850 exchanges at sf0.01 — same result,
+        # quintupled plan)
+        pagerank_fixed_point(edges, iterations=5, persist_every=2)
         .select(F.col("id").alias("doc_id"), "pr_int")
         .orderBy("doc_id")
     )
@@ -3738,8 +3747,8 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, dim,
              percent_rank() OVER (PARTITION BY dim ORDER BY v, vec_id) AS pr
       FROM x)
-    SELECT vec_id, list(pr ORDER BY dim) AS ranked
-    FROM r GROUP BY vec_id ORDER BY vec_id
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim, pr
+    FROM r ORDER BY vec_id, dim
     """,
 )
 def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3748,25 +3757,31 @@ def emb_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable before indexing or drift tests: each value becomes its
     percent_rank within its dimension. Total order (v, vec_id) makes the
     ranks distinct, so percent_rank is an integer-derived division and
-    byte-exact cross-engine. Plan: one posexplode, one window per
-    dimension (|dims| bounded partitions), one per-vector reassembly —
-    at real scale the per-dim sort swaps for equidepth binning on
-    global_rank, same output contract."""
+    byte-exact cross-engine. The normalized vector is reassembled (the
+    operator's real output contract) and then re-exploded to scalar
+    (vec_id, dim, pr) rows for the oracle compare — the driver's
+    canonicalizer cannot sort DOUBLE[] columns (the r7
+    emb_binary_signature crash class), so no oracled query emits arrays.
+    Plan: one posexplode, one window per dimension (|dims| bounded
+    partitions), one per-vector reassembly — at real scale the per-dim
+    sort swaps for equidepth binning on global_rank, same output
+    contract."""
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     x = e.select("vec_id", F.posexplode("embedding").alias("dim", "_v")).select(
         "vec_id", "dim", F.col("_v").cast("double").alias("v")
     )
     w = Window.partitionBy("dim").orderBy("v", "vec_id")
     r = x.select("vec_id", "dim", F.percent_rank().over(w).alias("pr"))
-    return (
-        r.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "pr"))),
-                lambda s: s["pr"],
-            ).alias("ranked")
-        )
-        .orderBy("vec_id")
+    ranked = r.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "pr"))),
+            lambda s: s["pr"],
+        ).alias("ranked")
+    )
+    return ranked.select(
+        "vec_id", F.posexplode("ranked").alias("dim", "pr")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "pr").orderBy(
+        "vec_id", "dim"
     )
 
 
@@ -3808,3 +3823,41 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = hamming_pairs(hashed, max_distance=8, band_bits=7)
     return pairs.orderBy(pairs.columns[0], pairs.columns[1])
+
+
+@query(
+    "fts_ranked_paged",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, t.term, len(list_filter(toks, x -> x = t.term)) AS tf
+      FROM tk, (SELECT unnest(['spark', 'sort', 'vector']) AS term) t
+      WHERE list_contains(toks, t.term)),
+    dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             round(sum(
+               ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM hits h, dfs d, dl, stats
+      WHERE h.term = d.term AND h.doc_id = dl.doc_id
+      GROUP BY h.doc_id)
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank BETWEEN 11 AND 20 ORDER BY rank
+    """,
+)
+def fts_ranked_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of a BM25 result list (ranks 11-20) — offset pagination off
+    the scale-safe top-k path: search_bm25 fetches the first
+    offset+page_size rows via orderBy().limit() (TakeOrderedAndProject —
+    parallel partial top-k, never an unpartitioned whole-corpus window),
+    and the page is a rank-range filter over those 20 surviving rows.
+    Deep pagination stays bounded: page p costs a top-(p·size), not a
+    full sort."""
+    postings, stats = fts_index(spark, sf_dir)
+    page = fts.search_bm25(postings, ["spark", "sort", "vector"], k=20, stats=stats)
+    return page.where(F.col("rank").between(11, 20)).orderBy("rank")
