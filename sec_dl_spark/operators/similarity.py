@@ -22,6 +22,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def per_query_topk(
+    scored: DataFrame, order: list, k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Two-phase per-query top-k over a (query_id, ...) scored frame.
+
+    A single ``Window.partitionBy("query_id")`` makes each window
+    partition as large as that query's scored set — for a full-corpus
+    scan with few queries, that is a handful of corpus-sized sorts on a
+    handful of executors (the same shape as the r7 FTS ranked-retrieval
+    finding, one level down). Phase 1 ranks within (query_id, input
+    partition chunk): Q×P bounded sorts, embarrassingly parallel; only
+    the ≤ k survivors per chunk move on. Phase 2 ranks the ≤ k·P
+    survivors per query — a window over a frame bounded by the cluster
+    shape, not the corpus.
+
+    Identical output to the single global window whenever ``order`` is a
+    TOTAL order per query (every call site tie-breaks on neighbor id):
+    each query's true top-k rows each win their own chunk's top-k, so the
+    union of chunk winners contains the global top-k. The chunk id is
+    ``spark_partition_id()`` — which rows share a chunk is plan-dependent,
+    but the result is chunking-invariant, so determinism is unaffected."""
+    part = scored.withColumn("_chunk", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "_chunk").orderBy(*order)
+    pruned = (
+        part.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_chunk", "_r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn(rank_col, F.row_number().over(w2).cast("long")).where(
+        F.col(rank_col) <= k
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -89,10 +123,8 @@ def cosine_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+    return per_query_topk(
+        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
     )
 
 
@@ -338,8 +370,9 @@ def cosine_topk_lsh(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+    return per_query_topk(
+        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
+    )
 
 
 def _coarse_cells(
@@ -482,8 +515,9 @@ def cosine_topk_ivf(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+    return per_query_topk(
+        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
+    )
 
 
 def write_ann_index(
@@ -572,8 +606,9 @@ def ann_index_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+    return per_query_topk(
+        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
+    )
 
 
 def semantic_dedup(
@@ -1182,12 +1217,9 @@ def ivfpq_topk(
         )
     else:
         raise ValueError(f"unknown kernel {kernel!r} (expected 'adc' or 'decode')")
-    cand_w = Window.partitionBy("query_id").orderBy(F.col("_approx").desc(), F.col("neighbor_id"))
-    shortlist_ids = (
-        approx.withColumn("_cr", F.row_number().over(cand_w))
-        .where(F.col("_cr") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+    shortlist_ids = per_query_topk(
+        approx, [F.col("_approx").desc(), F.col("neighbor_id")], rerank, rank_col="_cr"
+    ).select("query_id", "neighbor_id")
     c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q_vecs = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -1201,10 +1233,8 @@ def ivfpq_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+    return per_query_topk(
+        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
     )
 
 
@@ -1363,12 +1393,11 @@ def hamming_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", hamming_expr("q_sig", "c_sig").alias("hamming"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
-    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    order = [F.asc("hamming"), F.asc("neighbor_id")]
     if rerank <= 0:
-        return ranked.where(F.col("rank") <= k)
+        return per_query_topk(scored, order, k)
 
-    shortlist = ranked.where(F.col("rank") <= rerank).drop("rank")
+    shortlist = per_query_topk(scored, order, rerank).drop("rank")
     full = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )

@@ -113,6 +113,17 @@ PROBE = [
     "agg_bootstrap_ci",
     "dq_range_checksums",
     "events_winsorized_mean",
+    # r8 additions — the retrieval family after the TakeOrderedAndProject
+    # top-k fix (the probe proves the new regime: ranked search must scale
+    # with the posting semi-join, never a whole-corpus single-partition
+    # sort), plus the fused RRF composition of it
+    "fts_ranked_bm25",
+    "fts_hybrid_rrf",
+    # r8 new queries with non-trivial scale shape: the Q11 global-threshold
+    # report (group + 1-row broadcast back) and the mergeable HLL rollup
+    # (sketch partials must stay day-count-sized, never user-count-sized)
+    "join_q11_important_stock",
+    "events_hll_partial_merge",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
