@@ -340,11 +340,13 @@ def test_perceptual_hash_near_dup_detection(spark):
         cells = gray.reshape(8, 4, 8, 4).mean(axis=(1, 3))  # 32/8 = 4 exact
         bits = (cells >= cells.mean()).flatten()
         v = sum(1 << i for i, b in enumerate(bits) if b)
-        return v & 0x7FFFFFFFFFFFFFFF
+        # signed two's complement, matching the operator: bit 63 (cell
+        # (7,7) at grid=8) survives instead of being masked off
+        return v - (1 << 64) if v & (1 << 63) else v
 
     assert got[1] == ref_hash(gradient)
     assert got[1] == got[2]  # format-independent
-    ham13 = bin(got[1] ^ got[3]).count("1")
-    ham14 = bin(got[1] ^ got[4]).count("1")
+    ham13 = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    ham14 = bin((got[1] ^ got[4]) & ((1 << 64) - 1)).count("1")
     assert ham13 <= 2  # near-dup stays close
     assert ham14 > 10  # different structure is far

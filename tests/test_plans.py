@@ -729,3 +729,15 @@ def test_hll_partial_merge_equals_direct_estimate(spark, specs):
     for wk, (est, n_days) in merged.items():
         assert est == direct[wk], wk
         assert 1 <= n_days <= 7
+
+
+def test_ann_topk_is_two_phase_not_corpus_sized_window(spark, specs):
+    """Exact cosine top-k must rank in two phases: a (query, chunk)
+    window whose partitions are input-chunk-sized, then a final window
+    over <= k·P survivors — never a single per-query window over the
+    whole scored corpus (a handful of corpus-sized sorts when queries
+    are few). The executed plan therefore contains TWO Window operators
+    and the first one's partition spec includes the chunk column."""
+    plan = physical_plan(specs["emb_cosine_topk"].spark_fn(spark, SF))
+    assert plan.count("Window") >= 2
+    assert "_chunk" in plan
