@@ -87,6 +87,13 @@ def pagerank_fixed_point(
             ).cast("long").alias("pr"),
         )
         if persist_every and (it + 1) % persist_every == 0 and it + 1 < iterations:
-            pr = pr.persist()
-            pr.count()  # materialize to truncate lineage
+            # localCheckpoint TRUNCATES lineage (the plan becomes an RDD
+            # scan): persist()+count() materializes but the logical plan
+            # still carries — and the explain text re-embeds — the full
+            # iteration history, so planner work and plan size kept
+            # growing with iterations (the r7 850-exchange finding).
+            # Tradeoff: localCheckpoint blocks are executor-local and not
+            # recomputable after executor loss; long jobs on preemptible
+            # fleets should checkpoint() to reliable storage instead.
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("id", F.col("pr").alias("pr_int"))
