@@ -60,6 +60,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # of every query whose implementation changed this round, then the
 # round-8 additions.  After r8 every catalog name has driver evidence.
 # Queries NOT listed here keep module registration order after the block.
+# Post-slice round-8 additions (verified --exact at 3 SFs this session,
+# no driver row yet — lead the round-9 rotation): dq_k_anonymity,
+# dq_freshness_lag.
 _PRIORITY = (
     # the r7 red row: emb_binary_signature ERRed in the driver's
     # canonicalizer (raw BIGINT[] output -> pandas sort crash); the output

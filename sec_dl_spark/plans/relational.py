@@ -2896,3 +2896,88 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders GROUP BY mo) agg ON months.m = agg.mo
         ORDER BY month_start
     """)
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment,
+           CASE WHEN n >= 5 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS nation_key,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           (min(n) < 5) AS suppressed
+    FROM g
+    GROUP BY c_mktsegment, CASE WHEN n >= 5 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END
+    ORDER BY c_mktsegment, nation_key
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression report (k=5) over the quasi-identifier pair
+    (market segment, nation): equivalence classes smaller than k are
+    generalized into a per-segment '*' bucket — the standard small-cell
+    suppression a governed release of grouped statistics applies so no
+    published cell isolates fewer than k individuals. Two grouped
+    aggregates on the same leading key (AQE coalesces); output is
+    cell-bounded, never row-bounded."""
+    g = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    masked = g.withColumn(
+        "nation_key",
+        F.when(F.col("n") >= 5, F.col("c_nationkey").cast("string")).otherwise(
+            F.lit("*")
+        ),
+    )
+    return (
+        masked.groupBy("c_mktsegment", "nation_key")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.min("n") < 5).alias("suppressed"),
+        )
+        .orderBy("c_mktsegment", "nation_key")
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH w AS (SELECT max(ts) AS watermark FROM events)
+    SELECT event_type,
+           max(ts) AS latest_ts,
+           CAST(date_diff('second', max(ts), (SELECT watermark FROM w)) AS BIGINT)
+             AS lag_seconds,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness monitor: each event type's newest timestamp
+    against the table watermark (the global max), the lag every ingestion
+    SLA dashboard starts from — a stalled upstream shows up as one type's
+    lag growing while the watermark advances. One grouped max plus a
+    1-row broadcast; integer-second lags compare exactly cross-engine."""
+    e = t(spark, sf_dir, "events").select("event_type", "ts")
+    wm = e.agg(F.max("ts").alias("watermark"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            "latest_ts",
+            (
+                F.unix_timestamp("watermark") - F.unix_timestamp("latest_ts")
+            ).cast("long").alias("lag_seconds"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
