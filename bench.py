@@ -203,21 +203,35 @@ def main() -> None:
     # the delta between them is the registry's cost, not a regression.
     from sec_dl_spark.etl.corpus import build_corpus
 
-    corpus = {}
-    for arm, with_reg in (("build", False), ("build_registry", True)):
-        corpus_out = tempfile.mkdtemp(prefix=f"bench_corpus_{arm}_")
-        t0 = time.perf_counter()
-        funnel = build_corpus(spark, sf_dir, corpus_out, write_registry=with_reg)
-        corpus_s = time.perf_counter() - t0
+    # untimed warm-up build, then ALTERNATE the two arms and take per-arm
+    # medians: successive builds keep getting faster (JIT/page-cache
+    # drift outlives a single warm-up — the r8 dry run priced the
+    # registry arm FASTER than build-only purely from ordering), and
+    # alternation puts both arms on the same drift curve.
+    _warm = tempfile.mkdtemp(prefix="bench_corpus_warm_")
+    _funnel = build_corpus(spark, sf_dir, _warm, write_registry=False)
+    shutil.rmtree(_warm, ignore_errors=True)
+    arm_samples: dict[str, list[float]] = {"build": [], "build_registry": []}
+    for _ in range(2):
+        for arm, with_reg in (("build", False), ("build_registry", True)):
+            corpus_out = tempfile.mkdtemp(prefix=f"bench_corpus_{arm}_")
+            t0 = time.perf_counter()
+            build_corpus(spark, sf_dir, corpus_out, write_registry=with_reg)
+            arm_samples[arm].append(time.perf_counter() - t0)
+            shutil.rmtree(corpus_out, ignore_errors=True)
+    corpus: dict[str, object] = {}
+    for arm, s in arm_samples.items():
+        best = min(s)
         corpus[arm] = {
-            "seconds": round(corpus_s, 3),
-            "docs_in": funnel["n_raw"],
-            "docs_out": funnel["n_near_unique"],
-            "docs_per_sec": round(funnel["n_raw"] / corpus_s, 1) if corpus_s else None,
+            "seconds": round(best, 3),
+            "docs_in": _funnel["n_raw"],
+            "docs_out": _funnel["n_near_unique"],
+            "docs_per_sec": round(_funnel["n_raw"] / best, 1) if best else None,
         }
-        shutil.rmtree(corpus_out, ignore_errors=True)
     corpus["registry_overhead"] = (
-        round(corpus["build_registry"]["seconds"] / corpus["build"]["seconds"], 3)
+        round(
+            corpus["build_registry"]["seconds"] / corpus["build"]["seconds"], 3
+        )
         if corpus["build"]["seconds"]
         else None
     )
