@@ -95,3 +95,58 @@ def compact_rollup(
         fs.delete(p, True)
     fs.mkdirs(jvm.Path(f"{rollup_path}/run=__compact__"))
     fs.rename(jvm.Path(staging), jvm.Path(f"{rollup_path}/run=__compact__/batch=0"))
+
+
+def incremental_hll_sink(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    run: str | None = None,
+):
+    """Streaming maintenance of DISTINCT counts via mergeable HLL
+    sketches — the COUNT(DISTINCT) twin of ``incremental_rollup_sink``
+    (sums/mins merge trivially; distincts need a sketch to merge without
+    re-reading raw data). Per micro-batch: one ``hll_sketch_agg`` per key
+    group, published as that batch's own ``run=<run>/batch=<id>``
+    partition (idempotent overwrite-on-retry, same append-only
+    discipline). Batch partials are key-cardinality-sized binaries —
+    never user-cardinality-sized — so a day of batches stays tiny and
+    the read-side union is exact-merge cheap."""
+    from pyspark.sql import functions as F
+
+    run = run or uuid.uuid4().hex[:12]
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col).alias("sk")
+        )
+        part.write.mode("overwrite").parquet(
+            f"{sketch_path}/run={run}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_rollup(
+    spark: SparkSession,
+    sketch_path: str,
+    keys: list[str],
+    estimate_col: str = "n_distinct",
+) -> DataFrame:
+    """Merged distinct-count view over every published sketch partition:
+    ``hll_union_agg`` per key, then the estimate. Identical to sketching
+    the raw union directly (DataSketches HLL is deterministic per value
+    set), which the cross-batch pytest pins."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(sketch_path).drop("run", "batch")
+    return parts.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(estimate_col)
+    )

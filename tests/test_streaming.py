@@ -1692,3 +1692,73 @@ def test_drop_duplicates_within_watermark(spark, tmp_path_factory):
     assert ids == [1, 2, 3]
     # the FIRST arrival of id 1 won (value 1.0, not the batch-1 re-send)
     assert {r["event_id"]: r["value"] for r in rows}[1] == 1.0
+
+
+def test_streaming_hll_rollup_matches_direct_estimate(spark, tmp_path_factory):
+    """Micro-batched HLL distinct-count maintenance == direct sketch over
+    the union: user ids stream in as file-batches, each publishing its
+    per-key sketch partial; the merged hll_union_agg estimate equals
+    hll_sketch_agg over the full data EXACTLY (DataSketches HLL is
+    deterministic per value set), and a replayed run with a fresh
+    checkpoint overwrites its partitions instead of double-merging."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.rollup import incremental_hll_sink, read_hll_rollup
+
+    src = tmp_path_factory.mktemp("hll_src")
+    out = str(tmp_path_factory.mktemp("hll_out") / "sketches")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("uid", T.LongType()),
+        ]
+    )
+    # overlapping ids across batches: the merge must not double-count
+    data = [(["x", "y"][i % 2], (i * 7) % 140) for i in range(400)]
+    full = spark.createDataFrame(data, schema)
+    for b in range(3):
+        spark.createDataFrame(
+            data[b * 100 : 200 + b * 100], schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b={b}")
+    streamed_rows = [r for b in range(3) for r in data[b * 100 : 200 + b * 100]]
+    full = spark.createDataFrame(streamed_rows, schema)
+
+    def run_stream(ckpt: str, run: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b=*")
+        )
+        incremental_hll_sink(
+            stream, out, ckpt, ["k"], "uid", run=run
+        ).awaitTermination(120)
+
+    run_stream(str(tmp_path_factory.mktemp("hll_ckpt1")), run="r1")
+
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in read_hll_rollup(spark, out, ["k"]).collect()
+    }
+    want = {
+        r["k"]: r["est"]
+        for r in full.groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("est"))
+        .collect()
+    }
+    assert got == want and set(got) == {"x", "y"}
+    # estimates are near-exact at this cardinality (<= 70 per key)
+    exact = {
+        r["k"]: r["n"]
+        for r in full.groupBy("k").agg(F.count_distinct("uid").alias("n")).collect()
+    }
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+    # replay with a fresh checkpoint: overwrite, no double-merge drift
+    run_stream(str(tmp_path_factory.mktemp("hll_ckpt2")), run="r1")
+    got2 = {
+        r["k"]: r["n_distinct"]
+        for r in read_hll_rollup(spark, out, ["k"]).collect()
+    }
+    assert got2 == got
