@@ -922,12 +922,39 @@ def fts_ranked_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-@query("dedup_clusters", oracle=None)
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM comp ORDER BY doc_id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: jaccard candidate pairs ≥ 0.6 → connected
-    components (iterative min-label propagation — the genuinely iterative
-    algorithm slot; rows-only check, pytest pins semantics on constructed
-    chains). Returns one row per clustered doc with its component id."""
+    components via iterative min-label propagation + pointer jumping
+    (operators/dedup.py:duplicate_clusters). The oracle is deliberately a
+    DIFFERENT algorithm — a recursive-CTE transitive closure with
+    component id = least reachable node — so the check proves the
+    fixed point, not a transliteration (closure is O(n·component), fine
+    for the oracle's scale; the engine's pointer-jumping path is the one
+    that survives 100 TB). Returns one row per clustered doc with its
+    component id."""
     d = t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.6)
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
