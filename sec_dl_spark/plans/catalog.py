@@ -34,9 +34,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a (spark, sf_dir) -> DataFrame callable under ``name``."""
+    """Register a (spark, sf_dir) -> DataFrame callable under ``name``.
+
+    Duplicate names raise: the registry dict is last-wins, so a colliding
+    registration in a later-imported module would silently SHADOW the
+    original (different query, same driver row — this bit a new
+    events_anomaly_mad in round 8, caught only by the original's pytest).
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        prev = REGISTRY.get(name)
+        if prev is not None and prev.spark_fn is not fn:
+            raise ValueError(
+                f"catalog query {name!r} already registered by "
+                f"{prev.spark_fn.__module__}; pick a distinct name "
+                "(the registry would silently shadow the original)"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
         return fn
 
@@ -62,7 +75,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Queries NOT listed here keep module registration order after the block.
 # Post-slice round-8 additions (verified --exact at 3 SFs this session,
 # no driver row yet — lead the round-9 rotation): dq_k_anonymity,
-# dq_freshness_lag.
+# dq_freshness_lag, and dedup_clusters' UPGRADED check (rows-only r5 →
+# full oracle vs a recursive-CTE transitive closure).
 _PRIORITY = (
     # the r7 red row: emb_binary_signature ERRed in the driver's
     # canonicalizer (raw BIGINT[] output -> pandas sort crash); the output

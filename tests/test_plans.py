@@ -741,3 +741,19 @@ def test_ann_topk_is_two_phase_not_corpus_sized_window(spark, specs):
     plan = physical_plan(specs["emb_cosine_topk"].spark_fn(spark, SF))
     assert plan.count("Window") >= 2
     assert "_chunk" in plan
+
+
+def test_catalog_rejects_duplicate_query_names(specs):
+    """The registry dict is last-wins, so a name collision in a
+    later-imported module silently SHADOWS the original query — a
+    different result under the same driver row (the r8
+    events_anomaly_mad near-miss). Registration must refuse instead."""
+    import pytest as _pytest
+
+    from sec_dl_spark.plans.catalog import query
+
+    with _pytest.raises(ValueError, match="already registered"):
+
+        @query("q1_pricing_summary")
+        def _dupe(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
