@@ -212,13 +212,20 @@ def main() -> None:
     _funnel = build_corpus(spark, sf_dir, _warm, write_registry=False)
     shutil.rmtree(_warm, ignore_errors=True)
     arm_samples: dict[str, list[float]] = {"build": [], "build_registry": []}
+    reg_out = None
     for _ in range(2):
         for arm, with_reg in (("build", False), ("build_registry", True)):
             corpus_out = tempfile.mkdtemp(prefix=f"bench_corpus_{arm}_")
             t0 = time.perf_counter()
             build_corpus(spark, sf_dir, corpus_out, write_registry=with_reg)
             arm_samples[arm].append(time.perf_counter() - t0)
-            shutil.rmtree(corpus_out, ignore_errors=True)
+            if with_reg:
+                # keep the last registry-bearing corpus for the append arm
+                if reg_out:
+                    shutil.rmtree(reg_out, ignore_errors=True)
+                reg_out = corpus_out
+            else:
+                shutil.rmtree(corpus_out, ignore_errors=True)
     corpus: dict[str, object] = {}
     for arm, s in arm_samples.items():
         best = min(s)
@@ -235,6 +242,27 @@ def main() -> None:
         if corpus["build"]["seconds"]
         else None
     )
+    # the registry's PAYOFF arm: re-append the full source as a delta —
+    # every doc is already in the corpus, so this times the O(delta +
+    # registry-join) admission path (clean → quality → in-batch dedup →
+    # fingerprint anti-join) with ZERO rescans of the corpus text. The
+    # ratio against a full rebuild is the price cut delta ingestion buys.
+    from sec_dl_spark.etl.corpus import append_corpus
+
+    t0 = time.perf_counter()
+    app = append_corpus(spark, sf_dir, reg_out, batch="bench_delta")
+    append_s = time.perf_counter() - t0
+    corpus["append_delta"] = {
+        "seconds": round(append_s, 3),
+        "delta_docs_in": app.get("n_raw"),
+        "admitted": app.get("n_novel"),
+        "append_over_build": (
+            round(append_s / corpus["build_registry"]["seconds"], 3)
+            if corpus["build_registry"]["seconds"]
+            else None
+        ),
+    }
+    shutil.rmtree(reg_out, ignore_errors=True)
 
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
