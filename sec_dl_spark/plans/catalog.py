@@ -75,8 +75,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Queries NOT listed here keep module registration order after the block.
 # Post-slice round-8 additions (verified --exact at 3 SFs this session,
 # no driver row yet — lead the round-9 rotation): dq_k_anonymity,
-# dq_freshness_lag, and dedup_clusters' UPGRADED check (rows-only r5 →
-# full oracle vs a recursive-CTE transitive closure).
+# dq_freshness_lag, agg_mode_exact, text_sentence_stats, and
+# dedup_clusters' UPGRADED check (rows-only r5 → full oracle vs a
+# recursive-CTE transitive closure).
 _PRIORITY = (
     # the r7 red row: emb_binary_signature ERRed in the driver's
     # canonicalizer (raw BIGINT[] output -> pandas sort crash); the output

@@ -2981,3 +2981,44 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey) AS rn
+      FROM c)
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS mode_nation, n AS mode_n
+    FROM r WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent value) with a DETERMINISTIC
+    tie-break — the statistic `mode()`/`max_by` gives you
+    nondeterministically under ties (SURVEY §5.1's cross-engine hazard:
+    bare max_by picks an arbitrary tied row per engine). Formulated as
+    count + top-1: the count is one grouped aggregate, the top-1 a
+    window over the GROUP-CARDINALITY-sized count frame (never the raw
+    rows), ordered by (n desc, value) so the smallest tied value always
+    wins on both engines."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("c_nationkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("mode_nation"),
+            F.col("n").alias("mode_n"),
+        )
+        .orderBy("c_mktsegment")
+    )

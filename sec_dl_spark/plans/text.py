@@ -3888,3 +3888,60 @@ def fts_ranked_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, stats = fts_index(spark, sf_dir)
     page = fts.search_bm25(postings, ["spark", "sort", "vector"], k=20, stats=stats)
     return page.where(F.col("rank").between(11, 20)).orderBy("rank")
+
+
+@query(
+    "text_sentence_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_sum(list_transform(sents,
+                x -> len(string_split_regex(trim(x), '\\s+')))), 0) AS BIGINT)
+             AS n_words,
+           round(CAST(coalesce(list_sum(list_transform(sents,
+                x -> len(string_split_regex(trim(x), '\\s+')))), 0) AS DOUBLE)
+                 / greatest(len(sents), 1) + 1e-9, 4) AS avg_sentence_words
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics — the structural text signal the
+    token-level stats miss (a doc of 40 two-word fragments and a doc of
+    4 twenty-word sentences have identical token counts but very
+    different training value; Gopher-class filters threshold on exactly
+    this). Sentences split on terminal-punctuation runs, whitespace-
+    tokenized per sentence; everything is one codegen projection of
+    higher-order array functions — no UDF, no shuffle, scan-bound."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    words_per = F.transform(
+        F.col("sents"), lambda x: F.size(F.split(F.trim(x), r"\s+"))
+    )
+    out = (
+        d.withColumn("sents", sents)
+        .withColumn(
+            "n_words",
+            F.coalesce(
+                F.aggregate(words_per, F.lit(0), lambda a, v: a + v), F.lit(0)
+            ).cast("long"),
+        )
+        .select(
+            "doc_id",
+            F.size("sents").cast("long").alias("n_sentences"),
+            "n_words",
+            rz(
+                F.col("n_words").cast("double")
+                / F.greatest(F.size("sents"), F.lit(1))
+            ).alias("avg_sentence_words"),
+        )
+    )
+    return out.orderBy("doc_id")
