@@ -203,8 +203,8 @@ def main() -> None:
     # the delta between them is the registry's cost, not a regression.
     from sec_dl_spark.etl.corpus import build_corpus
 
-    # untimed warm-up build, then ALTERNATE the two arms and take per-arm
-    # medians: successive builds keep getting faster (JIT/page-cache
+    # untimed warm-up build, then ALTERNATE the two arms and take the
+    # per-arm MIN: successive builds keep getting faster (JIT/page-cache
     # drift outlives a single warm-up — the r8 dry run priced the
     # registry arm FASTER than build-only purely from ordering), and
     # alternation puts both arms on the same drift curve.

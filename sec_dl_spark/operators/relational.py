@@ -454,18 +454,18 @@ def global_rank(
     The ranked rows and the counts/offsets aggregate both read the ranged
     frame, and the range exchange samples its boundaries — if the two plan
     branches ever compiled to SEPARATE exchanges, their partition
-    boundaries could diverge and ranks would silently skew. Persisting the
-    frame collapses both branches onto one InMemoryRelation (a single
-    materialization by construction) instead of relying on Spark's
-    ReuseExchange to deduplicate. The cache is the frame itself
-    (MEMORY_AND_DISK, spills instead of OOMing at scale); callers running
-    many ranks in one session may ``unpersist`` the result's lineage."""
-    from pyspark import StorageLevel
-
+    boundaries could diverge and ranks would silently skew.
+    ``localCheckpoint(eager=True)`` pins ONE materialization both branches
+    read (an RDD scan — divergence is impossible by construction) without
+    registering anything in the CacheManager: a ``persist`` here would
+    leak one pinned copy of the input per call for the life of the
+    session (CacheManager holds persisted frames regardless of
+    references; checkpointed RDD blocks are released by the
+    ContextCleaner once the result frame is garbage collected)."""
     ranged = (
         df.repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order)) - 1
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -612,14 +612,13 @@ def global_cumsum(
     cumulative offset. ``order`` must be a total order for a deterministic,
     oracle-checkable result (== ``sum(v) OVER (ORDER BY ...)``).
 
-    Persisted for the same reason as :func:`global_rank`: the local-sum
-    and totals/offsets branches must observe ONE range materialization."""
-    from pyspark import StorageLevel
-
+    localCheckpoint'd for the same reason as :func:`global_rank`: the
+    local-sum and totals/offsets branches must observe ONE range
+    materialization, without a CacheManager entry leaking per call."""
     ranged = (
         df.repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     local = F.sum(value_col).over(
         Window.partitionBy("_pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

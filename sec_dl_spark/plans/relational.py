@@ -1816,6 +1816,11 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        # one materialization for both the per-supplier rows and the max
+        # scalar (Q15's 'view' semantics literally): without it the two
+        # branches re-run the float sum and a boundary-rounding flip
+        # could desync the tie set from the max
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = t(spark, sf_dir, "supplier")
@@ -2787,13 +2792,25 @@ def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_semi",
     )
-    val = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
-        F.round(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            * 100
+    # ONE materialization of the float-sum-derived aggregate: the output
+    # branch and the broadcast total otherwise re-execute it from source,
+    # and a part whose true sum sits at a .005 rounding boundary could
+    # round differently per execution (shuffle-fetch summation order),
+    # making the threshold self-inconsistent. localCheckpoint pins the
+    # cents exactly once (group-cardinality-sized; no CacheManager entry).
+    val = (
+        li.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("value_cents")
         )
-        .cast("long")
-        .alias("value_cents")
+        .localCheckpoint(eager=True)
     )
     total = val.agg(F.sum("value_cents").alias("total"))
     return (
@@ -2965,10 +2982,12 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag growing while the watermark advances. One grouped max plus a
     1-row broadcast; integer-second lags compare exactly cross-engine."""
     e = t(spark, sf_dir, "events").select("event_type", "ts")
-    wm = e.agg(F.max("ts").alias("watermark"))
     per = e.groupBy("event_type").agg(
         F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
     )
+    # the table watermark IS max over the per-type maxima — derive it from
+    # the group-cardinality frame instead of a second full-table scan
+    wm = per.agg(F.max("latest_ts").alias("watermark"))
     return (
         per.crossJoin(F.broadcast(wm))
         .select(

@@ -1716,7 +1716,16 @@ def test_global_rank_matches_row_number_and_stays_distributed(spark):
     }
     assert got == expect
     plan = ranked._jdf.queryExecution().executedPlan().toString().lower()
-    assert "rangepartitioning" in plan
+    # the range exchange now runs at CONSTRUCTION time (localCheckpoint
+    # pins one materialization both plan branches read), so the executed
+    # plan consumes the checkpointed RDD; what must NEVER appear is a
+    # global single-partition window over the raw input
+    assert "scan existingrdd" in plan
+    assert "window" in plan  # the per-_pid local rank window survives
+    # single-partition operators exist only on the O(num_partitions)
+    # counts/offsets side (its exchange + its cumulative window), never
+    # on the ranked data path
+    assert 1 <= plan.count("singlepartition") <= 2
 
 
 def test_assign_shards_balances_and_is_deterministic(spark):

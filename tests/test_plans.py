@@ -416,7 +416,7 @@ def test_no_oracled_query_emits_array_or_struct_columns():
     from sec_dl_spark.schemas import FIXTURE_TABLES
 
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     for name in FIXTURE_TABLES:
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'")
     bad = {}

@@ -1716,7 +1716,6 @@ def test_streaming_hll_rollup_matches_direct_estimate(spark, tmp_path_factory):
     )
     # overlapping ids across batches: the merge must not double-count
     data = [(["x", "y"][i % 2], (i * 7) % 140) for i in range(400)]
-    full = spark.createDataFrame(data, schema)
     for b in range(3):
         spark.createDataFrame(
             data[b * 100 : 200 + b * 100], schema
