@@ -1761,3 +1761,64 @@ def test_streaming_hll_rollup_matches_direct_estimate(spark, tmp_path_factory):
         for r in read_hll_rollup(spark, out, ["k"]).collect()
     }
     assert got2 == got
+
+
+def test_streaming_freshness_monitor_via_rollup_sink(spark, tmp_path_factory):
+    """The dq_freshness_lag monitor maintained incrementally: events
+    stream through the generic rollup sink with the timestamp (as epoch
+    micros) as a measure, and the read-side computes per-type lag against
+    the watermark (max over the per-type maxima) — matching the batch
+    query's answer exactly without ever rescanning past batches."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.rollup import Measure
+    from sec_dl_spark.streaming.rollup import incremental_rollup_sink, read_rollup
+
+    from sec_dl_spark.sources.fixtures import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_s")
+    )
+    src = tmp_path_factory.mktemp("fresh_src")
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(f"{src}/b={i}")
+
+    rollup = str(tmp_path_factory.mktemp("fresh_out") / "rollup")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    incremental_rollup_sink(
+        stream,
+        rollup,
+        str(tmp_path_factory.mktemp("fresh_ckpt")),
+        ["event_type"],
+        [Measure("ts_s")],
+        run="fresh1",
+    ).awaitTermination(120)
+
+    per = read_rollup(spark, rollup, ["event_type"], [Measure("ts_s")]).select(
+        "event_type", F.col("max_ts_s").alias("latest_s"), "cnt_ts_s"
+    )
+    wm = per.agg(F.max("latest_s").alias("watermark"))
+    got = {
+        r["event_type"]: (r["watermark"] - r["latest_s"], r["cnt_ts_s"])
+        for r in per.crossJoin(F.broadcast(wm)).collect()
+    }
+    want = {
+        r["event_type"]: (r["lag"], r["n"])
+        for r in events.groupBy("event_type")
+        .agg(F.max("ts_s").alias("latest_s"), F.count(F.lit(1)).alias("n"))
+        .crossJoin(
+            F.broadcast(
+                events.agg(F.max("ts_s").alias("wm"))
+            )
+        )
+        .select(
+            "event_type", (F.col("wm") - F.col("latest_s")).alias("lag"), "n"
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 3
