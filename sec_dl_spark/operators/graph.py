@@ -52,20 +52,28 @@ def pagerank_fixed_point(
     mass drains (the standard simplification).
 
     The edge list, degrees, and node set are iteration-INVARIANT, so they
-    are persisted up front: without this, every iteration re-executes the
+    are pinned up front: without this, every iteration re-executes the
     caller's edge-building lineage (often an expensive similarity join) —
     the 10× scale probe caught exactly that regression on the near-dup
     graph, where 5 iterations re-ran the label-blocked cosine join 5
-    times. The persisted frames stay cached for the life of the result
-    plan (edge-list-sized, the working set any PageRank needs).
+    times. ``localCheckpoint`` rather than ``persist``: the blocks are
+    edge-list-sized either way, but persisted frames stay registered in
+    the CacheManager for the SESSION's life (one leaked copy per call),
+    while checkpointed RDD blocks are released by the ContextCleaner once
+    the result frame is garbage collected — and the caller's edge lineage
+    is truncated out of every iteration's plan as a bonus.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     base = (damping_den - damping_num) * SCALE // damping_den
     pr = nodes.withColumn("pr", F.lit(SCALE).cast("long"))

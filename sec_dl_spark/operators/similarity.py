@@ -663,12 +663,15 @@ def semantic_dedup(
     narrow = corpus.select(id_col, vec_col)
     if n_cells is None:
         # Auto-sizing needs a count, and the k-means fit + assignment each
-        # scan the input again — persist the narrow (id, vec) projection so
-        # an expensive uncached upstream plan is computed once, not three
-        # times. The persisted frame backs the returned lazy plan (Spark
-        # evicts it LRU); callers pinning memory across many dedups can
-        # pass an explicit n_cells to skip the count entirely.
-        narrow = narrow.persist()
+        # scan the input again — localCheckpoint the narrow (id, vec)
+        # projection so an expensive uncached upstream plan is computed
+        # once, not three times. localCheckpoint rather than persist: the
+        # checkpointed blocks back the returned lazy plan but are released
+        # by the ContextCleaner when it is garbage collected, where a
+        # persist would stay CacheManager-pinned for the session (one
+        # leaked corpus projection per dedup call). Callers can pass an
+        # explicit n_cells to skip the count entirely.
+        narrow = narrow.localCheckpoint(eager=True)
         n = narrow.count()
         n_cells = max(8, -(-n // cell_target))
     cells, _ = _coarse_cells(narrow, id_col, vec_col, n_cells, seed)
