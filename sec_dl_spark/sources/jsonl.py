@@ -70,13 +70,17 @@ def read_jsonl_corpus(
     read_schema = T.StructType(
         [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
     )
+    # one materialization backs BOTH returned frames (good + quarantine),
+    # so the permissive parse runs once; localCheckpoint rather than
+    # cache so the blocks release with the frames instead of staying
+    # CacheManager-pinned for the session (one leaked parse per call)
     raw = (
         spark.read.schema(read_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("multiLine", multiline)
         .json(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     good = raw.where(F.col(CORRUPT_COL).isNull()).select(
         *[f.name for f in schema.fields]
