@@ -75,7 +75,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Queries NOT listed here keep module registration order after the block.
 # Post-slice round-8 additions (verified --exact at 3 SFs this session,
 # no driver row yet — lead the round-9 rotation): dq_k_anonymity,
-# dq_freshness_lag, agg_mode_exact, text_sentence_stats, and
+# dq_freshness_lag, agg_mode_exact, text_sentence_stats,
+# corpus_epoch_plan, and
 # dedup_clusters' UPGRADED check (rows-only r5 → full oracle vs a
 # recursive-CTE transitive closure).
 _PRIORITY = (

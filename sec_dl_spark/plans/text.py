@@ -3945,3 +3945,64 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "corpus_epoch_plan",
+    oracle=f"""
+    WITH tk AS (SELECT source, {TOKS} AS toks FROM documents),
+    c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM tk
+          GROUP BY source),
+    p AS (SELECT source, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p_raw
+          FROM c),
+    w AS (SELECT source, n_tokens, pow(p_raw, 0.7) AS w_raw FROM p),
+    tgt AS (SELECT source, n_tokens,
+                   CAST(round(w_raw / sum(w_raw) OVER () * 1000000) AS BIGINT)
+                     AS target_tokens
+            FROM w)
+    SELECT source, n_tokens, target_tokens,
+           least(CAST(round(CAST(target_tokens AS DOUBLE) / n_tokens * 100)
+                      AS BIGINT), 400) AS epochs_pct
+    FROM tgt ORDER BY source
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan for a token budget: temperature weights
+    (T=0.7, the proven corpus_temperature_mixture arithmetic) allocate a
+    1M-token training budget across sources, and each source's repeat
+    factor is its allocation over its actual token supply — reported as
+    integer PERCENT of one epoch, capped at 400% (the standard
+    small-domain repeat ceiling: a tiny source upweighted by temperature
+    must not loop endlessly). This is the planning table a mixture run
+    executes: feed epochs_pct into repeat-and-sample. All comparisons on
+    rounded integers, so the plan is byte-exact cross-engine. Scale
+    shape: one token-count aggregate over the corpus, then windows over
+    the SOURCE-cardinality frame only."""
+    tk = tok_docs(spark, sf_dir)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    c = (
+        tk.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.size("toks")).cast("long").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    w_raw = F.pow(p_raw, F.lit(0.7))
+    tgt = c.select(
+        "source",
+        "n_tokens",
+        F.round(w_raw / F.sum(w_raw).over(w_all) * 1_000_000)
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    return tgt.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        F.least(
+            F.round(F.col("target_tokens").cast("double") / F.col("n_tokens") * 100)
+            .cast("long"),
+            F.lit(400).cast("long"),
+        ).alias("epochs_pct"),
+    ).orderBy("source")
