@@ -28,6 +28,15 @@ each arm times the full availableNow run (medians across reps). The two
 arms differ only in commit_mode — same data, same batching, same gate —
 so the ratio is the cost of serializable admission.
 
+The `hll_rollup` object prices the streaming distinct-count rollup's
+merge-on-read payoff: after incremental_hll_sink publishes per-batch HLL
+sketch partitions over the events (day, user_id) projection, the
+"sketch_merge" arm answers distinct-users-per-day by hll_union_agg over
+the partials (key-cardinality-sized reads) while "recompute" rescans the
+raw rows with an exact count(distinct). `merge_over_recompute` is what a
+refresh costs with sketches vs without — the streaming twin of
+append_delta.
+
 The `corpus_e2e` object times the COMPOSED pipeline (etl/corpus.py:
 clean → quality gate → exact dedup → MinHash near-dedup → content-hashed
 split → sequence packing) over the sf documents table with docs/sec
@@ -264,10 +273,41 @@ def main() -> None:
     }
     shutil.rmtree(reg_out, ignore_errors=True)
 
+    # HLL sketch-merge vs recompute (r8 verdict ask): the payoff number
+    # for the streaming distinct-count rollup. Setup (untimed): stream the
+    # (day, user_id) projection of events through incremental_hll_sink as
+    # 4 file-batches, producing per-batch key-cardinality-sized sketch
+    # partitions. Timed arms answer the SAME question ("distinct users per
+    # day") two ways: "sketch_merge" = hll_union_agg over the partials
+    # (reads sketches only, never raw rows); "recompute" = exact
+    # count(distinct) rescanning the same narrow parquet. The ratio is
+    # what merge-on-read buys per refresh — the streaming twin of
+    # append_delta's 0.335x.
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.streaming.rollup import incremental_hll_sink, read_hll_rollup
+
+    hll_src = tempfile.mkdtemp(prefix="bench_hll_src_")
+    hll_work = tempfile.mkdtemp(prefix="bench_hll_work_")
+    load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).repartition(4).write.mode("overwrite").parquet(hll_src)
+    hll_schema = spark.read.parquet(hll_src).schema
+    incremental_hll_sink(
+        spark.readStream.schema(hll_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hll_src),
+        f"{hll_work}/sk",
+        f"{hll_work}/ckpt",
+        ["day"],
+        "user_id",
+    ).awaitTermination(600)
+
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     ab_samples: dict[str, list[float]] = {"adc": [], "decode": []}
     gate_samples: dict[str, list[float]] = {"overwrite": [], "atomic": []}
+    hll_samples: dict[str, list[float]] = {"sketch_merge": [], "recompute": []}
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -279,8 +319,18 @@ def main() -> None:
             ab_samples[kernel].append(time.perf_counter() - t0)
         for mode in gate_samples:
             gate_samples[mode].append(_run_gate(mode))
+        t0 = time.perf_counter()
+        read_hll_rollup(spark, f"{hll_work}/sk", ["day"]).collect()
+        hll_samples["sketch_merge"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.read.parquet(hll_src).groupBy("day").agg(
+            F.count_distinct("user_id").alias("n_distinct")
+        ).collect()
+        hll_samples["recompute"].append(time.perf_counter() - t0)
     ticks1 = _cpu_ticks()
     shutil.rmtree(gate_src, ignore_errors=True)
+    shutil.rmtree(hll_src, ignore_errors=True)
+    shutil.rmtree(hll_work, ignore_errors=True)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
@@ -303,6 +353,11 @@ def main() -> None:
     gate = {k: round(statistics.median(s), 3) for k, s in gate_samples.items()}
     gate["atomic_over_overwrite"] = (
         round(gate["atomic"] / gate["overwrite"], 3) if gate["overwrite"] else None
+    )
+
+    hll = {k: round(statistics.median(s), 3) for k, s in hll_samples.items()}
+    hll["merge_over_recompute"] = (
+        round(hll["sketch_merge"] / hll["recompute"], 3) if hll["recompute"] else None
     )
 
     # binary-tier price check from the already-collected medians: the
@@ -330,19 +385,33 @@ def main() -> None:
         "ab_adc_vs_decode": ab,
         "ab_hamming_vs_cosine": hamming_ab,
         "gate_atomic_overhead": gate,
+        "hll_rollup": hll,
         "corpus_e2e": corpus,
     }
     # the driver records only the last few KB of stdout; BENCH_r07's line
-    # exceeded that window and lost its head (parsed: null). Two defenses:
-    # the full artifact goes to a file, and the stdout line is kept small
-    # (per-query spreads live in the file; the line keeps the summary
-    # noise stats only).
+    # exceeded that window and lost its head, and BENCH_r08's head was
+    # still clipped by trailing JVM shutdown noise (parsed: null). Three
+    # defenses: the full artifact goes to a file; the stdout line is kept
+    # small (per-query spreads live in the file); and the line is made
+    # the ABSOLUTE LAST output — Spark is stopped FIRST (its shutdown
+    # noise lands before the line), the line is printed + flushed, and
+    # the process exits via os._exit so no atexit/py4j teardown can
+    # print after it.
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
         json.dump(full, f, indent=1)
     compact = dict(full)
     compact["noise"] = {k: v for k, v in noise.items() if k != "per_query_spread"}
     compact["full_artifact"] = "BENCH_LAST.json"
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    import sys
+
+    sys.stderr.flush()
+    print(line, flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":

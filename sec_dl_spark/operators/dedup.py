@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from sec_dl_spark.functions.analysis import fingerprint, shingles_of
 from sec_dl_spark.functions.text import tokenize
-from sec_dl_spark.session import spread
+from sec_dl_spark.session import pin, spread
 
 
 def _shingled(
@@ -318,9 +318,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     geometrically, so rounds are O(log diameter) instead of O(diameter) —
     a 1M-long duplication chain converges in ~20 rounds where plain
     propagation would silently hit max_iterations and return wrong labels.
-    localCheckpoint every round truncates lineage so plan size stays
+    Pinning (session.pin) every round truncates lineage so plan size stays
     constant (the classic iterative-algorithm trap on Spark).
     Deterministic.
+
+    EAGER, and convergence probes block per round; default pinned blocks
+    are executor-local (not recomputable under executor loss /
+    preemption) — preemptible fleets set
+    ``spark.sec_dl_spark.reliableCheckpoint=true`` + ``setCheckpointDir``.
 
     ``pairs``: (id_a, id_b) rows, any extra columns ignored.
     """
@@ -329,14 +334,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     ).where(F.col("src") != F.col("dst"))
     # undirected: both directions, plus self-loops to keep isolated..none here
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = pin(sym.distinct())
 
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    labels = pin(labels)
     changed = None
     for i in range(max_iterations):
         neighbor_min = (
@@ -369,7 +374,8 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 ).alias("new_label"),
                 "old_label",
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = pin(updated)
         labels = updated.select("node", F.col("new_label").alias("label"))
         # Convergence probe every OTHER round: each probe is a blocking
         # driver action, and round 1 virtually always changes labels, so

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sec_dl_spark.session import pin
+
 SCALE = 1_000_000_000
 
 
@@ -56,24 +58,28 @@ def pagerank_fixed_point(
     caller's edge-building lineage (often an expensive similarity join) —
     the 10× scale probe caught exactly that regression on the near-dup
     graph, where 5 iterations re-ran the label-blocked cosine join 5
-    times. ``localCheckpoint`` rather than ``persist``: the blocks are
-    edge-list-sized either way, but persisted frames stay registered in
-    the CacheManager for the SESSION's life (one leaked copy per call),
-    while checkpointed RDD blocks are released by the ContextCleaner once
-    the result frame is garbage collected — and the caller's edge lineage
-    is truncated out of every iteration's plan as a bonus.
+    times. Pinned via :func:`sec_dl_spark.session.pin` rather than
+    ``persist``: the blocks are edge-list-sized either way, but persisted
+    frames stay registered in the CacheManager for the SESSION's life
+    (one leaked copy per call), while checkpointed RDD blocks are
+    released by the ContextCleaner once the result frame is garbage
+    collected — and the caller's edge lineage is truncated out of every
+    iteration's plan as a bonus.
+
+    Pinning semantics callers inherit: this function is EAGER (it runs
+    Spark jobs at call time), and default pinned blocks are
+    executor-local — lost blocks are NOT recomputable under executor
+    loss / dynamic-allocation shrink / spot preemption. Preemptible
+    fleets: set ``spark.sec_dl_spark.reliableCheckpoint=true`` plus
+    ``setCheckpointDir`` so every pin (including ``persist_every``
+    iteration pins) lands on reliable storage.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
-    )
-    nodes = (
+    e = pin(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    deg = pin(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    nodes = pin(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     base = (damping_den - damping_num) * SCALE // damping_den
     pr = nodes.withColumn("pr", F.lit(SCALE).cast("long"))
@@ -95,13 +101,12 @@ def pagerank_fixed_point(
             ).cast("long").alias("pr"),
         )
         if persist_every and (it + 1) % persist_every == 0 and it + 1 < iterations:
-            # localCheckpoint TRUNCATES lineage (the plan becomes an RDD
-            # scan): persist()+count() materializes but the logical plan
-            # still carries — and the explain text re-embeds — the full
+            # pin TRUNCATES lineage (the plan becomes an RDD scan):
+            # persist()+count() materializes but the logical plan still
+            # carries — and the explain text re-embeds — the full
             # iteration history, so planner work and plan size kept
             # growing with iterations (the r7 850-exchange finding).
-            # Tradeoff: localCheckpoint blocks are executor-local and not
-            # recomputable after executor loss; long jobs on preemptible
-            # fleets should checkpoint() to reliable storage instead.
-            pr = pr.localCheckpoint(eager=True)
+            # Executor-loss tradeoff + the reliable-storage escape hatch
+            # are pin()'s documented contract.
+            pr = pin(pr)
     return pr.select("id", F.col("pr").alias("pr_int"))

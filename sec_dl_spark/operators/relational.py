@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sec_dl_spark.session import pin
+
 
 def asof_join(
     left: DataFrame,
@@ -455,17 +457,21 @@ def global_rank(
     frame, and the range exchange samples its boundaries — if the two plan
     branches ever compiled to SEPARATE exchanges, their partition
     boundaries could diverge and ranks would silently skew.
-    ``localCheckpoint(eager=True)`` pins ONE materialization both branches
-    read (an RDD scan — divergence is impossible by construction) without
-    registering anything in the CacheManager: a ``persist`` here would
-    leak one pinned copy of the input per call for the life of the
+    :func:`sec_dl_spark.session.pin` pins ONE materialization both
+    branches read (an RDD scan — divergence is impossible by construction)
+    without registering anything in the CacheManager: a ``persist`` here
+    would leak one pinned copy of the input per call for the life of the
     session (CacheManager holds persisted frames regardless of
     references; checkpointed RDD blocks are released by the
-    ContextCleaner once the result frame is garbage collected)."""
-    ranged = (
-        df.repartitionByRange(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ContextCleaner once the result frame is garbage collected).
+
+    Pinning semantics callers inherit: this function is EAGER (building
+    the result runs a Spark job), and the default pinned blocks are
+    executor-local — not recomputable under executor loss / preemption.
+    Preemptible fleets: set ``spark.sec_dl_spark.reliableCheckpoint=true``
+    plus ``setCheckpointDir`` to pin to reliable storage (see ``pin``)."""
+    ranged = pin(
+        df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
     )
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order)) - 1
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
@@ -612,13 +618,15 @@ def global_cumsum(
     cumulative offset. ``order`` must be a total order for a deterministic,
     oracle-checkable result (== ``sum(v) OVER (ORDER BY ...)``).
 
-    localCheckpoint'd for the same reason as :func:`global_rank`: the
-    local-sum and totals/offsets branches must observe ONE range
-    materialization, without a CacheManager entry leaking per call."""
-    ranged = (
-        df.repartitionByRange(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    Pinned via :func:`sec_dl_spark.session.pin` for the same reason as
+    :func:`global_rank`: the local-sum and totals/offsets branches must
+    observe ONE range materialization, without a CacheManager entry
+    leaking per call. Same inherited semantics as global_rank — EAGER,
+    executor-local blocks by default, reliable-checkpoint mode via the
+    ``spark.sec_dl_spark.reliableCheckpoint`` conf for preemptible
+    fleets."""
+    ranged = pin(
+        df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
     )
     local = F.sum(value_col).over(
         Window.partitionBy("_pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

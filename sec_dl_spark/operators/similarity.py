@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sec_dl_spark.session import pin
+
 
 def per_query_topk(
     scored: DataFrame, order: list, k: int, rank_col: str = "rank"
@@ -663,15 +665,17 @@ def semantic_dedup(
     narrow = corpus.select(id_col, vec_col)
     if n_cells is None:
         # Auto-sizing needs a count, and the k-means fit + assignment each
-        # scan the input again — localCheckpoint the narrow (id, vec)
-        # projection so an expensive uncached upstream plan is computed
-        # once, not three times. localCheckpoint rather than persist: the
-        # checkpointed blocks back the returned lazy plan but are released
-        # by the ContextCleaner when it is garbage collected, where a
-        # persist would stay CacheManager-pinned for the session (one
-        # leaked corpus projection per dedup call). Callers can pass an
-        # explicit n_cells to skip the count entirely.
-        narrow = narrow.localCheckpoint(eager=True)
+        # scan the input again — pin the narrow (id, vec) projection so an
+        # expensive uncached upstream plan is computed once, not three
+        # times (session.pin: EAGER; executor-local blocks by default,
+        # reliable-checkpoint mode via conf — see its docstring). Pin
+        # rather than persist: the checkpointed blocks back the returned
+        # lazy plan but are released by the ContextCleaner when it is
+        # garbage collected, where a persist would stay CacheManager-
+        # pinned for the session (one leaked corpus projection per dedup
+        # call). Callers can pass an explicit n_cells to skip the count
+        # and the pin entirely (the call is then lazy-until-fit).
+        narrow = pin(narrow)
         n = narrow.count()
         n_cells = max(8, -(-n // cell_target))
     cells, _ = _coarse_cells(narrow, id_col, vec_col, n_cells, seed)

@@ -44,7 +44,17 @@ def query(name: str, oracle: str | None = None):
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         prev = REGISTRY.get(name)
-        if prev is not None and prev.spark_fn is not fn:
+        # Re-registration of the SAME function object — or of a fresh
+        # object with the same (module, qualname), e.g. importlib.reload
+        # or a second import of the plans module under a different sys.path
+        # spelling — is idempotent, not shadowing (ADVICE r8). Only a
+        # genuinely DISTINCT function colliding on the name is refused.
+        if (
+            prev is not None
+            and prev.spark_fn is not fn
+            and (prev.spark_fn.__module__, prev.spark_fn.__qualname__)
+            != (fn.__module__, fn.__qualname__)
+        ):
             raise ValueError(
                 f"catalog query {name!r} already registered by "
                 f"{prev.spark_fn.__module__}; pick a distinct name "

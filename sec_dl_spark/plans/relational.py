@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sec_dl_spark.plans.catalog import query, t
+from sec_dl_spark.session import pin
 
 # --------------------------------------------------------------------------
 # Aggregations (A*, §2.5) — flagship first.
@@ -1819,9 +1820,10 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one materialization for both the per-supplier rows and the max
         # scalar (Q15's 'view' semantics literally): without it the two
         # branches re-run the float sum and a boundary-rounding flip
-        # could desync the tie set from the max
-        .localCheckpoint(eager=True)
+        # could desync the tie set from the max (session.pin: eager,
+        # executor-local by default, reliable-checkpoint mode via conf)
     )
+    rev = pin(rev)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = t(spark, sf_dir, "supplier")
     return (
@@ -2796,8 +2798,8 @@ def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch and the broadcast total otherwise re-execute it from source,
     # and a part whose true sum sits at a .005 rounding boundary could
     # round differently per execution (shuffle-fetch summation order),
-    # making the threshold self-inconsistent. localCheckpoint pins the
-    # cents exactly once (group-cardinality-sized; no CacheManager entry).
+    # making the threshold self-inconsistent. session.pin pins the cents
+    # exactly once (group-cardinality-sized; no CacheManager entry).
     val = (
         li.groupBy(F.col("l_partkey").alias("p_key"))
         .agg(
@@ -2810,8 +2812,8 @@ def join_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_cents")
         )
-        .localCheckpoint(eager=True)
     )
+    val = pin(val)
     total = val.agg(F.sum("value_cents").alias("total"))
     return (
         val.crossJoin(F.broadcast(total))
@@ -3040,4 +3042,206 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    WITH
+    o AS (SELECT count(*) AS n_child,
+                 count(*) FILTER (WHERE p.k IS NULL) AS n_orphans
+          FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+            ON c.o_custkey = p.k),
+    l1 AS (SELECT count(*) AS n_child,
+                  count(*) FILTER (WHERE p.k IS NULL) AS n_orphans
+           FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+             ON c.l_orderkey = p.k),
+    l2 AS (SELECT count(*) AS n_child,
+                  count(*) FILTER (WHERE p.k IS NULL) AS n_orphans
+           FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+             ON c.l_partkey = p.k),
+    l3 AS (SELECT count(*) AS n_child,
+                  count(*) FILTER (WHERE p.k IS NULL) AS n_orphans
+           FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+             ON c.l_suppkey = p.k)
+    SELECT * FROM (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS fk, CAST(n_child AS BIGINT) AS n_child,
+             CAST(n_orphans AS BIGINT) AS n_orphans,
+             round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate FROM o
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey', CAST(n_child AS BIGINT),
+             CAST(n_orphans AS BIGINT), round(CAST(n_orphans AS DOUBLE) / n_child, 6) FROM l1
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey', CAST(n_child AS BIGINT),
+             CAST(n_orphans AS BIGINT), round(CAST(n_orphans AS DOUBLE) / n_child, 6) FROM l2
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey', CAST(n_child AS BIGINT),
+             CAST(n_orphans AS BIGINT), round(CAST(n_orphans AS DOUBLE) / n_child, 6) FROM l3
+    ) ORDER BY fk
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge of the
+    star schema with (child rows, orphan rows, orphan rate) — the check a
+    warehouse runs after every load, and the first thing a training-data
+    registry audits after a backfill (a dangling doc_id in a derived
+    table means silent row loss downstream). Each edge is a key-only
+    LEFT ANTI count: the child projects its FK column alone, the parent
+    its DISTINCT key — parents broadcast when small, and the anti-join's
+    aggregate is partial (one long per task). Zero orphans here is the
+    fixture's happy path; the violation path is pinned by a pytest on a
+    synthesized broken fixture."""
+    def audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias("_k")).distinct()
+        orphans = (
+            child.select(F.col(fk).alias("_k"))
+            .join(keys, "_k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return total.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("fk"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            F.round(F.col("n_orphans").cast("double") / F.col("n_child"), 6).alias(
+                "orphan_rate"
+            ),
+        )
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rows = [
+        audit(orders, "o_custkey", t(spark, sf_dir, "customer"), "c_custkey",
+              "orders.o_custkey->customer.c_custkey"),
+        audit(li, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey->orders.o_orderkey"),
+        audit(li, "l_partkey", t(spark, sf_dir, "part"), "p_partkey",
+              "lineitem.l_partkey->part.p_partkey"),
+        audit(li, "l_suppkey", t(spark, sf_dir, "supplier"), "s_suppkey",
+              "lineitem.l_suppkey->supplier.s_suppkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk")
+
+
+@query(
+    "dq_uniqueness_keys",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey' AS key_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows,
+             (count(*) = count(DISTINCT o_orderkey)) AS is_unique
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+             (count(*) = count(DISTINCT (l_orderkey, l_linenumber)))
+      FROM lineitem
+      UNION ALL
+      SELECT 'events.event_id', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT event_id) AS BIGINT),
+             CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+             (count(*) = count(DISTINCT event_id))
+      FROM events
+      UNION ALL
+      SELECT 'documents.doc_id', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT doc_id) AS BIGINT),
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+             (count(*) = count(DISTINCT doc_id))
+      FROM documents
+    ) ORDER BY key_name
+    """,
+)
+def dq_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit: for every declared primary /
+    composite key, (rows, distinct keys, duplicate rows, unique?) — the
+    constraint check a schemaless lake can't enforce at write time, so it
+    is asserted per load instead. Each row is one exact count-distinct:
+    a two-stage partial aggregate over the key columns only (column
+    pruning keeps the scan narrow; the shuffle carries distinct keys,
+    never rows). Composite keys aggregate the column PAIR, the case
+    uniqueness bugs actually hide in (l_orderkey alone is legitimately
+    duplicated)."""
+    def audit(df: DataFrame, cols: list, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(*[F.col(c) for c in cols]).alias("_d"),
+        ).select(
+            F.lit(name).alias("key_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("_d").cast("long").alias("n_distinct"),
+            (F.col("_n") - F.col("_d")).cast("long").alias("n_dup_rows"),
+            (F.col("_n") == F.col("_d")).alias("is_unique"),
+        )
+
+    rows = [
+        audit(t(spark, sf_dir, "orders"), ["o_orderkey"], "orders.o_orderkey"),
+        audit(t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"],
+              "lineitem.(l_orderkey,l_linenumber)"),
+        audit(t(spark, sf_dir, "events"), ["event_id"], "events.event_id"),
+        audit(t(spark, sf_dir, "documents"), ["doc_id"], "documents.doc_id"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key_name")
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH c AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    agg AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM agg)
+    SELECT CAST(digit AS BIGINT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total + 1e-9, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / CAST(digit AS BIGINT)) + 1e-9, 6) AS benford_p,
+           round(pow(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 2)
+                 / log10(1.0 + 1.0 / CAST(digit AS BIGINT)) + 1e-9, 6) AS chi2_term
+    FROM agg, tot ORDER BY digit
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed first-digit
+    distribution vs the Benford expectation log10(1 + 1/d), with the
+    per-digit chi-square contribution — the classic screen for fabricated
+    or truncated numeric columns (synthetic uniform data fails it loudly,
+    which is exactly the point of recording it). The first digit is taken
+    from the INTEGER cents string (integer-to-string is exact on both
+    engines; a log10-based digit extraction can flip at power-of-ten
+    boundaries where libm differs). One 9-group aggregate + a 1-row
+    total broadcast back — output is digit-bounded at any scale."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+    )
+    agg = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = agg.agg(F.sum("n").alias("total"))
+    d_long = F.col("digit").cast("long")
+    benford = F.log10(1.0 + 1.0 / d_long)
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            d_long.alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            (F.round(obs + F.lit(1e-9), 6)).alias("observed_p"),
+            (F.round(benford + F.lit(1e-9), 6)).alias("benford_p"),
+            (F.round(F.pow(obs - benford, 2) / benford + F.lit(1e-9), 6)).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
     )

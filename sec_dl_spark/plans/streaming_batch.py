@@ -1090,3 +1090,87 @@ def events_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return weekly.orderBy("week_start")
+
+
+@query(
+    "events_ab_welch_ttest",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (arm = 0) AS n_a,
+             count(*) FILTER (arm = 1) AS n_b,
+             sum(cents) FILTER (arm = 0) AS s_a,
+             sum(cents) FILTER (arm = 1) AS s_b,
+             sum(cents * cents) FILTER (arm = 0) AS q_a,
+             sum(cents * cents) FILTER (arm = 1) AS q_b
+      FROM c GROUP BY event_type),
+    s AS (
+      SELECT event_type, n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a / 100 AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b / 100 AS mean_b,
+             (q_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / 10000 AS var_a,
+             (q_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / 10000 AS var_b
+      FROM g)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           (round(mean_a + 1e-9, 4) + 0.0) AS mean_a,
+           (round(mean_b + 1e-9, 4) + 0.0) AS mean_b,
+           (round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) + 1e-9, 4) + 0.0)
+             AS t_stat,
+           (abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96)
+             AS significant_95
+    FROM s ORDER BY event_type
+    """,
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type between two
+    experiment arms (users split by ``user_id % 2`` — the deterministic
+    hash-assignment an A/B platform uses): the launch-gate readout a
+    metrics pipeline computes per refresh. Every moment is derived from
+    EXACT INTEGER sums of value-cents (sum, sum-of-squares as BIGINT), so
+    mean and variance are deterministic divisions of exact integers —
+    float aggregation order (the shuffle-dependent last-ulp hazard that
+    plagues avg/var_samp cross-engine) never enters. One grouped
+    aggregate with FILTER arms (single shuffle, partial map-side);
+    output is arm-pair-per-type bounded."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    arm = F.col("user_id") % 2
+    c = t(spark, sf_dir, "events").select(
+        "event_type", arm.alias("arm"), cents.alias("cents")
+    )
+    a0, a1 = F.col("arm") == 0, F.col("arm") == 1
+    g = c.groupBy("event_type").agg(
+        F.count(F.when(a0, 1)).alias("n_a"),
+        F.count(F.when(a1, 1)).alias("n_b"),
+        F.sum(F.when(a0, F.col("cents"))).alias("s_a"),
+        F.sum(F.when(a1, F.col("cents"))).alias("s_b"),
+        F.sum(F.when(a0, F.col("cents") * F.col("cents"))).alias("q_a"),
+        F.sum(F.when(a1, F.col("cents") * F.col("cents"))).alias("q_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a") / 100
+    mean_b = F.col("s_b").cast("double") / F.col("n_b") / 100
+    var_a = (
+        (F.col("q_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / 10000
+    )
+    var_b = (
+        (F.col("q_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / 10000
+    )
+    t_stat = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    rz = lambda col: F.round(col + F.lit(1e-9), 4) + F.lit(0.0)  # noqa: E731
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        rz(mean_a).alias("mean_a"),
+        rz(mean_b).alias("mean_b"),
+        rz(t_stat).alias("t_stat"),
+        (F.abs(t_stat) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")

@@ -3081,12 +3081,20 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA-whitened embeddings (operators/similarity.py:pca_whiten):
     decorrelate + variance-equalize before quantization/threshold reuse.
     Rows-only: the d×d eigendecomposition is not SQL-expressible; pytest
-    pins the identity-covariance property, determinism, and shape."""
+    pins the identity-covariance property, determinism, and shape. The
+    whitened vector is emitted as ONE comma-joined STRING column — a raw
+    array<double> column crashed the driver's pandas canonicalizer in r8
+    (the same class as r7's emb_binary_signature BIGINT[]); the catalog
+    contract is scalar-only output columns, now pinned for EVERY query
+    (oracled or rows-only) by tests/test_plans.py."""
     e = t(spark, sf_dir, "embeddings")
     out = similarity.pca_whiten(e, out_col="white")
     return out.select(
         "vec_id",
-        F.transform(F.col("white"), lambda x: F.round(x, 4)).alias("white_r"),
+        F.array_join(
+            F.transform(F.col("white"), lambda x: F.round(x, 4).cast("string")),
+            ",",
+        ).alias("white_r"),
     ).orderBy("vec_id")
 
 
@@ -3962,7 +3970,8 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS target_tokens
             FROM w)
     SELECT source, n_tokens, target_tokens,
-           least(CAST(round(CAST(target_tokens AS DOUBLE) / n_tokens * 100)
+           least(CAST(round(CAST(target_tokens AS DOUBLE)
+                            / greatest(n_tokens, 1) * 100)
                       AS BIGINT), 400) AS epochs_pct
     FROM tgt ORDER BY source
     """,
@@ -3996,13 +4005,253 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_tokens"),
     )
+    # greatest(n_tokens, 1) in BOTH engines (ADVICE r8): a source whose
+    # docs all tokenize empty would otherwise divide by zero — NULL/inf on
+    # Spark but an error in the DuckDB oracle, a cross-engine divergence
+    # on a degenerate but representable input. Such a source gets
+    # target_tokens=0 (w_raw=0), so the guarded ratio is exactly 0.
     return tgt.select(
         "source",
         "n_tokens",
         "target_tokens",
         F.least(
-            F.round(F.col("target_tokens").cast("double") / F.col("n_tokens") * 100)
-            .cast("long"),
+            F.round(
+                F.col("target_tokens").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+                * 100
+            ).cast("long"),
             F.lit(400).cast("long"),
         ).alias("epochs_pct"),
     ).orderBy("source")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    post AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM post GROUP BY s)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (f.first_doc = p.doc_id) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (f.first_doc = p.doc_id) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS novelty
+    FROM post p JOIN firsts f ON p.s = f.s
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-shingles whose FIRST corpus occurrence (min doc_id — a deterministic
+    stand-in for earliest-crawled) is the doc itself. The diversity signal
+    a curriculum/mixture pass reads: late documents made entirely of
+    already-seen shingles add repetition, not coverage, and are the first
+    candidates to down-weight. Plan: shingles explode to postings, the
+    first-occurrence model is one shingle-keyed aggregate joined back
+    UNHINTED (web-scale shingle vocabularies outgrow broadcast budgets —
+    the corpus_dsir_weights posture), then one per-doc aggregate. Every
+    shuffle is posting- or doc-keyed; the text never moves."""
+    d = tok_docs(spark, sf_dir)
+    sh = d.where(F.size("toks") >= 3).select(
+        "doc_id", A.shingles_of(F.col("toks"), 3).alias("sh")
+    )
+    post = sh.select("doc_id", F.explode("sh").alias("s"))
+    firsts = post.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        post.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles") + F.lit(1e-9), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_split_leakage",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sp AS (SELECT doc_id,
+                  CASE WHEN substr(md5(array_to_string(toks, ' ')), 1, 1)
+                         BETWEEN '0' AND '9'
+                       OR substr(md5(array_to_string(toks, ' ')), 1, 1) IN ('a', 'b')
+                       THEN 'train'
+                       WHEN substr(md5(array_to_string(toks, ' ')), 1, 1) IN ('c', 'd')
+                       THEN 'val' ELSE 'test' END AS split
+           FROM tk),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           (sa.split <> sb.split) AS leaks,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2, 3 ORDER BY split_lo, split_hi
+    """,
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate pairs (source-blocked
+    3-shingle Jaccard ≥ 0.5 — the dedup_jaccard_pairs generator) joined
+    against the content-hash split assignment (corpus_split_assign's
+    rule), grouped by the split pair. Content hashing sends BYTE-IDENTICAL
+    copies to one split by construction, but NEAR-duplicates can still
+    straddle train/val — exactly the leakage that inflates eval scores —
+    and this is the report that catches it before a run ships. Plan: the
+    pair generator is the posting-keyed co-occurrence join (never
+    all-pairs); split assignment is a doc-keyed projection joined twice;
+    output is split-pair bounded."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    hx = F.substring(A.fingerprint_of(tokenize(F.col("text"))), 1, 1)
+    split = (
+        F.when(hx.between("0", "9") | hx.isin("a", "b"), "train")
+        .when(hx.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    sp = spread(d.select("doc_id", "text")).select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+@query(
+    "corpus_pack_efficiency",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+          FROM tk WHERE n_tokens > 0),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(CAST((cum - n_tokens) // 256 AS BIGINT),
+                                    CAST((cum - 1) // 256 AS BIGINT))) AS seq
+      FROM c),
+    seqc AS (SELECT seq, count(*) AS docs_in_seq FROM spans GROUP BY seq),
+    tot AS (SELECT count(*) AS n_total FROM seqc)
+    SELECT CAST(docs_in_seq AS BIGINT) AS docs_in_seq,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           round(CAST(count(*) AS DOUBLE) / n_total + 1e-9, 6) AS seq_share
+    FROM seqc, tot GROUP BY docs_in_seq, n_total ORDER BY docs_in_seq
+    """,
+)
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency histogram for the concat-and-chunk layout: how
+    many 256-token training sequences contain exactly d documents — the
+    attention-fragmentation readout (a sequence spanning many tiny docs
+    wastes cross-document attention; one long doc per sequence packs
+    clean). Derived from the SAME distributed prefix-sum layout as
+    corpus_concat_chunks (range exchange + per-partition running sum —
+    never a single-partition window); each doc explodes to its covered
+    sequence ids (seq_first..seq_last), then two bounded aggregates.
+    Explode volume is O(total_tokens / 256), linear in the corpus."""
+    from sec_dl_spark.operators.relational import concat_chunk_sequences
+
+    tk = tok_docs(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    chunks = concat_chunk_sequences(tk, [F.col("doc_id")], "n_tokens", seq_len=256)
+    spans = chunks.select(
+        "doc_id", F.explode(F.sequence("seq_first", "seq_last")).alias("seq")
+    )
+    seqc = spans.groupBy("seq").agg(F.count(F.lit(1)).alias("docs_in_seq"))
+    hist = seqc.groupBy("docs_in_seq").agg(F.count(F.lit(1)).alias("n_seqs"))
+    tot = hist.agg(F.sum("n_seqs").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("docs_in_seq").cast("long").alias("docs_in_seq"),
+            F.col("n_seqs").cast("long").alias("n_seqs"),
+            F.round(
+                F.col("n_seqs").cast("double") / F.col("n_total") + F.lit(1e-9), 6
+            ).alias("seq_share"),
+        )
+        .orderBy("docs_in_seq")
+    )
+
+
+@query(
+    "emb_knn_distance_outliers",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 100),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    knn AS (
+      SELECT query_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM scored),
+    stats AS (
+      SELECT query_id AS vec_id,
+             round(avg(cosine_sim) + 1e-9, 6) AS knn_mean_sim,
+             round(min(cosine_sim) + 1e-9, 6) AS knn_min_sim
+      FROM knn WHERE rk <= 5 GROUP BY query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY knn_mean_sim ASC, vec_id)
+                     AS BIGINT) AS isolation_rank
+      FROM stats)
+    SELECT vec_id, knn_mean_sim, knn_min_sim, isolation_rank,
+           (isolation_rank <= 10) AS is_outlier
+    FROM ranked ORDER BY vec_id
+    """,
+)
+def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-isolation outlier scores: each vector's mean cosine similarity
+    to its 5 exact nearest neighbors, ranked ascending — the vectors
+    FURTHEST from their own neighborhood are embedding-space outliers
+    (mislabeled, corrupted, or genuinely novel inputs; the triage list a
+    curation pass reviews first). Built on the two-phase cosine top-k
+    (operators/similarity.py:cosine_topk — per-chunk partial rank, then a
+    bounded survivor rank, never a corpus-sized window), then one
+    query-keyed aggregate; the final isolation ranking is a window over
+    the QUERY-cardinality frame only. Bounded to 100 query vectors here;
+    the all-vectors form at scale swaps in the IVF/LSH candidate
+    generator the same way emb_cosine_topk_{{ivf,lsh}} do."""
+    e = t(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(e, e.where(F.col("vec_id") < 100), k=5)
+    stats = (
+        topk.groupBy("query_id")
+        .agg(
+            F.round(F.avg("cosine_sim") + F.lit(1e-9), 6).alias("knn_mean_sim"),
+            F.round(F.min("cosine_sim") + F.lit(1e-9), 6).alias("knn_min_sim"),
+        )
+        .select(F.col("query_id").alias("vec_id"), "knn_mean_sim", "knn_min_sim")
+    )
+    w = Window.orderBy(F.asc("knn_mean_sim"), F.asc("vec_id"))
+    return (
+        stats.withColumn("isolation_rank", F.row_number().over(w).cast("long"))
+        .withColumn("is_outlier", F.col("isolation_rank") <= 10)
+        .orderBy("vec_id")
+    )

@@ -80,6 +80,59 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+RELIABLE_CHECKPOINT_CONF = "spark.sec_dl_spark.reliableCheckpoint"
+
+
+def pin(df, reliable: bool | None = None):
+    """Materialize ``df`` ONCE and truncate its lineage, so multiple plan
+    branches are guaranteed to read the same rows (global_rank's ranged
+    frame + counts sidecar; read_jsonl_corpus's good/quarantine split) and
+    iterative algorithms (PageRank, pointer-jumping components) don't grow
+    exponential plans.
+
+    Semantics EVERY caller inherits (ADVICE r8 — document, don't surprise):
+
+    - **Eager.** Pinning runs a Spark job at plan-construction time, even
+      if the result is never consumed. APIs built on ``pin`` are therefore
+      not lazy; their docstrings say so.
+    - **Default mode** is ``localCheckpoint(eager=True)``: blocks live on
+      executors only — no DFS write, and the ContextCleaner releases the
+      blocks once the result frame is garbage-collected (``persist`` would
+      stay CacheManager-pinned for the session, one leaked copy per call).
+      The cost: blocks are NOT recomputable — executor loss, a
+      dynamic-allocation shrink, or spot preemption fails the job where a
+      ``persist`` would silently recompute. Right for on-demand fleets and
+      local mode; wrong for preemptible fleets.
+    - **Reliable mode** (``reliable=True``, or session-wide via
+      ``spark.conf.set("spark.sec_dl_spark.reliableCheckpoint", "true")``)
+      uses ``checkpoint(eager=True)``: blocks are written to the
+      SparkContext checkpoint directory (put it on HDFS/an object store)
+      and SURVIVE executor loss. Requires
+      ``spark.sparkContext.setCheckpointDir(...)`` — raises with that
+      instruction if unset rather than failing deep inside Spark.
+    """
+    if reliable is None:
+        reliable = (
+            str(df.sparkSession.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower()
+            == "true"
+        )
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    ckpt_dir = None
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except Exception:
+        pass
+    if not ckpt_dir:
+        raise RuntimeError(
+            f"{RELIABLE_CHECKPOINT_CONF}=true needs a checkpoint directory: "
+            "call spark.sparkContext.setCheckpointDir('<reliable storage>') "
+            "first (HDFS/object-store path on a cluster)"
+        )
+    return df.checkpoint(eager=True)
+
+
 def spread(df, partitions: int | None = None):
     """Round-robin repartition a small-file scan so per-row-expensive stages
     (tokenization, shingling, HOF-heavy expressions) use every core.

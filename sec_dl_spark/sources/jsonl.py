@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sec_dl_spark.session import pin
+
 CORRUPT_COL = "_corrupt_record"
 
 #: Default document-corpus contract (matches the documents fixture plus
@@ -66,21 +68,25 @@ def read_jsonl_corpus(
     parsed frame cached before filtering on it (the documented
     from-file-sources caveat — otherwise Spark re-parses and the filter
     sees only nulls).
+
+    EAGER: the parse runs at call time (sec_dl_spark.session.pin), and the
+    pinned blocks are executor-local by default — not recomputable under
+    executor loss / preemption. Preemptible fleets: set
+    ``spark.sec_dl_spark.reliableCheckpoint=true`` + ``setCheckpointDir``.
     """
     read_schema = T.StructType(
         [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
     )
     # one materialization backs BOTH returned frames (good + quarantine),
-    # so the permissive parse runs once; localCheckpoint rather than
+    # so the permissive parse runs once; pin (checkpoint) rather than
     # cache so the blocks release with the frames instead of staying
     # CacheManager-pinned for the session (one leaked parse per call)
-    raw = (
+    raw = pin(
         spark.read.schema(read_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("multiLine", multiline)
         .json(path)
-        .localCheckpoint(eager=True)
     )
     good = raw.where(F.col(CORRUPT_COL).isNull()).select(
         *[f.name for f in schema.fields]

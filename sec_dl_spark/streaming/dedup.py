@@ -29,6 +29,14 @@ the batch's OWN (run, batch) registry partition, so a retry that already
 landed registry rows does not judge its documents "historical duplicates"
 of themselves. Registry existence is probed by attempting the parquet read
 (works on any filesystem scheme), never by driver-local directory walks.
+
+The per-batch ``localCheckpoint`` calls below pin ONE evaluation of a
+micro-batch frame that multiple writes read. Unlike the batch operators
+(see session.pin), executor loss here is already covered one level up:
+losing local blocks fails the BATCH, and Structured Streaming's own
+reliable checkpoint replays it — the dynamic-partition-overwrite commit
+makes the retry idempotent. So executor-local blocks are the right (and
+cheapest) choice inside foreachBatch even on preemptible fleets.
 """
 
 from __future__ import annotations

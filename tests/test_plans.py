@@ -430,6 +430,42 @@ def test_no_oracled_query_emits_array_or_struct_columns():
     assert not bad, f"oracled queries with canon-unsafe output columns: {bad}"
 
 
+def test_every_catalog_query_spark_schema_is_canon_safe(spark, specs):
+    """The r8 hole in the test above: it binds ORACLES, so ``oracle=None``
+    queries were unguarded — and exactly one of them (emb_pca_whiten, an
+    array<double> output) ERRed the driver's canonicalizer in r8, the third
+    consecutive round lost to this class (-0.0 in r6, BIGINT[] in r7).
+    Close the class for the whole registry: build EVERY catalog query's
+    Spark DataFrame and assert its OUTPUT schema has no Array/Struct/Map
+    columns, oracled or not. This is the driver contract as a type system:
+    vector-valued results must be a joined STRING or exploded scalar rows.
+
+    Construction (not execution) is enough to read the schema, but a few
+    plans pin an eager localCheckpoint / fit a model driver-side, so the
+    builds run threaded at sf0.001 to keep suite wall-clock flat."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def check(item):
+        name, spec = item
+        try:
+            schema = spec.spark_fn(spark, SF).schema
+        except Exception as exc:  # noqa: BLE001
+            return name, [f"build error: {exc}"]
+        hits = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        return name, hits
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(check, specs.items()))
+    bad = {name: hits for name, hits in results if hits}
+    assert not bad, f"catalog queries with canon-unsafe Spark output columns: {bad}"
+
+
 def test_events_ts_load_is_timezone_independent(spark):
     """A bare NTZ→timestamp cast reads the naive value in the session tz;
     an external session built without session.tune() (e.g. a bare
@@ -743,6 +779,43 @@ def test_ann_topk_is_two_phase_not_corpus_sized_window(spark, specs):
     assert "_chunk" in plan
 
 
+def test_epoch_plan_zero_token_source_is_guarded_cross_engine(spark, specs, tmp_path):
+    """ADVICE r8: corpus_epoch_plan divided target_tokens by n_tokens with
+    no zero guard — a source whose docs ALL tokenize empty (n_tokens=0)
+    produced NULL/inf on Spark but an error in the DuckDB oracle, a
+    cross-engine divergence on a degenerate but representable input. Both
+    engines now divide by greatest(n_tokens, 1); such a source has
+    w_raw=0 so target_tokens=0 and the guarded ratio is exactly 0. Pin
+    the agreement on a synthesized fixture with one all-empty source."""
+    import duckdb
+    import pandas as pd
+
+    doc_path = str(tmp_path / "documents.parquet")
+    rows = [
+        {"doc_id": i, "source": "real", "text": f"alpha beta gamma doc {i}", "lang": "en"}
+        for i in range(5)
+    ] + [
+        # '!!! ???' tokenizes to [] under the shared [^a-z0-9]+ tokenizer
+        {"doc_id": 100 + i, "source": "empty", "text": "!!! ???", "lang": "en"}
+        for i in range(3)
+    ]
+    pd.DataFrame(rows).to_parquet(doc_path)
+
+    spec = specs["corpus_epoch_plan"]
+    sdf = spec.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{doc_path}'")
+    odf = con.sql(spec.oracle).df()
+
+    empty_row = sdf[sdf.source == "empty"].iloc[0]
+    assert empty_row.n_tokens == 0
+    assert empty_row.target_tokens == 0
+    assert empty_row.epochs_pct == 0
+    from tools.compare_oracle import compare_frames
+
+    assert compare_frames(sdf, odf, exact=True) == []
+
+
 def test_catalog_rejects_duplicate_query_names(specs):
     """The registry dict is last-wins, so a name collision in a
     later-imported module silently SHADOWS the original query — a
@@ -757,3 +830,23 @@ def test_catalog_rejects_duplicate_query_names(specs):
         @query("q1_pricing_summary")
         def _dupe(spark, sf_dir):  # pragma: no cover
             raise AssertionError
+
+    # ...but a FRESH function object with the same (module, qualname) —
+    # importlib.reload, or a second import of the plans module under a
+    # different sys.path spelling — is idempotent re-registration, not
+    # shadowing, and must be permitted (ADVICE r8)
+    import types
+
+    from sec_dl_spark.plans.catalog import REGISTRY
+
+    saved = specs["q1_pricing_summary"]
+    orig = saved.spark_fn
+    clone = types.FunctionType(
+        orig.__code__, orig.__globals__, orig.__name__, orig.__defaults__
+    )
+    clone.__module__ = orig.__module__
+    clone.__qualname__ = orig.__qualname__
+    try:
+        query("q1_pricing_summary")(clone)  # no raise
+    finally:
+        REGISTRY["q1_pricing_summary"] = saved  # restore spec incl. oracle

@@ -53,3 +53,43 @@ def test_spread_in_memory_frame_uses_actual_partition_count(spark):
     df = spark.range(0, 1000, numPartitions=8)
     assert _estimated_scan_splits(df) == 8
     assert spread(df) is df
+
+
+def test_pin_reliable_mode_checkpoints_to_reliable_storage(spark, tmp_path):
+    """pin() (ADVICE r8): default mode is localCheckpoint (executor-local,
+    non-recomputable blocks); reliable mode — per-call or via the
+    spark.sec_dl_spark.reliableCheckpoint conf — must write a TRUE
+    checkpoint under the SparkContext checkpoint dir so blocks survive
+    executor loss, and must fail with actionable guidance (naming
+    setCheckpointDir) when no checkpoint dir is configured."""
+    import os
+
+    from sec_dl_spark.session import RELIABLE_CHECKPOINT_CONF, pin
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+
+    # default: local checkpoint, same rows, checkpointed lineage
+    local = pin(df)
+    assert local.count() == 100
+
+    # reliable without a checkpoint dir: actionable error
+    sc = spark.sparkContext
+    if not sc.getCheckpointDir():
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            pin(df, reliable=True)
+
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    rel = pin(df, reliable=True)
+    assert sorted(r.v for r in rel.collect()) == list(range(100))
+    # files landed under the reliable dir — the executor-loss guarantee
+    found = any(files for _, _, files in os.walk(ckpt))
+    assert found, "reliable pin wrote nothing under the checkpoint dir"
+
+    # the session-wide conf flips the default
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        via_conf = pin(df)
+        assert via_conf.count() == 100
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")

@@ -124,6 +124,21 @@ PROBE = [
     # (sketch partials must stay day-count-sized, never user-count-sized)
     "join_q11_important_stock",
     "events_hll_partial_merge",
+    # r9: fold in the r8 ad-hoc one-off ratios (NOTES.md carried them
+    # loose: dq_k_anonymity 1.02x, agg_mode_exact 0.79x,
+    # text_sentence_stats 2.58x, dedup_clusters 2.80x) as first-class
+    # rows, plus the new paged-retrieval and recursive-CTE front doors —
+    # deep pages must cost top-(p·size), the CTE a fixed number of
+    # bounded joins. emb_semantic_dedup (already probed above) is the
+    # watch-list row: its last ratio was 10.03, exactly at the linear
+    # boundary — re-characterize every probe run.
+    "dq_k_anonymity",
+    "agg_mode_exact",
+    "text_sentence_stats",
+    "dedup_clusters",
+    "corpus_epoch_plan",
+    "fts_ranked_paged",
+    "sql_recursive_cte",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
