@@ -1,9 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>, "noise": {...}}
+Prints ONE JSON line (kept under ~1.5 KB so the driver's bounded stdout
+tail cannot clip its head — the full result object lives in
+BENCH_LAST.json next to this file):
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "n_queries": N, "queries": {3 slowest: sec}, ...scalar ratios...,
+   "full_artifact": "BENCH_LAST.json"}
 
 Headline set: one representative per operator family whose cost scales with
 the data (scan+agg, multi-way join, range join, window, rollup, event
@@ -36,6 +39,16 @@ the partials (key-cardinality-sized reads) while "recompute" rescans the
 raw rows with an exact count(distinct). `merge_over_recompute` is what a
 refresh costs with sketches vs without — the streaming twin of
 append_delta.
+
+The `fts_serving` object prices the persisted FTS index's serve path
+(write_index once, untimed): "page1" = BM25 top-10, "deep_page" = ranks
+201-210 via top-210 — `deep_over_page1` should sit near 1 because deep
+pagination is a bigger TakeOrderedAndProject k, never a corpus sort. The
+`ann_serving` object prices the persisted bucket-partitioned ANN index:
+"serve" = ann_index_topk against the written index (dynamic partition
+pruning reads only the queries' buckets), "rebuild" = cosine_topk_lsh
+re-deriving signatures from the raw vectors inside the query —
+`serve_over_rebuild` is what persisting the index saves per search.
 
 The `corpus_e2e` object times the COMPOSED pipeline (etl/corpus.py:
 clean → quality gate → exact dedup → MinHash near-dedup → content-hashed
@@ -190,13 +203,16 @@ def main() -> None:
             .parquet(gate_src)
         )
         t0 = time.perf_counter()
-        incremental_dedup_sink(
+        done = incremental_dedup_sink(
             stream,
             f"{work}/accepted",
             f"{work}/registry",
             f"{work}/ckpt",
             commit_mode=mode,
         ).awaitTermination(600)
+        # a False return means the stream is STILL RUNNING after the
+        # timeout — the arm's timing would be a lie; fail loudly instead
+        assert done, f"gate stream ({mode}) did not finish within 600s"
         dt = time.perf_counter() - t0
         shutil.rmtree(work, ignore_errors=True)
         return dt
@@ -293,7 +309,7 @@ def main() -> None:
         F.to_date("ts").alias("day"), "user_id"
     ).repartition(4).write.mode("overwrite").parquet(hll_src)
     hll_schema = spark.read.parquet(hll_src).schema
-    incremental_hll_sink(
+    hll_done = incremental_hll_sink(
         spark.readStream.schema(hll_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(hll_src),
@@ -302,12 +318,41 @@ def main() -> None:
         ["day"],
         "user_id",
     ).awaitTermination(600)
+    # awaitTermination(timeout) returns False if the stream is STILL
+    # RUNNING — silently proceeding would time the hll_rollup arms while
+    # sketch partitions are still being written, then rmtree hll_work
+    # under a live query (ADVICE r9). Fail loudly instead.
+    assert hll_done, "incremental_hll_sink did not finish within 600s"
+
+    # FTS + ANN SERVING arms (VERDICT r9 ask #7): price the persisted-
+    # index serve path, previously plan-asserted but never timed. Setup
+    # (untimed): write both indexes once. The FTS ratio compares a
+    # deep page (ranks 201-210 via top-210, TakeOrderedAndProject) to
+    # page 1 (top-10) over the SAME pruned index read — deep pagination
+    # should cost a top-(p·size), not a corpus sort. The ANN ratio
+    # compares serving the bucket-partitioned persisted index (dynamic
+    # partition pruning) to the live LSH path that re-derives signatures
+    # from the raw vectors inside the query — the per-search price of
+    # not persisting the index.
+    from sec_dl_spark.operators import fts as fts_ops
+    from sec_dl_spark.operators.similarity import ann_index_topk, cosine_topk_lsh
+
+    serve_root = tempfile.mkdtemp(prefix="bench_serving_")
+    docs = load_table(spark, sf_dir, "documents")
+    fts_ops.write_index(fts_ops.build_inverted_index(docs), f"{serve_root}/fts")
+    fts_postings, fts_stats = fts_ops.read_index(spark, f"{serve_root}/fts")
+    FTS_TERMS = ["spark", "sort", "vector"]
+    from sec_dl_spark.operators.similarity import write_ann_index
+
+    write_ann_index(emb, f"{serve_root}/ann")
 
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     ab_samples: dict[str, list[float]] = {"adc": [], "decode": []}
     gate_samples: dict[str, list[float]] = {"overwrite": [], "atomic": []}
     hll_samples: dict[str, list[float]] = {"sketch_merge": [], "recompute": []}
+    fts_srv_samples: dict[str, list[float]] = {"page1": [], "deep_page": []}
+    ann_srv_samples: dict[str, list[float]] = {"serve": [], "rebuild": []}
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -327,10 +372,25 @@ def main() -> None:
             F.count_distinct("user_id").alias("n_distinct")
         ).collect()
         hll_samples["recompute"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fts_ops.search_bm25(fts_postings, FTS_TERMS, k=10, stats=fts_stats).collect()
+        fts_srv_samples["page1"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fts_ops.search_bm25(
+            fts_postings, FTS_TERMS, k=210, stats=fts_stats
+        ).where(F.col("rank") > 200).collect()
+        fts_srv_samples["deep_page"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ann_index_topk(spark, f"{serve_root}/ann", ab_queries, k=5).collect()
+        ann_srv_samples["serve"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        cosine_topk_lsh(emb, ab_queries, k=5).collect()
+        ann_srv_samples["rebuild"].append(time.perf_counter() - t0)
     ticks1 = _cpu_ticks()
     shutil.rmtree(gate_src, ignore_errors=True)
     shutil.rmtree(hll_src, ignore_errors=True)
     shutil.rmtree(hll_work, ignore_errors=True)
+    shutil.rmtree(serve_root, ignore_errors=True)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
@@ -360,6 +420,16 @@ def main() -> None:
         round(hll["sketch_merge"] / hll["recompute"], 3) if hll["recompute"] else None
     )
 
+    fts_srv = {k: round(statistics.median(s), 3) for k, s in fts_srv_samples.items()}
+    fts_srv["deep_over_page1"] = (
+        round(fts_srv["deep_page"] / fts_srv["page1"], 3) if fts_srv["page1"] else None
+    )
+
+    ann_srv = {k: round(statistics.median(s), 3) for k, s in ann_srv_samples.items()}
+    ann_srv["serve_over_rebuild"] = (
+        round(ann_srv["serve"] / ann_srv["rebuild"], 3) if ann_srv["rebuild"] else None
+    )
+
     # binary-tier price check from the already-collected medians: the
     # Hamming scan (1 bit/dim, XOR+popcount) vs the exact float cosine
     # scan over the same corpus and query set — the ratio the two-stage
@@ -386,23 +456,45 @@ def main() -> None:
         "ab_hamming_vs_cosine": hamming_ab,
         "gate_atomic_overhead": gate,
         "hll_rollup": hll,
+        "fts_serving": fts_srv,
+        "ann_serving": ann_srv,
         "corpus_e2e": corpus,
     }
-    # the driver records only the last few KB of stdout; BENCH_r07's line
-    # exceeded that window and lost its head, and BENCH_r08's head was
-    # still clipped by trailing JVM shutdown noise (parsed: null). Three
-    # defenses: the full artifact goes to a file; the stdout line is kept
-    # small (per-query spreads live in the file); and the line is made
-    # the ABSOLUTE LAST output — Spark is stopped FIRST (its shutdown
-    # noise lands before the line), the line is printed + flushed, and
-    # the process exits via os._exit so no atexit/py4j teardown can
-    # print after it.
+    # the driver records only the last ~2.2 KB of stdout; BENCH_r07-r09
+    # all recorded "parsed": null because the printed line was bigger
+    # than that window, so its HEAD (the {"metric": opener) was clipped
+    # no matter what printed after it. Defenses: the full artifact goes
+    # to BENCH_LAST.json; the stdout line is a <1.5 KB digest — the
+    # full per-query dict is REPLACED by its 3 slowest entries
+    # (n_queries records the real count) and only scalar ratios are
+    # kept from the sub-benchmarks; and the line is the ABSOLUTE LAST
+    # output — Spark is stopped FIRST (its shutdown noise lands before
+    # the line), the line is printed + flushed, and the process exits
+    # via os._exit so no atexit/py4j teardown can print after it.
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
         json.dump(full, f, indent=1)
-    compact = dict(full)
-    compact["noise"] = {k: v for k, v in noise.items() if k != "per_query_spread"}
-    compact["full_artifact"] = "BENCH_LAST.json"
+    slowest3 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest3,
+        "noise_max_spread_pct": noise.get("max_spread_pct"),
+        "cpu_steal_pct": noise.get("cpu_steal_pct"),
+        "adc_over_decode": ab.get("adc_over_decode"),
+        "hamming_over_cosine": hamming_ab.get("hamming_over_cosine"),
+        "gate_atomic_over_overwrite": gate.get("atomic_over_overwrite"),
+        "hll_merge_over_recompute": hll.get("merge_over_recompute"),
+        "fts_deep_over_page1": fts_srv.get("deep_over_page1"),
+        "ann_serve_over_rebuild": ann_srv.get("serve_over_rebuild"),
+        "corpus_docs_per_sec": corpus["build"].get("docs_per_sec"),
+        "append_over_build": corpus["append_delta"].get("append_over_build"),
+        "full_artifact": "BENCH_LAST.json",
+    }
     line = json.dumps(compact)
+    assert len(line) < 1500, f"stdout line {len(line)}B exceeds driver tail budget"
     try:
         spark.stop()
     except Exception:

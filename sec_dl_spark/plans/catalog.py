@@ -45,25 +45,69 @@ def query(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         prev = REGISTRY.get(name)
         # Re-registration of the SAME function object — or of a fresh
-        # object with the same (module, qualname), e.g. importlib.reload
-        # or a second import of the plans module under a different sys.path
-        # spelling — is idempotent, not shadowing (ADVICE r8). Only a
-        # genuinely DISTINCT function colliding on the name is refused.
-        if (
-            prev is not None
-            and prev.spark_fn is not fn
-            and (prev.spark_fn.__module__, prev.spark_fn.__qualname__)
-            != (fn.__module__, fn.__qualname__)
-        ):
-            raise ValueError(
-                f"catalog query {name!r} already registered by "
-                f"{prev.spark_fn.__module__}; pick a distinct name "
-                "(the registry would silently shadow the original)"
-            )
-        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        # object that is a true reload/re-import duplicate (importlib.
+        # reload, or a second import of the plans module under a
+        # different sys.path spelling) — is idempotent, not shadowing
+        # (ADVICE r8). (module, qualname) alone is NOT enough to prove a
+        # reload: two DISTINCT factory-generated functions share the
+        # same '<locals>.q' qualname in one module, so r8's carve-out
+        # silently re-enabled the shadowing it was added to refuse
+        # (ADVICE r9). Require the same def site (co_filename,
+        # co_firstlineno) AND — for factory-made functions, which also
+        # share a def site — the same scalar closure/default
+        # fingerprint (a reload recreates equal cell VALUES; two
+        # factory calls differ in the name/SQL strings they close
+        # over). Only then is the collision accepted as idempotent.
+        if prev is not None and prev.spark_fn is not fn:
+            if not (
+                (prev.spark_fn.__module__, prev.spark_fn.__qualname__)
+                == (fn.__module__, fn.__qualname__)
+                and _def_site(prev.spark_fn) == _def_site(fn)
+                and _scalar_fingerprint(prev.spark_fn) == _scalar_fingerprint(fn)
+            ):
+                raise ValueError(
+                    f"catalog query {name!r} already registered by "
+                    f"{prev.spark_fn.__module__}; pick a distinct name "
+                    "(the registry would silently shadow the original)"
+                )
+        # Idempotent re-registration keeps prev's oracle if the new
+        # registration omits one (a reload must not silently demote an
+        # oracled query to rows-only — ADVICE r9).
+        if oracle is None and prev is not None and prev.oracle is not None:
+            eff_oracle = prev.oracle
+        else:
+            eff_oracle = oracle
+        REGISTRY[name] = QuerySpec(name, fn, eff_oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco
+
+
+def _def_site(fn) -> tuple:
+    code = getattr(fn, "__code__", None)
+    return (code.co_filename, code.co_firstlineno) if code is not None else ("?", -1)
+
+
+def _scalar_fingerprint(fn) -> tuple:
+    """Hashable summary of a function's distinguishing data: scalar
+    closure-cell values and scalar defaults by VALUE (the name/SQL
+    strings a query factory bakes in), everything else by type name only
+    (objects get new addresses on reload, so identity/repr would make
+    every reload look distinct)."""
+    _SCALARS = (str, bytes, int, float, bool, type(None))
+
+    def enc(v):
+        return ("v", type(v).__name__, v) if isinstance(v, _SCALARS) else (
+            "t", type(v).__name__)
+
+    cells = []
+    for cell in getattr(fn, "__closure__", None) or ():
+        try:
+            cells.append(enc(cell.cell_contents))
+        except ValueError:  # empty cell
+            cells.append(("empty",))
+    defaults = tuple(enc(v) for v in (getattr(fn, "__defaults__", None) or ()))
+    return (tuple(cells), defaults)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,92 +116,85 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # The driver's correctness sweep truncates to the FIRST 50 registered names,
 # so registration order is rotated each round to aim driver evidence at the
-# stalest queries.  Rounds 1-7 each proved a distinct 50-name slice
-# (CORRECTNESS_r01..r07; 167 of the 201 catalog names carry driver-green
-# rows across those artifacts).  Round 8 completes the sweep: the r7 red
-# row first (emb_binary_signature — a driver-canonicalizer crash on its
-# raw BIGINT[] output, not a wrong answer; the column is now a canon-safe
-# STRING), then emb_rank_normalize (the only other array-output oracle,
-# same crash class, restructured to scalar rows BEFORE its first driver
-# run), then the 33 remaining never-driver-checked names, then re-checks
-# of every query whose implementation changed this round, then the
-# round-8 additions.  After r8 every catalog name has driver evidence.
-# Queries NOT listed here keep module registration order after the block.
-# Post-slice round-8 additions (verified --exact at 3 SFs this session,
-# no driver row yet — lead the round-9 rotation): dq_k_anonymity,
-# dq_freshness_lag, agg_mode_exact, text_sentence_stats,
-# corpus_epoch_plan, and
-# dedup_clusters' UPGRADED check (rows-only r5 → full oracle vs a
-# recursive-CTE transitive closure).
+# stalest queries.
+#
+# STANDING POLICY (encode, don't just intend — r9 skipped its promised
+# rotation and wasted the round's driver-evidence budget re-proving r8's
+# slice): rewrite _PRIORITY as the LAST pre-round step, ordered
+#   1. red rows from the previous CORRECTNESS artifact,
+#   2. names with NO driver row in any CORRECTNESS_r* (new this round),
+#   3. names whose implementation or oracle changed this round,
+#   4. the stalest block (oldest latest-evidence round), filling to 50.
+#
+# Round-10 slice: the 13 names added in r8/r9 that have never had a
+# driver row (all verified byte-exact by tools/compare_oracle.py --exact
+# at sf0.01 — three of them re-verified after this round's ADVICE fixes
+# to the welch-ttest n>=2 guard, the benford cents>0 filter, and the
+# uniqueness struct-key count), then dedup_clusters (its oracle was
+# UPGRADED in r8 from rows-only to a recursive-CTE transitive closure,
+# but its only driver row is still the rows-only r5 one), then the
+# r4-era block (18 names, the stalest driver evidence in the repo),
+# then the oldest 18 of the r5-era block. Queries NOT listed here keep
+# module registration order after the block.
 _PRIORITY = (
-    # the r7 red row: emb_binary_signature ERRed in the driver's
-    # canonicalizer (raw BIGINT[] output -> pandas sort crash); the output
-    # is now a comma-joined STRING on both engines — its green row in
-    # CORRECTNESS_r08 is the judge's done-criterion for ask #1
-    "emb_binary_signature",
-    # the other array-output query (DOUBLE[] -> scalar rows this round),
-    # never driver-checked — the identical crash class, defused first
-    "emb_rank_normalize",
-    # the 33 remaining never-driver-checked names (catalog order; every
-    # oracled one pre-verified byte-exact at sf0.01 by
-    # tools/compare_oracle.py --exact this round) — completes first-time
-    # driver evidence for the entire catalog
-    "join_q21_waiting_supplier",
-    "join_q2_min_cost_supplier",
-    "join_q4_order_priority",
-    "agg_q6_forecast_revenue",
-    "scalar_array_fns",
-    "agg_boolean_fns",
-    "scalar_bitwise_fns",
-    "dq_range_checksums",
-    "join_lateral_topk",
-    "sql_pipe_syntax",
-    "cdc_join_delta",
-    "events_concurrent_sessions",
-    "events_ewma_user",
-    "events_rolling_median",
-    "events_winsorized_mean",
-    "agg_bootstrap_ci",
-    "events_gap_islands",
-    "dedup_containment_pairs",
-    "text_oov_rate",
-    "doc_chunks_overlap",
-    "doc_token_spans_udtf",
-    "text_compress_ratio",
-    "sample_weighted_hash",
-    "emb_mmr_select",
-    "emb_pca_whiten",
-    "text_quality_ks_drift",
-    "emb_centroid_drift",
-    "emb_gram_matrix",
-    "graph_pagerank_neardup",
-    "dedup_prefix_filter_pairs",
-    "fts_rerank_crossencoder",
-    "corpus_source_overlap",
-    "multimodal_image_phash",
-    # implementation changed this round (FTS top-k TakeOrderedAndProject
-    # swap, global_rank/global_cumsum persist, profiler quoting, PageRank
-    # persist_every) — re-prove the affected green rows under the driver
-    "fts_ranked_tfidf",
-    "fts_ranked_bm25",
-    "fts_proximity_ranked",
-    "fts_hybrid_rrf",
-    "corpus_shard_assign",
-    "events_equidepth_bins",
-    "corpus_concat_chunks",
-    "dq_profile_orders",
-    "dq_violation_report",
-    "join_bloom_prefilter",
-    # round-8 additions (first-time driver evidence): TPC-H q11/q20
-    # complete the 22/22 analog matrix; paged retrieval composes the new
-    # TakeOrderedAndProject top-k; WITH RECURSIVE front door; mergeable
-    # HLL sketch partials (rows-only)
-    "join_q11_important_stock",
-    "join_q20_potential_promo",
-    "fts_ranked_paged",
-    "sql_recursive_cte",
-    "events_hll_partial_merge",
+    # never driver-checked (r8/r9 additions; CORRECTNESS_r10 rows for
+    # these complete driver certification of the entire catalog)
+    "agg_mode_exact",
+    "corpus_epoch_plan",
+    "corpus_pack_efficiency",
+    "corpus_split_leakage",
+    "dq_benford_first_digit",
+    "dq_freshness_lag",
+    "dq_k_anonymity",
+    "dq_referential_integrity",
+    "dq_uniqueness_keys",
+    "emb_knn_distance_outliers",
+    "events_ab_welch_ttest",
+    "text_ngram_novelty",
+    "text_sentence_stats",
+    # oracle upgraded in r8 (rows-only -> recursive-CTE transitive
+    # closure) but the only driver row predates the upgrade
+    "dedup_clusters",
+    # stalest block: last driver evidence in CORRECTNESS_r04
+    "emb_pq_topk",
+    "multimodal_audio_chunks",
+    "multimodal_binary_meta",
+    "multimodal_dedup",
+    "multimodal_keyframes",
+    "q1_pricing_summary",
+    "sample_exact_n_per_group",
+    "text_clean_chain",
+    "text_contamination",
+    "text_extract_matches",
+    "text_lang_guess",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_cosine",
+    "text_token_estimate",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    # next-stalest: first 18 of the CORRECTNESS_r05 block
+    "agg_collect_list",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_salted_distinct",
+    "agg_udaf_geomean",
+    "corpus_pack_sequences",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_cosine_topk_ivf",
+    "emb_cosine_topk_lsh",
+    "entity_match_levenshtein",
+    "events_asof_join",
+    "events_asof_tolerance",
+    "events_dedup_first",
+    "events_funnel",
+    "events_gap_filled",
+    "events_pivot",
+    "events_retention_cohort",
 )
+
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -3167,11 +3167,18 @@ def dq_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning keeps the scan narrow; the shuffle carries distinct keys,
     never rows). Composite keys aggregate the column PAIR, the case
     uniqueness bugs actually hide in (l_orderkey alone is legitimately
-    duplicated)."""
+    duplicated). Composite keys count distinct over a STRUCT of the
+    columns, not the bare column list: count_distinct(c1, c2) silently
+    DROPS rows where any key column is NULL (inflating n_dup_rows on
+    exactly the dirty data the audit exists to catch), while DuckDB's
+    count(DISTINCT (a,b)) row-value counts NULL-bearing tuples — the
+    struct is never NULL even when its fields are, so both engines
+    agree (ADVICE r9)."""
     def audit(df: DataFrame, cols: list, name: str) -> DataFrame:
+        key = F.col(cols[0]) if len(cols) == 1 else F.struct(*[F.col(c) for c in cols])
         return df.agg(
             F.count(F.lit(1)).alias("_n"),
-            F.count_distinct(*[F.col(c) for c in cols]).alias("_d"),
+            F.count_distinct(key).alias("_d"),
         ).select(
             F.lit(name).alias("key_name"),
             F.col("_n").cast("long").alias("n_rows"),
@@ -3196,10 +3203,12 @@ def dq_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_benford_first_digit",
     oracle="""
-    WITH c AS (
-      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
-               AS digit
-      FROM orders WHERE o_totalprice > 0),
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    c AS (
+      SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+      FROM cents WHERE cents > 0),
     agg AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
     tot AS (SELECT sum(n) AS total FROM agg)
     SELECT CAST(digit AS BIGINT) AS digit,
@@ -3219,13 +3228,18 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly the point of recording it). The first digit is taken
     from the INTEGER cents string (integer-to-string is exact on both
     engines; a log10-based digit extraction can flip at power-of-ten
-    boundaries where libm differs). One 9-group aggregate + a 1-row
-    total broadcast back — output is digit-bounded at any scale."""
+    boundaries where libm differs). The positivity filter is on the
+    ROUNDED cents, not the raw price: 0 < price < 0.005 rounds to
+    cents=0, whose "first digit" is '0' and whose benford_p divides by
+    zero — inf/NULL on Spark vs an error in DuckDB (ADVICE r9). One
+    9-group aggregate + a 1-row total broadcast back — output is
+    digit-bounded at any scale."""
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     c = (
         t(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") > 0)
-        .select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+        .select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).alias("digit"))
     )
     agg = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     tot = agg.agg(F.sum("n").alias("total"))

@@ -1107,7 +1107,8 @@ def events_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cents) FILTER (arm = 1) AS s_b,
              sum(cents * cents) FILTER (arm = 0) AS q_a,
              sum(cents * cents) FILTER (arm = 1) AS q_b
-      FROM c GROUP BY event_type),
+      FROM c GROUP BY event_type
+      HAVING n_a >= 2 AND n_b >= 2),
     s AS (
       SELECT event_type, n_a, n_b,
              CAST(s_a AS DOUBLE) / n_a / 100 AS mean_a,
@@ -1136,7 +1137,12 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     float aggregation order (the shuffle-dependent last-ulp hazard that
     plagues avg/var_samp cross-engine) never enters. One grouped
     aggregate with FILTER arms (single shuffle, partial map-side);
-    output is arm-pair-per-type bounded."""
+    output is arm-pair-per-type bounded. Groups where either arm has
+    <2 observations are dropped (HAVING n_a>=2 AND n_b>=2 on both
+    engines): sample variance is undefined there, and dividing by
+    n-1=0 yields NULL/inf on Spark but an error in DuckDB — the same
+    cross-engine divide-by-zero class corpus_epoch_plan guards with
+    greatest(n,1)."""
     cents = F.round(F.col("value") * 100).cast("long")
     arm = F.col("user_id") % 2
     c = t(spark, sf_dir, "events").select(
@@ -1150,7 +1156,7 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(a1, F.col("cents"))).alias("s_b"),
         F.sum(F.when(a0, F.col("cents") * F.col("cents"))).alias("q_a"),
         F.sum(F.when(a1, F.col("cents") * F.col("cents"))).alias("q_b"),
-    )
+    ).where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     mean_a = F.col("s_a").cast("double") / F.col("n_a") / 100
     mean_b = F.col("s_b").cast("double") / F.col("n_b") / 100
     var_a = (

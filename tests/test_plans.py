@@ -377,12 +377,11 @@ def test_passage_dedup_exchange_carries_hashed_key(spark, specs):
 
 def test_catalog_rotation_front_loads_stale_queries():
     """The driver truncates its correctness sweep to the first 50 registered
-    names; round 8 front-loads the r7 red row (emb_binary_signature, now
-    canon-safe) and emb_rank_normalize (the same crash class, defused
-    before its first driver run), then the 33 remaining
-    never-driver-checked names — completing first-time driver evidence for
-    the whole catalog — then re-checks of every query whose implementation
-    changed this round, then the round-8 additions."""
+    names; round 10 front-loads the 13 r8/r9 additions that have never had
+    a driver row (three of them freshly fixed this round: welch-ttest n>=2
+    guard, benford cents>0, uniqueness struct-key), then dedup_clusters
+    (whose driver evidence predates its r8 oracle upgrade), then the
+    stalest (r4/r5-era) evidence blocks."""
     from sec_dl_spark.plans.catalog import _PRIORITY, load_all
 
     names = list(load_all())
@@ -390,16 +389,23 @@ def test_catalog_rotation_front_loads_stale_queries():
     # every priority name is actually registered, and they occupy the
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
-    assert names[0] == "emb_binary_signature"
-    assert names[1] == "emb_rank_normalize"
-    # the implementation-changed re-checks ride in the same slice
+    # the never-driver-checked 13 lead the slice
     assert {
-        "fts_ranked_tfidf",
-        "fts_ranked_bm25",
-        "fts_proximity_ranked",
-        "fts_hybrid_rrf",
-        "graph_pagerank_neardup",
-    } <= set(names[:50])
+        "agg_mode_exact",
+        "corpus_epoch_plan",
+        "corpus_pack_efficiency",
+        "corpus_split_leakage",
+        "dq_benford_first_digit",
+        "dq_freshness_lag",
+        "dq_k_anonymity",
+        "dq_referential_integrity",
+        "dq_uniqueness_keys",
+        "emb_knn_distance_outliers",
+        "events_ab_welch_ttest",
+        "text_ngram_novelty",
+        "text_sentence_stats",
+    } == set(names[:13])
+    assert names[13] == "dedup_clusters"
 
 
 def test_no_oracled_query_emits_array_or_struct_columns():
@@ -848,5 +854,29 @@ def test_catalog_rejects_duplicate_query_names(specs):
     clone.__qualname__ = orig.__qualname__
     try:
         query("q1_pricing_summary")(clone)  # no raise
+        # ...and the idempotent path must KEEP the original oracle when
+        # the re-registration omits one (a reload must not silently
+        # demote an oracled query to rows-only — ADVICE r9)
+        assert REGISTRY["q1_pricing_summary"].oracle == saved.oracle
     finally:
         REGISTRY["q1_pricing_summary"] = saved  # restore spec incl. oracle
+
+    # Two DISTINCT factory-generated functions share (module, qualname)
+    # ('<locals>.q') AND def site, so the r8 carve-out silently accepted
+    # the second — re-enabling the shadowing the guard refuses. The
+    # scalar-closure fingerprint (the strings each factory call bakes
+    # in) tells them apart: distinct factory outputs are REFUSED, a
+    # reload-equal clone of the same factory output passes (ADVICE r9).
+    def make(tag):
+        def q(spark, sf_dir):  # pragma: no cover
+            return tag
+
+        return q
+
+    try:
+        query("_test_factory_q")(make("alpha"))
+        with _pytest.raises(ValueError, match="already registered"):
+            query("_test_factory_q")(make("beta"))
+        query("_test_factory_q")(make("alpha"))  # reload-equal: no raise
+    finally:
+        REGISTRY.pop("_test_factory_q", None)
