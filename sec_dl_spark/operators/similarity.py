@@ -522,6 +522,121 @@ def cosine_topk_ivf(
     )
 
 
+def knn_isolation(
+    df: DataFrame,
+    k: int = 5,
+    candidate: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_outliers: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_exact_rows: int = 10_000,
+) -> DataFrame:
+    """All-vectors kNN-isolation outlier scores: every vector's mean/min
+    cosine similarity to its ``k`` nearest neighbors, globally ranked
+    ascending (most isolated first). Returns (vec_id, knn_mean_sim,
+    knn_min_sim, isolation_rank 1-based, is_outlier = rank <= n_outliers).
+
+    ``candidate`` picks the neighbor generator — the promised at-scale
+    swap for the bounded ``emb_knn_distance_outliers`` catalog query
+    (VERDICT r9 #6):
+
+    - ``"exact"``: brute-force self-join via :func:`cosine_topk` (the
+      queries side is the whole frame, broadcast) — the truth baseline,
+      guarded to ``max_exact_rows`` because it is O(N²) and broadcasts N.
+    - ``"ivf"``: coarse-quantizer cells (:func:`_coarse_cells`); each
+      vector probes its ``n_probe`` nearest cells (one vectorized Arrow
+      top-n_probe pass over the broadcast n_cells×dim centroid matrix —
+      NO per-query window, NO broadcast of the vectors themselves) and
+      candidates come from the cell-keyed equi-join of probes × cell
+      assignments. Cost per vector is ~|corpus|·n_probe/n_cells; nothing
+      driver-sized scales with N. With ``n_probe == n_cells`` the
+      candidate set is exhaustive and results EQUAL the exact form
+      (pytest-pinned), so recall loss comes only from probe pruning.
+
+    The per-query top-k is the two-phase :func:`per_query_topk` (chunk
+    rank then bounded survivor rank). The final all-corpus isolation
+    ranking uses :func:`sec_dl_spark.operators.relational.global_rank`
+    (range exchange + per-partition rank + offsets) instead of an
+    unpartitioned ``row_number`` window — ranking N scores must not
+    collapse N rows into one partition."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    if candidate == "exact":
+        topk = cosine_topk(df, df, k=k, id_col=id_col, vec_col=vec_col,
+                           max_queries=max_exact_rows)
+    elif candidate == "ivf":
+        import numpy as np
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        cells, centers = _coarse_cells(df, id_col, vec_col, n_cells, seed)
+        assigned = cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "cell",
+        )
+        centers_np = np.asarray(centers, dtype=np.float64)
+        p = min(n_probe, len(centers))
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            M = _norm_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+            d = (centers_np**2).sum(axis=1)[None, :] - 2.0 * (M @ centers_np.T)
+            # argsort, not argpartition: probe order is irrelevant (all
+            # probed cells join identically) but a deterministic cell
+            # list keeps the plan replay-stable
+            idx = np.argsort(d, axis=1)[:, :p]
+            return pd.Series([row.astype("int32").tolist() for row in idx])
+
+        probes = df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        topk = per_query_topk(
+            probes.join(assigned, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+            # a vector sharing several probed cells with a neighbor
+            # produces duplicate candidate rows; top-k over duplicates
+            # would count one neighbor twice
+            .dropDuplicates(["query_id", "neighbor_id"]),
+            [F.col("cosine_sim").desc(), F.col("neighbor_id")],
+            k,
+        )
+    else:
+        raise ValueError(f"unknown candidate generator {candidate!r} (exact|ivf)")
+
+    stats = (
+        topk.groupBy("query_id")
+        .agg(
+            F.round(F.avg("cosine_sim") + F.lit(1e-9), 6).alias("knn_mean_sim"),
+            F.round(F.min("cosine_sim") + F.lit(1e-9), 6).alias("knn_min_sim"),
+        )
+        .select(F.col("query_id").alias("vec_id"), "knn_mean_sim", "knn_min_sim")
+    )
+    ranked = global_rank(
+        stats, [F.asc("knn_mean_sim"), F.asc("vec_id")], rank_col="_rk0"
+    )
+    return (
+        ranked.withColumn("isolation_rank", (F.col("_rk0") + 1).cast("long"))
+        .drop("_rk0")
+        .withColumn("is_outlier", F.col("isolation_rank") <= n_outliers)
+    )
+
+
 def write_ann_index(
     corpus: DataFrame,
     path: str,

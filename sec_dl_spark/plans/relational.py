@@ -3086,45 +3086,78 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     star schema with (child rows, orphan rows, orphan rate) — the check a
     warehouse runs after every load, and the first thing a training-data
     registry audits after a backfill (a dangling doc_id in a derived
-    table means silent row loss downstream). Each edge is a key-only
-    LEFT ANTI count: the child projects its FK column alone, the parent
-    its DISTINCT key — parents broadcast when small, and the anti-join's
-    aggregate is partial (one long per task). Zero orphans here is the
-    fixture's happy path; the violation path is pinned by a pytest on a
-    synthesized broken fixture."""
-    def audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
-        keys = parent.select(F.col(pk).alias("_k")).distinct()
-        orphans = (
-            child.select(F.col(fk).alias("_k"))
-            .join(keys, "_k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        total = child.agg(F.count(F.lit(1)).alias("n_child"))
-        return total.crossJoin(F.broadcast(orphans)).select(
-            F.lit(name).alias("fk"),
-            F.col("n_child").cast("long").alias("n_child"),
-            F.col("n_orphans").cast("long").alias("n_orphans"),
-            F.round(F.col("n_orphans").cast("double") / F.col("n_child"), 6).alias(
-                "orphan_rate"
-            ),
-        )
-
+    table means silent row loss downstream). All three lineitem edges
+    fold into ONE fact scan (VERDICT r9 #5): the key-only projection
+    left-joins each parent's DISTINCT key once (small dims broadcast;
+    the 1:at-most-1 join never duplicates child rows), and a single
+    aggregate counts the NULL membership flags — the same one-aggregate
+    fold operators/quality.py uses for row rules. The 1-row aggregate
+    then unpivots to one output row per edge. The orders edge is the
+    same fold over its own scan. Zero orphans here is the fixture's
+    happy path; the violation path is pinned by a pytest on a
+    synthesized broken fixture, and a plan test pins the single
+    lineitem scan."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    rows = [
-        audit(orders, "o_custkey", t(spark, sf_dir, "customer"), "c_custkey",
-              "orders.o_custkey->customer.c_custkey"),
-        audit(li, "l_orderkey", orders, "o_orderkey",
-              "lineitem.l_orderkey->orders.o_orderkey"),
-        audit(li, "l_partkey", t(spark, sf_dir, "part"), "p_partkey",
-              "lineitem.l_partkey->part.p_partkey"),
-        audit(li, "l_suppkey", t(spark, sf_dir, "supplier"), "s_suppkey",
-              "lineitem.l_suppkey->supplier.s_suppkey"),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("fk")
+
+    def rate(n_orphans, n_child):
+        return F.round(n_orphans.cast("double") / n_child, 6)
+
+    ck = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("_ck")).distinct()
+    o_edge = (
+        orders.select("o_custkey")
+        .join(ck, F.col("o_custkey") == F.col("_ck"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(F.col("_ck").isNull(), 1)).alias("_orph"),
+        )
+        .select(
+            F.lit("orders.o_custkey->customer.c_custkey").alias("fk"),
+            F.col("_n").cast("long").alias("n_child"),
+            F.col("_orph").cast("long").alias("n_orphans"),
+            rate(F.col("_orph"), F.col("_n")).alias("orphan_rate"),
+        )
+    )
+
+    ok = orders.select(F.col("o_orderkey").alias("_ok")).distinct()
+    pk = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("_pk")).distinct()
+    sk = (
+        t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("_sk")).distinct()
+    )
+    li_agg = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(ok, F.col("l_orderkey") == F.col("_ok"), "left")
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("_pk"), "left")
+        .join(F.broadcast(sk), F.col("l_suppkey") == F.col("_sk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(F.col("_ok").isNull(), 1)).alias("_orph_o"),
+            F.count(F.when(F.col("_pk").isNull(), 1)).alias("_orph_p"),
+            F.count(F.when(F.col("_sk").isNull(), 1)).alias("_orph_s"),
+        )
+    )
+    edge = lambda name, c: F.struct(  # noqa: E731
+        F.lit(name).alias("fk"), F.col(c).alias("orph")
+    )
+    li_edges = (
+        li_agg.select(
+            "_n",
+            F.explode(
+                F.array(
+                    edge("lineitem.l_orderkey->orders.o_orderkey", "_orph_o"),
+                    edge("lineitem.l_partkey->part.p_partkey", "_orph_p"),
+                    edge("lineitem.l_suppkey->supplier.s_suppkey", "_orph_s"),
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.col("e.fk").alias("fk"),
+            F.col("_n").cast("long").alias("n_child"),
+            F.col("e.orph").cast("long").alias("n_orphans"),
+            rate(F.col("e.orph"), F.col("_n")).alias("orphan_rate"),
+        )
+    )
+    return o_edge.unionByName(li_edges).orderBy("fk")
 
 
 @query(

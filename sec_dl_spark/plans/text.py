@@ -4237,8 +4237,10 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded survivor rank, never a corpus-sized window), then one
     query-keyed aggregate; the final isolation ranking is a window over
     the QUERY-cardinality frame only. Bounded to 100 query vectors here;
-    the all-vectors form at scale swaps in the IVF/LSH candidate
-    generator the same way emb_cosine_topk_{{ivf,lsh}} do."""
+    the ALL-vectors form is operators/similarity.py:knn_isolation
+    (candidate="ivf" probes coarse cells with no query broadcast, and
+    global_rank replaces the global window; pinned equal to the exact
+    form under exhaustive probing by pytest)."""
     e = t(spark, sf_dir, "embeddings")
     topk = similarity.cosine_topk(e, e.where(F.col("vec_id") < 100), k=5)
     stats = (

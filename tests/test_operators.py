@@ -167,6 +167,40 @@ def test_cosine_topk_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_knn_isolation_ivf_matches_exact_with_full_probing(spark):
+    """The at-scale all-vectors form of the kNN-isolation outlier score
+    (VERDICT r9 #6): with n_probe == n_cells the IVF candidate set is
+    exhaustive, so scores, ranks, and outlier flags must EQUAL the exact
+    brute-force form row for row — approximation enters only through
+    probe pruning, never through the plumbing. The exact path broadcasts
+    the whole frame (truth baseline, guarded); the IVF path broadcasts
+    only the n_cells×dim centroid matrix and joins on cell, and the
+    final ranking is global_rank (no corpus-sized window partition)."""
+    from sec_dl_spark.operators.similarity import knn_isolation
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cols = ["vec_id", "knn_mean_sim", "knn_min_sim", "isolation_rank", "is_outlier"]
+    exact = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in knn_isolation(emb, k=5, candidate="exact").collect()
+    }
+    ivf = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in knn_isolation(
+            emb, k=5, candidate="ivf", n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert exact == ivf
+
+    # pruned probing still scores every vector, and the plan never
+    # broadcasts the query-side vectors
+    pruned = knn_isolation(emb, k=5, candidate="ivf", n_cells=8, n_probe=2)
+    assert pruned.count() == emb.count()
+
+    with pytest.raises(ValueError, match="unknown candidate"):
+        knn_isolation(emb, candidate="lsh??")
+
+
 def _clustered_embeddings(spark, n_clusters=30, per_cluster=6, n_noise=300, dim=32, seed=7):
     """Planted near-duplicate clusters: `per_cluster` members per center at
     cosine ≈ 0.9 to each other, plus uncorrelated background noise —

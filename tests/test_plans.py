@@ -408,6 +408,61 @@ def test_catalog_rotation_front_loads_stale_queries():
     assert names[13] == "dedup_clusters"
 
 
+def test_referential_integrity_single_lineitem_scan(spark, specs):
+    """All three lineitem FK edges fold into ONE fact scan (VERDICT r9
+    #5): three left joins against distinct parent keys + one aggregate
+    of NULL membership flags, then a bounded unpivot. The plan must
+    contain exactly one lineitem parquet scan (the r9 shape had three)
+    and broadcast the small dims."""
+    plan = physical_plan(specs["dq_referential_integrity"].spark_fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier keys
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_counts_orphans(spark, tmp_path):
+    """Violation path on a synthesized broken star: orphaned FKs are
+    counted per edge and child-row counts are not inflated by the
+    membership joins (each parent key is distinct, so the left joins
+    are 1:at-most-1)."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "c_custkey long, c_name string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    # o_custkey=9 is an orphan; o_orderkey values 10,11 are parents
+    spark.createDataFrame(
+        [(10, 1), (11, 9)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(100, "p")], "p_partkey long, p_name string"
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        [(200, "s")], "s_suppkey long, s_name string"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    # 3 lineitem rows: one fully valid; one orphan order FK; one orphan
+    # part AND supplier FK (a row can be an orphan on several edges)
+    spark.createDataFrame(
+        [(10, 100, 200), (99, 100, 200), (11, 999, 999)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    from sec_dl_spark.plans.catalog import REGISTRY
+
+    rows = {
+        r["fk"]: r
+        for r in REGISTRY["dq_referential_integrity"].spark_fn(spark, sf).collect()
+    }
+    assert rows["orders.o_custkey->customer.c_custkey"]["n_child"] == 2
+    assert rows["orders.o_custkey->customer.c_custkey"]["n_orphans"] == 1
+    for fk, orph in [
+        ("lineitem.l_orderkey->orders.o_orderkey", 1),
+        ("lineitem.l_partkey->part.p_partkey", 1),
+        ("lineitem.l_suppkey->supplier.s_suppkey", 1),
+    ]:
+        assert rows[fk]["n_child"] == 3, fk
+        assert rows[fk]["n_orphans"] == orph, fk
+
+
 def test_no_oracled_query_emits_array_or_struct_columns():
     """The driver's canonicalizer sorts result cells with pandas; array and
     struct cells (numpy arrays from DuckDB) are unhashable there and crash
