@@ -140,6 +140,11 @@ _PRIORITY = (
     # never driver-checked (r8/r9 additions; CORRECTNESS_r10 rows for
     # these complete driver certification of the entire catalog)
     "agg_mode_exact",
+    # new THIS round (never driver-checked, verified --exact at 3 SFs)
+    "text_lexical_diversity",
+    "emb_dim_truncation_audit",
+    "events_heavy_hitters_share",
+    "events_psi_drift",
     "corpus_epoch_plan",
     "corpus_pack_efficiency",
     "corpus_split_leakage",
@@ -189,10 +194,6 @@ _PRIORITY = (
     "events_asof_join",
     "events_asof_tolerance",
     "events_dedup_first",
-    "events_funnel",
-    "events_gap_filled",
-    "events_pivot",
-    "events_retention_cohort",
 )
 
 

@@ -1180,3 +1180,149 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz(t_stat).alias("t_stat"),
         (F.abs(t_stat) > 1.96).alias("significant_95"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_heavy_hitters_share",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT sum(n) AS total FROM c),
+    top AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM c QUALIFY rk <= 10)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(rk AS BIGINT) AS rank,
+           (round(CAST(n AS DOUBLE) / total + 1e-9, 6) + 0.0) AS share,
+           (round(CAST(sum(n) OVER (ORDER BY rk) AS DOUBLE) / total + 1e-9, 6)
+             + 0.0) AS cum_share
+    FROM top, tot ORDER BY rank
+    """,
+)
+def events_heavy_hitters_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with traffic concentration: the top-10 users by event
+    count, each with its share of ALL events and the running cumulative
+    share — the skew readout that decides whether a user-keyed shuffle
+    needs salting (a cum_share knee at rank 3 means three keys carry the
+    stage). Counts are one partial-aggregated groupBy; the top-10 is
+    orderBy().limit() (TakeOrderedAndProject — parallel partial top-k,
+    never a full sort); the total is a 1-row broadcast; the cumulative
+    window runs over the 10 SURVIVING rows only. Exact integer counts
+    make every share a deterministic division."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = c.orderBy(F.col("n").desc(), "user_id").limit(10)
+    tot = c.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_n", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n").cast("long").alias("n_events"),
+            "rank",
+            rz6(F.col("n").cast("double") / F.col("total")).alias("share"),
+            rz6(F.col("cum_n").cast("double") / F.col("total")).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "events_psi_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             least(CAST(round(value * 100) AS BIGINT) // 4000, 9) AS bin
+      FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+    counts AS (
+      SELECT event_type, bin,
+             count(*) FILTER (us < mid_us) AS n_early,
+             count(*) FILTER (us >= mid_us) AS n_late
+      FROM e, mid GROUP BY event_type, bin),
+    spine AS (
+      SELECT event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM e),
+           (SELECT unnest(range(10)) AS bin) b),
+    f AS (
+      SELECT s.event_type, s.bin,
+             coalesce(c.n_early, 0) AS n_early, coalesce(c.n_late, 0) AS n_late
+      FROM spine s LEFT JOIN counts c
+        ON s.event_type = c.event_type AND s.bin = c.bin),
+    g AS (
+      SELECT event_type, sum(n_early) AS tot_early, sum(n_late) AS tot_late
+      FROM f GROUP BY event_type),
+    terms AS (
+      SELECT f.event_type, f.bin,
+             (CAST(f.n_early AS DOUBLE) + 0.5) / (g.tot_early + 5.0) AS p,
+             (CAST(f.n_late AS DOUBLE) + 0.5) / (g.tot_late + 5.0) AS q,
+             g.tot_early, g.tot_late
+      FROM f JOIN g ON f.event_type = g.event_type)
+    SELECT event_type,
+           CAST(max(tot_early) AS BIGINT) AS n_early,
+           CAST(max(tot_late) AS BIGINT) AS n_late,
+           (round(sum((p - q) * ln(p / q)) + 1e-9, 6) + 0.0) AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type between the early and
+    late halves of the stream (split at the integer-microsecond midpoint
+    of the observed ts range): the standard drift score a feature-store
+    monitor raises on (PSI < 0.1 stable, > 0.25 shifted). Values land in
+    10 fixed-width bins via EXACT integer-cents division (no float
+    boundary flips); Laplace 0.5-smoothing keeps empty bins finite on
+    both engines, and a per-type bin SPINE (types × range(10)) makes the
+    empty bins explicit rather than engine-dependent. Everything derives
+    from integer counts — two grouped aggregates, a 1-row midpoint
+    broadcast, and a type-cardinality-bounded output; the ln() of
+    deterministic rationals rounds at 1e-6 like the BM25 oracles."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 4000"), F.lit(9)
+        ).alias("bin"),
+    )
+    mid = e.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us")
+    )
+    ec = e.crossJoin(F.broadcast(mid))
+    counts = ec.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("us") < F.col("mid_us"), 1)).alias("n_early"),
+        F.count(F.when(F.col("us") >= F.col("mid_us"), 1)).alias("n_late"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(
+            spark.range(10).select(F.col("id").cast("long").alias("bin"))
+        ))
+    )
+    f = (
+        spine.join(counts, ["event_type", "bin"], "left")
+        .fillna(0, subset=["n_early", "n_late"])
+    )
+    g = f.groupBy("event_type").agg(
+        F.sum("n_early").alias("tot_early"), F.sum("n_late").alias("tot_late")
+    )
+    p = (F.col("n_early").cast("double") + 0.5) / (F.col("tot_early") + 5.0)
+    q = (F.col("n_late").cast("double") + 0.5) / (F.col("tot_late") + 5.0)
+    terms = f.join(F.broadcast(g), "event_type").select(
+        "event_type", "tot_early", "tot_late",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("tot_early").cast("long").alias("n_early"),
+            F.max("tot_late").cast("long").alias("n_late"),
+            rz6(F.sum("term")).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

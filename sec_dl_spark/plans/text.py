@@ -4257,3 +4257,125 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_outlier", F.col("isolation_rank") <= 10)
         .orderBy("vec_id")
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types
+      FROM tk WHERE len(toks) >= 2)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           {rz_sql('CAST(n_types AS DOUBLE) / n_tokens', 6)} AS ttr,
+           {rz_sql('CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))', 6)}
+             AS root_ttr,
+           {rz_sql('ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))', 6)}
+             AS herdan_c
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio, root TTR
+    (Guiraud), and Herdan's C (log-log) — the vocabulary-richness band
+    of the quality stack (template/boilerplate spam shows high length
+    but collapsed type counts; TTR alone shrinks with length, which is
+    why the length-corrected forms ride along). Everything derives from
+    two integers per doc (token count, distinct-token count) computed
+    in ONE codegen HOF projection over the shared tokenized frame — no
+    shuffle, scan-bound, so the plan is a parallel map at any scale.
+    Docs under 2 tokens are dropped on both engines (ln(1)=0 would sit
+    in Herdan's denominator)."""
+    tk = tok_docs(spark, sf_dir)
+    n_tok = F.size("toks")
+    n_typ = F.size(F.array_distinct("toks"))
+    s = tk.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_typ.cast("long").alias("n_types"),
+    ).where(F.col("n_tokens") >= 2)
+    typ_d = F.col("n_types").cast("double")
+    tok_d = F.col("n_tokens").cast("double")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        rz(typ_d / F.col("n_tokens"), 6).alias("ttr"),
+        rz(typ_d / F.sqrt(tok_d), 6).alias("root_ttr"),
+        rz(F.log(typ_d) / F.log(tok_d), 6).alias("herdan_c"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "emb_dim_truncation_audit",
+    oracle="""
+    WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS trunc_dim),
+    v AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    x AS (
+      SELECT trunc_dim,
+             CAST(round(
+               sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(emb[1:trunc_dim], y -> y * y)), (a, y) -> a + y))
+               / sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(emb, y -> y * y)), (a, y) -> a + y)) * 1000000)
+               AS BIGINT) AS nr_micro
+      FROM v, dims),
+    g AS (
+      SELECT trunc_dim, count(*) AS n, sum(nr_micro) AS s, min(nr_micro) AS mn,
+             count(*) FILTER (nr_micro >= 900000) AS n_retained
+      FROM x GROUP BY trunc_dim)
+    SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+           (round(CAST(s AS DOUBLE) / n / 1000000 + 1e-9, 6) + 0.0)
+             AS avg_norm_ratio,
+           (round(CAST(mn AS DOUBLE) / 1000000 + 1e-9, 6) + 0.0)
+             AS min_norm_ratio,
+           (round(CAST(n_retained AS DOUBLE) / n + 1e-9, 6) + 0.0)
+             AS share_above_090
+    FROM g ORDER BY trunc_dim
+    """,
+)
+def emb_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: for each candidate truncation width d,
+    how much of each vector's L2 norm the d-dim prefix retains —
+    norm_ratio = |v[:d]| / |v|, which for L2-normalized serving equals
+    cosine(v, zero-padded v[:d]). The table (avg, min, share >= 0.9 per
+    d) is the evidence for choosing a cheaper serving dimension (MRL-
+    style embeddings front-load information, so their prefix ratios stay
+    near 1; flat embeddings don't). Per-row work is a codegen HOF fold
+    per (vector, d); the aggregate carries EXACT INTEGER micro-units
+    (per-row ratios rounded to 1e-6 then summed as BIGINT — the
+    welch-ttest trick), so the cross-engine result is a deterministic
+    division, immune to float summation order at any corpus size.
+    Output is |dims| rows; nothing driver-sized scales with N."""
+    dims = [8, 16, 32, 64]
+    e = t(spark, sf_dir, "embeddings").select(
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("trunc_dim"),
+        F.col("embedding"),
+    )
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda a, y: a + y.cast("double") * y.cast("double")
+    )
+    nr = F.sqrt(sq_sum(F.slice(F.col("embedding"), 1, F.col("trunc_dim")))) / F.sqrt(
+        sq_sum(F.col("embedding"))
+    )
+    x = e.select(
+        "trunc_dim", F.round(nr * 1000000).cast("long").alias("nr_micro")
+    )
+    g = x.groupBy("trunc_dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nr_micro").alias("s"),
+        F.min("nr_micro").alias("mn"),
+        F.count(F.when(F.col("nr_micro") >= 900000, 1)).alias("n_retained"),
+    )
+    return g.select(
+        F.col("trunc_dim").cast("long").alias("trunc_dim"),
+        rz(F.col("s").cast("double") / F.col("n") / 1000000, 6).alias(
+            "avg_norm_ratio"
+        ),
+        rz(F.col("mn").cast("double") / 1000000, 6).alias("min_norm_ratio"),
+        rz(F.col("n_retained").cast("double") / F.col("n"), 6).alias(
+            "share_above_090"
+        ),
+    ).orderBy("trunc_dim")

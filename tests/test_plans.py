@@ -389,9 +389,14 @@ def test_catalog_rotation_front_loads_stale_queries():
     # every priority name is actually registered, and they occupy the
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
-    # the never-driver-checked 13 lead the slice
+    # the never-driver-checked names lead the slice: the 13 r8/r9
+    # orphans plus the 4 queries new this round
     assert {
         "agg_mode_exact",
+        "text_lexical_diversity",
+        "emb_dim_truncation_audit",
+        "events_heavy_hitters_share",
+        "events_psi_drift",
         "corpus_epoch_plan",
         "corpus_pack_efficiency",
         "corpus_split_leakage",
@@ -404,8 +409,8 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_ab_welch_ttest",
         "text_ngram_novelty",
         "text_sentence_stats",
-    } == set(names[:13])
-    assert names[13] == "dedup_clusters"
+    } == set(names[:17])
+    assert names[17] == "dedup_clusters"
 
 
 def test_referential_integrity_single_lineitem_scan(spark, specs):
@@ -446,11 +451,9 @@ def test_referential_integrity_counts_orphans(spark, tmp_path):
         "l_orderkey long, l_partkey long, l_suppkey long",
     ).write.parquet(f"{sf}/lineitem.parquet")
 
-    from sec_dl_spark.plans.catalog import REGISTRY
-
     rows = {
         r["fk"]: r
-        for r in REGISTRY["dq_referential_integrity"].spark_fn(spark, sf).collect()
+        for r in load_all()["dq_referential_integrity"].spark_fn(spark, sf).collect()
     }
     assert rows["orders.o_custkey->customer.c_custkey"]["n_child"] == 2
     assert rows["orders.o_custkey->customer.c_custkey"]["n_orphans"] == 1
@@ -525,6 +528,42 @@ def test_every_catalog_query_spark_schema_is_canon_safe(spark, specs):
         results = list(pool.map(check, specs.items()))
     bad = {name: hits for name, hits in results if hits}
     assert not bad, f"catalog queries with canon-unsafe Spark output columns: {bad}"
+
+
+def test_psi_drift_separates_stable_from_shifted(spark, tmp_path):
+    """PSI semantics on a synthesized stream: a type whose value
+    distribution is identical in both time halves scores ≈ 0, a type
+    whose values jump bins across the midpoint scores past the 0.25
+    'shifted' alarm threshold — the monitor must separate the two by an
+    order of magnitude, not by luck of smoothing."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for half, day in ((0, 0), (1, 20)):
+        for i in range(200):
+            ts = base + dt.timedelta(days=day, minutes=i)
+            # stable: same 0..99 sawtooth in both halves
+            rows.append((eid, ts, i, "stable", float(i % 100), "{}"))
+            eid += 1
+            # shifted: low bins early, high bins late
+            v = float(i % 40) if half == 0 else 200.0 + i % 40
+            rows.append((eid, ts, i, "shifted", v, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["event_type"]: r
+        for r in load_all()["events_psi_drift"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out["stable"]["n_early"] == out["stable"]["n_late"] == 200
+    assert out["stable"]["psi"] < 0.01
+    assert out["shifted"]["psi"] > 0.25
 
 
 def test_events_ts_load_is_timezone_independent(spark):

@@ -139,6 +139,21 @@ PROBE = [
     "corpus_epoch_plan",
     "fts_ranked_paged",
     "sql_recursive_cte",
+    # r10: the eight round-9 queries, probed as first-class rows. Scale
+    # shapes to verify: the DQ audits are one-aggregate folds (RI now a
+    # SINGLE fact scan — r9 #5) and must ride the scan; benford/welch
+    # outputs are digit/type-bounded; novelty and leakage are gram- and
+    # pair-keyed joins (candidate volume is the risk); pack efficiency
+    # rides the prefix-sum packer; knn outliers ride the two-phase
+    # top-k with a query-bounded final window.
+    "dq_referential_integrity",
+    "dq_uniqueness_keys",
+    "dq_benford_first_digit",
+    "events_ab_welch_ttest",
+    "text_ngram_novelty",
+    "corpus_split_leakage",
+    "corpus_pack_efficiency",
+    "emb_knn_distance_outliers",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
