@@ -49,6 +49,15 @@ pagination is a bigger TakeOrderedAndProject k, never a corpus sort. The
 pruning reads only the queries' buckets), "rebuild" = cosine_topk_lsh
 re-deriving signatures from the raw vectors inside the query —
 `serve_over_rebuild` is what persisting the index saves per search.
+READ THE ANN RATIO AT SCALE, NOT AT FACE VALUE: at sf0.1 the index is
+768 bucket directories of near-empty parquet (12 tables × 2^6 bits),
+so "serve" pays ~fixed per-directory listing/footer/task overhead that
+"rebuild" (one in-memory Arrow signature pass over 12.8k vectors)
+doesn't — serve measures >1 here. The regime flips with corpus size:
+rebuild scans and shuffles ALL N vectors per query batch while serve
+reads only the probed buckets, so the recorded ratio is the
+cross-round tracking number for the fixed overhead, not the payoff
+(the payoff is the pruned-scan asymptotics the plan test pins).
 
 The `corpus_e2e` object times the COMPOSED pipeline (etl/corpus.py:
 clean → quality gate → exact dedup → MinHash near-dedup → content-hashed

@@ -145,6 +145,7 @@ _PRIORITY = (
     "emb_dim_truncation_audit",
     "events_heavy_hitters_share",
     "events_psi_drift",
+    "emb_hard_negatives",
     "corpus_epoch_plan",
     "corpus_pack_efficiency",
     "corpus_split_leakage",
@@ -193,7 +194,6 @@ _PRIORITY = (
     "entity_match_levenshtein",
     "events_asof_join",
     "events_asof_tolerance",
-    "events_dedup_first",
 )
 
 

@@ -4379,3 +4379,61 @@ def emb_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_above_090"
         ),
     ).orderBy("trunc_dim")
+
+
+@query(
+    "emb_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cosine_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    hard AS (SELECT * FROM scored WHERE cosine_sim < 0.95),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM hard)
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the k highest-cosine neighbors BELOW the near-duplicate ceiling
+    (sim < 0.95) — the "hardest true negatives" a retrieval/embedding
+    trainer pairs against each anchor (neighbors above the ceiling are
+    presumed positives/duplicates and must not be taught as negatives;
+    SemDeDup uses the same band logic in reverse). The ceiling filter
+    runs BEFORE ranking, inside the scored scan stage, so pruned rows
+    never enter the top-k exchange; ranking is the two-phase
+    per_query_topk (chunk rank, then a bounded survivor rank — never a
+    corpus-sized window). At scale the scored set comes from the
+    IVF/LSH candidate generators exactly like emb_cosine_topk_{ivf,lsh};
+    the band filter composes unchanged."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                similarity.cosine(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") < 0.95)
+    )
+    return similarity.per_query_topk(
+        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], 5
+    ).orderBy("query_id", "rank")
