@@ -1822,3 +1822,65 @@ def test_streaming_freshness_monitor_via_rollup_sink(spark, tmp_path_factory):
         .collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_streaming_psi_drift_monitor(spark, tmp_path_factory):
+    """Streaming PSI drift gate (streaming/drift.py): (1) the merged
+    bin-count view over micro-batched partials equals bin_counts over
+    the full input EXACTLY (integer sum monoid — batching-invariant);
+    (2) PSI of the merged counts against a same-distribution reference
+    is ~0 while a shifted reference alarms past 0.25 — the identical
+    separation the batch events_psi_drift pytest pins, proving the
+    streaming twin computes the same monitor."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.drift import (
+        bin_counts,
+        incremental_bin_counts_sink,
+        psi,
+        read_bin_counts,
+    )
+
+    src = tmp_path_factory.mktemp("drift_src")
+    out = str(tmp_path_factory.mktemp("drift_out") / "counts")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [("stable", float(i % 100)) for i in range(300)] + [
+        ("shifted", 200.0 + i % 40) for i in range(300)
+    ]
+    for b in range(3):
+        spark.createDataFrame(rows[b::3], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b={b}")
+    full = spark.createDataFrame(rows, schema)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    done = incremental_bin_counts_sink(
+        stream, out, str(tmp_path_factory.mktemp("drift_ckpt")), run="r1"
+    ).awaitTermination(120)
+    assert done
+
+    merged = read_bin_counts(spark, out)
+    got = {(r["key"], r["bin"]): r["n"] for r in merged.collect()}
+    want = {(r["key"], r["bin"]): r["n"] for r in bin_counts(full).collect()}
+    assert got == want  # merge == recompute, exactly
+
+    # reference: 'stable' keeps its distribution, 'shifted' references
+    # the LOW-bin regime the live stream has since left
+    ref_rows = [("stable", float(i % 100)) for i in range(300)] + [
+        ("shifted", float(i % 40)) for i in range(300)
+    ]
+    reference = bin_counts(spark.createDataFrame(ref_rows, schema))
+    scores = {r["key"]: r for r in psi(merged, reference).collect()}
+    assert scores["stable"]["n_current"] == scores["stable"]["n_reference"] == 300
+    assert scores["stable"]["psi"] < 0.01
+    assert scores["shifted"]["psi"] > 0.25
