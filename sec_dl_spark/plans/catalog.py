@@ -146,6 +146,8 @@ _PRIORITY = (
     "events_heavy_hitters_share",
     "events_psi_drift",
     "emb_hard_negatives",
+    "corpus_gate_ablation",
+    "events_markov_transitions",
     "corpus_epoch_plan",
     "corpus_pack_efficiency",
     "corpus_split_leakage",
@@ -192,8 +194,6 @@ _PRIORITY = (
     "emb_cosine_topk_ivf",
     "emb_cosine_topk_lsh",
     "entity_match_levenshtein",
-    "events_asof_join",
-    "events_asof_tolerance",
 )
 
 

@@ -1326,3 +1326,56 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events),
+    tr AS (SELECT prev_type, event_type AS next_type FROM o
+           WHERE prev_type IS NOT NULL),
+    c AS (SELECT prev_type, next_type, count(*) AS n FROM tr
+          GROUP BY prev_type, next_type),
+    row_tot AS (SELECT prev_type, sum(n) AS row_n FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           (round(CAST(c.n AS DOUBLE) / row_tot.row_n + 1e-9, 6) + 0.0)
+             AS p_next_given_prev
+    FROM c JOIN row_tot ON c.prev_type = row_tot.prev_type
+    ORDER BY c.prev_type, c.next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (prev, next) event-type pair, the transition count and the
+    row-conditional probability P(next | prev) — the behavioral model
+    behind funnel design, anomaly scoring (improbable transitions), and
+    synthetic-session generation. Consecutive pairs come from ONE lag
+    window partitioned by user (each partition is one user's bounded
+    history — the standard sessionization shuffle, no global ordering);
+    the matrix aggregate is type²-bounded, and conditionals divide exact
+    integer counts. Ties on identical timestamps break on event_id, so
+    the sequence — and therefore the matrix — is deterministic."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    tr = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    c = tr.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = c.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            (F.round(F.col("n").cast("double") / F.col("row_n") + F.lit(1e-9), 6)
+             + F.lit(0.0)).alias("p_next_given_prev"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -4437,3 +4437,132 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.per_query_topk(
         scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], 5
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "corpus_gate_ablation",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                   / len(toks) AS mean_wl,
+                 CAST(len(list_filter(toks, x ->
+                      list_contains(['a','the','and','of','to','in','is','it'], x)))
+                   AS DOUBLE) / len(toks) AS stop_frac,
+                 CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '[0-9]')))
+                   AS DOUBLE) / len(toks) AS alpha_frac
+          FROM tk WHERE len(toks) > 0),
+    fl AS (SELECT doc_id,
+                  NOT (n_words BETWEEN 30 AND 80) AS f_len,
+                  NOT (mean_wl BETWEEN 3.8 AND 4.8) AS f_word_len,
+                  NOT (stop_frac >= 0.04) AS f_stopwords,
+                  NOT (alpha_frac >= 0.7) AS f_alpha
+           FROM m),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             count(*) FILTER (f_len) AS fail_len,
+             count(*) FILTER (f_word_len) AS fail_word_len,
+             count(*) FILTER (f_stopwords) AS fail_stopwords,
+             count(*) FILTER (f_alpha) AS fail_alpha,
+             count(*) FILTER (f_len AND NOT f_word_len AND NOT f_stopwords
+                              AND NOT f_alpha) AS only_len,
+             count(*) FILTER (f_word_len AND NOT f_len AND NOT f_stopwords
+                              AND NOT f_alpha) AS only_word_len,
+             count(*) FILTER (f_stopwords AND NOT f_len AND NOT f_word_len
+                              AND NOT f_alpha) AS only_stopwords,
+             count(*) FILTER (f_alpha AND NOT f_len AND NOT f_word_len
+                              AND NOT f_stopwords) AS only_alpha
+      FROM fl)
+    SELECT rule, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_fail_only AS BIGINT) AS n_fail_only,
+           {rz_sql('CAST(n_fail AS DOUBLE) / n_docs', 6)} AS fail_rate,
+           {rz_sql('CAST(n_fail_only AS DOUBLE) / n_docs', 6)} AS marginal_rate
+    FROM (
+      SELECT 'len' AS rule, n_docs, fail_len AS n_fail, only_len AS n_fail_only FROM agg
+      UNION ALL SELECT 'word_len', n_docs, fail_word_len, only_word_len FROM agg
+      UNION ALL SELECT 'stopwords', n_docs, fail_stopwords, only_stopwords FROM agg
+      UNION ALL SELECT 'alpha', n_docs, fail_alpha, only_alpha FROM agg)
+    ORDER BY rule
+    """,
+)
+def corpus_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ablation: per Gopher rule, how many documents fail it
+    at all vs fail ONLY it (every other rule passing) — the marginal
+    column is what loosening exactly that threshold would recover, the
+    table a corpus team reads before tuning any gate (a rule with high
+    fail but near-zero marginal is redundant with the others; a high
+    marginal rule is the binding constraint). Metrics and flags are the
+    SAME single codegen projection as text_gopher_rules; the ablation is
+    ONE conditional-count aggregate (the operators/quality.py fold — 9
+    longs per task), then a bounded 4-row unpivot. Text never shuffles;
+    output is rule-cardinality-sized at any corpus size."""
+    tk = tok_docs(spark, sf_dir)
+    m = tk.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(F.col("toks"), lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("toks")
+        ).alias("mean_wl"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*A.STOPWORDS))).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("stop_frac"),
+        (
+            F.size(F.filter(F.col("toks"), lambda x: ~x.rlike("[0-9]"))).cast("double")
+            / F.size("toks")
+        ).alias("alpha_frac"),
+    )
+    f_len = ~F.col("n_words").between(30, 80)
+    f_wl = ~F.col("mean_wl").between(3.8, 4.8)
+    f_stop = ~(F.col("stop_frac") >= 0.04)
+    f_alpha = ~(F.col("alpha_frac") >= 0.7)
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    agg = m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(f_len).alias("fail_len"),
+        cnt(f_wl).alias("fail_word_len"),
+        cnt(f_stop).alias("fail_stopwords"),
+        cnt(f_alpha).alias("fail_alpha"),
+        cnt(f_len & ~f_wl & ~f_stop & ~f_alpha).alias("only_len"),
+        cnt(f_wl & ~f_len & ~f_stop & ~f_alpha).alias("only_word_len"),
+        cnt(f_stop & ~f_len & ~f_wl & ~f_alpha).alias("only_stopwords"),
+        cnt(f_alpha & ~f_len & ~f_wl & ~f_stop).alias("only_alpha"),
+    )
+    edge = lambda name, fail, only: F.struct(  # noqa: E731
+        F.lit(name).alias("rule"),
+        F.col(fail).alias("nf"),
+        F.col(only).alias("nfo"),
+    )
+    return (
+        agg.select(
+            "n_docs",
+            F.explode(
+                F.array(
+                    edge("len", "fail_len", "only_len"),
+                    edge("word_len", "fail_word_len", "only_word_len"),
+                    edge("stopwords", "fail_stopwords", "only_stopwords"),
+                    edge("alpha", "fail_alpha", "only_alpha"),
+                )
+            ).alias("e"),
+        )
+        .select(
+            F.col("e.rule").alias("rule"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("e.nf").cast("long").alias("n_fail"),
+            F.col("e.nfo").cast("long").alias("n_fail_only"),
+            rz(F.col("e.nf").cast("double") / F.col("n_docs"), 6).alias("fail_rate"),
+            rz(F.col("e.nfo").cast("double") / F.col("n_docs"), 6).alias(
+                "marginal_rate"
+            ),
+        )
+        .orderBy("rule")
+    )

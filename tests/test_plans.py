@@ -398,6 +398,8 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_heavy_hitters_share",
         "events_psi_drift",
         "emb_hard_negatives",
+        "corpus_gate_ablation",
+        "events_markov_transitions",
         "corpus_epoch_plan",
         "corpus_pack_efficiency",
         "corpus_split_leakage",
@@ -410,8 +412,8 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_ab_welch_ttest",
         "text_ngram_novelty",
         "text_sentence_stats",
-    } == set(names[:18])
-    assert names[18] == "dedup_clusters"
+    } == set(names[:20])
+    assert names[20] == "dedup_clusters"
 
 
 def test_referential_integrity_single_lineitem_scan(spark, specs):
