@@ -150,6 +150,16 @@ HEADLINE = [
     # reconciliation digest scan
     "agg_bootstrap_ci",
     "dq_range_checksums",
+    # round-10 additions — the new LLM-pipeline reports: scan-bound
+    # lexical diversity, the PSI drift monitor, the per-user transition
+    # matrix (lag window + type²-bounded agg), hard-negative mining
+    # (corpus × 50-query scan + band filter + two-phase top-k), and the
+    # one-fold gate-ablation report
+    "text_lexical_diversity",
+    "events_psi_drift",
+    "events_markov_transitions",
+    "emb_hard_negatives",
+    "corpus_gate_ablation",
 ]
 
 

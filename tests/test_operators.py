@@ -192,10 +192,16 @@ def test_knn_isolation_ivf_matches_exact_with_full_probing(spark):
     }
     assert exact == ivf
 
-    # pruned probing still scores every vector, and the plan never
-    # broadcasts the query-side vectors
+    # pruned probing still scores every vector, and the plan holds the
+    # no-broadcast regime: candidates come from a cell-keyed equi-join
+    # (never a cross product / nested-loop), and the only broadcast is
+    # the n_cells-row total for nothing — the corpus-sized sides hash-
+    # exchange on cell
     pruned = knn_isolation(emb, k=5, candidate="ivf", n_cells=8, n_probe=2)
     assert pruned.count() == emb.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
     with pytest.raises(ValueError, match="unknown candidate"):
         knn_isolation(emb, candidate="lsh??")
