@@ -125,6 +125,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   2. names with NO driver row in any CORRECTNESS_r* (new this round),
 #   3. names whose implementation or oracle changed this round,
 #   4. the stalest block (oldest latest-evidence round), filling to 50.
+# The policy is EXECUTABLE: `python tools/rotation.py [--lead changed,...]
+# --write` derives exactly this ordering from the CORRECTNESS artifacts
+# and rewrites this tuple (then rerun the pin test + the --exact gate).
 #
 # Round-10 slice: the 13 names added in r8/r9 that have never had a
 # driver row (all verified byte-exact by tools/compare_oracle.py --exact

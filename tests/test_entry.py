@@ -64,3 +64,38 @@ def test_fixture_tables_load_with_expected_shape(spark):
         assert len(cols) == len(set(cols)) and df.limit(1).count() == 1, name
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_rotation_tool_evidence_parsing(tmp_path):
+    """tools/rotation.py derives (latest evidence round, red set) from the
+    CORRECTNESS artifacts: a rows-only row (err='no_oracle', spark_rows
+    populated) is CLEAN; a real error, a missing spark_rows, or any
+    False check is red; red reflects only the newest artifact."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    rotation = importlib.import_module("rotation")
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 7, "oracle_rows": None, "err": "no_oracle"}
+    hash_red = dict(ok, hash_match=False)
+    err_red = dict(ok, err="spark error: boom")
+    empty_red = dict(rows_only, spark_rows=None)
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": ok, "b": ok, "later_fixed": hash_red})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": ok, "c": rows_only, "d": hash_red,
+                    "e": err_red, "f": empty_red, "later_fixed": ok})
+    )
+    latest, red = rotation.evidence(str(tmp_path))
+    assert latest == {"a": 1, "b": 2, "c": 2, "d": 2, "e": 2, "f": 2,
+                      "later_fixed": 2}
+    # clean rows-only is NOT red; r1's red row was re-proven green in r2
+    assert red == {"d", "e", "f"}
