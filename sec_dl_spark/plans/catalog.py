@@ -129,21 +129,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --write` derives exactly this ordering from the CORRECTNESS artifacts
 # and rewrites this tuple (then rerun the pin test + the --exact gate).
 #
-# Round-10 slice: the 13 names added in r8/r9 that have never had a
-# driver row (all verified byte-exact by tools/compare_oracle.py --exact
-# at sf0.01 — three of them re-verified after this round's ADVICE fixes
-# to the welch-ttest n>=2 guard, the benford cents>0 filter, and the
-# uniqueness struct-key count), then dedup_clusters (its oracle was
-# UPGRADED in r8 from rows-only to a recursive-CTE transitive closure,
-# but its only driver row is still the rows-only r5 one), then the
-# r4-era block (18 names, the stalest driver evidence in the repo),
-# then the oldest 18 of the r5-era block. Queries NOT listed here keep
-# module registration order after the block.
+# Round-10 slice (generated by `tools/rotation.py --lead dedup_clusters
+# --write`; every oracled name verified byte-exact by compare_oracle
+# --exact at sf0.01 this round): dedup_clusters leads as --lead (its
+# oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
+# closure, but its only driver row is still the rows-only r5 one), then
+# the 22 never-driver-checked names (the 13 r8/r9 orphans — three fixed
+# this round per ADVICE: welch n>=2 guard, benford cents>0, uniqueness
+# struct-key — plus the 9 queries new in r10), then the stalest blocks
+# (r4-era first). Queries NOT listed here keep module registration
+# order after the block.
 _PRIORITY = (
-    # never driver-checked (r8/r9 additions; CORRECTNESS_r10 rows for
-    # these complete driver certification of the entire catalog)
+    "dedup_clusters",
     "agg_mode_exact",
-    # new THIS round (never driver-checked, verified --exact at 3 SFs)
     "text_lexical_diversity",
     "emb_dim_truncation_audit",
     "events_heavy_hitters_share",
@@ -163,10 +161,8 @@ _PRIORITY = (
     "events_ab_welch_ttest",
     "text_ngram_novelty",
     "text_sentence_stats",
-    # oracle upgraded in r8 (rows-only -> recursive-CTE transitive
-    # closure) but the only driver row predates the upgrade
-    "dedup_clusters",
-    # stalest block: last driver evidence in CORRECTNESS_r04
+    "events_trend_slope",
+    "events_cusum_changepoint",
     "emb_pq_topk",
     "multimodal_audio_chunks",
     "multimodal_binary_meta",
@@ -185,7 +181,6 @@ _PRIORITY = (
     "text_token_estimate",
     "text_token_stats",
     "text_winnow_fingerprints",
-    # next-stalest: first 18 of the CORRECTNESS_r05 block
     "agg_collect_list",
     "agg_minmax_by",
     "agg_percentiles",
@@ -195,8 +190,6 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "emb_cosine_topk_ivf",
-    "emb_cosine_topk_lsh",
-    "entity_match_levenshtein",
 )
 
 

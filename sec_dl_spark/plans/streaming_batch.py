@@ -1379,3 +1379,179 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_trend_slope",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d0 AS (SELECT min(day) AS day0 FROM e),
+    x AS (SELECT event_type, CAST(day - day0 AS BIGINT) AS x, cents AS y
+          FROM e, d0),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM x GROUP BY event_type
+      HAVING n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+    SELECT event_type, n,
+           (round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (n * sxx - sx * sx) / 100 + 1e-9, 6) + 0.0)
+             AS slope_per_day,
+           (round(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+                  + 1e-9, 6) + 0.0) AS r2
+    FROM g ORDER BY event_type
+    """,
+)
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend: slope of event value on time (dollars/day) and
+    R² — the metric-trend detector that complements the PSI distribution
+    monitor (PSI sees SHAPE shifts; a slow level drift can hold shape
+    while the mean walks away). Every moment is an EXACT BIGINT sum of
+    integer (day-index, cents) pairs, so slope and R² are deterministic
+    divisions — no float accumulation order anywhere. Day indices are
+    CENTERED on the corpus min day (1-row broadcast): with absolute
+    epoch-day x, n·Σx² overflows int64 around 10⁶ rows/type; centered,
+    x spans the observation window only and the products stay far from
+    the edge (at 10⁹+ rows/type, move the moments to DECIMAL(38)).
+    Types with zero day- or value-variance are dropped on BOTH engines
+    (their slope/R² denominators are 0). One grouped aggregate over a
+    3-column projection; output is type-bounded."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    d0 = e.agg(F.min("day").alias("day0"))
+    x = e.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        (F.col("day") - F.col("day0")).cast("long").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    g = (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .where(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return g.select(
+        "event_type",
+        "n",
+        rz6(cov_n.cast("double") / var_x / 100).alias("slope_per_day"),
+        rz6(
+            cov_n.cast("double") * cov_n / (var_x.cast("double") * var_y)
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS s_d,
+                 CAST(count(*) AS BIGINT) AS m_d
+          FROM e GROUP BY event_type, day),
+    tot AS (SELECT event_type, CAST(sum(s_d) AS BIGINT) AS s,
+                   CAST(sum(m_d) AS BIGINT) AS n
+            FROM d GROUP BY event_type),
+    c AS (
+      SELECT d.event_type, d.day,
+             CAST(sum(tot.n * d.s_d - tot.s * d.m_d)
+                  OVER (PARTITION BY d.event_type ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum
+      FROM d JOIN tot ON d.event_type = tot.event_type),
+    peak AS (
+      SELECT event_type, day, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rk
+      FROM c)
+    SELECT p.event_type,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(p.day AS BIGINT) AS changepoint_day,
+           (round(CAST(p.cusum AS DOUBLE) / t.n / 100 + 1e-9, 4) + 0.0)
+             AS cusum_peak_dollars
+    FROM peak p JOIN tot t ON p.event_type = t.event_type
+    WHERE p.rk = 1 ORDER BY p.event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate per event type: the day where the
+    cumulative deviation of daily value from the type's overall mean
+    peaks — the classic "when did the metric break" estimator (the
+    argmax of |CUSUM| is the MLE of a single mean-shift point). The
+    deviation is kept EXACTLY INTEGER by scaling: n·s_d − S·m_d (n, S =
+    type totals; s_d, m_d = the day's sum/count) is the per-day
+    deviation times n, so the running sum, the |·| comparisons, and the
+    argmax tie-break (smaller day) are all integer-deterministic; the
+    one reported double divides by n·100 at the end. Scale shape: events
+    aggregate FIRST to (type, day) — the only event-sized shuffle — and
+    every window runs over day-count-sized frames (a 1-year stream is
+    365 rows per type), never over raw events."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    d = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("s_d"),
+        F.count(F.lit(1)).cast("long").alias("m_d"),
+    )
+    tot = d.groupBy("event_type").agg(
+        F.sum("s_d").cast("long").alias("s"), F.sum("m_d").cast("long").alias("n")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        d.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("n") * F.col("s_d") - F.col("s") * F.col("m_d")
+            ).over(wc).cast("long"),
+        )
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("day").cast("long").alias("changepoint_day"),
+            (F.round(F.col("cusum").cast("double") / F.col("n") / 100
+                     + F.lit(1e-9), 4) + F.lit(0.0)).alias("cusum_peak_dollars"),
+        )
+        .orderBy("event_type")
+    )

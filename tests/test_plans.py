@@ -389,8 +389,10 @@ def test_catalog_rotation_front_loads_stale_queries():
     # every priority name is actually registered, and they occupy the
     # first 50 slots in the declared order
     assert names[:50] == list(_PRIORITY)
-    # the never-driver-checked names lead the slice: the 13 r8/r9
-    # orphans plus the 4 queries new this round
+    # tools/rotation.py ordering: the --lead name (oracle upgraded after
+    # its last driver row) first, then every never-driver-checked name
+    # (the 13 r8/r9 orphans + the 9 queries new this round)
+    assert names[0] == "dedup_clusters"
     assert {
         "agg_mode_exact",
         "text_lexical_diversity",
@@ -400,6 +402,8 @@ def test_catalog_rotation_front_loads_stale_queries():
         "emb_hard_negatives",
         "corpus_gate_ablation",
         "events_markov_transitions",
+        "events_trend_slope",
+        "events_cusum_changepoint",
         "corpus_epoch_plan",
         "corpus_pack_efficiency",
         "corpus_split_leakage",
@@ -412,8 +416,7 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_ab_welch_ttest",
         "text_ngram_novelty",
         "text_sentence_stats",
-    } == set(names[:20])
-    assert names[20] == "dedup_clusters"
+    } == set(names[1:23])
 
 
 def test_referential_integrity_single_lineitem_scan(spark, specs):
