@@ -160,6 +160,12 @@ HEADLINE = [
     "events_markov_transitions",
     "emb_hard_negatives",
     "corpus_gate_ablation",
+    # second r10 batch: the drift-family monitors (exact-moment OLS,
+    # day-granular CUSUM) and the session path table (array_sort inside
+    # the group + path-count shuffle + TakeOrdered top-20)
+    "events_trend_slope",
+    "events_cusum_changepoint",
+    "events_top_session_paths",
 ]
 
 

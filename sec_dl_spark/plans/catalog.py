@@ -134,9 +134,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --exact at sf0.01 this round): dedup_clusters leads as --lead (its
 # oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
 # closure, but its only driver row is still the rows-only r5 one), then
-# the 22 never-driver-checked names (the 13 r8/r9 orphans — three fixed
+# the 23 never-driver-checked names (the 13 r8/r9 orphans — three fixed
 # this round per ADVICE: welch n>=2 guard, benford cents>0, uniqueness
-# struct-key — plus the 9 queries new in r10), then the stalest blocks
+# struct-key — plus the 10 queries new in r10), then the stalest blocks
 # (r4-era first). Queries NOT listed here keep module registration
 # order after the block.
 _PRIORITY = (
@@ -163,6 +163,7 @@ _PRIORITY = (
     "text_sentence_stats",
     "events_trend_slope",
     "events_cusum_changepoint",
+    "events_top_session_paths",
     "emb_pq_topk",
     "multimodal_audio_chunks",
     "multimodal_binary_meta",
@@ -189,7 +190,6 @@ _PRIORITY = (
     "corpus_pack_sequences",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "emb_cosine_topk_ivf",
 )
 
 

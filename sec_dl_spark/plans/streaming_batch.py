@@ -1555,3 +1555,81 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_top_session_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ordered),
+    sess AS (
+      SELECT user_id, event_id, event_type, us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM sess GROUP BY user_id, session_id),
+    pc AS (SELECT path, count(*) AS n FROM paths GROUP BY path),
+    tot AS (SELECT sum(n) AS total FROM pc)
+    SELECT path, CAST(n AS BIGINT) AS n_sessions,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+           (round(CAST(n AS DOUBLE) / total + 1e-9, 6) + 0.0) AS share
+    FROM pc, tot QUALIFY rank <= 20 ORDER BY rank
+    """,
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: the exact ordered event-type sequence of each
+    30-minute-gap session, counted across all sessions — the path table
+    behind funnel discovery (the Markov matrix gives first-order flow;
+    this names the literal journeys, which is what a UX review reads).
+    Per-session ordering is materialized deterministically by sorting an
+    array of (µs, event_id, type) structs INSIDE the group (collect_list
+    order under shuffle is undefined — array_sort makes it a value, not
+    an accident). The path-count aggregate shuffles path strings (each
+    bounded by session length); the top-20 is orderBy().limit() —
+    TakeOrderedAndProject, never a full sort; share divides exact
+    integer counts against a 1-row broadcast total."""
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, key="user_id", ts_col="ts", gap_seconds=1800,
+                   order_cols=["event_id"])
+    us = F.unix_micros(F.col("ts"))
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(us.alias("us"), F.col("event_id"),
+                                        F.col("event_type")))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("evs"), lambda x: x["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    tot = pc.agg(F.sum("n").alias("total"))
+    top = pc.orderBy(F.col("n").desc(), "path").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "path",
+            F.col("n").cast("long").alias("n_sessions"),
+            "rank",
+            (F.round(F.col("n").cast("double") / F.col("total") + F.lit(1e-9), 6)
+             + F.lit(0.0)).alias("share"),
+        )
+        .orderBy("rank")
+    )

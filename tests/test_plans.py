@@ -391,7 +391,7 @@ def test_catalog_rotation_front_loads_stale_queries():
     assert names[:50] == list(_PRIORITY)
     # tools/rotation.py ordering: the --lead name (oracle upgraded after
     # its last driver row) first, then every never-driver-checked name
-    # (the 13 r8/r9 orphans + the 9 queries new this round)
+    # (the 13 r8/r9 orphans + the 10 queries new this round)
     assert names[0] == "dedup_clusters"
     assert {
         "agg_mode_exact",
@@ -404,6 +404,7 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_markov_transitions",
         "events_trend_slope",
         "events_cusum_changepoint",
+        "events_top_session_paths",
         "corpus_epoch_plan",
         "corpus_pack_efficiency",
         "corpus_split_leakage",
@@ -416,7 +417,7 @@ def test_catalog_rotation_front_loads_stale_queries():
         "events_ab_welch_ttest",
         "text_ngram_novelty",
         "text_sentence_stats",
-    } == set(names[1:23])
+    } == set(names[1:24])
 
 
 def test_referential_integrity_single_lineitem_scan(spark, specs):
