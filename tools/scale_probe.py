@@ -154,6 +154,24 @@ PROBE = [
     "corpus_split_leakage",
     "corpus_pack_efficiency",
     "emb_knn_distance_outliers",
+    # r10 second batch: the new reports. Scale shapes to verify: lexical
+    # diversity and gate ablation are scan-bound folds (ratio should ride
+    # the scan); truncation audit is a per-row HOF fold with dim-bounded
+    # output; heavy hitters is a TakeOrdered over the count agg; PSI /
+    # trend / CUSUM aggregate to type- or day-bounded frames first;
+    # markov is a per-user lag window + type²-bounded agg; session paths
+    # shuffle path strings (bounded by session length); hard negatives
+    # is the exact corpus × 50-anchor scan (linear in corpus).
+    "text_lexical_diversity",
+    "emb_dim_truncation_audit",
+    "events_heavy_hitters_share",
+    "events_psi_drift",
+    "emb_hard_negatives",
+    "corpus_gate_ablation",
+    "events_markov_transitions",
+    "events_trend_slope",
+    "events_cusum_changepoint",
+    "events_top_session_paths",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
@@ -239,6 +257,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true", help="regenerate .scale/sf1")
     ap.add_argument("--reps", type=int, default=2, help="timing reps (median)")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: probe just these and merge their "
+        "rows into the existing SCALE.md table (re-characterize a watch "
+        "item without the ~25 min full sweep)",
+    )
     args = ap.parse_args()
 
     import sys
@@ -260,8 +285,16 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     specs["fts_search_and"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
+    names = PROBE + list(PIPELINES)
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in names]
+        if unknown:
+            raise SystemExit(f"--only names not in PROBE/PIPELINES: {unknown}")
+        names = wanted
+
     result: dict[str, dict] = {}
-    for name in PROBE + list(PIPELINES):
+    for name in names:
         pipeline = PIPELINES.get(name)
         times = {}
         plans = {}
@@ -305,6 +338,23 @@ def main() -> None:
 
     print(json.dumps({"data_ratio": REPLICAS, "queries": result}))
 
+    md_path = os.path.join(REPO, "SCALE.md")
+    if args.only and os.path.exists(md_path):
+        # merge the re-probed rows into the existing table in place
+        with open(md_path) as f:
+            out_lines = f.read().splitlines()
+        for i, line in enumerate(out_lines):
+            parts = [p.strip() for p in line.split("|")]
+            if len(parts) >= 6 and parts[1] in result:
+                r = result[parts[1]]
+                out_lines[i] = (
+                    f"| {parts[1]} | {r['sf0.1']} | {r['sf1']} | {r['ratio']} | "
+                    f"{', '.join(r['flags']) or '—'} |"
+                )
+        with open(md_path, "w") as f:
+            f.write("\n".join(out_lines) + "\n")
+        return
+
     lines = [
         "# SCALE — sf0.1 → sf1 probe (10× data)",
         "",
@@ -325,7 +375,7 @@ def main() -> None:
             f"{', '.join(r['flags']) or '—'} |"
         )
     lines.append("")
-    with open(os.path.join(REPO, "SCALE.md"), "w") as f:
+    with open(md_path, "w") as f:
         f.write("\n".join(lines))
 
 
