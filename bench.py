@@ -166,6 +166,16 @@ HEADLINE = [
     "events_trend_slope",
     "events_cusum_changepoint",
     "events_top_session_paths",
+    # third r10 batch: the rank-based A/B test (distinct-value window),
+    # the densified chi-squared screen, the join-key skew audit (exploded
+    # fact scan + global_rank Gini), the source JSD distance matrix
+    # (postings × pair broadcast), and the leakage-safe group k-fold
+    # (near-dup components + hash fold map)
+    "events_mannwhitney_u",
+    "events_chi2_independence",
+    "dq_join_key_skew",
+    "corpus_js_divergence",
+    "corpus_group_kfold",
 ]
 
 

@@ -134,11 +134,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --exact at sf0.01 this round): dedup_clusters leads as --lead (its
 # oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
 # closure, but its only driver row is still the rows-only r5 one), then
-# the 23 never-driver-checked names (the 13 r8/r9 orphans — three fixed
+# the 28 never-driver-checked names (the 13 r8/r9 orphans — three fixed
 # this round per ADVICE: welch n>=2 guard, benford cents>0, uniqueness
-# struct-key — plus the 10 queries new in r10), then the stalest blocks
-# (r4-era first). Queries NOT listed here keep module registration
-# order after the block.
+# struct-key — plus the 15 queries new in r10, including the second-
+# session five: dq_join_key_skew, events_mannwhitney_u,
+# events_chi2_independence, corpus_js_divergence, corpus_group_kfold),
+# then the stalest blocks (r4-era first). Queries NOT listed here keep
+# module registration order after the block.
 _PRIORITY = (
     "dedup_clusters",
     "agg_mode_exact",
@@ -164,6 +166,11 @@ _PRIORITY = (
     "events_trend_slope",
     "events_cusum_changepoint",
     "events_top_session_paths",
+    "dq_join_key_skew",
+    "events_mannwhitney_u",
+    "events_chi2_independence",
+    "corpus_js_divergence",
+    "corpus_group_kfold",
     "emb_pq_topk",
     "multimodal_audio_chunks",
     "multimodal_binary_meta",
@@ -185,11 +192,6 @@ _PRIORITY = (
     "agg_collect_list",
     "agg_minmax_by",
     "agg_percentiles",
-    "agg_salted_distinct",
-    "agg_udaf_geomean",
-    "corpus_pack_sequences",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 )
 
 

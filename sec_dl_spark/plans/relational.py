@@ -3292,3 +3292,136 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+from sec_dl_spark.operators.relational import global_rank  # noqa: E402
+
+
+@query(
+    "dq_join_key_skew",
+    oracle="""
+    WITH kv AS (
+      SELECT 'l_suppkey' AS key_name, l_suppkey AS key_val FROM lineitem
+      UNION ALL
+      SELECT 'l_orderkey', l_orderkey FROM lineitem
+      UNION ALL
+      SELECT 'o_custkey', o_custkey FROM orders),
+    c AS (
+      SELECT key_name, key_val, count(*) AS cnt
+      FROM kv GROUP BY key_name, key_val),
+    r AS (
+      SELECT key_name, cnt,
+             row_number() OVER (
+               PARTITION BY key_name ORDER BY cnt, key_val) AS r_asc,
+             row_number() OVER (
+               PARTITION BY key_name ORDER BY cnt DESC, key_val DESC) AS r_desc
+      FROM c),
+    g AS (
+      SELECT key_name,
+             sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
+             sum(r_asc * cnt) AS sw, sum(cnt * cnt) AS sq,
+             sum(cnt) FILTER (r_desc <= 10) AS top10_cnt
+      FROM r GROUP BY key_name)
+    SELECT key_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           (round(CAST(max_cnt AS DOUBLE) / n_rows + 1e-9, 6) + 0.0) AS top1_share,
+           (round(CAST(top10_cnt AS DOUBLE) / n_rows + 1e-9, 6) + 0.0)
+             AS top10_share,
+           (round((2.0 * sw - (CAST(n_keys AS DOUBLE) + 1) * n_rows)
+                  / (CAST(n_keys AS DOUBLE) * n_rows) + 1e-9, 6) + 0.0) AS gini,
+           (round(sqrt(CAST(n_keys AS DOUBLE) * sq
+                       - CAST(n_rows AS DOUBLE) * n_rows)
+                  / n_rows + 1e-9, 4) + 0.0) AS cv
+    FROM g ORDER BY key_name
+    """,
+)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over the three hot shuffle keys (l_suppkey,
+    l_orderkey, o_custkey): per key, the distinct-key count, the max/top-1/
+    top-10 frequency shares, the Gini coefficient of the key-frequency
+    distribution, and the coefficient of variation — the ONE readout that
+    decides, before launching a 100 TB join, whether a key needs salting
+    (operators/skew.py), AQE skew splitting, or nothing. A Gini near 0
+    with top1_share ≈ 1/n_keys is hash-friendly; a top-10 share carrying
+    half the rows means ten keys will own the stage.
+
+    Plan shape at scale: lineitem is scanned ONCE — both its keys leave
+    the scan as one exploded (key_name, key_val) stream (the same
+    single-fact-scan fold as dq_referential_integrity) — then ONE grouped
+    count reduces to key-space-sized triples with map-side partial
+    aggregation. The Gini rank is the ONLY subtle part: row_number over
+    (key_name) would collapse each key's whole frequency table into one
+    window partition (3 partitions total — the single-partition collapse
+    this repo bans), so ranks come from operators/relational.py:
+    global_rank — ONE range exchange over (key_name, cnt, key_val) total
+    order, per-partition local ranks + broadcast offsets — and are
+    rebased per key_name by broadcasting each audit's min-rank offset.
+    Every metric is a deterministic expression of exact integer moments
+    (sw = Σ rank·cnt, sq = Σ cnt², shares from max/top-10 integer sums);
+    the n_keys·sq product is computed in DOUBLE deliberately (identical
+    expression both engines) so the audit cannot int64-overflow at
+    petabyte row counts."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_suppkey").alias("key_name"),
+                    F.col("l_suppkey").alias("key_val"),
+                ),
+                F.struct(
+                    F.lit("l_orderkey").alias("key_name"),
+                    F.col("l_orderkey").alias("key_val"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.key_name", "kv.key_val")
+    ok = t(spark, sf_dir, "orders").select(
+        F.lit("o_custkey").alias("key_name"), F.col("o_custkey").alias("key_val")
+    )
+    c = (
+        li.unionByName(ok)
+        .groupBy("key_name", "key_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_rank(c, order=["key_name", "cnt", "key_val"], rank_col="gr")
+    per_key = ranked.groupBy(F.col("key_name").alias("kn")).agg(
+        F.min("gr").alias("off"), F.count(F.lit(1)).alias("nk")
+    )
+    r = (
+        ranked.join(F.broadcast(per_key), ranked.key_name == per_key.kn)
+        .withColumn("r_asc", F.col("gr") - F.col("off") + 1)
+        .withColumn("r_desc", F.col("nk") - (F.col("gr") - F.col("off")))
+    )
+    g = r.groupBy("key_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("r_asc") * F.col("cnt")).alias("sw"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        F.sum(F.when(F.col("r_desc") <= 10, F.col("cnt"))).alias("top10_cnt"),
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    nd = lambda name: F.col(name).cast("double")  # noqa: E731
+    return g.select(
+        "key_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_cnt").cast("long").alias("max_cnt"),
+        rz6(nd("max_cnt") / F.col("n_rows")).alias("top1_share"),
+        rz6(nd("top10_cnt") / F.col("n_rows")).alias("top10_share"),
+        rz6(
+            (2.0 * F.col("sw") - (nd("n_keys") + 1) * F.col("n_rows"))
+            / (nd("n_keys") * F.col("n_rows"))
+        ).alias("gini"),
+        (
+            F.round(
+                F.sqrt(nd("n_keys") * F.col("sq") - nd("n_rows") * F.col("n_rows"))
+                / F.col("n_rows")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("cv"),
+    ).orderBy("key_name")

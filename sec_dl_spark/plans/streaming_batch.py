@@ -1633,3 +1633,255 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "events_mannwhitney_u",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    v AS (
+      SELECT event_type, cents,
+             count(*) FILTER (arm = 0) AS cnt_a,
+             count(*) FILTER (arm = 1) AS cnt_b,
+             count(*) AS cnt
+      FROM c GROUP BY event_type, cents),
+    r AS (
+      SELECT event_type, cents, cnt_a, cnt_b, cnt,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless
+      FROM v),
+    g AS (
+      SELECT event_type,
+             sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
+             sum(cnt_a * (2 * cless + cnt + 1)) AS s2a,
+             sum(cnt * cnt * cnt - cnt) AS tie_sum
+      FROM r GROUP BY event_type
+      HAVING n_a >= 2 AND n_b >= 2
+         AND tie_sum < (n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)),
+    s AS (
+      SELECT event_type, n_a, n_b,
+             (CAST(s2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2 AS u_a,
+             CAST(n_a AS DOUBLE) * n_b / 2 AS mu,
+             sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
+                  * ((n_a + n_b + 1)
+                     - CAST(tie_sum AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))) AS sigma
+      FROM g)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           u_a,
+           (round((u_a - mu) / sigma + 1e-9, 4) + 0.0) AS z_stat,
+           (abs((u_a - mu) / sigma) > 1.96) AS significant_95
+    FROM s ORDER BY event_type
+    """,
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per event type between the
+    two ``user_id % 2`` experiment arms — the NONPARAMETRIC companion to
+    events_ab_welch_ttest (rank-based, so a heavy-tailed metric or a few
+    whale users cannot fake or mask a shift the way they can with means).
+    Tie-corrected normal approximation.
+
+    Exactness discipline: value-cents are grouped to DISTINCT values
+    first, so the rank sum for arm A needs no per-row ranks at all —
+    with ``cless`` = count of strictly-smaller observations and ``cnt``
+    = tie multiplicity, the doubled midrank ``2*cless + cnt + 1`` is an
+    exact INTEGER, and ``s2a = Σ cnt_a·(2·cless+cnt+1)`` (= 2·rank-sum),
+    the tie term ``Σ(t³−t)``, and all arm counts are exact integer
+    moments; U, μ, σ, z are then single deterministic float expressions
+    of those integers (the same integer-moment convention as the Welch
+    query — shuffle-order float accumulation never enters).
+
+    Scale shape: one row-level grouped aggregate to distinct (type,
+    cents) pairs (map-side partial combine), a cumulative window over
+    DISTINCT VALUES per type (value-space-sized, never row-sized — the
+    exact_percentiles precedent), and a type-bounded final aggregate.
+    Degenerate groups are dropped IDENTICALLY in both engines (either
+    arm < 2 observations, or all values tied → σ = 0): the cross-engine
+    divide-by-zero discipline from the Welch/benford/epoch guards."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("arm"), cents.alias("cents")
+    )
+    a0, a1 = F.col("arm") == 0, F.col("arm") == 1
+    v = c.groupBy("event_type", "cents").agg(
+        F.count(F.when(a0, 1)).alias("cnt_a"),
+        F.count(F.when(a1, 1)).alias("cnt_b"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.withColumn("cless", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    n = F.col("n_a") + F.col("n_b")
+    g = (
+        r.groupBy("event_type")
+        .agg(
+            F.sum("cnt_a").alias("n_a"),
+            F.sum("cnt_b").alias("n_b"),
+            F.sum(
+                F.col("cnt_a") * (2 * F.col("cless") + F.col("cnt") + 1)
+            ).alias("s2a"),
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).alias("tie_sum"),
+        )
+        .where(
+            (F.col("n_a") >= 2)
+            & (F.col("n_b") >= 2)
+            & (F.col("tie_sum") < n * n * n - n)
+        )
+    )
+    u_a = (
+        F.col("s2a").cast("double") - F.col("n_a").cast("double") * (F.col("n_a") + 1)
+    ) / 2
+    mu = F.col("n_a").cast("double") * F.col("n_b") / 2
+    sigma = F.sqrt(
+        (F.col("n_a").cast("double") * F.col("n_b") / 12)
+        * (
+            (F.col("n_a") + F.col("n_b") + 1)
+            - F.col("tie_sum").cast("double")
+            / (n.cast("double") * (F.col("n_a") + F.col("n_b") - 1))
+        )
+    )
+    z = (u_a - mu) / sigma
+    return g.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        (F.round(z + F.lit(1e-9), 4) + F.lit(0.0)).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")
+
+
+@query(
+    "events_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS n_obs
+      FROM events GROUP BY event_type, dayofweek(ts) + 1),
+    grid AS (
+      SELECT r.event_type, c.dow
+      FROM (SELECT DISTINCT event_type FROM obs) r
+      CROSS JOIN (SELECT DISTINCT dow FROM obs) c),
+    dense AS (
+      SELECT g.event_type, g.dow, coalesce(o.n_obs, 0) AS n_obs
+      FROM grid g LEFT JOIN obs o
+        ON g.event_type = o.event_type AND g.dow = o.dow),
+    rt AS (SELECT event_type, sum(n_obs) AS row_tot FROM dense GROUP BY event_type),
+    ct AS (SELECT dow, sum(n_obs) AS col_tot FROM dense GROUP BY dow),
+    tot AS (
+      SELECT sum(n_obs) AS total,
+             count(DISTINCT event_type) AS n_r, count(DISTINCT dow) AS n_c
+      FROM dense),
+    cell AS (
+      SELECT o.event_type, o.dow, o.n_obs,
+             CAST(rt.row_tot AS DOUBLE) * ct.col_tot / tot.total AS e,
+             tot.total AS total, tot.n_r AS n_r, tot.n_c AS n_c
+      FROM dense o
+      JOIN rt ON o.event_type = rt.event_type
+      JOIN ct ON o.dow = ct.dow
+      CROSS JOIN tot),
+    hdr AS (
+      SELECT sum((n_obs - e) * (n_obs - e) / e) AS chi2,
+             any_value(total) AS total,
+             (any_value(n_r) - 1) * (any_value(n_c) - 1) AS dof,
+             least(any_value(n_r), any_value(n_c)) - 1 AS mind
+      FROM cell)
+    SELECT cell.event_type, CAST(cell.dow AS BIGINT) AS dow,
+           CAST(cell.n_obs AS BIGINT) AS n_obs,
+           (round(cell.e + 1e-8, 4) + 0.0) AS n_exp,
+           (round((cell.n_obs - cell.e) / sqrt(cell.e) + 1e-9, 4) + 0.0)
+             AS std_residual,
+           (round(hdr.chi2 + 1e-8, 4) + 0.0) AS chi2_total,
+           CAST(hdr.dof AS BIGINT) AS dof,
+           (round(sqrt(hdr.chi2 / (hdr.total * hdr.mind)) + 1e-9, 4) + 0.0)
+             AS cramers_v
+    FROM cell CROSS JOIN hdr
+    ORDER BY event_type, dow
+    """,
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screen between event type and day-of-week:
+    the full standardized-residual contingency table (which cells drive
+    the dependence) plus the χ² statistic, degrees of freedom, and
+    Cramér's V effect size on every row — the seasonality/independence
+    audit a metrics pipeline runs before trusting a per-type trend.
+
+    Exactness: observed counts, row/column totals, and the grand total
+    are exact integers, so every expected count and residual is one
+    deterministic float expression of integers. The only cross-engine
+    float SUM is χ² itself — 35 cell contributions (r×c bounded), whose
+    accumulation-order error (~1e-13) is far inside the round-4 nudge.
+    The observed-cell table is DENSIFIED against the distinct-row ×
+    distinct-column grid first (empty cells re-enter with n_obs = 0):
+    dropping them silently understates χ² by Σe over the missing cells —
+    a perfectly-associated 2×2 would otherwise score Cramér's V ≈ 0.58,
+    not 1 (pinned by the planted-independence pytest).
+
+    Scale shape: one row-level aggregate to r×c cells, then everything
+    downstream is cell-table-sized (35 rows): the marginals are
+    re-aggregations of the CELL table, not rescans of events, and the
+    1-row header joins back as a broadcast. Spark's dayofweek (1=Sunday)
+    vs DuckDB's (0=Sunday) is aligned with +1 on the oracle side."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    raw = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_obs"))
+    grid = raw.select("event_type").distinct().crossJoin(
+        raw.select("dow").distinct()
+    )
+    obs = (
+        grid.join(raw, ["event_type", "dow"], "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("n_obs").alias("row_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("n_obs").alias("col_tot"))
+    tot = obs.agg(
+        F.sum("n_obs").alias("total"),
+        F.count_distinct("event_type").alias("n_r"),
+        F.count_distinct("dow").alias("n_c"),
+    )
+    cell = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+        )
+    )
+    hdr = cell.agg(
+        F.sum(
+            (F.col("n_obs") - F.col("e")) * (F.col("n_obs") - F.col("e")) / F.col("e")
+        ).alias("chi2"),
+        F.any_value("total").alias("g_total"),
+        ((F.any_value("n_r") - 1) * (F.any_value("n_c") - 1)).alias("dof"),
+        (F.least(F.any_value("n_r"), F.any_value("n_c")) - 1).alias("mind"),
+    )
+    r4 = lambda col, nudge: F.round(col + F.lit(nudge), 4) + F.lit(0.0)  # noqa: E731
+    return (
+        cell.select("event_type", "dow", "n_obs", "e")
+        .crossJoin(F.broadcast(hdr))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            r4(F.col("e"), 1e-8).alias("n_exp"),
+            r4((F.col("n_obs") - F.col("e")) / F.sqrt(F.col("e")), 1e-9).alias(
+                "std_residual"
+            ),
+            r4(F.col("chi2"), 1e-8).alias("chi2_total"),
+            F.col("dof").cast("long").alias("dof"),
+            r4(
+                F.sqrt(F.col("chi2") / (F.col("g_total") * F.col("mind"))), 1e-9
+            ).alias("cramers_v"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -4566,3 +4566,179 @@ def corpus_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@query(
+    "corpus_js_divergence",
+    oracle=f"""
+    WITH tk AS (SELECT source, {TOKS} AS toks FROM documents),
+    w AS (SELECT source, unnest(toks) AS w FROM tk),
+    wc AS (SELECT source, w, count(*) AS cnt FROM w GROUP BY source, w),
+    tot AS (SELECT source, sum(cnt) AS tot FROM wc GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM tot a JOIN tot b ON a.source < b.source),
+    u AS (
+      SELECT p.src_a, p.src_b, wc.w, wc.cnt AS p_cnt, 0 AS q_cnt
+      FROM wc JOIN pairs p ON wc.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, wc.w, 0, wc.cnt
+      FROM wc JOIN pairs p ON wc.source = p.src_b),
+    m AS (
+      SELECT src_a, src_b, w,
+             sum(p_cnt) AS p_cnt, sum(q_cnt) AS q_cnt
+      FROM u GROUP BY src_a, src_b, w),
+    sc AS (
+      SELECT m.src_a, m.src_b,
+             CAST(m.p_cnt AS DOUBLE) / ta.tot AS p,
+             CAST(m.q_cnt AS DOUBLE) / tb.tot AS q
+      FROM m JOIN tot ta ON m.src_a = ta.source
+             JOIN tot tb ON m.src_b = tb.source),
+    g AS (
+      SELECT src_a, src_b, count(*) AS n_vocab_union,
+             sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p) ELSE 0 END
+                 + CASE WHEN q > 0 THEN 0.5 * q * ln(q) ELSE 0 END
+                 - ((p + q) / 2) * ln((p + q) / 2)) AS jsd
+      FROM sc GROUP BY src_a, src_b)
+    SELECT src_a, src_b, CAST(n_vocab_union AS BIGINT) AS n_vocab_union,
+           {rz_sql("jsd", 6)} AS jsd_nats,
+           {rz_sql("jsd / ln(2)", 6)} AS jsd_bits
+    FROM g ORDER BY src_a, src_b
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every source pair — the mixture-design distance
+    matrix (which corpus sources are interchangeable, which add genuinely
+    new text) that complements the PSI/KS drift gates: JSD is symmetric,
+    bounded [0, ln 2], and defined even where supports differ, so it is
+    the right "how different are these two corpora" number, where PSI
+    answers "did THIS corpus move against its reference".
+
+    Scale shape: documents tokenize once and reduce to (source, word,
+    cnt) postings with map-side combine — the wide text never reshuffles.
+    The pair frame is SOURCE-COUNT-bounded (s·(s−1)/2 rows, broadcast
+    everywhere), so fan-out is postings × (s−1) at worst, and each pair's
+    union-vocabulary merge is one grouped sum. JSD = ½Σp·ln p + ½Σq·ln q
+    − Σm·ln m over the union (0·ln 0 = 0): exact integer counts make
+    every p, q, m a deterministic division; the single float sum per
+    pair is vocabulary-sized with ~1e-13 accumulation error, far inside
+    the round-6 nudge (the text_word_entropy precedent)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", tokenize(F.col("text")).alias("toks")
+    )
+    wc = (
+        d.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    a, b = tot.select("source").alias("a"), tot.select("source").alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    )
+    pa = wc.join(F.broadcast(pairs), wc.source == pairs.src_a).select(
+        "src_a", "src_b", "w",
+        F.col("cnt").alias("p_cnt"), F.lit(0).alias("q_cnt"),
+    )
+    pb = wc.join(F.broadcast(pairs), wc.source == pairs.src_b).select(
+        "src_a", "src_b", "w",
+        F.lit(0).alias("p_cnt"), F.col("cnt").alias("q_cnt"),
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("tot").alias("tot_b"))
+    m = (
+        pa.unionByName(pb)
+        .groupBy("src_a", "src_b", "w")
+        .agg(F.sum("p_cnt").alias("p_cnt"), F.sum("q_cnt").alias("q_cnt"))
+        .join(F.broadcast(ta), F.col("src_a") == F.col("sa"))
+        .join(F.broadcast(tb), F.col("src_b") == F.col("sb"))
+    )
+    p = F.col("p_cnt").cast("double") / F.col("tot_a")
+    q = F.col("q_cnt").cast("double") / F.col("tot_b")
+    plogp = lambda x: F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))  # noqa: E731
+    mid = (p + q) / 2
+    contrib = 0.5 * plogp(p) + 0.5 * plogp(q) - mid * F.log(mid)
+    g = m.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_vocab_union"),
+        F.sum(contrib).alias("jsd"),
+    )
+    return g.select(
+        "src_a",
+        "src_b",
+        F.col("n_vocab_union").cast("long").alias("n_vocab_union"),
+        rz(F.col("jsd"), 6).alias("jsd_nats"),
+        rz(F.col("jsd") / F.lit(float(__import__("math").log(2))), 6).alias(
+            "jsd_bits"
+        ),
+    ).orderBy("src_a", "src_b")
+
+
+@query(
+    "corpus_group_kfold",
+    oracle=f"""
+    WITH RECURSIVE tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS root,
+           CAST(((((coalesce(c.cluster_id, d.doc_id) * 2654435761)
+                   % 4294967296) >> 16) % 5) AS BIGINT) AS fold,
+           (c.doc_id IS NOT NULL) AS is_clustered
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP k-fold assignment: every document gets one of 5
+    cross-validation folds, keyed by its near-duplicate CLUSTER root
+    rather than its own id — so a document and its near-duplicates can
+    never straddle a train/eval fold boundary (the cross-validation twin
+    of corpus_split_leakage's audit: this op makes the leakage it
+    measures structurally impossible). Plain hash-by-doc k-fold leaks:
+    with ~6% of this corpus in near-dup clusters, random folds put some
+    pair across the boundary almost surely.
+
+    Composition: jaccard candidate pairs ≥ 0.6 → connected components
+    (operators/dedup.py:duplicate_clusters — min-label + pointer jumping,
+    O(log diameter) rounds) → root = component id (singleton docs are
+    their own root) → fold = high bits of the Knuth multiplicative hash
+    ((root·2654435761) mod 2³²) >> 16, mod k. The hash arithmetic is
+    pure integer ops, identical in both engines (the LOW bits of a
+    multiplicative hash are poorly mixed — the >> 16 matters); the
+    oracle recomputes components with the recursive-CTE closure (the
+    dedup_clusters discipline: a different algorithm proving the fixed
+    point, not a transliteration). At 100 TB the cluster step is the
+    bounded one (candidate pairs from postings, never all-pairs); the
+    fold map is then one broadcast-join + projection over the corpus."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.6)
+    clusters = dedup.duplicate_clusters(pairs)
+    root = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            root.cast("long").alias("root"),
+            (
+                F.shiftright((root * F.lit(2654435761)) % F.lit(4294967296), 16)
+                % 5
+            ).cast("long").alias("fold"),
+            F.col("cluster_id").isNotNull().alias("is_clustered"),
+        )
+        .orderBy("doc_id")
+    )

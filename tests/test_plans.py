@@ -981,3 +981,146 @@ def test_catalog_rejects_duplicate_query_names(specs):
         query("_test_factory_q")(make("alpha"))  # reload-equal: no raise
     finally:
         REGISTRY.pop("_test_factory_q", None)
+
+
+def test_mannwhitney_exact_u_on_planted_arms(spark, tmp_path):
+    """Rank-sum semantics pinned by construction: when arm A's values all
+    dominate arm B's, U_a is EXACTLY n_a·n_b (and significant); when the
+    two arms hold identical multisets, U_a is exactly n_a·n_b/2 and
+    z == 0 — no tolerance, because the statistic is built from exact
+    integer midrank moments."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for i in range(50):
+        rows.append((eid, base, 2 * i, "dom", 10.0, "{}")); eid += 1  # arm 0
+        rows.append((eid, base, 2 * i + 1, "dom", 1.0, "{}")); eid += 1  # arm 1
+    for i in range(70):
+        rows.append((eid, base, 2 * i, "same", float(i % 7), "{}")); eid += 1
+        rows.append((eid, base, 2 * i + 1, "same", float(i % 7), "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["event_type"]: r
+        for r in load_all()["events_mannwhitney_u"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out["dom"]["u_a"] == 50.0 * 50.0 and out["dom"]["significant_95"]
+    assert out["same"]["u_a"] == 70.0 * 70.0 / 2
+    assert out["same"]["z_stat"] == 0.0 and not out["same"]["significant_95"]
+
+
+def test_chi2_zero_under_planted_independence(spark, tmp_path):
+    """A contingency table constructed as an exact product measure (cell =
+    row_share·col_share·total) must score χ² == 0 and every residual 0;
+    concentrating the same marginals onto the diagonal must alarm. Dates
+    are pinned weekdays (2024-01-01 = Monday, 2024-01-02 = Tuesday)."""
+    import datetime as dt
+
+    mon, tue = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+
+    def write(rows, path):
+        spark.createDataFrame(
+            [(i, ts, i, ty, 1.0, "{}") for i, (ts, ty) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    # independent: t1 = (10 mon, 20 tue), t2 = (20 mon, 40 tue)
+    indep = [(mon, "t1")] * 10 + [(tue, "t1")] * 20 + [(mon, "t2")] * 20 + [(tue, "t2")] * 40
+    p1 = tmp_path / "indep"; p1.mkdir(); write(indep, p1)
+    out = load_all()["events_chi2_independence"].spark_fn(spark, str(p1)).collect()
+    assert len(out) == 4
+    assert all(r["chi2_total"] == 0.0 and r["std_residual"] == 0.0 for r in out)
+    assert all(r["cramers_v"] == 0.0 for r in out)
+
+    # dependent: same 90 rows, all t1 on monday, all t2 on tuesday
+    dep = [(mon, "t1")] * 30 + [(tue, "t2")] * 60
+    p2 = tmp_path / "dep"; p2.mkdir(); write(dep, p2)
+    out2 = load_all()["events_chi2_independence"].spark_fn(spark, str(p2)).collect()
+    assert all(r["chi2_total"] > 3.84 for r in out2)  # dof=1 critical @0.05
+    assert all(r["cramers_v"] == 1.0 for r in out2)  # perfect association
+
+
+def test_join_key_skew_separates_hot_from_uniform(spark, tmp_path):
+    """A key where one value owns half the rows must read as skewed
+    (top1_share ≈ 0.5, high gini) while a perfectly uniform key reads
+    gini == 0 — the audit must order the salting decision correctly.
+    Uses minimal-column parquet (the query's scan prunes to the keys)."""
+    # l_suppkey: 500 rows on key 1, 500 spread over keys 2..501 (hot)
+    # l_orderkey: keys 1..100 exactly 10 rows each (uniform)
+    li = [(1 + (i % 100), 1 if i < 500 else 2 + (i - 500)) for i in range(1000)]
+    spark.createDataFrame(li, "l_orderkey long, l_suppkey long").write.parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "o_custkey long"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {
+        r["key_name"]: r
+        for r in load_all()["dq_join_key_skew"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    hot, uni = out["l_suppkey"], out["l_orderkey"]
+    assert hot["n_rows"] == uni["n_rows"] == 1000
+    assert hot["top1_share"] == 0.5 and hot["max_cnt"] == 500
+    assert uni["gini"] == 0.0 and uni["top1_share"] == 0.01
+    assert hot["gini"] > 0.45 and hot["cv"] > 10 * uni["cv"]
+    assert out["o_custkey"]["n_keys"] == 10 and out["o_custkey"]["gini"] == 0.0
+
+
+def test_js_divergence_identity_and_disjoint_bounds(spark, tmp_path):
+    """JSD endpoints pinned: identical token distributions score exactly
+    0; disjoint vocabularies score exactly ln 2 nats (1 bit). The matrix
+    is upper-triangular (each unordered pair once)."""
+    docs = [
+        (0, "alpha beta gamma alpha", "en", "same1", 22),
+        (1, "alpha beta gamma alpha", "en", "same2", 22),
+        (2, "delta epsilon zeta eta", "en", "other", 22),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in load_all()["corpus_js_divergence"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("same1", "same2"), ("other", "same1"), ("other", "same2")}
+    assert out[("same1", "same2")]["jsd_nats"] == 0.0
+    assert out[("other", "same1")]["jsd_nats"] == 0.693147  # ln 2 at 6dp
+    assert abs(out[("other", "same1")]["jsd_bits"] - 1.0) < 1e-6
+
+
+def test_group_kfold_never_straddles_near_dup_pairs(spark, tmp_path):
+    """The leakage-safety contract: every near-duplicate pair lands in ONE
+    fold (same root → same fold), singletons keep themselves as root, and
+    the hash spreads roots across multiple folds (non-degenerate split)."""
+    dup = "spark shuffles partition data across executors for wide joins"
+    docs = [
+        (i, dup + (" extra" * (i % 2)), "en", "srcA", 60) for i in range(6)
+    ] + [
+        (10 + i, f"unique document number {i} about topic {i} entirely", "en", "srcA", 50)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    rows = load_all()["corpus_group_kfold"].spark_fn(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 26
+    clustered = [r for r in rows if r["is_clustered"]]
+    assert {r["doc_id"] for r in clustered} >= {0, 1, 2, 3, 4, 5}
+    # one root, one fold for the whole dup family
+    assert len({by_id[i]["root"] for i in range(6)}) == 1
+    assert len({by_id[i]["fold"] for i in range(6)}) == 1
+    # singletons are their own root, and folds are spread (k=5 over 20 roots)
+    singles = [r for r in rows if not r["is_clustered"]]
+    assert all(r["root"] == r["doc_id"] for r in singles)
+    assert len({r["fold"] for r in singles}) >= 3
+    assert all(0 <= r["fold"] <= 4 for r in rows)
