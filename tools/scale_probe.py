@@ -172,6 +172,17 @@ PROBE = [
     "events_trend_slope",
     "events_cusum_changepoint",
     "events_top_session_paths",
+    # r10 third batch. Scale shapes to verify: mannwhitney windows over
+    # DISTINCT (type, cents) values (value-space, not row-space);
+    # chi2 reduces to r×c cells in one aggregate; key-skew rides the
+    # exploded fact scan + one range exchange (global_rank); JSD fans
+    # postings × (s−1) pairs then one grouped sum per pair; group-kfold
+    # is the near-dup component rounds + a broadcast fold map.
+    "events_mannwhitney_u",
+    "events_chi2_independence",
+    "dq_join_key_skew",
+    "corpus_js_divergence",
+    "corpus_group_kfold",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
@@ -343,14 +354,29 @@ def main() -> None:
         # merge the re-probed rows into the existing table in place
         with open(md_path) as f:
             out_lines = f.read().splitlines()
+        seen = set()
+        last_row = None
         for i, line in enumerate(out_lines):
             parts = [p.strip() for p in line.split("|")]
-            if len(parts) >= 6 and parts[1] in result:
-                r = result[parts[1]]
-                out_lines[i] = (
-                    f"| {parts[1]} | {r['sf0.1']} | {r['sf1']} | {r['ratio']} | "
-                    f"{', '.join(r['flags']) or '—'} |"
-                )
+            if len(parts) >= 6 and parts[1] not in ("query", "---"):
+                last_row = i
+                if parts[1] in result:
+                    seen.add(parts[1])
+                    r = result[parts[1]]
+                    out_lines[i] = (
+                        f"| {parts[1]} | {r['sf0.1']} | {r['sf1']} | {r['ratio']} | "
+                        f"{', '.join(r['flags']) or '—'} |"
+                    )
+        # names not yet in the table (newly probed queries) append after
+        # the last existing row so the table stays one block
+        new_rows = [
+            f"| {n} | {r['sf0.1']} | {r['sf1']} | {r['ratio']} | "
+            f"{', '.join(r['flags']) or '—'} |"
+            for n, r in result.items()
+            if n not in seen
+        ]
+        if new_rows and last_row is not None:
+            out_lines[last_row + 1 : last_row + 1] = new_rows
         with open(md_path, "w") as f:
             f.write("\n".join(out_lines) + "\n")
         return
