@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from sec_dl_spark.operators.relational import asof_join, sessionize
 from sec_dl_spark.plans.catalog import query, t
+from sec_dl_spark.session import pin
 
 
 @query(
@@ -1834,7 +1835,11 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").alias("dow")
     )
-    raw = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_obs"))
+    # pin the r×c-bounded observed counts: grid/rt/ct/tot/cell are FIVE
+    # plan branches off this frame, and without the pin each one re-runs
+    # the events scan + aggregate (5× the only data-sized stage; the
+    # probe read 4.4 s for a 35-cell readout before this). Eager, tiny.
+    raw = pin(e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n_obs")))
     grid = raw.select("event_type").distinct().crossJoin(
         raw.select("dow").distinct()
     )

@@ -17,7 +17,7 @@ from sec_dl_spark.functions import analysis as A
 from sec_dl_spark.functions.text import clean_filing_text, tokenize
 from sec_dl_spark.operators import dedup, fts, similarity
 from sec_dl_spark.plans.catalog import query, t
-from sec_dl_spark.session import spread
+from sec_dl_spark.session import pin, spread
 
 # Memoized inverted index + corpus stats per (session, sf_dir): the ten
 # fts_*/text_tfidf_* queries share one cached posting table and one
@@ -4627,7 +4627,11 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "source", tokenize(F.col("text")).alias("toks")
     )
-    wc = (
+    # pin the vocab×sources posting counts: tot, pa and pb are three plan
+    # branches off this frame — unpinned, each re-runs the tokenize +
+    # explode + count over the full corpus (3× the only text-sized
+    # stage). The pinned frame is vocabulary-sized, never corpus-sized.
+    wc = pin(
         d.select("source", F.explode("toks").alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
