@@ -134,11 +134,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --exact at sf0.01 this round): dedup_clusters leads as --lead (its
 # oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
 # closure, but its only driver row is still the rows-only r5 one), then
-# the 28 never-driver-checked names (the 13 r8/r9 orphans — three fixed
+# the 31 never-driver-checked names (the 13 r8/r9 orphans — three fixed
 # this round per ADVICE: welch n>=2 guard, benford cents>0, uniqueness
-# struct-key — plus the 15 queries new in r10, including the second-
-# session five: dq_join_key_skew, events_mannwhitney_u,
-# events_chi2_independence, corpus_js_divergence, corpus_group_kfold),
+# struct-key — plus the 18 queries new in r10, latest three:
+# events_kaplan_meier, events_score_calibration, corpus_dedup_yield),
 # then the stalest blocks (r4-era first). Queries NOT listed here keep
 # module registration order after the block.
 _PRIORITY = (
@@ -171,6 +170,9 @@ _PRIORITY = (
     "events_chi2_independence",
     "corpus_js_divergence",
     "corpus_group_kfold",
+    "events_kaplan_meier",
+    "events_score_calibration",
+    "corpus_dedup_yield",
     "emb_pq_topk",
     "multimodal_audio_chunks",
     "multimodal_binary_meta",
@@ -189,9 +191,6 @@ _PRIORITY = (
     "text_token_estimate",
     "text_token_stats",
     "text_winnow_fingerprints",
-    "agg_collect_list",
-    "agg_minmax_by",
-    "agg_percentiles",
 )
 
 

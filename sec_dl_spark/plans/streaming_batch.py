@@ -1890,3 +1890,240 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "events_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(epoch_us(ts) // 3600000000) AS h0,
+             max(epoch_us(ts) // 3600000000) AS h1
+      FROM events GROUP BY user_id),
+    g AS (SELECT max(epoch_us(ts) // 3600000000) AS gmax,
+                 count(DISTINCT user_id) AS n_total
+          FROM events),
+    p AS (
+      SELECT h1 - h0 AS dur,
+             CASE WHEN gmax - h1 >= 24 THEN 1 ELSE 0 END AS churn
+      FROM u, g),
+    lvl AS (
+      SELECT dur, count(*) AS n_users, sum(churn) AS n_deaths
+      FROM p GROUP BY dur),
+    w AS (
+      SELECT dur, n_users, n_deaths,
+             g.n_total
+               - sum(n_users) OVER (ORDER BY dur)
+               + n_users AS at_risk
+      FROM lvl, g),
+    t2 AS (
+      SELECT dur, n_deaths, at_risk,
+             sum(CASE WHEN at_risk - n_deaths = 0 THEN 0.0
+                      ELSE ln(CAST(at_risk - n_deaths AS DOUBLE) / at_risk)
+                 END) OVER (ORDER BY dur) AS logsum,
+             min(at_risk - n_deaths) OVER (ORDER BY dur) AS minrem
+      FROM w)
+    SELECT CAST(dur AS BIGINT) AS dur_hours,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_deaths AS BIGINT) AS n_churned,
+           (round(CASE WHEN minrem = 0 THEN 0.0 ELSE exp(logsum) END
+                  + 1e-9, 6) + 0.0) AS survival
+    FROM t2 WHERE n_deaths > 0 ORDER BY dur_hours
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (hours between a
+    user's first and last event, integer hour buckets). A user whose
+    last event precedes the global max hour by >= 24 h counts as
+    churned (the "death"); later quitters are right-censored —
+    censoring is what separates this from a naive lifetime histogram
+    (censored users still sit in every risk set they survived through,
+    so S(t) is unbiased by the observation window). The product-limit
+    estimator runs entirely in hour-granular space: one user-keyed
+    shuffle to per-user (first, last), one aggregate down to
+    duration-level (n_users, n_deaths) rows, a 1-row (gmax, N)
+    broadcast, and windows ONLY over the duration frame — bounded by
+    the observation span in hours (720 here, ~2.6e5 even for a 30-year
+    log), never by user or event count, so the plan is the same at
+    100 TB. S(t) = exp(cumsum ln((n_t-d_t)/n_t)) from exact integer
+    counts; the n_t-d_t = 0 final-step case short-circuits to 0.0 on
+    both engines BEFORE ln ever sees a zero (DuckDB raises on ln(0),
+    Spark returns NULL — the usual cross-engine edge)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    g = e.agg(
+        F.max("h").alias("gmax"),
+        F.count_distinct("user_id").alias("n_total"),
+    )
+    p = u.crossJoin(F.broadcast(g)).select(
+        (F.col("h1") - F.col("h0")).alias("dur"),
+        F.when(F.col("gmax") - F.col("h1") >= 24, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("churn"),
+        "n_total",
+    )
+    lvl = p.groupBy("dur", "n_total").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("churn").alias("n_deaths")
+    )
+    wd = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    w = lvl.withColumn(
+        "at_risk",
+        F.col("n_total") - F.sum("n_users").over(wd) + F.col("n_users"),
+    )
+    rem = F.col("at_risk") - F.col("n_deaths")
+    t2 = w.select(
+        "dur",
+        "n_deaths",
+        "at_risk",
+        F.sum(
+            F.when(rem == 0, F.lit(0.0)).otherwise(
+                F.log(rem.cast("double") / F.col("at_risk"))
+            )
+        )
+        .over(wd)
+        .alias("logsum"),
+        F.min(rem).over(wd).alias("minrem"),
+    )
+    return (
+        t2.filter(F.col("n_deaths") > 0)
+        .select(
+            F.col("dur").cast("long").alias("dur_hours"),
+            F.col("at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_deaths").cast("long").alias("n_churned"),
+            (
+                F.round(
+                    F.when(F.col("minrem") == 0, F.lit(0.0)).otherwise(
+                        F.exp("logsum")
+                    )
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("survival"),
+        )
+        .orderBy("dur_hours")
+    )
+
+
+@query(
+    "events_score_calibration",
+    oracle="""
+    WITH e AS (
+      SELECT value,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    g AS (SELECT min(value) AS vmin, max(value) AS vmax,
+                 count(*) AS n_all FROM e),
+    b AS (
+      SELECT least(CAST(floor((value - vmin)
+                         / greatest((vmax - vmin) / 10.0, 1e-12)) AS BIGINT),
+                   9) AS bin_id,
+             cents, pos, vmin, vmax, n_all
+      FROM e, g),
+    pb AS (
+      SELECT bin_id, count(*) AS n, sum(cents) AS sum_cents, sum(pos) AS n_pos,
+             max(vmin) AS vmin, max(vmax) AS vmax, max(n_all) AS n_all
+      FROM b GROUP BY bin_id),
+    sc AS (
+      SELECT bin_id, n, n_all,
+             (CAST(sum_cents AS DOUBLE) / 100.0 / n - vmin) / (vmax - vmin)
+               AS conf,
+             CAST(n_pos AS DOUBLE) / n AS acc
+      FROM pb)
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(n AS BIGINT) AS n_rows,
+           (round(conf + 1e-9, 6) + 0.0) AS conf,
+           (round(acc + 1e-9, 6) + 0.0) AS acc,
+           (round(abs(acc - conf) + 1e-9, 6) + 0.0) AS gap
+    FROM sc
+    UNION ALL
+    SELECT -1, CAST(max(n_all) AS BIGINT), NULL, NULL,
+           (round(sum(CAST(n AS DOUBLE) / n_all * abs(acc - conf))
+                  + 1e-9, 6) + 0.0)
+    FROM sc
+    ORDER BY bin_id
+    """,
+)
+def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + expected calibration error for `value` read as
+    a score predicting the purchase label: 10 equal-width score bins,
+    each with its mean normalized score (confidence) and observed
+    positive rate (accuracy), plus a bin_id=-1 summary row carrying
+    ECE = sum(n_b/N * |acc_b - conf_b|) — the standard eval readout for
+    any model-scored column (quality classifiers, reward models) before
+    its threshold is trusted. Plan: one scan -> 10-group aggregate with
+    a 1-row (min, max, N) broadcast; the ECE row is an aggregate over
+    the 10-row bin frame, so nothing after the first aggregate is
+    data-sized. Determinism: bin edges and means derive from IEEE
+    double ops on broadcast scalars (identical in both engines) and
+    exact integer cents/counts; the one order-dependent sum (ECE, <= 10
+    terms) rounds at 1e-6 like the PSI/BM25 oracles."""
+    e = t(spark, sf_dir, "events").select(
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    g = e.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    width = F.greatest(
+        (F.col("vmax") - F.col("vmin")) / F.lit(10.0), F.lit(1e-12)
+    )
+    b = e.crossJoin(F.broadcast(g)).withColumn(
+        "bin_id",
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("long"),
+            F.lit(9),
+        ),
+    )
+    pb = b.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("pos").alias("n_pos"),
+        F.max("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.max("n_all").alias("n_all"),
+    )
+    sc = pb.select(
+        "bin_id",
+        "n",
+        "n_all",
+        (
+            (F.col("sum_cents").cast("double") / 100.0 / F.col("n") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+        ).alias("conf"),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("acc"),
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    bins = sc.select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("n").cast("long").alias("n_rows"),
+        rz6(F.col("conf")).alias("conf"),
+        rz6(F.col("acc")).alias("acc"),
+        rz6(F.abs(F.col("acc") - F.col("conf"))).alias("gap"),
+    )
+    ece = sc.agg(
+        F.max("n_all").alias("na"),
+        F.sum(
+            F.col("n").cast("double")
+            / F.col("n_all")
+            * F.abs(F.col("acc") - F.col("conf"))
+        ).alias("s"),
+    ).select(
+        F.lit(-1).cast("long").alias("bin_id"),
+        F.col("na").cast("long").alias("n_rows"),
+        F.lit(None).cast("double").alias("conf"),
+        F.lit(None).cast("double").alias("acc"),
+        rz6(F.col("s")).alias("gap"),
+    )
+    return bins.unionByName(ece).orderBy("bin_id")

@@ -4746,3 +4746,85 @@ def corpus_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_dedup_yield",
+    oracle="""
+    WITH c AS (
+      SELECT md5(substring(lower(text), 1, 64)) AS fp, count(*) AS sz
+      FROM documents GROUP BY fp),
+    g AS (
+      SELECT sum(sz) AS n_docs,
+             sum(CASE WHEN sz >= 2 THEN sz - 1 ELSE 0 END) AS tot_excess
+      FROM c),
+    top AS (
+      SELECT fp, sz,
+             row_number() OVER (ORDER BY sz DESC, fp) AS rk
+      FROM c WHERE sz >= 2 QUALIFY rk <= 20)
+    SELECT CAST(rk AS BIGINT) AS rank,
+           fp AS fingerprint,
+           CAST(sz AS BIGINT) AS cluster_size,
+           CAST(sz - 1 AS BIGINT) AS removable,
+           CAST(sum(sz - 1) OVER (ORDER BY rk) AS BIGINT) AS cum_removable,
+           (round(CAST(sum(sz - 1) OVER (ORDER BY rk) AS DOUBLE)
+                  / tot_excess + 1e-9, 6) + 0.0) AS cum_share_dupes,
+           (round(CAST(sum(sz - 1) OVER (ORDER BY rk) AS DOUBLE)
+                  / n_docs + 1e-9, 6) + 0.0) AS cum_share_corpus
+    FROM top, g ORDER BY rank
+    """,
+)
+def corpus_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplication yield curve: the top-20 duplicate canopies (64-char
+    normalized-prefix fingerprint) ranked by size, with the running count
+    and share of removable documents — the economics readout that decides
+    whether a dedup pass pays for itself (a curve that flattens after
+    rank 5 means a cheap targeted pass captures most of the win; a long
+    tail means full-corpus LSH is needed). The canopy key is
+    md5(substring(lower(text),1,64)) — identical bytes-in on both
+    engines, and the prefix bound keeps the hashed payload O(1) per doc
+    however long the documents get. Plan: one scan -> fingerprint
+    groupBy (the only corpus-sized exchange, on a 32-char key), a
+    HAVING sz>=2 filter, orderBy().limit(20) (TakeOrderedAndProject —
+    parallel partial top-k, never a full sort), a 1-row (n_docs,
+    tot_excess) broadcast, and a cumulative window over the 20
+    SURVIVING rows only. Ties break deterministically on (size desc,
+    fingerprint asc). Exact integer counts make every share a
+    deterministic division."""
+    d = t(spark, sf_dir, "documents").select(
+        F.md5(F.substring(F.lower(F.col("text")), 1, 64)).alias("fp")
+    )
+    c = d.groupBy("fp").agg(F.count(F.lit(1)).alias("sz"))
+    g = c.agg(
+        F.sum("sz").alias("n_docs"),
+        F.sum(
+            F.when(F.col("sz") >= 2, F.col("sz") - 1).otherwise(F.lit(0))
+        ).alias("tot_excess"),
+    )
+    top = (
+        c.filter(F.col("sz") >= 2)
+        .orderBy(F.col("sz").desc(), "fp")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("sz").desc(), "fp")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        top.crossJoin(F.broadcast(g))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum_rm", F.sum(F.col("sz") - 1).over(wc))
+        .select(
+            "rank",
+            F.col("fp").alias("fingerprint"),
+            F.col("sz").cast("long").alias("cluster_size"),
+            (F.col("sz") - 1).cast("long").alias("removable"),
+            F.col("cum_rm").cast("long").alias("cum_removable"),
+            rz6(
+                F.col("cum_rm").cast("double") / F.col("tot_excess")
+            ).alias("cum_share_dupes"),
+            rz6(
+                F.col("cum_rm").cast("double") / F.col("n_docs")
+            ).alias("cum_share_corpus"),
+        )
+        .orderBy("rank")
+    )

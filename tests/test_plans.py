@@ -1124,3 +1124,92 @@ def test_group_kfold_never_straddles_near_dup_pairs(spark, tmp_path):
     assert all(r["root"] == r["doc_id"] for r in singles)
     assert len({r["fold"] for r in singles}) >= 3
     assert all(0 <= r["fold"] <= 4 for r in rows)
+
+
+def test_kaplan_meier_planted_censoring(spark, tmp_path):
+    """Product-limit semantics pinned by construction: 3 deaths at t=10
+    out of 10 at risk gives S=0.7; 2 more at t=20 out of the 7 remaining
+    gives S=0.7*(5/7)=0.5 — and the 5 users active through the end are
+    censored (no output step), not counted as deaths. Exact decimals:
+    the estimator is built from integer counts."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    hr = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    for u in range(3):  # churn at dur 10 (tail 90 >= 24)
+        rows += [(eid, hr(0), u, "view", 1.0, "{}"), (eid + 1, hr(10), u, "view", 1.0, "{}")]
+        eid += 2
+    for u in range(3, 5):  # churn at dur 20 (tail 80 >= 24)
+        rows += [(eid, hr(0), u, "view", 1.0, "{}"), (eid + 1, hr(20), u, "view", 1.0, "{}")]
+        eid += 2
+    for u in range(5, 10):  # censored: active until the global max hour
+        rows += [(eid, hr(0), u, "view", 1.0, "{}"), (eid + 1, hr(100), u, "view", 1.0, "{}")]
+        eid += 2
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_kaplan_meier"].spark_fn(spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in out] == [
+        (10, 10, 3, 0.7),
+        (20, 7, 2, 0.5),
+    ]
+
+
+def test_score_calibration_planted_bins(spark, tmp_path):
+    """Reliability-table semantics pinned: 10 rows at score 0.0 with half
+    positive land in bin 0 (conf 0.0, acc 0.5, gap 0.5); 10 rows at the
+    max score 100.0 with none positive land in bin 9 (conf 1.0, acc 0.0,
+    gap 1.0); ECE is the n-weighted mean gap 0.75 on the bin_id=-1
+    summary row. All exact: integer cents and counts only."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        rows.append((i, base, i, "purchase" if i < 5 else "view", 0.0, "{}"))
+    for i in range(10, 20):
+        rows.append((i, base, i, "view", 100.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_score_calibration"].spark_fn(spark, str(tmp_path)).collect()
+    by_bin = {r["bin_id"]: r for r in out}
+    assert set(by_bin) == {0, 9, -1}
+    b0, b9, ece = by_bin[0], by_bin[9], by_bin[-1]
+    assert (b0["n_rows"], b0["conf"], b0["acc"], b0["gap"]) == (10, 0.0, 0.5, 0.5)
+    assert (b9["n_rows"], b9["conf"], b9["acc"], b9["gap"]) == (10, 1.0, 0.0, 1.0)
+    assert (ece["n_rows"], ece["gap"]) == (20, 0.75)
+    assert ece["conf"] is None and ece["acc"] is None
+
+
+def test_dedup_yield_planted_clusters(spark, tmp_path):
+    """Yield-curve economics pinned: canopies of size 5/3/2 among 14 docs
+    give removable 4/2/1 (tot 7), ranked by size with exact cumulative
+    shares — and the 4 unique docs never appear. The canopy key is the
+    64-char normalized prefix, so differing TAILS must not split a
+    cluster."""
+    docs, did = [], 0
+    for n, ch in [(5, "a"), (3, "b"), (2, "c")]:
+        for i in range(n):
+            docs.append((did, ch * 64 + f" tail {i}", "en", "s", 70))
+            did += 1
+    for i in range(4):
+        docs.append((did, f"unique document number {i} " + "x" * 64, "en", "s", 90))
+        did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = load_all()["corpus_dedup_yield"].spark_fn(spark, str(tmp_path)).collect()
+    assert [
+        (r["rank"], r["cluster_size"], r["removable"], r["cum_removable"]) for r in out
+    ] == [(1, 5, 4, 4), (2, 3, 2, 6), (3, 2, 1, 7)]
+    assert [r["cum_share_dupes"] for r in out] == [0.571429, 0.857143, 1.0]
+    assert [r["cum_share_corpus"] for r in out] == [0.285714, 0.428571, 0.5]
