@@ -176,6 +176,13 @@ HEADLINE = [
     "dq_join_key_skew",
     "corpus_js_divergence",
     "corpus_group_kfold",
+    # fourth r10 batch: the censoring-aware Kaplan-Meier curve (user
+    # shuffle -> hour-granular duration frame), the calibration/ECE
+    # reliability table (10-bin agg off a 1-row broadcast), and the
+    # dedup yield curve (prefix-canopy groupBy + TakeOrdered top-20)
+    "events_kaplan_meier",
+    "events_score_calibration",
+    "corpus_dedup_yield",
 ]
 
 

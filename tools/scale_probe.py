@@ -183,6 +183,14 @@ PROBE = [
     "dq_join_key_skew",
     "corpus_js_divergence",
     "corpus_group_kfold",
+    # r10 fourth batch. Scale shapes to verify: kaplan-meier windows
+    # only over the hour-granular duration frame (span-bounded, never
+    # user/event-sized); calibration is one 10-group aggregate off a
+    # 1-row broadcast; dedup-yield is one fingerprint groupBy + a
+    # TakeOrdered top-20 with a 20-row window.
+    "events_kaplan_meier",
+    "events_score_calibration",
+    "corpus_dedup_yield",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
