@@ -183,6 +183,12 @@ HEADLINE = [
     "events_kaplan_meier",
     "events_score_calibration",
     "corpus_dedup_yield",
+    # fifth r10 batch: the basket-affinity self-join (pair space bounded
+    # by basket width), the value-space MAD outlier audit (events
+    # scanned once), and the anchor-broadcast coverage objective
+    "join_basket_lift",
+    "events_mad_outliers",
+    "emb_coverage_score",
 ]
 
 

@@ -134,10 +134,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --exact at sf0.01 this round): dedup_clusters leads as --lead (its
 # oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
 # closure, but its only driver row is still the rows-only r5 one), then
-# the 31 never-driver-checked names (the 13 r8/r9 orphans — three fixed
+# the 34 never-driver-checked names (the 13 r8/r9 orphans — three fixed
 # this round per ADVICE: welch n>=2 guard, benford cents>0, uniqueness
-# struct-key — plus the 18 queries new in r10, latest three:
-# events_kaplan_meier, events_score_calibration, corpus_dedup_yield),
+# struct-key — plus the 21 queries new in r10, latest six:
+# events_kaplan_meier, events_score_calibration, corpus_dedup_yield,
+# join_basket_lift, events_mad_outliers, emb_coverage_score),
 # then the stalest blocks (r4-era first). Queries NOT listed here keep
 # module registration order after the block.
 _PRIORITY = (
@@ -173,6 +174,9 @@ _PRIORITY = (
     "events_kaplan_meier",
     "events_score_calibration",
     "corpus_dedup_yield",
+    "join_basket_lift",
+    "events_mad_outliers",
+    "emb_coverage_score",
     "emb_pq_topk",
     "multimodal_audio_chunks",
     "multimodal_binary_meta",
@@ -188,9 +192,6 @@ _PRIORITY = (
     "text_quality_score",
     "text_repetition_stats",
     "text_tfidf_cosine",
-    "text_token_estimate",
-    "text_token_stats",
-    "text_winnow_fingerprints",
 )
 
 

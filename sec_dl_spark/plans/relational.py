@@ -3425,3 +3425,102 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("cv"),
     ).orderBy("key_name")
+
+
+@query(
+    "join_basket_lift",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM d GROUP BY l_partkey),
+    pr AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sc AS (
+      SELECT p1, p2, n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+             (round(CAST(n_ab AS DOUBLE) * n_orders / (ca.n_p * cb.n_p)
+                    + 1e-9, 6) + 0.0) AS lift,
+             (round(CAST(n_ab AS DOUBLE) / ca.n_p + 1e-9, 6) + 0.0)
+               AS confidence
+      FROM pr JOIN pc ca ON pr.p1 = ca.l_partkey
+              JOIN pc cb ON pr.p2 = cb.l_partkey, n)
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(n_ab AS BIGINT) AS n_both,
+           CAST(n_a AS BIGINT) AS n_p1, CAST(n_b AS BIGINT) AS n_p2,
+           lift, confidence
+    FROM sc ORDER BY n_both DESC, lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order lines: the top-20
+    co-purchased part pairs by support, scored with lift
+    (P(a,b)/(P(a)P(b)) over orders) and confidence (P(b|a)) — the
+    classic affinity table behind "frequently bought together". The
+    pair space is generated by a SELF-JOIN CO-LOCATED ON l_orderkey
+    (both sides shuffle on the same key, so every pair materializes
+    inside one partition) and is quadratic only in ORDER WIDTH (<= 13
+    lines here, bounded by basket size however large the fact table
+    grows), never in corpus size. Part supports ride a second
+    part-keyed aggregate joined back by key; the order total is a
+    1-row broadcast. Exact integer counts in, deterministic divisions
+    out; ties break on (support desc, lift desc, p1, p2)."""
+    d = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = d.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = d.alias("a"), d.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sc = (
+        pr.join(
+            pc.select(
+                F.col("l_partkey").alias("p1"), F.col("n_p").alias("n_a")
+            ),
+            "p1",
+        )
+        .join(
+            pc.select(
+                F.col("l_partkey").alias("p2"), F.col("n_p").alias("n_b")
+            ),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        sc.select(
+            F.col("p1").cast("long").alias("p1"),
+            F.col("p2").cast("long").alias("p2"),
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_p1"),
+            F.col("n_b").cast("long").alias("n_p2"),
+            rz6(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+            rz6(F.col("n_ab").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+        )
+        .orderBy(
+            F.col("n_both").desc(), F.col("lift").desc(), "p1", "p2"
+        )
+        .limit(20)
+    )

@@ -2127,3 +2127,145 @@ def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz6(F.col("s")).alias("gap"),
     )
     return bins.unionByName(ece).orderBy("bin_id")
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    vc AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+    vw AS (
+      SELECT event_type, c, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vc),
+    med AS (
+      SELECT event_type, max(n) AS n,
+             (CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS DOUBLE)
+              + min(CASE WHEN cum >= n // 2 + 1 THEN c END)) / 2.0 AS m
+      FROM vw GROUP BY event_type),
+    dv AS (
+      SELECT vc.event_type, abs(CAST(vc.c AS DOUBLE) - med.m) AS dval,
+             vc.cnt
+      FROM vc JOIN med USING (event_type)),
+    dvc AS (
+      SELECT event_type, dval, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM dv GROUP BY 1, 2),
+    dw AS (
+      SELECT event_type, dval, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY dval) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM dvc),
+    mad AS (
+      SELECT event_type,
+             (min(CASE WHEN cum >= (n + 1) // 2 THEN dval END)
+              + min(CASE WHEN cum >= n // 2 + 1 THEN dval END)) / 2.0 AS mad
+      FROM dw GROUP BY event_type),
+    fin AS (
+      SELECT vc.event_type, vc.cnt, med.n, med.m, mad.mad,
+             CASE WHEN mad.mad = 0 THEN NULL
+                  ELSE 0.6745 * (vc.c - med.m) / mad.mad END AS z
+      FROM vc JOIN med USING (event_type) JOIN mad USING (event_type))
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           (round(max(m) / 100.0 + 1e-9, 6) + 0.0) AS median_value,
+           (round(max(mad) / 100.0 + 1e-9, 6) + 0.0) AS mad_value,
+           CAST(coalesce(sum(cnt) FILTER (abs(z) > 3.5), 0) AS BIGINT)
+             AS n_outliers,
+           (round(max(abs(z)) + 1e-9, 6) + 0.0) AS max_abs_z
+    FROM fin GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: exact median and MAD (median
+    absolute deviation) of `value`, the modified z-score
+    0.6745·(v−med)/MAD, and the count of |z| > 3.5 rows — the
+    Iglewicz-Hodge screen that survives the heavy tails a mean/stddev
+    z-score is wrecked by. BOTH medians are computed in VALUE SPACE:
+    one aggregate reduces events to a (type, cents, cnt) table (pinned —
+    it feeds the median, the MAD, and the final fold), and the type-7
+    interpolated median falls out of cumulative counts over DISTINCT
+    values ((a+b)/2 of the two middle ranks, exact on integer cents) —
+    so windows and joins touch frames bounded by value cardinality,
+    never row count, and the raw events are scanned exactly once
+    however large the stream (the exact_percentiles strategy). A
+    MAD = 0 type (>=50% identical values) short-circuits z to NULL /
+    outliers to 0 identically on both engines."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c")
+    )
+    vc = pin(e.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("cnt")))
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    vw = vc.withColumn("cum", F.sum("cnt").over(wv)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    med = vw.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (
+            (
+                F.min(F.when(F.col("cum") >= lo, F.col("c"))).cast("double")
+                + F.min(F.when(F.col("cum") >= hi, F.col("c")))
+            )
+            / 2.0
+        ).alias("m"),
+    )
+    dv = vc.join(F.broadcast(med.select("event_type", "m")), "event_type").select(
+        "event_type",
+        F.abs(F.col("c").cast("double") - F.col("m")).alias("dval"),
+        "cnt",
+    )
+    dvc = dv.groupBy("event_type", "dval").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    wv2 = (
+        Window.partitionBy("event_type")
+        .orderBy("dval")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dw = dvc.withColumn("cum", F.sum("cnt").over(wv2)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    mad = dw.groupBy("event_type").agg(
+        (
+            (
+                F.min(F.when(F.col("cum") >= lo, F.col("dval")))
+                + F.min(F.when(F.col("cum") >= hi, F.col("dval")))
+            )
+            / 2.0
+        ).alias("mad")
+    )
+    fin = (
+        vc.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "z",
+            F.when(F.col("mad") == 0, F.lit(None).cast("double")).otherwise(
+                F.lit(0.6745) * (F.col("c") - F.col("m")) / F.col("mad")
+            ),
+        )
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        fin.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            rz6(F.max("m") / 100.0).alias("median_value"),
+            rz6(F.max("mad") / 100.0).alias("mad_value"),
+            F.coalesce(
+                F.sum(F.when(F.abs(F.col("z")) > 3.5, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            rz6(F.max(F.abs(F.col("z")))).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -1213,3 +1213,80 @@ def test_dedup_yield_planted_clusters(spark, tmp_path):
     ] == [(1, 5, 4, 4), (2, 3, 2, 6), (3, 2, 1, 7)]
     assert [r["cum_share_dupes"] for r in out] == [0.571429, 0.857143, 1.0]
     assert [r["cum_share_corpus"] for r in out] == [0.285714, 0.428571, 0.5]
+
+
+def test_basket_lift_planted_pairs(spark, tmp_path):
+    """Association semantics pinned: parts 1,2 co-occur in 4 of 10
+    orders (part 1 in 6, part 2 in 4) giving lift 4·10/(6·4) = 5/3 and
+    confidence 4/6; a pair seen once falls under min-support and a part
+    that never pairs never appears. Minimal-column parquet (the query
+    prunes to orderkey/partkey)."""
+    rows = []
+    for o in range(1, 5):  # orders 1-4: parts 1+2 together
+        rows += [(o, 1), (o, 2)]
+    rows += [(5, 1), (5, 4)]  # pair (1,4) support 1 -> excluded
+    rows += [(6, 1)]  # part 1 alone
+    for o in range(7, 11):  # orders 7-10: part 3 alone
+        rows.append((o, 3))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+
+    out = load_all()["join_basket_lift"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p1"], r["p2"], r["n_both"], r["n_p1"], r["n_p2"]) == (1, 2, 4, 6, 4)
+    assert r["lift"] == 1.666667 and r["confidence"] == 0.666667
+
+
+def test_mad_outliers_planted(spark, tmp_path):
+    """Modified-z semantics pinned: for values 10.00×5 / 12.00×5 /
+    100.00×1 the exact median is 12.00, MAD 2.00, and only the 100.00
+    row crosses |z| > 3.5 (z = 0.6745·8800/200 = 29.678); a constant
+    column has MAD 0 and must short-circuit to zero outliers with a
+    NULL max-z rather than a divide-by-zero."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for v in [10.0] * 5 + [12.0] * 5 + [100.0]:
+        rows.append((eid, base, eid, "t", v, "{}")); eid += 1
+    for _ in range(6):
+        rows.append((eid, base, eid, "z", 5.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["event_type"]: r
+        for r in load_all()["events_mad_outliers"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    tt, zz = out["t"], out["z"]
+    assert (tt["n_events"], tt["median_value"], tt["mad_value"]) == (11, 12.0, 2.0)
+    assert tt["n_outliers"] == 1 and tt["max_abs_z"] == 29.678
+    assert (zz["median_value"], zz["mad_value"]) == (5.0, 0.0)
+    assert zz["n_outliers"] == 0 and zz["max_abs_z"] is None
+
+
+def test_coverage_score_planted_geometry(spark, tmp_path):
+    """Coverage objective pinned on a 1-hot geometry: anchors e1/e2
+    (vec_id 0 and 20), corpus {e1, e2, e1-copy, e3} -> per-vector best
+    sims (1, 1, 1, 0), mean 0.75, min 0, 3/4 covered at >= 0.25."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (20, [0.0, 1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = load_all()["emb_coverage_score"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_corpus"], r["k_selected"]) == (4, 2)
+    assert r["mean_max_sim"] == 0.75
+    assert r["min_max_sim"] == 0.0 and r["frac_ge_025"] == 0.75

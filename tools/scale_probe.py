@@ -191,6 +191,14 @@ PROBE = [
     "events_kaplan_meier",
     "events_score_calibration",
     "corpus_dedup_yield",
+    # r10 fifth batch. Scale shapes to verify: basket-lift's pair blowup
+    # is quadratic in basket width (<= 13) inside the orderkey-co-located
+    # join; MAD runs on the value-space (type, cents, cnt) frame after
+    # ONE events scan; coverage is a constant-k broadcast blowup folded
+    # by same-stage partial max.
+    "join_basket_lift",
+    "events_mad_outliers",
+    "emb_coverage_score",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
