@@ -2269,3 +2269,91 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_sprt_monitor",
+    oracle="""
+    WITH tday AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             count(*) FILTER (event_type = 'purchase') AS conv
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+    c AS (
+      SELECT day,
+             sum(n) OVER (ORDER BY day) AS cum_n,
+             sum(conv) OVER (ORDER BY day) AS cum_conv
+      FROM tday),
+    l AS (
+      SELECT day, cum_n, cum_conv,
+             (round(cum_conv * ln(0.22 / 0.18)
+                    + (cum_n - cum_conv) * ln(0.78 / 0.82)
+                    + 1e-9, 6) + 0.0) AS llr
+      FROM c)
+    SELECT day,
+           CAST(cum_n AS BIGINT) AS cum_trials,
+           CAST(cum_conv AS BIGINT) AS cum_conversions,
+           llr,
+           CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS verdict
+    FROM l ORDER BY day
+    """,
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test over the treatment arm
+    (user_id % 2 = 1): the running log-likelihood ratio of conversion
+    rate p1 = 0.22 vs p0 = 0.18 (the pre-registered design), with the
+    day the trajectory first crosses ln 19 / −ln 19 (α = β = 0.05) —
+    the monitor that lets an experiment STOP EARLY instead of waiting
+    for the fixed-horizon Welch/Mann-Whitney readouts this catalog
+    already carries. One scan reduces the arm to day-level (n, conv)
+    counts; the cumulative window runs over the DAY frame only
+    (observation span, never event count), and the LLR is exact
+    integer counts times two engine-identical ln constants, so the
+    verdict column is deterministic cross-engine (the CASE compares
+    the 1e-6-rounded llr)."""
+    tday = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 2 == 1)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("conv"),
+        )
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = tday.select(
+        "day",
+        F.sum("n").over(wd).alias("cum_n"),
+        F.sum("conv").over(wd).alias("cum_conv"),
+    )
+    llr = (
+        F.round(
+            F.col("cum_conv") * F.log(F.lit(0.22) / F.lit(0.18))
+            + (F.col("cum_n") - F.col("cum_conv"))
+            * F.log(F.lit(0.78) / F.lit(0.82))
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    thr = F.log(F.lit(19.0))
+    out = c.withColumn("llr", llr)
+    return (
+        out.select(
+            "day",
+            F.col("cum_n").cast("long").alias("cum_trials"),
+            F.col("cum_conv").cast("long").alias("cum_conversions"),
+            "llr",
+            F.when(F.col("llr") >= thr, F.lit("accept_h1"))
+            .when(F.col("llr") <= -thr, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("verdict"),
+        )
+        .orderBy("day")
+    )

@@ -4913,3 +4913,119 @@ def emb_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_ge_025"
         ),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+    dtiles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i*8+1 : i*8+8], ' ') AS passage
+      FROM tk, UNNEST(range(CAST(len(toks) // 8 AS BIGINT))) AS u(i)),
+    shared AS (SELECT passage FROM dtiles GROUP BY passage
+               HAVING count(*) BETWEEN 2 AND 20),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM dtiles a
+      JOIN shared USING (passage)
+      JOIN dtiles b ON a.passage = b.passage AND a.doc_id < b.doc_id),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY id),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg)
+    SELECT n_nodes, n_edges,
+           CAST(n_tri AS BIGINT) AS n_triangles, n_wedges,
+           (round(CASE WHEN n_wedges = 0 THEN 0.0
+                       ELSE 3.0 * n_tri / n_wedges END + 1e-9, 6) + 0.0)
+             AS global_clustering
+    FROM agg, tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the shared-passage duplication graph (same
+    posting-keyed edge generation as graph_pagerank_neardup): triangle
+    count, wedge count (Σ d(d−1)/2), and the global clustering
+    coefficient 3·T/W — the transitivity readout that separates a
+    corpus of tight duplicate cliques (clustering → 1, clusters are
+    safe to collapse to one canonical doc) from chain-like passage
+    reuse (clustering → 0, collapse would over-merge). Triangles
+    enumerate through the ORDERED edge list (u < v): e(a,b) ⋈ e(b,c)
+    ⋈ e(a,c) counts each triangle exactly once, and because near-dup
+    components are df-capped (passages shared by 2-20 docs) the join
+    fanout per vertex is bounded by cluster width; at open-web scale
+    the standard refinement — orient edges low→high (degree, id) so
+    fanout is capped by max OUT-degree ~ sqrt(m) — composes on the
+    same frames. Everything downstream of the edge list is
+    integer-exact."""
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
+    dtiles = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 8 - 1), "
+                "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+            )
+        ).alias("passage"),
+    ).distinct()
+    shared = (
+        dtiles.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= 20))
+        .select("passage")
+    )
+    a = dtiles.join(shared, "passage").alias("a")
+    b = dtiles.join(shared, "passage").alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.passage") == F.col("b.passage"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return agg.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        "n_wedges",
+        rz6(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                F.lit(3.0) * F.col("n_tri") / F.col("n_wedges")
+            )
+        ).alias("global_clustering"),
+    )

@@ -1290,3 +1290,63 @@ def test_coverage_score_planted_geometry(spark, tmp_path):
     assert (r["n_corpus"], r["k_selected"]) == (4, 2)
     assert r["mean_max_sim"] == 0.75
     assert r["min_max_sim"] == 0.0 and r["frac_ge_025"] == 0.75
+
+
+def test_triangle_count_planted_clique_and_chainless_edge(spark, tmp_path):
+    """Census pinned on a planted graph: three docs sharing one aligned
+    8-token tile form a K3 (1 triangle, 3 wedges, clustering 1.0), two
+    docs sharing another tile add an edge but no wedge, and a doc with
+    no shared tile never enters the graph."""
+    common1 = "alpha beta gamma delta epsilon zeta eta theta"
+    common2 = "one two three four five six seven eight"
+    mk = lambda i: " ".join(f"u{i}w{j}" for j in range(8))  # noqa: E731
+    docs = [
+        (0, f"{common1} {mk(0)}", "en", "s", 1),
+        (1, f"{common1} {mk(1)}", "en", "s", 1),
+        (2, f"{common1} {mk(2)}", "en", "s", 1),
+        (3, f"{common2} {mk(3)}", "en", "s", 1),
+        (4, f"{common2} {mk(4)}", "en", "s", 1),
+        (5, f"{mk(5)} {mk(6)}", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = load_all()["graph_triangle_count"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["n_wedges"]) == (5, 4, 1, 3)
+    assert r["global_clustering"] == 1.0
+
+
+def test_sprt_monitor_crosses_threshold_cumulatively(spark, tmp_path):
+    """Wald boundary semantics pinned: 10 treatment conversions/day give
+    llr = 10·ln(0.22/0.18) ≈ 2.0067 (continue) after day 1 and ≈ 4.0134
+    (accept_h1, past ln 19 ≈ 2.9444) after day 2 — and control-arm
+    (even user_id) events must not leak into the trajectory."""
+    import datetime as dt
+    import math
+
+    import pytest as _pt
+
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    rows, eid = [], 0
+    for day in (d1, d2):
+        for _ in range(10):  # treatment arm: all conversions
+            rows.append((eid, day, 1, "purchase", 1.0, "{}")); eid += 1
+    for _ in range(50):  # control arm noise that must be ignored
+        rows.append((eid, d1, 2, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_sprt_monitor"].spark_fn(spark, str(tmp_path)).collect()
+    assert [(r["cum_trials"], r["cum_conversions"], r["verdict"]) for r in out] == [
+        (10, 10, "continue"),
+        (20, 20, "accept_h1"),
+    ]
+    step = math.log(0.22 / 0.18)
+    assert out[0]["llr"] == _pt.approx(10 * step, abs=1e-5)
+    assert out[1]["llr"] == _pt.approx(20 * step, abs=1e-5)
