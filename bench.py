@@ -189,6 +189,12 @@ HEADLINE = [
     "join_basket_lift",
     "events_mad_outliers",
     "emb_coverage_score",
+    # sixth r10 batch: the Wald SPRT early-stop monitor (day-granular
+    # cumulative LLR — window over the observation span only) and the
+    # triangle census of the shared-passage graph (ordered-edge
+    # enumeration, df-capped fanout)
+    "events_sprt_monitor",
+    "graph_triangle_count",
 ]
 
 

@@ -4985,7 +4985,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = dtiles.join(shared, "passage").alias("a")
     b = dtiles.join(shared, "passage").alias("b")
-    edges = (
+    # pin the edge list: deg + the three triangle-join aliases are FOUR
+    # plan branches off this frame — unpinned, each re-runs the tokenize
+    # + explode + distinct + posting join over the full corpus (4× the
+    # only text-sized stage). The pinned frame is edge-sized, never
+    # corpus-sized.
+    edges = pin(
         a.join(
             b,
             (F.col("a.passage") == F.col("b.passage"))

@@ -199,6 +199,12 @@ PROBE = [
     "join_basket_lift",
     "events_mad_outliers",
     "emb_coverage_score",
+    # r10 sixth batch. Scale shapes to verify: SPRT's only window runs
+    # over the day-granular cumulative frame (observation span, never
+    # event count); triangle census joins the ORDERED df-capped edge
+    # list against itself twice (fanout bounded by cluster width).
+    "events_sprt_monitor",
+    "graph_triangle_count",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
