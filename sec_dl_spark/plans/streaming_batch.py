@@ -2357,3 +2357,261 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    tt AS (
+      SELECT user_id, event_type, ts AS tts
+      FROM events WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT p.pid, tt.event_type
+      FROM p JOIN tt ON p.user_id = tt.user_id
+       AND tt.tts <= p.pts AND tt.tts > p.pts - INTERVAL 7 DAY),
+    w AS (
+      SELECT pid, event_type,
+             count(*) OVER (PARTITION BY pid) AS n_touch
+      FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT pid) AS BIGINT) AS touched_purchases,
+           (round(sum(1.0 / n_touch) + 1e-9, 6) + 0.0) AS credit
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes one
+    unit of credit equally across the user's touch events (any
+    non-purchase type) in the 7 days up to and including the purchase;
+    the readout is credit / touch volume / purchases-reached per touch
+    type — the budget-allocation table first/last-touch models bias and
+    this one doesn't. Scale shape: the only big exchange co-locates
+    both sides on user_id (purchases and touches of one user land
+    together; the interval predicate prunes inside the join), the
+    per-purchase touch count is a PURCHASE-KEYED window (frame bounded
+    by one user's 7-day touch fan-in, never corpus-sized), and the
+    credit fold is an event_type-keyed aggregate over the join output.
+    Credit terms are exact rationals 1/n summed as doubles —
+    accumulation error ~1e-12 against the 1e-6 round."""
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    tt = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts").alias("tts")
+    )
+    j = p.join(
+        tt,
+        (p.user_id == tt.user_id)
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "event_type")
+    w = j.withColumn("n_touch", F.count(F.lit(1)).over(Window.partitionBy("pid")))
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.count_distinct(F.col("pid")).cast("long").alias("touched_purchases"),
+            rz(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias("credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS fv
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.fv
+      GROUP BY e.user_id),
+    dur AS (
+      SELECT CAST((epoch_us(fp.fp) - epoch_us(fv.fv)) // 60000000 AS BIGINT)
+               AS m
+      FROM fv JOIN fp ON fv.user_id = fp.user_id),
+    vc AS (
+      SELECT m, count(*) AS cnt FROM dur GROUP BY m),
+    cum AS (
+      SELECT m, sum(cnt) OVER (ORDER BY m) AS cum FROM vc),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM fv) AS BIGINT) AS n_viewers,
+             CAST(count(*) AS BIGINT) AS n_converted,
+             CAST(sum(m) AS BIGINT) AS sum_m
+      FROM dur)
+    SELECT n_viewers, n_converted,
+           (round(CAST(n_converted AS DOUBLE) / nullif(n_viewers, 0)
+                  + 1e-9, 6) + 0.0) AS conversion_rate,
+           (SELECT min(m) FROM cum, tot
+             WHERE cum >= (n_converted + 1) // 2) AS median_minutes,
+           (SELECT min(m) FROM cum, tot
+             WHERE cum >= (9 * n_converted + 9) // 10) AS p90_minutes,
+           (round(CAST(sum_m AS DOUBLE) / nullif(n_converted, 0)
+                  + 1e-9, 6) + 0.0) AS mean_minutes
+    FROM tot
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel latency: minutes between each user's FIRST
+    view and their first purchase at-or-after it, summarized as
+    conversion rate, exact nearest-rank median and p90, and the exact
+    mean — the latency table that decides remarketing windows. Scale
+    shape: two user-keyed aggregates (first view, first qualifying
+    purchase — co-partitioned join, no window over raw events), then
+    all statistics come off the DISTINCT-MINUTE frame: the cumulative
+    window orders the value space (bounded by the latency range in
+    minutes), never user rows, and the nearest-rank picks
+    (ceil(q*n) via integer (q*n + q') // d) are conditional mins — the
+    same value-space percentile plan events_rolling_median and
+    events_mad_outliers use. The mean divides two exact integers
+    once."""
+    e = t(spark, sf_dir, "events")
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    dur = fv.join(fp, "user_id").select(
+        F.expr("(unix_micros(fp) - unix_micros(fv)) div 60000000").alias("m")
+    )
+    # value-space frame: distinct minute values with cumulative counts
+    dur = pin(dur)
+    vc = dur.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = vc.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_viewers = fv.agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
+    tot = dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum("m").cast("long").alias("sum_m"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    ranks = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n_converted + 1) div 2"), F.col("m")
+            )
+        ).alias("median_minutes"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(9 * n_converted + 9) div 10"),
+                F.col("m"),
+            )
+        ).alias("p90_minutes"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(n_viewers))
+        .crossJoin(F.broadcast(ranks))
+        .select(
+            "n_viewers",
+            "n_converted",
+            rz(
+                F.col("n_converted").cast("double")
+                / F.nullif(F.col("n_viewers"), F.lit(0)),
+                6,
+            ).alias("conversion_rate"),
+            "median_minutes",
+            "p90_minutes",
+            rz(
+                F.col("sum_m").cast("double")
+                / F.nullif(F.col("n_converted"), F.lit(0)),
+                6,
+            ).alias("mean_minutes"),
+        )
+    )
+
+
+@query(
+    "events_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dw AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-05', day) % 7 AS BIGINT)
+               AS dow,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM d GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(n_events) AS BIGINT) AS tot_events,
+             CAST(sum(n_days) AS BIGINT) AS tot_days
+      FROM dw GROUP BY 1)
+    SELECT dw.event_type AS event_type, dow, n_events, n_days,
+           (round((CAST(n_events AS DOUBLE) / n_days)
+                  / (CAST(tot_events AS DOUBLE) / tot_days) + 1e-9, 6) + 0.0)
+             AS seasonal_index
+    FROM dw JOIN tot ON dw.event_type = tot.event_type
+    ORDER BY event_type, dow
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: (avg daily volume on
+    this weekday) / (avg daily volume overall) — the profile that
+    separates weekday-peaking business metrics from flat system noise,
+    and the denominator the CUSUM/trend monitors need to de-season
+    their inputs. dow is computed as days-since-a-known-Monday mod 7
+    (0=Monday) so both engines agree without locale-dependent weekday
+    functions. Scale shape: ONE events scan reduces to the
+    (type, day) frame; the weekday and total aggregates are two
+    branches off that pinned day-granular frame (types × days rows,
+    never event-sized), and the index is one division per output
+    row."""
+    e = t(spark, sf_dir, "events")
+    d = pin(
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    dw = d.groupBy(
+        "event_type",
+        (F.datediff(F.col("day"), F.lit("1970-01-05")) % 7)
+        .cast("long")
+        .alias("dow"),
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    tot = dw.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("tot_events"),
+        F.sum("n_days").cast("long").alias("tot_days"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        dw.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            "n_days",
+            rz(
+                (F.col("n_events").cast("double") / F.col("n_days"))
+                / (F.col("tot_events").cast("double") / F.col("tot_days")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -5034,3 +5034,99 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("global_clustering"),
     )
+
+
+@query(
+    "emb_bucket_cohesion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nv
+      FROM e),
+    ok AS (
+      SELECT vec_id, v, nv,
+             (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+      FROM nrm WHERE nv > 0),
+    dims AS (
+      SELECT bucket, generate_subscripts(v, 1) AS d, unnest(v) AS x, nv
+      FROM ok),
+    s AS (
+      SELECT bucket, d, sum(x / nv) AS sd
+      FROM dims GROUP BY bucket, d),
+    ssq AS (
+      SELECT bucket, sum(sd * sd) AS s2 FROM s GROUP BY bucket),
+    cnt AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM ok GROUP BY bucket)
+    SELECT CAST(cnt.bucket AS BIGINT) AS bucket, n,
+           {rz_sql('(s2 - n) / (n * (n - 1.0))', nudge='1e-8')}
+             AS mean_pairwise_cosine
+    FROM cnt JOIN ssq ON cnt.bucket = ssq.bucket
+    WHERE n >= 2
+    ORDER BY bucket
+    """,
+)
+def emb_bucket_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion audit of sign-bit LSH buckets (first 8 hyperplane signs —
+    the deterministic stand-in for random projections): per bucket, the
+    EXACT mean pairwise cosine of its unit vectors via the moment
+    identity mean = (||Σv̂||² − n) / (n(n−1)) — Σ_{i,j} v̂_i·v̂_j expands
+    to n self-dots plus twice the pairwise sum, so the per-bucket
+    elementwise vector sum is sufficient and NO pair is ever
+    enumerated. That makes bucket quality (are candidates inside a
+    bucket actually similar? how big is the skew-prone bucket?) an
+    O(n·d) aggregate instead of the O(n²) audit it naively is — the
+    readout that tunes bucket bit-width before committing an ANN index
+    layout at scale. Scale shape: one posexplode to (bucket, dim)
+    partial sums (map-side combine does most of the work), a
+    bucket-keyed fold of d rows each, and a bucket-count frame —
+    everything after the scan is ≤ 256·d rows."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = e.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nv"),
+    ).where(F.col("nv") > 0)
+    bucket = sum(
+        F.when(F.element_at("v", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(8)
+    )
+    ok = nrm.select(bucket.cast("long").alias("bucket"), "v", "nv")
+    dims = ok.select(
+        "bucket", F.posexplode("v").alias("d", "x"), "nv"
+    )
+    s = dims.groupBy("bucket", "d").agg(
+        F.sum(F.col("x") / F.col("nv")).alias("sd")
+    )
+    ssq = s.groupBy("bucket").agg(F.sum(F.col("sd") * F.col("sd")).alias("s2"))
+    cnt = ok.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        cnt.join(ssq, "bucket")
+        .where(F.col("n") >= 2)
+        .select(
+            "bucket",
+            "n",
+            rz(
+                (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - 1.0)),
+                nudge=1e-8,
+            ).alias("mean_pairwise_cosine"),
+        )
+        .orderBy("bucket")
+    )

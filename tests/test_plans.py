@@ -1350,3 +1350,128 @@ def test_sprt_monitor_crosses_threshold_cumulatively(spark, tmp_path):
     step = math.log(0.22 / 0.18)
     assert out[0]["llr"] == _pt.approx(10 * step, abs=1e-5)
     assert out[1]["llr"] == _pt.approx(20 * step, abs=1e-5)
+
+
+def test_attribution_linear_splits_credit_equally(spark, tmp_path):
+    """Planted funnel: a purchase with two touches inside the 7-day
+    lookback gives each touch type 0.5 credit; a touch older than 7
+    days and another user's touch must contribute nothing; a purchase
+    with no eligible touches never appears."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 10, 12)
+    rows = [
+        # user 1: click (-2d) + view (-1d) then purchase -> 0.5 each
+        (0, base - dt.timedelta(days=2), 1, "click", 1.0, "{}"),
+        (1, base - dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (2, base, 1, "purchase", 9.0, "{}"),
+        # user 1: click 8 days before -> outside the lookback
+        (3, base - dt.timedelta(days=8), 1, "click", 1.0, "{}"),
+        # user 2: touch but no purchase
+        (4, base, 2, "view", 1.0, "{}"),
+        # user 3: purchase with no touches -> unattributed, absent
+        (5, base, 3, "purchase", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["event_type"]: r
+        for r in load_all()["events_attribution_linear"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"click", "view"}
+    assert out["click"]["credit"] == 0.5 and out["view"]["credit"] == 0.5
+    assert out["click"]["n_touches"] == 1
+    assert out["click"]["touched_purchases"] == 1
+
+
+def test_time_to_convert_nearest_rank_and_censoring(spark, tmp_path):
+    """Planted latencies: three converters at 10/20/30 minutes after
+    their first view (median=20 = rank ceil(1.5)=2, p90=30 = rank
+    ceil(2.7)=3), one viewer who never purchases (counted in n_viewers
+    only), and one whose purchase PRECEDES the first view (censored —
+    not a conversion)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 5, 1, 9)
+    mk = lambda i, m, u, t: (i, b + dt.timedelta(minutes=m), u, t, 1.0, "{}")  # noqa: E731
+    rows = [
+        mk(0, 0, 1, "view"), mk(1, 10, 1, "purchase"),
+        mk(2, 0, 2, "view"), mk(3, 20, 2, "purchase"),
+        mk(4, 0, 3, "view"), mk(5, 30, 3, "purchase"),
+        mk(6, 0, 4, "view"),                       # never converts
+        mk(7, -5, 5, "purchase"), mk(8, 0, 5, "view"),  # purchase before view
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = load_all()["events_time_to_convert"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_viewers"], r["n_converted"]) == (5, 3)
+    assert r["conversion_rate"] == 0.6
+    assert (r["median_minutes"], r["p90_minutes"]) == (20, 30)
+    assert r["mean_minutes"] == 20.0
+
+
+def test_dow_seasonality_index_normalizes_to_one(spark, tmp_path):
+    """Planted fortnight: 'click' fires 30/day on the two Mondays and
+    10/day on the other twelve days -> Monday index 30/avg where
+    avg=(2*30+12*10)/14; a flat type indexes 1.0 on every weekday; dow
+    0 must be Monday (2024-03-04 is one)."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    start = dt.datetime(2024, 3, 4, 8)  # a Monday
+    for day in range(14):
+        d = start + dt.timedelta(days=day)
+        n_click = 30 if day % 7 == 0 else 10
+        for _ in range(n_click):
+            rows.append((eid, d, 1, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, d, 2, "error", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_dow_seasonality"].spark_fn(spark, str(tmp_path)).collect()
+    clicks = {r["dow"]: r for r in out if r["event_type"] == "click"}
+    errors = [r for r in out if r["event_type"] == "error"]
+    avg = (2 * 30 + 12 * 10) / 14
+    assert clicks[0]["n_events"] == 60 and clicks[0]["n_days"] == 2
+    assert clicks[0]["seasonal_index"] == round(30 / avg + 1e-9, 6)
+    assert clicks[1]["seasonal_index"] == round(10 / avg + 1e-9, 6)
+    assert len(errors) == 7 and all(r["seasonal_index"] == 1.0 for r in errors)
+
+
+def test_bucket_cohesion_moment_identity_is_exact(spark, tmp_path):
+    """Planted geometry: two identical unit vectors share a bucket ->
+    mean pairwise cosine 1.0; a vector and its near-opposite (first
+    component flipped) land in DIFFERENT buckets (sign bits differ), so
+    singleton buckets are filtered; two orthogonal vectors with equal
+    sign patterns give cosine 0.0."""
+    dim = 16
+    v_pos = [0.0] * dim
+    v_pos[1] = 1.0  # signs: all >=0 -> bucket 255
+    orth = [0.0] * dim
+    orth[9] = 1.0  # same sign bits (zeros count as >=0), orthogonal
+    v_neg = [0.0] * dim
+    v_neg[0] = -1.0  # first sign bit differs -> different bucket
+    rows = [(0, v_pos, 0), (1, list(v_pos), 0), (2, orth, 0), (3, v_neg, 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = load_all()["emb_bucket_cohesion"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # v_neg's bucket is a singleton -> filtered
+    r = out[0]
+    assert r["bucket"] == 255 and r["n"] == 3
+    # pairs: (v,v)=1, (v,orth)=0, (v,orth)=0 -> mean 1/3
+    assert r["mean_pairwise_cosine"] == round(1 / 3 + 1e-8, 4)
