@@ -195,6 +195,16 @@ HEADLINE = [
     # enumeration, df-capped fanout)
     "events_sprt_monitor",
     "graph_triangle_count",
+    # seventh r10 batch: linear multi-touch attribution (user-co-located
+    # interval join + purchase-keyed window), funnel time-to-convert
+    # (value-space nearest-rank percentiles), day-of-week seasonal index
+    # (two branches off the pinned day frame), and the LSH-bucket
+    # cohesion audit (exact mean pairwise cosine from the ||sum v||^2
+    # identity — O(n*d), no pair enumeration)
+    "events_attribution_linear",
+    "events_time_to_convert",
+    "events_dow_seasonality",
+    "emb_bucket_cohesion",
 ]
 
 

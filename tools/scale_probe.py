@@ -205,6 +205,15 @@ PROBE = [
     # list against itself twice (fanout bounded by cluster width).
     "events_sprt_monitor",
     "graph_triangle_count",
+    # r10 seventh batch. Scale shapes to verify: attribution's interval
+    # join is user-co-located with a purchase-keyed window; time-to-
+    # convert reduces to user-keyed firsts then the distinct-minute
+    # frame; seasonality aggregates the pinned (type, day) frame twice;
+    # bucket cohesion is one posexplode to (bucket, dim) partial sums.
+    "events_attribution_linear",
+    "events_time_to_convert",
+    "events_dow_seasonality",
+    "emb_bucket_cohesion",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
