@@ -3524,3 +3524,98 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_DRIFT_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+_drift_branches = "\n      UNION ALL\n".join(
+    f"""      SELECT '{c}' AS col, o_orderkey % 2 AS snap,
+             CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+      FROM orders GROUP BY 2"""
+    for c in _DRIFT_COLS
+)
+
+
+@query(
+    "dq_schema_drift",
+    oracle=f"""
+    WITH prof AS (
+{_drift_branches}),
+    piv AS (
+      SELECT col,
+             CAST(sum(CASE WHEN snap = 0 THEN n_null END) AS BIGINT)
+               AS null_a,
+             CAST(sum(CASE WHEN snap = 1 THEN n_null END) AS BIGINT)
+               AS null_b,
+             CAST(sum(CASE WHEN snap = 0 THEN n_distinct END) AS BIGINT)
+               AS distinct_a,
+             CAST(sum(CASE WHEN snap = 1 THEN n_distinct END) AS BIGINT)
+               AS distinct_b
+      FROM prof GROUP BY col)
+    SELECT col, null_a, null_b, distinct_a, distinct_b,
+           (round(CAST(distinct_b AS DOUBLE) / nullif(distinct_a, 0)
+                  + 1e-9, 6) + 0.0) AS distinct_ratio
+    FROM piv ORDER BY col
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two table snapshots (orderkey parity
+    stands in for yesterday/today): per column, null counts and distinct
+    cardinalities on each side plus their ratio — the audit that catches
+    an upstream schema or encoding change (a column going NULL-heavy, an
+    enum collapsing, an id column deduplicating) before it poisons
+    downstream joins. Scale shape: ONE fact scan computes every
+    column's per-snapshot profile in a single 2-row grouped aggregate
+    (count + count_distinct per column, all map-side partial), then a
+    bounded (n_cols-row) unpivot/pivot — the same one-aggregate fold
+    dq_profile_orders uses, never one scan per column."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "snap", F.col("o_orderkey") % 2
+    )
+    aggs = []
+    for c in _DRIFT_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"null__{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd__{c}"))
+    prof = o.groupBy("snap").agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', null__{c}, nd__{c}" for c in _DRIFT_COLS
+    )
+    melted = prof.select(
+        "snap",
+        F.expr(
+            f"stack({len(_DRIFT_COLS)}, {stack_expr}) "
+            "AS (col, n_null, n_distinct)"
+        ),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    piv = melted.groupBy("col").agg(
+        F.sum(F.when(F.col("snap") == 0, F.col("n_null"))).cast("long").alias("null_a"),
+        F.sum(F.when(F.col("snap") == 1, F.col("n_null"))).cast("long").alias("null_b"),
+        F.sum(F.when(F.col("snap") == 0, F.col("n_distinct")))
+        .cast("long")
+        .alias("distinct_a"),
+        F.sum(F.when(F.col("snap") == 1, F.col("n_distinct")))
+        .cast("long")
+        .alias("distinct_b"),
+    )
+    return piv.select(
+        "col",
+        "null_a",
+        "null_b",
+        "distinct_a",
+        "distinct_b",
+        rz(
+            F.col("distinct_b").cast("double")
+            / F.nullif(F.col("distinct_a"), F.lit(0)),
+            6,
+        ).alias("distinct_ratio"),
+    ).orderBy("col")

@@ -2615,3 +2615,63 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@query(
+    "events_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_users_a,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_users_b
+      FROM u)
+    SELECT n_users_a, n_users_b,
+           (round(CAST((n_users_a - n_users_b) * (n_users_a - n_users_b)
+                       AS DOUBLE)
+                  / nullif(n_users_a + n_users_b, 0) + 1e-9, 6) + 0.0)
+             AS chi2,
+           CASE WHEN CAST((n_users_a - n_users_b) * (n_users_a - n_users_b)
+                          AS DOUBLE)
+                     / nullif(n_users_a + n_users_b, 0) > 3.841459
+                THEN 'srm_detected' ELSE 'ok' END AS verdict
+    FROM arms
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the user_id-parity experiment
+    split the Welch / Mann-Whitney / SPRT readouts in this catalog all
+    assume: a chi-squared test that the USER (not event) counts per arm
+    match the designed 50/50 — for two equal-expectation cells the
+    statistic collapses to (a−b)²/(a+b), exact integers divided once,
+    compared against the 0.05 critical value 3.841. A failed SRM check
+    invalidates every downstream treatment-effect number, which is why
+    it runs first in any experiment-health pipeline. Scale shape: one
+    distinct-users aggregate (partial dedup map-side) feeding a 1-row
+    arithmetic projection."""
+    u = t(spark, sf_dir, "events").select("user_id").distinct()
+    arms = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_b"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    diff2 = (
+        (F.col("n_users_a") - F.col("n_users_b"))
+        * (F.col("n_users_a") - F.col("n_users_b"))
+    ).cast("double")
+    chi2 = diff2 / F.nullif(
+        F.col("n_users_a") + F.col("n_users_b"), F.lit(0)
+    )
+    return arms.select(
+        "n_users_a",
+        "n_users_b",
+        rz(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841459, F.lit("srm_detected"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )

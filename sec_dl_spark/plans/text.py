@@ -5130,3 +5130,75 @@ def emb_bucket_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "graph_component_histogram",
+    oracle=f"""
+    WITH RECURSIVE tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id),
+    hist AS (
+      SELECT CAST(sz AS BIGINT) AS component_size,
+             CAST(count(*) AS BIGINT) AS n_components,
+             CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY sz
+      UNION ALL
+      SELECT 1,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp),
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp))
+    SELECT component_size, n_components, n_docs
+    FROM hist WHERE n_components > 0 ORDER BY component_size
+    """,
+)
+def graph_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the near-dup graph (same ≥0.6-Jaccard
+    pair basis and pointer-jumping components as dedup_clusters), with
+    unclustered docs reported as size-1 components — the shape readout
+    that decides dedup strategy: a long tail of pairs dedups cheaply by
+    keep-best, a few giant components mean boilerplate/template families
+    that need passage-level treatment instead (collapsing them whole
+    would delete distinct documents). The oracle re-proves the
+    components through a recursive-CTE transitive closure, so the
+    histogram checks the FIXED POINT of a different algorithm. Scale
+    shape: everything after the (already candidate-bounded) pair
+    generation is cluster-table sized — two grouped counts and a 1-row
+    singleton complement off a pinned cluster frame."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.6)
+    comp = pin(dedup.duplicate_clusters(pairs))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy(F.col("sz").cast("long").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    n_total = d.agg(F.count(F.lit(1)).alias("nt"))
+    n_clustered = comp.agg(F.count(F.lit(1)).alias("nc"))
+    singles = (
+        n_total.crossJoin(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).cast("long").alias("component_size"),
+            (F.col("nt") - F.col("nc")).cast("long").alias("n_components"),
+            (F.col("nt") - F.col("nc")).cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .where(F.col("n_components") > 0)
+        .orderBy("component_size")
+    )

@@ -1475,3 +1475,85 @@ def test_bucket_cohesion_moment_identity_is_exact(spark, tmp_path):
     assert r["bucket"] == 255 and r["n"] == 3
     # pairs: (v,v)=1, (v,orth)=0, (v,orth)=0 -> mean 1/3
     assert r["mean_pairwise_cosine"] == round(1 / 3 + 1e-8, 4)
+
+
+def test_srm_check_flags_imbalanced_assignment(spark, tmp_path):
+    """Planted imbalance: 40 even-id vs 10 odd-id users gives
+    chi2 = (40-10)^2/50 = 18 > 3.841 -> srm_detected; repeated events
+    from one user must not inflate the arm counts (user grain, not
+    event grain)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for u in range(0, 80, 2):  # 40 even users
+        rows.append((eid, b, u, "click", 1.0, "{}")); eid += 1
+    for u in range(1, 20, 2):  # 10 odd users, 3 events each
+        for _ in range(3):
+            rows.append((eid, b, u, "view", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = load_all()["events_srm_check"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_users_a"], r["n_users_b"]) == (40, 10)
+    assert r["chi2"] == 18.0 and r["verdict"] == "srm_detected"
+
+
+def test_schema_drift_catches_collapsed_enum_and_new_nulls(spark, tmp_path):
+    """Planted drift: snapshot B (odd keys) collapses o_orderstatus to
+    one value (ratio 1/3) and introduces NULL o_custkey; stable columns
+    read ratio 1.0 and zero nulls on both sides."""
+    rows = []
+    for k in range(60):
+        status = ["O", "F", "P"][k % 3] if k % 2 == 0 else "O"
+        cust = None if (k % 2 == 1 and k % 4 == 1) else k % 10
+        rows.append((k, cust, status, 100.0 + k, "2024-01-01", "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {
+        r["col"]: r
+        for r in load_all()["dq_schema_drift"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 6
+    st = out["o_orderstatus"]
+    assert (st["distinct_a"], st["distinct_b"]) == (3, 1)
+    assert st["distinct_ratio"] == round(1 / 3 + 1e-9, 6)
+    ck = out["o_custkey"]
+    assert ck["null_a"] == 0 and ck["null_b"] == 15
+    assert out["o_orderpriority"]["distinct_ratio"] == 1.0
+
+
+def test_component_histogram_counts_singletons(spark, tmp_path):
+    """Planted graph: a 3-clique of near-identical docs, one exact pair,
+    and two unrelated docs -> histogram {3: 1 component, 2: 1 component,
+    1: 2 singletons} with n_docs column consistent."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base + " one", "s", "en", 1),
+        (1, base + " two", "s", "en", 1),
+        (2, base + " three", "s", "en", 1),
+        (3, "completely different words entirely here padding tokens more", "s", "en", 1),
+        (4, "completely different words entirely here padding tokens more", "s", "en", 1),
+        (5, "lonely document with its own vocabulary nothing shared at all", "s", "en", 1),
+        (6, "another isolated text speaking about unrelated topics only", "s", "en", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["component_size"]: r
+        for r in load_all()["graph_component_histogram"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[3]["n_components"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_components"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_components"] == 2 and out[1]["n_docs"] == 2
