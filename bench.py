@@ -205,6 +205,13 @@ HEADLINE = [
     "events_time_to_convert",
     "events_dow_seasonality",
     "emb_bucket_cohesion",
+    # eighth r10 batch: the SRM experiment-health gate (one distinct-user
+    # aggregate), the one-scan schema-drift profile (2-row grouped
+    # aggregate + bounded unpivot), and the near-dup component-size
+    # histogram (cluster-table-sized folds off the pinned components)
+    "events_srm_check",
+    "dq_schema_drift",
+    "graph_component_histogram",
 ]
 
 

@@ -214,6 +214,12 @@ PROBE = [
     "events_time_to_convert",
     "events_dow_seasonality",
     "emb_bucket_cohesion",
+    # r10 eighth batch. Scale shapes to verify: SRM is one distinct-user
+    # aggregate; schema drift is ONE fact scan into a 2-row aggregate;
+    # the component histogram's post-pair work is cluster-table sized.
+    "events_srm_check",
+    "dq_schema_drift",
+    "graph_component_histogram",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
