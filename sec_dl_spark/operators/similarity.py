@@ -77,6 +77,27 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two ARRAY<double> columns — the per-pair remainder of
+    :func:`cosine` once both sides carry precomputed norms (see
+    :func:`with_vec_norm`)."""
+    return _dot(a, b)
+
+
+def with_vec_norm(df, vec_col: str, vec_out: str = "vd", norm_out: str = "nrm"):
+    """Factored form of :func:`cosine` for pair-blowup plans: project the
+    double-cast vector and its L2 norm ONCE PER ROW, so after a join only
+    the dot fold runs per PAIR — ``dot(vd_a, vd_b) / (nrm_a * nrm_b)`` is
+    float-IDENTICAL to ``cosine(a, b)`` (same cast array, same norm fold,
+    same final expression; a norm is the same double wherever it is
+    computed), but the two norm folds and the element casts move out of
+    the O(pairs) stage into the O(rows) stage. On a k-way broadcast
+    blowup that is 3 array folds per pair down to 1."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.withColumn(vec_out, vd)
+    return out.withColumn(norm_out, _norm(F.col(vec_out)))
+
+
 def _require_small_queries(queries: DataFrame, max_queries: int) -> None:
     """Self-enforce the "queries are the small broadcast side" contract that
     every ANN entry point relies on before it ``F.broadcast``s or
@@ -112,17 +133,30 @@ def cosine_topk(
     rank).
     """
     _require_small_queries(queries, max_queries)
+    # factored cosine (with_vec_norm): casts + norm folds run once per
+    # ROW on each side, only the dot fold survives into the O(pairs)
+    # blowup — float-identical to cosine()
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        with_vec_norm(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            vec_col, vec_out="q_vec", norm_out="q_nrm",
+        ).select("query_id", "q_vec", "q_nrm")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = with_vec_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col, vec_out="c_vec", norm_out="c_nrm",
+    ).select("neighbor_id", "c_vec", "c_nrm")
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return per_query_topk(
@@ -359,17 +393,29 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # factored cosine: norms once per row on each vector frame, only the
+    # dot fold per candidate pair — float-identical to cosine()
     q_vecs = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        with_vec_norm(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            vec_col, vec_out="q_vec", norm_out="q_nrm",
+        ).select("query_id", "q_vec", "q_nrm")
     )
-    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c_vecs = with_vec_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col, vec_out="c_vec", norm_out="c_nrm",
+    ).select("neighbor_id", "c_vec", "c_nrm")
     scored = (
         cand.join(c_vecs, "neighbor_id")
         .join(q_vecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return per_query_topk(
@@ -484,9 +530,12 @@ def cosine_topk_ivf(
     k-means seed. Returns (query_id, neighbor_id, cosine_sim, rank)."""
     _require_small_queries(queries, max_queries)
     cells, centers = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
-    assigned = cells.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
-    )
+    # factored cosine: the corpus-side cast + norm fold run once per row
+    # at assignment time, not per candidate pair — float-identical
+    assigned = with_vec_norm(
+        cells.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col), "cell"),
+        vec_col, vec_out="c_vec", norm_out="c_nrm",
+    ).select("neighbor_id", "c_vec", "c_nrm", "cell")
 
     centroids = F.broadcast(
         corpus.sparkSession.createDataFrame(
@@ -494,19 +543,23 @@ def cosine_topk_ivf(
             "cell int, centroid array<double>",
         )
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = with_vec_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col, vec_out="q_vec", norm_out="q_nrm",
+    ).select("query_id", "q_vec", "q_nrm")
     probe_w = Window.partitionBy("query_id").orderBy(F.col("centroid_sim").desc(), F.col("cell"))
     probes = (
         q.crossJoin(centroids)
         .select(
             "query_id",
             "q_vec",
+            "q_nrm",
             "cell",
             cosine(F.col("q_vec"), F.col("centroid")).alias("centroid_sim"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .where(F.col("_pr") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "q_nrm", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -514,7 +567,11 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return per_query_topk(
@@ -572,11 +629,12 @@ def knn_isolation(
         from pyspark.sql.types import ArrayType, IntegerType
 
         cells, centers = _coarse_cells(df, id_col, vec_col, n_cells, seed)
-        assigned = cells.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            "cell",
-        )
+        # factored cosine: corpus-side cast + norm once per row at
+        # assignment time, not per candidate pair — float-identical
+        assigned = with_vec_norm(
+            cells.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col), "cell"),
+            vec_col, vec_out="c_vec", norm_out="c_nrm",
+        ).select("neighbor_id", "c_vec", "c_nrm", "cell")
         centers_np = np.asarray(centers, dtype=np.float64)
         p = min(n_probe, len(centers))
 
@@ -594,10 +652,14 @@ def knn_isolation(
             idx = np.argsort(d, axis=1)[:, :p]
             return pd.Series([row.astype("int32").tolist() for row in idx])
 
-        probes = df.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        probes = with_vec_norm(
+            df.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            vec_col, vec_out="q_vec", norm_out="q_nrm",
+        ).select(
+            "query_id",
+            "q_vec",
+            "q_nrm",
+            F.explode(probe_cells(F.col("q_vec"))).alias("cell"),
         )
         topk = per_query_topk(
             probes.join(assigned, "cell")
@@ -605,9 +667,11 @@ def knn_isolation(
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
-                    "cosine_sim"
-                ),
+                F.round(
+                    _dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_nrm") * F.col("c_nrm")),
+                    6,
+                ).alias("cosine_sim"),
             )
             # a vector sharing several probed cells with a neighbor
             # produces duplicate candidate rows; top-k over duplicates
@@ -844,12 +908,24 @@ def semantic_dedup(
         return out.select(
             F.col("vec_id").alias(id_col), "cell", "keep", "dup_of"
         )
-    left = assigned.select("cell", F.col("vec_id").alias("a"), F.col("vec").alias("va"))
-    right = assigned.select("cell", F.col("vec_id").alias("b"), F.col("vec").alias("vb"))
+    # factored cosine: cast + norm once per row, only the dot fold in the
+    # cell-quadratic pair stage — float-identical to cosine()
+    an = with_vec_norm(assigned, "vec", vec_out="_vd", norm_out="_nrm")
+    left = an.select(
+        "cell", F.col("vec_id").alias("a"),
+        F.col("_vd").alias("va"), F.col("_nrm").alias("na"),
+    )
+    right = an.select(
+        "cell", F.col("vec_id").alias("b"),
+        F.col("_vd").alias("vb"), F.col("_nrm").alias("nb"),
+    )
     dup_pairs = (
         left.join(right, "cell")
         .where(F.col("b") < F.col("a"))
-        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .where(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
         .groupBy("a")
         .agg(F.min("b").alias("dup_of"))
     )

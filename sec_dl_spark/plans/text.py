@@ -578,10 +578,20 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above 0.3, blocked by label
     (same blocking discipline as dedup_jaccard_pairs; 0.3 keeps the gate
     discriminative — the synthetic corpus tops out near cos 0.5)."""
-    e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
-    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    # factored cosine (similarity.with_vec_norm): cast + norm once per
+    # row, only the dot fold in the label-quadratic pair stage
+    en = similarity.with_vec_norm(
+        t(spark, sf_dir, "embeddings"), "embedding", vec_out="_vd", norm_out="_nrm"
+    )
+    a = en.select(
+        F.col("vec_id").alias("id_a"), F.col("_vd").alias("va"),
+        F.col("_nrm").alias("na"), "label",
+    )
+    b = en.select(
+        F.col("vec_id").alias("id_b"), F.col("_vd").alias("vb"),
+        F.col("_nrm").alias("nb"), "label",
+    )
+    sim = similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
@@ -1242,10 +1252,19 @@ def crossmodal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id ≡ doc_id in the fixtures) annotated with the same pair's
     textual 3-gram jaccard — the verify-candidates pattern: expensive exact
     text similarity runs ONLY on the vector-selected candidate set."""
-    e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
-    sim = similarity.cosine(F.col("va"), F.col("vb"))
+    # factored cosine: same float-identical factoring as emb_cosine_neardup
+    en = similarity.with_vec_norm(
+        t(spark, sf_dir, "embeddings"), "embedding", vec_out="_vd", norm_out="_nrm"
+    )
+    a = en.select(
+        F.col("vec_id").alias("id_a"), F.col("_vd").alias("va"),
+        F.col("_nrm").alias("na"), "label",
+    )
+    b = en.select(
+        F.col("vec_id").alias("id_b"), F.col("_vd").alias("vb"),
+        F.col("_nrm").alias("nb"), "label",
+    )
+    sim = similarity.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     cand = (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
@@ -4416,12 +4435,21 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH candidate generators exactly like emb_cosine_topk_{ivf,lsh};
     the band filter composes unchanged."""
     e = t(spark, sf_dir, "embeddings")
+    # factored cosine (similarity.with_vec_norm): casts + norm folds run
+    # once per ROW, only the dot fold survives into the O(pairs) stage —
+    # float-identical to cosine(), ~3x less per-pair array work
     q = F.broadcast(
-        e.where(F.col("vec_id") < 50).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
-        )
+        similarity.with_vec_norm(
+            e.where(F.col("vec_id") < 50).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            "embedding", vec_out="qv", norm_out="q_nrm",
+        ).drop("embedding")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    c = similarity.with_vec_norm(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "embedding", vec_out="cv", norm_out="c_nrm",
+    ).drop("embedding")
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -4429,7 +4457,9 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                similarity.cosine(F.col("q_vec"), F.col("c_vec")), 6
+                similarity.dot(F.col("qv"), F.col("cv"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
             ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") < 0.95)
@@ -4877,18 +4907,29 @@ def emb_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sims rounded at 1e-6 BEFORE max, so both engines rank and sum
     identical doubles)."""
     emb = t(spark, sf_dir, "embeddings")
-    s = emb.where(
-        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
-    ).select(F.col("vec_id").alias("sel_id"), F.col("embedding").alias("sv"))
+    # factored cosine (similarity.with_vec_norm): the corpus-side casts +
+    # norm folds run once per ROW before the k-way blowup, so per PAIR
+    # only the dot fold remains — float-identical to cosine()
+    s = similarity.with_vec_norm(
+        emb.where((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000))
+        .select(F.col("vec_id").alias("sel_id"), "embedding"),
+        "embedding", vec_out="sv", norm_out="s_nrm",
+    ).drop("embedding")
     k = s.agg(F.count(F.lit(1)).alias("k_selected"))
     m = (
-        emb.select("vec_id", F.col("embedding").alias("cv"))
+        similarity.with_vec_norm(
+            emb.select("vec_id", "embedding"),
+            "embedding", vec_out="cv", norm_out="c_nrm",
+        )
+        .drop("embedding")
         .crossJoin(F.broadcast(s))
         .select(
             "vec_id",
-            F.round(similarity.cosine(F.col("cv"), F.col("sv")), 6).alias(
-                "sim"
-            ),
+            F.round(
+                similarity.dot(F.col("cv"), F.col("sv"))
+                / (F.col("c_nrm") * F.col("s_nrm")),
+                6,
+            ).alias("sim"),
         )
         .groupBy("vec_id")
         .agg(F.max("sim").alias("mx"))

@@ -1884,3 +1884,140 @@ def test_streaming_psi_drift_monitor(spark, tmp_path_factory):
     assert scores["stable"]["n_current"] == scores["stable"]["n_reference"] == 300
     assert scores["stable"]["psi"] < 0.01
     assert scores["shifted"]["psi"] > 0.25
+
+
+def test_streaming_sprt_monitor_is_batching_invariant(spark, tmp_path_factory):
+    """Streaming SPRT gate (streaming/experiment.py): (1) the merged
+    (day, n, conv) view over micro-batched partials equals the one-shot
+    reduction EXACTLY (integer sum monoid); (2) the trajectory off the
+    merged partials is row-for-row the batch events_sprt_monitor result
+    on the same events — same LLR, same boundary verdicts — proving the
+    streaming twin computes the same monitor however the stream was
+    batched."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.plans.catalog import load_all
+    from sec_dl_spark.streaming.experiment import (
+        arm_day_counts,
+        incremental_sprt_sink,
+        read_arm_day_counts,
+        sprt_trajectory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2024, 7, 1, 9)
+    rows, eid = [], 0
+    for day in range(3):
+        d = base + dt.timedelta(days=day)
+        for i in range(30):  # treatment arm, 1/3 convert
+            rows.append(
+                (eid, d, 1, "purchase" if i % 3 == 0 else "view", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(20):  # control arm noise that must be excluded
+            rows.append((eid, d, 2, "purchase", 1.0, "{}"))
+            eid += 1
+
+    src = tmp_path_factory.mktemp("sprt_src")
+    for b in range(3):
+        spark.createDataFrame(rows[b::3], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b={b}")
+    sf_dir = str(tmp_path_factory.mktemp("sprt_table"))
+    full = spark.createDataFrame(rows, schema)
+    full.write.parquet(f"{sf_dir}/events.parquet")
+
+    out = str(tmp_path_factory.mktemp("sprt_out") / "counts")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    done = incremental_sprt_sink(
+        stream, out, str(tmp_path_factory.mktemp("sprt_ckpt")), run="r1"
+    ).awaitTermination(120)
+    assert done
+
+    merged = read_arm_day_counts(spark, out)
+    got = {str(r["day"]): (r["n"], r["conv"]) for r in merged.collect()}
+    want = {
+        str(r["day"]): (r["n"], r["conv"])
+        for r in arm_day_counts(full).collect()
+    }
+    assert got == want  # merge == recompute, exactly
+
+    stream_traj = [tuple(r) for r in sprt_trajectory(merged).collect()]
+    batch_traj = [
+        tuple(r)
+        for r in load_all()["events_sprt_monitor"].spark_fn(spark, sf_dir).collect()
+    ]
+    assert stream_traj == batch_traj and len(stream_traj) == 3
+
+
+def test_streaming_srm_gate_deduplicates_users_across_batches(
+    spark, tmp_path_factory
+):
+    """Streaming SRM gate: the same user appearing in EVERY micro-batch
+    must count once (HLL sketch partials, not count partials — the
+    sum-monoid shortcut would triple-count and mask/invent an SRM).
+    Planted 40-vs-10 user imbalance spread over 3 batches -> exact
+    sparse-mode estimates, chi2 = (40-10)^2/50 = 18, srm_detected."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.experiment import (
+        incremental_srm_sink,
+        srm_from_sketches,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    b0 = dt.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for rep in range(3):  # every user fires in every batch chunk
+        for u in range(0, 80, 2):  # 40 even users
+            rows.append((eid, b0, u, "click", 1.0, "{}")); eid += 1
+        for u in range(1, 20, 2):  # 10 odd users
+            rows.append((eid, b0, u, "view", 1.0, "{}")); eid += 1
+
+    src = tmp_path_factory.mktemp("srm_src")
+    per = len(rows) // 3
+    for b in range(3):
+        spark.createDataFrame(
+            rows[b * per : (b + 1) * per], schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b={b}")
+
+    out = str(tmp_path_factory.mktemp("srm_out") / "sketches")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    done = incremental_srm_sink(
+        stream, out, str(tmp_path_factory.mktemp("srm_ckpt")), run="r1"
+    ).awaitTermination(120)
+    assert done
+
+    r = srm_from_sketches(spark, out).collect()[0]
+    assert (r["n_users_a"], r["n_users_b"]) == (40, 10)
+    assert r["chi2"] == 18.0 and r["verdict"] == "srm_detected"
