@@ -2675,3 +2675,110 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("verdict"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS fday
+      FROM events GROUP BY user_id),
+    coh AS (
+      SELECT user_id,
+             fday - (CAST(date_diff('day', DATE '1970-01-05', fday) % 7
+                          AS INTEGER)) AS cohort_week
+      FROM f),
+    sz AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM coh GROUP BY cohort_week),
+    p AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) // 7
+                  AS BIGINT) AS week_offset,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN coh c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'),
+    rev AS (
+      SELECT cohort_week, week_offset,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM p GROUP BY cohort_week, week_offset),
+    cum AS (
+      SELECT cohort_week, week_offset, revenue_cents,
+             CAST(sum(revenue_cents) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset) AS BIGINT)
+               AS cum_revenue_cents
+      FROM rev)
+    SELECT cum.cohort_week AS cohort_week, week_offset, n_users,
+           revenue_cents, cum_revenue_cents,
+           (round(CAST(cum_revenue_cents AS DOUBLE) / 100.0 / n_users
+                  + 1e-9, 6) + 0.0) AS ltv_per_user
+    FROM cum JOIN sz ON cum.cohort_week = sz.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort lifetime value: users are cohorted by the Monday of
+    their FIRST event, purchase revenue accumulates per (cohort,
+    weeks-since-start), and LTV per user is the cumulative revenue over
+    the cohort's size — the retention-economics curve (how much a
+    week-N-old user has been worth so far) that prices acquisition.
+    Revenue crosses engines as exact integer CENTS (round(value·100)
+    summed as BIGINT), the cohort Monday is days-since-a-known-Monday
+    arithmetic (locale-free), and the cumulative window is PARTITIONED
+    BY cohort over the week-offset frame — cohorts × weeks rows, never
+    event-sized. Scale shape: one user-keyed first-day aggregate, one
+    user-co-located join to purchases, then everything is
+    cohort-table-sized."""
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("fday"))
+    coh = f.select(
+        "user_id",
+        F.date_sub(
+            F.col("fday"),
+            (F.datediff(F.col("fday"), F.lit("1970-01-05")) % 7).cast("int"),
+        ).alias("cohort_week"),
+    )
+    sz = coh.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(coh, "user_id")
+        .select(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), cohort_week) div 7 AS BIGINT)"
+            ).alias("week_offset"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    rev = p.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").cast("long").alias("revenue_cents")
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(wc).cast("long")
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        cum.join(sz, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "revenue_cents",
+            "cum_revenue_cents",
+            rz(
+                F.col("cum_revenue_cents").cast("double")
+                / 100.0
+                / F.col("n_users"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -5243,3 +5243,220 @@ def graph_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_components") > 0)
         .orderBy("component_size")
     )
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS w,
+             CAST(greatest(len(list_filter(
+               string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')), 1)
+               AS BIGINT) AS s,
+             CAST(list_sum(list_transform(toks,
+               x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS BIGINT) AS sy
+      FROM tk WHERE len(toks) > 0),
+    d AS (
+      SELECT source,
+             CAST(round((206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(sy AS DOUBLE) / w)) * 10000)
+               AS BIGINT) AS f4
+      FROM m),
+    a AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(f4) AS BIGINT) AS sf4,
+             CAST(sum(CASE WHEN f4 < 300000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hard
+      FROM d GROUP BY source)
+    SELECT source, n_docs,
+           (round(CAST(sf4 AS DOUBLE) / n_docs / 10000 + 1e-9, 6) + 0.0)
+             AS avg_flesch,
+           (round(CAST(n_hard AS DOUBLE) / n_docs + 1e-9, 6) + 0.0)
+             AS share_hard
+    FROM a ORDER BY source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source: words/sentence and
+    syllables/word (vowel-group proxy — the standard dictionary-free
+    approximation) feed 206.835 − 1.015·W/S − 84.6·SY/W, reported as the
+    per-source mean and the share of hard documents (score < 30,
+    college-level) — the readability axis of mixture design (a corpus
+    slice that drifts hard-to-read usually drifted source composition).
+    Per-row work is a single codegen projection (regex splits + HOF
+    sums); per-doc scores cross engines as exact integer 1e-4 units
+    (rounded BEFORE aggregation), so the per-source mean is a
+    deterministic division of BIGINTs — float summation order never
+    matters. Output is source-cardinality-sized."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tk = d.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    m = tk.select(
+        "source",
+        F.size("toks").cast("long").alias("w"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+"),
+                    lambda s: F.trim(s) != "",
+                )
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("s"),
+        F.aggregate(
+            F.transform(
+                "toks",
+                lambda x: F.size(F.regexp_extract_all(x, F.lit("[aeiouy]+"), 0)),
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        )
+        .cast("long")
+        .alias("sy"),
+    )
+    f4 = F.expr(
+        "CAST(round((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)"
+        " - 84.6 * (CAST(sy AS DOUBLE) / w)) * 10000) AS BIGINT)"
+    )
+    a = m.select("source", f4.alias("f4")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f4").cast("long").alias("sf4"),
+        F.sum(F.when(F.col("f4") < 300000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hard"),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        rz(F.col("sf4").cast("double") / F.col("n_docs") / 10000, 6).alias(
+            "avg_flesch"
+        ),
+        rz(F.col("n_hard").cast("double") / F.col("n_docs"), 6).alias(
+            "share_hard"
+        ),
+    ).orderBy("source")
+
+
+@query(
+    "corpus_quality_dup_corr",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents
+                WHERE length(text) > 0),
+    q AS (
+      SELECT doc_id,
+             CAST(round(round(
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.25 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['a','the','and','of','to','in','is','it'], x))) AS DOUBLE) / len(toks))
+               + 1e-8, 4) * 10000) AS BIGINT) AS qm
+      FROM tk WHERE len(toks) > 0),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+    dups AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
+    x AS (
+      SELECT qm, CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM q LEFT JOIN dups ON q.doc_id = dups.doc_id),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qm) AS BIGINT) AS sx,
+             CAST(sum(qm * qm) AS BIGINT) AS sxx,
+             CAST(sum(dup) AS BIGINT) AS sy,
+             CAST(sum(qm * dup) AS BIGINT) AS sxy
+      FROM x)
+    SELECT n AS n_docs, sy AS n_dup_docs,
+           (round(CAST(sxy AS DOUBLE) / nullif(sy, 0) / 10000 + 1e-9, 6)
+             + 0.0) AS mean_q_dup,
+           (round(CAST(sx - sxy AS DOUBLE) / nullif(n - sy, 0) / 10000
+                  + 1e-9, 6) + 0.0) AS mean_q_uniq,
+           (round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / nullif(sqrt(CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                           * sqrt(CAST(n AS DOUBLE) * sy
+                                  - CAST(sy AS DOUBLE) * sy), 0)
+                  + 1e-9, 6) + 0.0) AS pearson_r
+    FROM mo
+    """,
+)
+def corpus_quality_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-biserial correlation between document quality and NEAR-DUP
+    membership (participation in a ≥0.6-Jaccard candidate pair — the
+    same posting-bounded pair basis as dedup_clusters) — the
+    cross-signal audit behind gate ordering: a strongly negative r says
+    duplicates are also low quality (dedup first, the quality gate then
+    sees less data); r ≈ 0 says the two filters prune independent
+    populations. Quality is the catalog's composite heuristic rounded
+    to exact 1e-4 integer units BEFORE any aggregation, dup is a 0/1
+    indicator off a left-semi membership join, so every moment
+    (Σx, Σx², Σy, Σxy) is an exact BIGINT and the correlation is one
+    deterministic expression of integers — no float summation anywhere.
+    Scale shape: the pair generation is the already-candidate-bounded
+    jaccard_pairs plan; downstream is one id-keyed membership join and
+    one 5-long-column aggregate."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tk = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    q = tk.select(
+        "doc_id",
+        F.expr(
+            "CAST(round(round({q} + 1e-8, 4) * 10000) AS BIGINT)".format(
+                q="0.5 * least(CAST(size(toks) AS DOUBLE) / 100.0, 1.0)"
+                " + 0.25 * (1.0 - CAST(length(regexp_replace(text,"
+                " '[a-zA-Z0-9\\\\s]', '')) AS DOUBLE) / length(text))"
+                " + 0.25 * (1.0 - CAST(size(filter(toks, x ->"
+                " array_contains(array('a','the','and','of','to','in','is',"
+                "'it'), x))) AS DOUBLE) / size(toks))"
+            )
+        ).alias("qm"),
+    )
+    pairs = dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.6)
+    dups = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b")))
+        .distinct()
+        .withColumn("_isdup", F.lit(1))
+    )
+    x = q.join(dups, "doc_id", "left").select(
+        "qm", F.coalesce(F.col("_isdup"), F.lit(0)).alias("dup")
+    )
+    mo = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qm").cast("long").alias("sx"),
+        F.sum(F.col("qm") * F.col("qm")).cast("long").alias("sxx"),
+        F.sum("dup").cast("long").alias("sy"),
+        F.sum(F.col("qm") * F.col("dup")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    denom = F.nullif(
+        F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+        * F.sqrt(nd * F.col("sy") - syd * F.col("sy")),
+        F.lit(0.0),
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return mo.select(
+        F.col("n").alias("n_docs"),
+        F.col("sy").alias("n_dup_docs"),
+        rz6(
+            F.col("sxy").cast("double")
+            / F.nullif(F.col("sy"), F.lit(0))
+            / 10000
+        ).alias("mean_q_dup"),
+        rz6(
+            (F.col("sx") - F.col("sxy")).cast("double")
+            / F.nullif(F.col("n") - F.col("sy"), F.lit(0))
+            / 10000
+        ).alias("mean_q_uniq"),
+        rz6((nd * F.col("sxy") - sxd * F.col("sy")) / denom).alias("pearson_r"),
+    )
