@@ -212,6 +212,13 @@ HEADLINE = [
     "events_srm_check",
     "dq_schema_drift",
     "graph_component_histogram",
+    # ninth r10 batch: weekly-cohort LTV (integer-cents revenue, cohort-
+    # partitioned cumulative window), per-source Flesch profile (per-doc
+    # 1e-4 integer units before aggregation), and the quality-vs-neardup
+    # point-biserial correlation (exact BIGINT moments)
+    "events_cohort_ltv",
+    "text_readability",
+    "corpus_quality_dup_corr",
 ]
 
 

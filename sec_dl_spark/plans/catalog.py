@@ -134,15 +134,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --exact at sf0.01 this round): dedup_clusters leads as --lead (its
 # oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
 # closure, but its only driver row is still the rows-only r5 one), then
-# the 43 never-driver-checked names (the 13 r8/r9 orphans — three fixed
+# the 46 never-driver-checked names (the 13 r8/r9 orphans — three fixed
 # this round per ADVICE: welch n>=2 guard, benford cents>0, uniqueness
-# struct-key — plus the 30 queries new in r10, latest six:
-# events_dow_seasonality, emb_bucket_cohesion, dq_schema_drift,
-# events_srm_check, graph_component_histogram and, just before those,
-# events_attribution_linear/events_time_to_convert), then the stalest
-# blocks (r4-era first; nine r5-era text/sample names rotated out to
-# make room — they lead the r11 stale block). Queries NOT listed here
-# keep module registration order after the block.
+# struct-key — plus the 33 queries new in r10, latest six:
+# events_srm_check, graph_component_histogram, events_cohort_ltv,
+# text_readability, corpus_quality_dup_corr and, just before those,
+# dq_schema_drift), then the stalest blocks (r4-era first; twelve
+# r5-era text/sample/multimodal/q1 names rotated out to make room —
+# they lead the r11 stale block). Queries NOT listed here keep module
+# registration order after the block.
 _PRIORITY = (
     "dedup_clusters",
     "agg_mode_exact",
@@ -188,12 +188,12 @@ _PRIORITY = (
     "dq_schema_drift",
     "events_srm_check",
     "graph_component_histogram",
+    "events_cohort_ltv",
+    "text_readability",
+    "corpus_quality_dup_corr",
     "emb_pq_topk",
     "multimodal_audio_chunks",
     "multimodal_binary_meta",
-    "multimodal_dedup",
-    "multimodal_keyframes",
-    "q1_pricing_summary",
 )
 
 

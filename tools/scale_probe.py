@@ -220,6 +220,13 @@ PROBE = [
     "events_srm_check",
     "dq_schema_drift",
     "graph_component_histogram",
+    # r10 ninth batch. Scale shapes to verify: cohort LTV's windows run
+    # over the cohort x week-offset frame only; readability is one
+    # codegen projection folded per source; the correlation's pair
+    # basis is the candidate-bounded jaccard_pairs plan.
+    "events_cohort_ltv",
+    "text_readability",
+    "corpus_quality_dup_corr",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
