@@ -3619,3 +3619,94 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("distinct_ratio"),
     ).orderBy("col")
+
+
+@query(
+    "dq_lead_time_audit",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lead
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    vc AS (SELECT lead, count(*) AS cnt FROM j GROUP BY lead),
+    cum AS (SELECT lead, sum(cnt) OVER (ORDER BY lead) AS cum FROM vc),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+             CAST(count(*) FILTER (lead < 0) AS BIGINT) AS n_ship_before_order,
+             CAST(sum(lead) AS BIGINT) AS sum_lead
+      FROM j)
+    SELECT n_lineitems, n_ship_before_order,
+           (round(CAST(n_ship_before_order AS DOUBLE)
+                  / nullif(n_lineitems, 0) + 1e-9, 6) + 0.0) AS violation_rate,
+           (round(CAST(sum_lead AS DOUBLE) / nullif(n_lineitems, 0)
+                  + 1e-9, 6) + 0.0) AS mean_lead_days,
+           (SELECT min(lead) FROM cum, tot
+             WHERE cum >= (n_lineitems + 1) // 2) AS median_lead_days,
+           (SELECT min(lead) FROM cum, tot
+             WHERE cum >= (9 * n_lineitems + 9) // 10) AS p90_lead_days
+    FROM tot
+    """,
+)
+def dq_lead_time_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit between the fact table and its
+    parent: order-to-ship lead time in days, with the count of
+    impossible rows (shipment BEFORE the order date — the classic
+    upstream clock/join bug this audit exists to catch), the exact mean
+    (integer day-diffs divided once), and exact nearest-rank
+    median/p90 off the DISTINCT-LEAD-DAY cumulative frame. Scale
+    shape: one fact-parent key join (orders side is keys+date only),
+    then every statistic comes off the value-space frame — the
+    cumulative window orders distinct day values, never lineitems."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lead")
+    )
+    j = pin(j)
+    vc = j.groupBy("lead").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = vc.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("lead").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(F.when(F.col("lead") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ship_before_order"),
+        F.sum("lead").cast("long").alias("sum_lead"),
+    )
+    ranks = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n_lineitems + 1) div 2"), F.col("lead"))
+        ).alias("median_lead_days"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(9 * n_lineitems + 9) div 10"),
+                F.col("lead"),
+            )
+        ).alias("p90_lead_days"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return tot.crossJoin(F.broadcast(ranks)).select(
+        "n_lineitems",
+        "n_ship_before_order",
+        rz(
+            F.col("n_ship_before_order").cast("double")
+            / F.nullif(F.col("n_lineitems"), F.lit(0)),
+            6,
+        ).alias("violation_rate"),
+        rz(
+            F.col("sum_lead").cast("double")
+            / F.nullif(F.col("n_lineitems"), F.lit(0)),
+            6,
+        ).alias("mean_lead_days"),
+        "median_lead_days",
+        "p90_lead_days",
+    )

@@ -2782,3 +2782,82 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_power_mde",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b,
+             CAST(sum(conv) AS BIGINT) AS n_conv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM u),
+    c AS (
+      SELECT n_a, n_b, n_conv,
+             CAST(n_conv AS DOUBLE) / nullif(n, 0) AS p,
+             least(n_a, n_b) AS n_min
+      FROM arms)
+    SELECT n_a AS n_users_a, n_b AS n_users_b, n_conv AS n_conv_users,
+           (round(p + 1e-9, 6) + 0.0) AS pooled_rate,
+           (round((1.959964 + 0.841621)
+                  * sqrt(2.0 * p * (1.0 - p) / nullif(n_min, 0))
+                  + 1e-9, 6) + 0.0) AS mde_abs,
+           (round((1.959964 + 0.841621)
+                  * sqrt(2.0 * p * (1.0 - p) / nullif(n_min, 0))
+                  / nullif(p, 0) + 1e-9, 6) + 0.0) AS mde_rel
+    FROM c
+    """,
+)
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample size — the
+    experiment-design readout that answers "is it worth peeking yet":
+    with per-arm user counts n and pooled conversion rate p, the
+    smallest absolute lift a two-sided α=0.05 test detects with 80%
+    power is (z_{0.975}+z_{0.8})·√(2p(1−p)/n_min) (the standard
+    two-proportion approximation, conservative via the smaller arm).
+    Completes the experiment-health family: SRM validates the split,
+    this sizes the wait, Welch/Mann-Whitney/SPRT read the effect. One
+    distinct-user aggregate (user grain, purchase flag via max), then
+    1-row arithmetic of exact integers and two z constants."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv")
+        )
+    )
+    arms = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum("conv").cast("long").alias("n_conv"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    p = F.col("n_conv").cast("double") / F.nullif(F.col("n"), F.lit(0))
+    n_min = F.least(F.col("n_a"), F.col("n_b"))
+    mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / F.nullif(n_min, F.lit(0))
+    )
+    return arms.select(
+        F.col("n_a").alias("n_users_a"),
+        F.col("n_b").alias("n_users_b"),
+        F.col("n_conv").alias("n_conv_users"),
+        rz(p, 6).alias("pooled_rate"),
+        rz(mde, 6).alias("mde_abs"),
+        rz(mde / F.nullif(p, F.lit(0.0)), 6).alias("mde_rel"),
+    )

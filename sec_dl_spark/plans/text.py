@@ -5460,3 +5460,203 @@ def corpus_quality_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_q_uniq"),
         rz6((nd * F.col("sxy") - sxd * F.col("sy")) / denom).alias("pearson_r"),
     )
+
+
+@query(
+    "text_code_detection",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(round(
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                    AS DOUBLE) / length(text) * 1000000) AS BIGINT) AS symd,
+             CAST(len(regexp_extract_all(text, '[{{}};=()\\[\\]<>]')) AS BIGINT)
+               AS n_code_chars,
+             CAST(len(regexp_extract_all(lower(text),
+               '\\b(def|return|import|void|function|class|const|var|int)\\b'))
+               AS BIGINT) AS kw_hits
+      FROM documents WHERE length(text) > 0),
+    fl AS (
+      SELECT source, symd,
+             CASE WHEN (symd > 50000 AND n_code_chars >= 4) OR kw_hits >= 3
+                  THEN 1 ELSE 0 END AS code_like
+      FROM m),
+    a AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(symd) AS BIGINT) AS s_symd,
+             CAST(sum(code_like) AS BIGINT) AS n_code
+      FROM fl GROUP BY source)
+    SELECT source, n_docs, n_code AS n_code_like,
+           (round(CAST(n_code AS DOUBLE) / n_docs + 1e-9, 6) + 0.0)
+             AS share_code_like,
+           (round(CAST(s_symd AS DOUBLE) / n_docs / 1000000 + 1e-9, 6) + 0.0)
+             AS avg_symbol_density
+    FROM a ORDER BY source
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen per source: symbol density (non-alphanumeric,
+    non-whitespace share of characters), code-punctuation count
+    ({{}};=()[]<>), and programming-keyword hits feed a deterministic
+    code_like flag — the gate a text-corpus pipeline runs to ROUTE code
+    into its own pipeline (code wants different dedup granularity,
+    different quality rules, different mixture weight) rather than let
+    prose heuristics mis-score it. Per-row work is one codegen regex
+    projection; per-doc symbol density crosses engines as exact 1e-6
+    integer units BEFORE the per-source fold, so the means are
+    deterministic BIGINT divisions. Output is source-cardinality-sized
+    at any corpus."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    m = d.select(
+        "source",
+        F.expr(
+            "CAST(round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\\\s]',"
+            " '')) AS DOUBLE) / length(text) * 1000000) AS BIGINT)"
+        ).alias("symd"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[{};=()\[\]<>]"), 0)
+        )
+        .cast("long")
+        .alias("n_code_chars"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")),
+                F.lit(
+                    r"\b(def|return|import|void|function|class|const|var|int)\b"
+                ),
+                0,
+            )
+        )
+        .cast("long")
+        .alias("kw_hits"),
+    )
+    fl = m.select(
+        "source",
+        "symd",
+        F.when(
+            ((F.col("symd") > 50000) & (F.col("n_code_chars") >= 4))
+            | (F.col("kw_hits") >= 3),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("code_like"),
+    )
+    a = fl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("symd").cast("long").alias("s_symd"),
+        F.sum("code_like").cast("long").alias("n_code"),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        F.col("n_code").alias("n_code_like"),
+        rz(F.col("n_code").cast("double") / F.col("n_docs"), 6).alias(
+            "share_code_like"
+        ),
+        rz(
+            F.col("s_symd").cast("double") / F.col("n_docs") / 1000000, 6
+        ).alias("avg_symbol_density"),
+    ).orderBy("source")
+
+
+@query(
+    "emb_isotropy_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nrm AS (
+      SELECT v, sqrt(list_reduce(list_transform(v, x -> x * x),
+                                 (a, b) -> a + b)) AS nv
+      FROM e),
+    dims AS (
+      SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x, nv
+      FROM nrm WHERE nv > 0),
+    s AS (
+      SELECT d, sum(x / nv) AS sd, sum((x / nv) * (x / nv)) AS sdd,
+             count(*) AS n
+      FROM dims GROUP BY d),
+    var AS (
+      SELECT d, sdd / n - (sd / n) * (sd / n) AS vd, sd, n FROM s),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+             sum(sd * sd) AS ssq,
+             max(vd) AS top_var, sum(vd) AS tot_var,
+             sum(vd * vd) AS var_sq
+      FROM var)
+    SELECT n_vectors,
+           {rz_sql('(ssq - n_vectors) / (n_vectors * (n_vectors - 1.0))', 6, '1e-8')}
+             AS mean_pairwise_cosine,
+           {rz_sql('top_var / nullif(tot_var, 0)', 6, '1e-8')}
+             AS top_dim_var_share,
+           {rz_sql('(tot_var * tot_var) / nullif(var_sq, 0)', 4, '1e-8')}
+             AS effective_dims
+    FROM agg
+    """,
+)
+def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy / collapse audit of the embedding space, one row from one
+    pass: (1) the EXACT corpus-wide mean pairwise cosine via the moment
+    identity (‖Σv̂‖²−n)/(n(n−1)) — drifting toward 1 means the encoder
+    is collapsing (every vector similar to every other: retrieval and
+    dedup both degrade), toward 0 means healthy spread; (2) the top
+    dimension's share of total variance and the participation ratio
+    (Σλ)²/Σλ² ("effective dimensions") over per-dimension variances of
+    the unit vectors — a rogue dominant dimension is the classic
+    anisotropy failure that makes cosine distances meaningless. All
+    statistics derive from (dim)-keyed sums — O(n·d) map-side work, a
+    d-row exchange, never a pair enumeration or a d×d gram product.
+    Companion to emb_bucket_cohesion (same identity, bucket-local)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = e.select(
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nv"),
+    ).where(F.col("nv") > 0)
+    dims = nrm.select(F.posexplode("v").alias("d", "x"), "nv")
+    s = dims.groupBy("d").agg(
+        F.sum(F.col("x") / F.col("nv")).alias("sd"),
+        F.sum((F.col("x") / F.col("nv")) * (F.col("x") / F.col("nv"))).alias(
+            "sdd"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var = s.select(
+        "d",
+        "sd",
+        "n",
+        (F.col("sdd") / F.col("n") - (F.col("sd") / F.col("n")) * (F.col("sd") / F.col("n"))).alias("vd"),
+    )
+    agg = var.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum(F.col("sd") * F.col("sd")).alias("ssq"),
+        F.max("vd").alias("top_var"),
+        F.sum("vd").alias("tot_var"),
+        F.sum(F.col("vd") * F.col("vd")).alias("var_sq"),
+    )
+    return agg.select(
+        "n_vectors",
+        rz(
+            (F.col("ssq") - F.col("n_vectors"))
+            / (F.col("n_vectors") * (F.col("n_vectors") - 1.0)),
+            6,
+            nudge=1e-8,
+        ).alias("mean_pairwise_cosine"),
+        rz(
+            F.col("top_var") / F.nullif(F.col("tot_var"), F.lit(0.0)),
+            6,
+            nudge=1e-8,
+        ).alias("top_dim_var_share"),
+        rz(
+            (F.col("tot_var") * F.col("tot_var"))
+            / F.nullif(F.col("var_sq"), F.lit(0.0)),
+            4,
+            nudge=1e-8,
+        ).alias("effective_dims"),
+    )

@@ -1657,3 +1657,118 @@ def test_quality_dup_corr_sign_and_degenerate_guard(spark, tmp_path):
     )
     assert r2["n_dup_docs"] == 0
     assert r2["mean_q_dup"] is None and r2["pearson_r"] is None
+
+
+def test_lead_time_audit_counts_impossible_rows(spark, tmp_path):
+    """Planted leads: three lineitems at -1/+2/+10 days from their order
+    dates -> one violation, exact mean (11/3), nearest-rank median 2
+    (rank ceil(1.5)=2) and p90 10 (rank ceil(2.7)=3)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 10)
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, base, "1-URGENT"), (2, 1, "O", 10.0, base, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base - dt.timedelta(days=1)),
+        (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=2)),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=10)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    r = load_all()["dq_lead_time_audit"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_lineitems"], r["n_ship_before_order"]) == (3, 1)
+    assert r["mean_lead_days"] == round(11 / 3 + 1e-9, 6)
+    assert (r["median_lead_days"], r["p90_lead_days"]) == (2, 10)
+
+
+def test_power_mde_formula_exact(spark, tmp_path):
+    """Planted arms: 50 users per arm, 25 converting -> p = 0.25,
+    mde = 2.801585 * sqrt(2*.25*.75/50); repeat purchases by one user
+    must not inflate the conversion count (user grain)."""
+    import datetime as dt
+    import math
+
+    import pytest as _pt
+
+    b = dt.datetime(2024, 8, 1)
+    rows, eid = [], 0
+    for u in range(100):
+        conv = u < 25 or (50 <= u < 75)
+        rows.append((eid, b, u, "purchase" if conv else "view", 1.0, "{}")); eid += 1
+    for _ in range(5):  # repeat conversions, same user
+        rows.append((eid, b, 0, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = load_all()["events_power_mde"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_users_a"], r["n_users_b"], r["n_conv_users"]) == (50, 50, 50)
+    assert r["pooled_rate"] == 0.5
+    want = (1.959964 + 0.841621) * math.sqrt(2 * 0.5 * 0.5 / 50)
+    assert r["mde_abs"] == _pt.approx(want, abs=2e-6)
+    assert r["mde_rel"] == _pt.approx(want / 0.5, abs=4e-6)
+
+
+def test_code_detection_routes_code_not_prose(spark, tmp_path):
+    """A snippet dense in code punctuation and keywords flags code_like;
+    plain prose does not; both engines' regex classes agree on the
+    planted rows (pinned through the source-level shares)."""
+    code = "def f(x): return {x: [1, 2]} ; import os ; class A: pass ; int z = (3);"
+    prose = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (0, code, "src_code", "en", 1),
+        (1, prose, "src_prose", "en", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["source"]: r
+        for r in load_all()["text_code_detection"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out["src_code"]["share_code_like"] == 1.0
+    assert out["src_prose"]["share_code_like"] == 0.0
+    assert out["src_code"]["avg_symbol_density"] > out["src_prose"]["avg_symbol_density"]
+
+
+def test_isotropy_audit_collapse_vs_spread(spark, tmp_path):
+    """Planted geometries: four copies of one direction -> mean pairwise
+    cosine 1.0, one effective dimension; four orthogonal unit vectors ->
+    mean pairwise cosine 0.0 and participation ratio 4 (variance spread
+    over four dims)."""
+    import shutil
+
+    dim = 8
+    one = [0.0] * dim
+    one[0] = 1.0
+    rows = [(i, list(one), 0) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    r = load_all()["emb_isotropy_audit"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_vectors"] == 4 and r["mean_pairwise_cosine"] == 1.0
+
+    shutil.rmtree(f"{tmp_path}/embeddings.parquet")
+    rows = []
+    for i in range(4):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    r = load_all()["emb_isotropy_audit"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert r["mean_pairwise_cosine"] == 0.0
+    assert r["effective_dims"] == 4.0
