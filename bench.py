@@ -219,6 +219,14 @@ HEADLINE = [
     "events_cohort_ltv",
     "text_readability",
     "corpus_quality_dup_corr",
+    # tenth r10 batch: the lead-time DQ audit (value-space percentiles
+    # off one fact-parent join), the MDE sizing readout (one distinct-
+    # user aggregate), the code-vs-prose router (one regex projection),
+    # and the isotropy audit (moment identity, d-row exchange)
+    "dq_lead_time_audit",
+    "events_power_mde",
+    "text_code_detection",
+    "emb_isotropy_audit",
 ]
 
 

@@ -227,6 +227,14 @@ PROBE = [
     "events_cohort_ltv",
     "text_readability",
     "corpus_quality_dup_corr",
+    # r10 tenth batch. Scale shapes to verify: lead-time stats come
+    # off the distinct-day frame; MDE and isotropy are one-aggregate
+    # folds; code detection is a per-row regex projection folded per
+    # source.
+    "dq_lead_time_audit",
+    "events_power_mde",
+    "text_code_detection",
+    "emb_isotropy_audit",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
