@@ -3710,3 +3710,190 @@ def dq_lead_time_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_lead_days",
         "p90_lead_days",
     )
+
+
+@query(
+    "agg_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT month, rev_cents, n_orders,
+             lag(rev_cents, 1) OVER (ORDER BY month) AS prev_m,
+             lag(rev_cents, 12) OVER (ORDER BY month) AS prev_y
+      FROM m)
+    SELECT CAST(month AS DATE) AS month, rev_cents, n_orders,
+           (round(CAST(rev_cents - prev_m AS DOUBLE) / nullif(prev_m, 0)
+                  + 1e-9, 6) + 0.0) AS mom_growth,
+           (round(CAST(rev_cents - prev_y AS DOUBLE) / nullif(prev_y, 0)
+                  + 1e-9, 6) + 0.0) AS yoy_growth
+    FROM g ORDER BY month
+    """,
+)
+def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the classic
+    finance trend table (lag 1 and lag 12 over the monthly frame).
+    Revenue crosses engines as exact integer cents; the lag windows run
+    over the MONTH frame (months-in-history rows, never order rows), so
+    the only fact-sized work is one scan + one month-keyed aggregate
+    with map-side partials. First month / first year rows carry NULL
+    growth (no fabricated zeros), identical both engines."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).cast(
+                "date"
+            ).alias("month")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    g = m.select(
+        "month",
+        "rev_cents",
+        "n_orders",
+        F.lag("rev_cents", 1).over(w).alias("prev_m"),
+        F.lag("rev_cents", 12).over(w).alias("prev_y"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return g.select(
+        "month",
+        "rev_cents",
+        "n_orders",
+        rz(
+            (F.col("rev_cents") - F.col("prev_m")).cast("double")
+            / F.nullif(F.col("prev_m"), F.lit(0)),
+            6,
+        ).alias("mom_growth"),
+        rz(
+            (F.col("rev_cents") - F.col("prev_y")).cast("double")
+            / F.nullif(F.col("prev_y"), F.lit(0)),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("month")
+
+
+@query(
+    "join_customer_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                            max(mx.asof)) AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary
+      FROM orders, mx GROUP BY o_custkey),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+    med AS (
+      SELECT
+        (SELECT min(v) FROM (
+           SELECT recency AS v,
+                  sum(count(*)) OVER (ORDER BY recency) AS cum
+           FROM rfm GROUP BY recency) rc, n
+         WHERE cum >= (n + 1) // 2) AS r_med,
+        (SELECT min(v) FROM (
+           SELECT frequency AS v,
+                  sum(count(*)) OVER (ORDER BY frequency) AS cum
+           FROM rfm GROUP BY frequency) fc, n
+         WHERE cum >= (n + 1) // 2) AS f_med,
+        (SELECT min(v) FROM (
+           SELECT monetary AS v,
+                  sum(count(*)) OVER (ORDER BY monetary) AS cum
+           FROM rfm GROUP BY monetary) mc, n
+         WHERE cum >= (n + 1) // 2) AS m_med),
+    seg AS (
+      SELECT CASE WHEN recency <= r_med THEN 'recent' ELSE 'lapsed' END AS r_seg,
+             CASE WHEN frequency > f_med THEN 'frequent' ELSE 'occasional' END AS f_seg,
+             CASE WHEN monetary > m_med THEN 'high_value' ELSE 'low_value' END AS m_seg,
+             monetary
+      FROM rfm, med)
+    SELECT r_seg, f_seg, m_seg,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS total_cents
+    FROM seg GROUP BY r_seg, f_seg, m_seg
+    ORDER BY r_seg, f_seg, m_seg
+    """,
+)
+def join_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary per customer,
+    split at the EXACT nearest-rank median of each axis (value-space
+    cumulative counts — deterministic where ntile() would tie-break by
+    engine-internal row order), then the 8-cell segment census with
+    total value per cell — the standard lifecycle-marketing table.
+    Scale shape: one customer-keyed aggregate off the fact scan, three
+    DISTINCT-VALUE median frames (bounded by value cardinality, never
+    customer count), one broadcast of three medians, one 8-row census
+    aggregate."""
+    o = t(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("asof"))
+    rfm = pin(
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.datediff(F.col("asof"), F.col("last_day"))
+            .cast("long")
+            .alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    n = rfm.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def med_of(col: str, alias: str):
+        vc = rfm.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = vc.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return cum.crossJoin(F.broadcast(n)).agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(col))
+            ).alias(alias)
+        )
+
+    med = (
+        med_of("recency", "r_med")
+        .crossJoin(F.broadcast(med_of("frequency", "f_med")))
+        .crossJoin(F.broadcast(med_of("monetary", "m_med")))
+    )
+    seg = rfm.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("recency") <= F.col("r_med"), F.lit("recent"))
+        .otherwise(F.lit("lapsed"))
+        .alias("r_seg"),
+        F.when(F.col("frequency") > F.col("f_med"), F.lit("frequent"))
+        .otherwise(F.lit("occasional"))
+        .alias("f_seg"),
+        F.when(F.col("monetary") > F.col("m_med"), F.lit("high_value"))
+        .otherwise(F.lit("low_value"))
+        .alias("m_seg"),
+        "monetary",
+    )
+    return (
+        seg.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary").cast("long").alias("total_cents"),
+        )
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )

@@ -2861,3 +2861,101 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz(mde, 6).alias("mde_abs"),
         rz(mde / F.nullif(p, F.lit(0.0)), 6).alias("mde_rel"),
     )
+
+
+@query(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    dw AS (
+      SELECT event_type, day, n,
+             CAST(date_diff('day', DATE '1970-01-05', day) % 7 AS BIGINT)
+               AS dow
+      FROM d),
+    base AS (
+      SELECT event_type, dow,
+             CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n * n) AS BIGINT) AS tot2
+      FROM dw GROUP BY 1, 2),
+    z AS (
+      SELECT dw.event_type AS event_type, day, n,
+             CAST(tot AS DOUBLE) / n_days AS mu,
+             sqrt(greatest(CAST(tot2 AS DOUBLE) / n_days
+                           - (CAST(tot AS DOUBLE) / n_days)
+                             * (CAST(tot AS DOUBLE) / n_days), 0.0)) AS sd
+      FROM dw JOIN base ON dw.event_type = base.event_type
+                       AND dw.dow = base.dow
+      WHERE n_days >= 3),
+    fl AS (
+      SELECT event_type, day, n,
+             (round((n - mu) / nullif(sd, 0) + 1e-9, 6) + 0.0) AS z
+      FROM z)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(count(*) FILTER (abs(z) > 3.0) AS BIGINT) AS n_anomalous,
+           (round(max(abs(z)) + 1e-9, 6) + 0.0) AS max_abs_z
+    FROM fl GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly screen: each (type, day) volume is
+    z-scored against the SAME-WEEKDAY baseline (mean/σ over that type's
+    other same-dow days), so a quiet Sunday never false-alarms against
+    a Monday-heavy mean — the deseasoned complement to the raw MAD/
+    CUSUM monitors this catalog carries. Weekday moments come from
+    exact integer sums (Σn, Σn², day counts) over the pinned day frame;
+    dow groups with fewer than 3 observed days are excluded identically
+    in both engines (a 1-2 day baseline has no meaningful σ), and σ=0
+    days null out via nullif rather than dividing by zero. Scale
+    shape: ONE events scan to the (type, day) frame; everything after
+    is types×7-bounded aggregates and one frame-sized join."""
+    e = t(spark, sf_dir, "events")
+    d = pin(
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    dw = d.select(
+        "event_type",
+        "day",
+        "n",
+        (F.datediff(F.col("day"), F.lit("1970-01-05")) % 7)
+        .cast("long")
+        .alias("dow"),
+    )
+    base = dw.groupBy("event_type", "dow").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("tot2"),
+    )
+    mu = F.col("tot").cast("double") / F.col("n_days")
+    sd = F.sqrt(
+        F.greatest(
+            F.col("tot2").cast("double") / F.col("n_days") - mu * mu,
+            F.lit(0.0),
+        )
+    )
+    from sec_dl_spark.plans.text import rz
+
+    z = (
+        dw.join(F.broadcast(base), ["event_type", "dow"])
+        .where(F.col("n_days") >= 3)
+        .select(
+            "event_type",
+            "day",
+            rz((F.col("n") - mu) / F.nullif(sd, F.lit(0.0)), 6).alias("z"),
+        )
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+            F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalous"),
+            rz(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -1772,3 +1772,88 @@ def test_isotropy_audit_collapse_vs_spread(spark, tmp_path):
     r = load_all()["emb_isotropy_audit"].spark_fn(spark, str(tmp_path)).collect()[0]
     assert r["mean_pairwise_cosine"] == 0.0
     assert r["effective_dims"] == 4.0
+
+
+def test_yoy_growth_lags_and_nulls(spark, tmp_path):
+    """Planted 13 months of revenue (100, 110, ..., 220): month 2 MoM =
+    10/100; month 13 YoY = 120/100 = 1.2 - 1 = ... revenue is i*10+100
+    dollars, so yoy for the 13th month = (220-100)/100 = 1.2; the first
+    month carries NULL MoM and months 1-12 NULL YoY."""
+    import datetime as dt
+
+    rows = [
+        (i, i % 5, "O", 100.0 + 10 * i, dt.datetime(2023, 1, 1) + dt.timedelta(days=31 * i), "1-URGENT")
+        for i in range(13)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = load_all()["agg_yoy_growth"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 13
+    assert out[0]["mom_growth"] is None and out[0]["yoy_growth"] is None
+    assert out[1]["mom_growth"] == round(1000 / 10000 + 1e-9, 6)
+    assert out[11]["yoy_growth"] is None
+    assert out[12]["yoy_growth"] == round(12000 / 10000 + 1e-9, 6)
+
+
+def test_customer_rfm_splits_at_exact_medians(spark, tmp_path):
+    """Planted customers: A orders daily and big (recent+frequent+high),
+    B ordered once long ago and small (lapsed+occasional+low) -> two
+    opposite corner cells, each with the right totals."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(4):  # customer 1: 4 recent 100-dollar orders
+        rows.append((i, 1, "O", 100.0, base + dt.timedelta(days=i), "1"))
+    rows.append((9, 2, "O", 10.0, base - dt.timedelta(days=100), "1"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {
+        (r["r_seg"], r["f_seg"], r["m_seg"]): r
+        for r in load_all()["join_customer_rfm"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    hot = out[("recent", "frequent", "high_value")]
+    cold = out[("lapsed", "occasional", "low_value")]
+    assert hot["n_customers"] == 1 and hot["total_cents"] == 40000
+    assert cold["n_customers"] == 1 and cold["total_cents"] == 1000
+
+
+def test_seasonal_anomaly_zscores_same_weekday_baseline(spark, tmp_path):
+    """Planted weekday pattern: clicks run 10/day on four consecutive
+    Mondays except one 30-click spike -> mu = 15, sigma = sqrt(75),
+    spike z = 15/sqrt(75) ~ 1.73 (max_abs_z), and nothing crosses the
+    |z| > 3 gate; weekdays observed < 3 times are excluded."""
+    import datetime as dt
+    import math
+
+    import pytest as _pt
+
+    rows, eid = [], 0
+    start = dt.datetime(2024, 3, 4, 8)  # Monday
+    for wk in range(4):
+        d = start + dt.timedelta(days=7 * wk)
+        n = 30 if wk == 1 else 10
+        for _ in range(n):
+            rows.append((eid, d, 1, "click", 1.0, "{}")); eid += 1
+    # a type seen on only 2 days -> its dow group is excluded (n_days < 3)
+    rows.append((eid, start, 2, "error", 1.0, "{}")); eid += 1
+    rows.append((eid, start + dt.timedelta(days=7), 2, "error", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r["event_type"]: r for r in load_all()["events_anomaly_seasonal"].spark_fn(spark, str(tmp_path)).collect()}
+    assert "error" not in out  # < 3 observed days
+    c = out["click"]
+    assert c["n_days_scored"] == 4 and c["n_anomalous"] == 0
+    assert c["max_abs_z"] == _pt.approx(15 / math.sqrt(75), abs=1e-5)
