@@ -227,6 +227,12 @@ HEADLINE = [
     "events_power_mde",
     "text_code_detection",
     "emb_isotropy_audit",
+    # eleventh r10 batch: YoY/MoM trend (month-frame lags), RFM census
+    # (three value-space median frames + one 8-row fold), and the
+    # same-weekday anomaly screen (typesx7-bounded moment join)
+    "agg_yoy_growth",
+    "join_customer_rfm",
+    "events_anomaly_seasonal",
 ]
 
 

@@ -235,6 +235,12 @@ PROBE = [
     "events_power_mde",
     "text_code_detection",
     "emb_isotropy_audit",
+    # r10 eleventh batch. Scale shapes to verify: yoy windows run over
+    # the month frame; RFM medians come off distinct-value frames
+    # (never customer-count windows); the anomaly join is typesx7.
+    "agg_yoy_growth",
+    "join_customer_rfm",
+    "events_anomaly_seasonal",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
