@@ -5584,7 +5584,7 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(vd * vd) AS var_sq
       FROM var)
     SELECT n_vectors,
-           {rz_sql('(ssq - n_vectors) / (n_vectors * (n_vectors - 1.0))', 6, '1e-8')}
+           {rz_sql('(ssq - n_vectors) / nullif(n_vectors * (n_vectors - 1.0), 0)', 6, '1e-8')}
              AS mean_pairwise_cosine,
            {rz_sql('top_var / nullif(tot_var, 0)', 6, '1e-8')}
              AS top_dim_var_share,
@@ -5644,7 +5644,9 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         rz(
             (F.col("ssq") - F.col("n_vectors"))
-            / (F.col("n_vectors") * (F.col("n_vectors") - 1.0)),
+            / F.nullif(
+                F.col("n_vectors") * (F.col("n_vectors") - 1.0), F.lit(0.0)
+            ),
             6,
             nudge=1e-8,
         ).alias("mean_pairwise_cosine"),

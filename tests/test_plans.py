@@ -1773,6 +1773,15 @@ def test_isotropy_audit_collapse_vs_spread(spark, tmp_path):
     assert r["mean_pairwise_cosine"] == 0.0
     assert r["effective_dims"] == 4.0
 
+    # single-vector corpus: n(n-1) = 0 must yield NULL, not an ANSI
+    # divide-by-zero error (DuckDB returns NULL for double/0)
+    shutil.rmtree(f"{tmp_path}/embeddings.parquet")
+    spark.createDataFrame(
+        [(0, list(one), 0)], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    r = load_all()["emb_isotropy_audit"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert r["n_vectors"] == 1 and r["mean_pairwise_cosine"] is None
+
 
 def test_yoy_growth_lags_and_nulls(spark, tmp_path):
     """Planted 13 months of revenue (100, 110, ..., 220): month 2 MoM =
