@@ -73,7 +73,9 @@ def evidence(repo: str) -> tuple[dict[str, int], set[str]]:
     return latest, red
 
 
-def build_slice(repo: str, lead: list[str]) -> tuple[list[str], dict]:
+def build_slice(
+    repo: str, lead: list[str], defer_newest: bool = False
+) -> tuple[list[str], dict]:
     sys.path.insert(0, repo)
     from sec_dl_spark.plans.catalog import REGISTRY, load_all
 
@@ -104,10 +106,27 @@ def build_slice(repo: str, lead: list[str]) -> tuple[list[str], dict]:
 
     must = set(red_now) | set(never) | set(lead)
     dropped = must - set(out)
-    if dropped:
+    if dropped and not defer_newest:
         raise SystemExit(
             f"slice of {SLICE} cannot hold all red/new/lead names; dropped: "
-            f"{sorted(dropped)} — split across rounds deliberately instead"
+            f"{sorted(dropped)} — split across rounds deliberately: rerun "
+            "with --defer-newest to push the NEWEST registrations (freshest "
+            "non-driver evidence) to the next round's slice head"
+        )
+    if dropped:
+        # deliberate split: the names dropped are exactly the newest
+        # never-checked registrations (never-block order == registration
+        # order, and the overflow falls off the tail). Red/lead names
+        # must still fit — those are non-negotiable.
+        hard = (set(red_now) | set(lead)) - set(out)
+        if hard:
+            raise SystemExit(
+                f"red/lead names do not fit even with --defer-newest: "
+                f"{sorted(hard)} — shrink --lead"
+            )
+        print(
+            f"# deferred to next round's slice head (never-checked overflow): "
+            f"{sorted(dropped)}"
         )
     info = {
         "red": red_now,
@@ -142,9 +161,15 @@ def main() -> None:
     ap.add_argument(
         "--names-only", action="store_true", help="print space-separated names only"
     )
+    ap.add_argument(
+        "--defer-newest",
+        action="store_true",
+        help="when red+lead+never-checked exceed the slice, defer the newest "
+        "never-checked registrations to the next round instead of refusing",
+    )
     args = ap.parse_args()
     lead = [n for n in args.lead.split(",") if n]
-    slice_names, info = build_slice(args.repo, lead)
+    slice_names, info = build_slice(args.repo, lead, args.defer_newest)
     if args.names_only:
         print(" ".join(slice_names))
         return
