@@ -2379,7 +2379,8 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_touches,
            CAST(count(DISTINCT pid) AS BIGINT) AS touched_purchases,
-           (round(sum(1.0 / n_touch) + 1e-9, 6) + 0.0) AS credit
+           (round(CAST(sum(CAST(round(1000000.0 / n_touch) AS BIGINT))
+                       AS DOUBLE) / 1000000 + 1e-9, 6) + 0.0) AS credit
     FROM w GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -2395,8 +2396,11 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-purchase touch count is a PURCHASE-KEYED window (frame bounded
     by one user's 7-day touch fan-in, never corpus-sized), and the
     credit fold is an event_type-keyed aggregate over the join output.
-    Credit terms are exact rationals 1/n summed as doubles —
-    accumulation error ~1e-12 against the 1e-6 round."""
+    Credit crosses engines as exact integer MICRO-UNITS (each 1/n term
+    rounded to 1e-6 BEFORE the sum, summed as BIGINT — the welch
+    trick): at large SFs a double sum of hundreds of thousands of 1/n
+    terms accumulates error right at the 1e-6 rounding grid, where
+    engine summation order could flip the digit."""
     e = t(spark, sf_dir, "events")
     p = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
@@ -2418,7 +2422,13 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_touches"),
             F.count_distinct(F.col("pid")).cast("long").alias("touched_purchases"),
-            rz(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias("credit"),
+            rz(
+                F.sum(
+                    F.expr("CAST(round(1000000.0 / n_touch) AS BIGINT)")
+                ).cast("double")
+                / 1000000,
+                6,
+            ).alias("credit"),
         )
         .orderBy("event_type")
     )
