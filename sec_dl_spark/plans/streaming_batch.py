@@ -2969,3 +2969,86 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    spine AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    w AS (
+      SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM spine s JOIN ud u
+        ON u.day <= s.day AND u.day > s.day - 7
+      GROUP BY s.day),
+    m AS (
+      SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM spine s JOIN ud u
+        ON u.day <= s.day AND u.day > s.day - 30
+      GROUP BY s.day)
+    SELECT dau.day AS day, dau, wau, mau,
+           (round(CAST(dau AS DOUBLE) / wau + 1e-9, 6) + 0.0)
+             AS dau_over_wau,
+           (round(CAST(dau AS DOUBLE) / mau + 1e-9, 6) + 0.0)
+             AS dau_over_mau
+    FROM dau JOIN w ON dau.day = w.day JOIN m ON dau.day = m.day
+    ORDER BY day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / trailing-30-day MAU per day with the
+    DAU/WAU and DAU/MAU stickiness ratios — the canonical engagement
+    dashboard. Everything runs on the deduplicated USER-DAY frame (one
+    distinct off the event scan — the only event-sized exchange): the
+    trailing windows are an explode of each user-day into the ≤7/≤30
+    spine days it supports, then exact distinct counts per day, so no
+    sliding distinct-window state and no events rescans. At open-web
+    scale the exact explode swaps for per-day HLL sketch partials
+    merged over the window (streaming/rollup.py holds that form); the
+    exact form here is the oracle-checkable truth both share. WAU/MAU
+    are ≥ DAU ≥ 1 on every spine day, so the ratios never divide by
+    zero."""
+    e = t(spark, sf_dir, "events")
+    ud = pin(
+        e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing(n: int, alias: str) -> DataFrame:
+        # explode each user-day forward onto the spine days it supports
+        ex = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n - 1}))")
+            ).alias("sday"),
+        )
+        return (
+            ex.join(dau.select(F.col("day").alias("sday")), "sday")
+            .groupBy("sday")
+            .agg(F.count_distinct("user_id").cast("long").alias(alias))
+            .withColumnRenamed("sday", "day")
+        )
+
+    w, m = trailing(7, "wau"), trailing(30, "mau")
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        dau.join(w, "day")
+        .join(m, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            rz(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "dau_over_wau"
+            ),
+            rz(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "dau_over_mau"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -5662,3 +5662,93 @@ def emb_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             nudge=1e-8,
         ).alias("effective_dims"),
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    wc AS (
+      SELECT unnest(toks) AS w FROM tk),
+    cnt AS (SELECT w, count(*) AS c FROM wc GROUP BY w),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM cnt),
+    ks AS (SELECT unnest([100, 1000, 10000, 50000]) AS k),
+    cov AS (
+      SELECT k, CAST(sum(c) AS BIGINT) AS covered
+      FROM ks JOIN rk ON rk.r <= ks.k GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS vocab_size, vocab AS corpus_vocab,
+           n_tokens, coalesce(covered, 0) AS covered_tokens,
+           (round(CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens
+                  + 1e-9, 6) + 0.0) AS coverage
+    FROM ks LEFT JOIN cov USING (k) CROSS JOIN tot
+    ORDER BY vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token occurrences
+    the top-k most frequent words cover, at k ∈ {100, 1k, 10k, 50k} —
+    the readout that sizes a tokenizer vocabulary (the gap between the
+    coverage at your candidate k and 1.0 is exactly the byte-fallback /
+    UNK traffic a BPE of that size will carry). The frequency ranking
+    uses `global_rank` (range exchange + per-partition rank + offsets),
+    never a vocabulary-wide single-partition window, and the checkpoint
+    sums are one conditional aggregate over the ranked vocab — the
+    corpus-sized work is exactly one tokenize+explode+count."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    tk = tok_docs(spark, sf_dir)
+    cnt = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = global_rank(cnt, [F.desc("c"), F.asc("w")], rank_col="r")
+    tot = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    ks = [100, 1000, 10000, 50000]
+    # global_rank is 0-based: ranks 0..k-1 are the top-k words (the
+    # oracle's 1-based row_number uses r <= k; the planted pytest pins
+    # the boundary — the fixture corpus has a 31-word vocabulary, so
+    # every checkpoint saturates at 1.0 and the oracle alone could
+    # never see an off-by-one here)
+    cov = rk.agg(
+        *[
+            F.sum(F.when(F.col("r") < k, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"cov_{k}")
+            for k in ks
+        ]
+    )
+    spine = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("vocab_size"),
+                    F.col(f"cov_{k}").alias("covered_tokens"),
+                )
+                for k in ks
+            ]
+        )
+    ).alias("s")
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(spine, "vocab", "n_tokens")
+        .select(
+            F.col("s.vocab_size").alias("vocab_size"),
+            F.col("vocab").alias("corpus_vocab"),
+            "n_tokens",
+            F.col("s.covered_tokens").alias("covered_tokens"),
+            rz(
+                F.col("s.covered_tokens").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

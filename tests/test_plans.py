@@ -1866,3 +1866,47 @@ def test_seasonal_anomaly_zscores_same_weekday_baseline(spark, tmp_path):
     c = out["click"]
     assert c["n_days_scored"] == 4 and c["n_anomalous"] == 0
     assert c["max_abs_z"] == _pt.approx(15 / math.sqrt(75), abs=1e-5)
+
+
+def test_dau_wau_mau_trailing_windows_dedupe_users(spark, tmp_path):
+    """Planted engagement: user 1 active on days 1 and 3, user 2 only on
+    day 1 -> day-3 DAU=1 but WAU=2 (trailing 7 days reaches day 1, and
+    user 1's two visits count once); stickiness = exact ratios."""
+    import datetime as dt
+
+    d = lambda i: dt.datetime(2024, 4, 1 + i, 9)  # noqa: E731
+    rows = [
+        (0, d(0), 1, "view", 1.0, "{}"),
+        (1, d(0), 1, "click", 1.0, "{}"),  # same user+day, must dedupe
+        (2, d(0), 2, "view", 1.0, "{}"),
+        (3, d(2), 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {str(r["day"]): r for r in load_all()["events_dau_wau_mau"].spark_fn(spark, str(tmp_path)).collect()}
+    assert len(out) == 2  # spine = observed days only
+    d0, d2 = out["2024-04-01"], out["2024-04-03"]
+    assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
+    assert (d2["dau"], d2["wau"], d2["mau"]) == (1, 2, 2)
+    assert d2["dau_over_wau"] == 0.5 and d2["dau_over_mau"] == 0.5
+
+
+def test_vocab_coverage_cumulative_by_rank(spark, tmp_path):
+    """Planted Zipf-ish counts: 'aa' x6, 'bb' x3, then 200 singletons ->
+    top-100 covers 6+3+98 singletons = 107 of 209 occurrences; the
+    full-vocab checkpoints cover everything."""
+    body = "aa " * 6 + "bb " * 3 + " ".join(f"w{i:03d}" for i in range(200))
+    spark.createDataFrame(
+        [(0, body, "s", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r["vocab_size"]: r for r in load_all()["text_vocab_coverage"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[100]["n_tokens"] == 209 and out[100]["corpus_vocab"] == 202
+    assert out[100]["covered_tokens"] == 6 + 3 + 98
+    assert out[1000]["covered_tokens"] == 209
+    assert out[1000]["coverage"] == 1.0
