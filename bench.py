@@ -233,6 +233,11 @@ HEADLINE = [
     "agg_yoy_growth",
     "join_customer_rfm",
     "events_anomaly_seasonal",
+    # twelfth r10 batch: the engagement dashboard (user-day frame +
+    # forward-explode trailing windows) and the vocab coverage curve
+    # (global_rank over word counts + one conditional fold)
+    "events_dau_wau_mau",
+    "text_vocab_coverage",
 ]
 
 

@@ -241,6 +241,11 @@ PROBE = [
     "agg_yoy_growth",
     "join_customer_rfm",
     "events_anomaly_seasonal",
+    # r10 twelfth batch. Scale shapes to verify: DAU/WAU/MAU runs on
+    # the user-day frame (30x explode of user-days, never events);
+    # vocab coverage is one tokenize+count then vocab-sized ranking.
+    "events_dau_wau_mau",
+    "text_vocab_coverage",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
