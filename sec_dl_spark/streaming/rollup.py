@@ -150,3 +150,41 @@ def read_hll_rollup(
     return parts.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(estimate_col)
     )
+
+
+def read_hll_window_rollup(
+    spark: SparkSession,
+    sketch_path: str,
+    day_col: str = "day",
+    window_days: int = 7,
+    estimate_col: str = "n_distinct",
+) -> DataFrame:
+    """Trailing-window distinct counts off per-day HLL partials: each
+    observed day merges the sketches of its last ``window_days`` days
+    (inclusive) — the at-scale form of a DAU→WAU/MAU dashboard, where
+    the exact user-day explode (plans/streaming_batch.py:
+    events_dau_wau_mau documents the swap) is replaced by
+    day-cardinality-sized sketch unions. The spine is the observed
+    days; the window join fans each day's sketch onto ≤ window_days
+    spine days (days × window rows total), then one ``hll_union_agg``
+    per spine day. Repeat users across days/batches collapse inside
+    the union — the property the cross-batch pytest pins against the
+    exact distinct."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(sketch_path).drop("run", "batch")
+    # one sketch per day first (several batches may share a day)
+    daily = parts.groupBy(day_col).agg(F.hll_union_agg("sk").alias("sk"))
+    fan = daily.select(
+        F.col("sk"),
+        F.explode(
+            F.expr(f"sequence({day_col}, date_add({day_col}, {window_days - 1}))")
+        ).alias("sday"),
+    )
+    spine = daily.select(F.col(day_col).alias("sday"))
+    return (
+        fan.join(spine, "sday")
+        .groupBy("sday")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(estimate_col))
+        .withColumnRenamed("sday", day_col)
+    )

@@ -2021,3 +2021,74 @@ def test_streaming_srm_gate_deduplicates_users_across_batches(
     r = srm_from_sketches(spark, out).collect()[0]
     assert (r["n_users_a"], r["n_users_b"]) == (40, 10)
     assert r["chi2"] == 18.0 and r["verdict"] == "srm_detected"
+
+
+def test_hll_window_rollup_matches_exact_trailing_distinct(
+    spark, tmp_path_factory
+):
+    """Trailing-window sketch merge (read_hll_window_rollup) equals the
+    exact trailing distinct of the batch events_dau_wau_mau on the same
+    events — sparse-mode HLL is exact at these cardinalities, repeat
+    users across days/batches collapse inside the union, and the window
+    fan-out is day-cardinality-sized."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.plans.catalog import load_all
+    from sec_dl_spark.streaming.rollup import (
+        incremental_hll_sink,
+        read_hll_window_rollup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2024, 9, 1, 12)
+    rows, eid = [], 0
+    for day in range(10):
+        d = base + dt.timedelta(days=day)
+        for u in range(day % 4 + 1):  # overlapping user sets per day
+            rows.append((eid, d, u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, d, 99, "view", 1.0, "{}")); eid += 1  # daily regular
+
+    src = tmp_path_factory.mktemp("wau_src")
+    for b in range(3):
+        spark.createDataFrame(rows[b::3], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b={b}")
+    sf_dir = str(tmp_path_factory.mktemp("wau_table"))
+    spark.createDataFrame(rows, schema).write.parquet(f"{sf_dir}/events.parquet")
+
+    out = str(tmp_path_factory.mktemp("wau_out") / "sk")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    armed = stream.select(F.col("ts").cast("date").alias("day"), "user_id")
+    done = incremental_hll_sink(
+        armed, out, str(tmp_path_factory.mktemp("wau_ckpt")),
+        keys=["day"], value_col="user_id", run="r1",
+    ).awaitTermination(120)
+    assert done
+
+    got = {
+        str(r["day"]): r["wau"]
+        for r in read_hll_window_rollup(
+            spark, out, window_days=7, estimate_col="wau"
+        ).collect()
+    }
+    want = {
+        str(r["day"]): r["wau"]
+        for r in load_all()["events_dau_wau_mau"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) == 10
