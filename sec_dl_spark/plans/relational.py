@@ -3897,3 +3897,115 @@ def join_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_seg", "f_seg", "m_seg")
     )
+
+
+@query(
+    "join_supplier_scorecard",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS net_cents,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lead
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    sc AS (
+      SELECT suppkey,
+             CAST(count(*) AS BIGINT) AS n_lineitems,
+             CAST(sum(net_cents) AS BIGINT) AS revenue_cents,
+             CAST(count(*) FILTER (lead < 0) AS BIGINT) AS n_impossible,
+             CAST(count(*) FILTER (lead > 60) AS BIGINT) AS n_late,
+             CAST(sum(lead) AS BIGINT) AS sum_lead
+      FROM j GROUP BY suppkey),
+    top AS (
+      SELECT *, row_number() OVER (
+               ORDER BY revenue_cents DESC, suppkey) AS rk
+      FROM sc QUALIFY rk <= 20)
+    SELECT s.s_name AS supplier, n_lineitems, revenue_cents,
+           CAST(rk AS BIGINT) AS rank,
+           (round(CAST(n_late AS DOUBLE) / n_lineitems + 1e-9, 6) + 0.0)
+             AS late_share,
+           (round(CAST(n_impossible AS DOUBLE) / n_lineitems + 1e-9, 6)
+             + 0.0) AS impossible_share,
+           (round(CAST(sum_lead AS DOUBLE) / n_lineitems + 1e-9, 6) + 0.0)
+             AS mean_lead_days
+    FROM top JOIN supplier s ON top.suppkey = s.s_suppkey
+    ORDER BY rank
+    """,
+)
+def join_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier delivery scorecard: top-20 suppliers by net revenue with
+    their late-shipment share (lead > 60 days), impossible-row share
+    (ship before order — the dq_lead_time_audit signal attributed to
+    its source), and exact mean lead — the vendor-management mart that
+    turns the corpus-level lead audit into per-supplier accountability.
+    Revenue is exact integer cents; the ranking is a TakeOrdered top-20
+    with a deterministic (revenue, suppkey) tie-break; the supplier
+    dimension joins AFTER the top-20 cut, so only 20 rows ever touch
+    the dim. Scale shape: one fact-parent key join, one supplier-keyed
+    aggregate (map-side partials), a 20-row global TakeOrdered — no
+    supplier-count window anywhere."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("net_cents"),
+        "l_shipdate",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        "net_cents",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lead"),
+    )
+    sc = j.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum("net_cents").cast("long").alias("revenue_cents"),
+        F.sum(F.when(F.col("lead") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_impossible"),
+        F.sum(F.when(F.col("lead") > 60, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.sum("lead").cast("long").alias("sum_lead"),
+    )
+    top = (
+        sc.orderBy(F.col("revenue_cents").desc(), "suppkey")
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("revenue_cents").desc(), "suppkey"))
+            .cast("long"),
+        )
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supplier")
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        top.join(sup, "suppkey")
+        .select(
+            "supplier",
+            "n_lineitems",
+            "revenue_cents",
+            "rank",
+            rz(
+                F.col("n_late").cast("double") / F.col("n_lineitems"), 6
+            ).alias("late_share"),
+            rz(
+                F.col("n_impossible").cast("double") / F.col("n_lineitems"),
+                6,
+            ).alias("impossible_share"),
+            rz(
+                F.col("sum_lead").cast("double") / F.col("n_lineitems"), 6
+            ).alias("mean_lead_days"),
+        )
+        .orderBy("rank")
+    )

@@ -3052,3 +3052,120 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_funnel_step_timing",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT 'view_to_click' AS step,
+             CAST((epoch_us(t_click) - epoch_us(t_view)) // 60000000
+                  AS BIGINT) AS m
+      FROM f WHERE t_view IS NOT NULL AND t_click >= t_view
+      UNION ALL
+      SELECT 'click_to_purchase',
+             CAST((epoch_us(t_purchase) - epoch_us(t_click)) // 60000000
+                  AS BIGINT)
+      FROM f WHERE t_click IS NOT NULL AND t_purchase >= t_click),
+    vc AS (SELECT step, m, count(*) AS cnt FROM d GROUP BY step, m),
+    cum AS (
+      SELECT step, m,
+             sum(cnt) OVER (PARTITION BY step ORDER BY m) AS cum
+      FROM vc),
+    tot AS (
+      SELECT step, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS BIGINT) AS sum_m
+      FROM d GROUP BY step)
+    SELECT tot.step AS step, n,
+           (SELECT min(m) FROM cum
+             WHERE cum.step = tot.step AND cum >= (n + 1) // 2)
+             AS median_minutes,
+           (SELECT min(m) FROM cum
+             WHERE cum.step = tot.step AND cum >= (9 * n + 9) // 10)
+             AS p90_minutes,
+           (round(CAST(sum_m AS DOUBLE) / nullif(n, 0) + 1e-9, 6) + 0.0)
+             AS mean_minutes
+    FROM tot ORDER BY step
+    """,
+)
+def events_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel latency: minutes between each user's first view →
+    first subsequent click and first click → first subsequent purchase,
+    with exact nearest-rank median/p90 and the exact mean per step —
+    the step-level complement to events_time_to_convert (which only
+    measures the whole funnel) and the timing twin of events_funnel
+    (which only counts). One user-keyed aggregate produces all three
+    first-touch timestamps in a single pass (conditional mins), then
+    every statistic comes off the per-step DISTINCT-MINUTE cumulative
+    frame — step-partitioned value-space windows, never user rows."""
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    vc_step = f.where(
+        F.col("t_view").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    ).select(
+        F.lit("view_to_click").alias("step"),
+        F.expr("(unix_micros(t_click) - unix_micros(t_view)) div 60000000").alias("m"),
+    )
+    cp_step = f.where(
+        F.col("t_click").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    ).select(
+        F.lit("click_to_purchase").alias("step"),
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_click)) div 60000000"
+        ).alias("m"),
+    )
+    d = pin(vc_step.unionByName(cp_step))
+    vc = d.groupBy("step", "m").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = vc.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("step")
+            .orderBy("m")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = d.groupBy("step").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sum_m"),
+    )
+    ranks = (
+        cum.join(F.broadcast(tot), "step")
+        .groupBy("step")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("m"))
+            ).alias("median_minutes"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("m"))
+            ).alias("p90_minutes"),
+        )
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        tot.join(ranks, "step")
+        .select(
+            "step",
+            "n",
+            "median_minutes",
+            "p90_minutes",
+            rz(
+                F.col("sum_m").cast("double") / F.nullif(F.col("n"), F.lit(0)),
+                6,
+            ).alias("mean_minutes"),
+        )
+        .orderBy("step")
+    )

@@ -1910,3 +1910,68 @@ def test_vocab_coverage_cumulative_by_rank(spark, tmp_path):
     assert out[100]["covered_tokens"] == 6 + 3 + 98
     assert out[1000]["covered_tokens"] == 209
     assert out[1000]["coverage"] == 1.0
+
+
+def test_supplier_scorecard_attributes_violations(spark, tmp_path):
+    """Planted vendors: supplier 1 ships one impossible (-1d) and one
+    late (+90d) of 2 lines; supplier 2 ships clean. Revenue tie-break
+    and post-top-20 dim join pinned through the names."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 2, 1)
+    spark.createDataFrame(
+        [(1, 1, "O", 0.0, base, "1"), (2, 1, "O", 0.0, base, "1")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, 1, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", base - dt.timedelta(days=1)),
+        (1, 1, 1, 2, 1.0, 200.0, 0.5, 0.0, "N", "O", base + dt.timedelta(days=90)),
+        (2, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", base + dt.timedelta(days=5)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 0), (2, "S2", 0)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+
+    out = {r["supplier"]: r for r in load_all()["join_supplier_scorecard"].spark_fn(spark, str(tmp_path)).collect()}
+    s1, s2 = out["S1"], out["S2"]
+    assert s1["rank"] == 1  # 200 + 100 net cents beats 100
+    assert s1["revenue_cents"] == 30000 and s2["revenue_cents"] == 10000
+    assert s1["impossible_share"] == 0.5 and s1["late_share"] == 0.5
+    assert s2["impossible_share"] == 0.0 and s2["late_share"] == 0.0
+
+
+def test_funnel_step_timing_orders_steps_and_censors(spark, tmp_path):
+    """Planted funnel: two users click 10/20 minutes after first view
+    (median rank ceil(1)=... n=2 -> rank 1 -> 10; p90 rank 2 -> 20);
+    one of them purchases 30 minutes after the click; a user whose
+    click PRECEDES their first view is censored out of view_to_click."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 5, 5, 9)
+    mk = lambda i, m, u, t: (i, b + dt.timedelta(minutes=m), u, t, 1.0, "{}")  # noqa: E731
+    rows = [
+        mk(0, 0, 1, "view"), mk(1, 10, 1, "click"), mk(2, 40, 1, "purchase"),
+        mk(3, 0, 2, "view"), mk(4, 20, 2, "click"),
+        mk(5, 0, 3, "click"), mk(6, 5, 3, "view"),  # click before view
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r["step"]: r for r in load_all()["events_funnel_step_timing"].spark_fn(spark, str(tmp_path)).collect()}
+    vc = out["view_to_click"]
+    assert vc["n"] == 2 and (vc["median_minutes"], vc["p90_minutes"]) == (10, 20)
+    assert vc["mean_minutes"] == 15.0
+    cp = out["click_to_purchase"]
+    assert cp["n"] == 1 and cp["median_minutes"] == 30
