@@ -238,6 +238,11 @@ HEADLINE = [
     # (global_rank over word counts + one conditional fold)
     "events_dau_wau_mau",
     "text_vocab_coverage",
+    # thirteenth r10 batch: the supplier delivery scorecard (fact-
+    # parent join + 20-row TakeOrdered before the dim join) and the
+    # per-step funnel latency (step-partitioned value-space frames)
+    "join_supplier_scorecard",
+    "events_funnel_step_timing",
 ]
 
 

@@ -246,6 +246,11 @@ PROBE = [
     # vocab coverage is one tokenize+count then vocab-sized ranking.
     "events_dau_wau_mau",
     "text_vocab_coverage",
+    # r10 thirteenth batch. Scale shapes to verify: scorecard ranks
+    # via TakeOrdered (never a supplier-count window), dim joins a
+    # 20-row frame; step timing stats ride distinct-minute frames.
+    "join_supplier_scorecard",
+    "events_funnel_step_timing",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
