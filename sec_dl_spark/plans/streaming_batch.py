@@ -3169,3 +3169,64 @@ def events_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@query(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    tt AS (
+      SELECT user_id, event_type, ts AS tts
+      FROM events WHERE event_type <> 'purchase'),
+    j AS (
+      SELECT p.pid, tt.event_type, tt.tts
+      FROM p JOIN tt ON p.user_id = tt.user_id
+       AND tt.tts <= p.pts AND tt.tts > p.pts - INTERVAL 7 DAY),
+    w AS (
+      SELECT pid, event_type,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY tts, event_type) AS rk
+      FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS first_touch_purchases
+    FROM w WHERE rk = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST touch
+    in its 7-day lookback (deterministic (ts, event_type) tie-break) —
+    the discovery-channel readout, read AGAINST the linear model
+    (events_attribution_linear): a type that wins first-touch but loses
+    linear credit acquires users that other channels then have to
+    re-convince. Same user-co-located interval join as the linear
+    model; the winner pick is a purchase-keyed row_number (frame
+    bounded by one user's 7-day touch fan-in), then one
+    event_type-keyed count."""
+    e = t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    tt = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("ts").alias("tts")
+    )
+    j = p.join(
+        tt,
+        (p.user_id == tt.user_id)
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "event_type", "tts")
+    w = j.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("tts", "event_type")
+        ),
+    )
+    return (
+        w.where(F.col("rk") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("first_touch_purchases"))
+        .orderBy("event_type")
+    )

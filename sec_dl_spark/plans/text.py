@@ -5752,3 +5752,75 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+@query(
+    "text_dedup_threshold_sweep",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 6)
+               AS j
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0),
+    th AS (SELECT unnest([0.3, 0.45, 0.6, 0.75, 0.9]) AS t),
+    pairs AS (
+      SELECT t, CAST(count(*) FILTER (j >= t) AS BIGINT) AS n_pairs
+      FROM th, p GROUP BY t),
+    docs AS (
+      SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+      FROM th, (SELECT id_a AS d, j FROM p UNION ALL SELECT id_b, j FROM p) u
+      WHERE u.j >= th.t GROUP BY t)
+    SELECT (round(t + 1e-9, 6) + 0.0) AS threshold, n_pairs,
+           coalesce(n_docs_affected, 0) AS n_docs_affected
+    FROM pairs LEFT JOIN docs USING (t) ORDER BY threshold
+    """,
+)
+def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: candidate-pair counts and distinct
+    documents affected at Jaccard thresholds 0.3→0.9 — the table that
+    picks the near-dup cutoff BEFORE committing a corpus-wide dedup run
+    (too low over-merges distinct documents, too high leaves template
+    families in; the knee of this curve is the operating point). The
+    expensive work — posting-bounded candidate generation + one exact
+    Jaccard per candidate — runs ONCE at the sweep floor; each
+    threshold is a conditional count over the same scored pair frame
+    (pinned, pair-table-sized), and docs-affected explodes pairs into
+    (threshold, doc) distinct counts. No per-threshold rescans."""
+    d = t(spark, sf_dir, "documents")
+    pairs = pin(
+        dedup.jaccard_pairs(d, block_col="source", n=3, threshold=0.3).select(
+            "id_a", "id_b", F.col("jaccard").alias("j")
+        )
+    )
+    ths = [0.3, 0.45, 0.6, 0.75, 0.9]
+    th = F.explode(
+        F.array(*[F.lit(x).cast("double") for x in ths])
+    ).alias("t")
+    fan = pairs.select(th, "id_a", "id_b", "j").where(F.col("j") >= F.col("t"))
+    pcnt = fan.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    dcnt = (
+        fan.select("t", F.col("id_a").alias("d"))
+        .unionAll(fan.select("t", F.col("id_b")))
+        .groupBy("t")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_affected"))
+    )
+    spine = pairs.sparkSession.createDataFrame(
+        [(x,) for x in ths], "t double"
+    )
+    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        spine.join(pcnt, "t", "left")
+        .join(dcnt, "t", "left")
+        .select(
+            rz6(F.col("t")).alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_affected"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+        .orderBy("threshold")
+    )

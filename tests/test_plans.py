@@ -1975,3 +1975,57 @@ def test_funnel_step_timing_orders_steps_and_censors(spark, tmp_path):
     assert vc["mean_minutes"] == 15.0
     cp = out["click_to_purchase"]
     assert cp["n"] == 1 and cp["median_minutes"] == 30
+
+
+def test_dedup_threshold_sweep_is_monotone_and_exact(spark, tmp_path):
+    """Planted pairs: an identical pair (j=1.0) and a partial-overlap
+    pair with jaccard between 0.45 and 0.6 -> counts step down exactly
+    at the crossing threshold, and docs-affected tracks the union."""
+    # 12 shared tokens of 14 -> shingle jaccard ~ 10/14 > 0.6; craft a
+    # mid-band pair instead: half-overlapping shingle sets
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six alpha beta gamma delta"
+    docs = [
+        (0, "same text here exactly matching", "s", "en", 1),
+        (1, "same text here exactly matching", "s", "en", 1),
+        (2, a, "s", "en", 1),
+        (3, b, "s", "en", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r["threshold"]: r for r in load_all()["text_dedup_threshold_sweep"].spark_fn(spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    # identical pair survives every threshold; the mid pair (4 shared of
+    # 12 distinct shingles = 1/3) only the 0.3 floor
+    assert out[0.3]["n_pairs"] == 2 and out[0.3]["n_docs_affected"] == 4
+    assert out[0.45]["n_pairs"] == 1 and out[0.45]["n_docs_affected"] == 2
+    assert out[0.9]["n_pairs"] == 1
+    ns = [out[t]["n_pairs"] for t in sorted(out)]
+    assert ns == sorted(ns, reverse=True)  # monotone non-increasing
+
+
+def test_first_touch_credits_earliest_eligible(spark, tmp_path):
+    """Planted journey: click at -3d then view at -1d before a purchase
+    -> first-touch goes to the click; a touch 8 days out is ineligible
+    so the other purchase's first touch is its -2d view."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 7, 10, 12)
+    rows = [
+        (0, b - dt.timedelta(days=3), 1, "click", 1.0, "{}"),
+        (1, b - dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (2, b, 1, "purchase", 9.0, "{}"),
+        (3, b - dt.timedelta(days=8), 2, "click", 1.0, "{}"),
+        (4, b - dt.timedelta(days=2), 2, "view", 1.0, "{}"),
+        (5, b, 2, "purchase", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r["event_type"]: r["first_touch_purchases"] for r in load_all()["events_attribution_first_touch"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out == {"click": 1, "view": 1}
