@@ -243,6 +243,11 @@ HEADLINE = [
     # per-step funnel latency (step-partitioned value-space frames)
     "join_supplier_scorecard",
     "events_funnel_step_timing",
+    # fourteenth r10 batch: the dedup-threshold tuning curve (pairs
+    # scored once, conditional counts per threshold) and first-touch
+    # attribution (purchase-keyed earliest-touch pick)
+    "text_dedup_threshold_sweep",
+    "events_attribution_first_touch",
 ]
 
 

@@ -251,6 +251,11 @@ PROBE = [
     # 20-row frame; step timing stats ride distinct-minute frames.
     "join_supplier_scorecard",
     "events_funnel_step_timing",
+    # r10 fourteenth batch. Scale shapes to verify: the sweep scores
+    # candidates once and fans 5x over the PAIR frame; first-touch
+    # rides the same user-co-located interval join as linear.
+    "text_dedup_threshold_sweep",
+    "events_attribution_first_touch",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
