@@ -3230,3 +3230,63 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("long").alias("first_touch_purchases"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_error_budget_burn",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS errs
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT hour, n, errs,
+             (CAST(errs AS DOUBLE) / n) / 0.01 AS burn
+      FROM h)
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(errs) AS BIGINT) AS total_errors,
+           (round(CAST(sum(errs) AS DOUBLE) / sum(n) / 0.01 + 1e-9, 6)
+             + 0.0) AS overall_burn_rate,
+           CAST(count(*) FILTER (burn > 14.4) AS BIGINT) AS hours_fast_burn,
+           CAST(count(*) FILTER (burn > 6.0) AS BIGINT) AS hours_slow_burn,
+           (round(max(burn) + 1e-9, 6) + 0.0) AS max_hourly_burn
+    FROM b
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn report against a 1% error-rate objective:
+    overall burn rate (observed error share over the budget), hours
+    above the standard fast-burn (14.4×, pages immediately) and
+    slow-burn (6×, ticket) multiwindow thresholds, and the worst hour —
+    the SRE readout that decides whether an error spike pages or waits
+    for business hours. Every hourly rate is a division of exact
+    integer counts off ONE scan to the hour frame; the thresholds
+    compare unrounded burn identically in both engines (integer-count
+    divisions are bit-identical), and the summary is a 1-row fold of
+    the hour-bounded frame."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    burn = (F.col("errs").cast("double") / F.col("n")) / F.lit(0.01)
+    b = h.select("n", "errs", burn.alias("burn"))
+    from sec_dl_spark.plans.text import rz
+
+    return b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("errs").cast("long").alias("total_errors"),
+        rz(
+            F.sum("errs").cast("double") / F.sum("n") / F.lit(0.01), 6
+        ).alias("overall_burn_rate"),
+        F.sum(F.when(F.col("burn") > 14.4, 1).otherwise(0))
+        .cast("long")
+        .alias("hours_fast_burn"),
+        F.sum(F.when(F.col("burn") > 6.0, 1).otherwise(0))
+        .cast("long")
+        .alias("hours_slow_burn"),
+        rz(F.max("burn"), 6).alias("max_hourly_burn"),
+    )

@@ -5824,3 +5824,62 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "text_license_detection",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CASE
+               WHEN regexp_matches(lower(text),
+                 'apache license|licensed under the apache') THEN 'apache'
+               WHEN regexp_matches(lower(text),
+                 'mit license|permission is hereby granted, free of charge')
+                 THEN 'mit'
+               WHEN regexp_matches(lower(text),
+                 'gnu general public license|gpl') THEN 'gpl'
+               WHEN regexp_matches(lower(text),
+                 'all rights reserved') THEN 'all_rights_reserved'
+               ELSE 'none'
+             END AS license
+      FROM documents WHERE length(text) > 0)
+    SELECT source, license, CAST(count(*) AS BIGINT) AS n_docs
+    FROM m GROUP BY source, license ORDER BY source, license
+    """,
+)
+def text_license_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License / usage-rights screen per source: first-match phrase
+    detection (Apache, MIT, GPL, all-rights-reserved, none) — the
+    compliance gate a training-corpus pipeline runs BEFORE mixing a
+    source in, since a source whose docs carry restrictive markers
+    needs exclusion or separate handling, and the per-source census is
+    the evidence. The CASE ladder is ordered (first match wins) and
+    identical in both engines; per-row work is one codegen regex
+    projection, and output is source × license cardinality — the same
+    scan-bound shape as text_code_detection. A production pipeline
+    extends the phrase table; the plan shape is unchanged at any
+    corpus size."""
+    d = t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    lt = F.lower(F.col("text"))
+    license_col = (
+        F.when(
+            lt.rlike("apache license|licensed under the apache"),
+            F.lit("apache"),
+        )
+        .when(
+            lt.rlike(
+                "mit license|permission is hereby granted, free of charge"
+            ),
+            F.lit("mit"),
+        )
+        .when(lt.rlike("gnu general public license|gpl"), F.lit("gpl"))
+        .when(lt.rlike("all rights reserved"), F.lit("all_rights_reserved"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        d.select("source", license_col.alias("license"))
+        .groupBy("source", "license")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "license")
+    )

@@ -2029,3 +2029,56 @@ def test_first_touch_credits_earliest_eligible(spark, tmp_path):
 
     out = {r["event_type"]: r["first_touch_purchases"] for r in load_all()["events_attribution_first_touch"].spark_fn(spark, str(tmp_path)).collect()}
     assert out == {"click": 1, "view": 1}
+
+
+def test_license_detection_first_match_wins(spark, tmp_path):
+    """The CASE ladder is ordered: a doc carrying both Apache and
+    all-rights-reserved phrases classifies apache; clean prose
+    classifies none."""
+    docs = [
+        (0, "Licensed under the Apache License. All rights reserved.", "s1", "en", 1),
+        (1, "Permission is hereby granted, free of charge, to any person", "s1", "en", 1),
+        (2, "This text is under the GNU General Public License terms", "s2", "en", 1),
+        (3, "Copyright 2024. All rights reserved.", "s2", "en", 1),
+        (4, "just a normal sentence about nothing legal", "s2", "en", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {(r["source"], r["license"]): r["n_docs"] for r in load_all()["text_license_detection"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out == {
+        ("s1", "apache"): 1,
+        ("s1", "mit"): 1,
+        ("s2", "gpl"): 1,
+        ("s2", "all_rights_reserved"): 1,
+        ("s2", "none"): 1,
+    }
+
+
+def test_error_budget_burn_thresholds(spark, tmp_path):
+    """Planted hours against the 1% SLO: a 50%-error hour burns 50x
+    (fast), a 10%-error hour burns 10x (slow only), a clean hour burns
+    0 -> overall burn = total share / 0.01 exactly."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    h = lambda i: dt.datetime(2024, 10, 1, i)  # noqa: E731
+    for _ in range(5):
+        rows.append((eid, h(0), 1, "error", 1.0, "{}")); eid += 1
+        rows.append((eid, h(0), 1, "view", 1.0, "{}")); eid += 1
+    for i in range(10):
+        rows.append((eid, h(1), 1, "error" if i == 0 else "view", 1.0, "{}")); eid += 1
+    for _ in range(10):
+        rows.append((eid, h(2), 1, "view", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = load_all()["events_error_budget_burn"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_hours"], r["total_errors"]) == (3, 6)
+    assert r["hours_fast_burn"] == 1 and r["hours_slow_burn"] == 2
+    assert r["max_hourly_burn"] == 50.0
+    assert r["overall_burn_rate"] == round(6 / 30 / 0.01 + 1e-9, 6)
