@@ -248,6 +248,10 @@ HEADLINE = [
     # attribution (purchase-keyed earliest-touch pick)
     "text_dedup_threshold_sweep",
     "events_attribution_first_touch",
+    # fifteenth r10 batch: the license census and the SLO burn report
+    # (both one-scan regex/count shapes)
+    "text_license_detection",
+    "events_error_budget_burn",
 ]
 
 

@@ -256,6 +256,10 @@ PROBE = [
     # rides the same user-co-located interval join as linear.
     "text_dedup_threshold_sweep",
     "events_attribution_first_touch",
+    # r10 fifteenth batch. Both are scan-bound one-aggregate shapes;
+    # ratios should ride the scan.
+    "text_license_detection",
+    "events_error_budget_burn",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
