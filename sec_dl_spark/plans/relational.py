@@ -4009,3 +4009,109 @@ def join_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "agg_revenue_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum
+      FROM c),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM c),
+    p80 AS (
+      SELECT CAST(min(rk) AS BIGINT) AS n80
+      FROM r, tot WHERE cum * 5 >= total_cents * 4),
+    gini AS (
+      -- G = (n + 1 - 2 * sum(cum_asc)/total) / n over the ASCENDING
+      -- order; with descending cum: sum(cum_desc) = (n+1)*total -
+      -- sum(cum_asc), so sum(cum_asc) derives from the same frame
+      SELECT CAST(sum(cum) AS DOUBLE) AS sum_cum_desc FROM r),
+    top1 AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS top1_cents
+      FROM r, tot WHERE rk * 100 <= n_customers)
+    SELECT n_customers, total_cents, n80,
+           (round(CAST(n80 AS DOUBLE) / n_customers + 1e-9, 6) + 0.0)
+             AS share_customers_for_80pct,
+           (round(CAST(coalesce(top1_cents, 0) AS DOUBLE)
+                  / total_cents + 1e-9, 6) + 0.0) AS top1pct_revenue_share,
+           (round((n_customers + 1
+                   - 2.0 * ((n_customers + 1) * CAST(total_cents AS DOUBLE)
+                            - sum_cum_desc) / total_cents)
+                  / n_customers + 1e-9, 6) + 0.0) AS gini
+    FROM tot, p80, gini, top1
+    """,
+)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration report: how many customers produce 80% of
+    revenue (the Pareto point), the top-1%'s revenue share, and the
+    Gini coefficient — the account-concentration risk readout. The
+    ranked cumulative frame comes from `global_rank` + `global_cumsum`
+    (range exchange + per-partition fold + broadcast offsets — never a
+    customer-count single-partition window), revenue is exact integer
+    cents, the 80% crossing compares integers (cum·5 ≥ total·4), and
+    the Gini folds Σcum through the descending-order identity
+    Σcum_asc = (n+1)·total − Σcum_desc so one frame serves every
+    statistic."""
+    from sec_dl_spark.operators.relational import global_cumsum, global_rank
+
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    order = [F.desc("cents"), F.asc("o_custkey")]
+    r = global_cumsum(
+        global_rank(c, order, rank_col="rk0"), order, "cents", out_col="cum"
+    ).withColumn("rk", F.col("rk0") + 1)
+    tot = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    stats = j.agg(
+        F.min(
+            F.when(
+                F.col("cum") * 5 >= F.col("total_cents") * 4, F.col("rk")
+            )
+        )
+        .cast("long")
+        .alias("n80"),
+        F.sum(
+            F.when(F.col("rk") * 100 <= F.col("n_customers"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("top1_cents"),
+        F.sum("cum").cast("double").alias("sum_cum_desc"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    out = tot.crossJoin(F.broadcast(stats))
+    n = F.col("n_customers")
+    totc = F.col("total_cents").cast("double")
+    sum_cum_asc = (n + 1) * totc - F.col("sum_cum_desc")
+    return out.select(
+        "n_customers",
+        "total_cents",
+        F.col("n80"),
+        rz(F.col("n80").cast("double") / n, 6).alias(
+            "share_customers_for_80pct"
+        ),
+        rz(
+            F.coalesce(F.col("top1_cents"), F.lit(0)).cast("double") / totc, 6
+        ).alias("top1pct_revenue_share"),
+        rz((n + 1 - 2.0 * sum_cum_asc / totc) / n, 6).alias("gini"),
+    )

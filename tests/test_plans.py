@@ -2082,3 +2082,27 @@ def test_error_budget_burn_thresholds(spark, tmp_path):
     assert r["hours_fast_burn"] == 1 and r["hours_slow_burn"] == 2
     assert r["max_hourly_burn"] == 50.0
     assert r["overall_burn_rate"] == round(6 / 30 / 0.01 + 1e-9, 6)
+
+
+def test_revenue_concentration_pareto_and_gini(spark, tmp_path):
+    """Planted concentration: customer 1 books 80 of 100 dollars in one
+    order, four others 5 each -> n80 = 1 (cum 80% at the first rank),
+    top-1% share 0 (1% of 5 customers rounds below rank 1), and the
+    exact Gini of (80,5,5,5,5): with ascending cum (5,10,15,20,100),
+    G = (n+1 - 2*150/100)/n = (6 - 3)/5 = 0.6."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [(0, 1, "O", 80.0, b, "1")]
+    rows += [(i, i + 1, "O", 5.0, b, "1") for i in range(1, 5)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    r = load_all()["agg_revenue_concentration"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_customers"], r["total_cents"]) == (5, 10000)
+    assert r["n80"] == 1 and r["share_customers_for_80pct"] == 0.2
+    assert r["top1pct_revenue_share"] == 0.0
+    assert r["gini"] == 0.6
