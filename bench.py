@@ -252,6 +252,9 @@ HEADLINE = [
     # (both one-scan regex/count shapes)
     "text_license_detection",
     "events_error_budget_burn",
+    # sixteenth r10 batch: the revenue-concentration report (ranked
+    # cumulative frame via global_rank+global_cumsum)
+    "agg_revenue_concentration",
 ]
 
 

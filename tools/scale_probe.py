@@ -260,6 +260,9 @@ PROBE = [
     # ratios should ride the scan.
     "text_license_detection",
     "events_error_budget_burn",
+    # r10 sixteenth batch. Concentration must ride the range-exchange
+    # rank/cumsum pair, never a single-partition window.
+    "agg_revenue_concentration",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
