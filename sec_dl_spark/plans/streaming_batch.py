@@ -3290,3 +3290,136 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hours_slow_burn"),
         rz(F.max("burn"), 6).alias("max_hourly_burn"),
     )
+
+
+@query(
+    "events_cart_abandonment",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, max(ts) AS last_click
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT c.user_id, c.day,
+             CAST(max(CASE WHEN p.ts >= c.last_click
+                            AND p.ts < c.last_click + INTERVAL 24 HOUR
+                           THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+      GROUP BY c.user_id, c.day)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_clickers,
+           CAST(sum(1 - converted) AS BIGINT) AS n_abandoned,
+           (round(CAST(sum(1 - converted) AS DOUBLE) / count(*) + 1e-9, 6)
+             + 0.0) AS abandonment_rate
+    FROM conv GROUP BY day ORDER BY day
+    """,
+)
+def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment rate per day: a user-day with clicks counts as
+    abandoned unless a purchase lands within 24 hours of that day's
+    LAST click — the remarketing trigger table (abandoners are the
+    retargeting audience; the daily rate is the funnel-health metric).
+    Scale shape: the click side reduces to the user-day frame first
+    (one aggregate), the purchase join is user-co-located with the
+    interval predicate pruning inside, and the verdict is a
+    user-day-keyed max — no event-grain window anywhere."""
+    e = t(spark, sf_dir, "events")
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.max("ts").alias("last_click"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    conv = (
+        c.join(p, c.user_id == F.col("p_uid"), "left")
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pts") >= F.col("last_click"))
+                    & (
+                        F.col("pts")
+                        < F.col("last_click") + F.expr("INTERVAL 24 HOURS")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("converted")
+        )
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        conv.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clickers"),
+            F.sum(1 - F.col("converted")).cast("long").alias("n_abandoned"),
+            rz(
+                F.sum(1 - F.col("converted")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "dq_event_duplication",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, ts, count(*) AS c
+      FROM events GROUP BY user_id, event_type, ts),
+    d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(c - 1) AS BIGINT) AS n_dup_rows,
+             CAST(max(c) AS BIGINT) AS worst_multiplicity
+      FROM g GROUP BY 1)
+    SELECT day, n_events, n_dup_rows,
+           (round(CAST(n_dup_rows AS DOUBLE) / n_events + 1e-9, 6) + 0.0)
+             AS dup_rate,
+           worst_multiplicity
+    FROM d WHERE n_dup_rows > 0 ORDER BY day
+    """,
+)
+def dq_event_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-duplication audit: events identical on the natural key
+    (user, type, timestamp) beyond the first are replays — the
+    at-least-once-delivery artifact every event pipeline must measure
+    before trusting counts. Per day: total events, excess duplicate
+    rows, the dup rate, and the worst single multiplicity (a
+    multiplicity spike pinpoints a replayed batch; a broad low rate
+    points at producer retries). Days with zero dups are omitted (the
+    audit reports FINDINGS — all-clean corpora return an empty frame,
+    identically in both engines). One natural-key aggregate (map-side
+    partials collapse clean keys to one row each), then a day-keyed
+    fold."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type", "ts").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d = g.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup_rows"),
+        F.max("c").cast("long").alias("worst_multiplicity"),
+    )
+    from sec_dl_spark.plans.text import rz
+
+    return (
+        d.where(F.col("n_dup_rows") > 0)
+        .select(
+            "day",
+            "n_events",
+            "n_dup_rows",
+            rz(
+                F.col("n_dup_rows").cast("double") / F.col("n_events"), 6
+            ).alias("dup_rate"),
+            "worst_multiplicity",
+        )
+        .orderBy("day")
+    )

@@ -2106,3 +2106,59 @@ def test_revenue_concentration_pareto_and_gini(spark, tmp_path):
     assert r["n80"] == 1 and r["share_customers_for_80pct"] == 0.2
     assert r["top1pct_revenue_share"] == 0.0
     assert r["gini"] == 0.6
+
+
+def test_cart_abandonment_24h_window(spark, tmp_path):
+    """Planted carts: user 1 purchases 2h after the day's last click
+    (converted), user 2 purchases 30h after (abandoned — outside 24h),
+    user 3 never purchases -> day rate 2/3; a purchase BEFORE the last
+    click must not count."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 11, 5, 10)
+    rows = [
+        (0, b, 1, "click", 1.0, "{}"),
+        (1, b + dt.timedelta(hours=2), 1, "purchase", 9.0, "{}"),
+        (2, b, 2, "click", 1.0, "{}"),
+        (3, b + dt.timedelta(hours=30), 2, "purchase", 9.0, "{}"),
+        (4, b, 3, "click", 1.0, "{}"),
+        (5, b - dt.timedelta(hours=1), 3, "purchase", 9.0, "{}"),  # before
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = load_all()["events_cart_abandonment"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert (r[0]["n_clickers"], r[0]["n_abandoned"]) == (3, 2)
+    assert r[0]["abandonment_rate"] == round(2 / 3 + 1e-9, 6)
+
+
+def test_event_duplication_reports_only_dirty_days(spark, tmp_path):
+    """Planted replay: one event triplicated on day 1 (2 excess rows,
+    multiplicity 3), day 2 clean -> exactly one finding row; the clean
+    fixture corpora correctly return an empty frame (pinned by the
+    0-row oracle result at all SFs)."""
+    import datetime as dt
+
+    d1, d2 = dt.datetime(2024, 3, 1, 9), dt.datetime(2024, 3, 2, 9)
+    rows = [
+        (0, d1, 1, "view", 1.0, "{}"),
+        (1, d1, 1, "view", 1.0, "{}"),
+        (2, d1, 1, "view", 1.0, "{}"),
+        (3, d1, 2, "click", 1.0, "{}"),
+        (4, d2, 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["dq_event_duplication"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_events"], r["n_dup_rows"], r["worst_multiplicity"]) == (4, 2, 3)
+    assert r["dup_rate"] == 0.5
