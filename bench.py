@@ -255,6 +255,11 @@ HEADLINE = [
     # sixteenth r10 batch: the revenue-concentration report (ranked
     # cumulative frame via global_rank+global_cumsum)
     "agg_revenue_concentration",
+    # seventeenth r10 batch: cart abandonment (user-day frame + 24h
+    # interval join) and the replay-duplication audit (natural-key
+    # multiplicity fold)
+    "events_cart_abandonment",
+    "dq_event_duplication",
 ]
 
 

@@ -263,6 +263,10 @@ PROBE = [
     # r10 sixteenth batch. Concentration must ride the range-exchange
     # rank/cumsum pair, never a single-partition window.
     "agg_revenue_concentration",
+    # r10 seventeenth batch. Abandonment rides the user-day frame;
+    # the duplication audit is one natural-key aggregate.
+    "events_cart_abandonment",
+    "dq_event_duplication",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
