@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sec_dl_spark.plans.catalog import query, t
+from sec_dl_spark.plans.util import rz, rz6
 from sec_dl_spark.session import pin
 
 # --------------------------------------------------------------------------
@@ -3402,7 +3403,6 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
         F.sum(F.when(F.col("r_desc") <= 10, F.col("cnt"))).alias("top10_cnt"),
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     nd = lambda name: F.col(name).cast("double")  # noqa: E731
     return g.select(
         "key_name",
@@ -3502,7 +3502,6 @@ def join_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n))
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return (
         sc.select(
             F.col("p1").cast("long").alias("p1"),
@@ -3595,8 +3594,6 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col, n_null, n_distinct)"
         ),
     )
-    from sec_dl_spark.plans.text import rz
-
     piv = melted.groupBy("col").agg(
         F.sum(F.when(F.col("snap") == 0, F.col("n_null"))).cast("long").alias("null_a"),
         F.sum(F.when(F.col("snap") == 1, F.col("n_null"))).cast("long").alias("null_b"),
@@ -3692,8 +3689,6 @@ def dq_lead_time_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_lead_days"),
     )
-    from sec_dl_spark.plans.text import rz
-
     return tot.crossJoin(F.broadcast(ranks)).select(
         "n_lineitems",
         "n_ship_before_order",
@@ -3722,10 +3717,14 @@ def dq_lead_time_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1),
     g AS (
-      SELECT month, rev_cents, n_orders,
-             lag(rev_cents, 1) OVER (ORDER BY month) AS prev_m,
-             lag(rev_cents, 12) OVER (ORDER BY month) AS prev_y
-      FROM m)
+      -- CALENDAR joins, not row lags: a month with zero orders has no
+      -- row, and lag(12) over the row frame would silently compare
+      -- every later month against the wrong year
+      SELECT m.month AS month, m.rev_cents, m.n_orders,
+             pm.rev_cents AS prev_m, py.rev_cents AS prev_y
+      FROM m
+      LEFT JOIN m pm ON pm.month = m.month - INTERVAL 1 MONTH
+      LEFT JOIN m py ON py.month = m.month - INTERVAL 12 MONTH)
     SELECT CAST(month AS DATE) AS month, rev_cents, n_orders,
            (round(CAST(rev_cents - prev_m AS DOUBLE) / nullif(prev_m, 0)
                   + 1e-9, 6) + 0.0) AS mom_growth,
@@ -3737,11 +3736,13 @@ def dq_lead_time_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month and year-over-year revenue growth — the classic
     finance trend table (lag 1 and lag 12 over the monthly frame).
-    Revenue crosses engines as exact integer cents; the lag windows run
-    over the MONTH frame (months-in-history rows, never order rows), so
-    the only fact-sized work is one scan + one month-keyed aggregate
-    with map-side partials. First month / first year rows carry NULL
-    growth (no fabricated zeros), identical both engines."""
+    Revenue crosses engines as exact integer cents; the comparisons are
+    CALENDAR self-joins on month − 1/12 months over the pinned MONTH
+    frame (months-in-history rows, never order rows) — a row-lag would
+    silently misalign every month after a gap month — so the only
+    fact-sized work is one scan + one month-keyed aggregate with
+    map-side partials. First month / first year / post-gap rows carry
+    NULL growth (no fabricated zeros), identical both engines."""
     m = (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -3756,16 +3757,19 @@ def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
-    w = Window.orderBy("month")
-    g = m.select(
-        "month",
-        "rev_cents",
-        "n_orders",
-        F.lag("rev_cents", 1).over(w).alias("prev_m"),
-        F.lag("rev_cents", 12).over(w).alias("prev_y"),
+    # calendar self-joins, not row lags: a month with zero orders has
+    # no row, and lag(12) over the row frame would silently compare
+    # every later month against the wrong year
+    m = pin(m)
+    pm = m.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("rev_cents").alias("prev_m"),
     )
-    from sec_dl_spark.plans.text import rz
-
+    py = m.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("rev_cents").alias("prev_y"),
+    )
+    g = m.join(pm, "month", "left").join(py, "month", "left")
     return g.select(
         "month",
         "rev_cents",
@@ -3987,8 +3991,6 @@ def join_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supplier")
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         top.join(sup, "suppkey")
         .select(
@@ -4034,8 +4036,12 @@ def join_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini AS (
       -- G = (n + 1 - 2 * sum(cum_asc)/total) / n over the ASCENDING
       -- order; with descending cum: sum(cum_desc) = (n+1)*total -
-      -- sum(cum_asc), so sum(cum_asc) derives from the same frame
-      SELECT CAST(sum(cum) AS DOUBLE) AS sum_cum_desc FROM r),
+      -- sum(cum_asc), so sum(cum_asc) derives from the same frame.
+      -- Summed as DOUBLE: the int64 sum is ~n*total (quadratic in SF)
+      -- and wraps around sf3 in Spark while DuckDB would promote to
+      -- HUGEINT — the double sum is exact to 1e-16 relative, far
+      -- inside the 1e-6 gini round
+      SELECT sum(CAST(cum AS DOUBLE)) AS sum_cum_desc FROM r),
     top1 AS (
       SELECT CAST(sum(cents) AS BIGINT) AS top1_cents
       FROM r, tot WHERE rk * 100 <= n_customers)
@@ -4095,10 +4101,10 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("top1_cents"),
-        F.sum("cum").cast("double").alias("sum_cum_desc"),
+        # double BEFORE the sum: the int64 sum is ~n*total and wraps
+        # around sf3; see the oracle's gini CTE comment
+        F.sum(F.col("cum").cast("double")).alias("sum_cum_desc"),
     )
-    from sec_dl_spark.plans.text import rz
-
     out = tot.crossJoin(F.broadcast(stats))
     n = F.col("n_customers")
     totc = F.col("total_cents").cast("double")

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from sec_dl_spark.operators.relational import asof_join, sessionize
 from sec_dl_spark.plans.catalog import query, t
+from sec_dl_spark.plans.util import rz, rz6
 from sec_dl_spark.session import pin
 
 
@@ -839,8 +840,6 @@ def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", "value"))
         ).alias("_evs"),
     )
-    from sec_dl_spark.plans.text import rz
-
     fold = F.aggregate(
         F.transform("_evs", lambda s: s["value"]),
         F.lit(0.0),
@@ -890,8 +889,6 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         (F.element_at(win, (n / 2).cast("int")) + F.element_at(win, (n / 2).cast("int") + 1)) / 2.0
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         e.select(
             "user_id",
@@ -928,8 +925,6 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds frame is |groups|-sized, and nothing buffers per-group values
     the way Spark's percentile TypedImperativeAggregate would."""
     from sec_dl_spark.operators.relational import exact_percentiles
-    from sec_dl_spark.plans.text import rz
-
     e = t(spark, sf_dir, "events").select("event_type", "value")
     bounds = exact_percentiles(
         e, "event_type", {"value": [(0.05, "lo"), (0.95, "hi")]}
@@ -989,8 +984,6 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     resamples and the interval is byte-reproducible — seeded statistics,
     not flaky statistics. Cost: one explode×20 + two aggregations; no
     per-group buffering, no shuffle beyond the group keys."""
-    from sec_dl_spark.plans.text import rz
-
     e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
     reps = e.select(
         "event_type",
@@ -1216,7 +1209,6 @@ def events_heavy_hitters_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c.orderBy(F.col("n").desc(), "user_id").limit(10)
     tot = c.agg(F.sum("n").alias("total"))
     w = Window.orderBy(F.col("n").desc(), "user_id")
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return (
         top.crossJoin(F.broadcast(tot))
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1237,7 +1229,8 @@ def events_heavy_hitters_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_type, epoch_us(ts) AS us,
-             least(CAST(round(value * 100) AS BIGINT) // 4000, 9) AS bin
+             greatest(least(CAST(round(value * 100) AS BIGINT) // 4000, 9),
+                      0) AS bin
       FROM events),
     mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
     counts AS (
@@ -1276,7 +1269,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the observed ts range): the standard drift score a feature-store
     monitor raises on (PSI < 0.1 stable, > 0.25 shifted). Values land in
     10 fixed-width bins via EXACT integer-cents division (no float
-    boundary flips); Laplace 0.5-smoothing keeps empty bins finite on
+    boundary flips; negatives clamp into bin 0 — visible to the monitor
+    and immune to the Spark-div-truncates vs SQL-floor divergence);
+    Laplace 0.5-smoothing keeps empty bins finite on
     both engines, and a per-type bin SPINE (types × range(10)) makes the
     empty bins explicit rather than engine-dependent. Everything derives
     from integer counts — two grouped aggregates, a 1-row midpoint
@@ -1285,8 +1280,12 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "event_type",
         F.unix_micros("ts").alias("us"),
-        F.least(
-            F.expr("CAST(round(value * 100) AS BIGINT) div 4000"), F.lit(9)
+        F.greatest(
+            F.least(
+                F.expr("CAST(round(value * 100) AS BIGINT) div 4000"),
+                F.lit(9),
+            ),
+            F.lit(0),
         ).alias("bin"),
     )
     mid = e.agg(
@@ -1297,8 +1296,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("us") < F.col("mid_us"), 1)).alias("n_early"),
         F.count(F.when(F.col("us") >= F.col("mid_us"), 1)).alias("n_late"),
     )
+    counts = pin(counts)
     spine = (
-        e.select("event_type")
+        counts.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(
             spark.range(10).select(F.col("id").cast("long").alias("bin"))
@@ -1317,7 +1317,6 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "tot_early", "tot_late",
         ((p - q) * F.log(p / q)).alias("term"),
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return (
         terms.groupBy("event_type")
         .agg(
@@ -1456,7 +1455,6 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return g.select(
         "event_type",
         "n",
@@ -1482,21 +1480,32 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(m_d) AS BIGINT) AS n
             FROM d GROUP BY event_type),
     c AS (
+      -- cumulative INTEGER sums stay bounded by the type totals; the
+      -- scaled deviation cum_s*n - S*cum_m forms in DOUBLE (IEEE
+      -- products of exact int64 are bit-identical across engines) —
+      -- the int64 product n*s_d wrapped in Spark past ~4e8 events/type
       SELECT d.event_type, d.day,
-             CAST(sum(tot.n * d.s_d - tot.s * d.m_d)
-                  OVER (PARTITION BY d.event_type ORDER BY d.day
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS cusum
-      FROM d JOIN tot ON d.event_type = tot.event_type),
+             CAST(sum(d.s_d) OVER (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_s,
+             CAST(sum(d.m_d) OVER (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_m
+      FROM d),
+    cv AS (
+      SELECT c.event_type, c.day,
+             CAST(c.cum_s AS DOUBLE) * tot.n
+               - CAST(tot.s AS DOUBLE) * c.cum_m AS cusum
+      FROM c JOIN tot ON c.event_type = tot.event_type),
     peak AS (
       SELECT event_type, day, cusum,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY abs(cusum) DESC, day) AS rk
-      FROM c)
+      FROM cv)
     SELECT p.event_type,
            CAST(t.n AS BIGINT) AS n_events,
            CAST(p.day AS BIGINT) AS changepoint_day,
-           (round(CAST(p.cusum AS DOUBLE) / t.n / 100 + 1e-9, 4) + 0.0)
+           (round(p.cusum / t.n / 100 + 1e-9, 4) + 0.0)
              AS cusum_peak_dollars
     FROM peak p JOIN tot t ON p.event_type = t.event_type
     WHERE p.rk = 1 ORDER BY p.event_type
@@ -1532,13 +1541,18 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cumulative INTEGER sums (bounded by the type totals), scaled
+    # deviation formed in DOUBLE — the int64 product n*s_d wrapped in
+    # Spark past ~4e8 events/type while DuckDB raised; IEEE double
+    # products of exact int64 are bit-identical across engines
     c = (
         d.join(F.broadcast(tot), "event_type")
+        .withColumn("cum_s", F.sum("s_d").over(wc).cast("long"))
+        .withColumn("cum_m", F.sum("m_d").over(wc).cast("long"))
         .withColumn(
             "cusum",
-            F.sum(
-                F.col("n") * F.col("s_d") - F.col("s") * F.col("m_d")
-            ).over(wc).cast("long"),
+            F.col("cum_s").cast("double") * F.col("n")
+            - F.col("s").cast("double") * F.col("cum_m"),
         )
     )
     wp = Window.partitionBy("event_type").orderBy(
@@ -2104,7 +2118,6 @@ def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conf"),
         (F.col("n_pos").cast("double") / F.col("n")).alias("acc"),
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     bins = sc.select(
         F.col("bin_id").cast("long").alias("bin_id"),
         F.col("n").cast("long").alias("n_rows"),
@@ -2253,7 +2266,6 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return (
         fin.groupBy("event_type")
         .agg(
@@ -2415,8 +2427,6 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 7 DAYS")),
     ).select("pid", "event_type")
     w = j.withColumn("n_touch", F.count(F.lit(1)).over(Window.partitionBy("pid")))
-    from sec_dl_spark.plans.text import rz
-
     return (
         w.groupBy("event_type")
         .agg(
@@ -2514,8 +2524,6 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_converted"),
         F.sum("m").cast("long").alias("sum_m"),
     )
-    from sec_dl_spark.plans.text import rz
-
     ranks = cum.crossJoin(F.broadcast(tot)).agg(
         F.min(
             F.when(
@@ -2608,8 +2616,6 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("tot_events"),
         F.sum("n_days").cast("long").alias("tot_days"),
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         dw.join(F.broadcast(tot), "event_type")
         .select(
@@ -2668,8 +2674,6 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users_b"),
     )
-    from sec_dl_spark.plans.text import rz
-
     diff2 = (
         (F.col("n_users_a") - F.col("n_users_b"))
         * (F.col("n_users_a") - F.col("n_users_b"))
@@ -2773,8 +2777,6 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = rev.withColumn(
         "cum_revenue_cents", F.sum("revenue_cents").over(wc).cast("long")
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         cum.join(sz, "cohort_week")
         .select(
@@ -2856,8 +2858,6 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conv").cast("long").alias("n_conv"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    from sec_dl_spark.plans.text import rz
-
     p = F.col("n_conv").cast("double") / F.nullif(F.col("n"), F.lit(0))
     n_min = F.least(F.col("n_a"), F.col("n_b"))
     mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
@@ -2947,8 +2947,6 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         )
     )
-    from sec_dl_spark.plans.text import rz
-
     z = (
         dw.join(F.broadcast(base), ["event_type", "dow"])
         .where(F.col("n_days") >= 3)
@@ -3033,8 +3031,6 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w, m = trailing(7, "wau"), trailing(30, "mau")
-    from sec_dl_spark.plans.text import rz
-
     return (
         dau.join(w, "day")
         .join(m, "day")
@@ -3153,8 +3149,6 @@ def events_funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_minutes"),
         )
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         tot.join(ranks, "step")
         .select(
@@ -3274,8 +3268,6 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     burn = (F.col("errs").cast("double") / F.col("n")) / F.lit(0.01)
     b = h.select("n", "errs", burn.alias("burn"))
-    from sec_dl_spark.plans.text import rz
-
     return b.agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("errs").cast("long").alias("total_errors"),
@@ -3351,8 +3343,6 @@ def events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted")
         )
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         conv.groupBy("day")
         .agg(
@@ -3408,8 +3398,6 @@ def dq_event_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") - 1).cast("long").alias("n_dup_rows"),
         F.max("c").cast("long").alias("worst_multiplicity"),
     )
-    from sec_dl_spark.plans.text import rz
-
     return (
         d.where(F.col("n_dup_rows") > 0)
         .select(

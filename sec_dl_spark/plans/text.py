@@ -66,21 +66,11 @@ def tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
-# Zero-normalizing rounded float aggregate, both engines. IEEE round() keeps
-# the sign bit, so a tiny NEGATIVE average rounds to -0.0 in DuckDB but +0.0
-# in Spark — same magnitude, different serialized hash (this exact class
-# failed corpus_dsir_weights' driver hash in round 6). Appending `+ 0.0`
-# AFTER the round normalizes: IEEE defines -0.0 + 0.0 = +0.0, and every
-# nonzero value is unchanged. Use these for any float aggregate whose
-# rounded value can straddle zero.
-def rz(col, digits: int = 4, nudge: float = 1e-9):
-    """Spark side: round(col + nudge, digits) with -0.0 normalized to +0.0."""
-    return F.round(col + F.lit(nudge), digits) + F.lit(0.0)
-
-
-def rz_sql(expr: str, digits: int = 4, nudge: str = "1e-9") -> str:
-    """DuckDB oracle twin of :func:`rz` (identical nudge + normalization)."""
-    return f"(round(({expr}) + {nudge}, {digits}) + 0.0)"
+# Zero-normalizing rounded float helpers live in plans/util.py (shared by
+# every plan module); re-exported here because this module's oracles use
+# them in module-level f-strings and sibling modules historically import
+# them from here.
+from sec_dl_spark.plans.util import rz, rz6, rz_sql  # noqa: E402
 
 
 # DuckDB-side canonical tokenizer / shingler (mirrors functions/text.py).
@@ -408,7 +398,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             n_oov.cast("long").alias("n_oov"),
-            rz(n_oov / F.col("n_tokens").cast("double")).alias("oov_rate"),
+            rz6(n_oov / F.col("n_tokens").cast("double")).alias("oov_rate"),
         )
         .orderBy("doc_id")
     )
@@ -4729,8 +4719,9 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reach GROUP BY src)
     SELECT d.doc_id,
            CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS root,
-           CAST(((((coalesce(c.cluster_id, d.doc_id) * 2654435761)
-                   % 4294967296) >> 16) % 5) AS BIGINT) AS fold,
+           CAST((((((coalesce(c.cluster_id, d.doc_id) % 2147483648)
+                    * 2654435761) % 4294967296) >> 16) % 5) AS BIGINT)
+             AS fold,
            (c.doc_id IS NOT NULL) AS is_clustered
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     ORDER BY d.doc_id
@@ -4750,9 +4741,14 @@ def corpus_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:duplicate_clusters — min-label + pointer jumping,
     O(log diameter) rounds) → root = component id (singleton docs are
     their own root) → fold = high bits of the Knuth multiplicative hash
-    ((root·2654435761) mod 2³²) >> 16, mod k. The hash arithmetic is
-    pure integer ops, identical in both engines (the LOW bits of a
-    multiplicative hash are poorly mixed — the >> 16 matters); the
+    (((root mod 2³¹)·2654435761) mod 2³²) >> 16, mod k. The mod-2³¹
+    pre-clamp (the same guard text.py's other Knuth-hash sites use)
+    keeps the product inside int64 for ids past ~3.5e9 — without it
+    Spark wraps to a negative product (and a negative fold) while
+    DuckDB raises, at exactly the open-web id scale this op targets.
+    The hash arithmetic is pure integer ops, identical in both engines
+    (the LOW bits of a multiplicative hash are poorly mixed — the
+    >> 16 matters); the
     oracle recomputes components with the recursive-CTE closure (the
     dedup_clusters discipline: a different algorithm proving the fixed
     point, not a transliteration). At 100 TB the cluster step is the
@@ -4769,7 +4765,11 @@ def corpus_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             root.cast("long").alias("root"),
             (
-                F.shiftright((root * F.lit(2654435761)) % F.lit(4294967296), 16)
+                F.shiftright(
+                    ((root % F.lit(1 << 31)) * F.lit(2654435761))
+                    % F.lit(4294967296),
+                    16,
+                )
                 % 5
             ).cast("long").alias("fold"),
             F.col("cluster_id").isNotNull().alias("is_clustered"),
@@ -4838,7 +4838,6 @@ def corpus_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("sz").desc(), "fp")
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return (
         top.crossJoin(F.broadcast(g))
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -4942,7 +4941,6 @@ def emb_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nc"
         ),
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return a.crossJoin(F.broadcast(k)).select(
         F.col("n_corpus").cast("long").alias("n_corpus"),
         F.col("k_selected").cast("long").alias("k_selected"),
@@ -5063,7 +5061,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("d") / 2).cast("long").alias("n_edges"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return agg.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",
@@ -5444,7 +5441,6 @@ def corpus_quality_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * F.col("sy") - syd * F.col("sy")),
         F.lit(0.0),
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return mo.select(
         F.col("n").alias("n_docs"),
         F.col("sy").alias("n_dup_docs"),
@@ -5760,10 +5756,13 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, source, {SHINGLES} AS sh FROM tk WHERE len(toks) >= 3),
     p AS (
+      -- UNROUNDED jaccard: the double division of identical integer
+      -- intersect/union sizes is bit-identical across engines, so the
+      -- threshold comparisons agree exactly; rounding on one side only
+      -- would diverge for pairs within 5e-7 of a cutoff
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) + 1e-9, 6)
-               AS j
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS j
       FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh)) > 0),
     th AS (SELECT unnest([0.3, 0.45, 0.6, 0.75, 0.9]) AS t),
@@ -5811,7 +5810,6 @@ def text_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = pairs.sparkSession.createDataFrame(
         [(x,) for x in ths], "t double"
     )
-    rz6 = lambda col: F.round(col + F.lit(1e-9), 6) + F.lit(0.0)  # noqa: E731
     return (
         spine.join(pcnt, "t", "left")
         .join(dcnt, "t", "left")

@@ -39,9 +39,15 @@ def bin_counts(
     binning. Bins come from EXACT integer-cents division (round to
     cents, integer-divide, clamp to the last bin), matching the batch
     PSI query bit for bit; one partial-aggregated groupBy."""
-    b = F.least(
-        F.expr(f"CAST(round({value_col} * 100) AS BIGINT) div {cents_per_bin}"),
-        F.lit(n_bins - 1),
+    # clamp BOTH ends: negative values (refunds, corrections) land in bin
+    # 0 instead of silently falling off the spine — and the clamp removes
+    # the Spark-div-truncates vs SQL-floor divergence negatives introduce
+    b = F.greatest(
+        F.least(
+            F.expr(f"CAST(round({value_col} * 100) AS BIGINT) div {cents_per_bin}"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
     return (
         df.select(F.col(key_col).alias("key"), b.alias("bin"))

@@ -2162,3 +2162,26 @@ def test_event_duplication_reports_only_dirty_days(spark, tmp_path):
     r = out[0]
     assert (r["n_events"], r["n_dup_rows"], r["worst_multiplicity"]) == (4, 2, 3)
     assert r["dup_rate"] == 0.5
+
+
+def test_yoy_growth_gap_month_yields_null_not_misalignment(spark, tmp_path):
+    """Calendar semantics pinned: with February missing entirely, March's
+    MoM must be NULL (no prior calendar month), NOT a silent comparison
+    against January — the misalignment a row-frame lag(1) would
+    produce."""
+    import datetime as dt
+
+    rows = [
+        (0, 1, "O", 100.0, dt.datetime(2024, 1, 15), "1"),
+        (1, 1, "O", 200.0, dt.datetime(2024, 3, 15), "1"),
+        (2, 1, "O", 300.0, dt.datetime(2024, 4, 15), "1"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = {str(r["month"]): r for r in load_all()["agg_yoy_growth"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out["2024-03-01"]["mom_growth"] is None  # Feb gap -> NULL
+    assert out["2024-04-01"]["mom_growth"] == 0.5  # 300 vs 200

@@ -124,9 +124,13 @@ def build_slice(
                 f"red/lead names do not fit even with --defer-newest: "
                 f"{sorted(hard)} — shrink --lead"
             )
+        # stderr, NOT stdout: --names-only output gets spliced into shell
+        # commands via $(...), and a comment line would word-split into
+        # bogus query-name arguments
         print(
             f"# deferred to next round's slice head (never-checked overflow): "
-            f"{sorted(dropped)}"
+            f"{sorted(dropped)}",
+            file=sys.stderr,
         )
     info = {
         "red": red_now,
