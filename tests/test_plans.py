@@ -2185,3 +2185,35 @@ def test_yoy_growth_gap_month_yields_null_not_misalignment(spark, tmp_path):
     out = {str(r["month"]): r for r in load_all()["agg_yoy_growth"].spark_fn(spark, str(tmp_path)).collect()}
     assert out["2024-03-01"]["mom_growth"] is None  # Feb gap -> NULL
     assert out["2024-04-01"]["mom_growth"] == 0.5  # 300 vs 200
+
+
+def test_cusum_changepoint_finds_planted_shift(spark, tmp_path):
+    """Planted mean shift: 10 days at $10/day then 10 days at $30/day ->
+    the |CUSUM| of deviations from the $20 overall mean peaks exactly at
+    the last pre-shift day (day index 9), the textbook single-shift MLE;
+    the peak magnitude is n·Σdev = 20·(10·(10−20)) = −2000 dollars
+    scaled, reported as cusum/n/100 dollars."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 6, 1, 12)
+    for day in range(20):
+        v = 10.0 if day < 10 else 30.0
+        rows.append((eid, base + dt.timedelta(days=day), 1, "purchase", v, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = load_all()["events_cusum_changepoint"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_events"] == 20
+    # changepoint_day is an epoch-day index; the peak must be the 10th
+    # observed day (index 9 relative to the first)
+    first_day = int(base.timestamp() // 86400)
+    assert row["changepoint_day"] - first_day == 9
+    # |peak| = |n * sum_dev| / n / 100 dollars = |10 * (10-20)| = 100
+    assert abs(row["cusum_peak_dollars"]) == 100.0
