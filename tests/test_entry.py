@@ -99,3 +99,41 @@ def test_rotation_tool_evidence_parsing(tmp_path):
                       "later_fixed": 2}
     # clean rows-only is NOT red; r1's red row was re-proven green in r2
     assert red == {"d", "e", "f"}
+
+
+def test_rotation_build_slice_policy_and_defer_newest(tmp_path):
+    """build_slice pins the standing policy on the LIVE artifacts: the
+    slice is exactly 50 names led by --lead, every red/lead name always
+    fits, and when red+lead+never-checked exceed the window the plain
+    call REFUSES (SystemExit) while --defer-newest drops only the
+    newest never-checked registrations and keeps everything else."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    rotation = importlib.import_module("rotation")
+
+    import pytest as _pt
+
+    latest, red = rotation.evidence("/root/repo")
+    # this round's real state: more never-checked names than the window
+    # holds, so the strict form must refuse and the defer form must fit
+    with _pt.raises(SystemExit):
+        rotation.build_slice("/root/repo", ["dedup_clusters"])
+
+    out, info = rotation.build_slice(
+        "/root/repo", ["dedup_clusters"], defer_newest=True
+    )
+    assert len(out) == 50 and out[0] == "dedup_clusters"
+    assert len(set(out)) == 50
+    # every red name (if any) made the slice
+    assert set(info["red"]).issubset(set(out))
+    # deferred = never-checked minus the slice, and they are the NEWEST
+    # registrations (registration order == never-block order)
+    never = info["never_checked"]
+    deferred = [n for n in never if n not in out]
+    assert deferred == never[len(never) - len(deferred):]
+    # unknown --lead names are refused
+    with _pt.raises(SystemExit):
+        rotation.build_slice("/root/repo", ["not_a_query"])
