@@ -3411,3 +3411,58 @@ def dq_event_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+    lab AS (
+      SELECT ud.day,
+             CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END AS is_new
+      FROM ud JOIN f ON ud.user_id = f.user_id)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(is_new) AS BIGINT) AS new_users,
+           CAST(count(*) - sum(is_new) AS BIGINT) AS returning_users,
+           (round(CAST(sum(is_new) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS new_share
+    FROM lab GROUP BY day ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each active day's users split into NEW (their
+    first-ever day) vs RETURNING, with the new-user share — the
+    acquisition-vs-retention decomposition read next to DAU/WAU/MAU
+    (flat DAU can hide healthy acquisition masking churn, or the
+    reverse; this table tells them apart). Scale shape: everything runs
+    on the deduplicated user-day frame — one distinct off the event
+    scan, one user-keyed min for the first day, one user-co-located
+    join back, one day-keyed fold. No window over raw events
+    anywhere."""
+    e = t(spark, sf_dir, "events")
+    ud = pin(
+        e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    lab = ud.join(f, "user_id").select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), 1).otherwise(0).alias("is_new"),
+    )
+    return (
+        lab.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum("is_new").cast("long").alias("new_users"),
+            (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias(
+                "returning_users"
+            ),
+            rz6(
+                F.sum("is_new").cast("double") / F.count(F.lit(1))
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )

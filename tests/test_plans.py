@@ -2217,3 +2217,29 @@ def test_cusum_changepoint_finds_planted_shift(spark, tmp_path):
     assert row["changepoint_day"] - first_day == 9
     # |peak| = |n * sum_dev| / n / 100 dollars = |10 * (10-20)| = 100
     assert abs(row["cusum_peak_dollars"]) == 100.0
+
+
+def test_new_vs_returning_first_day_labeling(spark, tmp_path):
+    """Planted growth: user 1 active on days 1 and 2 (new then
+    returning), user 2 only day 2 (new) -> day 2 has 1 new + 1
+    returning; repeat events within a day never double-count a user."""
+    import datetime as dt
+
+    d1, d2 = dt.datetime(2024, 8, 1, 9), dt.datetime(2024, 8, 2, 9)
+    rows = [
+        (0, d1, 1, "view", 1.0, "{}"),
+        (1, d1, 1, "click", 1.0, "{}"),  # same user+day, dedupe
+        (2, d2, 1, "view", 1.0, "{}"),
+        (3, d2, 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {str(r["day"]): r for r in load_all()["events_new_vs_returning"].spark_fn(spark, str(tmp_path)).collect()}
+    a, b = out["2024-08-01"], out["2024-08-02"]
+    assert (a["active_users"], a["new_users"], a["returning_users"]) == (1, 1, 0)
+    assert (b["active_users"], b["new_users"], b["returning_users"]) == (2, 1, 1)
+    assert b["new_share"] == 0.5
