@@ -260,6 +260,8 @@ HEADLINE = [
     # multiplicity fold)
     "events_cart_abandonment",
     "dq_event_duplication",
+    # eighteenth r10 batch: growth accounting off the user-day frame
+    "events_new_vs_returning",
 ]
 
 

@@ -267,6 +267,8 @@ PROBE = [
     # the duplication audit is one natural-key aggregate.
     "events_cart_abandonment",
     "dq_event_duplication",
+    # r10 eighteenth batch: rides the user-day frame.
+    "events_new_vs_returning",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
