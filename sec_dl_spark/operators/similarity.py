@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sec_dl_spark.plans.util import rz6
 from sec_dl_spark.session import pin
 
 
@@ -686,8 +687,10 @@ def knn_isolation(
     stats = (
         topk.groupBy("query_id")
         .agg(
-            F.round(F.avg("cosine_sim") + F.lit(1e-9), 6).alias("knn_mean_sim"),
-            F.round(F.min("cosine_sim") + F.lit(1e-9), 6).alias("knn_min_sim"),
+            # rz6 (not a bare round): a tiny negative mean cosine rounds
+            # to -0.0, which hash-diverges from +0.0 downstream
+            rz6(F.avg("cosine_sim")).alias("knn_mean_sim"),
+            rz6(F.min("cosine_sim")).alias("knn_min_sim"),
         )
         .select(F.col("query_id").alias("vec_id"), "knn_mean_sim", "knn_min_sim")
     )

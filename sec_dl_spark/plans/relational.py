@@ -3320,7 +3320,8 @@ from sec_dl_spark.operators.relational import global_rank  # noqa: E402
     g AS (
       SELECT key_name,
              sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt,
-             sum(r_asc * cnt) AS sw, sum(cnt * cnt) AS sq,
+             sum(CAST(r_asc AS DOUBLE) * cnt) AS sw,
+             sum(CAST(cnt AS DOUBLE) * cnt) AS sq,
              sum(cnt) FILTER (r_desc <= 10) AS top10_cnt
       FROM r GROUP BY key_name)
     SELECT key_name,
@@ -3359,11 +3360,14 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_rank — ONE range exchange over (key_name, cnt, key_val) total
     order, per-partition local ranks + broadcast offsets — and are
     rebased per key_name by broadcasting each audit's min-rank offset.
-    Every metric is a deterministic expression of exact integer moments
-    (sw = Σ rank·cnt, sq = Σ cnt², shares from max/top-10 integer sums);
-    the n_keys·sq product is computed in DOUBLE deliberately (identical
-    expression both engines) so the audit cannot int64-overflow at
-    petabyte row counts."""
+    Every metric is a deterministic expression of exact moments (sw =
+    Σ rank·cnt, sq = Σ cnt², shares from max/top-10 integer sums); the
+    two QUADRATIC moments (sw, sq) are accumulated in DOUBLE in BOTH
+    engines — cnt² wraps int64 once one hot key passes ~3.04e9 rows
+    (DuckDB silently promotes to HUGEINT, so the engines would diverge
+    exactly where the audit matters most) — with every term
+    integer-valued and exact below 2^53, so the audit cannot
+    int64-overflow at petabyte row counts."""
     li = t(spark, sf_dir, "lineitem").select(
         F.explode(
             F.array(
@@ -3399,8 +3403,13 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
-        F.sum(F.col("r_asc") * F.col("cnt")).alias("sw"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        # cnt^2 wraps int64 once a single hot key passes ~3.04e9 rows
+        # (and r_asc*cnt sums past 2^63 at petabyte key counts) while
+        # DuckDB promotes to HUGEINT; accumulate both quadratic moments
+        # in double — each term is integer-valued and exact below 2^53,
+        # so both engines sum identical values at any tested scale.
+        F.sum(F.col("r_asc").cast("double") * F.col("cnt")).alias("sw"),
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("sq"),
         F.sum(F.when(F.col("r_desc") <= 10, F.col("cnt"))).alias("top10_cnt"),
     )
     nd = lambda name: F.col(name).cast("double")  # noqa: E731

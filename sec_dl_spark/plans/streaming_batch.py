@@ -1673,17 +1673,18 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              sum(cnt_a) AS n_a, sum(cnt_b) AS n_b,
              sum(cnt_a * (2 * cless + cnt + 1)) AS s2a,
-             sum(cnt * cnt * cnt - cnt) AS tie_sum
+             sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_sum
       FROM r GROUP BY event_type
       HAVING n_a >= 2 AND n_b >= 2
-         AND tie_sum < (n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)),
+         AND tie_sum < CAST(n_a + n_b AS DOUBLE) * (n_a + n_b) * (n_a + n_b)
+                       - (n_a + n_b)),
     s AS (
       SELECT event_type, n_a, n_b,
              (CAST(s2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2 AS u_a,
              CAST(n_a AS DOUBLE) * n_b / 2 AS mu,
              sqrt((CAST(n_a AS DOUBLE) * n_b / 12)
                   * ((n_a + n_b + 1)
-                     - CAST(tie_sum AS DOUBLE)
+                     - tie_sum
                        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))) AS sigma
       FROM g)
     SELECT event_type,
@@ -1706,10 +1707,15 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``cless`` = count of strictly-smaller observations and ``cnt``
     = tie multiplicity, the doubled midrank ``2*cless + cnt + 1`` is an
     exact INTEGER, and ``s2a = Σ cnt_a·(2·cless+cnt+1)`` (= 2·rank-sum),
-    the tie term ``Σ(t³−t)``, and all arm counts are exact integer
-    moments; U, μ, σ, z are then single deterministic float expressions
-    of those integers (the same integer-moment convention as the Welch
-    query — shuffle-order float accumulation never enters).
+    and all arm counts are exact integer moments; the tie term
+    ``Σ(t³−t)`` is formed per distinct value in DOUBLE (t³ wraps int64
+    past t≈2.1e6 while DuckDB promotes to HUGEINT — the cusum overflow
+    class) but every term is integer-valued and exact below 2^53, so
+    both engines sum identical values; U, μ, σ, z are then single
+    deterministic float expressions of those moments (the same
+    integer-moment convention as the Welch query — shuffle-order float
+    accumulation never enters). The all-tied degenerate filter compares
+    in double for the same reason.
 
     Scale shape: one row-level grouped aggregate to distinct (type,
     cents) pairs (map-side partial combine), a cumulative window over
@@ -1743,14 +1749,22 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("cnt_a") * (2 * F.col("cless") + F.col("cnt") + 1)
             ).alias("s2a"),
+            # cnt^3 wraps int64 past cnt ~2.1e6 per (type, cents) bucket
+            # (DuckDB silently promotes to HUGEINT); form the cube in
+            # double — each cnt^3 - cnt term is integer-valued and exact
+            # in double below 2^53, so both engines sum identical values.
             F.sum(
-                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+                F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
             ).alias("tie_sum"),
         )
         .where(
             (F.col("n_a") >= 2)
             & (F.col("n_b") >= 2)
-            & (F.col("tie_sum") < n * n * n - n)
+            # n^3 likewise: compare in double (events_cusum_changepoint
+            # precedent), else a ~2.1e6-observation type diverges
+            # cross-engine on the all-tied filter.
+            & (F.col("tie_sum") < n.cast("double") * n * n - n)
         )
     )
     u_a = (
@@ -1761,7 +1775,7 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a").cast("double") * F.col("n_b") / 12)
         * (
             (F.col("n_a") + F.col("n_b") + 1)
-            - F.col("tie_sum").cast("double")
+            - F.col("tie_sum")
             / (n.cast("double") * (F.col("n_a") + F.col("n_b") - 1))
         )
     )
@@ -2046,8 +2060,8 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY bin_id),
     sc AS (
       SELECT bin_id, n, n_all,
-             (CAST(sum_cents AS DOUBLE) / 100.0 / n - vmin) / (vmax - vmin)
-               AS conf,
+             (CAST(sum_cents AS DOUBLE) / 100.0 / n - vmin)
+               / greatest(vmax - vmin, 1e-12) AS conf,
              CAST(n_pos AS DOUBLE) / n AS acc
       FROM pb)
     SELECT CAST(bin_id AS BIGINT) AS bin_id,
@@ -2114,7 +2128,9 @@ def events_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_all",
         (
             (F.col("sum_cents").cast("double") / 100.0 / F.col("n") - F.col("vmin"))
-            / (F.col("vmax") - F.col("vmin"))
+            # same greatest(,1e-12) guard as the bin width: an all-equal
+            # score column must yield conf = 0, not NaN/Inf, both engines
+            / F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-12))
         ).alias("conf"),
         (F.col("n_pos").cast("double") / F.col("n")).alias("acc"),
     )
