@@ -4130,3 +4130,234 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top1pct_revenue_share"),
         rz((n + 1 - 2.0 * sum_cum_asc / totc) / n, 6).alias("gini"),
     )
+
+
+@query(
+    "agg_price_volume_mix",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand, year(l.l_shipdate) AS yr,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN (1999, 2000)),
+    g AS (
+      SELECT p_brand,
+             sum(CASE WHEN yr = 1999 THEN qty ELSE 0 END) AS q0,
+             sum(CASE WHEN yr = 2000 THEN qty ELSE 0 END) AS q1,
+             sum(CASE WHEN yr = 1999 THEN cents ELSE 0 END) AS r0,
+             sum(CASE WHEN yr = 2000 THEN cents ELSE 0 END) AS r1
+      FROM f GROUP BY p_brand
+      HAVING q0 > 0 AND q1 > 0),
+    s AS (
+      SELECT p_brand, q0, q1, r0, r1,
+             CAST(r0 AS DOUBLE) / 100.0 / q0 AS p0,
+             CAST(r1 AS DOUBLE) / 100.0 / q1 AS p1
+      FROM g)
+    SELECT p_brand,
+           CAST(q0 AS BIGINT) AS qty_base, CAST(q1 AS BIGINT) AS qty_curr,
+           (round(CAST(r1 - r0 AS DOUBLE) / 100.0 + 1e-9, 2) + 0.0)
+             AS delta_revenue,
+           (round((q1 - q0) * p0 + 1e-9, 2) + 0.0) AS volume_effect,
+           (round((p1 - p0) * q0 + 1e-9, 2) + 0.0) AS price_effect,
+           (round((p1 - p0) * (q1 - q0) + 1e-9, 2) + 0.0) AS mix_effect
+    FROM s ORDER BY p_brand
+    """,
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition of the 1999→2000 revenue change per
+    brand — the FP&A waterfall that answers "did revenue move because we
+    sold MORE units, charged MORE per unit, or both": with base/current
+    quantities q0,q1 and unit prices p0,p1 (revenue/quantity),
+    ΔR = (q1−q0)·p0  [volume]  +  (p1−p0)·q0  [price]
+         + (p1−p0)(q1−q0)  [mix/cross]
+    and the three effects sum to ΔR exactly by algebra. Scale shape: ONE
+    lineitem scan with the part dim BROADCAST for the brand key, both
+    years folded as conditional sums in a single brand-keyed aggregate
+    (no self-join of year slices — the year pivot rides map-side partial
+    aggregation). Quantities and revenue cents are exact integers; unit
+    prices and effects are then deterministic double expressions of
+    those integer moments, rounded with the shared nudge convention."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "yr", F.year("l_shipdate")
+    ).where(F.col("yr").isin(1999, 2000))
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    f = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        "yr",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    y0, y1 = F.col("yr") == 1999, F.col("yr") == 2000
+    g = (
+        f.groupBy("p_brand")
+        .agg(
+            F.sum(F.when(y0, F.col("qty")).otherwise(0)).alias("q0"),
+            F.sum(F.when(y1, F.col("qty")).otherwise(0)).alias("q1"),
+            F.sum(F.when(y0, F.col("cents")).otherwise(0)).alias("r0"),
+            F.sum(F.when(y1, F.col("cents")).otherwise(0)).alias("r1"),
+        )
+        .where((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    p0 = F.col("r0").cast("double") / 100.0 / F.col("q0")
+    p1 = F.col("r1").cast("double") / 100.0 / F.col("q1")
+    dq = F.col("q1") - F.col("q0")
+    return g.select(
+        "p_brand",
+        F.col("q0").cast("long").alias("qty_base"),
+        F.col("q1").cast("long").alias("qty_curr"),
+        rz((F.col("r1") - F.col("r0")).cast("double") / 100.0, 2).alias(
+            "delta_revenue"
+        ),
+        rz(dq * p0, 2).alias("volume_effect"),
+        rz((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
+        rz((p1 - p0) * dq, 2).alias("mix_effect"),
+    ).orderBy("p_brand")
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100) AS BIGINT)) AS rec
+      FROM lineitem GROUP BY l_orderkey),
+    oc AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tot
+      FROM orders),
+    j AS (
+      SELECT oc.tot, lc.rec,
+             CASE
+               WHEN lc.rec IS NULL THEN 5
+               WHEN lc.rec = oc.tot THEN 0
+               WHEN oc.tot = 0 THEN 4
+               WHEN abs(lc.rec - oc.tot) < 0.001 * oc.tot THEN 1
+               WHEN abs(lc.rec - oc.tot) < 0.01 * oc.tot THEN 2
+               WHEN abs(lc.rec - oc.tot) < 0.1 * oc.tot THEN 3
+               ELSE 4
+             END AS ord_bucket
+      FROM oc LEFT JOIN lc ON oc.o_orderkey = lc.l_orderkey),
+    n AS (SELECT count(*) AS n_orders FROM j),
+    buckets AS (
+      SELECT ord_bucket, count(*) AS n FROM j GROUP BY ord_bucket),
+    lab AS (
+      SELECT * FROM (VALUES
+        (0, 'exact'), (1, 'lt_0.1pct'), (2, 'lt_1pct'), (3, 'lt_10pct'),
+        (4, 'gte_10pct'), (5, 'orders_without_lines')) v(ordinal, bucket)),
+    orders_side AS (
+      SELECT lab.ordinal, lab.bucket,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS n,
+             (round(CAST(coalesce(b.n, 0) AS DOUBLE) / n.n_orders
+                    + 1e-9, 6) + 0.0) AS share
+      FROM lab LEFT JOIN buckets b ON lab.ordinal = b.ord_bucket, n),
+    orphans AS (
+      SELECT 6 AS ordinal, 'lines_without_order' AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             (round(CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM lineitem) + 1e-9, 6) + 0.0)
+               AS share
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    SELECT CAST(ordinal AS BIGINT) AS ordinal, bucket, n, share
+    FROM (SELECT * FROM orders_side UNION ALL SELECT * FROM orphans)
+    ORDER BY ordinal
+    """,
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: every order's header total
+    (o_totalprice) re-derived from its lines as
+    Σ round(extendedprice·(1−discount)·(1+tax)·100) cents, then a
+    7-bucket census — exact match, relative gap under 0.1%/1%/10%,
+    ≥10%, orders with no lines, and lines pointing at no order — the
+    first report a data-platform team runs when two upstream systems
+    disagree about money (and on these fixtures it FINDS the planted
+    inconsistency: header totals are synthetic noise, so the mass sits
+    in gte_10pct — the audit's job is to say so, loudly).
+
+    Scale shape: one lineitem scan folded to order grain with map-side
+    partial sums (per-line cents rounded to exact integers BEFORE the
+    sum, so the reconciled figure is summation-order-free in both
+    engines), one order-keyed left join (co-partitioned on the join key
+    at scale), bucket assignment as a codegen CASE over exact integers,
+    and a 7-row output. The orphan-line arm is a key-only anti-join —
+    same plan as the referential-integrity audit. Share denominators:
+    order buckets over total orders, the orphan-line row over total
+    lines."""
+    li = t(spark, sf_dir, "lineitem")
+    lc = (
+        li.select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            )
+            .cast("long")
+            .alias("line_cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_cents").alias("rec"))
+    )
+    oc = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tot"),
+    )
+    j = oc.join(lc, oc.o_orderkey == lc.l_orderkey, "left")
+    gap = F.abs(F.col("rec") - F.col("tot"))
+    bucket = (
+        F.when(F.col("rec").isNull(), 5)
+        .when(F.col("rec") == F.col("tot"), 0)
+        .when(F.col("tot") == 0, 4)
+        .when(gap < 0.001 * F.col("tot"), 1)
+        .when(gap < 0.01 * F.col("tot"), 2)
+        .when(gap < 0.1 * F.col("tot"), 3)
+        .otherwise(4)
+    )
+    counts = j.select(bucket.alias("ordinal")).groupBy("ordinal").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_orders = oc.agg(F.count(F.lit(1)).alias("n_orders"))
+    labels = t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [
+            (0, "exact"),
+            (1, "lt_0.1pct"),
+            (2, "lt_1pct"),
+            (3, "lt_10pct"),
+            (4, "gte_10pct"),
+            (5, "orders_without_lines"),
+        ],
+        "ordinal int, bucket string",
+    )
+    orders_side = (
+        labels.join(counts, "ordinal", "left")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("ordinal").cast("long").alias("ordinal"),
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            rz6(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("n_orders")
+            ).alias("share"),
+        )
+    )
+    n_lines = li.agg(F.count(F.lit(1)).alias("n_lines"))
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            oc.select("o_orderkey"),
+            li.l_orderkey == oc.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_lines))
+        .select(
+            F.lit(6).cast("long").alias("ordinal"),
+            F.lit("lines_without_order").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            rz6(F.col("n").cast("double") / F.col("n_lines")).alias("share"),
+        )
+    )
+    return orders_side.unionByName(orphans).orderBy("ordinal")

@@ -2243,3 +2243,101 @@ def test_new_vs_returning_first_day_labeling(spark, tmp_path):
     assert (a["active_users"], a["new_users"], a["returning_users"]) == (1, 1, 0)
     assert (b["active_users"], b["new_users"], b["returning_users"]) == (2, 1, 1)
     assert b["new_share"] == 0.5
+
+
+def test_price_volume_mix_decomposition_is_exact(spark, tmp_path):
+    """Planted brand: 1999 sells 10 units @ $2.00, 2000 sells 20 units
+    @ $3.00 -> dR = 60-20 = 40; volume = (20-10)*2 = 20; price =
+    (3-2)*10 = 10; mix = (3-2)*(20-10) = 10 — and the three effects sum
+    to dR exactly."""
+    import datetime as dt
+
+    li = [
+        (1, 1, 1, 1, 10.0, 20.0, 0.0, 0.0, "N", "O", dt.datetime(1999, 6, 1)),
+        (2, 1, 1, 1, 20.0, 60.0, 0.0, 0.0, "N", "O", dt.datetime(2000, 6, 1)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "p", "Brand#1", "t", 1, 2.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+
+    rows = load_all()["agg_price_volume_mix"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["qty_base"], r["qty_curr"]) == (10, 20)
+    assert r["delta_revenue"] == 40.0
+    assert r["volume_effect"] == 20.0
+    assert r["price_effect"] == 10.0
+    assert r["mix_effect"] == 10.0
+    assert (
+        r["volume_effect"] + r["price_effect"] + r["mix_effect"]
+        == r["delta_revenue"]
+    )
+
+
+def test_order_total_reconciliation_buckets(spark, tmp_path):
+    """Planted ledger: order 1 reconciles exactly (100.00 vs one
+    discounted+taxed line at 100.00); order 2's header is 5% above its
+    lines (lt_10pct); order 3 has no lines; line with orderkey 99 has
+    no order. Shares use order grain for buckets, line grain for the
+    orphan row."""
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, 1, "F", 100.0, d, "1-URGENT"),
+            (2, 1, "F", 105.0, d, "1-URGENT"),
+            (3, 1, "F", 50.0, d, "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        # 125 * (1-0.2) * (1+0.0) = 100.00 -> exact
+        (1, 1, 1, 1, 1.0, 125.0, 0.2, 0.0, "N", "O", d),
+        # header 105 vs lines 100 -> gap ~4.76% -> lt_10pct
+        (2, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d),
+        (99, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d),  # orphan
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = {
+        r["bucket"]: r
+        for r in load_all()["dq_order_total_reconciliation"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 7
+    assert out["exact"]["n"] == 1
+    assert out["lt_10pct"]["n"] == 1
+    assert out["orders_without_lines"]["n"] == 1
+    assert out["lines_without_order"]["n"] == 1
+    assert out["lt_0.1pct"]["n"] == 0 and out["lt_1pct"]["n"] == 0
+    assert out["gte_10pct"]["n"] == 0
+    # order-grain shares sum to 1 over the six order buckets (each share
+    # rounds at 1e-6, so the sum is exact only to ~n_buckets * 1e-6)
+    assert (
+        abs(
+            sum(out[b]["share"] for b in ("exact", "lt_0.1pct", "lt_1pct",
+                                          "lt_10pct", "gte_10pct",
+                                          "orders_without_lines"))
+            - 1.0
+        )
+        < 1e-5
+    )
+    assert out["lines_without_order"]["share"] == round(1 / 3 + 1e-9, 6)
