@@ -3482,3 +3482,220 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    u AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types,
+             count(DISTINCT us // 3600000000) AS n_hours,
+             count(prev) AS n_gaps,
+             sum(us - prev) AS gap_sum,
+             sum(CAST(us - prev AS DOUBLE) * (us - prev)) AS gap_sq
+      FROM o GROUP BY user_id HAVING count(prev) >= 5),
+    s AS (
+      SELECT user_id, n_events, n_types,
+             CAST(gap_sum AS DOUBLE) / n_gaps AS mean_gap,
+             sqrt(greatest(gap_sq / n_gaps
+                   - (CAST(gap_sum AS DOUBLE) / n_gaps)
+                     * (CAST(gap_sum AS DOUBLE) / n_gaps), 0.0))
+               / nullif(CAST(gap_sum AS DOUBLE) / n_gaps, 0.0) AS cv,
+             CAST(n_events AS DOUBLE) / n_hours AS rate
+      FROM u)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           (round(mean_gap / 1000000.0 + 1e-9, 3) + 0.0) AS mean_gap_s,
+           (round(cv + 1e-9, 6) + 0.0) AS gap_cv,
+           (round(rate + 1e-9, 4) + 0.0) AS events_per_active_hour,
+           (cv < 0.3 AND n_events >= 30) AS is_bot
+    FROM s ORDER BY cv, user_id LIMIT 20
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot audit: the 20 most machine-regular users by the
+    coefficient of variation of their inter-event gaps — humans arrive
+    with bursty, high-variance gaps (CV ≈ 1 for a Poisson process, more
+    for sessions); a scripted client fires on a timer and its CV
+    collapses toward 0. Each user also carries event count, distinct
+    event types (scripts are usually monotypic), and events per ACTIVE
+    hour; the flag is CV < 0.3 with ≥ 30 events. This is the standard
+    pre-training traffic-hygiene gate: bot users distort every
+    engagement metric downstream, so this audit runs before DAU/funnel/
+    A/B reads.
+
+    Scale shape: one event scan, one user-partitioned lag window
+    (partition count = user count — never a global window), then a
+    user-grain fold of EXACT integer-µs gap moments; the quadratic
+    moment Σgap² is accumulated in DOUBLE in both engines (a µs gap
+    squares to ~1e20, past int64 — the dq_join_key_skew overflow
+    class), with each term exact below 2^53. CV/rate are deterministic
+    expressions of those moments; the top-20 cut is a TakeOrdered over
+    user-grain rows, ordered by raw CV (bit-identical both engines)
+    with user_id tie-break. Users with < 6 events are excluded (a CV
+    of 2 gaps is noise, and both engines drop them identically)."""
+    us = F.unix_micros(F.col("ts"))
+    o = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", us.alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = o.withColumn("prev", F.lag("us").over(w))
+    gap = F.col("us") - F.col("prev")
+    u = (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.countDistinct(
+                (F.col("us") / F.lit(3600000000)).cast("long")
+            ).alias("n_hours"),
+            F.count("prev").alias("n_gaps"),
+            F.sum(gap).alias("gap_sum"),
+            F.sum(gap.cast("double") * gap).alias("gap_sq"),
+        )
+        .where(F.col("n_gaps") >= 5)
+    )
+    mean_gap = F.col("gap_sum").cast("double") / F.col("n_gaps")
+    cv = F.sqrt(
+        F.greatest(
+            F.col("gap_sq") / F.col("n_gaps") - mean_gap * mean_gap,
+            F.lit(0.0),
+        )
+    ) / F.nullif(mean_gap, F.lit(0.0))
+    return (
+        u.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_types").cast("long").alias("n_types"),
+            rz(mean_gap / 1e6, 3).alias("mean_gap_s"),
+            rz6(cv).alias("gap_cv"),
+            rz(F.col("n_events").cast("double") / F.col("n_hours"), 4).alias(
+                "events_per_active_hour"
+            ),
+            ((cv < 0.3) & (F.col("n_events") >= 30)).alias("is_bot"),
+            cv.alias("_cv"),
+        )
+        .orderBy(F.col("_cv").asc(), F.col("user_id").asc())
+        .limit(20)
+        .drop("_cv")
+    )
+
+
+@query(
+    "events_lagged_crosscorr",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn, event_type FROM events),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM d),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi)) AS dn FROM span),
+    cc AS (SELECT dn, count(*) AS x FROM d WHERE event_type = 'click'
+           GROUP BY dn),
+    pc AS (SELECT dn, count(*) AS y FROM d WHERE event_type = 'purchase'
+           GROUP BY dn),
+    f AS (
+      SELECT s.dn, coalesce(cc.x, 0) AS x, coalesce(pc.y, 0) AS y
+      FROM spine s LEFT JOIN cc ON s.dn = cc.dn
+                   LEFT JOIN pc ON s.dn = pc.dn),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l JOIN f a ON true JOIN f b ON b.dn = a.dn + l.lag),
+    m AS (
+      SELECT lag, count(*) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(y AS DOUBLE) * y) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n_days,
+           (round((n * sxy - sx * sy)
+                  / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                           0.0) + 1e-9, 6) + 0.0) AS pearson_r
+    FROM m ORDER BY lag_days
+    """,
+)
+def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    daily purchase series: Pearson r of (clicks on day d, purchases on
+    day d+ℓ) for lags 0..7 — the lead-indicator scan that answers "do
+    clicks PREDICT purchases, and with how many days of lead?" (the
+    argmax lag is the natural attribution window; a flat profile says
+    the series are unrelated). Days are integer day-numbers
+    (epoch_µs // 86400e6 — locale- and calendar-free in both engines)
+    densified over the full observed span, with missing days counted
+    as 0 (dropping them would bias r toward busy days).
+
+    Scale shape: everything after the first grouped count lives in
+    DAY-space — the spine is bounded by the time range regardless of
+    row count, the 8 lags explode the day frame (≤ 8·span rows), and
+    the per-lag moments fold in one aggregate. Moments accumulate in
+    DOUBLE (a 1e9-events/day deployment squares past int64; each term
+    is integer-valued and exact below 2^53), and r is a deterministic
+    expression of them, zero-variance-guarded identically in both
+    engines."""
+    d = t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("dn"),
+        "event_type",
+    )
+    span = d.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
+    )
+    cc = (
+        d.where(F.col("event_type") == "click")
+        .groupBy("dn")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    pc = (
+        d.where(F.col("event_type") == "purchase")
+        .groupBy("dn")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    f = pin(
+        spine.join(cc, "dn", "left")
+        .join(pc, "dn", "left")
+        .select(
+            "dn",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    a = f.select(
+        F.col("dn").alias("adn"),
+        F.col("x").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("lag"),
+    )
+    b = f.select(F.col("dn").alias("bdn"), F.col("y").alias("y"))
+    pairs = a.join(b, a.adn + a.lag == b.bdn)
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag_days"),
+        n.cast("long").alias("n_days"),
+        rz6(num / F.nullif(den, F.lit(0.0))).alias("pearson_r"),
+    ).orderBy("lag_days")

@@ -2341,3 +2341,68 @@ def test_order_total_reconciliation_buckets(spark, tmp_path):
         < 1e-5
     )
     assert out["lines_without_order"]["share"] == round(1 / 3 + 1e-9, 6)
+
+
+def test_bot_detection_flags_timer_regular_user(spark, tmp_path):
+    """Planted traffic: user 1 fires every 60s exactly 40 times (CV = 0,
+    n >= 30 -> bot, ranked first); user 2 has bursty gaps (CV > 0.3, not
+    flagged); user 3 has 3 events (n_gaps < 5 -> excluded entirely)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 3, 1, 12)
+    rows = []
+    eid = 0
+    for i in range(40):  # bot: exact 60s metronome
+        rows.append((eid, b + dt.timedelta(seconds=60 * i), 1, "view", 1.0, "{}"))
+        eid += 1
+    for off in [0, 5, 6, 300, 301, 4000, 4100, 9000]:  # human: bursts
+        rows.append((eid, b + dt.timedelta(seconds=off), 2, "click", 1.0, "{}"))
+        eid += 1
+    for off in [0, 50, 100]:  # too few gaps
+        rows.append((eid, b + dt.timedelta(seconds=off), 3, "view", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_bot_detection"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["user_id"] for r in out] == [1, 2]  # user 3 excluded
+    bot, human = out
+    assert bot["is_bot"] and bot["gap_cv"] == 0.0
+    assert bot["mean_gap_s"] == 60.0 and bot["n_events"] == 40
+    assert not human["is_bot"] and human["gap_cv"] > 0.3
+
+
+def test_lagged_crosscorr_finds_planted_lead(spark, tmp_path):
+    """Clicks ramp 1..5 on days 0..4; purchases ramp 1..5 on days 2..6
+    -> pearson_r = 1.0 exactly at lag 2 and below 1 at lag 0."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for d, k in enumerate([1, 2, 3, 4, 5]):
+        for _ in range(k):
+            rows.append((eid, b + dt.timedelta(days=d, minutes=eid % 60), 1,
+                         "click", 1.0, "{}"))
+            eid += 1
+    for d, k in zip([2, 3, 4, 5, 6], [1, 2, 3, 4, 5]):
+        for _ in range(k):
+            rows.append((eid, b + dt.timedelta(days=d, minutes=eid % 60), 2,
+                         "purchase", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r["lag_days"]: r for r in load_all()["events_lagged_crosscorr"].spark_fn(spark, str(tmp_path)).collect()}
+    # lag 7 exceeds the 7-day spine -> no pairs -> the row drops in
+    # both engines (inner join); lags 0..6 remain
+    assert set(out) == set(range(7))
+    assert out[2]["pearson_r"] == 1.0
+    assert out[2]["n_days"] == 5  # days 0..4 pair with 2..6
+    assert out[0]["pearson_r"] < 1.0
+    assert out[0]["n_days"] == 7  # full 7-day spine at lag 0
