@@ -4361,3 +4361,121 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return orders_side.unionByName(orphans).orderBy("ordinal")
+
+
+@query(
+    "join_negative_sampling",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cust AS (SELECT DISTINCT custkey FROM pos),
+    pidx AS (
+      SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+      FROM part),
+    np AS (SELECT count(*) AS n_parts FROM part),
+    slots AS (SELECT unnest(generate_series(0, 7)) AS slot),
+    cand AS (
+      SELECT c.custkey, s.slot,
+             ((c.custkey % 2147483647) * 2654435761 + s.slot * 40503)
+               % 2147483647 % np.n_parts AS idx
+      FROM cust c CROSS JOIN slots s, np),
+    cand_p AS (
+      SELECT cand.custkey, cand.slot, pidx.p_partkey AS partkey
+      FROM cand JOIN pidx ON cand.idx = pidx.idx),
+    dedup AS (
+      SELECT custkey, partkey, min(slot) AS slot
+      FROM cand_p GROUP BY custkey, partkey),
+    neg AS (
+      SELECT d.custkey, d.partkey, d.slot
+      FROM dedup d LEFT JOIN pos
+        ON d.custkey = pos.custkey AND d.partkey = pos.partkey
+      WHERE pos.custkey IS NULL),
+    ranked AS (
+      SELECT custkey, partkey,
+             row_number() OVER (
+               PARTITION BY custkey ORDER BY slot, partkey) AS neg_rank
+      FROM neg)
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(neg_rank AS BIGINT) AS neg_rank,
+           CAST(partkey AS BIGINT) AS partkey
+    FROM ranked WHERE neg_rank <= 3
+    ORDER BY custkey, neg_rank
+    """,
+)
+def join_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for a recommender / contrastive
+    training set: for every customer with at least one purchased part,
+    3 parts they did NOT buy, drawn pseudo-randomly but REPRODUCIBLY —
+    candidate part indices come from a Knuth multiplicative hash of
+    (custkey, slot) over 8 slots (custkey pre-clamped mod 2^31 so the
+    product stays far from int64, the corpus_group_kfold discipline),
+    mapped to real part keys through a dense 0-based part index,
+    anti-joined against the positive (customer, part) set, deduped to
+    the smallest slot, and cut to the first 3 surviving slots per
+    customer. Hash-based negatives are the standard scale trick: no RNG
+    state, no rejection loop, identical output on every engine and
+    every rerun — the property a training-data pipeline needs when a
+    shard is regenerated months later.
+
+    Scale shape: the positive set is one order-keyed join folded to
+    DISTINCT (custkey, partkey); the part index is a global_rank range
+    exchange (never a single-partition window over the item catalog);
+    candidate generation is 8 codegen rows per customer; the anti-join
+    is key-partitioned; the final rank is a customer-partitioned window
+    over <= 8 rows per customer. Output is 3 rows per active customer.
+    Survival is overwhelmingly likely (8 draws against a catalog vastly
+    larger than any one customer's basket) and both engines drop the
+    same rare shortfalls identically."""
+    from sec_dl_spark.operators.relational import global_rank as _grank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    pos = pin(pos)
+    cust = pos.select("custkey").distinct()
+    pt = t(spark, sf_dir, "part").select("p_partkey")
+    pidx = _grank(pt, order=["p_partkey"], rank_col="idx")
+    np_ = pt.agg(F.count(F.lit(1)).alias("n_parts"))
+    cand = (
+        cust.select(
+            "custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot"),
+        )
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "custkey",
+            "slot",
+            (
+                (
+                    (F.col("custkey") % 2147483647) * 2654435761
+                    + F.col("slot") * 40503
+                )
+                % 2147483647
+                % F.col("n_parts")
+            ).alias("idx"),
+        )
+    )
+    cand_p = cand.join(pidx, "idx").select(
+        "custkey", "slot", F.col("p_partkey").alias("partkey")
+    )
+    dedup = cand_p.groupBy("custkey", "partkey").agg(F.min("slot").alias("slot"))
+    neg = dedup.join(pos, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy("slot", "partkey")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= 3)
+        .select(
+            F.col("custkey").cast("long").alias("custkey"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("partkey").cast("long").alias("partkey"),
+        )
+        .orderBy("custkey", "neg_rank")
+    )

@@ -3699,3 +3699,135 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_days"),
         rz6(num / F.nullif(den, F.lit(0.0))).alias("pearson_r"),
     ).orderBy("lag_days")
+
+
+@query(
+    "events_linear_interpolation",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    known AS (
+      SELECT event_type, hn, sum(cents) AS sc, count(*) AS cnt
+      FROM e GROUP BY event_type, hn),
+    span AS (SELECT min(hn) AS lo, max(hn) AS hi FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+      SELECT t.event_type, s.hn
+      FROM types t CROSS JOIN
+        (SELECT unnest(generate_series(lo, hi)) AS hn FROM span) s),
+    f AS (
+      SELECT sp.event_type, sp.hn,
+             CAST(k.sc AS DOUBLE) / k.cnt AS v,
+             CASE WHEN k.hn IS NULL THEN NULL ELSE sp.hn END AS khn
+      FROM spine sp LEFT JOIN known k
+        ON sp.event_type = k.event_type AND sp.hn = k.hn),
+    w AS (
+      SELECT event_type, hn, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(khn IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phn,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(khn IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nhn
+      FROM f),
+    out AS (
+      SELECT event_type, hn,
+             (v IS NOT NULL) AS observed,
+             CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (hn - phn) / (nhn - phn)
+             END AS val
+      FROM w)
+    SELECT event_type, CAST(hn AS BIGINT) AS hour_num, observed,
+           (round(val / 100.0 + 1e-9, 4) + 0.0) AS value_dollars
+    FROM out ORDER BY event_type, hour_num
+    """,
+)
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly value series with LINEAR interpolation — the
+    imputation every monitoring/feature pipeline needs when a sensor
+    reports intermittently: per event type, the hourly mean value where
+    observed, and for silent hours the straight line between the
+    nearest observed hours (edges clamp to nearest-known — back-fill
+    before the first reading, forward-fill after the last). This is
+    the companion to events_gap_filled (which zero-fills COUNTS, the
+    right call when absence means zero; interpolation is the right
+    call when absence means no reading).
+
+    Scale shape: one event scan folds to (type, hour) grain with exact
+    integer cents sums; everything after lives on the HOUR SPINE —
+    bounded by the calendar span times the type count no matter how
+    many raw rows flow in (the day-frame discipline of cusum/trend).
+    The four IGNORE-NULLS carry windows partition by type over that
+    bounded spine. Interpolated values are deterministic double
+    expressions of exact integer moments and integer hour gaps,
+    identical in both engines."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(3600000000))
+        .cast("long")
+        .alias("hn"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    known = e.groupBy("event_type", "hn").agg(
+        F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("cnt")
+    )
+    span = e.agg(F.min("hn").alias("lo"), F.max("hn").alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(span).select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hn")
+        )
+    )
+    f = spine.join(known, ["event_type", "hn"], "left").select(
+        "event_type",
+        "hn",
+        (F.col("sc").cast("double") / F.col("cnt")).alias("v"),
+        F.when(F.col("cnt").isNotNull(), F.col("hn")).alias("khn"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = f.select(
+        "event_type",
+        "hn",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last("khn", ignorenulls=True).over(wp).alias("phn"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first("khn", ignorenulls=True).over(wn).alias("nhn"),
+    )
+    val = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hn") - F.col("phn"))
+            / (F.col("nhn") - F.col("phn"))
+        )
+    )
+    return w.select(
+        "event_type",
+        F.col("hn").cast("long").alias("hour_num"),
+        F.col("v").isNotNull().alias("observed"),
+        rz(val / 100.0, 4).alias("value_dollars"),
+    ).orderBy("event_type", "hour_num")

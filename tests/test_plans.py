@@ -2406,3 +2406,69 @@ def test_lagged_crosscorr_finds_planted_lead(spark, tmp_path):
     assert out[2]["n_days"] == 5  # days 0..4 pair with 2..6
     assert out[0]["pearson_r"] < 1.0
     assert out[0]["n_days"] == 7  # full 7-day spine at lag 0
+
+
+def test_negative_sampling_excludes_positives_and_is_deterministic(spark, tmp_path):
+    """Customer 1 bought parts 0..5 of a 10-part catalog -> their 3
+    negatives come only from the other 4 parts; two runs produce
+    identical rows (hash draw, no RNG state)."""
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 1, "F", 10.0, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, pk, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d)
+        for i, pk in enumerate([100, 101, 102, 103, 104, 105])
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(100 + i, "p", "B", "t", 1, 1.0) for i in range(10)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+
+    fn = load_all()["join_negative_sampling"].spark_fn
+    rows1 = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    rows2 = [tuple(r) for r in fn(spark, str(tmp_path)).collect()]
+    assert rows1 == rows2  # reproducible
+    assert len(rows1) == 3 and [r[1] for r in rows1] == [1, 2, 3]
+    bought = {100, 101, 102, 103, 104, 105}
+    assert all(r[2] not in bought and 100 <= r[2] <= 109 for r in rows1)
+
+
+def test_linear_interpolation_fills_straight_line(spark, tmp_path):
+    """One type observed at hour 0 (mean $1.00) and hour 4 ($5.00):
+    hours 1-3 interpolate to 2/3/4 dollars; a leading silent type-b
+    hour back-fills to its first reading."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (0, b, 1, "a", 1.0, "{}"),
+        (1, b + dt.timedelta(hours=4), 1, "a", 5.0, "{}"),
+        (2, b + dt.timedelta(hours=1), 2, "b", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_linear_interpolation"].spark_fn(spark, str(tmp_path)).collect()
+    a = {r["hour_num"] - min(x["hour_num"] for x in out): r
+         for r in out if r["event_type"] == "a"}
+    assert [a[i]["value_dollars"] for i in range(5)] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert [a[i]["observed"] for i in range(5)] == [True, False, False, False, True]
+    bvals = [r for r in out if r["event_type"] == "b"]
+    assert all(r["value_dollars"] == 7.0 for r in bvals)  # clamp both ways
+    assert sum(r["observed"] for r in bvals) == 1
