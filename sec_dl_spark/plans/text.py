@@ -5881,3 +5881,218 @@ def text_license_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("source", "license")
     )
+
+
+@query(
+    "corpus_shuffle_interleave",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             (doc_id % 2147483647) * 2654435761 % 2147483647 AS hkey
+      FROM documents),
+    p AS (
+      SELECT source,
+             row_number() OVER (ORDER BY hkey, doc_id) - 1 AS pos
+      FROM h),
+    n AS (SELECT count(*) AS n_all FROM p),
+    runs AS (
+      SELECT source, pos,
+             pos - row_number() OVER (
+               PARTITION BY source ORDER BY pos) AS island
+      FROM p),
+    run_len AS (
+      SELECT source, island, count(*) AS rl
+      FROM runs GROUP BY source, island),
+    per_source AS (
+      SELECT p.source,
+             count(*) AS n_docs,
+             sum(CAST(pos AS DOUBLE)) AS sum_pos
+      FROM p GROUP BY p.source)
+    SELECT ps.source,
+           CAST(ps.n_docs AS BIGINT) AS n_docs,
+           (round(ps.sum_pos / ps.n_docs / ((n.n_all - 1) / 2.0)
+                  + 1e-9, 6) + 0.0) AS mean_pos_ratio,
+           CAST((SELECT max(rl) FROM run_len r WHERE r.source = ps.source)
+                AS BIGINT) AS max_run
+    FROM per_source ps, n ORDER BY ps.source
+    """,
+)
+def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle audit: assign every document its position
+    in a DETERMINISTIC hash shuffle (Knuth multiplicative hash of
+    doc_id, doc_id tie-break — the reproducible global order a trainer
+    would stream), then grade how well the sources interleave: per
+    source, the mean-position ratio (≈ 1.0 when the source is spread
+    uniformly through the epoch; < 1 means it clusters early, > 1
+    late) and the LONGEST same-source run (a long run is exactly the
+    curriculum accident — thousands of consecutive same-domain
+    examples — that hash shuffling is supposed to prevent). This is
+    the pre-flight check before shipping a packed/sharded corpus to a
+    trainer: exact-epoch reproducibility plus proof the mix is
+    actually mixed.
+
+    Scale shape: positions come from global_rank (range exchange +
+    local ranks + broadcast offsets — never a single-partition
+    row_number over the corpus); run detection is the gaps-and-islands
+    trick inside source-partitioned windows; the position sum
+    accumulates in DOUBLE in both engines (Σpos is quadratic in corpus
+    size and wraps int64 near 4.3e9 docs — the dq_join_key_skew
+    class), each term integer-exact below 2^53. Output is
+    source-count-sized."""
+    from sec_dl_spark.operators.relational import global_rank as _grank
+
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") % 2147483647) * 2654435761 % 2147483647).alias(
+            "hkey"
+        ),
+    )
+    p = pin(
+        _grank(h, order=["hkey", "doc_id"], rank_col="pos").select(
+            "source", "pos"
+        )
+    )
+    n = p.agg(F.count(F.lit(1)).alias("n_all"))
+    ws = Window.partitionBy("source").orderBy("pos")
+    runs = p.withColumn(
+        "island", F.col("pos") - F.row_number().over(ws)
+    )
+    run_len = runs.groupBy("source", "island").agg(
+        F.count(F.lit(1)).alias("rl")
+    )
+    max_run = run_len.groupBy("source").agg(F.max("rl").alias("max_run"))
+    per_source = p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pos").cast("double")).alias("sum_pos"),
+    )
+    return (
+        per_source.join(max_run, "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            rz6(
+                F.col("sum_pos")
+                / F.col("n_docs")
+                / ((F.col("n_all") - 1) / F.lit(2.0))
+            ).alias("mean_pos_ratio"),
+            F.col("max_run").cast("long").alias("max_run"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "emb_topk_diversity",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+               AS rel_u
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    topk AS (
+      SELECT query_id, neighbor_id, rel_u FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel_u DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5),
+    pairs AS (
+      SELECT a.query_id,
+             CAST(round(list_cosine_similarity(ca.cv, cb.cv) * 1000000)
+                  AS BIGINT) AS pair_u
+      FROM topk a JOIN topk b
+        ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+      JOIN c ca ON a.neighbor_id = ca.neighbor_id
+      JOIN c cb ON b.neighbor_id = cb.neighbor_id),
+    rel AS (
+      SELECT query_id, sum(rel_u) AS rel_sum, count(*) AS k
+      FROM topk GROUP BY query_id),
+    div AS (
+      SELECT query_id, sum(pair_u) AS pair_sum, count(*) AS np
+      FROM pairs GROUP BY query_id)
+    SELECT r.query_id,
+           (round(CAST(r.rel_sum AS DOUBLE) / r.k / 1000000.0
+                  + 1e-9, 6) + 0.0) AS mean_relevance,
+           (round(1.0 - CAST(d.pair_sum AS DOUBLE) / d.np / 1000000.0
+                  + 1e-9, 6) + 0.0) AS intra_list_diversity
+    FROM rel r JOIN div d ON r.query_id = d.query_id
+    ORDER BY r.query_id
+    """,
+)
+def emb_topk_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-list diversity (ILD) of each query's exact cosine top-5:
+    mean relevance of the retrieved list next to 1 − (mean pairwise
+    cosine among the 5 neighbors) — the standard retrieval-quality
+    pair: a list can be highly relevant yet redundant (five
+    paraphrases of one document), and ILD is the number MMR-style
+    re-rankers optimize. Reading both per query tells you whether the
+    index needs a diversity re-rank before its results feed RAG or
+    training-data selection.
+
+    Scale shape: the top-5 lists come from the two-phase exact top-k
+    (queries bounded; no corpus-wide window); the pair stage is
+    CONSTANT per query — C(5,2) = 10 pairs via a rank self-join
+    co-located on query_id, each pair's cosine a factored-norm dot on
+    vectors fetched by two key joins. Per-item cosines are rounded to
+    1e-6 integer units BEFORE the per-query folds (the integer-moment
+    convention: sums of exact integers, one division at the end), so
+    both engines average identical values in any order."""
+    e = t(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(e, e.where(F.col("vec_id") < 50), k=5)
+    tk = pin(
+        topk.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine_sim") * 1e6).cast("long").alias("rel_u"),
+        )
+    )
+    en = similarity.with_vec_norm(e, "embedding", vec_out="_vd", norm_out="_nrm")
+    a = tk.select("query_id", F.col("neighbor_id").alias("id_a"))
+    b = tk.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("id_b"))
+    pair_ids = a.join(
+        b, (a.query_id == b.qb) & (a.id_a < b.id_b)
+    ).select("query_id", "id_a", "id_b")
+    ea = en.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_vd").alias("va"),
+        F.col("_nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_vd").alias("vb"),
+        F.col("_nrm").alias("nb"),
+    )
+    psim = similarity.dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    pairs = (
+        pair_ids.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "query_id",
+            F.round(psim * 1e6).cast("long").alias("pair_u"),
+        )
+    )
+    rel = tk.groupBy("query_id").agg(
+        F.sum("rel_u").alias("rel_sum"), F.count(F.lit(1)).alias("k")
+    )
+    div = pairs.groupBy("query_id").agg(
+        F.sum("pair_u").alias("pair_sum"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        rel.join(div, "query_id")
+        .select(
+            "query_id",
+            rz6(
+                F.col("rel_sum").cast("double") / F.col("k") / 1e6
+            ).alias("mean_relevance"),
+            rz6(
+                1.0 - F.col("pair_sum").cast("double") / F.col("np") / 1e6
+            ).alias("intra_list_diversity"),
+        )
+        .orderBy("query_id")
+    )

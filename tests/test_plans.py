@@ -2472,3 +2472,51 @@ def test_linear_interpolation_fills_straight_line(spark, tmp_path):
     bvals = [r for r in out if r["event_type"] == "b"]
     assert all(r["value_dollars"] == 7.0 for r in bvals)  # clamp both ways
     assert sum(r["observed"] for r in bvals) == 1
+
+
+def test_shuffle_interleave_detects_sorted_vs_mixed(spark, tmp_path):
+    """The hash order is a fixed permutation, so the audit must (a)
+    cover every doc exactly once (sum n_docs, positions 0..N-1 ->
+    overall mean ratio 1), and (b) report a max_run of N for a corpus
+    that is ALL one source."""
+    docs = [(i, f"w{i}", "en", f"s{i % 4}", 5) for i in range(40)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = load_all()["corpus_shuffle_interleave"].spark_fn(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in out) == 40
+    # weighted mean of mean_pos_ratio over sources = 1 (positions are a
+    # permutation of 0..39); each rounds at 1e-6
+    wm = sum(r["mean_pos_ratio"] * r["n_docs"] for r in out) / 40
+    assert abs(wm - 1.0) < 1e-4
+    assert all(1 <= r["max_run"] <= 40 for r in out)
+
+    mono = [(i, "t", "en", "only", 1) for i in range(16)]
+    spark.createDataFrame(
+        mono,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/mono/documents.parquet")
+    solo = load_all()["corpus_shuffle_interleave"].spark_fn(spark, f"{tmp_path}/mono").collect()
+    assert len(solo) == 1 and solo[0]["max_run"] == 16
+    assert solo[0]["mean_pos_ratio"] == 1.0
+
+
+def test_topk_diversity_redundant_list_scores_zero(spark, tmp_path):
+    """Query 0's five nearest neighbors are five COPIES of one vector
+    -> every pairwise cosine is 1 -> ILD = 0; a mixed corpus where the
+    top-5 split across two orthogonal directions scores ILD > 0."""
+    dup = [1.0, 0.0, 0.0]
+    rows = [(0, [1.0, 0.1, 0.0], 0)]
+    rows += [(i, dup, 0) for i in range(1, 6)]          # 5 clones
+    rows += [(i, [0.0, 0.0, 1.0], 1) for i in range(6, 10)]  # far away
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = load_all()["emb_topk_diversity"].spark_fn(spark, str(tmp_path)).collect()
+    q0 = [r for r in out if r["query_id"] == 0][0]
+    assert q0["intra_list_diversity"] == 0.0
+    assert q0["mean_relevance"] > 0.99
+    # every query with a mixed-direction top-5 shows positive diversity
+    mixed = [r for r in out if r["query_id"] >= 6]
+    assert all(r["intra_list_diversity"] > 0.5 for r in mixed)
