@@ -6096,3 +6096,236 @@ def emb_topk_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM tk),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tt AS (SELECT sum(c) AS t FROM uc),
+    bg AS (
+      SELECT toks[i] AS tok_a, toks[i+1] AS tok_b
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+    bc AS (
+      SELECT tok_a, tok_b, count(*) AS c_ab
+      FROM bg GROUP BY tok_a, tok_b HAVING count(*) >= 5),
+    bt AS (SELECT count(*) AS b FROM bg),
+    s AS (
+      SELECT bc.tok_a || ' ' || bc.tok_b AS bigram,
+             bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+             ln(CAST(bc.c_ab AS DOUBLE) * tt.t * tt.t
+                / (CAST(bt.b AS DOUBLE) * ua.c * ub.c)) AS pmi
+      FROM bc JOIN uc ua ON bc.tok_a = ua.tok
+              JOIN uc ub ON bc.tok_b = ub.tok, tt, bt)
+    SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           (round(pmi + 1e-9, 6) + 0.0) AS pmi
+    FROM s ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-20 bigrams by pointwise mutual
+    information, PMI = ln(P(ab) / (P(a)·P(b))) with a min-support of 5
+    — the measure that separates REAL collocations ("san francisco")
+    from bigrams that are frequent only because both words are ("of
+    the" has huge count but PMI ≈ 0). This is the phrase-discovery
+    primitive behind tokenizer vocab curation, multi-word-expression
+    lists, and keyphrase features.
+
+    Scale shape: unigram and bigram counts collapse to distinct-token /
+    distinct-bigram grain with map-side combine; the PMI table is the
+    bigram frame joined twice to the unigram frame BY TOKEN (key joins,
+    never broadcast of the corpus) with the two scalar totals as 1-row
+    broadcasts; top-20 is a TakeOrdered over the distinct-bigram frame.
+    PMI is ln of an exact integer rational evaluated with the identical
+    expression in both engines; ties break on the bigram text."""
+    tk = tok_docs(spark, sf_dir)
+    uni = tk.select(F.explode("toks").alias("tok"))
+    uc = pin(uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    tt = uc.agg(F.sum("c").alias("t"))
+    bg = tk.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS tok_a, toks[i] AS tok_b))"
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    bg = pin(bg)
+    bc = (
+        bg.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    bt = bg.agg(F.count(F.lit(1)).alias("b"))
+    ua = uc.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    s = (
+        bc.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(bt))
+    )
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.col("t")
+        * F.col("t")
+        / (F.col("b").cast("double") * F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        s.select(
+            F.concat_ws(" ", "tok_a", "tok_b").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            rz6(pmi).alias("pmi"),
+            pmi.alias("_pmi"),
+        )
+        .orderBy(F.col("_pmi").desc(), "bigram")
+        .limit(20)
+        .drop("_pmi")
+    )
+
+
+@query(
+    "emb_cluster_purity",
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+      SELECT label,
+             (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+      FROM e),
+    cell AS (SELECT bucket, label, count(*) AS n FROM b GROUP BY bucket, label),
+    n AS (SELECT sum(n) AS total FROM cell),
+    bk AS (SELECT bucket, sum(n) AS nb FROM cell GROUP BY bucket),
+    lb AS (SELECT label, sum(n) AS nl FROM cell GROUP BY label),
+    pur AS (SELECT sum(mx) AS pure FROM
+            (SELECT bucket, max(n) AS mx FROM cell GROUP BY bucket)),
+    mi AS (
+      SELECT sum(CAST(round(
+        (CAST(cell.n AS DOUBLE) / n.total)
+        * ln(CAST(cell.n AS DOUBLE) * n.total
+             / (CAST(bk.nb AS DOUBLE) * lb.nl)) * 1000000000) AS BIGINT))
+        AS mi_u
+      FROM cell JOIN bk USING (bucket) JOIN lb USING (label), n),
+    hb AS (
+      SELECT sum(CAST(round(
+        -(CAST(nb AS DOUBLE) / n.total) * ln(CAST(nb AS DOUBLE) / n.total)
+        * 1000000000) AS BIGINT)) AS hb_u
+      FROM bk, n),
+    hl AS (
+      SELECT sum(CAST(round(
+        -(CAST(nl AS DOUBLE) / n.total) * ln(CAST(nl AS DOUBLE) / n.total)
+        * 1000000000) AS BIGINT)) AS hl_u
+      FROM lb, n)
+    SELECT CAST(n.total AS BIGINT) AS n_vecs,
+           (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM lb) AS n_labels,
+           (round(CAST(pur.pure AS DOUBLE) / n.total + 1e-9, 6) + 0.0)
+             AS purity,
+           (round(2.0 * mi.mi_u / nullif(hb.hb_u + hl.hl_u, 0)
+                  + 1e-9, 6) + 0.0) AS nmi
+    FROM n, pur, mi, hb, hl
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation of the deterministic sign-bit
+    buckets (first 8 hyperplane signs — the same cells
+    emb_bucket_cohesion audits) against the ground-truth labels:
+    PURITY (each bucket votes its majority label) and NORMALIZED
+    MUTUAL INFORMATION, the two standard scores for "did the cheap
+    geometric partition recover the semantic classes" — the go/no-go
+    readout before trusting bucketed structures (LSH dedup cells, IVF
+    lists) to respect class boundaries.
+
+    Scale shape: one scan folds to the (bucket, label) CONTINGENCY
+    TABLE (≤ 256 × n_labels cells — everything after is cell-sized);
+    purity is an exact integer sum of per-bucket maxima; the MI and
+    entropy terms are per-cell doubles of exact integer counts,
+    rounded to 1e-9 integer units BEFORE their folds (the
+    integer-moment convention — both engines sum identical integers in
+    any order), combined once at the end. NMI = 2·I(B;L)/(H(B)+H(L)),
+    zero-entropy-guarded identically in both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    bucket = sum(
+        F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(8)
+    )
+    cell = pin(
+        e.select("label", bucket.alias("bucket"))
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = cell.agg(F.sum("n").alias("total"))
+    bk = pin(cell.groupBy("bucket").agg(F.sum("n").alias("nb")))
+    lb = pin(cell.groupBy("label").agg(F.sum("n").alias("nl")))
+    pure = (
+        cell.groupBy("bucket")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("pure"))
+    )
+    nd = F.col("n").cast("double")
+    mi_term = (
+        (nd / F.col("total"))
+        * F.log(
+            nd * F.col("total")
+            / (F.col("nb").cast("double") * F.col("nl"))
+        )
+        * 1e9
+    )
+    mi = (
+        cell.join(bk, "bucket")
+        .join(lb, "label")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(F.round(mi_term).cast("long")).alias("mi_u"))
+    )
+    hb_term = (
+        -(F.col("nb").cast("double") / F.col("total"))
+        * F.log(F.col("nb").cast("double") / F.col("total"))
+        * 1e9
+    )
+    hb = bk.crossJoin(F.broadcast(n)).agg(
+        F.sum(F.round(hb_term).cast("long")).alias("hb_u")
+    )
+    hl_term = (
+        -(F.col("nl").cast("double") / F.col("total"))
+        * F.log(F.col("nl").cast("double") / F.col("total"))
+        * 1e9
+    )
+    hl = lb.crossJoin(F.broadcast(n)).agg(
+        F.sum(F.round(hl_term).cast("long")).alias("hl_u")
+    )
+    nbk = bk.agg(F.count(F.lit(1)).alias("n_buckets"))
+    nlb = lb.agg(F.count(F.lit(1)).alias("n_labels"))
+    out = (
+        n.crossJoin(F.broadcast(pure))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(nbk))
+        .crossJoin(F.broadcast(nlb))
+    )
+    return out.select(
+        F.col("total").cast("long").alias("n_vecs"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        rz6(F.col("pure").cast("double") / F.col("total")).alias("purity"),
+        rz6(
+            2.0
+            * F.col("mi_u")
+            / F.nullif(F.col("hb_u") + F.col("hl_u"), F.lit(0))
+        ).alias("nmi"),
+    )

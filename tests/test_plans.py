@@ -2520,3 +2520,46 @@ def test_topk_diversity_redundant_list_scores_zero(spark, tmp_path):
     # every query with a mixed-direction top-5 shows positive diversity
     mixed = [r for r in out if r["query_id"] >= 6]
     assert all(r["intra_list_diversity"] > 0.5 for r in mixed)
+
+
+def test_collocations_pmi_ranks_perfect_pair_first(spark, tmp_path):
+    """Five docs of 'alpha beta the the': alpha->beta is a perfect
+    collocation (every alpha is followed by beta) and must rank first
+    with PMI = ln(c_ab*T^2 / (B*c_a*c_b)) = ln(16/3); 'the the' is
+    frequent but weakly associated and scores lowest."""
+    import math
+
+    docs = [(i, "alpha beta the the", "en", "s", 18) for i in range(5)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = load_all()["text_collocations_pmi"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["bigram"] for r in out] == ["alpha beta", "beta the", "the the"]
+    top = out[0]
+    assert (top["c_ab"], top["c_a"], top["c_b"]) == (5, 5, 5)
+    assert top["pmi"] == round(math.log(16 / 3) + 1e-9, 6)
+    assert out[-1]["pmi"] < top["pmi"]
+
+
+def test_cluster_purity_perfect_and_collapsed(spark, tmp_path):
+    """Sign buckets that exactly mirror the labels score purity = NMI =
+    1; a collapsed single bucket over two labels scores purity = the
+    majority share and NMI = 0."""
+    up = [1.0] * 8
+    flip = [-1.0] + [1.0] * 7
+    rows = [(i, up, 0) for i in range(4)] + [(4 + i, flip, 1) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    r = load_all()["emb_cluster_purity"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_vecs"], r["n_buckets"], r["n_labels"]) == (8, 2, 2)
+    assert r["purity"] == 1.0 and r["nmi"] == 1.0
+
+    rows2 = [(i, up, 0) for i in range(3)] + [(3, up, 1)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/one/embeddings.parquet")
+    r2 = load_all()["emb_cluster_purity"].spark_fn(spark, f"{tmp_path}/one").collect()[0]
+    assert r2["n_buckets"] == 1
+    assert r2["purity"] == 0.75 and r2["nmi"] == 0.0
