@@ -4479,3 +4479,99 @@ def join_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "neg_rank")
     )
+
+
+@query(
+    "dq_categorical_entropy",
+    oracle="""
+    WITH kv AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders),
+    c AS (
+      SELECT col_name, val, count(*) AS cnt
+      FROM kv GROUP BY col_name, val),
+    tot AS (SELECT col_name, sum(cnt) AS n FROM c GROUP BY col_name),
+    g AS (
+      SELECT c.col_name,
+             count(*) AS k,
+             max(tot.n) AS n,
+             max(cnt) AS top_cnt,
+             sum(CAST(round(
+               -(CAST(cnt AS DOUBLE) / tot.n)
+               * ln(CAST(cnt AS DOUBLE) / tot.n)
+               * 1000000000) AS BIGINT)) AS h_u,
+             sum(CAST(cnt AS DOUBLE) * cnt) AS sq
+      FROM c JOIN tot ON c.col_name = tot.col_name
+      GROUP BY c.col_name)
+    SELECT col_name,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_distinct,
+           (round(h_u / 1000000000.0 + 1e-9, 6) + 0.0) AS entropy_nats,
+           (round(CASE WHEN k = 1 THEN 0.0
+                       ELSE h_u / 1000000000.0 / ln(CAST(k AS DOUBLE)) END
+                  + 1e-9, 6) + 0.0) AS entropy_norm,
+           (round(1.0 - sq / (CAST(n AS DOUBLE) * n) + 1e-9, 6) + 0.0)
+             AS gini_impurity,
+           (round(CAST(top_cnt AS DOUBLE) / n + 1e-9, 6) + 0.0) AS top_share
+    FROM g ORDER BY col_name
+    """,
+)
+def dq_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column distribution profile of the order header's two
+    enum columns in ONE fact scan: distinct-value count, Shannon
+    entropy (nats) with its normalized form H/ln k, Gini impurity
+    1 − Σp², and the top-value share — the drift-baseline card a data
+    platform keeps per categorical column (an enum whose entropy
+    collapses or whose top_share spikes is the classic silent-upstream
+    -bug signature, cheaper to watch than full histograms).
+
+    Scale shape: both columns leave one orders scan as an exploded
+    (col_name, val) stream (the dq_join_key_skew fold), ONE grouped
+    count reduces to value-space triples, and the per-column profile is
+    a col-keyed fold over those triples. Entropy terms are per-value
+    doubles of exact integer counts rounded to 1e-9 integer units
+    BEFORE the fold (summation-order-free in both engines); the
+    quadratic moment Σcnt² accumulates in double (the int64-wrap
+    class); single-valued columns define entropy_norm = 0 identically
+    both sides."""
+    o = t(spark, sf_dir, "orders").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col_name"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col_name"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.val")
+    c = o.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    wn = Window.partitionBy("col_name")
+    c = c.withColumn("n", F.sum("cnt").over(wn))
+    p = F.col("cnt").cast("double") / F.col("n")
+    h_term = F.round(-p * F.log(p) * 1e9).cast("long")
+    g = c.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("n"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(h_term).alias("h_u"),
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        "col_name",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("n_distinct"),
+        rz6(F.col("h_u") / 1e9).alias("entropy_nats"),
+        rz6(
+            F.when(F.col("k") == 1, F.lit(0.0)).otherwise(
+                F.col("h_u") / 1e9 / F.log(F.col("k").cast("double"))
+            )
+        ).alias("entropy_norm"),
+        rz6(1.0 - F.col("sq") / (nd * nd)).alias("gini_impurity"),
+        rz6(F.col("top_cnt").cast("double") / nd).alias("top_share"),
+    ).orderBy("col_name")

@@ -6329,3 +6329,98 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("hb_u") + F.col("hl_u"), F.lit(0))
         ).alias("nmi"),
     )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+    WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+    dtiles AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i*8+1 : i*8+8], ' ') AS passage
+      FROM tk, UNNEST(range(CAST(len(toks) // 8 AS BIGINT))) AS u(i)),
+    shared AS (SELECT passage FROM dtiles GROUP BY passage
+               HAVING count(*) BETWEEN 2 AND 20),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM dtiles a
+      JOIN shared USING (passage)
+      JOIN dtiles b ON a.passage = b.passage AND a.doc_id < b.doc_id),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY id),
+    hist AS (
+      SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_docs
+      FROM deg GROUP BY d
+      UNION ALL
+      SELECT 0,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM deg))
+    SELECT degree, n_docs FROM hist WHERE n_docs > 0 ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the shared-passage duplication graph (same
+    posting-keyed edge basis as the triangle/pagerank queries),
+    isolated documents included as degree 0 — the shape readout that
+    complements the component histogram: a heavy tail of high-degree
+    nodes is the signature of TEMPLATE/boilerplate families (one hub
+    shares a passage with hundreds of pages — collapse the passage,
+    not the docs), while a flat low-degree profile means pairwise
+    duplicates that keep-best dedup handles cleanly.
+
+    Scale shape: edges come from passage postings df-capped to [2,20]
+    (candidate pairs bounded per posting — never all-pairs), degrees
+    from one fold over the symmetric endpoint stream, and the
+    histogram is a degree-grain aggregate. The degree-0 row is total
+    docs minus connected docs — two scalar counts. Everything is exact
+    integer counting."""
+    tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
+    dtiles = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 8 - 1), "
+                "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+            )
+        ).alias("passage"),
+    ).distinct()
+    shared = (
+        dtiles.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= 20))
+        .select("passage")
+    )
+    a = dtiles.join(shared, "passage").alias("a")
+    b = dtiles.join(shared, "passage").alias("b")
+    edges = pin(
+        a.join(
+            b,
+            (F.col("a.passage") == F.col("b.passage"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .distinct()
+    )
+    ends = edges.select(F.col("u").alias("id")).unionAll(
+        edges.select(F.col("v").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.col("d").cast("long").alias("degree"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+    n_docs_total = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    n_connected = deg.agg(F.count(F.lit(1)).alias("nc"))
+    zero = (
+        n_docs_total.crossJoin(F.broadcast(n_connected))
+        .select(
+            F.lit(0).cast("long").alias("degree"),
+            (F.col("nt") - F.col("nc")).cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    return hist.unionByName(zero).orderBy("degree")

@@ -2563,3 +2563,45 @@ def test_cluster_purity_perfect_and_collapsed(spark, tmp_path):
     r2 = load_all()["emb_cluster_purity"].spark_fn(spark, f"{tmp_path}/one").collect()[0]
     assert r2["n_buckets"] == 1
     assert r2["purity"] == 0.75 and r2["nmi"] == 0.0
+
+
+def test_degree_histogram_counts_hub_and_isolated(spark, tmp_path):
+    """Three docs share one 8-token passage (a triangle: each has
+    degree 2); one doc is unique (degree 0)."""
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = [
+        (0, passage, "en", "s", 1),
+        (1, passage, "en", "s", 1),
+        (2, passage, "en", "s", 1),
+        (3, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["degree"]: r["n_docs"] for r in load_all()["graph_degree_histogram"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out == {0: 1, 2: 3}
+
+
+def test_categorical_entropy_uniform_and_constant(spark, tmp_path):
+    """Orders with a 2-way uniform status (entropy ln 2, norm 1, gini
+    0.5, top share 0.5) and a constant priority (entropy 0, norm 0,
+    gini 0, top share 1)."""
+    import datetime as dt
+    import math
+
+    d = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, "A" if i % 2 == 0 else "B", 1.0, d, "SAME") for i in range(8)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    out = {r["col_name"]: r for r in load_all()["dq_categorical_entropy"].spark_fn(spark, str(tmp_path)).collect()}
+    st, pr = out["o_orderstatus"], out["o_orderpriority"]
+    assert st["n_distinct"] == 2 and pr["n_distinct"] == 1
+    assert abs(st["entropy_nats"] - math.log(2)) < 1e-6
+    assert st["entropy_norm"] == 1.0 and st["gini_impurity"] == 0.5
+    assert st["top_share"] == 0.5
+    assert pr["entropy_nats"] == 0.0 and pr["entropy_norm"] == 0.0
+    assert pr["gini_impurity"] == 0.0 and pr["top_share"] == 1.0
