@@ -262,6 +262,31 @@ HEADLINE = [
     "dq_event_duplication",
     # eighteenth r10 batch: growth accounting off the user-day frame
     "events_new_vs_returning",
+    # round-11 additions: the FP&A price/volume/mix waterfall (one
+    # conditional-sum fold, broadcast part dim), the money
+    # reconciliation census (order-keyed join + key-only anti join),
+    # the bot-regularity audit (user-partitioned lag + double quadratic
+    # moments), the lead-indicator cross-correlation (day-spine x 8
+    # lags), reproducible hash-drawn negatives (global_rank part index
+    # + anti join), hour-spine linear interpolation (IGNORE-NULLS carry
+    # windows), the shuffle-interleave audit (global_rank positions +
+    # gaps-and-islands runs), retrieval ILD (constant 10-pair stage per
+    # query), PMI collocations (token-keyed joins to the unigram
+    # frame), sign-bucket purity/NMI (contingency-table folds), the
+    # passage-graph degree histogram, and the enum entropy profile
+    # (exploded one-scan fold)
+    "agg_price_volume_mix",
+    "dq_order_total_reconciliation",
+    "events_bot_detection",
+    "events_lagged_crosscorr",
+    "join_negative_sampling",
+    "events_linear_interpolation",
+    "corpus_shuffle_interleave",
+    "emb_topk_diversity",
+    "text_collocations_pmi",
+    "emb_cluster_purity",
+    "graph_degree_histogram",
+    "dq_categorical_entropy",
 ]
 
 

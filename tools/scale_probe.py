@@ -269,6 +269,28 @@ PROBE = [
     "dq_event_duplication",
     # r10 eighteenth batch: rides the user-day frame.
     "events_new_vs_returning",
+    # r11 additions — scaling risks worth a row each: the reconciliation
+    # join (order-keyed, must track fact size linearly), bot detection
+    # (user-partitioned lag window), the lag cross-join (day-spine-sized
+    # — ratio must track the FIRST fold, not the spine), negative
+    # sampling (candidate join keyed by part index), linear
+    # interpolation (hour-spine windows — post-fold work is
+    # calendar-bounded), the shuffle audit (global_rank + island
+    # windows), ILD (top-k + constant pair stage), PMI (distinct-bigram
+    # joins), the contingency-table purity fold, the passage-graph
+    # degree census, and the two one-scan profiles
+    "agg_price_volume_mix",
+    "dq_order_total_reconciliation",
+    "events_bot_detection",
+    "events_lagged_crosscorr",
+    "join_negative_sampling",
+    "events_linear_interpolation",
+    "corpus_shuffle_interleave",
+    "emb_topk_diversity",
+    "text_collocations_pmi",
+    "emb_cluster_purity",
+    "graph_degree_histogram",
+    "dq_categorical_entropy",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
