@@ -287,6 +287,11 @@ HEADLINE = [
     "emb_cluster_purity",
     "graph_degree_histogram",
     "dq_categorical_entropy",
+    # r11 batch G: transition dwell (value-space medians over the
+    # (pair, gap_s, cnt) frame) and personalized churn risk (per-user
+    # nearest-rank p90 + TakeOrdered)
+    "events_transition_dwell",
+    "events_churn_risk",
 ]
 
 

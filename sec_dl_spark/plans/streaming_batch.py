@@ -3831,3 +3831,250 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         rz(val / 100.0, 4).alias("value_dollars"),
     ).orderBy("event_type", "hour_num")
+
+
+@query(
+    "events_transition_dwell",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(event_type) OVER w AS prev_type,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    g AS (
+      SELECT prev_type, event_type, us - prev_us AS gap_us,
+             (us - prev_us) // 1000000 AS gap_s
+      FROM o WHERE prev_us IS NOT NULL),
+    agg AS (
+      SELECT prev_type, event_type,
+             count(*) AS n,
+             sum(CAST(gap_us AS DOUBLE)) AS gap_sum
+      FROM g GROUP BY prev_type, event_type),
+    vc AS (
+      SELECT prev_type, event_type, gap_s, count(*) AS cnt
+      FROM g GROUP BY prev_type, event_type, gap_s),
+    vw AS (
+      SELECT prev_type, event_type, gap_s, cnt,
+             sum(cnt) OVER (PARTITION BY prev_type, event_type
+                            ORDER BY gap_s) AS cum,
+             sum(cnt) OVER (PARTITION BY prev_type, event_type) AS n
+      FROM vc),
+    med AS (
+      SELECT prev_type, event_type,
+             (min(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END)
+              + min(CASE WHEN cum >= n // 2 + 1 THEN gap_s END)) / 2.0
+               AS med_s
+      FROM vw GROUP BY prev_type, event_type)
+    SELECT a.prev_type, a.event_type,
+           CAST(a.n AS BIGINT) AS n_transitions,
+           (round(a.gap_sum / a.n / 1000000.0 + 1e-9, 3) + 0.0)
+             AS mean_dwell_s,
+           (round(m.med_s + 1e-9, 1) + 0.0) AS median_dwell_s
+    FROM agg a JOIN med m
+      ON a.prev_type = m.prev_type AND a.event_type = m.event_type
+    ORDER BY a.prev_type, a.event_type
+    """,
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event-type transition: for every (previous event →
+    next event) pair within a user's stream, the count, mean, and exact
+    median of the wait between them — the TIMING layer over the Markov
+    transition matrix (the matrix says users go click→purchase; this
+    says whether that edge takes 40 seconds or 2 days, which is what
+    session-timeout tuning, cache TTLs, and nudge scheduling actually
+    consume).
+
+    Scale shape: one user-partitioned lag window produces the
+    transition stream with exact integer-µs gaps; the mean folds per
+    transition pair with the µs sum in DOUBLE (year-long gaps times
+    enough rows pass int64; every term integer-exact below 2^53); the
+    median runs ENTIRELY in value space — gaps truncate to whole
+    seconds, reduce to a (pair, gap_s, cnt) frame, and the type-7
+    two-middle-ranks median falls out of cumulative counts over
+    DISTINCT values (the events_mad_outliers strategy: windows bounded
+    by value cardinality, never row count)."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", us.alias("us"))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_us", F.lag("us").over(w))
+    )
+    g = o.where(F.col("prev_us").isNotNull()).select(
+        "prev_type",
+        "event_type",
+        (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        ((F.col("us") - F.col("prev_us")) / F.lit(1000000))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    g = pin(g)
+    agg = g.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap_us").cast("double")).alias("gap_sum"),
+    )
+    vc = g.groupBy("prev_type", "event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = (
+        Window.partitionBy("prev_type", "event_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("prev_type", "event_type")
+    vw = vc.withColumn("cum", F.sum("cnt").over(wv)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    med = vw.groupBy("prev_type", "event_type").agg(
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 1) div 2"), F.col("gap_s")
+                    )
+                ).cast("double")
+                + F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("n div 2 + 1"), F.col("gap_s")
+                    )
+                )
+            )
+            / 2.0
+        ).alias("med_s")
+    )
+    return (
+        agg.join(med, ["prev_type", "event_type"])
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n").cast("long").alias("n_transitions"),
+            rz(F.col("gap_sum") / F.col("n") / 1e6, 3).alias("mean_dwell_s"),
+            rz(F.col("med_s"), 1).alias("median_dwell_s"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+@query(
+    "events_churn_risk",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    nowt AS (SELECT max(us) AS now_us FROM o),
+    g AS (
+      SELECT user_id, (us - prev) // 1000000 AS gap_s
+      FROM o WHERE prev IS NOT NULL),
+    lastseen AS (
+      SELECT user_id, max(us) AS last_us, count(*) AS n_events
+      FROM o GROUP BY user_id HAVING count(*) >= 11),
+    vc AS (
+      SELECT user_id, gap_s, count(*) AS cnt FROM g GROUP BY user_id, gap_s),
+    vw AS (
+      SELECT user_id, gap_s, cnt,
+             sum(cnt) OVER (PARTITION BY user_id ORDER BY gap_s) AS cum,
+             sum(cnt) OVER (PARTITION BY user_id) AS n
+      FROM vc),
+    p90 AS (
+      SELECT user_id,
+             min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_gap_s
+      FROM vw GROUP BY user_id),
+    s AS (
+      SELECT l.user_id, l.n_events,
+             (nowt.now_us - l.last_us) // 1000000 AS recency_s,
+             p90.p90_gap_s,
+             CAST((nowt.now_us - l.last_us) // 1000000 AS DOUBLE)
+               / greatest(p90.p90_gap_s, 1) AS risk
+      FROM lastseen l JOIN p90 ON l.user_id = p90.user_id, nowt)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(recency_s AS BIGINT) AS recency_s,
+           CAST(p90_gap_s AS BIGINT) AS p90_gap_s,
+           (round(risk + 1e-9, 4) + 0.0) AS churn_risk
+    FROM s ORDER BY risk DESC, user_id LIMIT 20
+    """,
+)
+def events_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral churn-risk scoring: the 20 users most overdue relative
+    to their OWN rhythm — risk = time-since-last-event divided by the
+    user's p90 inter-event gap (a user whose silence is 5× their own
+    90th-percentile gap is at risk; a weekly user 3 days quiet is not)
+    — the personalized alternative to a fixed inactivity cutoff, and
+    the label-generation query for churn-model training. "Now" is the
+    corpus max timestamp, so the score is reproducible offline.
+
+    Scale shape: one user-partitioned lag window yields integer-second
+    gaps; the per-user p90 is nearest-rank over the (user, gap_s, cnt)
+    VALUE-SPACE frame (cum·10 ≥ n·9 — pure integer comparison, no
+    float percentile); recency and risk are deterministic expressions
+    of exact integers with a greatest(p90,1) floor identical in both
+    engines; the cut is a TakeOrdered over user-grain rows. Users with
+    ≤ 10 events are excluded (their p90 is noise) identically both
+    sides."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", us.alias("us"))
+        .withColumn("prev", F.lag("us").over(w))
+    )
+    o = pin(o)
+    nowt = o.agg(F.max("us").alias("now_us"))
+    g = o.where(F.col("prev").isNotNull()).select(
+        "user_id",
+        ((F.col("us") - F.col("prev")) / F.lit(1000000))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    lastseen = (
+        o.groupBy("user_id")
+        .agg(F.max("us").alias("last_us"), F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") >= 11)
+    )
+    vc = g.groupBy("user_id", "gap_s").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("user_id")
+    vw = vc.withColumn("cum", F.sum("cnt").over(wv)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    p90 = vw.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("gap_s"))
+        ).alias("p90_gap_s")
+    )
+    s = (
+        lastseen.join(p90, "user_id")
+        .crossJoin(F.broadcast(nowt))
+        .select(
+            "user_id",
+            "n_events",
+            ((F.col("now_us") - F.col("last_us")) / F.lit(1000000))
+            .cast("long")
+            .alias("recency_s"),
+            "p90_gap_s",
+        )
+    )
+    risk = F.col("recency_s").cast("double") / F.greatest(
+        F.col("p90_gap_s"), F.lit(1)
+    )
+    return (
+        s.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("recency_s").cast("long").alias("recency_s"),
+            F.col("p90_gap_s").cast("long").alias("p90_gap_s"),
+            rz(risk, 4).alias("churn_risk"),
+            risk.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "user_id")
+        .limit(20)
+        .drop("_r")
+    )

@@ -2605,3 +2605,59 @@ def test_categorical_entropy_uniform_and_constant(spark, tmp_path):
     assert st["top_share"] == 0.5
     assert pr["entropy_nats"] == 0.0 and pr["entropy_norm"] == 0.0
     assert pr["gini_impurity"] == 0.0 and pr["top_share"] == 1.0
+
+
+def test_transition_dwell_exact_median_and_mean(spark, tmp_path):
+    """User does view -(10s)-> click three times with gaps 10/20/60s:
+    the view->click row has n=3, mean = 30s, median = 20s."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 4, 1, 12)
+    offs = [(0, "view"), (10, "click"), (100, "view"), (120, "click"),
+            (200, "view"), (260, "click")]
+    rows = [(i, b + dt.timedelta(seconds=o), 1, ty, 1.0, "{}")
+            for i, (o, ty) in enumerate(offs)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {(r["prev_type"], r["event_type"]): r for r in load_all()["events_transition_dwell"].spark_fn(spark, str(tmp_path)).collect()}
+    vc = out[("view", "click")]
+    assert vc["n_transitions"] == 3
+    assert vc["mean_dwell_s"] == 30.0
+    assert vc["median_dwell_s"] == 20.0
+    # click->view gaps: 90s and 80s -> median (80+90)/2
+    cv = out[("click", "view")]
+    assert cv["n_transitions"] == 2 and cv["median_dwell_s"] == 85.0
+
+
+def test_churn_risk_overdue_user_ranks_first(spark, tmp_path):
+    """User 1: 12 hourly events then silence for the rest of the span
+    (risk >> 1). User 2: 12 hourly events ending AT corpus max (risk
+    0). User 3 has 5 events -> excluded."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 2, 1)
+    rows, eid = [], 0
+    for i in range(12):  # user 1 early then silent
+        rows.append((eid, b + dt.timedelta(hours=i), 1, "view", 1.0, "{}"))
+        eid += 1
+    for i in range(12):  # user 2 active until the end
+        rows.append((eid, b + dt.timedelta(days=9) + dt.timedelta(hours=i), 2,
+                     "view", 1.0, "{}"))
+        eid += 1
+    for i in range(5):
+        rows.append((eid, b + dt.timedelta(hours=i), 3, "view", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = load_all()["events_churn_risk"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["user_id"] for r in out] == [1, 2]  # user 3 excluded
+    u1, u2 = out
+    assert u1["p90_gap_s"] == 3600 and u2["churn_risk"] == 0.0
+    # user 1 is ~9.46 days overdue against a 1h rhythm
+    assert u1["churn_risk"] > 200

@@ -291,6 +291,8 @@ PROBE = [
     "emb_cluster_purity",
     "graph_degree_histogram",
     "dq_categorical_entropy",
+    "events_transition_dwell",
+    "events_churn_risk",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
