@@ -2092,3 +2092,78 @@ def test_hll_window_rollup_matches_exact_trailing_distinct(
         for r in load_all()["events_dau_wau_mau"].spark_fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) == 10
+
+
+def test_streaming_bot_gate_is_batching_invariant(spark, tmp_path_factory):
+    """Streaming bot gate (streaming/bots.py): per-user gap moments
+    published per micro-batch and merged with the ordered boundary-gap
+    fold must equal the single-pass moments EXACTLY — including the
+    gaps that straddle batch boundaries — and the CV scores must
+    reproduce the batch twin's verdicts (metronome user flagged, bursty
+    user not)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.bots import (
+        bot_scores,
+        gap_moments,
+        incremental_gap_moments_sink,
+        merged_gap_moments,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    b = dt.datetime(2024, 3, 1, 12)
+    rows = []
+    eid = 0
+    for i in range(40):  # bot: exact 60s metronome
+        rows.append((eid, b + dt.timedelta(seconds=60 * i), 1))
+        eid += 1
+    for off in [0, 5, 6, 300, 301, 4000, 4100, 9000]:  # human bursts
+        rows.append((eid, b + dt.timedelta(seconds=off), 2))
+        eid += 1
+
+    # time-partitioned batches (the ordered-merge contract): split each
+    # user's stream at event-time thirds, so boundary gaps are real
+    rows.sort(key=lambda r: r[1])
+    src = tmp_path_factory.mktemp("bots_src")
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b={i}")
+
+    out = str(tmp_path_factory.mktemp("bots_out") / "moments")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    done = incremental_gap_moments_sink(
+        stream, out, str(tmp_path_factory.mktemp("bots_ckpt")), run="r1"
+    ).awaitTermination(120)
+    assert done
+
+    merged = {r["user_id"]: r for r in merged_gap_moments(spark, out).collect()}
+    single = {
+        r["user_id"]: r
+        for r in gap_moments(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert set(merged) == set(single)
+    for uid in single:
+        m, s = merged[uid], single[uid]
+        # bit-exact merge despite boundary-straddling gaps
+        assert (m["n_events"], m["n_gaps"]) == (s["n"], s["n_gaps"])
+        assert m["gap_sum"] == s["gap_sum"]
+        assert m["gap_sq"] == s["gap_sq"]
+
+    scores = {r["user_id"]: r for r in bot_scores(merged_gap_moments(spark, out)).collect()}
+    assert scores[1]["is_bot"] and scores[1]["gap_cv"] == 0.0
+    assert not scores[2]["is_bot"] and scores[2]["gap_cv"] > 0.3
