@@ -292,6 +292,11 @@ HEADLINE = [
     # nearest-rank p90 + TakeOrdered)
     "events_transition_dwell",
     "events_churn_risk",
+    # r11 batch H: the growth-accounting quartet (user-day frame,
+    # lag/lead windows) and the attribution-window sweep (gaps computed
+    # once, 4 windows as conditional counts)
+    "events_growth_accounting",
+    "events_attribution_window_sweep",
 ]
 
 

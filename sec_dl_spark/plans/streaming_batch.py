@@ -4078,3 +4078,245 @@ def events_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_r")
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dn
+      FROM events),
+    f AS (SELECT user_id, min(dn) AS first_dn FROM ud GROUP BY user_id),
+    lagged AS (
+      SELECT ud.user_id, ud.dn, f.first_dn,
+             lag(ud.dn) OVER (PARTITION BY ud.user_id ORDER BY ud.dn)
+               AS prev_dn,
+             lead(ud.dn) OVER (PARTITION BY ud.user_id ORDER BY ud.dn)
+               AS next_dn
+      FROM ud JOIN f ON ud.user_id = f.user_id),
+    span AS (SELECT max(dn) AS max_dn FROM ud),
+    act AS (
+      SELECT dn,
+             count(*) AS active,
+             sum(CASE WHEN dn = first_dn THEN 1 ELSE 0 END) AS new_u,
+             sum(CASE WHEN dn > first_dn AND prev_dn = dn - 1
+                      THEN 1 ELSE 0 END) AS retained,
+             sum(CASE WHEN dn > first_dn AND prev_dn < dn - 1
+                      THEN 1 ELSE 0 END) AS resurrected
+      FROM lagged GROUP BY dn),
+    churn AS (
+      SELECT dn + 1 AS dn, count(*) AS churned
+      FROM lagged, span
+      WHERE (next_dn IS NULL OR next_dn > dn + 1) AND dn + 1 <= span.max_dn
+      GROUP BY dn + 1)
+    SELECT CAST(coalesce(a.dn, c.dn) AS BIGINT) AS day_num,
+           CAST(coalesce(a.active, 0) AS BIGINT) AS active,
+           CAST(coalesce(a.new_u, 0) AS BIGINT) AS new_users,
+           CAST(coalesce(a.retained, 0) AS BIGINT) AS retained,
+           CAST(coalesce(a.resurrected, 0) AS BIGINT) AS resurrected,
+           CAST(coalesce(c.churned, 0) AS BIGINT) AS churned,
+           CAST(coalesce(a.new_u, 0) + coalesce(a.resurrected, 0)
+                - coalesce(c.churned, 0) AS BIGINT) AS net_change,
+           (round(CAST(coalesce(a.new_u, 0) + coalesce(a.resurrected, 0)
+                       AS DOUBLE)
+                  / greatest(coalesce(c.churned, 0), 1) + 1e-9, 4) + 0.0)
+             AS quick_ratio
+    FROM act a FULL JOIN churn c ON a.dn = c.dn
+    ORDER BY day_num
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full growth-accounting quartet per day: NEW (first-ever day),
+    RETAINED (also active yesterday), RESURRECTED (returned after ≥ 1
+    missed day), and CHURNED (active yesterday, silent today), plus
+    net change and the quick ratio (new+resurrected)/churned — the
+    canonical DAU decomposition that tells "flat DAU because nothing
+    happens" apart from "flat DAU because a leaky bucket refills as
+    fast as it drains". Extends events_new_vs_returning (which only
+    splits new/returning) with the resurrection/churn sides; churn is
+    attributed to the first SILENT day and suppressed past the corpus
+    edge (the last day cannot observe churn). The day join is FULL
+    OUTER with zero-filled actives: a day where EVERYONE churned has
+    no active row yet is exactly the day the report must surface.
+
+    Scale shape: everything runs on the deduplicated (user, day) frame
+    — one distinct off the scan, user-partitioned lag/lead windows
+    (partition count = users), two day-keyed folds, one day-keyed
+    outer join. Day numbers are integer epoch-µs divisions (calendar-
+    and locale-free both engines); every output is exact integer
+    counting with a greatest(churn,1) guard on the ratio."""
+    ud = pin(
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+            .cast("long")
+            .alias("dn"),
+        )
+        .distinct()
+    )
+    f = ud.groupBy("user_id").agg(F.min("dn").alias("first_dn"))
+    w = Window.partitionBy("user_id").orderBy("dn")
+    lagged = pin(
+        ud.join(f, "user_id")
+        .withColumn("prev_dn", F.lag("dn").over(w))
+        .withColumn("next_dn", F.lead("dn").over(w))
+    )
+    span = lagged.agg(F.max("dn").alias("max_dn"))
+    act = lagged.groupBy("dn").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("dn") == F.col("first_dn"), 1).otherwise(0)).alias(
+            "new_u"
+        ),
+        F.sum(
+            F.when(
+                (F.col("dn") > F.col("first_dn"))
+                & (F.col("prev_dn") == F.col("dn") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("dn") > F.col("first_dn"))
+                & (F.col("prev_dn") < F.col("dn") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    churn = (
+        lagged.crossJoin(F.broadcast(span))
+        .where(
+            (F.col("next_dn").isNull() | (F.col("next_dn") > F.col("dn") + 1))
+            & (F.col("dn") + 1 <= F.col("max_dn"))
+        )
+        .groupBy((F.col("dn") + 1).alias("dn"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    # FULL OUTER: an all-churn day has no active row but must surface
+    out = act.join(churn, "dn", "full")
+    churned = F.coalesce(F.col("churned"), F.lit(0))
+    new_u = F.coalesce(F.col("new_u"), F.lit(0))
+    resurrected = F.coalesce(F.col("resurrected"), F.lit(0))
+    return out.select(
+        F.col("dn").cast("long").alias("day_num"),
+        F.coalesce(F.col("active"), F.lit(0)).cast("long").alias("active"),
+        new_u.cast("long").alias("new_users"),
+        F.coalesce(F.col("retained"), F.lit(0))
+        .cast("long")
+        .alias("retained"),
+        resurrected.cast("long").alias("resurrected"),
+        churned.cast("long").alias("churned"),
+        (new_u + resurrected - churned).cast("long").alias("net_change"),
+        rz(
+            (new_u + resurrected).cast("double")
+            / F.greatest(churned, F.lit(1)),
+            4,
+        ).alias("quick_ratio"),
+    ).orderBy("day_num")
+
+
+@query(
+    "events_attribution_window_sweep",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'),
+    lastc AS (
+      SELECT p.event_id, max(c.us) AS click_us
+      FROM p JOIN c ON p.user_id = c.user_id AND c.us <= p.us
+      GROUP BY p.event_id),
+    g AS (
+      SELECT p.event_id, p.us - lastc.click_us AS gap_us
+      FROM p LEFT JOIN lastc ON p.event_id = lastc.event_id),
+    n AS (SELECT count(*) AS n_purchases FROM p),
+    win AS (
+      SELECT * FROM (VALUES
+        (0, '1h', 3600000000), (1, '6h', 21600000000),
+        (2, '24h', 86400000000), (3, '7d', 604800000000))
+        v(ordinal, window_name, w_us)),
+    s AS (
+      SELECT win.ordinal, win.window_name,
+             sum(CASE WHEN g.gap_us IS NOT NULL AND g.gap_us <= win.w_us
+                      THEN 1 ELSE 0 END) AS n_attributed
+      FROM win CROSS JOIN g GROUP BY win.ordinal, win.window_name)
+    SELECT CAST(s.ordinal AS BIGINT) AS ordinal, s.window_name,
+           CAST(s.n_attributed AS BIGINT) AS n_attributed,
+           CAST(n.n_purchases AS BIGINT) AS n_purchases,
+           (round(CAST(s.n_attributed AS DOUBLE) / n.n_purchases
+                  + 1e-9, 6) + 0.0) AS attributed_share
+    FROM s, n ORDER BY ordinal
+    """,
+)
+def events_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity sweep: the share of purchases with
+    a prior click within 1h/6h/24h/7d — the curve that DECIDES the
+    attribution window the first-touch/linear models then assume (pick
+    the knee; a share still climbing at 7d means the journey is longer
+    than the model). Each purchase's gap to its most recent prior
+    click is computed ONCE (a user-co-located backward join folded to
+    purchase grain — the as-of pattern), then all four windows read as
+    conditional counts against a 4-row broadcast, the
+    text_dedup_threshold_sweep discipline: never one scan per
+    candidate window.
+
+    Integer-µs gaps and exact counts throughout; purchases with no
+    prior click count against every window's denominator identically
+    in both engines."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), us.alias("cus")
+    )
+    lastc = (
+        p.join(c, (p.user_id == c.cu) & (F.col("cus") <= F.col("us")))
+        .groupBy("event_id")
+        .agg(F.max("cus").alias("click_us"))
+    )
+    g = pin(
+        p.join(lastc, "event_id", "left").select(
+            "event_id", (F.col("us") - F.col("click_us")).alias("gap_us")
+        )
+    )
+    n = g.agg(F.count(F.lit(1)).alias("n_purchases"))
+    win = p.sparkSession.createDataFrame(
+        [
+            (0, "1h", 3600000000),
+            (1, "6h", 21600000000),
+            (2, "24h", 86400000000),
+            (3, "7d", 604800000000),
+        ],
+        "ordinal int, window_name string, w_us long",
+    )
+    s = (
+        F.broadcast(win)
+        .crossJoin(g)
+        .groupBy("ordinal", "window_name")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNotNull()
+                    & (F.col("gap_us") <= F.col("w_us")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_attributed")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .select(
+            F.col("ordinal").cast("long").alias("ordinal"),
+            "window_name",
+            F.col("n_attributed").cast("long").alias("n_attributed"),
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            rz6(
+                F.col("n_attributed").cast("double") / F.col("n_purchases")
+            ).alias("attributed_share"),
+        )
+        .orderBy("ordinal")
+    )

@@ -2661,3 +2661,59 @@ def test_churn_risk_overdue_user_ranks_first(spark, tmp_path):
     assert u1["p90_gap_s"] == 3600 and u2["churn_risk"] == 0.0
     # user 1 is ~9.46 days overdue against a 1h rhythm
     assert u1["churn_risk"] > 200
+
+
+def test_growth_accounting_quartet_balances(spark, tmp_path):
+    """Planted lifecycle: user 1 active days 0,1,3 (new, retained,
+    resurrected; churn counted on days 2 and 4... day 4 > max_dn so
+    suppressed); user 2 active day 1 only (new; churned day 2). Day 3
+    is the corpus edge."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 7, 1, 6)
+    mk = lambda eid, d, u: (eid, b + dt.timedelta(days=d), u, "view", 1.0, "{}")  # noqa: E731
+    rows = [mk(0, 0, 1), mk(1, 1, 1), mk(2, 3, 1), mk(3, 1, 2)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    rows_out = load_all()["events_growth_accounting"].spark_fn(spark, str(tmp_path)).collect()
+    base = min(r["day_num"] for r in rows_out)
+    out = {r["day_num"] - base: r for r in rows_out}
+    d0, d1, d3 = out[0], out[1], out[3]
+    assert (d0["active"], d0["new_users"]) == (1, 1)
+    assert (d1["active"], d1["new_users"], d1["retained"]) == (2, 1, 1)
+    assert (d3["active"], d3["resurrected"]) == (1, 1)
+    # day 2: both users silent after day 1 -> 2 churned, 0 active
+    assert 2 in out and out[2]["churned"] == 2 and out[2]["active"] == 0
+    # every day: active = new + retained + resurrected
+    for r in out.values():
+        assert r["active"] == r["new_users"] + r["retained"] + r["resurrected"]
+
+
+def test_attribution_window_sweep_is_monotone_and_exact(spark, tmp_path):
+    """Purchases at 30min / 12h / 3d after their only click plus one
+    clickless purchase: shares climb 1/4 -> 1/4 -> 2/4 -> 3/4 across
+    the 1h/6h/24h/7d windows."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 8, 1)
+    rows = [
+        (0, b, 1, "click", 1.0, "{}"),
+        (1, b + dt.timedelta(minutes=30), 1, "purchase", 1.0, "{}"),
+        (2, b, 2, "click", 1.0, "{}"),
+        (3, b + dt.timedelta(hours=12), 2, "purchase", 1.0, "{}"),
+        (4, b, 3, "click", 1.0, "{}"),
+        (5, b + dt.timedelta(days=3), 3, "purchase", 1.0, "{}"),
+        (6, b, 4, "purchase", 1.0, "{}"),  # no click ever
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["window_name"]: r for r in load_all()["events_attribution_window_sweep"].spark_fn(spark, str(tmp_path)).collect()}
+    assert [out[w]["n_attributed"] for w in ("1h", "6h", "24h", "7d")] == [1, 1, 2, 3]
+    assert all(out[w]["n_purchases"] == 4 for w in out)
+    assert out["7d"]["attributed_share"] == 0.75

@@ -293,6 +293,8 @@ PROBE = [
     "dq_categorical_entropy",
     "events_transition_dwell",
     "events_churn_risk",
+    "events_growth_accounting",
+    "events_attribution_window_sweep",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
