@@ -297,6 +297,11 @@ HEADLINE = [
     # once, 4 windows as conditional counts)
     "events_growth_accounting",
     "events_attribution_window_sweep",
+    # r11 batch I: the 60s RANGE-frame velocity screen and the Rocchio
+    # centroid-classifier baseline (d*L centroid frame joined back by
+    # dim; n*L-bounded scoring)
+    "events_velocity_burst",
+    "emb_nearest_centroid",
 ]
 
 

@@ -4320,3 +4320,67 @@ def events_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("ordinal")
     )
+
+
+@query(
+    "events_velocity_burst",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    v AS (
+      SELECT user_id, event_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+               AS burst_60s
+      FROM o),
+    u AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             max(burst_60s) AS max_burst_60s
+      FROM v GROUP BY user_id)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(max_burst_60s AS BIGINT) AS max_burst_60s,
+           (max_burst_60s >= 20) AS velocity_flag
+    FROM u ORDER BY max_burst_60s DESC, user_id LIMIT 20
+    """,
+)
+def events_velocity_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-rule fraud screen: each user's maximum event count
+    inside ANY trailing 60-second window, flagged at ≥ 20 — the
+    burst detector that catches card-testing runs, scraping loops, and
+    click-fraud spikes that the CV-regularity audit (a WHOLE-stream
+    statistic) smooths over: a user can be human-bursty on average and
+    still fire 50 requests in one minute once.
+
+    Scale shape: ONE user-partitioned RANGE-frame window over integer
+    µs (the frame is time-bounded — Spark maintains it as a sliding
+    two-pointer over each user's sorted stream, never a per-row
+    self-join), one user-grain fold, TakeOrdered top-20 with exact
+    integer ordering. The same frame is the streaming twin's
+    `window(ts, '60 seconds', '...')` sliding count."""
+    us = F.unix_micros(F.col("ts"))
+    o = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", us.alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-60000000, 0)
+    )
+    v = o.withColumn("burst_60s", F.count(F.lit(1)).over(w))
+    u = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("burst_60s").alias("max_burst_60s"),
+    )
+    return (
+        u.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("max_burst_60s").cast("long").alias("max_burst_60s"),
+            (F.col("max_burst_60s") >= 20).alias("velocity_flag"),
+        )
+        .orderBy(F.col("max_burst_60s").desc(), "user_id")
+        .limit(20)
+    )

@@ -6424,3 +6424,128 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 0)
     )
     return hist.unionByName(zero).orderBy("degree")
+
+
+@query(
+    "emb_nearest_centroid",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, label, generate_subscripts(v, 1) AS d, unnest(v) AS x
+      FROM e),
+    cent AS (
+      SELECT label AS c_label, d, avg(x) AS m
+      FROM dims GROUP BY label, d),
+    cn AS (
+      SELECT c_label, sqrt(sum(m * m)) AS cnorm FROM cent GROUP BY c_label),
+    vn AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM dims GROUP BY vec_id),
+    dots AS (
+      SELECT dims.vec_id, cent.c_label, sum(dims.x * cent.m) AS dot
+      FROM dims JOIN cent ON dims.d = cent.d
+      GROUP BY dims.vec_id, cent.c_label),
+    scored AS (
+      SELECT d.vec_id, e.label AS true_label, d.c_label,
+             d.dot / (vn.vnorm * cn.cnorm) AS sim
+      FROM dots d
+      JOIN vn ON d.vec_id = vn.vec_id
+      JOIN cn ON d.c_label = cn.c_label
+      JOIN e ON d.vec_id = e.vec_id),
+    pick AS (
+      SELECT vec_id, true_label, c_label AS pred_label
+      FROM (
+        SELECT vec_id, true_label, c_label,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY round(sim * 1000000) DESC, c_label) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           (round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0
+                           END) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS accuracy
+    FROM pick GROUP BY true_label ORDER BY true_label
+    """,
+)
+def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification accuracy per label — the
+    Rocchio baseline every embedding space should beat its way past
+    before anyone trains a probe: each vector is assigned to the label
+    whose MEAN vector it is most cosine-similar to (centroids include
+    the vector itself — the resubstitution form; the readout is the
+    space's class separability, not generalization). The consumer the
+    emb_label_centroids docstring promises.
+
+    Scale shape: centroids reduce the corpus to a (label, dim) frame
+    (d·L rows) via one posexplode fold; scoring joins that SMALL frame
+    back by dim — the shuffle is n·L dot products of d-length partials
+    keyed by (vec, label), linear in corpus size with the label count
+    as a constant (the brute-force form; at open-set label counts the
+    swap is the IVF/ANN route over the same centroid frame). The
+    argmax is a per-vector window over L rows, tie-broken on
+    (rounded-1e-6 sim, label) identically in both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = pin(
+        e.select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("d0", "x"),
+        ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "x")
+    )
+    cent = pin(
+        dims.groupBy(F.col("label").alias("c_label"), "d").agg(
+            F.avg("x").alias("m")
+        )
+    )
+    cn = cent.groupBy("c_label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("cnorm")
+    )
+    vn = dims.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vnorm")
+    )
+    dots = (
+        dims.join(cent, "d")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(F.col("x") * F.col("m")).alias("dot"))
+    )
+    truth = e.select("vec_id", F.col("label").alias("true_label"))
+    scored = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "c_label")
+        .join(truth, "vec_id")
+        .withColumn(
+            "sim", F.col("dot") / (F.col("vnorm") * F.col("cnorm"))
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("sim") * 1e6).desc(), F.col("c_label")
+    )
+    pick = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    return (
+        pick.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            rz6(F.col("n_correct").cast("double") / F.col("n")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )

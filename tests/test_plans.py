@@ -2717,3 +2717,45 @@ def test_attribution_window_sweep_is_monotone_and_exact(spark, tmp_path):
     assert [out[w]["n_attributed"] for w in ("1h", "6h", "24h", "7d")] == [1, 1, 2, 3]
     assert all(out[w]["n_purchases"] == 4 for w in out)
     assert out["7d"]["attributed_share"] == 0.75
+
+
+def test_velocity_burst_counts_trailing_window(spark, tmp_path):
+    """User 1 fires 25 events inside one minute (flagged, max burst 25)
+    then goes quiet; user 2 spreads 10 events a minute apart (burst 2
+    at most, not flagged)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 9, 1, 12)
+    rows = [(i, b + dt.timedelta(seconds=2 * i), 1, "view", 1.0, "{}")
+            for i in range(25)]
+    rows += [(100 + i, b + dt.timedelta(minutes=i), 2, "view", 1.0, "{}")
+             for i in range(10)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["user_id"]: r for r in load_all()["events_velocity_burst"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[1]["max_burst_60s"] == 25 and out[1]["velocity_flag"]
+    # exactly-60s-apart events share a RANGE frame boundary: 2 per frame
+    assert out[2]["max_burst_60s"] == 2 and not out[2]["velocity_flag"]
+
+
+def test_nearest_centroid_separable_space_is_perfect(spark, tmp_path):
+    """Two tight orthogonal clusters classify perfectly; moving one
+    vector of label 0 ONTO label 1's axis misclassifies exactly it."""
+    a, bb = [1.0, 0.0], [0.0, 1.0]
+    rows = [(i, a, 0) for i in range(4)] + [(4 + i, bb, 1) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["true_label"]: r for r in load_all()["emb_nearest_centroid"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[0]["accuracy"] == 1.0 and out[1]["accuracy"] == 1.0
+
+    rows2 = [(i, a, 0) for i in range(3)] + [(3, bb, 0)] + [(4 + i, bb, 1) for i in range(4)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/mix/embeddings.parquet")
+    out2 = {r["true_label"]: r for r in load_all()["emb_nearest_centroid"].spark_fn(spark, f"{tmp_path}/mix").collect()}
+    assert out2[0]["n_correct"] == 3 and out2[0]["n"] == 4
+    assert out2[1]["accuracy"] == 1.0

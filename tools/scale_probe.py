@@ -295,6 +295,8 @@ PROBE = [
     "events_churn_risk",
     "events_growth_accounting",
     "events_attribution_window_sweep",
+    "events_velocity_burst",
+    "emb_nearest_centroid",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
