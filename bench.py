@@ -302,6 +302,11 @@ HEADLINE = [
     # dim; n*L-bounded scoring)
     "events_velocity_burst",
     "emb_nearest_centroid",
+    # r11 batch J: the label-margin audit (everything on the (label,dim)
+    # frame after one normalize-fold) and the waterfilling allocator
+    # (source-sized prefix search)
+    "emb_class_margin",
+    "corpus_budget_waterfill",
 ]
 
 

@@ -6549,3 +6549,291 @@ def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@query(
+    "emb_class_margin",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    nrm AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nv
+      FROM e),
+    dims AS (
+      SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS x, nv
+      FROM nrm WHERE nv > 0),
+    s AS (
+      SELECT label, d, sum(x / nv) AS sd
+      FROM dims GROUP BY label, d),
+    cnt AS (
+      SELECT label, count(*) AS n FROM nrm WHERE nv > 0
+      GROUP BY label HAVING count(*) >= 2),
+    intra AS (
+      SELECT s.label, (sum(sd * sd) - max(cnt.n))
+             / (max(cnt.n) * (max(cnt.n) - 1.0)) AS coh
+      FROM s JOIN cnt ON s.label = cnt.label GROUP BY s.label),
+    inter AS (
+      SELECT a.label AS la, b.label AS lb,
+             sum(a.sd * b.sd) AS dot
+      FROM s a JOIN s b ON a.d = b.d AND a.label <> b.label
+      GROUP BY a.label, b.label),
+    isim AS (
+      SELECT inter.la, inter.lb,
+             inter.dot / (ca.n * CAST(cb.n AS DOUBLE)) AS sim
+      FROM inter JOIN cnt ca ON inter.la = ca.label
+                 JOIN cnt cb ON inter.lb = cb.label),
+    best AS (
+      SELECT la, lb, sim FROM (
+        SELECT la, lb, sim,
+               row_number() OVER (
+                 PARTITION BY la
+                 ORDER BY round(sim * 1000000) DESC, lb) AS rn
+        FROM isim) WHERE rn = 1)
+    SELECT CAST(c.label AS BIGINT) AS label,
+           CAST(c.n AS BIGINT) AS n,
+           (round(i.coh + 1e-9, 6) + 0.0) AS intra_cohesion,
+           CAST(b.lb AS BIGINT) AS nearest_label,
+           (round(b.sim + 1e-9, 6) + 0.0) AS max_inter_sim,
+           (round(i.coh - b.sim + 1e-9, 6) + 0.0) AS margin
+    FROM cnt c JOIN intra i ON c.label = i.label
+               JOIN best b ON c.label = b.la
+    ORDER BY label
+    """,
+)
+def emb_class_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class margin audit: per label, the mean pairwise cosine
+    WITHIN the class against the highest mean cosine TO any other
+    class (and which class that is) — margin = intra − max-inter, the
+    discriminability readout that predicts both retrieval quality and
+    linear-probe accuracy before training anything, and names the
+    confusable class pair worth inspecting. Complements
+    emb_cluster_purity (label-agnostic geometric cells) with the
+    label-conditioned geometry.
+
+    Scale shape: both statistics come from the ‖Σv̂‖ identity on
+    NORMALIZED vectors — intra = (‖S_l‖²−n)/(n(n−1)), inter(l,m) =
+    S_l·S_m/(n_l·n_m) — so after one O(n·d) normalize-and-fold the
+    entire audit lives on the (label, dim) frame: d·L rows, L²·d
+    pairwise work, no pair enumeration over vectors ever. Zero-norm
+    vectors are excluded and singleton labels dropped identically in
+    both engines; the nearest-class argmax tie-breaks on
+    (rounded-1e-6 sim, label)."""
+    e = similarity.with_vec_norm(
+        t(spark, sf_dir, "embeddings"), "embedding", vec_out="_vd", norm_out="_nrm"
+    ).where(F.col("_nrm") > 0)
+    dims = e.select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("_vd"), lambda x: x / F.col("_nrm"))
+        ).alias("d", "xh"),
+    )
+    s = pin(dims.groupBy("label", "d").agg(F.sum("xh").alias("sd")))
+    cnt = pin(
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    intra = (
+        s.join(cnt, "label")
+        .groupBy("label")
+        .agg(
+            (
+                (F.sum(F.col("sd") * F.col("sd")) - F.max("n"))
+                / (F.max("n") * (F.max("n") - F.lit(1.0)))
+            ).alias("coh")
+        )
+    )
+    a = s.select(F.col("label").alias("la"), "d", F.col("sd").alias("sa"))
+    b = s.select(F.col("label").alias("lb"), "d", F.col("sd").alias("sb"))
+    inter = (
+        a.join(b, (a.d == b.d) & (a.la != b.lb))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    ca = cnt.select(F.col("label").alias("la"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("label").alias("lb"), F.col("n").alias("nb"))
+    isim = (
+        inter.join(F.broadcast(ca), "la")
+        .join(F.broadcast(cb), "lb")
+        .select(
+            "la",
+            "lb",
+            (F.col("dot") / (F.col("na") * F.col("nb").cast("double"))).alias(
+                "sim"
+            ),
+        )
+    )
+    wb = Window.partitionBy("la").orderBy(
+        F.round(F.col("sim") * 1e6).desc(), F.col("lb")
+    )
+    best = (
+        isim.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("la", "lb", "sim")
+    )
+    return (
+        cnt.join(intra, "label")
+        .join(best, cnt.label == best.la)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").cast("long").alias("n"),
+            rz6(F.col("coh")).alias("intra_cohesion"),
+            F.col("lb").cast("long").alias("nearest_label"),
+            rz6(F.col("sim")).alias("max_inter_sim"),
+            rz6(F.col("coh") - F.col("sim")).alias("margin"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "corpus_budget_waterfill",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+    c AS (
+      SELECT source, CAST(sum(len(toks)) AS BIGINT) AS cap
+      FROM tk GROUP BY source),
+    w AS (
+      SELECT source, cap, pow(CAST(cap AS DOUBLE), 0.7) AS wt,
+             CAST(cap AS DOUBLE) / pow(CAST(cap AS DOUBLE), 0.7) AS r
+      FROM c WHERE cap > 0),
+    tot AS (
+      SELECT sum(cap) AS totcap, sum(wt) AS totw,
+             CAST(sum(cap) // 2 AS BIGINT) AS budget
+      FROM w),
+    sorted AS (
+      SELECT source, cap, wt, r,
+             row_number() OVER (ORDER BY r, source) AS i,
+             sum(cap) OVER (ORDER BY r, source) AS cumcap,
+             sum(wt) OVER (ORDER BY r, source) AS cumw,
+             lead(r) OVER (ORDER BY r, source) AS r_next
+      FROM w),
+    cands AS (
+      SELECT i AS k, r, cumcap, cumw, r_next FROM sorted
+      UNION ALL
+      SELECT 0, 0.0, 0, 0.0, (SELECT min(r) FROM sorted)),
+    lamk AS (
+      SELECT k, (CAST(tot.budget AS DOUBLE) - cumcap) / (tot.totw - cumw)
+               AS lam, r, r_next
+      FROM cands, tot WHERE cumw < tot.totw),
+    pick AS (
+      SELECT lam FROM lamk
+      WHERE r <= lam AND lam < coalesce(r_next, 1e308)
+      ORDER BY k LIMIT 1)
+    SELECT w.source,
+           CAST(w.cap AS BIGINT) AS n_tokens,
+           (round(w.wt / tot.totw + 1e-9, 6) + 0.0) AS weight_share,
+           (round(least(CAST(w.cap AS DOUBLE), pick.lam * w.wt)
+                  + 1e-9, 2) + 0.0) AS alloc_tokens,
+           (w.cap <= pick.lam * w.wt) AS saturated,
+           (round(least(CAST(w.cap AS DOUBLE), pick.lam * w.wt)
+                  / tot.budget + 1e-9, 6) + 0.0) AS alloc_share
+    FROM w, tot, pick ORDER BY w.source
+    """,
+)
+def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling: allocate a training budget (half the
+    corpus) across sources proportionally to temperature weights
+    (w ∝ tokens^0.7 — the same T=0.7 rule as
+    corpus_temperature_mixture) SUBJECT to each source's actual token
+    capacity: a_s = min(cap_s, λ·w_s) with λ solved so Σa = budget.
+    Small sources saturate (you cannot sample more than exists without
+    upsampling) and their shortfall redistributes to the rest — the
+    allocation every mixture plan actually ships, as opposed to the
+    unconstrained weights that overdraw the tail. Reports per source:
+    capacity, weight share, allocated tokens, saturation flag,
+    realized share.
+
+    Scale shape: the corpus is scanned once for per-source token
+    counts; EVERYTHING else — the saturation order (sort by
+    cap/weight), cumulative prefixes, the λ threshold search (the
+    unique prefix where r_k ≤ λ < r_{k+1}), and the final allocation
+    — lives on the SOURCE-sized frame (domain counts, thousands at
+    most; the corpus_temperature_mixture precedent for its bounded
+    global windows). λ is a deterministic double of exact integer
+    sums, so both engines pick the same prefix."""
+    tk = tok_docs(spark, sf_dir)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    c = (
+        tk.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.size("toks")).alias("cap"))
+        .where(F.col("cap") > 0)
+    )
+    w = pin(
+        c.select(
+            "source",
+            "cap",
+            F.pow(F.col("cap").cast("double"), F.lit(0.7)).alias("wt"),
+            (
+                F.col("cap").cast("double")
+                / F.pow(F.col("cap").cast("double"), F.lit(0.7))
+            ).alias("r"),
+        )
+    )
+    tot = w.agg(
+        F.sum("cap").alias("totcap"),
+        F.sum("wt").alias("totw"),
+        F.expr("CAST(sum(cap) div 2 AS BIGINT)").alias("budget"),
+    )
+    ws = Window.orderBy("r", "source")
+    sorted_ = w.select(
+        "source",
+        "cap",
+        "wt",
+        "r",
+        F.row_number().over(ws).alias("i"),
+        F.sum("cap").over(ws).alias("cumcap"),
+        F.sum("wt").over(ws).alias("cumw"),
+        F.lead("r").over(ws).alias("r_next"),
+    )
+    r_min = sorted_.agg(F.min("r").alias("rm"))
+    zero = r_min.select(
+        F.lit(0).alias("k"),
+        F.lit(0.0).alias("r"),
+        F.lit(0).cast("long").alias("cumcap"),
+        F.lit(0.0).alias("cumw"),
+        F.col("rm").alias("r_next"),
+    )
+    cands = sorted_.select(
+        F.col("i").alias("k"), "r", "cumcap", "cumw", "r_next"
+    ).unionByName(zero)
+    lamk = (
+        cands.crossJoin(F.broadcast(tot))
+        .where(F.col("cumw") < F.col("totw"))
+        .select(
+            "k",
+            (
+                (F.col("budget").cast("double") - F.col("cumcap"))
+                / (F.col("totw") - F.col("cumw"))
+            ).alias("lam"),
+            "r",
+            "r_next",
+        )
+    )
+    pick = (
+        lamk.where(
+            (F.col("r") <= F.col("lam"))
+            & (F.col("lam") < F.coalesce(F.col("r_next"), F.lit(1e308)))
+        )
+        .orderBy("k")
+        .limit(1)
+        .select("lam")
+    )
+    alloc = F.least(F.col("cap").cast("double"), F.col("lam") * F.col("wt"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pick))
+        .select(
+            "source",
+            F.col("cap").cast("long").alias("n_tokens"),
+            rz6(F.col("wt") / F.col("totw")).alias("weight_share"),
+            rz(alloc, 2).alias("alloc_tokens"),
+            (F.col("cap") <= F.col("lam") * F.col("wt")).alias("saturated"),
+            rz6(alloc / F.col("budget")).alias("alloc_share"),
+        )
+        .orderBy("source")
+    )

@@ -2759,3 +2759,40 @@ def test_nearest_centroid_separable_space_is_perfect(spark, tmp_path):
     out2 = {r["true_label"]: r for r in load_all()["emb_nearest_centroid"].spark_fn(spark, f"{tmp_path}/mix").collect()}
     assert out2[0]["n_correct"] == 3 and out2[0]["n"] == 4
     assert out2[1]["accuracy"] == 1.0
+
+
+def test_class_margin_separable_vs_confusable(spark, tmp_path):
+    """Labels 0/1 share an axis (confusable: inter sim 1, margin 0),
+    label 2 is orthogonal: label 0's nearest class must be 1 with
+    max_inter_sim 1.0; intra cohesion of identical vectors is 1."""
+    ax, az = [1.0, 0.0], [0.0, 1.0]
+    rows = ([(i, ax, 0) for i in range(3)]
+            + [(3 + i, ax, 1) for i in range(3)]
+            + [(6 + i, az, 2) for i in range(3)])
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in load_all()["emb_class_margin"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[0]["intra_cohesion"] == 1.0
+    assert out[0]["nearest_label"] == 1 and out[0]["max_inter_sim"] == 1.0
+    assert out[0]["margin"] == 0.0
+    assert out[2]["max_inter_sim"] == 0.0 and out[2]["margin"] == 1.0
+
+
+def test_budget_waterfill_saturates_small_source(spark, tmp_path):
+    """Two sources, 100 vs 10k tokens, budget = half the total: the tiny
+    source saturates at its full capacity and the big one absorbs the
+    remainder; allocations sum to the budget."""
+    big = "w " * 10000
+    small = "w " * 100
+    docs = [(0, big.strip(), "en", "big", 1), (1, small.strip(), "en", "small", 1)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in load_all()["corpus_budget_waterfill"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out["small"]["saturated"] and out["small"]["alloc_tokens"] == 100.0
+    assert not out["big"]["saturated"]
+    total = out["small"]["alloc_tokens"] + out["big"]["alloc_tokens"]
+    assert abs(total - 5050) < 0.1  # budget = (10100)//2
+    assert abs(out["big"]["alloc_share"] + out["small"]["alloc_share"] - 1.0) < 1e-4

@@ -297,6 +297,8 @@ PROBE = [
     "events_attribution_window_sweep",
     "events_velocity_burst",
     "emb_nearest_centroid",
+    "emb_class_margin",
+    "corpus_budget_waterfill",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
