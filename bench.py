@@ -307,6 +307,11 @@ HEADLINE = [
     # (source-sized prefix search)
     "emb_class_margin",
     "corpus_budget_waterfill",
+    # r11 batch K: CUPED (user-grain integer moments + algebraic
+    # variance identity) and the watermark-sizing lateness audit
+    # (user-partitioned running max in ingest order)
+    "events_ab_cuped",
+    "dq_out_of_order_events",
 ]
 
 

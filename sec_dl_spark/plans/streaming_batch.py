@@ -4384,3 +4384,218 @@ def events_velocity_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_burst_60s").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM b),
+    u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN us < mid.m THEN cents ELSE 0 END) AS x,
+             sum(CASE WHEN us >= mid.m THEN cents ELSE 0 END) AS y
+      FROM b, mid GROUP BY user_id),
+    pooled AS (
+      SELECT count(*) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx
+      FROM u),
+    theta AS (
+      SELECT n, sx / n AS xbar,
+             (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0) AS th
+      FROM pooled),
+    arms AS (
+      SELECT arm, count(*) AS n_a,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(y AS DOUBLE) * y) AS syy
+      FROM u GROUP BY arm),
+    s AS (
+      SELECT a.arm, a.n_a,
+             a.sy / a.n_a AS mean_y,
+             a.sy / a.n_a - theta.th * (a.sx / a.n_a - theta.xbar)
+               AS mean_y_adj,
+             (a.syy - a.sy * a.sy / a.n_a) / a.n_a AS var_y,
+             ((a.syy - a.sy * a.sy / a.n_a)
+              - 2 * theta.th * (a.sxy - a.sx * a.sy / a.n_a)
+              + theta.th * theta.th * (a.sxx - a.sx * a.sx / a.n_a))
+             / a.n_a AS var_adj
+      FROM arms a, theta)
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n_a AS BIGINT) AS n_users,
+           (round(mean_y / 100.0 + 1e-9, 4) + 0.0) AS mean_spend,
+           (round(mean_y_adj / 100.0 + 1e-9, 4) + 0.0) AS mean_spend_cuped,
+           (round(1.0 - var_adj / nullif(var_y, 0.0) + 1e-9, 6) + 0.0)
+             AS variance_reduction
+    FROM s ORDER BY arm
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B spend metric: each user's
+    POST-period spend adjusted by their PRE-period spend,
+    ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled across arms —
+    the standard trick that shrinks experiment confidence intervals
+    for free when users have sticky baselines (Deng et al.'s
+    pre-experiment-data method; variance_reduction ≈ ρ² is how much
+    less traffic the same test now needs). Reported per arm: raw vs
+    adjusted mean and the realized variance reduction — read next to
+    the Welch/MWU tests, which this makes more sensitive.
+
+    Scale shape: one scan folds to USER grain with exact integer-cents
+    pre/post sums (conditional on the broadcast time midpoint); all
+    second-order statistics are DOUBLE sums of integer-valued products
+    (cents² passes int64 — the standing overflow discipline), and both
+    the adjusted means and var(ŷ) come from the ALGEBRAIC identity
+    var(y) − 2θcov + θ²var(x) on those moments — no per-user double
+    ever enters a sum, so both engines fold identical values in any
+    order. Zero pre-period variance nulls θ identically both sides."""
+    b = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = b.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("m")
+    )
+    u = (
+        b.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("m"), F.col("cents")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("m"), F.col("cents")).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    u = pin(u)
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    pooled = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+    )
+    theta = pooled.select(
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.nullif(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            )
+        ).alias("th"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    s = arms.crossJoin(F.broadcast(theta))
+    na = F.col("n_a")
+    mean_y = F.col("sy") / na
+    mean_adj = mean_y - F.col("th") * (F.col("sx") / na - F.col("xbar"))
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / na) / na
+    var_adj = (
+        (F.col("syy") - F.col("sy") * F.col("sy") / na)
+        - 2 * F.col("th") * (F.col("sxy") - F.col("sx") * F.col("sy") / na)
+        + F.col("th")
+        * F.col("th")
+        * (F.col("sxx") - F.col("sx") * F.col("sx") / na)
+    ) / na
+    return s.select(
+        F.col("arm").cast("long").alias("arm"),
+        na.cast("long").alias("n_users"),
+        rz(mean_y / 100.0, 4).alias("mean_spend"),
+        rz(mean_adj / 100.0, 4).alias("mean_spend_cuped"),
+        rz6(1.0 - var_adj / F.nullif(var_y, F.lit(0.0))).alias(
+            "variance_reduction"
+        ),
+    ).orderBy("arm")
+
+
+@query(
+    "dq_out_of_order_events",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      FROM events),
+    l AS (
+      SELECT us // 86400000000 AS dn,
+             CASE WHEN runmax IS NOT NULL AND us < runmax
+                  THEN 1 ELSE 0 END AS late,
+             CASE WHEN runmax IS NOT NULL AND us < runmax
+                  THEN (runmax - us) // 1000000 ELSE NULL END AS late_s
+      FROM o)
+    SELECT CAST(dn AS BIGINT) AS day_num,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           (round(CAST(sum(late) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS late_share,
+           CAST(coalesce(max(late_s), 0) AS BIGINT) AS max_lateness_s
+    FROM l GROUP BY dn ORDER BY day_num
+    """,
+)
+def dq_out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingestion audit: per day, the share of events whose
+    event time PRECEDES an already-ingested event of the same user
+    (ingest order = event_id), and the worst observed lateness — THE
+    measurement that sets a Structured Streaming watermark: the
+    `withWatermark` delay should cover max (or a high quantile of)
+    lateness, and this table says what that is per day instead of
+    guessing. Zero late rows on a clean feed is the finding too (a
+    watermark of seconds suffices; every windowed state store shrinks).
+
+    Scale shape: one user-partitioned running-max window in ingest
+    order (exact integer µs — the frame excludes the current row so an
+    on-time event never compares against itself), then a day-keyed
+    fold of exact counts. Nothing after the window exceeds day
+    grain."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", us.alias("us")
+    ).withColumn("runmax", F.max("us").over(w))
+    late_cond = F.col("runmax").isNotNull() & (F.col("us") < F.col("runmax"))
+    l = o.select(
+        (F.col("us") / F.lit(86400000000)).cast("long").alias("dn"),
+        F.when(late_cond, 1).otherwise(0).alias("late"),
+        F.when(
+            late_cond,
+            ((F.col("runmax") - F.col("us")) / F.lit(1000000)).cast("long"),
+        ).alias("late_s"),
+    )
+    return (
+        l.groupBy("dn")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").alias("n_late"),
+            rz6(F.sum("late").cast("double") / F.count(F.lit(1))).alias(
+                "late_share"
+            ),
+            F.coalesce(F.max("late_s"), F.lit(0)).alias("max_lateness_s"),
+        )
+        .select(
+            F.col("dn").cast("long").alias("day_num"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_late").cast("long").alias("n_late"),
+            "late_share",
+            F.col("max_lateness_s").cast("long").alias("max_lateness_s"),
+        )
+        .orderBy("day_num")
+    )

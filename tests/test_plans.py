@@ -2796,3 +2796,55 @@ def test_budget_waterfill_saturates_small_source(spark, tmp_path):
     total = out["small"]["alloc_tokens"] + out["big"]["alloc_tokens"]
     assert abs(total - 5050) < 0.1  # budget = (10100)//2
     assert abs(out["big"]["alloc_share"] + out["small"]["alloc_share"] - 1.0) < 1e-4
+
+
+def test_cuped_removes_baseline_variance(spark, tmp_path):
+    """Users whose post spend EQUALS their pre spend (perfect baseline
+    correlation): theta = 1, adjusted spend is identical across users
+    -> variance_reduction = 1 and both arms' adjusted means equal the
+    grand post mean."""
+    import datetime as dt
+
+    pre, post = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+    rows, eid = [], 0
+    for uid, spend in [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]:
+        rows.append((eid, pre, uid, "purchase", spend, "{}")); eid += 1
+        rows.append((eid, post, uid, "purchase", spend, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["arm"]: r for r in load_all()["events_ab_cuped"].spark_fn(spark, str(tmp_path)).collect()}
+    assert out[0]["variance_reduction"] == 1.0
+    assert out[1]["variance_reduction"] == 1.0
+    # grand post mean = 25; adjusted means collapse onto it
+    assert out[0]["mean_spend_cuped"] == 25.0
+    assert out[1]["mean_spend_cuped"] == 25.0
+    # raw means differ (arm 0 = users 2,4 -> 30; arm 1 = users 1,3 -> 20)
+    assert out[0]["mean_spend"] == 30.0 and out[1]["mean_spend"] == 20.0
+
+
+def test_out_of_order_audit_measures_lateness(spark, tmp_path):
+    """User 1's third ingested event (event_id order) carries an event
+    time 90s BEFORE the second -> exactly one late row with 90s
+    lateness; an on-time-only day reports zero."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 5, 1, 10)
+    rows = [
+        (0, b, 1, "view", 1.0, "{}"),
+        (1, b + dt.timedelta(seconds=120), 1, "view", 1.0, "{}"),
+        (2, b + dt.timedelta(seconds=30), 1, "view", 1.0, "{}"),  # late 90s
+        (3, b + dt.timedelta(days=1), 2, "view", 1.0, "{}"),
+        (4, b + dt.timedelta(days=1, seconds=10), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = load_all()["dq_out_of_order_events"].spark_fn(spark, str(tmp_path)).collect()
+    d0, d1 = out
+    assert (d0["n_events"], d0["n_late"], d0["max_lateness_s"]) == (3, 1, 90)
+    assert (d1["n_events"], d1["n_late"], d1["max_lateness_s"]) == (2, 0, 0)

@@ -299,6 +299,8 @@ PROBE = [
     "emb_nearest_centroid",
     "emb_class_margin",
     "corpus_budget_waterfill",
+    "events_ab_cuped",
+    "dq_out_of_order_events",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
