@@ -117,10 +117,20 @@ def test_rotation_build_slice_policy_and_defer_newest(tmp_path):
     import pytest as _pt
 
     latest, red = rotation.evidence("/root/repo")
-    # this round's real state: more never-checked names than the window
-    # holds, so the strict form must refuse and the defer form must fit
-    with _pt.raises(SystemExit):
-        rotation.build_slice("/root/repo", ["dedup_clusters"])
+    # state-aware (the live never-checked count moves every round as
+    # queries land and CORRECTNESS artifacts arrive): when red + lead +
+    # never-checked overflow the window the strict form must REFUSE,
+    # otherwise it must succeed and defer nothing
+    from sec_dl_spark.plans.catalog import load_all
+
+    never_live = [n for n in load_all() if n not in latest]
+    overflow = len(set(red) | {"dedup_clusters"} | set(never_live)) > 50
+    if overflow:
+        with _pt.raises(SystemExit):
+            rotation.build_slice("/root/repo", ["dedup_clusters"])
+    else:
+        strict_out, _ = rotation.build_slice("/root/repo", ["dedup_clusters"])
+        assert len(strict_out) == 50
 
     out, info = rotation.build_slice(
         "/root/repo", ["dedup_clusters"], defer_newest=True
@@ -130,10 +140,13 @@ def test_rotation_build_slice_policy_and_defer_newest(tmp_path):
     # every red name (if any) made the slice
     assert set(info["red"]).issubset(set(out))
     # deferred = never-checked minus the slice, and they are the NEWEST
-    # registrations (registration order == never-block order)
+    # registrations (registration order == never-block order); with no
+    # overflow the deferred list is empty and the slice-head equality
+    # below still holds
     never = info["never_checked"]
     deferred = [n for n in never if n not in out]
     assert deferred == never[len(never) - len(deferred):]
+    assert bool(deferred) == overflow
     # unknown --lead names are refused
     with _pt.raises(SystemExit):
         rotation.build_slice("/root/repo", ["not_a_query"])
