@@ -312,6 +312,11 @@ HEADLINE = [
     # (user-partitioned running max in ingest order)
     "events_ab_cuped",
     "dq_out_of_order_events",
+    # r11 batch L: the sort-based skyline (two brand-partitioned
+    # windows, no dominance self-join) and the censoring-aware dX
+    # retention gauges (user-frame x 3-row horizon broadcast)
+    "agg_pareto_skyline",
+    "events_dx_retention",
 ]
 
 

@@ -4575,3 +4575,76 @@ def dq_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz6(1.0 - F.col("sq") / (nd * nd)).alias("gini_impurity"),
         rz6(F.col("top_cnt").cast("double") / nd).alias("top_share"),
     ).orderBy("col_name")
+
+
+@query(
+    "agg_pareto_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part),
+    w AS (
+      SELECT p_partkey, p_brand, p_size, cents,
+             max(p_size) OVER (
+               PARTITION BY p_brand ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+             max(p_size) OVER (PARTITION BY p_brand, cents)
+               AS best_same_price
+      FROM p),
+    sky AS (
+      SELECT * FROM w
+      WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+        AND best_same_price = p_size)
+    SELECT p_brand,
+           CAST(p_partkey AS BIGINT) AS p_partkey,
+           (round(cents / 100.0 + 1e-9, 2) + 0.0) AS price,
+           CAST(p_size AS BIGINT) AS size
+    FROM sky ORDER BY p_brand, price, p_partkey
+    """,
+)
+def agg_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) of parts under (minimize
+    price, maximize size): the parts for which no same-brand part is
+    both cheaper-or-equal AND bigger-or-equal with one strict — the
+    classic SKYLINE operator (Börzsönyi et al.), the
+    options-worth-considering shortlist behind best-value product
+    pages, vendor negotiations, and multi-objective configuration
+    search. Ties: equal (price, size) rows are mutually non-dominating
+    and all kept.
+
+    Scale shape: the textbook skyline is an O(n²) dominance anti-join;
+    this plan is the sort-based O(n log n) form using TWO windows per
+    brand over integer CENTS — a RANGE frame ending 1 cent before the
+    current row gives max(size) among STRICTLY cheaper parts (integer
+    keys make 'strictly' a frame bound, no self-join), and a
+    same-price partition max handles price ties. Both windows
+    partition by brand, so parallelism is brand-count wide and no
+    global sort exists. A row survives iff it beats every strictly
+    cheaper part's size and is its price point's best size."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "cents")
+    w = p.withColumn("best_cheaper", F.max("p_size").over(w_cheaper)).withColumn(
+        "best_same_price", F.max("p_size").over(w_same)
+    )
+    sky = w.where(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("best_same_price") == F.col("p_size"))
+    )
+    return sky.select(
+        "p_brand",
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        rz(F.col("cents") / 100.0, 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    ).orderBy("p_brand", "price", "p_partkey")

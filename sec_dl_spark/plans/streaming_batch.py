@@ -4599,3 +4599,114 @@ def dq_out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_num")
     )
+
+
+@query(
+    "events_dx_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dn
+      FROM events),
+    f AS (SELECT user_id, min(dn) AS first_dn FROM ud GROUP BY user_id),
+    span AS (SELECT max(dn) AS max_dn FROM ud),
+    x AS (SELECT unnest([1, 7, 30]) AS horizon),
+    cohort AS (
+      SELECT x.horizon, f.user_id, f.first_dn
+      FROM f CROSS JOIN x, span
+      WHERE f.first_dn + x.horizon <= span.max_dn),
+    hits AS (
+      SELECT c.horizon, c.user_id,
+             max(CASE WHEN ud.dn = c.first_dn + c.horizon
+                      THEN 1 ELSE 0 END) AS on_day,
+             max(CASE WHEN ud.dn >= c.first_dn + c.horizon
+                      THEN 1 ELSE 0 END) AS at_or_after
+      FROM cohort c JOIN ud ON c.user_id = ud.user_id
+      GROUP BY c.horizon, c.user_id)
+    SELECT CAST(horizon AS BIGINT) AS horizon_days,
+           CAST(count(*) AS BIGINT) AS n_eligible,
+           CAST(sum(on_day) AS BIGINT) AS n_day_x,
+           (round(CAST(sum(on_day) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS day_x_retention,
+           CAST(sum(at_or_after) AS BIGINT) AS n_unbounded,
+           (round(CAST(sum(at_or_after) AS DOUBLE) / count(*)
+                  + 1e-9, 6) + 0.0) AS unbounded_retention
+    FROM hits GROUP BY horizon ORDER BY horizon_days
+    """,
+)
+def events_dx_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic dX retention KPIs: among users old enough to measure
+    (first day + X within the corpus), the share active EXACTLY X days
+    after their first day (day-X retention — the industry headline d1/
+    d7/d30) and the share active at-or-after X days (unbounded
+    retention — the survival form). Censoring is explicit: users whose
+    horizon extends past the corpus edge are excluded from that
+    horizon's denominator in both engines, the mistake-proof form of
+    the metric. Complements the weekly cohort matrix
+    (events_retention_cohort) with the exact-day KPI gauges.
+
+    Scale shape: user-day frame (one distinct), user-keyed first-day
+    fold, a 3-row horizon broadcast crossed with the USER frame (≤ 3
+    rows per user), one user-co-located join back to the day frame
+    folded to per-(horizon, user) hit flags, then a 3-row final fold.
+    Day numbers are integer epoch-µs divisions; everything is exact
+    integer counting."""
+    ud = pin(
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+            .cast("long")
+            .alias("dn"),
+        )
+        .distinct()
+    )
+    f = ud.groupBy("user_id").agg(F.min("dn").alias("first_dn"))
+    span = ud.agg(F.max("dn").alias("max_dn"))
+    x = ud.sparkSession.createDataFrame(
+        [(1,), (7,), (30,)], "horizon int"
+    )
+    cohort = (
+        f.crossJoin(F.broadcast(x))
+        .crossJoin(F.broadcast(span))
+        .where(F.col("first_dn") + F.col("horizon") <= F.col("max_dn"))
+        .select("horizon", "user_id", "first_dn")
+    )
+    hits = (
+        cohort.join(ud, "user_id")
+        .groupBy("horizon", "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("dn") == F.col("first_dn") + F.col("horizon"), 1
+                ).otherwise(0)
+            ).alias("on_day"),
+            F.max(
+                F.when(
+                    F.col("dn") >= F.col("first_dn") + F.col("horizon"), 1
+                ).otherwise(0)
+            ).alias("at_or_after"),
+        )
+    )
+    return (
+        hits.groupBy("horizon")
+        .agg(
+            F.count(F.lit(1)).alias("n_eligible"),
+            F.sum("on_day").alias("n_day_x"),
+            rz6(F.sum("on_day").cast("double") / F.count(F.lit(1))).alias(
+                "day_x_retention"
+            ),
+            F.sum("at_or_after").alias("n_unbounded"),
+            rz6(
+                F.sum("at_or_after").cast("double") / F.count(F.lit(1))
+            ).alias("unbounded_retention"),
+        )
+        .select(
+            F.col("horizon").cast("long").alias("horizon_days"),
+            F.col("n_eligible").cast("long").alias("n_eligible"),
+            F.col("n_day_x").cast("long").alias("n_day_x"),
+            "day_x_retention",
+            F.col("n_unbounded").cast("long").alias("n_unbounded"),
+            "unbounded_retention",
+        )
+        .orderBy("horizon_days")
+    )

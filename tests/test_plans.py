@@ -2848,3 +2848,51 @@ def test_out_of_order_audit_measures_lateness(spark, tmp_path):
     d0, d1 = out
     assert (d0["n_events"], d0["n_late"], d0["max_lateness_s"]) == (3, 1, 90)
     assert (d1["n_events"], d1["n_late"], d1["max_lateness_s"]) == (2, 0, 0)
+
+
+def test_pareto_skyline_dominance(spark, tmp_path):
+    """Brand with parts (price, size): (1,10) and (3,20) are frontier;
+    (2,5) is dominated by (1,10); (3,20)'s same-price twin (3,15) is
+    dominated; equal (price,size) duplicates both survive."""
+    parts = [
+        (1, "p", "B1", "t", 10, 1.0),
+        (2, "p", "B1", "t", 5, 2.0),   # dominated by part 1
+        (3, "p", "B1", "t", 20, 3.0),
+        (4, "p", "B1", "t", 15, 3.0),  # same price, smaller -> dominated
+        (5, "p", "B1", "t", 10, 1.0),  # duplicate of part 1 -> kept
+    ]
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    out = load_all()["agg_pareto_skyline"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["p_partkey"] for r in out] == [1, 5, 3]
+    assert all(r["p_partkey"] != 2 and r["p_partkey"] != 4 for r in out)
+
+
+def test_dx_retention_censoring_and_exact_day(spark, tmp_path):
+    """Corpus spans days 0..7: user 1 (first day 0) returns on day 1
+    and day 7; user 2 (first day 0) never returns; user 3 first
+    appears day 5 -> eligible for d1 only. d30 has no eligible users
+    and drops from the output in both engines."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 3, 1, 12)
+    mk = lambda eid, d, u: (eid, b + dt.timedelta(days=d), u, "view", 1.0, "{}")  # noqa: E731
+    rows = [mk(0, 0, 1), mk(1, 1, 1), mk(2, 7, 1), mk(3, 0, 2), mk(4, 5, 3)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["horizon_days"]: r for r in load_all()["events_dx_retention"].spark_fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 7}  # nobody is 30 days old
+    d1, d7 = out[1], out[7]
+    # d1: users 1,2 eligible (3 is not: 5+1 <= 7 -> actually eligible!)
+    assert d1["n_eligible"] == 3
+    assert d1["n_day_x"] == 1          # only user 1 returned on day 1
+    assert d1["n_unbounded"] == 1      # user 1 (day 7 >= 1); 2,3 never after
+    # d7: users 1,2 (first day 0; 0+7 <= 7); user 3 censored (5+7 > 7)
+    assert d7["n_eligible"] == 2
+    assert d7["n_day_x"] == 1 and d7["day_x_retention"] == 0.5

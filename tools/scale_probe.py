@@ -301,6 +301,8 @@ PROBE = [
     "corpus_budget_waterfill",
     "events_ab_cuped",
     "dq_out_of_order_events",
+    "agg_pareto_skyline",
+    "events_dx_retention",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
