@@ -317,6 +317,11 @@ HEADLINE = [
     # retention gauges (user-frame x 3-row horizon broadcast)
     "agg_pareto_skyline",
     "events_dx_retention",
+    # r11 batch M: the snaive/MASE forecast backtest (day-frame lags)
+    # and the cross-sectional discount-elasticity regression (one
+    # fact scan, five moments in one fold)
+    "events_snaive_mase",
+    "agg_discount_elasticity",
 ]
 
 

@@ -4648,3 +4648,90 @@ def agg_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz(F.col("cents") / 100.0, 2).alias("price"),
         F.col("p_size").cast("long").alias("size"),
     ).orderBy("p_brand", "price", "p_partkey")
+
+
+@query(
+    "agg_discount_elasticity",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand,
+             CAST(round(l.l_discount * 10000) AS BIGINT) AS bps,
+             CAST(round(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    m AS (
+      SELECT p_brand,
+             count(*) AS n,
+             sum(CAST(bps AS DOUBLE)) AS sx,
+             sum(CAST(qty AS DOUBLE)) AS sy,
+             sum(CAST(bps AS DOUBLE) * qty) AS sxy,
+             sum(CAST(bps AS DOUBLE) * bps) AS sxx,
+             sum(CAST(qty AS DOUBLE) * qty) AS syy
+      FROM f GROUP BY p_brand HAVING count(*) >= 10),
+    s AS (
+      SELECT p_brand, n, sy / n AS mean_qty,
+             (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope_bps,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r2
+      FROM m)
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_lines,
+           (round(mean_qty + 1e-9, 4) + 0.0) AS mean_qty,
+           (round(slope_bps * 100 + 1e-9, 6) + 0.0) AS qty_per_pct_discount,
+           (round(r2 + 1e-9, 6) + 0.0) AS r_squared
+    FROM s ORDER BY p_brand
+    """,
+)
+def agg_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity per brand: the OLS slope of order quantity on
+    discount (reported as quantity change per +1 percentage point of
+    discount) with fit quality r² — the cross-sectional pricing
+    regression that answers "do discounts actually move volume for
+    this brand, or just give margin away" (the complement of the
+    TIME-series regression in events_trend_slope). A near-zero slope
+    with low r² on randomized synthetic data is itself the correct
+    finding: no detectable elasticity.
+
+    Scale shape: ONE fact scan with the part dim broadcast; all five
+    regression moments fold in a single brand-keyed aggregate
+    (map-side partial combine), accumulated in DOUBLE over
+    integer-valued terms (discount in exact basis points, quantity in
+    exact units — bps·qty products stay far below 2^53, and the
+    double form survives petabyte row counts where int64 Σx² wraps).
+    Slope and r² are deterministic expressions of those moments with
+    identical zero-variance guards both engines; brands under 10
+    lines are dropped identically."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 10000).cast("long").alias("bps"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    f = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    xd, yd = F.col("bps").cast("double"), F.col("qty").cast("double")
+    m = (
+        f.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * F.col("qty")).alias("sxy"),
+            F.sum(xd * F.col("bps")).alias("sxx"),
+            F.sum(yd * F.col("qty")).alias("syy"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "p_brand",
+        n.cast("long").alias("n_lines"),
+        rz(F.col("sy") / n, 4).alias("mean_qty"),
+        rz6(cov_n / F.nullif(varx_n, F.lit(0.0)) * 100).alias(
+            "qty_per_pct_discount"
+        ),
+        rz6(cov_n * cov_n / F.nullif(varx_n * vary_n, F.lit(0.0))).alias(
+            "r_squared"
+        ),
+    ).orderBy("p_brand")

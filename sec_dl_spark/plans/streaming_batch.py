@@ -4710,3 +4710,111 @@ def events_dx_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon_days")
     )
+
+
+@query(
+    "events_snaive_mase",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS dn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+      SELECT t.event_type, s.dn
+      FROM types t CROSS JOIN
+        (SELECT unnest(generate_series(lo, hi)) AS dn FROM span) s),
+    daily AS (
+      SELECT sp.event_type, sp.dn,
+             coalesce(sum(e.cents), 0) AS y
+      FROM spine sp LEFT JOIN e
+        ON sp.event_type = e.event_type AND sp.dn = e.dn
+      GROUP BY sp.event_type, sp.dn),
+    lagged AS (
+      SELECT event_type, dn, y,
+             lag(y, 7) OVER w AS y_l7,
+             lag(y, 1) OVER w AS y_l1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY dn)),
+    m AS (
+      SELECT event_type,
+             count(y_l7) AS n_eval,
+             sum(abs(y - y_l7)) AS ae_snaive,
+             sum(CASE WHEN y_l7 IS NOT NULL THEN abs(y - y_l1) END)
+               AS ae_naive1
+      FROM lagged GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_eval AS BIGINT) AS n_days_eval,
+           (round(CAST(ae_snaive AS DOUBLE) / n_eval / 100.0 + 1e-9, 4)
+            + 0.0) AS mae_snaive,
+           (round(CAST(ae_naive1 AS DOUBLE) / n_eval / 100.0 + 1e-9, 4)
+            + 0.0) AS mae_naive1,
+           (round(CAST(ae_snaive AS DOUBLE)
+                  / nullif(CAST(ae_naive1 AS DOUBLE), 0.0) + 1e-9, 4) + 0.0)
+             AS mase_vs_naive1
+    FROM m ORDER BY event_type
+    """,
+)
+def events_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: forecast each
+    day's revenue with the value from 7 days earlier and score it with
+    MAE and the MASE-style ratio against the naive-1 (yesterday)
+    baseline over the SAME evaluation days — the sanity gauge every
+    forecasting effort needs first (a model that can't beat "same day
+    last week" shouldn't ship, and a ratio < 1 here proves the weekly
+    cycle is real signal). Evaluation days are exactly those with a
+    7-day-old observation, identical in both engines; missing days are
+    true zeros on the densified spine (no revenue ≠ no reading).
+
+    Scale shape: one scan folds to the (type, day) frame; the spine,
+    the two lags, and the scoring fold are all calendar-bounded (the
+    cusum/interpolation day-frame discipline). Absolute errors are
+    exact integer cents; means and the ratio are single deterministic
+    divisions."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("dn"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = e.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(span).select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
+        )
+    )
+    daily = (
+        spine.join(e, ["event_type", "dn"], "left")
+        .groupBy("event_type", "dn")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("dn")
+    lagged = daily.withColumn("y_l7", F.lag("y", 7).over(w)).withColumn(
+        "y_l1", F.lag("y", 1).over(w)
+    )
+    m = lagged.groupBy("event_type").agg(
+        F.count("y_l7").alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("y_l7"))).alias("ae_snaive"),
+        F.sum(
+            F.when(
+                F.col("y_l7").isNotNull(), F.abs(F.col("y") - F.col("y_l1"))
+            )
+        ).alias("ae_naive1"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n_eval").cast("long").alias("n_days_eval"),
+        rz(
+            F.col("ae_snaive").cast("double") / F.col("n_eval") / 100.0, 4
+        ).alias("mae_snaive"),
+        rz(
+            F.col("ae_naive1").cast("double") / F.col("n_eval") / 100.0, 4
+        ).alias("mae_naive1"),
+        rz(
+            F.col("ae_snaive").cast("double")
+            / F.nullif(F.col("ae_naive1").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("mase_vs_naive1"),
+    ).orderBy("event_type")

@@ -2896,3 +2896,60 @@ def test_dx_retention_censoring_and_exact_day(spark, tmp_path):
     # d7: users 1,2 (first day 0; 0+7 <= 7); user 3 censored (5+7 > 7)
     assert d7["n_eligible"] == 2
     assert d7["n_day_x"] == 1 and d7["day_x_retention"] == 0.5
+
+
+def test_snaive_mase_perfect_weekly_cycle(spark, tmp_path):
+    """A strict 7-day-periodic series: snaive error is 0 (MASE 0) while
+    naive-1 error is positive — the weekly signal detected exactly."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 3)  # a Monday
+    rows, eid = [], 0
+    for d in range(21):
+        amount = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0][d % 7]
+        rows.append((eid, b + dt.timedelta(days=d), 1, "purchase", amount, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["event_type"]: r for r in load_all()["events_snaive_mase"].spark_fn(spark, str(tmp_path)).collect()}
+    p = out["purchase"]
+    assert p["n_days_eval"] == 14  # days 7..20
+    assert p["mae_snaive"] == 0.0
+    assert p["mae_naive1"] > 0
+    assert p["mase_vs_naive1"] == 0.0
+
+
+def test_discount_elasticity_planted_slope(spark, tmp_path):
+    """qty = 2 * pct_discount exactly (qty 2,4,...,20 over discounts
+    1%..10%, repeated): slope = 2 qty/pct with r² = 1."""
+    import datetime as dt
+
+    d = dt.datetime(1999, 6, 1)
+    li = []
+    k = 0
+    for rep in range(2):
+        for pct in range(1, 11):
+            li.append((k, 1, 1, 1, float(2 * pct), 10.0, pct / 100.0, 0.0,
+                       "N", "O", d))
+            k += 1
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "p", "B1", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    out = load_all()["agg_discount_elasticity"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_lines"] == 20
+    assert r["qty_per_pct_discount"] == 2.0
+    assert r["r_squared"] == 1.0

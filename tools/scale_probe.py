@@ -303,6 +303,8 @@ PROBE = [
     "dq_out_of_order_events",
     "agg_pareto_skyline",
     "events_dx_retention",
+    "events_snaive_mase",
+    "agg_discount_elasticity",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
