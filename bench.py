@@ -322,6 +322,11 @@ HEADLINE = [
     # fact scan, five moments in one fold)
     "events_snaive_mase",
     "agg_discount_elasticity",
+    # r11 batch N: the audience-overlap matrix (type^2-bounded
+    # user-co-located pairs) and the STL-lite variance-share triage
+    # (day-frame MA + integer-unit component folds)
+    "events_audience_overlap",
+    "events_stl_decomposition",
 ]
 
 

@@ -4818,3 +4818,239 @@ def events_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mase_vs_naive1"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b,
+           CAST(na.n_users AS BIGINT) AS n_a,
+           CAST(nb.n_users AS BIGINT) AS n_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           (round(CAST(p.n_both AS DOUBLE)
+                  / (na.n_users + nb.n_users - p.n_both) + 1e-9, 6) + 0.0)
+             AS jaccard,
+           (round(CAST(p.n_both AS DOUBLE)
+                  / least(na.n_users, nb.n_users) + 1e-9, 6) + 0.0)
+             AS containment
+    FROM p JOIN n na ON p.type_a = na.event_type
+           JOIN n nb ON p.type_b = nb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    Jaccard and containment of their USER sets — the segmentation
+    readout behind "do purchasers also file errors", cross-sell
+    targeting, and funnel-stage audience sizing (containment of
+    purchase-users inside click-users ≈ funnel reachability). The
+    at-scale swap for thousands of segment types is per-type HLL
+    sketches with inclusion-exclusion; at type²-bounded pair counts
+    the exact form is strictly better.
+
+    Scale shape: one distinct to the (user, type) frame, a
+    user-co-located self-join whose pair fanout per user is bounded by
+    the TYPE count (constant — never corpus-quadratic), and
+    type-pair-keyed exact folds; sizes join back from a type-keyed
+    count. All exact integers; one deterministic division each."""
+    ut = pin(
+        t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, (a.user_id == b.ub) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        p.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            rz6(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+            rz6(
+                F.col("n_both").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "events_stl_decomposition",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS dn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+      SELECT t.event_type, s.dn
+      FROM types t CROSS JOIN
+        (SELECT unnest(generate_series(lo, hi)) AS dn FROM span) s),
+    daily AS (
+      SELECT sp.event_type, sp.dn, coalesce(sum(e.cents), 0) AS y
+      FROM spine sp LEFT JOIN e
+        ON sp.event_type = e.event_type AND sp.dn = e.dn
+      GROUP BY sp.event_type, sp.dn),
+    tr AS (
+      SELECT event_type, dn, y,
+             CASE WHEN count(*) OVER w = 7
+                  THEN sum(y) OVER w END AS tr7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, dn, y, tr7,
+             CAST(round((y - tr7 / 7.0) * 10000) AS BIGINT) AS d_u
+      FROM tr WHERE tr7 IS NOT NULL),
+    seas AS (
+      SELECT event_type, dn % 7 AS dow,
+             CAST(round(avg(d_u)) AS BIGINT) AS s_u
+      FROM det GROUP BY event_type, dn % 7),
+    parts AS (
+      SELECT det.event_type,
+             CAST(round(det.tr7 / 7.0 * 10000) AS BIGINT) AS t_u,
+             det.d_u, seas.s_u, det.d_u - seas.s_u AS r_u
+      FROM det JOIN seas
+        ON det.event_type = seas.event_type AND det.dn % 7 = seas.dow),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(t_u AS DOUBLE)) AS st, sum(CAST(t_u AS DOUBLE) * t_u) AS stt,
+             sum(CAST(d_u AS DOUBLE) * d_u) AS sdd,
+             sum(CAST(s_u AS DOUBLE) * s_u) AS sss,
+             sum(CAST(r_u AS DOUBLE) * r_u) AS srr
+      FROM parts GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           (round((stt - st * st / n) / nullif(stt - st * st / n + sdd, 0.0)
+                  + 1e-9, 6) + 0.0) AS trend_var_share,
+           (round(sss / nullif(sdd, 0.0) + 1e-9, 6) + 0.0)
+             AS seasonal_var_share,
+           (round(srr / nullif(sdd, 0.0) + 1e-9, 6) + 0.0)
+             AS residual_var_share
+    FROM m ORDER BY event_type
+    """,
+)
+def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of each type's daily revenue series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = day-of-week mean of the detrended series, residual =
+    what's left — reported as variance shares (trend's share of total
+    variation; seasonal and residual shares of the detrended
+    variation), the triage readout that says whether a series is
+    driven by drift, by weekly rhythm, or by noise — i.e. WHICH
+    monitor (trend_slope, dow_seasonality, or the anomaly screens)
+    should own its alerts.
+
+    Scale shape: the (type, day) frame is calendar-bounded; the moving
+    average is one 7-row window; detrended and seasonal components are
+    rounded to 1e-4 integer units BEFORE every fold (the
+    integer-moment convention — the engines sum identical integers in
+    any order), and variance shares are deterministic expressions of
+    those moments with zero-variance guards identical both sides. Day
+    numbers are epoch-µs divisions so dn % 7 is the same locale-free
+    weekday in both engines."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("dn"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = e.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(span).select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
+        )
+    )
+    daily = (
+        spine.join(e, ["event_type", "dn"], "left")
+        .groupBy("event_type", "dn")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y"))
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn(
+        "tr7",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("y").over(w7)),
+    )
+    det = tr.where(F.col("tr7").isNotNull()).select(
+        "event_type",
+        "dn",
+        "tr7",
+        F.round((F.col("y") - F.col("tr7") / 7.0) * 10000)
+        .cast("long")
+        .alias("d_u"),
+    )
+    det = pin(det)
+    seas = (
+        det.groupBy("event_type", (F.col("dn") % 7).alias("dow"))
+        .agg(F.round(F.avg("d_u")).cast("long").alias("s_u"))
+        .select(
+            F.col("event_type").alias("s_type"),
+            F.col("dow").alias("s_dow"),
+            "s_u",
+        )
+    )
+    parts = det.withColumn("dow", F.col("dn") % 7).join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("s_type"))
+        & (F.col("dow") == F.col("s_dow")),
+    ).select(
+        "event_type",
+        F.round(F.col("tr7") / 7.0 * 10000).cast("long").alias("t_u"),
+        "d_u",
+        "s_u",
+        (F.col("d_u") - F.col("s_u")).alias("r_u"),
+    )
+    td = F.col("t_u").cast("double")
+    m = parts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(td).alias("st"),
+        F.sum(td * F.col("t_u")).alias("stt"),
+        F.sum(F.col("d_u").cast("double") * F.col("d_u")).alias("sdd"),
+        F.sum(F.col("s_u").cast("double") * F.col("s_u")).alias("sss"),
+        F.sum(F.col("r_u").cast("double") * F.col("r_u")).alias("srr"),
+    )
+    n = F.col("n")
+    tvar = F.col("stt") - F.col("st") * F.col("st") / n
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        rz6(tvar / F.nullif(tvar + F.col("sdd"), F.lit(0.0))).alias(
+            "trend_var_share"
+        ),
+        rz6(F.col("sss") / F.nullif(F.col("sdd"), F.lit(0.0))).alias(
+            "seasonal_var_share"
+        ),
+        rz6(F.col("srr") / F.nullif(F.col("sdd"), F.lit(0.0))).alias(
+            "residual_var_share"
+        ),
+    ).orderBy("event_type")

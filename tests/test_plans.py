@@ -2953,3 +2953,49 @@ def test_discount_elasticity_planted_slope(spark, tmp_path):
     assert r["n_lines"] == 20
     assert r["qty_per_pct_discount"] == 2.0
     assert r["r_squared"] == 1.0
+
+
+def test_audience_overlap_exact_sets(spark, tmp_path):
+    """Users {1,2,3} view, {2,3} click, {9} error: view∩click = 2,
+    jaccard 2/3, containment 2/2 = 1; view-error overlap has no row
+    (empty intersection pairs drop in both engines)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [(i, b, u, ty, 1.0, "{}") for i, (u, ty) in enumerate(
+        [(1, "view"), (2, "view"), (3, "view"), (2, "click"), (3, "click"),
+         (9, "error"), (2, "view")])]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {(r["type_a"], r["type_b"]): r for r in load_all()["events_audience_overlap"].spark_fn(spark, str(tmp_path)).collect()}
+    cv = out[("click", "view")]
+    assert (cv["n_a"], cv["n_b"], cv["n_both"]) == (2, 3, 2)
+    assert cv["jaccard"] == round(2 / 3 + 1e-9, 6)
+    assert cv["containment"] == 1.0
+    assert ("error", "view") not in out and ("click", "error") not in out
+
+
+def test_stl_decomposition_pure_weekly_signal(spark, tmp_path):
+    """A zero-trend, strictly weekly series: the centered 7-day MA is
+    flat (trend share ~0) and the dow means absorb everything
+    (seasonal share ~1, residual ~0)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 3)
+    rows = []
+    for d in range(28):
+        amount = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0][d % 7]
+        rows.append((d, b + dt.timedelta(days=d), 1, "purchase", amount, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    r = {x["event_type"]: x for x in load_all()["events_stl_decomposition"].spark_fn(spark, str(tmp_path)).collect()}["purchase"]
+    assert r["n_days"] == 22  # 28 minus 3 edge days each side
+    assert r["trend_var_share"] == 0.0
+    assert r["seasonal_var_share"] > 0.999
+    assert r["residual_var_share"] < 1e-6

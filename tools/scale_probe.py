@@ -305,6 +305,8 @@ PROBE = [
     "events_dx_retention",
     "events_snaive_mase",
     "agg_discount_elasticity",
+    "events_audience_overlap",
+    "events_stl_decomposition",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
