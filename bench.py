@@ -327,6 +327,9 @@ HEADLINE = [
     # (day-frame MA + integer-unit component folds)
     "events_audience_overlap",
     "events_stl_decomposition",
+    # r11 batch O: the volume-anomaly monitor (constant 7-element
+    # rolling-median frame over the day spine)
+    "dq_ingest_volume_anomaly",
 ]
 
 

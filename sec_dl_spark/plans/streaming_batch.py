@@ -5054,3 +5054,81 @@ def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual_var_share"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "dq_ingest_volume_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn FROM events),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS dn FROM span),
+    daily AS (
+      SELECT s.dn, count(e.dn) AS n
+      FROM spine s LEFT JOIN e ON s.dn = e.dn GROUP BY s.dn),
+    w AS (
+      SELECT dn, n,
+             CASE WHEN count(*) OVER win = 7
+                  THEN list_sort(list(n) OVER win)[4] END AS med7
+      FROM daily
+      WINDOW win AS (ORDER BY dn ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    s AS (
+      SELECT dn, n, med7,
+             CAST(n - med7 AS DOUBLE) / greatest(med7, 1) AS dev
+      FROM w WHERE med7 IS NOT NULL)
+    SELECT CAST(dn AS BIGINT) AS day_num,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(med7 AS BIGINT) AS trailing_median,
+           (round(dev + 1e-9, 4) + 0.0) AS deviation,
+           (abs(dev) > 0.5) AS is_anomaly
+    FROM s ORDER BY day_num
+    """,
+)
+def dq_ingest_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly screen: each day's event count
+    against the EXACT median of the trailing 7 days (current day
+    excluded), flagged past ±50% — the first-line pipeline monitor
+    that catches both the doubled feed (an upstream replay) and the
+    silent day (a dead producer: the zero-densified spine makes a
+    missing day a 100% drop, not a missing row). The trailing-median
+    baseline is the robust choice: one spiky yesterday cannot poison
+    today's expectation the way a trailing mean would.
+
+    Scale shape: one scan folds to the day frame; the rolling median
+    is a CONSTANT 7-element frame (a sorted 7-list per row — the
+    events_rolling_median bounded-frame discipline, never a
+    value-space window), and day counts are exact integers with a
+    greatest(median,1) guard identical both engines. Warm-up days
+    (fewer than 7 priors) are excluded identically."""
+    e = t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("dn")
+    )
+    span = e.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
+    )
+    daily = (
+        spine.join(e.groupBy("dn").agg(F.count(F.lit(1)).alias("cnt")), "dn", "left")
+        .select("dn", F.coalesce(F.col("cnt"), F.lit(0)).alias("n"))
+    )
+    win = Window.orderBy("dn").rowsBetween(-7, -1)
+    w = daily.withColumn(
+        "med7",
+        F.when(
+            F.count(F.lit(1)).over(win) == 7,
+            F.element_at(F.sort_array(F.collect_list("n").over(win)), 4),
+        ),
+    )
+    s = w.where(F.col("med7").isNotNull())
+    dev = (F.col("n") - F.col("med7")).cast("double") / F.greatest(
+        F.col("med7"), F.lit(1)
+    )
+    return s.select(
+        F.col("dn").cast("long").alias("day_num"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("med7").cast("long").alias("trailing_median"),
+        rz(dev, 4).alias("deviation"),
+        (F.abs(dev) > 0.5).alias("is_anomaly"),
+    ).orderBy("day_num")

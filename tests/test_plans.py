@@ -2999,3 +2999,32 @@ def test_stl_decomposition_pure_weekly_signal(spark, tmp_path):
     assert r["trend_var_share"] == 0.0
     assert r["seasonal_var_share"] > 0.999
     assert r["residual_var_share"] < 1e-6
+
+
+def test_ingest_volume_anomaly_flags_spike_and_silence(spark, tmp_path):
+    """7 warm-up days of 10 events, then a 30-event spike day (dev 2.0,
+    flagged), a silent day (count 0 via the densified spine, dev -1.0,
+    flagged), and a normal day back at 10 (trailing median still 10)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 4, 1)
+    rows, eid = [], 0
+    plan = [10] * 7 + [30, 0, 10]
+    for d, k in enumerate(plan):
+        for j in range(k):
+            rows.append((eid, b + dt.timedelta(days=d, minutes=j), 1,
+                         "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = load_all()["dq_ingest_volume_anomaly"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 3  # days 7..9 (0..6 are warm-up)
+    spike, silent, normal = out
+    assert (spike["n_events"], spike["trailing_median"]) == (30, 10)
+    assert spike["deviation"] == 2.0 and spike["is_anomaly"]
+    assert silent["n_events"] == 0 and silent["deviation"] == -1.0
+    assert silent["is_anomaly"]
+    assert normal["n_events"] == 10 and not normal["is_anomaly"]

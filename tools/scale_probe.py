@@ -307,6 +307,7 @@ PROBE = [
     "agg_discount_elasticity",
     "events_audience_overlap",
     "events_stl_decomposition",
+    "dq_ingest_volume_anomaly",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
