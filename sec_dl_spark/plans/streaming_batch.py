@@ -20,6 +20,25 @@ from sec_dl_spark.plans.util import rz, rz6
 from sec_dl_spark.session import pin
 
 
+def _scalar_spine(frame, col: str = "dn"):
+    """Dense integer spine spanning ``frame[col]``'s min..max — the
+    shared densification every day/hour-grain monitor needs (a missing
+    period must be an explicit row, not an engine-dependent absence).
+    One 1-row span aggregate + one bounded explode."""
+    span = frame.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+    return span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias(col)
+    )
+
+
+def _typed_spine(frame, type_col: str = "event_type", col: str = "dn"):
+    """``_scalar_spine`` crossed with the frame's distinct type values:
+    one (type, period) row per cell of the dense grid."""
+    return frame.select(type_col).distinct().crossJoin(
+        F.broadcast(_scalar_spine(frame, col))
+    )
+
+
 @query(
     "events_tumbling_hourly",
     oracle="""
@@ -3500,7 +3519,8 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(prev) AS n_gaps,
              sum(us - prev) AS gap_sum,
              sum(CAST(us - prev AS DOUBLE) * (us - prev)) AS gap_sq
-      FROM o GROUP BY user_id HAVING count(prev) >= 5),
+      FROM o GROUP BY user_id
+      HAVING count(prev) >= 5 AND sum(us - prev) > 0),
     s AS (
       SELECT user_id, n_events, n_types,
              CAST(gap_sum AS DOUBLE) / n_gaps AS mean_gap,
@@ -3561,7 +3581,12 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(gap).alias("gap_sum"),
             F.sum(gap.cast("double") * gap).alias("gap_sq"),
         )
-        .where(F.col("n_gaps") >= 5)
+        # gap_sum = 0 means every event shares one microsecond: CV is
+        # undefined (NULL), and a NULL sort key diverges cross-engine
+        # (Spark asc = NULLS FIRST, DuckDB = NULLS LAST). Such a user is
+        # the replay-audit's finding (dq_event_duplication), not a
+        # rhythm — excluded identically in both engines.
+        .where((F.col("n_gaps") >= 5) & (F.col("gap_sum") > 0))
     )
     mean_gap = F.col("gap_sum").cast("double") / F.col("n_gaps")
     cv = F.sqrt(
@@ -3649,10 +3674,7 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dn"),
         "event_type",
     )
-    span = d.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
-    spine = span.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
-    )
+    spine = _scalar_spine(d)
     cc = (
         d.where(F.col("event_type") == "click")
         .groupBy("dn")
@@ -3782,13 +3804,7 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     known = e.groupBy("event_type", "hn").agg(
         F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("cnt")
     )
-    span = e.agg(F.min("hn").alias("lo"), F.max("hn").alias("hi"))
-    types = e.select("event_type").distinct()
-    spine = types.crossJoin(
-        F.broadcast(span).select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hn")
-        )
-    )
+    spine = _typed_spine(e, col="hn")
     f = spine.join(known, ["event_type", "hn"], "left").select(
         "event_type",
         "hn",
@@ -4778,15 +4794,8 @@ def events_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dn"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    span = e.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
-    types = e.select("event_type").distinct()
-    spine = types.crossJoin(
-        F.broadcast(span).select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
-        )
-    )
     daily = (
-        spine.join(e, ["event_type", "dn"], "left")
+        _typed_spine(e).join(e, ["event_type", "dn"], "left")
         .groupBy("event_type", "dn")
         .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y"))
     )
@@ -4980,15 +4989,8 @@ def events_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dn"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    span = e.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
-    types = e.select("event_type").distinct()
-    spine = types.crossJoin(
-        F.broadcast(span).select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
-        )
-    )
     daily = (
-        spine.join(e, ["event_type", "dn"], "left")
+        _typed_spine(e).join(e, ["event_type", "dn"], "left")
         .groupBy("event_type", "dn")
         .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("y"))
     )
@@ -5105,12 +5107,9 @@ def dq_ingest_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dn")
     )
-    span = e.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
-    spine = span.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("dn")
-    )
     daily = (
-        spine.join(e.groupBy("dn").agg(F.count(F.lit(1)).alias("cnt")), "dn", "left")
+        _scalar_spine(e)
+        .join(e.groupBy("dn").agg(F.count(F.lit(1)).alias("cnt")), "dn", "left")
         .select("dn", F.coalesce(F.col("cnt"), F.lit(0)).alias("n"))
     )
     win = Window.orderBy("dn").rowsBetween(-7, -1)

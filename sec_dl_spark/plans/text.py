@@ -6183,11 +6183,12 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_a").cast("long").alias("c_a"),
             F.col("c_b").cast("long").alias("c_b"),
             rz6(pmi).alias("pmi"),
-            pmi.alias("_pmi"),
         )
-        .orderBy(F.col("_pmi").desc(), "bigram")
+        # order by the ROUNDED pmi (the oracle's bare ORDER BY pmi binds
+        # to the rounded select alias, not the CTE column — DuckDB alias
+        # precedence), so both engines break rounding-ties on the bigram
+        .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
-        .drop("_pmi")
     )
 
 
@@ -6375,15 +6376,19 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs minus connected docs — two scalar counts. Everything is exact
     integer counting."""
     tk = tok_docs(spark, sf_dir).where(F.size("toks") >= 8)
-    dtiles = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) div 8 - 1), "
-                "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
-            )
-        ).alias("passage"),
-    ).distinct()
+    # pinned: shared + both pair aliases are THREE plan branches off
+    # this frame — unpinned, each re-runs the tokenize/explode/distinct
+    dtiles = pin(
+        tk.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) div 8 - 1), "
+                    "i -> concat_ws(' ', slice(toks, i*8+1, 8)))"
+                )
+            ).alias("passage"),
+        ).distinct()
+    )
     shared = (
         dtiles.groupBy("passage")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -6697,39 +6702,46 @@ def emb_class_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, CAST(sum(len(toks)) AS BIGINT) AS cap
       FROM tk GROUP BY source),
     w AS (
-      SELECT source, cap, pow(CAST(cap AS DOUBLE), 0.7) AS wt,
-             CAST(cap AS DOUBLE) / pow(CAST(cap AS DOUBLE), 0.7) AS r
+      SELECT source, cap,
+             CAST(round(pow(CAST(cap AS DOUBLE), 0.7) * 1000000) AS BIGINT)
+               AS wt_u,
+             CAST(cap AS DOUBLE) * 1000000
+               / CAST(round(pow(CAST(cap AS DOUBLE), 0.7) * 1000000)
+                      AS BIGINT) AS r
       FROM c WHERE cap > 0),
     tot AS (
-      SELECT sum(cap) AS totcap, sum(wt) AS totw,
+      SELECT sum(cap) AS totcap, sum(wt_u) AS totw_u,
              CAST(sum(cap) // 2 AS BIGINT) AS budget
       FROM w),
     sorted AS (
-      SELECT source, cap, wt, r,
+      SELECT source, cap, wt_u, r,
              row_number() OVER (ORDER BY r, source) AS i,
              sum(cap) OVER (ORDER BY r, source) AS cumcap,
-             sum(wt) OVER (ORDER BY r, source) AS cumw,
+             sum(wt_u) OVER (ORDER BY r, source) AS cumw_u,
              lead(r) OVER (ORDER BY r, source) AS r_next
       FROM w),
     cands AS (
-      SELECT i AS k, r, cumcap, cumw, r_next FROM sorted
+      SELECT i AS k, r, cumcap, cumw_u, r_next FROM sorted
       UNION ALL
-      SELECT 0, 0.0, 0, 0.0, (SELECT min(r) FROM sorted)),
+      SELECT 0, 0.0, 0, 0, (SELECT min(r) FROM sorted)),
     lamk AS (
-      SELECT k, (CAST(tot.budget AS DOUBLE) - cumcap) / (tot.totw - cumw)
-               AS lam, r, r_next
-      FROM cands, tot WHERE cumw < tot.totw),
+      SELECT k, (CAST(tot.budget AS DOUBLE) - cumcap) * 1000000
+               / (tot.totw_u - cumw_u) AS lam, r, r_next
+      FROM cands, tot WHERE cumw_u < tot.totw_u),
     pick AS (
       SELECT lam FROM lamk
       WHERE r <= lam AND lam < coalesce(r_next, 1e308)
       ORDER BY k LIMIT 1)
     SELECT w.source,
            CAST(w.cap AS BIGINT) AS n_tokens,
-           (round(w.wt / tot.totw + 1e-9, 6) + 0.0) AS weight_share,
-           (round(least(CAST(w.cap AS DOUBLE), pick.lam * w.wt)
-                  + 1e-9, 2) + 0.0) AS alloc_tokens,
-           (w.cap <= pick.lam * w.wt) AS saturated,
-           (round(least(CAST(w.cap AS DOUBLE), pick.lam * w.wt)
+           (round(w.wt_u / CAST(tot.totw_u AS DOUBLE) + 1e-9, 6) + 0.0)
+             AS weight_share,
+           (round(least(CAST(w.cap AS DOUBLE),
+                        pick.lam * w.wt_u / 1000000) + 1e-9, 2) + 0.0)
+             AS alloc_tokens,
+           (w.cap <= pick.lam * w.wt_u / 1000000) AS saturated,
+           (round(least(CAST(w.cap AS DOUBLE),
+                        pick.lam * w.wt_u / 1000000)
                   / tot.budget + 1e-9, 6) + 0.0) AS alloc_share
     FROM w, tot, pick ORDER BY w.source
     """,
@@ -6763,31 +6775,35 @@ def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.size("toks")).alias("cap"))
         .where(F.col("cap") > 0)
     )
+    # weights fold as 1e-6 INTEGER units (round(cap^0.7 * 1e6)): a raw
+    # double pow() summed across partitions can associate differently
+    # per engine and flip the lambda bracket at a saturation boundary —
+    # the integer-moment convention applied to the weight column
+    wt_u_expr = F.round(
+        F.pow(F.col("cap").cast("double"), F.lit(0.7)) * 1e6
+    ).cast("long")
     w = pin(
         c.select(
             "source",
             "cap",
-            F.pow(F.col("cap").cast("double"), F.lit(0.7)).alias("wt"),
-            (
-                F.col("cap").cast("double")
-                / F.pow(F.col("cap").cast("double"), F.lit(0.7))
-            ).alias("r"),
+            wt_u_expr.alias("wt_u"),
+            (F.col("cap").cast("double") * 1e6 / wt_u_expr).alias("r"),
         )
     )
     tot = w.agg(
         F.sum("cap").alias("totcap"),
-        F.sum("wt").alias("totw"),
+        F.sum("wt_u").alias("totw_u"),
         F.expr("CAST(sum(cap) div 2 AS BIGINT)").alias("budget"),
     )
     ws = Window.orderBy("r", "source")
     sorted_ = w.select(
         "source",
         "cap",
-        "wt",
+        "wt_u",
         "r",
         F.row_number().over(ws).alias("i"),
         F.sum("cap").over(ws).alias("cumcap"),
-        F.sum("wt").over(ws).alias("cumw"),
+        F.sum("wt_u").over(ws).alias("cumw_u"),
         F.lead("r").over(ws).alias("r_next"),
     )
     r_min = sorted_.agg(F.min("r").alias("rm"))
@@ -6795,20 +6811,21 @@ def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("k"),
         F.lit(0.0).alias("r"),
         F.lit(0).cast("long").alias("cumcap"),
-        F.lit(0.0).alias("cumw"),
+        F.lit(0).cast("long").alias("cumw_u"),
         F.col("rm").alias("r_next"),
     )
     cands = sorted_.select(
-        F.col("i").alias("k"), "r", "cumcap", "cumw", "r_next"
+        F.col("i").alias("k"), "r", "cumcap", "cumw_u", "r_next"
     ).unionByName(zero)
     lamk = (
         cands.crossJoin(F.broadcast(tot))
-        .where(F.col("cumw") < F.col("totw"))
+        .where(F.col("cumw_u") < F.col("totw_u"))
         .select(
             "k",
             (
                 (F.col("budget").cast("double") - F.col("cumcap"))
-                / (F.col("totw") - F.col("cumw"))
+                * 1e6
+                / (F.col("totw_u") - F.col("cumw_u"))
             ).alias("lam"),
             "r",
             "r_next",
@@ -6823,16 +6840,22 @@ def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("lam")
     )
-    alloc = F.least(F.col("cap").cast("double"), F.col("lam") * F.col("wt"))
+    alloc = F.least(
+        F.col("cap").cast("double"), F.col("lam") * F.col("wt_u") / 1e6
+    )
     return (
         w.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(pick))
         .select(
             "source",
             F.col("cap").cast("long").alias("n_tokens"),
-            rz6(F.col("wt") / F.col("totw")).alias("weight_share"),
+            rz6(F.col("wt_u") / F.col("totw_u").cast("double")).alias(
+                "weight_share"
+            ),
             rz(alloc, 2).alias("alloc_tokens"),
-            (F.col("cap") <= F.col("lam") * F.col("wt")).alias("saturated"),
+            (
+                F.col("cap") <= F.col("lam") * F.col("wt_u") / 1e6
+            ).alias("saturated"),
             rz6(alloc / F.col("budget")).alias("alloc_share"),
         )
         .orderBy("source")

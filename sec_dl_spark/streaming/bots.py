@@ -25,7 +25,7 @@ batch query).
 
 from __future__ import annotations
 
-import uuid
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,8 +67,14 @@ def incremental_gap_moments_sink(
     """availableNow foreachBatch sink: each micro-batch publishes its
     own per-user moment partition; a retried batch overwrites the SAME
     directory (idempotent, no read-modify-write). Returns the started
-    StreamingQuery."""
-    run = run or uuid.uuid4().hex[:12]
+    StreamingQuery.
+
+    The default run id derives from the CHECKPOINT path, not a fresh
+    uuid: a restarted sink that resumes the same checkpoint must land
+    its replayed batches in the same ``run=`` partitions, or the stale
+    copies from the crashed attempt would double-count in the merge
+    (pass ``run`` explicitly to shard independent logical runs)."""
+    run = run or hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         gap_moments(batch_df, ts_col).write.mode("overwrite").parquet(
@@ -92,7 +98,10 @@ def merged_gap_moments(spark: SparkSession, moments_path: str) -> DataFrame:
     first_us − lag(last_us) into both moments; within-batch moments
     sum exactly."""
     parts = spark.read.parquet(moments_path).drop("run", "batch")
-    w = Window.partitionBy("user_id").orderBy("first_us")
+    # last_us tie-break: two partials can share first_us (a batch split
+    # inside one timestamp); ordering the shorter-reaching partial first
+    # keeps every boundary gap non-negative and the merge deterministic
+    w = Window.partitionBy("user_id").orderBy("first_us", "last_us")
     b = parts.withColumn("prev_last", F.lag("last_us").over(w))
     bgap = F.col("first_us") - F.col("prev_last")
     return b.groupBy("user_id").agg(
