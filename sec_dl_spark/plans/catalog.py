@@ -148,56 +148,56 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (
-    "dedup_clusters",
-    "agg_mode_exact",
-    "text_lexical_diversity",
-    "emb_dim_truncation_audit",
-    "events_heavy_hitters_share",
-    "events_psi_drift",
-    "emb_hard_negatives",
-    "corpus_gate_ablation",
-    "events_markov_transitions",
-    "corpus_epoch_plan",
-    "corpus_pack_efficiency",
-    "corpus_split_leakage",
-    "dq_benford_first_digit",
-    "dq_freshness_lag",
-    "dq_k_anonymity",
-    "dq_referential_integrity",
-    "dq_uniqueness_keys",
-    "emb_knn_distance_outliers",
-    "events_ab_welch_ttest",
-    "text_ngram_novelty",
-    "text_sentence_stats",
-    "events_trend_slope",
-    "events_cusum_changepoint",
-    "events_top_session_paths",
-    "dq_join_key_skew",
     "events_mannwhitney_u",
-    "events_chi2_independence",
-    "corpus_js_divergence",
-    "corpus_group_kfold",
-    "events_kaplan_meier",
+    "dq_join_key_skew",
     "events_score_calibration",
-    "corpus_dedup_yield",
-    "join_basket_lift",
-    "events_mad_outliers",
-    "emb_coverage_score",
-    "events_sprt_monitor",
-    "graph_triangle_count",
-    "events_attribution_linear",
-    "events_time_to_convert",
-    "events_dow_seasonality",
-    "emb_bucket_cohesion",
-    "dq_schema_drift",
-    "events_srm_check",
-    "graph_component_histogram",
-    "events_cohort_ltv",
-    "text_readability",
-    "corpus_quality_dup_corr",
-    "dq_lead_time_audit",
-    "events_power_mde",
-    "text_code_detection",
+    "agg_yoy_growth",
+    "join_customer_rfm",
+    "join_supplier_scorecard",
+    "agg_revenue_concentration",
+    "agg_price_volume_mix",
+    "dq_order_total_reconciliation",
+    "join_negative_sampling",
+    "dq_categorical_entropy",
+    "agg_pareto_skyline",
+    "agg_discount_elasticity",
+    "events_anomaly_seasonal",
+    "events_dau_wau_mau",
+    "events_funnel_step_timing",
+    "events_attribution_first_touch",
+    "events_error_budget_burn",
+    "events_cart_abandonment",
+    "dq_event_duplication",
+    "events_new_vs_returning",
+    "events_bot_detection",
+    "events_lagged_crosscorr",
+    "events_linear_interpolation",
+    "events_transition_dwell",
+    "events_churn_risk",
+    "events_growth_accounting",
+    "events_attribution_window_sweep",
+    "events_velocity_burst",
+    "events_ab_cuped",
+    "dq_out_of_order_events",
+    "events_dx_retention",
+    "events_snaive_mase",
+    "events_audience_overlap",
+    "events_stl_decomposition",
+    "dq_ingest_volume_anomaly",
+    "emb_isotropy_audit",
+    "text_vocab_coverage",
+    "text_dedup_threshold_sweep",
+    "text_license_detection",
+    "corpus_shuffle_interleave",
+    "emb_topk_diversity",
+    "text_collocations_pmi",
+    "emb_cluster_purity",
+    "graph_degree_histogram",
+    "emb_nearest_centroid",
+    "emb_class_margin",
+    "corpus_budget_waterfill",
+    "q1_pricing_summary",
+    "text_clean_chain",
 )
 
 
