@@ -1118,8 +1118,8 @@ def events_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) FILTER (arm = 1) AS n_b,
              sum(cents) FILTER (arm = 0) AS s_a,
              sum(cents) FILTER (arm = 1) AS s_b,
-             sum(cents * cents) FILTER (arm = 0) AS q_a,
-             sum(cents * cents) FILTER (arm = 1) AS q_b
+             sum(CAST(cents AS DOUBLE) * cents) FILTER (arm = 0) AS q_a,
+             sum(CAST(cents AS DOUBLE) * cents) FILTER (arm = 1) AS q_b
       FROM c GROUP BY event_type
       HAVING n_a >= 2 AND n_b >= 2),
     s AS (
@@ -1145,8 +1145,11 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment arms (users split by ``user_id % 2`` — the deterministic
     hash-assignment an A/B platform uses): the launch-gate readout a
     metrics pipeline computes per refresh. Every moment is derived from
-    EXACT INTEGER sums of value-cents (sum, sum-of-squares as BIGINT), so
-    mean and variance are deterministic divisions of exact integers —
+    EXACT sums of value-cents (counts/sums as BIGINT; the quadratic
+    moment accumulates in DOUBLE in both engines — cents² wraps int64
+    past ~3.7e9 rows/arm while DuckDB silently promotes to HUGEINT —
+    with every term integer-exact below 2^53), so mean and variance
+    are deterministic expressions of exact moments —
     float aggregation order (the shuffle-dependent last-ulp hazard that
     plagues avg/var_samp cross-engine) never enters. One grouped
     aggregate with FILTER arms (single shuffle, partial map-side);
@@ -1167,8 +1170,10 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(a1, 1)).alias("n_b"),
         F.sum(F.when(a0, F.col("cents"))).alias("s_a"),
         F.sum(F.when(a1, F.col("cents"))).alias("s_b"),
-        F.sum(F.when(a0, F.col("cents") * F.col("cents"))).alias("q_a"),
-        F.sum(F.when(a1, F.col("cents") * F.col("cents"))).alias("q_b"),
+        # cents^2 wraps int64 past ~3.7e9 rows/arm while DuckDB promotes
+        # to HUGEINT; accumulate in double (terms integer-exact < 2^53)
+        F.sum(F.when(a0, F.col("cents").cast("double") * F.col("cents"))).alias("q_a"),
+        F.sum(F.when(a1, F.col("cents").cast("double") * F.col("cents"))).alias("q_b"),
     ).where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     mean_a = F.col("s_a").cast("double") / F.col("n_a") / 100
     mean_b = F.col("s_b").cast("double") / F.col("n_b") / 100
@@ -1416,17 +1421,20 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
              CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(y AS DOUBLE) * y) AS syy
       FROM x GROUP BY event_type
-      HAVING n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+      HAVING n * sxx - CAST(sx AS DOUBLE) * sx > 0
+         AND n * syy - CAST(sy AS DOUBLE) * sy > 0)
     SELECT event_type, n,
-           (round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (n * sxx - sx * sx) / 100 + 1e-9, 6) + 0.0)
-             AS slope_per_day,
-           (round(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
-                  / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))
+           (round((n * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (n * sxx - CAST(sx AS DOUBLE) * sx) / 100 + 1e-9, 6)
+            + 0.0) AS slope_per_day,
+           (round((n * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (n * sxy - CAST(sx AS DOUBLE) * sy)
+                  / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (n * syy - CAST(sy AS DOUBLE) * sy))
                   + 1e-9, 6) + 0.0) AS r2
     FROM g ORDER BY event_type
     """,
@@ -1435,13 +1443,13 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend: slope of event value on time (dollars/day) and
     R² — the metric-trend detector that complements the PSI distribution
     monitor (PSI sees SHAPE shifts; a slow level drift can hold shape
-    while the mean walks away). Every moment is an EXACT BIGINT sum of
-    integer (day-index, cents) pairs, so slope and R² are deterministic
-    divisions — no float accumulation order anywhere. Day indices are
-    CENTERED on the corpus min day (1-row broadcast): with absolute
-    epoch-day x, n·Σx² overflows int64 around 10⁶ rows/type; centered,
-    x spans the observation window only and the products stay far from
-    the edge (at 10⁹+ rows/type, move the moments to DECIMAL(38)).
+    while the mean walks away). First-order moments are EXACT BIGINT
+    sums of integer (day-index, cents) pairs; the quadratic moments and
+    every n·s − s·s combination form in DOUBLE in both engines (n·sxy
+    wraps int64 near 2e7 rows/type while DuckDB promotes to HUGEINT —
+    the join_key_skew class), with every term integer-exact below 2^53.
+    Day indices are CENTERED on the corpus min day (1-row broadcast) so
+    x spans the observation window only.
     Types with zero day- or value-variance are dropped on BOTH engines
     (their slope/R² denominators are 0). One grouped aggregate over a
     3-column projection; output is type-bounded."""
@@ -1462,25 +1470,29 @@ def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("x").cast("long").alias("sx"),
             F.sum("y").cast("long").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            # quadratic moments AND their n*s combinations form in
+            # double: n*sxy wraps int64 near ~2e7 rows/type (a year
+            # window x $500 values) while DuckDB promotes to HUGEINT —
+            # every term stays integer-exact below 2^53
+            F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast("double") * F.col("y")).alias("syy"),
         )
         .where(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+            (F.col("n") * F.col("sxx")
+             - F.col("sx").cast("double") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy")
+               - F.col("sy").cast("double") * F.col("sy") > 0)
         )
     )
-    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     return g.select(
         "event_type",
         "n",
-        rz6(cov_n.cast("double") / var_x / 100).alias("slope_per_day"),
-        rz6(
-            cov_n.cast("double") * cov_n / (var_x.cast("double") * var_y)
-        ).alias("r2"),
+        rz6(cov_n / var_x / 100).alias("slope_per_day"),
+        rz6(cov_n * cov_n / (var_x * var_y)).alias("r2"),
     ).orderBy("event_type")
 
 
@@ -2923,12 +2935,12 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, dow,
              CAST(sum(n) AS BIGINT) AS tot,
              CAST(count(*) AS BIGINT) AS n_days,
-             CAST(sum(n * n) AS BIGINT) AS tot2
+             sum(CAST(n AS DOUBLE) * n) AS tot2
       FROM dw GROUP BY 1, 2),
     z AS (
       SELECT dw.event_type AS event_type, day, n,
              CAST(tot AS DOUBLE) / n_days AS mu,
-             sqrt(greatest(CAST(tot2 AS DOUBLE) / n_days
+             sqrt(greatest(tot2 / n_days
                            - (CAST(tot AS DOUBLE) / n_days)
                              * (CAST(tot AS DOUBLE) / n_days), 0.0)) AS sd
       FROM dw JOIN base ON dw.event_type = base.event_type
@@ -2973,12 +2985,15 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = dw.groupBy("event_type", "dow").agg(
         F.sum("n").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("tot2"),
+        # n^2 wraps int64 past ~3.04e9 events/day/type while DuckDB
+        # promotes to HUGEINT (the dq_join_key_skew class); accumulate
+        # in double — terms integer-exact below 2^53
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("tot2"),
     )
     mu = F.col("tot").cast("double") / F.col("n_days")
     sd = F.sqrt(
         F.greatest(
-            F.col("tot2").cast("double") / F.col("n_days") - mu * mu,
+            F.col("tot2") / F.col("n_days") - mu * mu,
             F.lit(0.0),
         )
     )

@@ -5367,7 +5367,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(qm) AS BIGINT) AS sx,
-             CAST(sum(qm * qm) AS BIGINT) AS sxx,
+             sum(CAST(qm AS DOUBLE) * qm) AS sxx,
              CAST(sum(dup) AS BIGINT) AS sy,
              CAST(sum(qm * dup) AS BIGINT) AS sxy
       FROM x)
@@ -5430,7 +5430,10 @@ def corpus_quality_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo = x.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("qm").cast("long").alias("sx"),
-        F.sum(F.col("qm") * F.col("qm")).cast("long").alias("sxx"),
+        # qm^2 sums wrap int64 near 1e11 docs (the 100 TB doc-count
+        # boundary) while DuckDB promotes to HUGEINT; accumulate in
+        # double — terms integer-exact below 2^53
+        F.sum(F.col("qm").cast("double") * F.col("qm")).alias("sxx"),
         F.sum("dup").cast("long").alias("sy"),
         F.sum(F.col("qm") * F.col("dup")).cast("long").alias("sxy"),
     )
