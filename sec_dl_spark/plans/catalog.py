@@ -151,6 +151,9 @@ _PRIORITY = (
     "events_mannwhitney_u",
     "dq_join_key_skew",
     "events_score_calibration",
+    "events_ab_welch_ttest",
+    "events_trend_slope",
+    "corpus_quality_dup_corr",
     "agg_yoy_growth",
     "join_customer_rfm",
     "join_supplier_scorecard",
@@ -195,9 +198,6 @@ _PRIORITY = (
     "graph_degree_histogram",
     "emb_nearest_centroid",
     "emb_class_margin",
-    "corpus_budget_waterfill",
-    "q1_pricing_summary",
-    "text_clean_chain",
 )
 
 
