@@ -141,3 +141,59 @@ def join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def agg_delta(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list,
+    measures: dict,
+    op_col: str = "op",
+    n_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for a group-by COUNT/SUM aggregate
+    under a change stream WITH RETRACTIONS — the signed-delta rule
+    (Gupta/Mumick counting algorithm): every change row carries
+    ``op_col`` ∈ {'I','D'}; an insert contributes (+1, +value), a delete
+    (-1, -value); the maintained view is
+
+        merge(base, fold(changes))   grouped on ``keys``,
+
+    with keys whose maintained count reaches 0 DROPPED (the group no
+    longer exists in the recomputed view — leaving a (key, 0, 0) row
+    would diverge from recompute). ``measures`` maps output sum-column
+    name -> source value column in ``changes``; ``base`` must already
+    carry ``n_col`` + the measure columns at the same grain (e.g. from
+    the previous maintenance cycle, or ``build`` below).
+
+    Only COUNT and SUM are retraction-maintainable from partials alone;
+    MIN/MAX under deletes need a recompute of the affected keys (a
+    targeted semi-join rescan, never the full history) — callers needing
+    them pair this with operators/rollup.py on the touched-key subset.
+
+    Scale shape: the change stream folds map-side to key grain BEFORE
+    touching the view (|Δ| rows in, |touched keys| out), the merge is a
+    key-grain union + re-aggregate — cost O(|view| + |Δkeys|), never a
+    rescan of the fact history. A negative maintained count means the
+    stream retracted rows the view never held — a corrupt stream; such
+    keys are dropped like zeros (recompute would not hold them either
+    way) and surfacing them is the DQ layer's job, not the merge's.
+    """
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    folded = changes.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias(n_col),
+        *[
+            F.sum(sign * F.col(src)).alias(out)
+            for out, src in measures.items()
+        ],
+    )
+    merged = (
+        base.select(*keys, n_col, *measures)
+        .unionByName(folded)
+        .groupBy(*keys)
+        .agg(
+            F.sum(n_col).cast("long").alias(n_col),
+            *[F.sum(out).alias(out) for out in measures],
+        )
+    )
+    return merged.where(F.col(n_col) > 0)

@@ -4735,3 +4735,237 @@ def agg_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_squared"
         ),
     ).orderBy("p_brand")
+
+
+@query(
+    "dq_sequence_gap_audit",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    g AS (SELECT k - lag(k) OVER (ORDER BY k) - 1 AS gap FROM k),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(min(k) AS BIGINT) AS key_min,
+             CAST(max(k) AS BIGINT) AS key_max
+      FROM k),
+    ga AS (
+      SELECT CAST(count(*) FILTER (gap > 0) AS BIGINT) AS n_gap_runs,
+             CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_run
+      FROM g)
+    SELECT n_keys, key_min, key_max,
+           key_max - key_min + 1 AS span,
+           key_max - key_min + 1 - n_keys AS missing_keys,
+           n_gap_runs, max_gap_run,
+           (round(CAST(n_keys AS DOUBLE) / (key_max - key_min + 1)
+                  + 1e-9, 6) + 0.0) AS coverage
+    FROM s, ga
+    """,
+)
+def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyspace-completeness audit of a supposedly sequential surrogate
+    key (o_orderkey): how much of the min..max span is actually
+    populated, how many contiguous gap runs interrupt it, and the
+    largest single hole — the "did the extractor drop a range?" check
+    every CDC/batch-ingest pipeline runs on its watermark column. TPC-H
+    orderkeys are deliberately sparse (only 1/4 of the keyspace is
+    assigned), so the fixture exercises the many-gaps regime rather
+    than a trivial all-covered one.
+
+    Scale shape: the classic formulation is ``lag() OVER (ORDER BY
+    key)`` — a single-partition global window, the textbook scale-
+    killer. Here consecutive keys are paired by a RANK EQUI-JOIN
+    instead: `global_rank` (range exchange + per-partition row_number +
+    broadcast offsets, operators/relational.py:431) assigns each
+    distinct key its 0-based global position, and a self-join on
+    ``rank+1 = rank`` lines up neighbors as a plain distributed hash
+    join — the adjacent-difference stays key-partitioned at any scale.
+    Totals (count/min/max) are one scalar fold; missing_keys derives
+    from span - n_keys (and equals Σgap by construction). All integer
+    arithmetic; the one float (coverage) is a deterministic division of
+    two exact integers."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    k = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    r = global_rank(k, order=[F.asc("k")], rank_col="gr")
+    a = r.select(F.col("k").alias("ka"), F.col("gr").alias("ga"))
+    b = r.select(F.col("k").alias("kb"), F.col("gr").alias("gb"))
+    gaps = a.join(b, a.ga + 1 == b.gb).select(
+        (F.col("kb") - F.col("ka") - 1).alias("gap")
+    )
+    ga = gaps.agg(
+        F.count(F.when(F.col("gap") > 0, 1)).cast("long").alias("n_gap_runs"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_run"),
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("k").cast("long").alias("key_min"),
+        F.max("k").cast("long").alias("key_max"),
+    )
+    span = F.col("key_max") - F.col("key_min") + 1
+    return s.crossJoin(F.broadcast(ga)).select(
+        "n_keys",
+        "key_min",
+        "key_max",
+        span.alias("span"),
+        (span - F.col("n_keys")).alias("missing_keys"),
+        "n_gap_runs",
+        "max_gap_run",
+        rz6(F.col("n_keys").cast("double") / span).alias("coverage"),
+    )
+
+
+@query(
+    "cdc_agg_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate view maintenance under RETRACTIONS (operators/
+    cdc.py:agg_delta — the signed-delta counting rule): the per-priority
+    (order count, revenue) rollup is first materialized over the full
+    orders table, then a deterministic cancellation stream arrives (every
+    finalized order whose key ends in 3 is retracted — the
+    "chargeback/void" feed) and the view advances by folding the SIGNED
+    deltas and merging at view grain — never re-scanning order history.
+    The ORACLE is deliberately independent of the rule: it recomputes the
+    aggregate from scratch over the surviving rows, so a lost retraction,
+    a double-applied delete, or a zero-count key left behind all fail the
+    compare. Complements rollup_incremental_merge, which proves the
+    insert-only merge; THIS query proves the delete path — the half of
+    IVM that `sum(sign)` gets wrong if the merge drops the n=0 guard.
+
+    Scale shape: the change stream folds map-side to key grain before
+    touching the view (|Δ| in, |touched keys| out), the merge is a
+    view-grain union + re-aggregate; revenue is exact integer cents
+    (per-order rounding BEFORE any sum, both engines)."""
+    from sec_dl_spark.operators.cdc import agg_delta
+
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", cents.alias("cents")
+    )
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    deletes = o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 3)
+    ).select("o_orderpriority", F.lit("D").alias("op"), "cents")
+    maintained = agg_delta(
+        base,
+        deletes,
+        keys=["o_orderpriority"],
+        measures={"revenue_cents": "cents"},
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    r AS (
+      SELECT cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum
+      FROM p),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM p),
+    cls AS (
+      SELECT CASE WHEN cum * 10 <= total_cents * 7 THEN 'A'
+                  WHEN cum * 10 <= total_cents * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM r, tot)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           (round(CAST(sum(cents) AS DOUBLE) / total_cents + 1e-9, 6) + 0.0)
+             AS revenue_share,
+           (round(CAST(count(*) AS DOUBLE) / n_parts + 1e-9, 6) + 0.0)
+             AS part_share
+    FROM cls, tot
+    GROUP BY abc_class, total_cents, n_parts
+    ORDER BY abc_class
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by lineitem revenue — the
+    standard Pareto partitioning a supply-chain team keys its stocking
+    policy on: class A carries the first 70% of cumulative revenue,
+    B the next 20%, C the tail; the report shows how FEW parts carry A
+    (count share vs revenue share per class). Complements
+    agg_revenue_concentration (which reads the same curve at the
+    customer grain as scalar crossings): this query materializes the
+    full class partition and its census.
+
+    Scale shape: part revenue is exact integer cents (per-line rounding
+    before the sum), the descending cumulative comes from
+    `global_cumsum` (range exchange + partition fold + broadcast
+    offsets — never a parts-count single-partition window), class
+    assignment compares integers (cum·10 vs total·7|9 — products stay
+    below 2^63 up to ~9·10^17 total cents, i.e. ~10 PB of order flow,
+    documented headroom), and the census is a 3-group fold."""
+    from sec_dl_spark.operators.relational import global_cumsum
+
+    cents = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    )
+    p = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", cents.alias("c0"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    order = [F.desc("cents"), F.asc("l_partkey")]
+    r = global_cumsum(p, order, "cents", out_col="cum")
+    tot = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    cls = j.select(
+        F.when(F.col("cum") * 10 <= F.col("total_cents") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("total_cents") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total_cents",
+        "n_parts",
+    )
+    return (
+        cls.groupBy("abc_class", "total_cents", "n_parts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum("cents").cast("long").alias("class_cents"),
+        )
+        .select(
+            "abc_class",
+            F.col("np").alias("n_parts"),
+            "class_cents",
+            rz6(
+                F.col("class_cents").cast("double") / F.col("total_cents")
+            ).alias("revenue_share"),
+            rz6(F.col("np").cast("double") / F.col("n_parts")).alias(
+                "part_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )

@@ -2332,3 +2332,34 @@ def test_join_delta_equals_view_difference(spark):
     full = Counter(map(tuple, a.join(b, cond).collect()))
     old = Counter(map(tuple, a_old.join(b_old, cond).collect()))
     assert got == full - old and sum(got.values()) > 0
+
+
+def test_agg_delta_mixed_stream_equals_recompute(spark):
+    """operators/cdc.py:agg_delta with a MIXED insert+retraction stream:
+    maintained view == from-scratch recompute over (base rows + inserts
+    - deleted rows), including a key created by the stream and a key
+    emptied by it."""
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.cdc import agg_delta
+
+    base_rows = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    base = base_rows.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("sv")
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", "D", 10),   # retract one of a's rows
+            ("b", "D", 5),    # empties b -> key must drop
+            ("c", "I", 7),    # creates c
+            ("c", "I", 3),
+        ],
+        "k string, op string, v long",
+    )
+    out = {
+        r["k"]: (r["n"], r["sv"])
+        for r in agg_delta(base, changes, ["k"], {"sv": "v"}).collect()
+    }
+    assert out == {"a": (1, 20), "c": (2, 10)}
