@@ -6863,3 +6863,345 @@ def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS BIGINT) AS support
+      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey),
+    edges AS (SELECT u, v FROM e0 WHERE support >= 2),
+    adj AS (SELECT u AS x, v AS z FROM edges
+            UNION ALL SELECT v AS x, u AS z FROM edges),
+    deg AS (SELECT x AS id, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY x),
+    wedge AS (
+      SELECT a1.x AS pa, a2.x AS pb, a1.z AS z
+      FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x),
+    openw AS (
+      SELECT w.* FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = w.pa AND e.v = w.pb)),
+    scored AS (
+      SELECT pa, pb,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(round(1e9 / ln(deg.d)) AS BIGINT)) AS BIGINT)
+               AS units
+      FROM openw JOIN deg ON openw.z = deg.id
+      WHERE deg.d >= 2
+      GROUP BY pa, pb)
+    SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b,
+           n_common AS n_common_neighbors,
+           (round(CAST(units AS DOUBLE) / 1e9 + 1e-9, 6) + 0.0)
+             AS adamic_adar
+    FROM scored ORDER BY units DESC, pa, pb LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: the top-20
+    NON-edges ranked by Adamic-Adar score Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z),
+    where parts are connected when ≥ 2 distinct orders contain both
+    (the same support floor the basket-lift query uses to kill
+    coincidence pairs). High-scoring non-edges are the
+    "customers who buy these never QUITE bought them together yet"
+    candidates — the classic collaborative-filtering recommendation
+    readout, and the same wedge algebra a dedup pipeline uses to route
+    likely-missed near-duplicate pairs to its expensive verifier.
+    (The shared-passage doc graph is the WRONG basis for this query:
+    its edges come from co-membership in a passage posting, so every
+    wedge closes by construction — components are cliques and the
+    open-wedge set is empty at every SF; the co-purchase graph has
+    genuine distance-2 structure.)
+
+    Scale shape: candidate pairs come from the OPEN-WEDGE join
+    (adjacency self-joined on the shared neighbor, a < b), never an
+    all-pairs scan; per-center fanout is deg(z)², with degree bounded
+    by the support-≥2 edge floor (and at catalog scale the standard
+    hub refinement — cap or subsample super-hub centers, orient wedges
+    through the low-degree endpoint as graph_triangle_count documents —
+    composes on the same frames). Existing edges drop via an anti-join.
+    Each 1/ln(deg) term is rounded to 1e-9 integer units BEFORE the
+    sum, so the score fold is exact integer addition in both engines
+    (the cross-engine float-summation-order class), and the top-20
+    orders by the exact integer score with (part_a, part_b)
+    tie-break."""
+    bp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a0, b0 = bp.alias("a0"), bp.alias("b0")
+    # pin the edge list: adjacency (twice) and the anti-join probe are
+    # multiple branches off it — unpinned, each re-runs the basket
+    # self-join over the fact table; pinned it is edge-sized
+    edges = pin(
+        a0.join(
+            b0,
+            (F.col("a0.l_orderkey") == F.col("b0.l_orderkey"))
+            & (F.col("a0.l_partkey") < F.col("b0.l_partkey")),
+        )
+        .groupBy(
+            F.col("a0.l_partkey").alias("u"),
+            F.col("b0.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    adj = edges.select(F.col("u").alias("x"), F.col("v").alias("z")).unionAll(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("z"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    wedge = a1.join(
+        a2, (F.col("a1.z") == F.col("a2.z")) & (F.col("a1.x") < F.col("a2.x"))
+    ).select(
+        F.col("a1.x").alias("pa"), F.col("a2.x").alias("pb"),
+        F.col("a1.z").alias("zc"),
+    )
+    openw = wedge.join(
+        edges,
+        (F.col("pa") == F.col("u")) & (F.col("pb") == F.col("v")),
+        "left_anti",
+    )
+    units = F.round(F.lit(1e9) / F.log(F.col("d"))).cast("long")
+    scored = (
+        openw.join(deg, openw.zc == deg.x)
+        .where(F.col("d") >= 2)
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(units).cast("long").alias("units"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("units"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+        .select(
+            F.col("pa").cast("long").alias("part_a"),
+            F.col("pb").cast("long").alias("part_b"),
+            F.col("n_common").alias("n_common_neighbors"),
+            rz6(F.col("units").cast("double") / 1e9).alias("adamic_adar"),
+        )
+    )
+
+
+@query(
+    "text_heaps_law",
+    oracle="""
+    WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+    dmap AS (
+      SELECT doc_id,
+             CAST((row_number() OVER (ORDER BY doc_id) - 1) * 10
+                  // (SELECT count(*) FROM documents) AS BIGINT) AS dec
+      FROM documents),
+    dtoks AS (
+      SELECT dmap.dec, sum(len(tk.toks)) AS n_toks
+      FROM tk JOIN dmap USING (doc_id) GROUP BY dmap.dec),
+    firstocc AS (
+      SELECT tok, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY tok),
+    dvocab AS (
+      SELECT dmap.dec, count(*) AS n_new
+      FROM firstocc JOIN dmap ON firstocc.first_doc = dmap.doc_id
+      GROUP BY dmap.dec),
+    spine AS (SELECT DISTINCT dec FROM dmap),
+    cp AS (
+      SELECT s.dec,
+             CAST(sum(coalesce(dt.n_toks, 0))
+                  OVER (ORDER BY s.dec) AS BIGINT) AS cum_tokens,
+             CAST(sum(coalesce(dv.n_new, 0))
+                  OVER (ORDER BY s.dec) AS BIGINT) AS cum_vocab
+      FROM spine s LEFT JOIN dtoks dt ON s.dec = dt.dec
+                   LEFT JOIN dvocab dv ON s.dec = dv.dec),
+    pts AS (
+      SELECT dec, cum_tokens, cum_vocab,
+             CAST(round(ln(cum_tokens) * 1e6) AS BIGINT) AS xu,
+             CAST(round(ln(cum_vocab) * 1e6) AS BIGINT) AS yu
+      FROM cp WHERE cum_tokens > 0 AND cum_vocab > 0),
+    fit AS (
+      SELECT count(*) AS n,
+             sum(CAST(xu AS DOUBLE)) AS sx, sum(CAST(yu AS DOUBLE)) AS sy,
+             sum(CAST(xu AS DOUBLE) * yu) AS sxy,
+             sum(CAST(xu AS DOUBLE) * xu) AS sxx,
+             sum(CAST(yu AS DOUBLE) * yu) AS syy
+      FROM pts)
+    SELECT CAST(dec + 1 AS BIGINT) AS decile, cum_tokens, cum_vocab,
+           (round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+                  + 1e-9, 4) + 0.0) AS heaps_beta,
+           (round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)
+                  + 1e-9, 4) + 0.0) AS fit_r2
+    FROM pts, fit ORDER BY decile
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: cumulative distinct-token
+    count V(N) at ten corpus checkpoints (doc-id deciles) against
+    cumulative token count N, with the power-law exponent β and fit r²
+    from log-log OLS over the checkpoints. β ≈ 0.4–0.6 is healthy
+    natural text; β near 0 means the tail of the corpus adds no new
+    vocabulary (template/duplicate flood), β near 1 means unbounded
+    novelty (OCR noise, random IDs) — either tail is a pre-training
+    red flag this dashboard catches before tokenizer training does.
+
+    Scale shape: cumulative DISTINCT vocabulary — naively a re-scan per
+    checkpoint — reduces to FIRST-OCCURRENCE counting: one fold to each
+    token's min doc_id, one map of docs to checkpoints (global_rank
+    range exchange, never a docs-count window), and V(checkpoint k) is
+    a prefix sum over the ≤10 checkpoint-grain rows (the only window,
+    bounded by the checkpoint count). The OLS folds ln-values rounded
+    to 1e-6 integer units (exact integer sums — the cross-engine
+    float-order class), combining the quadratic moments in double (the
+    int64-wrap class). Tokens never reshuffle more than once."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dmap = pin(
+        global_rank(docs, order=[F.asc("doc_id")], rank_col="rk")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            # integer division in BOTH engines (plain `/` is float
+            # division in each, and DuckDB's double->BIGINT cast ROUNDS
+            # while Spark's truncates — an 11th phantom decile)
+            F.expr("rk * 10 div nd").cast("long").alias("dec"),
+        )
+    )
+    tk = tok_docs(spark, sf_dir)
+    dtoks = (
+        tk.join(dmap, "doc_id")
+        .groupBy("dec")
+        .agg(F.sum(F.size("toks")).alias("n_toks"))
+    )
+    firstocc = (
+        tk.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    dvocab = (
+        firstocc.join(dmap, firstocc.first_doc == dmap.doc_id)
+        .groupBy("dec")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    spine = dmap.select("dec").distinct()
+    # the ONLY window: a prefix sum over the <=10 checkpoint-grain rows
+    wcum = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    cp = (
+        spine.join(dtoks, "dec", "left")
+        .join(dvocab, "dec", "left")
+        .select(
+            "dec",
+            F.sum(F.coalesce(F.col("n_toks"), F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    pts = cp.where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)).select(
+        "dec",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(F.log(F.col("cum_tokens")) * 1e6).cast("long").alias("xu"),
+        F.round(F.log(F.col("cum_vocab")) * 1e6).cast("long").alias("yu"),
+    )
+    xd, yd = F.col("xu").cast("double"), F.col("yu").cast("double")
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("yu")).alias("sxy"),
+        F.sum(xd * F.col("xu")).alias("sxx"),
+        F.sum(yd * F.col("yu")).alias("syy"),
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            (F.col("dec") + 1).cast("long").alias("decile"),
+            "cum_tokens",
+            "cum_vocab",
+            rz(cov_n / F.nullif(varx_n, F.lit(0.0)), 4).alias("heaps_beta"),
+            rz(
+                cov_n * cov_n / F.nullif(varx_n * vary_n, F.lit(0.0)), 4
+            ).alias("fit_r2"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "text_term_burstiness",
+    oracle="""
+    WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+    occ AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY tok),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+    SELECT tok AS token, cf, df,
+           (round(nd * (1 - exp(-(CAST(cf AS DOUBLE) / nd))) + 1e-9, 4) + 0.0)
+             AS expected_df,
+           (round(nd * (1 - exp(-(CAST(cf AS DOUBLE) / nd)))
+                  / df + 1e-9, 6) + 0.0) AS burstiness
+    FROM uc, d ORDER BY cf DESC, token LIMIT 20
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness for the 20 highest-frequency tokens:
+    observed document frequency vs the Poisson expectation
+    E[df] = D·(1 − e^(−cf/D)) given the collection frequency. Ratio ≈ 1
+    means the term scatters like background noise (a stopword);
+    ratio ≫ 1 means occurrences CLUMP into few documents — topical or
+    boilerplate terms. In a corpus pipeline the burstiness profile
+    separates true stopwords (safe to downweight globally) from
+    template markers (route to boilerplate stripping) — a distinction
+    raw frequency cannot make.
+
+    Scale shape: one token-grain fold (cf + df per token — the same
+    exchange the FTS index build pays), one scalar doc count broadcast,
+    and a top-20 TakeOrdered by exact integer collection frequency with
+    token tie-break. The Poisson term is a deterministic scalar
+    expression per output row (never aggregated), so float summation
+    order never enters."""
+    tk = tok_docs(spark, sf_dir)
+    uc = (
+        tk.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cf"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+    )
+    d = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    j = uc.crossJoin(F.broadcast(d))
+    e_df = F.col("nd") * (
+        F.lit(1.0) - F.exp(-(F.col("cf").cast("double") / F.col("nd")))
+    )
+    return (
+        j.orderBy(F.desc("cf"), F.asc("tok"))
+        .limit(20)
+        .select(
+            F.col("tok").alias("token"),
+            "cf",
+            "df",
+            rz(e_df, 4).alias("expected_df"),
+            rz6(e_df / F.col("df")).alias("burstiness"),
+        )
+    )

@@ -3092,3 +3092,86 @@ def test_abc_classification_integer_boundaries(spark, tmp_path):
     assert out["B"]["class_cents"] == 2000 and out["C"]["class_cents"] == 1000
     assert out["A"]["revenue_share"] == 0.7
     assert out["C"]["part_share"] == round(1 / 3 + 1e-9, 6)
+
+
+def test_link_prediction_scores_open_wedge_only(spark, tmp_path):
+    """Planted baskets: parts 1-2 and 2-3 each co-bought twice (edges),
+    1-3 never, 3-4 once (below the support-2 floor -> no edge, no
+    wedge). The single open wedge (1,3) through hub 2 (deg 2) scores
+    exactly round(1e9/ln 2)/1e9."""
+    import datetime as dt
+    import math
+
+    b = dt.datetime(2024, 1, 1)
+    baskets = [(1, [1, 2]), (2, [1, 2]), (3, [2, 3]), (4, [2, 3]), (5, [3, 4])]
+    rows = []
+    for ok, parts in baskets:
+        for i, p in enumerate(parts):
+            rows.append((ok, p, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", b))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = load_all()["graph_link_prediction"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r["part_a"], r["part_b"]) for r in out] == [(1, 3)]
+    (row,) = out
+    assert row["n_common_neighbors"] == 1
+    assert row["adamic_adar"] == round(
+        round(1e9 / math.log(2)) / 1e9 + 1e-9, 6
+    )
+
+
+def test_heaps_law_all_new_vocab_fits_beta_one(spark, tmp_path):
+    """20 docs, each contributing 4 globally-unique tokens -> V(N) = N
+    at every checkpoint, so the log-log OLS is exactly beta=1, r2=1,
+    and the final checkpoint carries the full corpus census."""
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(4)), "en", "s", 40)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = load_all()["text_heaps_law"].spark_fn(spark, str(tmp_path)).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    assert out[-1]["cum_tokens"] == 80 and out[-1]["cum_vocab"] == 80
+    toks = [r["cum_tokens"] for r in out]
+    assert toks == sorted(toks)
+    assert all(r["cum_tokens"] == r["cum_vocab"] for r in out)
+    assert out[0]["heaps_beta"] == 1.0 and out[0]["fit_r2"] == 1.0
+
+
+def test_term_burstiness_separates_clumped_from_scattered(spark, tmp_path):
+    """Token 'scat' appears once in each of 10 docs; 'clump' appears 10
+    times in ONE doc. Same collection frequency, so both share the
+    Poisson expectation 10(1-e^-1) ~ 6.32 -- but burstiness is ~0.63
+    for the stopword-like scatter and ~6.32 for the clump."""
+    import math
+
+    rows = []
+    for i in range(10):
+        body = "scat" + (" clump" * 10 if i == 0 else "")
+        rows.append((i, body, "en", "s", len(body)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["token"]: r
+        for r in load_all()["text_term_burstiness"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    e_df = 10 * (1 - math.exp(-1.0))
+    assert out["scat"]["cf"] == 10 and out["scat"]["df"] == 10
+    assert out["clump"]["cf"] == 10 and out["clump"]["df"] == 1
+    assert out["scat"]["expected_df"] == round(e_df + 1e-9, 4)
+    assert out["clump"]["burstiness"] == round(e_df / 1 + 1e-9, 6)
+    assert out["scat"]["burstiness"] == round(e_df / 10 + 1e-9, 6)
