@@ -5146,3 +5146,249 @@ def dq_ingest_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz(dev, 4).alias("deviation"),
         (F.abs(dev) > 0.5).alias("is_anomaly"),
     ).orderBy("day_num")
+
+
+@query(
+    "events_target_encoding",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM c GROUP BY event_type),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss
+      FROM g)
+    SELECT event_type, n AS n_events,
+           (round(CAST(s AS DOUBLE) / n / 100 + 1e-8, 4) + 0.0) AS raw_mean,
+           (round((s + 20.0 * ss / nn) / (n + 20) / 100 + 1e-8, 4) + 0.0)
+             AS encoded_mean,
+           (round(20.0 / (n + 20) + 1e-9, 6) + 0.0) AS shrink
+    FROM g, tot ORDER BY event_type
+    """,
+)
+def events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (empirical-Bayes) target-encoding audit for the
+    event_type categorical against the value target — the standard
+    feature-engineering transform a training pipeline applies to
+    high-cardinality categoricals, shown at category grain: raw
+    category mean, the m=20-pseudo-observation shrunk encoding
+    (s + m·μ_global)/(n + m), and the shrink weight m/(n+m) that says
+    how much each category was pulled toward the prior. Rare
+    categories shrink hard (the overfitting the transform exists to
+    prevent); the audit is what a feature store publishes next to the
+    encoder so reviewers can see the prior's pull before training on
+    it.
+
+    Scale shape: one grouped integer-moment fold (exact cents sums —
+    float order never enters), one 1-row global total broadcast, and
+    deterministic scalar divisions of exact integers per category row.
+    The category frame is |distinct types| — dashboard-sized at any
+    fact scale."""
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("s").cast("long").alias("ss")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu_g = F.lit(20.0) * F.col("ss") / F.col("nn")
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        rz(F.col("s").cast("double") / F.col("n") / 100, 4, 1e-8).alias(
+            "raw_mean"
+        ),
+        rz((F.col("s") + mu_g) / (F.col("n") + 20) / 100, 4, 1e-8).alias(
+            "encoded_mean"
+        ),
+        rz6(F.lit(20.0) / (F.col("n") + 20)).alias("shrink"),
+    ).orderBy("event_type")
+
+
+@query(
+    "events_session_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT)) AS BIGINT)
+               AS t_units
+      FROM c GROUP BY user_id HAVING sum(c) >= 5),
+    h AS (
+      SELECT n, n_types,
+             (round(ln(n) - CAST(t_units AS DOUBLE) / (n * 1e9) + 1e-9, 6)
+              + 0.0) AS rh
+      FROM u)
+    SELECT floor(rh * 4) / 4 AS entropy_bin,
+           CAST(count(*) AS BIGINT) AS n_users,
+           (round(avg(CAST(n AS DOUBLE)) + 1e-8, 4) + 0.0) AS avg_events,
+           (round(avg(CAST(n_types AS DOUBLE)) + 1e-8, 4) + 0.0) AS avg_types
+    FROM h GROUP BY entropy_bin ORDER BY entropy_bin
+    """,
+)
+def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: each user's Shannon entropy over
+    their event-type mix (H = ln n − (1/n)Σc·ln c, ≥5 events), bucketed
+    into quarter-nat bins with the user count and mean activity per
+    bin. The low-entropy mass is monotypic traffic (scripted clients,
+    scrapers — the complement of events_bot_detection's timing lens);
+    the high-entropy tail is genuinely engaged users. Segmentation
+    teams read the bimodality, abuse teams read the H≈0 spike.
+
+    Scale shape: one (user,type) fold, one user-grain fold, one
+    bin-grain fold — no windows, no joins beyond a bounded grouping
+    chain. Each c·ln c term rounds to 1e-9 integer units BEFORE the
+    per-user sum (exact integer addition — the cross-engine float-order
+    class; terms stay < 2^63 to ~4·10^8 events of one type for one
+    user), H is a deterministic double expression of exact integers
+    rounded at 6 digits, and the bin edge multiplies the ROUNDED value
+    by 4 — an exact power-of-two scaling, so the floor is
+    deterministic in both engines."""
+    c = t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.round(F.col("c") * F.log("c") * 1e9).cast("long"))
+            .cast("long")
+            .alias("t_units"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    rh = rz6(
+        F.log("n") - F.col("t_units").cast("double") / (F.col("n") * 1e9)
+    )
+    h = u.select("n", "n_types", rh.alias("rh"))
+    return (
+        h.groupBy((F.floor(F.col("rh") * 4) / 4).alias("entropy_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            rz(F.avg(F.col("n").cast("double")), 4, 1e-8).alias("avg_events"),
+            rz(F.avg(F.col("n_types").cast("double")), 4, 1e-8).alias(
+                "avg_types"
+            ),
+        )
+        .orderBy("entropy_bin")
+    )
+
+
+@query(
+    "events_max_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY dn),
+    eq AS (
+      SELECT dn,
+             CAST(sum(cents) OVER (ORDER BY dn) AS BIGINT) AS cum
+      FROM d),
+    dd AS (
+      SELECT dn, cum,
+             CAST(max(cum) OVER (ORDER BY dn) AS BIGINT) AS runmax
+      FROM eq),
+    trough AS (
+      SELECT dn AS trough_dn, cum AS trough_cum, runmax,
+             runmax - cum AS max_drawdown_cents
+      FROM dd ORDER BY runmax - cum DESC, dn LIMIT 1)
+    SELECT (SELECT CAST(min(dd.dn) AS BIGINT) FROM dd, trough
+            WHERE dd.cum = trough.runmax AND dd.dn <= trough.trough_dn)
+             AS peak_dn,
+           CAST(trough_dn AS BIGINT) AS trough_dn,
+           CAST(runmax AS BIGINT) AS peak_cum_cents,
+           CAST(trough_cum AS BIGINT) AS trough_cum_cents,
+           CAST(max_drawdown_cents AS BIGINT) AS max_drawdown_cents,
+           (round(CAST(max_drawdown_cents AS DOUBLE)
+                  / nullif(runmax, 0) + 1e-9, 6) + 0.0) AS drawdown_frac
+    FROM trough
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily NET-revenue curve
+    (purchases credit, errors debit as the chargeback/refund proxy —
+    gross purchase flow alone is nonnegative, so its cumulative curve
+    can never draw down and the statistic would be vacuously zero):
+    the deepest peak-to-trough fall, with the peak day, trough day,
+    and the fall as a fraction of the peak — the revenue-health
+    readout a finance/ops dashboard tracks: the worst sustained
+    stretch where debits outran credits. Days without flow simply
+    extend the previous equity level, so densification cannot change
+    the maximum and is skipped in both engines.
+
+    Scale shape: the fact scan folds to DAY grain first (exact integer
+    cents per day), and everything after — running sum, running max,
+    the trough argmax, the peak lookup — runs on the day-grain frame,
+    whose row count is calendar-bounded (≤ a few thousand rows per
+    tracked year regardless of fact volume; the unpartitioned windows
+    are bounded by that, never by data scale). All integer arithmetic;
+    the one float is the final fraction of two exact integers."""
+    d = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .groupBy(
+            (F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("long")
+            .alias("dn")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(-1)
+                * F.expr("CAST(round(value * 100) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    dd = d.select(
+        "dn",
+        F.sum("cents").over(w).cast("long").alias("cum"),
+    ).select("dn", "cum", F.max("cum").over(w).cast("long").alias("runmax"))
+    dd = pin(dd)
+    trough = (
+        dd.select(
+            F.col("dn").alias("trough_dn"),
+            F.col("cum").alias("trough_cum"),
+            F.col("runmax").alias("t_runmax"),
+            (F.col("runmax") - F.col("cum")).alias("max_drawdown_cents"),
+        )
+        .orderBy(F.desc("max_drawdown_cents"), F.asc("trough_dn"))
+        .limit(1)
+    )
+    peak = (
+        dd.join(
+            F.broadcast(trough),
+            (F.col("cum") == F.col("t_runmax"))
+            & (F.col("dn") <= F.col("trough_dn")),
+        )
+        .agg(F.min("dn").cast("long").alias("peak_dn"))
+    )
+    return peak.crossJoin(F.broadcast(trough)).select(
+        "peak_dn",
+        F.col("trough_dn").cast("long").alias("trough_dn"),
+        F.col("t_runmax").cast("long").alias("peak_cum_cents"),
+        F.col("trough_cum").cast("long").alias("trough_cum_cents"),
+        F.col("max_drawdown_cents").cast("long").alias("max_drawdown_cents"),
+        rz6(
+            F.col("max_drawdown_cents").cast("double")
+            / F.nullif(F.col("t_runmax"), F.lit(0))
+        ).alias("drawdown_frac"),
+    )

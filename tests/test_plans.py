@@ -3175,3 +3175,97 @@ def test_term_burstiness_separates_clumped_from_scattered(spark, tmp_path):
     assert out["scat"]["expected_df"] == round(e_df + 1e-9, 4)
     assert out["clump"]["burstiness"] == round(e_df / 1 + 1e-9, 6)
     assert out["scat"]["burstiness"] == round(e_df / 10 + 1e-9, 6)
+
+
+def test_target_encoding_shrinks_rare_category(spark, tmp_path):
+    """'common' has 100 events at $10; 'rare' one event at $1000. The
+    m=20 encoding must leave common nearly raw but pull rare hard
+    toward the global mean (shrink 20/21)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [(i, b, 1, "common", 10.0, "{}") for i in range(100)]
+    rows.append((100, b, 2, "rare", 1000.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["event_type"]: r
+        for r in load_all()["events_target_encoding"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    s_rare, n_rare = 100000, 1
+    ss, nn = 100 * 1000 + 100000, 101
+    expect_rare = round((s_rare + 20.0 * ss / nn) / (n_rare + 20) / 100 + 1e-8, 4)
+    assert out["rare"]["raw_mean"] == 1000.0
+    assert out["rare"]["encoded_mean"] == expect_rare
+    assert out["rare"]["encoded_mean"] < 100.0  # pulled hard toward ~$19.80
+    assert out["rare"]["shrink"] == round(20 / 21 + 1e-9, 6)
+    assert out["common"]["shrink"] == round(20 / 120 + 1e-9, 6)
+    assert abs(out["common"]["encoded_mean"] - 10.0) < 2.0
+
+
+def test_session_entropy_bins_monotypic_vs_uniform(spark, tmp_path):
+    """User 1: 8 events of ONE type -> H=0 -> bin 0.0. User 2: 8 events
+    over 4 types evenly -> H=ln4~1.3863 -> bin 1.25. User 3: 3 events
+    -> excluded by the n>=5 floor."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for _ in range(8):
+        rows.append((eid, b, 1, "view", 1.0, "{}")); eid += 1
+    for ty in ["view", "click", "purchase", "error"] * 2:
+        rows.append((eid, b, 2, ty, 1.0, "{}")); eid += 1
+    for _ in range(3):
+        rows.append((eid, b, 3, "view", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["entropy_bin"]: r
+        for r in load_all()["events_session_entropy"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {0.0, 1.25}
+    assert out[0.0]["n_users"] == 1 and out[0.0]["avg_types"] == 1.0
+    assert out[1.25]["n_users"] == 1 and out[1.25]["avg_types"] == 4.0
+    assert out[1.25]["avg_events"] == 8.0
+
+
+def test_max_drawdown_planted_peak_trough(spark, tmp_path):
+    """Net curve 100, 150, 70, 50, 250 (dollars): peak day 1 at $150,
+    trough day 3 at $50, drawdown $100 = 2/3 of peak; day 4's recovery
+    must not mask it."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 1)
+    flows = [(0, "purchase", 100.0), (1, "purchase", 50.0),
+             (2, "error", 80.0), (3, "error", 20.0), (4, "purchase", 200.0)]
+    rows = [
+        (i, b + dt.timedelta(days=d), 1, ty, v, "{}")
+        for i, (d, ty, v) in enumerate(flows)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    dn0 = int(b.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    (row,) = load_all()["events_max_drawdown"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["peak_dn"] == dn0 + 1 and row["trough_dn"] == dn0 + 3
+    assert row["peak_cum_cents"] == 15000
+    assert row["trough_cum_cents"] == 5000
+    assert row["max_drawdown_cents"] == 10000
+    assert row["drawdown_frac"] == round(10000 / 15000 + 1e-9, 6)
