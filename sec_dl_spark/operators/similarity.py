@@ -1702,3 +1702,89 @@ def gram_matrix(df, vec_col: str = "embedding"):
 
     partials = df.select(vec_col).mapInPandas(acc, "i int, j int, g double")
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def procrustes_align(
+    pairs: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """Orthogonal Procrustes alignment between two embedding spaces —
+    the model-stitching / checkpoint-migration primitive: given paired
+    vectors (the same items embedded by model A and model B), find the
+    rotation R minimizing ‖A·R − B‖_F and return ``(R, aligned)`` where
+    ``aligned`` carries ``src`` mapped through R. The classical closed
+    form: R = U·Vᵀ from the SVD of the cross-Gram M = AᵀB.
+
+    Scale shape (the same discipline as :func:`gram_matrix` /
+    ``pca_whiten``): the N-sized work is ONE mapInPandas pass that
+    folds each Arrow batch's ``AᵀB`` locally, so the shuffle carries
+    only partitions × d² partial rows; the d×d cross-Gram (d² doubles —
+    kilobytes for any real embedding width) is the ONLY thing collected
+    to the driver, where numpy's SVD runs in microseconds; R ships back
+    as a broadcast-closure constant inside the apply pass. N never
+    moves, never pivots, never hits a driver bottleneck.
+
+    Determinism: the cross-Gram partials are float sums (batch-order
+    dependent in the last ulp), so R is deterministic only up to
+    numerical noise — this operator is pytest-pinned (planted-rotation
+    recovery), not oracle-checked; no SQL engine expresses the SVD.
+    """
+    import numpy as np
+
+    d = len(
+        pairs.select(src_col).first()[0]
+    )
+    if d * d > 50_000_000:  # the _DRIVER_FIT_MAX_ELEMS discipline
+        raise ValueError(f"cross-Gram d²={d * d} exceeds the driver-fit cap")
+
+    def cross(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        M = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _np.vstack(pdf[src_col].to_numpy()).astype(_np.float64)
+            B = _np.vstack(pdf[dst_col].to_numpy()).astype(_np.float64)
+            M = A.T @ B if M is None else M + A.T @ B
+        if M is None:
+            return
+        i, j = _np.indices(M.shape)
+        yield _pd.DataFrame(
+            {
+                "i": i.ravel().astype("int32"),
+                "j": j.ravel().astype("int32"),
+                "m": M.ravel(),
+            }
+        )
+
+    partials = pairs.select(src_col, dst_col).mapInPandas(
+        cross, "i int, j int, m double"
+    )
+    mg = (
+        partials.groupBy("i", "j")
+        .agg(F.sum("m").alias("m"))
+        .toPandas()
+        .sort_values(["i", "j"])
+    )
+    M = np.zeros((d, d))
+    M[mg["i"].to_numpy(), mg["j"].to_numpy()] = mg["m"].to_numpy()
+    U, _s, Vt = np.linalg.svd(M)
+    R = U @ Vt
+
+    def apply_r(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = _np.vstack(pdf[src_col].to_numpy()).astype(_np.float64)
+            out = pdf.copy()
+            out[src_col] = list((A @ R).astype(_np.float64))
+            yield out
+
+    aligned = pairs.mapInPandas(apply_r, pairs.schema)
+    return R, aligned

@@ -4969,3 +4969,87 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH kv AS (
+      SELECT 'p_brand->p_type' AS fd, CAST(p_brand AS VARCHAR) AS lhs,
+             CAST(p_type AS VARCHAR) AS rhs FROM part
+      UNION ALL
+      SELECT 'p_type->p_brand', CAST(p_type AS VARCHAR),
+             CAST(p_brand AS VARCHAR) FROM part
+      UNION ALL
+      SELECT 'p_name->p_partkey', CAST(p_name AS VARCHAR),
+             CAST(p_partkey AS VARCHAR) FROM part
+      UNION ALL
+      SELECT 'p_size->p_brand', CAST(p_size AS VARCHAR),
+             CAST(p_brand AS VARCHAR) FROM part),
+    g AS (
+      SELECT fd, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS nd
+      FROM kv GROUP BY fd, lhs)
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_variants,
+           (round(CAST(count(*) FILTER (nd > 1) AS DOUBLE) / count(*)
+                  + 1e-9, 6) + 0.0) AS violation_share,
+           (count(*) FILTER (nd > 1)) = 0 AS holds
+    FROM g GROUP BY fd ORDER BY fd
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over candidate column dependencies of
+    the part dimension (lhs → rhs holds iff every lhs value maps to ONE
+    rhs value): the schema-inference / normalization primitive a
+    profiler runs before declaring a column derivable — and the drift
+    alarm that fires when an upstream denormalization breaks (a brand
+    suddenly spanning two types). Four candidates are audited at once,
+    from the key-like (p_name → p_partkey) to the deliberately false
+    (p_size → p_brand), each reporting its violating-lhs count, worst
+    fan-out, and a holds verdict.
+
+    Scale shape: the Spark side streams ONE dimension scan through an
+    exploded (fd, lhs, rhs) triple per candidate (the
+    dq_categorical_entropy single-scan pattern — the oracle's UNION
+    ALL re-scan is DuckDB-side only), then two integer folds:
+    (fd, lhs)-grain distinct-rhs counts, fd-grain census. Cardinality
+    after the first fold is Σ|distinct lhs| — dimension-sized. All
+    integer counting; the one float is a ratio of exact integers."""
+    fds = [
+        ("p_brand->p_type", "p_brand", "p_type"),
+        ("p_type->p_brand", "p_type", "p_brand"),
+        ("p_name->p_partkey", "p_name", "p_partkey"),
+        ("p_size->p_brand", "p_size", "p_brand"),
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(fd).alias("fd"),
+                F.col(l).cast("string").alias("lhs"),
+                F.col(r).cast("string").alias("rhs"),
+            )
+            for fd, l, r in fds
+        ]
+    )
+    kv = (
+        t(spark, sf_dir, "part")
+        .select(F.explode(arr).alias("x"))
+        .select("x.fd", "x.lhs", "x.rhs")
+    )
+    g = kv.groupBy("fd", "lhs").agg(F.count_distinct("rhs").alias("nd"))
+    viol = F.count(F.when(F.col("nd") > 1, 1))
+    return (
+        g.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            viol.cast("long").alias("n_violating"),
+            F.max("nd").cast("long").alias("max_variants"),
+            rz6(viol.cast("double") / F.count(F.lit(1))).alias(
+                "violation_share"
+            ),
+            (viol == 0).alias("holds"),
+        )
+        .orderBy("fd")
+    )

@@ -5392,3 +5392,149 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("t_runmax"), F.lit(0))
         ).alias("drawdown_frac"),
     )
+
+
+@query(
+    "events_revenue_streaks",
+    oracle="""
+    WITH d0 AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY dn),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM d0),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS dn FROM span),
+    d AS (
+      SELECT s.dn, coalesce(d0.cents, 0) AS cents
+      FROM spine s LEFT JOIN d0 ON s.dn = d0.dn),
+    dl AS (
+      SELECT dn, cents - lag(cents) OVER (ORDER BY dn) AS delta
+      FROM d),
+    sg AS (
+      SELECT dn, CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1
+                      ELSE 0 END AS sgn,
+             row_number() OVER (ORDER BY dn) AS rn
+      FROM dl WHERE delta IS NOT NULL),
+    sgg AS (
+      SELECT dn, sgn,
+             rn - row_number() OVER (PARTITION BY sgn ORDER BY dn) AS grp
+      FROM sg),
+    isl AS (
+      SELECT sgn, grp,
+             CAST(count(*) AS BIGINT) AS len,
+             CAST(min(dn) AS BIGINT) AS start_dn
+      FROM sgg GROUP BY sgn, grp),
+    best AS (
+      SELECT sgn, len, start_dn,
+             row_number() OVER (PARTITION BY sgn
+                                ORDER BY len DESC, start_dn) AS rk
+      FROM isl),
+    census AS (
+      SELECT sgn, CAST(sum(len) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM isl GROUP BY sgn)
+    SELECT CASE WHEN c.sgn = 1 THEN 'up' WHEN c.sgn = -1 THEN 'down'
+                ELSE 'flat' END AS direction,
+           c.n_days, c.n_streaks,
+           b.len AS longest_days, b.start_dn AS longest_start_dn
+    FROM census c JOIN best b ON c.sgn = b.sgn AND b.rk = 1
+    ORDER BY direction
+    """,
+)
+def events_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Momentum census of the daily net-revenue series (same
+    credit/debit basis as events_max_drawdown, densified so a silent
+    day is an explicit zero): for each day-over-day direction
+    (up / down / flat), the total day count, the number of maximal
+    runs, and the longest run with its start day — the
+    "N consecutive growth days" readout an ops review quotes, and the
+    flat-streak row doubles as a stuck-pipeline detector (a long run
+    of zero deltas usually means ingest stopped, not revenue).
+
+    Scale shape: the fact scan folds to day grain first; the spine,
+    lag, and gaps-and-islands grouping (rn − per-direction rn, the
+    events_gap_islands pattern) all run on the calendar-bounded
+    day-grain frame (≤ a few thousand rows per tracked year at any
+    fact volume — the unpartitioned windows are bounded by the
+    calendar, never by data scale). Longest-run selection is a
+    deterministic (len DESC, start_dn) rank — no bare max_by ties.
+    Everything is exact integer arithmetic."""
+    d0 = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .groupBy(
+            (F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("long")
+            .alias("dn")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+                * F.expr("CAST(round(value * 100) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d = (
+        _scalar_spine(d0)
+        .join(d0, "dn", "left")
+        .select("dn", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    wd = Window.orderBy("dn")
+    dl = d.select(
+        "dn", (F.col("cents") - F.lag("cents").over(wd)).alias("delta")
+    ).where(F.col("delta").isNotNull())
+    sg = dl.select(
+        "dn",
+        F.when(F.col("delta") > 0, 1)
+        .when(F.col("delta") < 0, -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    isl = (
+        sg.select(
+            "dn",
+            "sgn",
+            (
+                F.col("rn")
+                - F.row_number().over(Window.partitionBy("sgn").orderBy("dn"))
+            ).alias("grp"),
+        )
+        .groupBy("sgn", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("len"),
+            F.min("dn").cast("long").alias("start_dn"),
+        )
+    )
+    isl = pin(isl)
+    best = isl.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("sgn").orderBy(
+                F.desc("len"), F.asc("start_dn")
+            )
+        ),
+    ).where(F.col("rk") == 1)
+    census = isl.groupBy("sgn").agg(
+        F.sum("len").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+    direction = (
+        F.when(F.col("c.sgn") == 1, "up")
+        .when(F.col("c.sgn") == -1, "down")
+        .otherwise("flat")
+    )
+    return (
+        census.alias("c")
+        .join(best.alias("b"), F.col("c.sgn") == F.col("b.sgn"))
+        .select(
+            direction.alias("direction"),
+            F.col("c.n_days").alias("n_days"),
+            F.col("c.n_streaks").alias("n_streaks"),
+            F.col("b.len").alias("longest_days"),
+            F.col("b.start_dn").alias("longest_start_dn"),
+        )
+        .orderBy("direction")
+    )

@@ -7205,3 +7205,60 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz6(e_df / F.col("df")).alias("burstiness"),
         )
     )
+
+
+@query("emb_procrustes_alignment", oracle=None)
+def emb_procrustes_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between two embedding spaces
+    (operators/similarity.py:procrustes_align — the model-stitching /
+    checkpoint-migration primitive): the second space is fabricated
+    from the fixture by a KNOWN orthogonal map (rotate dims by one
+    position and flip the sign of the first — a permutation+reflection
+    matrix), so the recovered rotation must drive the residual to
+    numerical zero and the report certifies it: paired-vector RMSE
+    before vs after alignment, plus ‖RᵀR − I‖ as the orthogonality
+    check. Rows-only by design: the SVD step is not SQL-expressible;
+    the planted-rotation recovery is pytest-pinned.
+
+    Scale shape: the N-sized work is one mapInPandas cross-Gram fold
+    (partials exchange is partitions × d², never N) and one broadcast
+    apply pass; only the d×d cross-Gram reaches the driver."""
+    from sec_dl_spark.operators.similarity import procrustes_align
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("src")
+    )
+    d = 64
+    # dst[i] = src[(i+1) mod d], with dst[0] sign-flipped: orthogonal
+    perm = F.expr(
+        f"transform(sequence(0, {d - 1}), "
+        f"i -> CASE WHEN i = 0 THEN -src[1] "
+        f"ELSE src[(i + 1) % {d}] END)"
+    )
+    pairs = e.select("vec_id", "src", perm.alias("dst"))
+    _R, aligned = procrustes_align(pairs, "src", "dst")
+
+    def sq_err(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    rep = pairs.select(F.col("vec_id"), sq_err("src", "dst").alias("se")).join(
+        aligned.select(
+            "vec_id", sq_err(F.col("src"), F.col("dst")).alias("se_after")
+        ),
+        "vec_id",
+    )
+    out = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sqrt(F.avg("se")).alias("rmse_before"),
+        F.sqrt(F.avg("se_after")).alias("rmse_after"),
+    )
+    return out.select(
+        "n_pairs",
+        F.lit(d).cast("long").alias("dim"),
+        rz6(F.col("rmse_before")).alias("rmse_before"),
+        rz6(F.col("rmse_after")).alias("rmse_after"),
+    )

@@ -2363,3 +2363,45 @@ def test_agg_delta_mixed_stream_equals_recompute(spark):
         for r in agg_delta(base, changes, ["k"], {"sv": "v"}).collect()
     }
     assert out == {"a": (1, 20), "c": (2, 10)}
+
+
+def test_procrustes_align_recovers_planted_rotation(spark):
+    """procrustes_align must recover an exact planted rotation: dst =
+    src @ R0 for a block-Givens R0 -> returned R == R0 (to float noise)
+    and the aligned residual collapses to ~0."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.similarity import procrustes_align
+
+    rng_vals = [
+        [((i * 17 + j * 5) % 11 - 5) / 2.0 for j in range(4)] for i in range(60)
+    ]
+    A = np.array(rng_vals)
+    c30, s30 = math.cos(0.5), math.sin(0.5)
+    c60, s60 = math.cos(1.1), math.sin(1.1)
+    R0 = np.array(
+        [
+            [c30, -s30, 0, 0],
+            [s30, c30, 0, 0],
+            [0, 0, c60, -s60],
+            [0, 0, s60, c60],
+        ]
+    )
+    B = A @ R0
+    pairs = spark.createDataFrame(
+        [(i, A[i].tolist(), B[i].tolist()) for i in range(60)],
+        "id long, src array<double>, dst array<double>",
+    )
+    R, aligned = procrustes_align(pairs, "src", "dst")
+    assert np.allclose(R, R0, atol=1e-9)
+    resid = aligned.select(
+        F.aggregate(
+            F.zip_with("src", "dst", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("se")
+    ).agg(F.sum("se").alias("t")).collect()[0]["t"]
+    assert resid < 1e-18

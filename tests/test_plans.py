@@ -3269,3 +3269,89 @@ def test_max_drawdown_planted_peak_trough(spark, tmp_path):
     assert row["trough_cum_cents"] == 5000
     assert row["max_drawdown_cents"] == 10000
     assert row["drawdown_frac"] == round(10000 / 15000 + 1e-9, 6)
+
+
+def test_functional_dependency_verdicts(spark, tmp_path):
+    """Planted part dim: B1 spans two types (brand->type violated),
+    every type maps to one brand (type->brand holds), names are unique
+    (name->partkey holds), size 5 spans two brands (size->brand
+    violated with fan-out 2)."""
+    rows = [
+        (1, "n1", "B1", "T1", 5, 1.0),
+        (2, "n2", "B1", "T2", 5, 1.0),
+        (3, "n3", "B2", "T3", 5, 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+
+    out = {
+        r["fd"]: r
+        for r in load_all()["dq_functional_dependency"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert not out["p_brand->p_type"]["holds"]
+    assert out["p_brand->p_type"]["n_violating"] == 1
+    assert out["p_brand->p_type"]["max_variants"] == 2
+    assert out["p_type->p_brand"]["holds"]
+    assert out["p_name->p_partkey"]["holds"]
+    assert not out["p_size->p_brand"]["holds"]
+    assert out["p_size->p_brand"]["violation_share"] == 1.0
+
+
+def test_revenue_streaks_planted_runs(spark, tmp_path):
+    """Daily nets 100,200,300,250,200,200,300 cents: up deltas on days
+    1,2,6 (runs of 2 and 1), down on 3,4 (one run of 2), flat on 5."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 1)
+    dollars = [1.0, 2.0, 3.0, 2.5, 2.0, 2.0, 3.0]
+    rows = [
+        (i, b + dt.timedelta(days=i), 1, "purchase", v, "{}")
+        for i, v in enumerate(dollars)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    dn0 = int(b.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    out = {
+        r["direction"]: r
+        for r in load_all()["events_revenue_streaks"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"up", "down", "flat"}
+    up = out["up"]
+    assert (up["n_days"], up["n_streaks"], up["longest_days"]) == (3, 2, 2)
+    assert up["longest_start_dn"] == dn0 + 1
+    dn = out["down"]
+    assert (dn["n_days"], dn["n_streaks"], dn["longest_days"]) == (2, 1, 2)
+    assert dn["longest_start_dn"] == dn0 + 3
+    fl = out["flat"]
+    assert (fl["n_days"], fl["n_streaks"], fl["longest_days"]) == (1, 1, 1)
+
+
+def test_procrustes_query_zeroes_planted_rotation(spark, tmp_path):
+    """emb_procrustes_alignment on a 64-dim fixture: the fabricated
+    space is a known orthogonal map of the source, so rmse_after must
+    hit exactly 0.0 at 6 digits while rmse_before is far from it."""
+    rows = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 3.0 for j in range(64)], i % 3)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    (row,) = load_all()["emb_procrustes_alignment"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_pairs"] == 40 and row["dim"] == 64
+    assert row["rmse_after"] == 0.0
+    assert row["rmse_before"] > 0.5
