@@ -5053,3 +5053,109 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+@query(
+    "dq_numeric_correlation_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 10000) AS BIGINT) AS d,
+             CAST(round(l_tax * 10000) AS BIGINT) AS t
+      FROM lineitem),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(CAST(q AS DOUBLE)) AS sq, sum(CAST(p AS DOUBLE)) AS sp,
+             sum(CAST(d AS DOUBLE)) AS sd, sum(CAST(t AS DOUBLE)) AS st,
+             sum(CAST(q AS DOUBLE) * q) AS sqq, sum(CAST(p AS DOUBLE) * p) AS spp,
+             sum(CAST(d AS DOUBLE) * d) AS sdd, sum(CAST(t AS DOUBLE) * t) AS stt,
+             sum(CAST(q AS DOUBLE) * p) AS sqp, sum(CAST(q AS DOUBLE) * d) AS sqd,
+             sum(CAST(q AS DOUBLE) * t) AS sqt, sum(CAST(p AS DOUBLE) * d) AS spd,
+             sum(CAST(p AS DOUBLE) * t) AS spt, sum(CAST(d AS DOUBLE) * t) AS sdt
+      FROM c),
+    pairs AS (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             n * sqp - sq * sp AS cov_n,
+             (n * sqq - sq * sq) * (n * spp - sp * sp) AS var_prod FROM mo
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+             n * sqd - sq * sd, (n * sqq - sq * sq) * (n * sdd - sd * sd) FROM mo
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             n * sqt - sq * st, (n * sqq - sq * sq) * (n * stt - st * st) FROM mo
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             n * spd - sp * sd, (n * spp - sp * sp) * (n * sdd - sd * sd) FROM mo
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             n * spt - sp * st, (n * spp - sp * sp) * (n * stt - st * st) FROM mo
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             n * sdt - sd * st, (n * sdd - sd * sd) * (n * stt - st * st) FROM mo)
+    SELECT col_a, col_b,
+           (round(cov_n / nullif(sqrt(var_prod), 0.0) + 1e-9, 6) + 0.0)
+             AS pearson_r
+    FROM pairs ORDER BY col_a, col_b
+    """,
+)
+def dq_numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four numeric
+    lineitem measures — the profiler readout that catches derived or
+    leaking columns before feature selection does (a |r| ≈ 1 pair means
+    one column is an affine ghost of the other; an unexpected sign
+    flags a broken upstream transform). All six pairs come from ONE
+    fact scan: fourteen moments (4 sums, 4 squares, 6 cross-products)
+    fold in a single aggregate and the matrix is a constant 6-row
+    expansion of that one-row frame.
+
+    Scale shape: the single-scan / single-fold discipline of
+    operators/quality.py's rules engine; values are exact integer
+    cents/bps before any product, quadratic and cross moments
+    accumulate in DOUBLE in both engines (the int64 square-wrap
+    class — each term integer-exact below 2^53), and every correlation
+    is a deterministic expression of the folded moments."""
+    c = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
+        F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
+    )
+    cols = ["q", "p", "d", "t"]
+    names = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in cols:
+        aggs.append(F.sum(F.col(a).cast("double")).alias(f"s{a}"))
+        aggs.append(
+            F.sum(F.col(a).cast("double") * F.col(a)).alias(f"s{a}{a}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b)).alias(f"s{a}{b}")
+            )
+    mo = c.agg(*aggs)
+    n = F.col("n")
+
+    def var_n(a):
+        return n * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            cov_n = n * F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
+            rows.append(
+                F.struct(
+                    F.lit(names[a]).alias("col_a"),
+                    F.lit(names[b]).alias("col_b"),
+                    rz6(
+                        cov_n
+                        / F.nullif(F.sqrt(var_n(a) * var_n(b)), F.lit(0.0))
+                    ).alias("pearson_r"),
+                )
+            )
+    return (
+        mo.select(F.explode(F.array(*rows)).alias("x"))
+        .select("x.col_a", "x.col_b", "x.pearson_r")
+        .orderBy("col_a", "col_b")
+    )

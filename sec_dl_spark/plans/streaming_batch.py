@@ -5538,3 +5538,106 @@ def events_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("direction")
     )
+
+
+@query(
+    "events_periodogram",
+    oracle="""
+    WITH d0 AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn, count(*) AS x
+      FROM events GROUP BY dn),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM d0),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS dn FROM span),
+    d AS (
+      SELECT s.dn - span.lo AS tt, coalesce(d0.x, 0) AS x
+      FROM spine s LEFT JOIN d0 ON s.dn = d0.dn, span),
+    m AS (SELECT count(*) AS nd, sum(x) // count(*) AS ybar FROM d),
+    y AS (SELECT tt, CAST(x - ybar AS BIGINT) AS y FROM d, m),
+    p AS (SELECT unnest(generate_series(2, 30)) AS period),
+    terms AS (
+      SELECT p.period,
+             CAST(round(y.y * cos(2 * pi() * y.tt / p.period) * 1e6)
+                  AS BIGINT) AS au,
+             CAST(round(y.y * sin(2 * pi() * y.tt / p.period) * 1e6)
+                  AS BIGINT) AS bu
+      FROM y, p),
+    pw AS (
+      SELECT period,
+             CAST(sum(au) AS DOUBLE) * sum(au)
+             + CAST(sum(bu) AS DOUBLE) * sum(bu) AS power
+      FROM terms GROUP BY period),
+    tot AS (SELECT sum(power) AS tp, max(power) AS mp FROM pw)
+    SELECT CAST(period AS BIGINT) AS period,
+           (round(power / nullif(tp, 0.0) + 1e-9, 6) + 0.0) AS power_share,
+           power = mp AS dominant
+    FROM pw, tot ORDER BY period
+    """,
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram screen over the daily event-count series: spectral
+    power at candidate cycle lengths 2..30 days (Goertzel-style
+    A_p = Σ y_t·cos(2πt/p), B_p = Σ y_t·sin(2πt/p) on the demeaned,
+    densified series), each reported as its share of total candidate
+    power with the dominant cycle flagged. Where dow_seasonality
+    ASSUMES the week and measures it, this query DISCOVERS the cycle —
+    a 14-day paycheck rhythm, a 30-day billing pulse, or an unexpected
+    9-day batch artifact all surface without being hypothesized.
+
+    Scale shape: the fact scan folds to day grain first; the spine,
+    demeaning (integer ybar = total div n_days — exact in both
+    engines), and the days × 29 candidate cross join are all
+    calendar-bounded. Each trig term is rounded to 1e-6 integer units
+    BEFORE the sum (exact integer addition — float-order class;
+    a last-ulp cos/sin divergence moves a term by ≤1 unit of ~1e12,
+    far inside the 6-digit share round), and power combines the two
+    exact sums in double (the int64 square-wrap class)."""
+    d0 = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("long")
+            .alias("dn")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    lo = d0.agg(F.min("dn").alias("lo"))
+    d = (
+        _scalar_spine(d0)
+        .join(d0, "dn", "left")
+        .crossJoin(F.broadcast(lo))
+        .select(
+            (F.col("dn") - F.col("lo")).alias("tt"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.expr("sum(x) div count(*)").alias("ybar"),
+    )
+    y = d.crossJoin(F.broadcast(m)).select(
+        "tt", (F.col("x") - F.col("ybar")).cast("long").alias("y")
+    )
+    p = spark.range(2, 31).select(F.col("id").alias("period"))
+    ang = F.lit(2.0) * F.lit(3.141592653589793) * F.col("tt") / F.col("period")
+    terms = y.crossJoin(F.broadcast(p)).select(
+        "period",
+        F.round(F.col("y") * F.cos(ang) * 1e6).cast("long").alias("au"),
+        F.round(F.col("y") * F.sin(ang) * 1e6).cast("long").alias("bu"),
+    )
+    pw = terms.groupBy("period").agg(
+        (
+            F.sum("au").cast("double") * F.sum("au")
+            + F.sum("bu").cast("double") * F.sum("bu")
+        ).alias("power")
+    )
+    tot = pw.agg(F.sum("power").alias("tp"), F.max("power").alias("mp"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("period").cast("long").alias("period"),
+            rz6(F.col("power") / F.nullif(F.col("tp"), F.lit(0.0))).alias(
+                "power_share"
+            ),
+            (F.col("power") == F.col("mp")).alias("dominant"),
+        )
+        .orderBy("period")
+    )

@@ -3355,3 +3355,69 @@ def test_procrustes_query_zeroes_planted_rotation(spark, tmp_path):
     assert row["n_pairs"] == 40 and row["dim"] == 64
     assert row["rmse_after"] == 0.0
     assert row["rmse_before"] > 0.5
+
+
+def test_periodogram_detects_planted_weekly_cycle(spark, tmp_path):
+    """28 days of counts 100 + 50*cos(2*pi*t/7): the period-7 bin must
+    dominate and carry most of the candidate power."""
+    import datetime as dt
+    import math
+
+    b = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for t_day in range(28):
+        n = 100 + round(50 * math.cos(2 * math.pi * t_day / 7))
+        for k in range(n):
+            rows.append(
+                (eid, b + dt.timedelta(days=t_day, seconds=k), 1, "view",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["period"]: r
+        for r in load_all()["events_periodogram"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == set(range(2, 31))
+    assert out[7]["dominant"]
+    assert out[7]["power_share"] > 0.5
+    assert sum(r["dominant"] for r in out.values()) == 1
+
+
+def test_correlation_matrix_flags_affine_ghost_and_constant(spark, tmp_path):
+    """extendedprice = 10*quantity exactly -> r = 1.0; discount is
+    constant -> its pairs have zero variance -> NULL correlation (the
+    nullif guard, identical in both engines)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i, 1, 1, float(q), 10.0 * q, 0.05, 0.01 * (i % 3), "N", "O", b)
+        for i, q in enumerate([1, 2, 3, 4, 5, 6, 7, 8])
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in load_all()["dq_numeric_correlation_matrix"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 6
+    assert out[("l_quantity", "l_extendedprice")] == 1.0
+    assert out[("l_extendedprice", "l_discount")] is None
+    assert out[("l_quantity", "l_discount")] is None
+    assert out[("l_discount", "l_tax")] is None
