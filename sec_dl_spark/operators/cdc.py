@@ -179,14 +179,7 @@ def agg_delta(
     keys are dropped like zeros (recompute would not hold them either
     way) and surfacing them is the DQ layer's job, not the merge's.
     """
-    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
-    folded = changes.groupBy(*keys).agg(
-        F.sum(sign).cast("long").alias(n_col),
-        *[
-            F.sum(sign * F.col(src)).alias(out)
-            for out, src in measures.items()
-        ],
-    )
+    folded = fold_changes(changes, keys, measures, op_col=op_col, n_col=n_col)
     merged = (
         base.select(*keys, n_col, *measures)
         .unionByName(folded)
@@ -197,3 +190,26 @@ def agg_delta(
         )
     )
     return merged.where(F.col(n_col) > 0)
+
+
+def fold_changes(
+    changes: DataFrame,
+    keys: list,
+    measures: dict,
+    op_col: str = "op",
+    n_col: str = "n",
+) -> DataFrame:
+    """The signed key-grain fold under :func:`agg_delta`, exposed for
+    incremental sinks (streaming/ivm.py publishes one folded partial
+    per micro-batch): inserts contribute (+1, +value), deletes
+    (-1, -value), summed to key grain. Partials are a plain sum monoid
+    — any grouping of the change stream folds to the same view, which
+    is what makes the merge-on-read maintenance batching-invariant."""
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    return changes.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias(n_col),
+        *[
+            F.sum(sign * F.col(src)).alias(out)
+            for out, src in measures.items()
+        ],
+    )

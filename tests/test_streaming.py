@@ -2167,3 +2167,85 @@ def test_streaming_bot_gate_is_batching_invariant(spark, tmp_path_factory):
     scores = {r["user_id"]: r for r in bot_scores(merged_gap_moments(spark, out)).collect()}
     assert scores[1]["is_bot"] and scores[1]["gap_cv"] == 0.0
     assert not scores[2]["is_bot"] and scores[2]["gap_cv"] > 0.3
+
+
+def test_streaming_ivm_retraction_view_matches_recompute(spark, tmp_path_factory):
+    """Streaming aggregate IVM (streaming/ivm.py): signed per-batch
+    partials merged on read must equal the from-scratch recompute over
+    surviving rows EXACTLY — deletes crossing batch boundaries included
+    — be batching-invariant (3 micro-batches == 1), drop emptied keys,
+    and replay idempotently after a checkpoint wipe (same run token,
+    overwrite-on-retry)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.streaming.ivm import incremental_agg_sink, read_view
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    batches = [
+        [("a", "I", 10), ("a", "I", 20), ("b", "I", 5)],
+        [("a", "D", 10), ("c", "I", 7)],   # retracts batch-0's row
+        [("b", "D", 5), ("c", "I", 3)],    # empties key b
+    ]
+    expected = {"a": (1, 20), "c": (2, 10)}
+
+    def run_sink(chunks, tag, ckpt=None):
+        src = tmp_path_factory.mktemp(f"ivm_src_{tag}")
+        view = str(tmp_path_factory.mktemp(f"ivm_view_{tag}") / "view")
+        ckpt = ckpt or str(tmp_path_factory.mktemp(f"ivm_ckpt_{tag}") / "ckpt")
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/b={i}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b=*")
+        )
+        incremental_agg_sink(
+            stream, view, ckpt, ["k"], {"sv": "v"}
+        ).awaitTermination(120)
+        return view, ckpt
+
+    view3, ckpt3 = run_sink(batches, "split")
+    got3 = {
+        r["k"]: (r["n"], r["sv"])
+        for r in read_view(spark, view3, ["k"], {"sv": "v"}).collect()
+    }
+    assert got3 == expected
+
+    view1, _ = run_sink([sum(batches, [])], "single")
+    got1 = {
+        r["k"]: (r["n"], r["sv"])
+        for r in read_view(spark, view1, ["k"], {"sv": "v"}).collect()
+    }
+    assert got1 == expected
+
+    # replay after checkpoint wipe: same run token -> partitions
+    # overwrite instead of double-counting
+    shutil.rmtree(ckpt3)
+    src_replay = tmp_path_factory.mktemp("ivm_src_replay")
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_replay}/b={i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_replay}/b=*")
+    )
+    incremental_agg_sink(
+        stream, view3, ckpt3, ["k"], {"sv": "v"}
+    ).awaitTermination(120)
+    again = {
+        r["k"]: (r["n"], r["sv"])
+        for r in read_view(spark, view3, ["k"], {"sv": "v"}).collect()
+    }
+    assert again == expected
