@@ -5159,3 +5159,151 @@ def dq_numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("x.col_a", "x.col_b", "x.pearson_r")
         .orderBy("col_a", "col_b")
     )
+
+
+@query(
+    "corpus_temperature_sweep",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             pow(n_docs, 0.3) AS w03, pow(n_docs, 0.5) AS w05,
+             pow(n_docs, 0.7) AS w07, CAST(n_docs AS DOUBLE) AS w10
+      FROM s),
+    tot AS (
+      SELECT sum(w03) AS t03, sum(w05) AS t05, sum(w07) AS t07,
+             sum(w10) AS t10
+      FROM w)
+    SELECT source, n_docs,
+           (round(w03 / t03 + 1e-9, 6) + 0.0) AS share_t03,
+           (round(w05 / t05 + 1e-9, 6) + 0.0) AS share_t05,
+           (round(w07 / t07 + 1e-9, 6) + 0.0) AS share_t07,
+           (round(w10 / t10 + 1e-9, 6) + 0.0) AS share_t10
+    FROM w, tot ORDER BY source
+    """,
+)
+def corpus_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling sweep for the mixture designer: each
+    source's sampling share under w = n^τ at τ ∈ {0.3, 0.5, 0.7, 1.0}
+    side by side — the table a pre-training team reads to CHOOSE the
+    temperature (corpus_temperature_mixture then applies the chosen
+    one). τ=1 is proportional sampling; lowering τ compresses the
+    head-source dominance toward uniform, and the sweep shows exactly
+    how much each step of τ moves each source.
+
+    Scale shape: one corpus scan folds to source grain (a handful of
+    rows); the four weight totals come off that frame in one 1-row
+    aggregate. The pow() weights are per-source scalars (never summed
+    across engines at float precision — the totals sum ≤ |sources|
+    values and land inside the 6-digit round; the λ-bracket integer
+    discipline corpus_budget_waterfill needs does not apply because no
+    ORDERING decision reads these floats)."""
+    s = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        F.pow("n_docs", F.lit(0.3)).alias("w03"),
+        F.pow("n_docs", F.lit(0.5)).alias("w05"),
+        F.pow("n_docs", F.lit(0.7)).alias("w07"),
+        F.col("n_docs").cast("double").alias("w10"),
+    )
+    tot = w.agg(
+        F.sum("w03").alias("t03"),
+        F.sum("w05").alias("t05"),
+        F.sum("w07").alias("t07"),
+        F.sum("w10").alias("t10"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            rz6(F.col("w03") / F.col("t03")).alias("share_t03"),
+            rz6(F.col("w05") / F.col("t05")).alias("share_t05"),
+            rz6(F.col("w07") / F.col("t07")).alias("share_t07"),
+            rz6(F.col("w10") / F.col("t10")).alias("share_t10"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dq_string_format_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT 'c_name' AS col_name, CAST(c_name AS VARCHAR) AS val
+      FROM customer
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'p_type', CAST(p_type AS VARCHAR) FROM part)
+    SELECT col_name,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+           CAST(min(length(val)) AS BIGINT) AS min_len,
+           CAST(max(length(val)) AS BIGINT) AS max_len,
+           (round(CAST(count(*) FILTER (regexp_matches(val, '^[A-Za-z]+#[0-9]+$'))
+                       AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS share_tagged_id,
+           (round(CAST(count(*) FILTER (regexp_matches(val, '^[0-9]+-'))
+                       AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS share_rank_prefixed,
+           (round(CAST(count(*) FILTER (regexp_matches(val, ' '))
+                       AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS share_multiword
+    FROM kv GROUP BY col_name ORDER BY col_name
+    """,
+)
+def dq_string_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-format census over three identifier-ish columns: length
+    envelope, distinct count, and the share matching each of three
+    format signatures (word#digits tagged ids, digit-dash rank
+    prefixes, embedded whitespace) — the profiling pass that catches a
+    format drift (an upstream that stops zero-padding, a locale that
+    sneaks spaces into keys) before downstream parsers do. The three
+    regexes use only character classes and anchors, the dialect
+    subset Java and RE2 evaluate identically.
+
+    Scale shape: the Spark side streams ONE exploded (col, val) pass
+    per table scan (the dq_categorical_entropy pattern — the oracle's
+    UNION ALL is DuckDB-side only) into a single 3-group fold; all
+    counting is exact integers, shares are ratios of exact counts."""
+    frames = [
+        t(spark, sf_dir, "customer").select(
+            F.lit("c_name").alias("col_name"),
+            F.col("c_name").cast("string").alias("val"),
+        ),
+        t(spark, sf_dir, "orders").select(
+            F.lit("o_orderpriority").alias("col_name"),
+            F.col("o_orderpriority").cast("string").alias("val"),
+        ),
+        t(spark, sf_dir, "part").select(
+            F.lit("p_type").alias("col_name"),
+            F.col("p_type").cast("string").alias("val"),
+        ),
+    ]
+    kv = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    n = F.count(F.lit(1))
+
+    def share(pat):
+        return rz6(
+            F.count(F.when(F.col("val").rlike(pat), 1)).cast("double") / n
+        )
+
+    return (
+        kv.groupBy("col_name")
+        .agg(
+            n.cast("long").alias("n_values"),
+            F.count_distinct("val").cast("long").alias("n_distinct"),
+            F.min(F.length("val")).cast("long").alias("min_len"),
+            F.max(F.length("val")).cast("long").alias("max_len"),
+            share("^[A-Za-z]+#[0-9]+$").alias("share_tagged_id"),
+            share("^[0-9]+-").alias("share_rank_prefixed"),
+            share(" ").alias("share_multiword"),
+        )
+        .orderBy("col_name")
+    )

@@ -7262,3 +7262,114 @@ def emb_procrustes_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz6(F.col("rmse_before")).alias("rmse_before"),
         rz6(F.col("rmse_after")).alias("rmse_after"),
     )
+
+
+@query(
+    "graph_kcore_peeling",
+    oracle="""
+    WITH bp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                             FROM lineitem),
+    -- every stage is MATERIALIZED: each is referenced from multiple
+    -- downstream CTEs and scalar subqueries, and DuckDB's default
+    -- inlining re-evaluates the whole nested chain per reference -
+    -- exponential in peel depth (the un-hinted form runs for minutes
+    -- at sf0.1; materialized, milliseconds)
+    e1 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+    d1 AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+             SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1) GROUP BY id),
+    k1 AS MATERIALIZED (SELECT id FROM d1 WHERE d >= 2),
+    e2 AS MATERIALIZED (SELECT u, v FROM e1
+           WHERE u IN (SELECT id FROM k1) AND v IN (SELECT id FROM k1)),
+    d2 AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+             SELECT u AS id FROM e2 UNION ALL SELECT v FROM e2) GROUP BY id),
+    k2 AS MATERIALIZED (SELECT id FROM d2 WHERE d >= 2),
+    e3 AS MATERIALIZED (SELECT u, v FROM e2
+           WHERE u IN (SELECT id FROM k2) AND v IN (SELECT id FROM k2)),
+    d3 AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+             SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3) GROUP BY id),
+    k3 AS MATERIALIZED (SELECT id FROM d3 WHERE d >= 2),
+    e4 AS MATERIALIZED (SELECT u, v FROM e3
+           WHERE u IN (SELECT id FROM k3) AND v IN (SELECT id FROM k3)),
+    d4 AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+             SELECT u AS id FROM e4 UNION ALL SELECT v FROM e4) GROUP BY id)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS round,
+             (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+      UNION ALL SELECT 1, (SELECT count(*) FROM d2), (SELECT count(*) FROM e2)
+      UNION ALL SELECT 2, (SELECT count(*) FROM d3), (SELECT count(*) FROM e3)
+      UNION ALL SELECT 3, (SELECT count(*) FROM d4), (SELECT count(*) FROM e4)
+    ) ORDER BY round
+    """,
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling trajectory of the part co-purchase graph (same
+    support-≥2 edge basis as graph_link_prediction): three fixed
+    peeling rounds — each drops nodes of degree < 2 and their incident
+    edges — with the (nodes, edges) census after each. The trajectory
+    separates a graph whose periphery is shallow (census stabilizes in
+    one round: safe to mine cliques directly) from one that unravels
+    (chains peel away round after round — the co-purchase "long tail"
+    that basket mining should exclude). Fixed-round peeling is the
+    oracle-stable form of k-core decomposition: the full fixpoint's
+    iteration count is data-dependent, so the query pins the round
+    budget exactly like graph_pagerank_neardup pins its Pregel rounds,
+    and the census converging within the budget is itself the
+    finding.
+
+    Scale shape: each round is one degree fold over the edge endpoint
+    stream plus two semi-joins to keep surviving edges — edge-sized
+    frames throughout, every round's edge list pinned once
+    (session.pin) because the next round's degree fold and BOTH
+    semi-join probes read it. All exact integer counting."""
+    bp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a0, b0 = bp.alias("a0"), bp.alias("b0")
+    edges = pin(
+        a0.join(
+            b0,
+            (F.col("a0.l_orderkey") == F.col("b0.l_orderkey"))
+            & (F.col("a0.l_partkey") < F.col("b0.l_partkey")),
+        )
+        .groupBy(
+            F.col("a0.l_partkey").alias("u"),
+            F.col("b0.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    rows = []
+    cur = edges
+    for rnd in range(4):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .unionAll(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        census = deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        ).crossJoin(
+            F.broadcast(cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        ).select(F.lit(rnd).cast("long").alias("round"), "n_nodes", "n_edges")
+        rows.append(census)
+        if rnd < 3:
+            keep = deg.where(F.col("d") >= 2).select("id")
+            nxt = (
+                cur.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+                .select("u", "v")
+            )
+            cur = pin(nxt)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

@@ -3421,3 +3421,100 @@ def test_correlation_matrix_flags_affine_ghost_and_constant(spark, tmp_path):
     assert out[("l_extendedprice", "l_discount")] is None
     assert out[("l_quantity", "l_discount")] is None
     assert out[("l_discount", "l_tax")] is None
+
+
+def test_kcore_peeling_unravels_chain_keeps_clique(spark, tmp_path):
+    """Planted co-purchase graph: a triangle {1,2,3} (each pair co-bought
+    twice) plus a chain 3-4-5: round 0 sees all 5 nodes/5 edges, peeling
+    strips the chain endpoints round by round, and the triangle survives
+    every round (it IS the 2-core)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    rows, ok = [], 0
+    for u, v in pairs:
+        for _ in range(2):  # each pair co-bought twice -> support 2
+            rows.append((ok, u, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", b))
+            rows.append((ok, v, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", b))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in load_all()["graph_kcore_peeling"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[0] == (5, 5)
+    assert out[1] == (4, 4)  # node 5 (deg 1) peeled, edge 4-5 gone
+    assert out[2] == (3, 3)  # node 4 peeled, triangle remains
+    assert out[3] == (3, 3)  # fixpoint: the 2-core
+
+
+def test_temperature_sweep_compresses_head_source(spark, tmp_path):
+    """Sources with 81 and 1 docs: at tau=1 the head holds 81/82; at
+    tau=0.5 exactly 9/10 (sqrt weights 9 and 1); lower tau always moves
+    shares toward uniform."""
+    rows = [(i, "x", "en", "big", 1) for i in range(81)]
+    rows.append((81, "x", "en", "tiny", 1))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["source"]: r
+        for r in load_all()["corpus_temperature_sweep"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    big = out["big"]
+    assert big["n_docs"] == 81
+    assert big["share_t10"] == round(81 / 82 + 1e-9, 6)
+    assert big["share_t05"] == round(9 / 10 + 1e-9, 6)
+    assert big["share_t03"] < big["share_t05"] < big["share_t07"] < big["share_t10"]
+    assert out["tiny"]["share_t05"] == round(1 / 10 + 1e-9, 6)
+
+
+def test_string_format_profile_shares(spark, tmp_path):
+    """Planted columns: c_name all 'Customer#NNN' (tagged-id share 1.0,
+    no spaces), o_orderpriority all 'N-WORD' (rank-prefixed 1.0),
+    p_type multiword prose (multiword 1.0, others 0)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(i, f"Customer#{i:09d}", 0, 0.0, "SEG") for i in range(4)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    b = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, 1, "O", 1.0, b, f"{i%5}-URGENT") for i in range(6)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(i, f"n{i}", "B1", "STANDARD POLISHED BRASS", 1, 1.0) for i in range(3)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+
+    out = {
+        r["col_name"]: r
+        for r in load_all()["dq_string_format_profile"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["c_name"]["share_tagged_id"] == 1.0
+    assert out["c_name"]["share_multiword"] == 0.0
+    assert out["c_name"]["n_distinct"] == 4
+    assert out["o_orderpriority"]["share_rank_prefixed"] == 1.0
+    assert out["p_type"]["share_multiword"] == 1.0
+    assert out["p_type"]["share_tagged_id"] == 0.0
+    assert out["p_type"]["min_len"] == out["p_type"]["max_len"] == 23
