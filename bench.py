@@ -330,6 +330,22 @@ HEADLINE = [
     # r11 batch O: the volume-anomaly monitor (constant 7-element
     # rolling-median frame over the day spine)
     "dq_ingest_volume_anomaly",
+    # round-12 additions: the rank-equi-join keyspace audit (global_rank
+    # + rank+1 self-join — the distributed lag), retraction-aware
+    # aggregate IVM (signed fold + view-grain merge), Adamic-Adar open-
+    # wedge link prediction (adjacency self-join, integer-unit score
+    # fold), the first-occurrence Heaps'-law audit (token min-doc fold +
+    # ≤10-row prefix sum + integer-unit OLS), the 29-period Goertzel
+    # periodogram (day-frame × period cross join), the 14-moment
+    # single-scan correlation matrix, and fixed-round 2-core peeling
+    # (per-round degree fold + two semi-joins on pinned edges)
+    "dq_sequence_gap_audit",
+    "cdc_agg_incremental",
+    "graph_link_prediction",
+    "text_heaps_law",
+    "events_periodogram",
+    "dq_numeric_correlation_matrix",
+    "graph_kcore_peeling",
 ]
 
 

@@ -308,6 +308,24 @@ PROBE = [
     "events_audience_overlap",
     "events_stl_decomposition",
     "dq_ingest_volume_anomaly",
+    # round-12 additions (this session's 17 new queries)
+    "dq_sequence_gap_audit",
+    "cdc_agg_incremental",
+    "agg_abc_classification",
+    "graph_link_prediction",
+    "text_heaps_law",
+    "text_term_burstiness",
+    "events_target_encoding",
+    "events_session_entropy",
+    "events_max_drawdown",
+    "dq_functional_dependency",
+    "events_revenue_streaks",
+    "emb_procrustes_alignment",
+    "events_periodogram",
+    "dq_numeric_correlation_matrix",
+    "graph_kcore_peeling",
+    "corpus_temperature_sweep",
+    "dq_string_format_profile",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
