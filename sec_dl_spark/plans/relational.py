@@ -5307,3 +5307,212 @@ def dq_string_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "dq_feature_cross_cardinality",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS ty,
+             CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+             CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hr,
+             CAST(round(value * 100) AS BIGINT) // 10000 AS vb
+      FROM events),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT ty) AS BIGINT) AS d_ty,
+             CAST(count(DISTINCT dow) AS BIGINT) AS d_dow,
+             CAST(count(DISTINCT hr) AS BIGINT) AS d_hr,
+             CAST(count(DISTINCT vb) AS BIGINT) AS d_vb,
+             CAST(count(DISTINCT (ty, dow)) AS BIGINT) AS d_ty_dow,
+             CAST(count(DISTINCT (ty, vb)) AS BIGINT) AS d_ty_vb,
+             CAST(count(DISTINCT (ty, dow, hr)) AS BIGINT) AS d_ty_dow_hr
+      FROM e)
+    SELECT cross_name, actual, marginal_product,
+           (round(CAST(actual AS DOUBLE) / marginal_product + 1e-9, 6) + 0.0)
+             AS fill_ratio,
+           (round(CAST(n AS DOUBLE) / actual + 1e-8, 4) + 0.0)
+             AS rows_per_combo
+    FROM (
+      SELECT 'type x dow' AS cross_name, d_ty_dow AS actual,
+             d_ty * d_dow AS marginal_product, n FROM m
+      UNION ALL
+      SELECT 'type x value_bucket', d_ty_vb, d_ty * d_vb, n FROM m
+      UNION ALL
+      SELECT 'type x dow x hour', d_ty_dow_hr, d_ty * d_dow * d_hr, n FROM m)
+    ORDER BY cross_name
+    """,
+)
+def dq_feature_cross_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-cross cardinality audit: for three candidate interaction
+    features (type×dow, type×value-bucket, type×dow×hour), the ACTUAL
+    distinct combination count against the product of the marginals —
+    fill_ratio near 1 means the cross is dense (safe to one-hot /
+    target-encode), a tiny ratio means most combinations never occur
+    (the cross would be a sparse, overfit-prone feature), and
+    rows_per_combo is the support a learner would see per cell. This is
+    the pre-flight check a feature platform runs before materializing
+    an interaction column at 100 TB.
+
+    Scale shape: ONE fact scan folds every marginal and cross distinct
+    count in a single aggregate (count_distinct over composite structs —
+    each is its own hash exchange but all map-side partial); the report
+    is a constant 3-row expansion. All exact integer counting; derived
+    columns are ratios of exact integers."""
+    us = F.unix_micros(F.col("ts"))
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("ty"),
+        (us / F.lit(86400000000)).cast("long").__mod__(7).alias("dow"),
+        (us / F.lit(3600000000)).cast("long").__mod__(24).alias("hr"),
+        (F.expr("CAST(round(value * 100) AS BIGINT)") / 10000)
+        .cast("long")
+        .alias("vb"),
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("ty").cast("long").alias("d_ty"),
+        F.count_distinct("dow").cast("long").alias("d_dow"),
+        F.count_distinct("hr").cast("long").alias("d_hr"),
+        F.count_distinct("vb").cast("long").alias("d_vb"),
+        F.count_distinct("ty", "dow").cast("long").alias("d_ty_dow"),
+        F.count_distinct("ty", "vb").cast("long").alias("d_ty_vb"),
+        F.count_distinct("ty", "dow", "hr").cast("long").alias("d_ty_dow_hr"),
+    )
+    rows = [
+        ("type x dow", F.col("d_ty_dow"), F.col("d_ty") * F.col("d_dow")),
+        ("type x value_bucket", F.col("d_ty_vb"), F.col("d_ty") * F.col("d_vb")),
+        (
+            "type x dow x hour",
+            F.col("d_ty_dow_hr"),
+            F.col("d_ty") * F.col("d_dow") * F.col("d_hr"),
+        ),
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("cross_name"),
+                actual.alias("actual"),
+                prod.cast("long").alias("marginal_product"),
+                rz6(actual.cast("double") / prod).alias("fill_ratio"),
+                rz(F.col("n").cast("double") / actual, 4, 1e-8).alias(
+                    "rows_per_combo"
+                ),
+            )
+            for name, actual, prod in rows
+        ]
+    )
+    return (
+        m.select(F.explode(arr).alias("x"))
+        .select(
+            "x.cross_name", "x.actual", "x.marginal_product",
+            "x.fill_ratio", "x.rows_per_combo",
+        )
+        .orderBy("cross_name")
+    )
+
+
+@query(
+    "agg_simpsons_paradox_screen",
+    oracle="""
+    WITH c AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_discount * 10000) AS BIGINT) AS bps,
+             CAST(round(l.l_quantity * 100) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    g AS (
+      SELECT brand, count(*) AS n,
+             sum(CAST(bps AS DOUBLE)) AS sx, sum(CAST(qty AS DOUBLE)) AS sy,
+             sum(CAST(bps AS DOUBLE) * qty) AS sxy,
+             sum(CAST(bps AS DOUBLE) * bps) AS sxx
+      FROM c GROUP BY brand HAVING count(*) >= 10),
+    sl AS (
+      SELECT brand,
+             (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
+      FROM g),
+    pooled AS (
+      SELECT count(*) AS n,
+             sum(CAST(bps AS DOUBLE)) AS sx, sum(CAST(qty AS DOUBLE)) AS sy,
+             sum(CAST(bps AS DOUBLE) * qty) AS sxy,
+             sum(CAST(bps AS DOUBLE) * bps) AS sxx
+      FROM c),
+    ps AS (
+      SELECT (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+               AS pooled_slope
+      FROM pooled)
+    SELECT (round(pooled_slope + 1e-9, 6) + 0.0) AS pooled_slope,
+           CAST((SELECT count(*) FROM sl WHERE slope IS NOT NULL) AS BIGINT)
+             AS n_groups,
+           CAST((SELECT count(*) FROM sl, ps
+                 WHERE sign(slope) <> sign(pooled_slope)
+                   AND slope IS NOT NULL) AS BIGINT) AS n_opposite,
+           (round(CAST((SELECT count(*) FROM sl, ps
+                        WHERE sign(slope) <> sign(pooled_slope)
+                          AND slope IS NOT NULL) AS DOUBLE)
+                  / (SELECT count(*) FROM sl WHERE slope IS NOT NULL)
+                  + 1e-9, 6) + 0.0) AS share_opposite
+    FROM ps
+    """,
+)
+def agg_simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen on the discount→quantity relationship:
+    the POOLED regression slope across all line items vs the per-brand
+    slopes (the same exact-moment OLS agg_discount_elasticity reports),
+    counting how many brands' slopes point the OPPOSITE way from the
+    pooled one. A large opposite share is the classic aggregation trap —
+    the pooled number answers a question nobody asked, and any dashboard
+    quoting it needs the per-segment view instead. This is the automated
+    screen an experimentation/BI platform runs before publishing a
+    pooled effect.
+
+    Scale shape: one fact-dim broadcast join feeds BOTH the pooled
+    1-row moment fold and the brand-grain moment fold (moments in
+    double — the int64 square-wrap class); slopes are deterministic
+    expressions of the folded moments, and the verdict row is
+    brand-count-sized work. Brands with <10 lines or zero discount
+    variance are excluded identically in both engines (their slope is
+    NULL noise, and NULL sign comparisons diverge cross-engine)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("bps"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty"),
+    )
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        F.col("p_brand").alias("brand"), "bps", "qty"
+    )
+    c = pin(c)
+    xd, yd = F.col("bps").cast("double"), F.col("qty").cast("double")
+    moments = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("qty")).alias("sxy"),
+        F.sum(xd * F.col("bps")).alias("sxx"),
+    ]
+    slope = lambda: (  # noqa: E731
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.nullif(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+        )
+    )
+    g = c.groupBy("brand").agg(*moments).where(F.col("n") >= 10)
+    sl = g.select("brand", slope().alias("slope")).where(
+        F.col("slope").isNotNull()
+    )
+    ps = c.agg(*moments).select(slope().alias("pooled_slope"))
+    verdict = sl.crossJoin(F.broadcast(ps)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(
+            F.when(F.signum("slope") != F.signum("pooled_slope"), 1)
+        )
+        .cast("long")
+        .alias("n_opposite"),
+    )
+    return ps.crossJoin(F.broadcast(verdict)).select(
+        rz6(F.col("pooled_slope")).alias("pooled_slope"),
+        "n_groups",
+        "n_opposite",
+        rz6(
+            F.col("n_opposite").cast("double") / F.col("n_groups")
+        ).alias("share_opposite"),
+    )

@@ -3518,3 +3518,76 @@ def test_string_format_profile_shares(spark, tmp_path):
     assert out["p_type"]["share_multiword"] == 1.0
     assert out["p_type"]["share_tagged_id"] == 0.0
     assert out["p_type"]["min_len"] == out["p_type"]["max_len"] == 23
+
+
+def test_feature_cross_cardinality_dense_vs_sparse(spark, tmp_path):
+    """Two types x two dows fully crossed (fill 1.0) while value buckets
+    pair 1:1 with type (type x bucket fill = 2/4 = 0.5)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 3)  # a Monday
+    rows, eid = [], 0
+    for ty, vb, dshift in [
+        ("click", 5.0, 0), ("click", 5.0, 1),
+        ("view", 150.0, 0), ("view", 150.0, 1),
+    ]:
+        rows.append((eid, b + dt.timedelta(days=dshift), 1, ty, vb, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["cross_name"]: r
+        for r in load_all()["dq_feature_cross_cardinality"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    td = out["type x dow"]
+    assert td["actual"] == 4 and td["marginal_product"] == 4
+    assert td["fill_ratio"] == 1.0 and td["rows_per_combo"] == 1.0
+    tv = out["type x value_bucket"]
+    assert tv["actual"] == 2 and tv["marginal_product"] == 4
+    assert tv["fill_ratio"] == 0.5
+
+
+def test_simpsons_paradox_screen_detects_reversal(spark, tmp_path):
+    """Two brands each with a NEGATIVE within-brand discount->quantity
+    slope, but the high-discount brand sells far more -> the pooled
+    slope flips POSITIVE and both groups count as opposite-signed."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, ok = [], 0
+    # brand A: discounts 0..0.04, qty 30 - 100*d  (slope < 0), low qty
+    # brand B: discounts 0.06..0.10, qty 90 - 100*d (slope < 0), high qty
+    for i in range(10):
+        d = 0.004 * i
+        rows.append((ok, 1, 1, 1, 30.0 - 100 * d, 10.0, d, 0.0, "N", "O", b))
+        ok += 1
+    for i in range(10):
+        d = 0.06 + 0.004 * i
+        rows.append((ok, 2, 1, 1, 90.0 - 100 * d, 10.0, d, 0.0, "N", "O", b))
+        ok += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "pa", "BRAND_A", "T", 1, 1.0), (2, "pb", "BRAND_B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+
+    (row,) = load_all()["agg_simpsons_paradox_screen"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["pooled_slope"] > 0          # aggregation reverses the sign
+    assert row["n_groups"] == 2
+    assert row["n_opposite"] == 2           # every segment disagrees
+    assert row["share_opposite"] == 1.0

@@ -326,6 +326,8 @@ PROBE = [
     "graph_kcore_peeling",
     "corpus_temperature_sweep",
     "dq_string_format_profile",
+    "dq_feature_cross_cardinality",
+    "agg_simpsons_paradox_screen",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
