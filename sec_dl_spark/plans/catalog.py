@@ -154,6 +154,7 @@ _PRIORITY = (
     "events_ab_welch_ttest",
     "events_trend_slope",
     "corpus_quality_dup_corr",
+    "events_anomaly_seasonal",
     "agg_yoy_growth",
     "join_customer_rfm",
     "join_supplier_scorecard",
@@ -164,7 +165,6 @@ _PRIORITY = (
     "dq_categorical_entropy",
     "agg_pareto_skyline",
     "agg_discount_elasticity",
-    "events_anomaly_seasonal",
     "events_dau_wau_mau",
     "events_funnel_step_timing",
     "events_attribution_first_touch",
