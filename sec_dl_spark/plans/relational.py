@@ -5516,3 +5516,108 @@ def agg_simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_opposite").cast("double") / F.col("n_groups")
         ).alias("share_opposite"),
     )
+
+
+@query(
+    "dq_partition_balance",
+    oracle="""
+    WITH kv AS (
+      SELECT 'by_day' AS scheme,
+             CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS pk
+      FROM events
+      UNION ALL
+      SELECT 'by_user_bucket', CAST(user_id % 32 AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'by_event_type', event_type FROM events),
+    c AS (
+      SELECT scheme, pk, CAST(count(*) AS BIGINT) AS n
+      FROM kv GROUP BY scheme, pk),
+    m AS (
+      SELECT scheme,
+             CAST(count(*) AS BIGINT) AS n_partitions,
+             CAST(sum(n) AS BIGINT) AS total_rows,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             sum(CAST(n AS DOUBLE) * n) AS sq
+      FROM c GROUP BY scheme)
+    SELECT scheme, n_partitions, max_rows,
+           (round(CAST(max_rows AS DOUBLE) * n_partitions / total_rows
+                  + 1e-9, 6) + 0.0) AS max_skew,
+           (round(sqrt(greatest(sq / n_partitions
+                                - (CAST(total_rows AS DOUBLE) / n_partitions)
+                                  * (CAST(total_rows AS DOUBLE) / n_partitions),
+                                0.0))
+                  / (CAST(total_rows AS DOUBLE) / n_partitions)
+                  + 1e-9, 6) + 0.0) AS cv,
+           (round(CAST(max_rows AS DOUBLE) / total_rows + 1e-9, 6) + 0.0)
+             AS top1_share
+    FROM m ORDER BY scheme
+    """,
+)
+def dq_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-design advisor: for three candidate partitioning
+    schemes of the event stream (calendar day, 32-way user-hash bucket,
+    event type), the balance metrics that predict shuffle behavior at
+    100 TB — max-partition skew (max/mean ratio: the straggler
+    multiplier AQE's skew-join would have to split), the coefficient of
+    variation, and the largest partition's share of all rows. Choosing
+    the write/bucket key is THE first physical-design decision for a
+    big fact table; this query is the measurement that decision should
+    read (a scheme with max_skew ≈ 1 parallelizes perfectly; type-
+    partitioning's handful of giant cells is the anti-pattern).
+
+    Scale shape: one exploded (scheme, key) pass over the fact scan
+    (the dq_categorical_entropy pattern), one (scheme, key)-grain
+    count fold, one scheme-grain moment fold — output is 3 rows.
+    Counts are exact integers; the quadratic moment accumulates in
+    DOUBLE in both engines (int64 square-wrap class); skew/cv are
+    deterministic expressions of the folded moments."""
+    us = F.unix_micros(F.col("ts"))
+    arr = F.array(
+        F.struct(
+            F.lit("by_day").alias("scheme"),
+            (us / F.lit(86400000000)).cast("long").cast("string").alias("pk"),
+        ),
+        F.struct(
+            F.lit("by_user_bucket").alias("scheme"),
+            (F.col("user_id") % 32).cast("string").alias("pk"),
+        ),
+        F.struct(
+            F.lit("by_event_type").alias("scheme"),
+            F.col("event_type").alias("pk"),
+        ),
+    )
+    kv = (
+        t(spark, sf_dir, "events")
+        .select(F.explode(arr).alias("x"))
+        .select("x.scheme", "x.pk")
+    )
+    c = kv.groupBy("scheme", "pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("sq"),
+    )
+    mean = F.col("total_rows").cast("double") / F.col("n_partitions")
+    return m.select(
+        "scheme",
+        "n_partitions",
+        "max_rows",
+        rz6(
+            F.col("max_rows").cast("double")
+            * F.col("n_partitions")
+            / F.col("total_rows")
+        ).alias("max_skew"),
+        rz6(
+            F.sqrt(
+                F.greatest(
+                    F.col("sq") / F.col("n_partitions") - mean * mean,
+                    F.lit(0.0),
+                )
+            )
+            / mean
+        ).alias("cv"),
+        rz6(F.col("max_rows").cast("double") / F.col("total_rows")).alias(
+            "top1_share"
+        ),
+    ).orderBy("scheme")

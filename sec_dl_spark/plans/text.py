@@ -7388,3 +7388,129 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+    deg AS MATERIALIZED (
+      SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY id),
+    -- each undirected edge contributes BOTH orientations, the standard
+    -- symmetrized estimator (r is orientation-independent)
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM edges e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(CAST(y AS DOUBLE)) AS sy,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * x) AS sxx,
+             sum(CAST(y AS DOUBLE) * y) AS syy
+      FROM pairs),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(max(d) AS BIGINT) AS max_degree,
+                 (round(avg(CAST(d AS DOUBLE)) + 1e-8, 4) + 0.0) AS mean_degree
+          FROM deg)
+    SELECT n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           max_degree, mean_degree,
+           (round((n * sxy - sx * sy)
+                  / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                           0.0) + 1e-9, 6) + 0.0) AS assortativity
+    FROM mo, g
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (same
+    support-≥2 edge basis as link prediction / k-core): the Pearson
+    correlation of endpoint degrees over all edges, symmetrized — the
+    one-number answer to "do hubs connect to hubs?". Positive r means
+    a rich-club core (peeling/clique mining will find dense centers),
+    negative means hub-and-spoke (star hubs whose spokes are thin —
+    the shape where the hub cap in graph_link_prediction earns its
+    keep). Alongside the degree histogram and clustering coefficient
+    this completes the standard topology triptych.
+
+    Scale shape: edges and degrees are the familiar posting-bounded
+    frames; the estimator is two degree joins back onto the edge list
+    (key-partitioned) and ONE moment fold with quadratics in double
+    (int64 square-wrap class); the pinned edge list feeds the degree
+    fold, both joins, and the edge count."""
+    bp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a0, b0 = bp.alias("a0"), bp.alias("b0")
+    edges = pin(
+        a0.join(
+            b0,
+            (F.col("a0.l_orderkey") == F.col("b0.l_orderkey"))
+            & (F.col("a0.l_partkey") < F.col("b0.l_partkey")),
+        )
+        .groupBy(
+            F.col("a0.l_partkey").alias("u"),
+            F.col("b0.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("id").alias("uid"), F.col("d").alias("dux"))
+    dv = deg.select(F.col("id").alias("vid"), F.col("d").alias("dvx"))
+    ed = (
+        edges.join(du, edges.u == du.uid)
+        .join(dv, edges.v == dv.vid)
+        .select(F.col("dux").alias("x"), F.col("dvx").alias("y"))
+    )
+    pairs = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+    mo = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+        rz(F.avg(F.col("d").cast("double")), 4, 1e-8).alias("mean_degree"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_prod = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return (
+        mo.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "mean_degree",
+            rz6(cov_n / F.nullif(F.sqrt(var_prod), F.lit(0.0))).alias(
+                "assortativity"
+            ),
+        )
+    )

@@ -3591,3 +3591,67 @@ def test_simpsons_paradox_screen_detects_reversal(spark, tmp_path):
     assert row["n_groups"] == 2
     assert row["n_opposite"] == 2           # every segment disagrees
     assert row["share_opposite"] == 1.0
+
+
+def test_partition_balance_uniform_vs_hot_key(spark, tmp_path):
+    """Three users with 10/10/10 events over one day: user buckets are
+    perfectly balanced (max_skew 1.0) while by_day piles everything
+    into one cell (n_partitions 1, top1_share 1.0); a hot type (28 of
+    30 events) makes by_event_type maximally skewed."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 1, 8)
+    rows, eid = [], 0
+    for u in [1, 2, 3]:
+        for k in range(10):
+            ty = "hot" if eid < 28 else "rare"
+            rows.append((eid, b + dt.timedelta(minutes=eid), u, ty, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["scheme"]: r
+        for r in load_all()["dq_partition_balance"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    day = out["by_day"]
+    assert day["n_partitions"] == 1 and day["top1_share"] == 1.0
+    ub = out["by_user_bucket"]
+    assert ub["n_partitions"] == 3
+    assert ub["max_skew"] == 1.0 and ub["cv"] == 0.0
+    ty = out["by_event_type"]
+    assert ty["max_rows"] == 28
+    assert ty["max_skew"] == round(28 * 2 / 30 + 1e-9, 6)
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    """A 4-spoke star (hub 1): every edge pairs degree 4 with degree 1,
+    so endpoint degrees are perfectly anti-correlated -> r = -1.0."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, ok = [], 0
+    for spoke in [2, 3, 4, 5]:
+        for _ in range(2):  # support 2
+            rows.append((ok, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", b))
+            rows.append((ok, spoke, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", b))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    (row,) = load_all()["graph_assortativity"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_nodes"] == 5 and row["n_edges"] == 4
+    assert row["max_degree"] == 4
+    assert row["assortativity"] == -1.0

@@ -328,6 +328,8 @@ PROBE = [
     "dq_string_format_profile",
     "dq_feature_cross_cardinality",
     "agg_simpsons_paradox_screen",
+    "dq_partition_balance",
+    "graph_assortativity",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
