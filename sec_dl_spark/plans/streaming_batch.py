@@ -5641,3 +5641,232 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+def _markov_oracle() -> str:
+    """Generate the unrolled fixed-point oracle for
+    events_markov_attribution: shared transition matrix pm
+    (MATERIALIZED — referenced by every scenario chain), then for each
+    scenario (full + one removal per standard channel) six unrolled
+    value-iteration steps in EXACT 1e-9 integer fixed-point:
+
+        v_{i+1}[s] = (Σ_t pu(s→t) · val_i(t)) // 1e9,
+        val_i(CONV) = 1e9, val_i(NULL) = 0, else v_i[t] (0 if absent)
+
+    Every quantity is an integer (products ≤ 1e18 < 2^63 because
+    Σ_t pu ≤ 1e9 and values ≤ 1e9), so the oracle and the Spark side
+    compute IDENTICAL numbers regardless of summation order — the same
+    discipline as the integer-unit entropy/PMI folds."""
+    channels = ["click", "error", "signup", "view"]
+    scen = {"full": None, **{f"no_{c}": c for c in channels}}
+    parts = []
+    for name, removed in scen.items():
+        pmsrc = (
+            "pm" if removed is None
+            else f"(SELECT * FROM pm WHERE to_s <> '{removed}')"
+        )
+        prev = f"v0_{name}"
+        parts.append(
+            f"{prev} AS (SELECT CAST(NULL AS VARCHAR) AS state, "
+            f"CAST(NULL AS BIGINT) AS vu WHERE false)"
+        )
+        for i in range(1, 7):
+            cur = f"v{i}_{name}"
+            parts.append(
+                f"""{cur} AS (
+      SELECT p.from_s AS state,
+             CAST(sum(p.pu * (CASE WHEN p.to_s = 'CONV' THEN 1000000000
+                                   WHEN p.to_s = 'NULL' THEN 0
+                                   ELSE coalesce(v.vu, 0) END))
+                  // 1000000000 AS BIGINT) AS vu
+      FROM {pmsrc} p LEFT JOIN {prev} v ON p.to_s = v.state
+      GROUP BY p.from_s)"""
+            )
+            prev = cur
+        parts.append(
+            f"p_{name} AS (SELECT CAST(coalesce((SELECT vu FROM v6_{name} "
+            f"WHERE state = 'START'), 0) AS BIGINT) AS pu)"
+        )
+    removal_rows = "\n      UNION ALL\n".join(
+        f"      SELECT '{c}' AS channel, "
+        f"(SELECT pu FROM p_full) - (SELECT pu FROM p_no_{c}) AS ru"
+        for c in channels
+    )
+    scenario_ctes = ",\n    ".join(parts)
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type AS ty
+      FROM events),
+    r AS (
+      SELECT user_id, ty,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS rk
+      FROM e),
+    fp AS (SELECT user_id, min(rk) AS frk FROM r WHERE ty = 'purchase'
+           GROUP BY user_id),
+    j AS (
+      SELECT r.user_id, r.ty, r.rk, fp.frk
+      FROM r LEFT JOIN fp USING (user_id)
+      WHERE fp.frk IS NULL OR r.rk <= fp.frk),
+    tr0 AS (
+      SELECT coalesce(lag(ty) OVER (PARTITION BY user_id ORDER BY rk),
+                      'START') AS from_s,
+             CASE WHEN ty = 'purchase' THEN 'CONV' ELSE ty END AS to_s,
+             (frk IS NULL
+              AND rk = max(rk) OVER (PARTITION BY user_id))
+               AS last_unconverted
+      FROM j),
+    tr AS (
+      SELECT from_s, to_s FROM tr0
+      UNION ALL SELECT to_s, 'NULL' FROM tr0 WHERE last_unconverted),
+    cnts AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS cnt
+             FROM tr GROUP BY from_s, to_s),
+    outs AS (SELECT from_s, CAST(sum(cnt) AS BIGINT) AS outc
+             FROM cnts GROUP BY from_s),
+    pm AS MATERIALIZED (
+      SELECT c.from_s, c.to_s,
+             CAST(round(CAST(cnt AS DOUBLE) * 1000000000 / outc) AS BIGINT)
+               AS pu
+      FROM cnts c JOIN outs USING (from_s)),
+    {scenario_ctes},
+    rem AS (
+{removal_rows}),
+    obs AS (SELECT DISTINCT to_s AS channel FROM pm
+            WHERE to_s NOT IN ('CONV', 'NULL')),
+    tot AS (SELECT CAST(sum(ru) AS BIGINT) AS tru FROM rem
+            JOIN obs USING (channel))
+    SELECT rem.channel,
+           (round(CAST(ru AS DOUBLE)
+                  / nullif((SELECT pu FROM p_full), 0) + 1e-9, 6) + 0.0)
+             AS removal_effect,
+           (round(CAST(ru AS DOUBLE) / nullif(tot.tru, 0) + 1e-9, 6) + 0.0)
+             AS credit_share,
+           (round((SELECT pu FROM p_full) / 1e9 + 1e-9, 6) + 0.0) AS p_conv
+    FROM rem JOIN obs USING (channel), tot
+    ORDER BY rem.channel
+    """
+
+
+@query("events_markov_attribution", oracle=_markov_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to first/last-touch: user journeys (truncated at the
+    first purchase) become a transition matrix over channel states plus
+    START / CONV / NULL absorbers; each channel's credit is how much
+    the 6-step conversion probability from START DROPS when transitions
+    into that channel are removed (mass flows to NULL — the standard
+    removal-effect construction), normalized across channels. The
+    first/linear/window-sweep attribution queries answer "what touched
+    the conversion"; this one answers "what was CAUSALLY LOAD-BEARING
+    in the graph of journeys" — channels that merely ride along earn
+    nothing.
+
+    Scale shape: the ONLY fact-sized work is journey extraction (one
+    user-partitioned rank window + lag window — the sessionize
+    exchange) and the transition fold; the matrix that reaches the
+    driver is (|channels|+3)²-bounded (dashboard-sized at any fact
+    volume, enforced), and the 5-scenario × 6-step value iteration
+    runs in EXACT 1e-9 integer fixed-point — every product ≤ 1e18, so
+    Python and the oracle's unrolled CTE chain compute bit-identical
+    integers regardless of summation order; the final ratios divide
+    exact integers inside Spark expressions (the proven F.round/rz6
+    lane)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.col("event_type").alias("ty"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = e.select("user_id", "ty", F.row_number().over(wu).alias("rk"))
+    fp = (
+        r.where(F.col("ty") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("frk"))
+    )
+    j = r.join(fp, "user_id", "left").where(
+        F.col("frk").isNull() | (F.col("rk") <= F.col("frk"))
+    )
+    wr = Window.partitionBy("user_id").orderBy("rk")
+    tr0 = j.select(
+        F.coalesce(F.lag("ty").over(wr), F.lit("START")).alias("from_s"),
+        F.when(F.col("ty") == "purchase", "CONV")
+        .otherwise(F.col("ty"))
+        .alias("to_s"),
+        (
+            F.col("frk").isNull()
+            & (
+                F.col("rk")
+                == F.max("rk").over(Window.partitionBy("user_id"))
+            )
+        ).alias("last_unconverted"),
+    )
+    tr = tr0.select("from_s", "to_s").unionAll(
+        tr0.where(F.col("last_unconverted")).select(
+            F.col("to_s").alias("from_s"), F.lit("NULL").alias("to_s")
+        )
+    )
+    cnts = tr.groupBy("from_s", "to_s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    outs = cnts.groupBy("from_s").agg(F.sum("cnt").cast("long").alias("outc"))
+    pm_rows = (
+        cnts.join(outs, "from_s")
+        .select(
+            "from_s",
+            "to_s",
+            F.round(F.col("cnt").cast("double") * 1e9 / F.col("outc"))
+            .cast("long")
+            .alias("pu"),
+        )
+        .collect()
+    )
+    # the collected matrix is (|states|)²-bounded — dashboard-sized at
+    # any fact volume; enforce the contract rather than trust it
+    if len(pm_rows) > 10_000:
+        raise ValueError(
+            f"transition matrix has {len(pm_rows)} cells — the state "
+            "space is not bounded; refusing a driver-side solve"
+        )
+    pm = [(row["from_s"], row["to_s"], row["pu"]) for row in pm_rows]
+    channels = ["click", "error", "signup", "view"]
+    observed = sorted(
+        {to for _f, to, _p in pm if to not in ("CONV", "NULL")}
+        & set(channels)
+    )
+
+    def p_conv_units(removed: str | None) -> int:
+        mat = [(f, to, pu) for f, to, pu in pm if to != removed]
+        v: dict[str, int] = {}
+        for _ in range(6):
+            nxt: dict[str, int] = {}
+            for f, to, pu in mat:
+                val = (
+                    1_000_000_000
+                    if to == "CONV"
+                    else 0 if to == "NULL" else v.get(to, 0)
+                )
+                nxt[f] = nxt.get(f, 0) + pu * val
+            v = {s: total // 1_000_000_000 for s, total in nxt.items()}
+        return v.get("START", 0)
+
+    pf = p_conv_units(None)
+    rows = [(c, pf, pf - p_conv_units(c)) for c in observed]
+    out = spark.createDataFrame(
+        rows, "channel string, pf long, ru long"
+    )
+    tot = out.agg(F.sum("ru").cast("long").alias("tru"))
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            rz6(
+                F.col("ru").cast("double") / F.nullif(F.col("pf"), F.lit(0))
+            ).alias("removal_effect"),
+            rz6(
+                F.col("ru").cast("double") / F.nullif(F.col("tru"), F.lit(0))
+            ).alias("credit_share"),
+            rz6(F.col("pf") / F.lit(1e9)).alias("p_conv"),
+        )
+        .orderBy("channel")
+    )

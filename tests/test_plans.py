@@ -3655,3 +3655,40 @@ def test_assortativity_star_is_negative(spark, tmp_path):
     assert row["n_nodes"] == 5 and row["n_edges"] == 4
     assert row["max_degree"] == 4
     assert row["assortativity"] == -1.0
+
+
+def test_markov_attribution_removal_effects(spark, tmp_path):
+    """Journeys: u1 view->click->purchase, u2 click->purchase, u3
+    view->error (no purchase). Click is the ONLY gateway to conversion
+    (removal 1.0), view converts only via click (removal 0.5), error
+    never leads anywhere (removal 0); credits 2/3 / 1/3 / 0."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, seq in [(1, ["view", "click", "purchase"]),
+                   (2, ["click", "purchase"]),
+                   (3, ["view", "error"])]:
+        for k, ty in enumerate(seq):
+            rows.append((eid, b + dt.timedelta(minutes=k), u, ty, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["channel"]: r
+        for r in load_all()["events_markov_attribution"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {"view", "click", "error"}
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["view"]["removal_effect"] == 0.5
+    assert out["error"]["removal_effect"] == 0.0
+    assert out["click"]["credit_share"] == 0.666667
+    assert out["view"]["credit_share"] == 0.333333
+    assert out["error"]["credit_share"] == 0.0
+    assert out["view"]["p_conv"] == 0.666667

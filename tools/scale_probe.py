@@ -330,6 +330,7 @@ PROBE = [
     "agg_simpsons_paradox_screen",
     "dq_partition_balance",
     "graph_assortativity",
+    "events_markov_attribution",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
