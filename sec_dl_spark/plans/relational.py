@@ -5621,3 +5621,179 @@ def dq_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_share"
         ),
     ).orderBy("scheme")
+
+
+@query(
+    "dq_inclusion_dependency",
+    oracle="""
+    WITH cands AS (
+      SELECT 'lineitem.l_orderkey < orders.o_orderkey' AS candidate,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+             (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+              WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders))
+               AS n_matched
+      UNION ALL
+      SELECT 'orders.o_orderkey < lineitem.l_orderkey',
+             (SELECT count(DISTINCT o_orderkey) FROM orders),
+             (SELECT count(DISTINCT o.o_orderkey) FROM orders o
+              WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem))
+      UNION ALL
+      SELECT 'orders.o_custkey < customer.c_custkey',
+             (SELECT count(DISTINCT o_custkey) FROM orders),
+             (SELECT count(DISTINCT o.o_custkey) FROM orders o
+              WHERE o.o_custkey IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'customer.c_custkey < orders.o_custkey',
+             (SELECT count(DISTINCT c_custkey) FROM customer),
+             (SELECT count(DISTINCT c.c_custkey) FROM customer c
+              WHERE c.c_custkey IN (SELECT o_custkey FROM orders))
+      UNION ALL
+      SELECT 'lineitem.l_partkey < part.p_partkey',
+             (SELECT count(DISTINCT l_partkey) FROM lineitem),
+             (SELECT count(DISTINCT l.l_partkey) FROM lineitem l
+              WHERE l.l_partkey IN (SELECT p_partkey FROM part))
+      UNION ALL
+      SELECT 'customer.c_nationkey < nation.n_nationkey',
+             (SELECT count(DISTINCT c_nationkey) FROM customer),
+             (SELECT count(DISTINCT c.c_nationkey) FROM customer c
+              WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation)))
+    SELECT candidate,
+           CAST(n_child AS BIGINT) AS n_child_distinct,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           (round(CAST(n_matched AS DOUBLE) / nullif(n_child, 0) + 1e-9, 6)
+            + 0.0) AS inclusion_share,
+           n_matched = n_child AS holds
+    FROM cands ORDER BY candidate
+    """,
+)
+def dq_inclusion_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery: for six candidate
+    child⊆parent column pairs — the true FK edges of the star schema
+    plus both reverse directions, which fail whenever a parent has no
+    children — the share of distinct child values present in the
+    parent, with a holds verdict. This is the profiling pass that
+    recovers an undocumented schema's join graph, and the drift alarm
+    when an ingest starts minting orphan keys (its findings feed
+    dq_referential_integrity, which counts ROW-level damage on the
+    known edges).
+
+    Scale shape: every candidate is distinct-key work only — a
+    distinct fold on the child column and a key-only LEFT SEMI join
+    against the parent's distinct keys (never a row-level join, never
+    a payload column read; Catalyst prunes each scan to the one key
+    column). Output is candidate-count-sized. All exact integer
+    counting."""
+    tables = {
+        "lineitem": ("l_orderkey", "l_partkey"),
+        "orders": ("o_orderkey", "o_custkey"),
+        "customer": ("c_custkey", "c_nationkey"),
+        "part": ("p_partkey",),
+        "nation": ("n_nationkey",),
+    }
+    frames = {
+        (tb, col): t(spark, sf_dir, tb).select(col).distinct()
+        for tb, cols in tables.items()
+        for col in cols
+    }
+    cands = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for ct, cc, pt_, pc in cands:
+        child = frames[(ct, cc)]
+        parent = frames[(pt_, pc)]
+        matched = child.join(
+            parent, child[cc] == parent[pc], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        row = total.crossJoin(F.broadcast(matched)).select(
+            F.lit(f"{ct}.{cc} < {pt_}.{pc}").alias("candidate"),
+            F.col("n_child").alias("n_child_distinct"),
+            "n_matched",
+            rz6(
+                F.col("n_matched").cast("double")
+                / F.nullif(F.col("n_child"), F.lit(0))
+            ).alias("inclusion_share"),
+            (F.col("n_matched") == F.col("n_child")).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate")
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity * 100) AS BIGINT) AS w
+      FROM lineitem),
+    g AS (SELECT cents, CAST(sum(w) AS BIGINT) AS w,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM v GROUP BY cents),
+    r AS MATERIALIZED (
+      SELECT cents,
+             sum(w) OVER (ORDER BY cents) AS cw,
+             sum(c) OVER (ORDER BY cents) AS cc
+      FROM g),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(w) AS BIGINT) AS tw,
+             CAST(count(*) AS BIGINT) AS n_rows FROM v)
+    SELECT tot.n_rows, tot.tw AS total_weight,
+           (SELECT CAST(min(cents) AS BIGINT) FROM r, tot
+            WHERE cw * 2 >= tw) AS weighted_median_cents,
+           (SELECT CAST(min(cents) AS BIGINT) FROM r, tot
+            WHERE cc * 2 >= n_rows) AS unweighted_median_cents
+    FROM tot
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price vs the unweighted one — the
+    'typical traded price' a pricing desk quotes (each line votes with
+    its volume, so a thousand 1-unit accessory lines can't drown the
+    bulk flows). The weighted form is the nearest-rank selection in
+    WEIGHT space: smallest value whose cumulative weight reaches half
+    the total — the same integer crossing discipline as the exact
+    percentiles, with weights instead of counts.
+
+    Scale shape: values fold to value grain first (distinct cents, each
+    with its total weight — the exact_percentiles reduction), the
+    cumulative weight comes from `global_cumsum` (range exchange +
+    broadcast offsets, never a value-count single-partition window),
+    and both medians are integer crossings (cw·2 ≥ total) — no float
+    enters anywhere."""
+    from sec_dl_spark.operators.relational import global_cumsum
+
+    v = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("w"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum("w").cast("long").alias("w"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    r = global_cumsum(
+        global_cumsum(g, [F.asc("cents")], "w", out_col="cw"),
+        [F.asc("cents")],
+        "c",
+        out_col="cc",
+    )
+    tot = v.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("tw").alias("total_weight"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n_rows"), F.col("cents")))
+        .cast("long")
+        .alias("unweighted_median_cents"),
+    )

@@ -3692,3 +3692,77 @@ def test_markov_attribution_removal_effects(spark, tmp_path):
     assert out["view"]["credit_share"] == 0.333333
     assert out["error"]["credit_share"] == 0.0
     assert out["view"]["p_conv"] == 0.666667
+
+
+def test_inclusion_dependency_forward_holds_reverse_fails(spark, tmp_path):
+    """Orders 1..3 reference customers 1..2 (o_custkey<c_custkey holds);
+    customer 3 never ordered (reverse fails at 2/3). An orphan lineitem
+    order key breaks l_orderkey<o_orderkey at 2/3."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, b, "P"), (2, 2, "O", 1.0, b, "P"),
+         (3, 1, "O", 1.0, b, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(i, f"c{i}", 1, 0.0, "S") for i in [1, 2, 3]],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    li = [(ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", b)
+          for ok in [1, 2, 99]]  # 99 is an orphan
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "p", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(1, "N1", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.parquet(f"{tmp_path}/nation.parquet")
+
+    out = {
+        r["candidate"]: r
+        for r in load_all()["dq_inclusion_dependency"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["orders.o_custkey < customer.c_custkey"]["holds"]
+    rev = out["customer.c_custkey < orders.o_custkey"]
+    assert not rev["holds"] and rev["inclusion_share"] == 0.666667
+    li_fk = out["lineitem.l_orderkey < orders.o_orderkey"]
+    assert not li_fk["holds"] and li_fk["n_matched"] == 2
+
+
+def test_weighted_median_volume_outvotes_count(spark, tmp_path):
+    """Nine 1-unit lines at $1 vs one 100-unit line at $50: the
+    unweighted median is $1 (count majority) but the weighted median
+    is $50 (the bulk line holds >half the weight)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", b) for i in range(9)]
+    rows.append((9, 1, 1, 1, 100.0, 50.0, 0.0, 0.0, "N", "O", b))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    (row,) = load_all()["agg_weighted_median"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_rows"] == 10 and row["total_weight"] == 10900
+    assert row["unweighted_median_cents"] == 100
+    assert row["weighted_median_cents"] == 5000

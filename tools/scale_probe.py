@@ -331,6 +331,8 @@ PROBE = [
     "dq_partition_balance",
     "graph_assortativity",
     "events_markov_attribution",
+    "dq_inclusion_dependency",
+    "agg_weighted_median",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
