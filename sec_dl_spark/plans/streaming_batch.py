@@ -5870,3 +5870,248 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_uplift_qini",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+    r AS (
+      SELECT u.*,
+             CAST((row_number() OVER (ORDER BY score DESC, user_id) - 1)
+                  * 10 // n.nu AS BIGINT) AS dec
+      FROM u, n),
+    d AS (
+      SELECT dec,
+             CAST(count(*) FILTER (arm = 1) AS BIGINT) AS nt,
+             CAST(count(*) FILTER (arm = 0) AS BIGINT) AS nc,
+             CAST(sum(conv) FILTER (arm = 1) AS BIGINT) AS ct,
+             CAST(sum(conv) FILTER (arm = 0) AS BIGINT) AS cc
+      FROM r GROUP BY dec),
+    term AS (
+      SELECT dec, nt, nc, ct, cc,
+             CAST(round((ct - CAST(cc AS DOUBLE) * nt / nullif(nc, 0))
+                        * 1e6) AS BIGINT) AS qu
+      FROM d),
+    q AS (
+      SELECT dec, nt, nc, ct, cc,
+             sum(qu) OVER (ORDER BY dec) AS qcum
+      FROM term)
+    SELECT dec + 1 AS decile, nt AS n_treat, nc AS n_ctrl,
+           (round(CAST(ct AS DOUBLE) / nullif(nt, 0) + 1e-9, 6) + 0.0)
+             AS rate_treat,
+           (round(CAST(cc AS DOUBLE) / nullif(nc, 0) + 1e-9, 6) + 0.0)
+             AS rate_ctrl,
+           (round(CAST(ct AS DOUBLE) / nullif(nt, 0)
+                  - CAST(cc AS DOUBLE) / nullif(nc, 0) + 1e-9, 6) + 0.0)
+             AS uplift,
+           (round(CAST(qcum AS DOUBLE) / 1e6 + 1e-8, 4) + 0.0)
+             AS qini_cum
+    FROM q ORDER BY decile
+    """,
+)
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (Qini) decile table: users ranked by an engagement score
+    (click count — the stand-in for a model score), split into deciles;
+    each decile reports treatment/control conversion rates (arms =
+    user_id parity, the platform's deterministic assignment), their
+    uplift, and the cumulative Qini statistic Σ(ct − cc·nt/nc) — the
+    curve an uplift model is judged by: steep early deciles mean the
+    score finds the PERSUADABLE users, a flat curve means targeting by
+    it is wasted spend. Complements the A/B family (welch/CUPED/SRM
+    measure the average effect; this measures targeting value).
+
+    Scale shape: one user-grain fold (score + converter flag + arm),
+    decile assignment via `global_rank` and integer division (never an
+    ntile global window), one decile-grain conditional fold, and the
+    Qini prefix sum runs over the ≤10 decile rows with each term
+    rounded to 1e-6 integer units first (exact cumsum — the
+    cross-engine float-order class). Division guards (nullif) are
+    identical in both engines."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    n = u.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    r = (
+        global_rank(u, order=[F.desc("score"), F.asc("user_id")], rank_col="rk")
+        .crossJoin(F.broadcast(n))
+        .select("arm", "conv", F.expr("rk * 10 div nu").cast("long").alias("dec"))
+    )
+    d = r.groupBy("dec").agg(
+        F.count(F.when(F.col("arm") == 1, 1)).cast("long").alias("nt"),
+        F.count(F.when(F.col("arm") == 0, 1)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))).cast("long").alias("ct"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).cast("long").alias("cc"),
+    )
+    qu = F.round(
+        (
+            F.col("ct")
+            - F.col("cc").cast("double")
+            * F.col("nt")
+            / F.nullif(F.col("nc"), F.lit(0))
+        )
+        * 1e6
+    ).cast("long")
+    term = d.select("dec", "nt", "nc", "ct", "cc", qu.alias("qu"))
+    wq = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    q = term.select(
+        "dec", "nt", "nc", "ct", "cc", F.sum("qu").over(wq).alias("qcum")
+    )
+    rt = F.col("ct").cast("double") / F.nullif(F.col("nt"), F.lit(0))
+    rc = F.col("cc").cast("double") / F.nullif(F.col("nc"), F.lit(0))
+    return q.select(
+        (F.col("dec") + 1).cast("long").alias("decile"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        rz6(rt).alias("rate_treat"),
+        rz6(rc).alias("rate_ctrl"),
+        rz6(rt - rc).alias("uplift"),
+        rz(F.col("qcum").cast("double") / 1e6, 4, 1e-8).alias("qini_cum"),
+    ).orderBy("decile")
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH span AS (
+      SELECT (min(epoch_us(ts) // 86400000000)
+              + max(epoch_us(ts) // 86400000000)) // 2 AS mid
+      FROM events),
+    uu AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+      SELECT uu.user_id, CAST(uu.user_id % 2 AS BIGINT) AS arm,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                        AND epoch_us(e.ts) // 86400000000 <= span.mid
+                   THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END), 0)
+                  AS BIGINT) AS pre_cents,
+             CAST(coalesce(sum(CASE WHEN e.event_type = 'purchase'
+                        AND epoch_us(e.ts) // 86400000000 > span.mid
+                   THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END), 0)
+                  AS BIGINT) AS post_cents
+      FROM uu LEFT JOIN events e ON uu.user_id = e.user_id, span
+      GROUP BY uu.user_id),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_cents) AS BIGINT) AS sp,
+             CAST(sum(post_cents) AS BIGINT) AS so
+      FROM s GROUP BY arm),
+    w AS (
+      SELECT max(CASE WHEN arm = 1 THEN n END) AS n_t,
+             max(CASE WHEN arm = 0 THEN n END) AS n_c,
+             max(CASE WHEN arm = 1 THEN sp END) AS sp_t,
+             max(CASE WHEN arm = 0 THEN sp END) AS sp_c,
+             max(CASE WHEN arm = 1 THEN so END) AS so_t,
+             max(CASE WHEN arm = 0 THEN so END) AS so_c
+      FROM g)
+    SELECT CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_ctrl,
+           (round(CAST(sp_t AS DOUBLE) / n_t / 100 + 1e-8, 4) + 0.0)
+             AS pre_treat_mean,
+           (round(CAST(sp_c AS DOUBLE) / n_c / 100 + 1e-8, 4) + 0.0)
+             AS pre_ctrl_mean,
+           (round(CAST(so_t AS DOUBLE) / n_t / 100 + 1e-8, 4) + 0.0)
+             AS post_treat_mean,
+           (round(CAST(so_c AS DOUBLE) / n_c / 100 + 1e-8, 4) + 0.0)
+             AS post_ctrl_mean,
+           (round((CAST(so_t AS DOUBLE) / n_t - CAST(sp_t AS DOUBLE) / n_t
+                   - (CAST(so_c AS DOUBLE) / n_c
+                      - CAST(sp_c AS DOUBLE) / n_c)) / 100 + 1e-8, 4) + 0.0)
+             AS did_estimate,
+           (round((CAST(so_t AS DOUBLE) / n_t - CAST(so_c AS DOUBLE) / n_c)
+                  / 100 + 1e-8, 4) + 0.0) AS naive_post_diff
+    FROM w
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per-user purchase spend split
+    at the corpus-midpoint day into pre/post periods, arms by user_id
+    parity; the DiD estimate (treatment's post−pre change minus
+    control's) nets out the shared time trend that the naive post-only
+    difference absorbs — the two columns side by side show exactly how
+    much bias the naive read carries. The pre-period also doubles as
+    an A/A check (arm means should match before any treatment).
+
+    Scale shape: one distinct-user frame LEFT JOINed to the fact scan
+    (users with no purchases stay as exact zeros — dropping them biases
+    every mean), folded to user grain then arm grain; all moments are
+    exact integer cents and every output is a deterministic expression
+    of six folded integers. The midpoint day is a 1-row span aggregate
+    broadcast into the scan predicate."""
+    us = F.unix_micros(F.col("ts"))
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (us / F.lit(86400000000)).cast("long").alias("dn"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    span = e.agg(
+        ((F.min("dn") + F.max("dn")) / 2).cast("long").alias("mid")
+    )
+    uu = e.select("user_id").distinct()
+    j = uu.join(e, "user_id", "left").crossJoin(F.broadcast(span))
+    is_p = F.col("event_type") == "purchase"
+    s = j.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(is_p & (F.col("dn") <= F.col("mid")), F.col("cents"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pre_cents"),
+        F.coalesce(
+            F.sum(
+                F.when(is_p & (F.col("dn") > F.col("mid")), F.col("cents"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("post_cents"),
+    )
+    g = s.groupBy((F.col("user_id") % 2).cast("long").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre_cents").cast("long").alias("sp"),
+        F.sum("post_cents").cast("long").alias("so"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("sp"))).alias("sp_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("sp"))).alias("sp_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("so"))).alias("so_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("so"))).alias("so_c"),
+    )
+    mt = lambda col, n: F.col(col).cast("double") / F.col(n)  # noqa: E731
+    return w.select(
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        rz(mt("sp_t", "n_t") / 100, 4, 1e-8).alias("pre_treat_mean"),
+        rz(mt("sp_c", "n_c") / 100, 4, 1e-8).alias("pre_ctrl_mean"),
+        rz(mt("so_t", "n_t") / 100, 4, 1e-8).alias("post_treat_mean"),
+        rz(mt("so_c", "n_c") / 100, 4, 1e-8).alias("post_ctrl_mean"),
+        rz(
+            (mt("so_t", "n_t") - mt("sp_t", "n_t")
+             - (mt("so_c", "n_c") - mt("sp_c", "n_c"))) / 100,
+            4,
+            1e-8,
+        ).alias("did_estimate"),
+        rz((mt("so_t", "n_t") - mt("so_c", "n_c")) / 100, 4, 1e-8).alias(
+            "naive_post_diff"
+        ),
+    )

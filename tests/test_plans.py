@@ -3766,3 +3766,75 @@ def test_weighted_median_volume_outvotes_count(spark, tmp_path):
     assert row["n_rows"] == 10 and row["total_weight"] == 10900
     assert row["unweighted_median_cents"] == 100
     assert row["weighted_median_cents"] == 5000
+
+
+def test_uplift_qini_persuadables_in_top_decile(spark, tmp_path):
+    """20 users, odd ids treated (arm 1). The 10 high-score users (5
+    clicks each): treated ones all convert, controls never -> top-half
+    uplift 1.0. Low-score users never convert in either arm -> their
+    deciles add nothing and the Qini curve is flat after the top
+    deciles."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(20):
+        high = u < 10
+        n_clicks = 5 if high else 0
+        for k in range(n_clicks):
+            rows.append((eid, b + dt.timedelta(minutes=k), u, "click", 1.0, "{}"))
+            eid += 1
+        rows.append((eid, b + dt.timedelta(hours=1), u, "view", 1.0, "{}"))
+        eid += 1
+        if high and u % 2 == 1:  # treated (arm 1 = odd ids) high-score users convert
+            rows.append((eid, b + dt.timedelta(hours=2), u, "purchase", 9.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["decile"]: r
+        for r in load_all()["events_uplift_qini"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == set(range(1, 11))
+    # deciles 1-5 hold the 10 high-score users (2 per decile, 1 per arm)
+    for d in range(1, 6):
+        assert out[d]["uplift"] == 1.0
+        assert out[d]["rate_treat"] == 1.0 and out[d]["rate_ctrl"] == 0.0
+    for d in range(6, 11):
+        assert out[d]["uplift"] == 0.0
+    assert out[5]["qini_cum"] == 5.0   # 5 incremental conversions found
+    assert out[10]["qini_cum"] == 5.0  # flat tail: no value below
+
+
+def test_diff_in_diff_nets_out_shared_trend(spark, tmp_path):
+    """Both arms gain +$10 post (the shared trend); treatment gains an
+    extra +$5. Naive post-only diff reads $5 + baseline-difference
+    noise; DiD reads exactly $5."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1 (treat): pre $20, post $35 (trend 10 + effect 5)
+    # user 2 (ctrl):  pre $30, post $40 (trend 10 only)
+    for u, pre, post in [(1, 20.0, 35.0), (2, 30.0, 40.0)]:
+        rows.append((eid, b, u, "purchase", pre, "{}")); eid += 1
+        rows.append((eid, b + dt.timedelta(days=10), u, "purchase", post, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    (row,) = load_all()["events_diff_in_diff"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_treat"] == 1 and row["n_ctrl"] == 1
+    assert row["pre_treat_mean"] == 20.0 and row["pre_ctrl_mean"] == 30.0
+    assert row["did_estimate"] == 5.0
+    assert row["naive_post_diff"] == -5.0  # baseline gap pollutes the naive read

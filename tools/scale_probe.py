@@ -333,6 +333,8 @@ PROBE = [
     "events_markov_attribution",
     "dq_inclusion_dependency",
     "agg_weighted_median",
+    "events_uplift_qini",
+    "events_diff_in_diff",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
