@@ -1732,10 +1732,14 @@ def procrustes_align(
     """
     import numpy as np
 
-    d = len(
-        pairs.select(src_col).first()[0]
-    )
-    if d * d > 50_000_000:  # the _DRIVER_FIT_MAX_ELEMS discipline
+    head = pairs.select(src_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            "procrustes_align: pairs frame is empty (or its first "
+            f"{src_col!r} is null) — nothing to align"
+        )
+    d = len(head[0])
+    if d * d > _DRIVER_FIT_MAX_ELEMS:
         raise ValueError(f"cross-Gram d²={d * d} exceeds the driver-fit cap")
 
     def cross(batches):

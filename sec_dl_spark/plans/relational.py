@@ -5690,8 +5690,12 @@ def dq_inclusion_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part": ("p_partkey",),
         "nation": ("n_nationkey",),
     }
+    # pinned: several frames serve as child in one candidate and parent
+    # in another, and each candidate reads its child frame twice
+    # (matched + total) — unpinned, the lineitem distinct fold would
+    # re-run per branch
     frames = {
-        (tb, col): t(spark, sf_dir, tb).select(col).distinct()
+        (tb, col): pin(t(spark, sf_dir, tb).select(col).distinct())
         for tb, cols in tables.items()
         for col in cols
     }
@@ -5762,12 +5766,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: values fold to value grain first (distinct cents, each
     with its total weight — the exact_percentiles reduction), the
-    cumulative weight comes from `global_cumsum` (range exchange +
-    broadcast offsets, never a value-count single-partition window),
-    and both medians are integer crossings (cw·2 ≥ total) — no float
-    enters anywhere."""
-    from sec_dl_spark.operators.relational import global_cumsum
-
+    cumulative weight AND cumulative count ride ONE `global_cumsum`-
+    shaped ranged pass (range exchange + per-partition fold + broadcast
+    offsets, never a value-count single-partition window — and never
+    two back-to-back exchanges for the two running sums), and both
+    medians are integer crossings (cw·2 ≥ total) — no float enters
+    anywhere."""
     v = t(spark, sf_dir, "lineitem").select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
         F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("w"),
@@ -5776,11 +5780,35 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("w"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    r = global_cumsum(
-        global_cumsum(g, [F.asc("cents")], "w", out_col="cw"),
-        [F.asc("cents")],
-        "c",
-        out_col="cc",
+    # ONE ranged pass carries both running sums: a second global_cumsum
+    # call would range-exchange and pin the identical cents-ordered
+    # frame twice back to back
+    ranged = pin(
+        g.repartitionByRange(F.asc("cents")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    wloc = Window.partitionBy("_pid").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = ranged.groupBy("_pid").agg(
+        F.sum("w").alias("_tw"), F.sum("c").alias("_tc")
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_tw").over(woff), F.lit(0)).alias("_ow"),
+        F.coalesce(F.sum("_tc").over(woff), F.lit(0)).alias("_oc"),
+    )
+    r = (
+        ranged.withColumn("_lw", F.sum("w").over(wloc))
+        .withColumn("_lc", F.sum("c").over(wloc))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "cents",
+            (F.col("_ow") + F.col("_lw")).cast("long").alias("cw"),
+            (F.col("_oc") + F.col("_lc")).cast("long").alias("cc"),
+        )
     )
     tot = v.agg(
         F.sum("w").cast("long").alias("tw"),

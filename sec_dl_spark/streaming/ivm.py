@@ -52,6 +52,22 @@ def incremental_agg_sink(
     run = run or hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            # batch 0 only ever fires on a FRESH checkpoint, i.e. the
+            # source is replaying from the beginning — clear this run's
+            # prior partials first. A wiped-and-recreated checkpoint can
+            # replay with DIFFERENT batch boundaries (e.g. the read
+            # limit changed), and overwrite-by-batch-id alone would
+            # leave the old attempt's higher-numbered partials behind
+            # to double-count in the merge.
+            spark = batch_df.sparkSession
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(f"{view_path}/run={run}")
+            fs = path.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            if fs.exists(path):
+                fs.delete(path, True)
         fold_changes(batch_df, keys, measures, op_col=op_col).write.mode(
             "overwrite"
         ).parquet(f"{view_path}/run={run}/batch={batch_id}")

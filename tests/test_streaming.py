@@ -2228,19 +2228,17 @@ def test_streaming_ivm_retraction_view_matches_recompute(spark, tmp_path_factory
     }
     assert got1 == expected
 
-    # replay after checkpoint wipe: same run token -> partitions
-    # overwrite instead of double-counting
+    # replay after checkpoint wipe with DIFFERENT batching: the fresh
+    # checkpoint replays everything as ONE batch (no read limit), so
+    # batch=0 must clear the run's stale batch=1/2 partials — otherwise
+    # the merge double-counts them silently
     shutil.rmtree(ckpt3)
     src_replay = tmp_path_factory.mktemp("ivm_src_replay")
     for i, chunk in enumerate(batches):
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{src_replay}/b={i}")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src_replay}/b=*")
-    )
+    stream = spark.readStream.schema(schema).parquet(f"{src_replay}/b=*")
     incremental_agg_sink(
         stream, view3, ckpt3, ["k"], {"sv": "v"}
     ).awaitTermination(120)

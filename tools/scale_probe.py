@@ -308,7 +308,10 @@ PROBE = [
     "events_audience_overlap",
     "events_stl_decomposition",
     "dq_ingest_volume_anomaly",
-    # round-12 additions (this session's 17 new queries)
+    # round-12 additions, two waves: the 17-query main batch, then the
+    # late-round queries appended as they landed (partition balance,
+    # assortativity, markov attribution, inclusion deps, weighted
+    # median, uplift/qini, diff-in-diff) — 26 names total
     "dq_sequence_gap_audit",
     "cdc_agg_incremental",
     "agg_abc_classification",
