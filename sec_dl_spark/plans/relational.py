@@ -5825,3 +5825,88 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unweighted_median_cents"),
     )
+
+
+@query(
+    "join_supplier_hhi_by_nation",
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey),
+    j AS (
+      SELECT n.n_name, sr.l_suppkey, sr.cents
+      FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey),
+    g AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(max(cents) AS BIGINT) AS top_cents,
+             sum(CAST(cents AS DOUBLE) * cents) AS sq
+      FROM j GROUP BY n_name)
+    SELECT n_name, n_suppliers, total_cents,
+           (round(sq / (CAST(total_cents AS DOUBLE) * total_cents)
+                  + 1e-9, 6) + 0.0) AS hhi,
+           (round(CAST(top_cents AS DOUBLE) / total_cents + 1e-9, 6) + 0.0)
+             AS top_supplier_share,
+           sq / (CAST(total_cents AS DOUBLE) * total_cents)
+             > 0.25 AS concentrated
+    FROM g ORDER BY n_name
+    """,
+)
+def join_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk per nation: the Herfindahl–Hirschman
+    index of supplier revenue shares (Σ share² — the antitrust
+    screen's statistic), the top supplier's share, and a flag at the
+    standard 0.25 'highly concentrated' threshold. A procurement team
+    reads this to find nations where one supplier failing would take
+    the category down — the same census a dedup pipeline runs over
+    SOURCES before trusting a corpus mix.
+
+    Scale shape: supplier revenue folds from the fact scan first
+    (exact per-line integer cents), the two dims broadcast-join onto
+    the supplier-grain frame, and the nation fold computes HHI from
+    the moment identity Σshare² = Σcents² / total² — the quadratic
+    accumulates in DOUBLE in both engines (int64 square-wrap class),
+    every term integer-exact below 2^53. The threshold compares the
+    same unrounded expression in both engines."""
+    sr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+                    "AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = sr.join(F.broadcast(s), sr.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    g = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.max("cents").cast("long").alias("top_cents"),
+        F.sum(F.col("cents").cast("double") * F.col("cents")).alias("sq"),
+    )
+    hhi = F.col("sq") / (
+        F.col("total_cents").cast("double") * F.col("total_cents")
+    )
+    return g.select(
+        "n_name",
+        "n_suppliers",
+        "total_cents",
+        rz6(hhi).alias("hhi"),
+        rz6(
+            F.col("top_cents").cast("double") / F.col("total_cents")
+        ).alias("top_supplier_share"),
+        (hhi > 0.25).alias("concentrated"),
+    ).orderBy("n_name")

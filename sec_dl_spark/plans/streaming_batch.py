@@ -6115,3 +6115,81 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "naive_post_diff"
         ),
     )
+
+
+@query(
+    "events_capacity_peaks",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hn,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hn),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY n, hn)
+               AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nh,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM h)
+    SELECT event_type,
+           CAST(max(nh) AS BIGINT) AS n_active_hours,
+           CAST(max(n) AS BIGINT) AS peak_hourly,
+           CAST(min(CASE WHEN rk * 100 >= nh * 95 THEN n END) AS BIGINT)
+             AS p95_hourly,
+           (round(CAST(max(tot) AS DOUBLE) / max(nh) + 1e-8, 4) + 0.0)
+             AS mean_hourly,
+           (round(CAST(max(n) AS DOUBLE) * max(nh) / max(tot) + 1e-9, 6)
+            + 0.0) AS peak_to_mean
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_capacity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning peaks per event type: the busiest hour, the
+    exact nearest-rank p95 hour, the mean over ACTIVE hours, and the
+    peak-to-mean ratio — the table an on-call/provisioning review reads
+    to size a consumer for bursts rather than averages (a
+    peak_to_mean ≈ 1 stream autoscale handles; ≫ 1 needs headroom or
+    buffering). Hours with zero events are genuinely idle and excluded
+    from the denominator by construction (mean over active hours).
+
+    Scale shape: the fact scan folds to (type, hour) grain first; the
+    rank window partitions by TYPE over hour-grain rows (calendar-
+    bounded partitions — never fact-sized), p95 is the integer
+    nearest-rank crossing (rk·100 ≥ n·95) in count space, and every
+    output is exact-integer-derived."""
+    h = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.col("ts")) / F.lit(3600000000)).cast("long")
+            .alias("hn"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "n",
+        F.row_number().over(wt.orderBy("n", "hn")).alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("nh"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("nh").cast("long").alias("n_active_hours"),
+            F.max("n").cast("long").alias("peak_hourly"),
+            F.min(
+                F.when(F.col("rk") * 100 >= F.col("nh") * 95, F.col("n"))
+            )
+            .cast("long")
+            .alias("p95_hourly"),
+            rz(
+                F.max("tot").cast("double") / F.max("nh"), 4, 1e-8
+            ).alias("mean_hourly"),
+            rz6(
+                F.max("n").cast("double") * F.max("nh") / F.max("tot")
+            ).alias("peak_to_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -3838,3 +3838,74 @@ def test_diff_in_diff_nets_out_shared_trend(spark, tmp_path):
     assert row["pre_treat_mean"] == 20.0 and row["pre_ctrl_mean"] == 30.0
     assert row["did_estimate"] == 5.0
     assert row["naive_post_diff"] == -5.0  # baseline gap pollutes the naive read
+
+
+def test_supplier_hhi_monopoly_vs_balanced(spark, tmp_path):
+    """Nation N1 has one supplier with all revenue (HHI 1.0,
+    concentrated); N2 splits revenue equally across 5 suppliers
+    (HHI 0.2, not concentrated)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, ok = [], 0
+    for _ in range(4):  # supplier 1 (N1) takes everything
+        rows.append((ok, 1, 1, 1, 1.0, 25.0, 0.0, 0.0, "N", "O", b)); ok += 1
+    for sk in range(2, 7):  # suppliers 2..6 (N2) equal shares
+        rows.append((ok, 1, sk, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", b)); ok += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    sups = [(1, "s1", 1, 0.0)] + [(sk, f"s{sk}", 2, 0.0) for sk in range(2, 7)]
+    spark.createDataFrame(
+        sups, "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(1, "N1", 1), (2, "N2", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{tmp_path}/nation.parquet")
+
+    out = {
+        r["n_name"]: r
+        for r in load_all()["join_supplier_hhi_by_nation"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["N1"]["hhi"] == 1.0 and out["N1"]["concentrated"]
+    assert out["N1"]["top_supplier_share"] == 1.0
+    assert out["N2"]["hhi"] == 0.2 and not out["N2"]["concentrated"]
+    assert out["N2"]["n_suppliers"] == 5
+
+
+def test_capacity_peaks_exact_p95_and_ratio(spark, tmp_path):
+    """Type 'spiky': 19 hours at 10 events and one hour at 100 ->
+    p95 = 10 (nearest rank over 20 hours), peak 100, mean 14.5,
+    peak_to_mean = 100/14.5."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    for hr in range(20):
+        n = 100 if hr == 19 else 10
+        for k in range(n):
+            rows.append(
+                (eid, b + dt.timedelta(hours=hr, seconds=k), 1, "spiky",
+                 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    (row,) = load_all()["events_capacity_peaks"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_active_hours"] == 20 and row["peak_hourly"] == 100
+    assert row["p95_hourly"] == 10
+    assert row["mean_hourly"] == 14.5
+    assert row["peak_to_mean"] == round(100 / 14.5 + 1e-9, 6)

@@ -338,6 +338,8 @@ PROBE = [
     "agg_weighted_median",
     "events_uplift_qini",
     "events_diff_in_diff",
+    "join_supplier_hhi_by_nation",
+    "events_capacity_peaks",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
