@@ -7494,3 +7494,203 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_filter_agreement_kappa",
+    oracle="""
+    WITH tk AS (SELECT doc_id, n_chars, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+    v AS (
+      SELECT doc_id,
+             (n_chars BETWEEN 100 AND 2000) AS ga,
+             (len(toks) >= 50
+              AND CAST(list_sum(list_transform(toks, t -> length(t)))
+                       AS DOUBLE) / len(toks) BETWEEN 3 AND 10) AS gb
+      FROM tk),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (ga AND gb) AS BIGINT) AS n_yy,
+             CAST(count(*) FILTER (ga AND NOT gb) AS BIGINT) AS n_yn,
+             CAST(count(*) FILTER (NOT ga AND gb) AS BIGINT) AS n_ny,
+             CAST(count(*) FILTER (NOT ga AND NOT gb) AS BIGINT) AS n_nn
+      FROM v)
+    SELECT n, n_yy, n_yn, n_ny, n_nn,
+           (round(CAST(n_yy + n_nn AS DOUBLE) / n + 1e-9, 6) + 0.0)
+             AS observed_agreement,
+           (round((CAST(n_yy + n_yn AS DOUBLE) * (n_yy + n_ny)
+                   + CAST(n_ny + n_nn AS DOUBLE) * (n_yn + n_nn))
+                  / (CAST(n AS DOUBLE) * n) + 1e-9, 6) + 0.0)
+             AS expected_agreement,
+           (round((CAST(n_yy + n_nn AS DOUBLE) / n
+                   - (CAST(n_yy + n_yn AS DOUBLE) * (n_yy + n_ny)
+                      + CAST(n_ny + n_nn AS DOUBLE) * (n_yn + n_nn))
+                     / (CAST(n AS DOUBLE) * n))
+                  / nullif(1 - (CAST(n_yy + n_yn AS DOUBLE) * (n_yy + n_ny)
+                                + CAST(n_ny + n_nn AS DOUBLE) * (n_yn + n_nn))
+                               / (CAST(n AS DOUBLE) * n), 0.0)
+                  + 1e-9, 6) + 0.0) AS cohens_kappa
+    FROM c
+    """,
+)
+def text_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent corpus quality gates (a
+    char-length gate and a token-shape gate) — the inter-rater
+    agreement readout a filtering pipeline publishes before composing
+    gates: kappa ≈ 1 means the second gate is redundant (drop it and
+    save a pass), kappa ≈ 0 means the gates screen different failure
+    modes (compose them), and the full 2×2 census shows WHERE they
+    disagree. The same statistic scores human-annotator or
+    model-vs-heuristic label agreement on eval sets.
+
+    Scale shape: one corpus scan, two deterministic per-doc boolean
+    gates, ONE 2×2 conditional fold; kappa is a deterministic
+    expression of four exact integers (the chance-agreement products
+    are formed in double — the int64-wrap class)."""
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    mean_wl = (
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t_: F.length(t_)),
+            F.lit(0),
+            lambda a, v: a + v,
+        ).cast("double")
+        / F.size("toks")
+    )
+    v = tk.select(
+        F.col("n_chars").between(100, 2000).alias("ga"),
+        (
+            (F.size("toks") >= 50) & mean_wl.between(3.0, 10.0)
+        ).alias("gb"),
+    )
+    c = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("ga") & F.col("gb"), 1)).cast("long").alias("n_yy"),
+        F.count(F.when(F.col("ga") & ~F.col("gb"), 1)).cast("long").alias("n_yn"),
+        F.count(F.when(~F.col("ga") & F.col("gb"), 1)).cast("long").alias("n_ny"),
+        F.count(F.when(~F.col("ga") & ~F.col("gb"), 1)).cast("long").alias("n_nn"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n_yy") + F.col("n_nn")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n_yy") + F.col("n_yn")).cast("double")
+        * (F.col("n_yy") + F.col("n_ny"))
+        + (F.col("n_ny") + F.col("n_nn")).cast("double")
+        * (F.col("n_yn") + F.col("n_nn"))
+    ) / (nd * F.col("n"))
+    return c.select(
+        "n",
+        "n_yy",
+        "n_yn",
+        "n_ny",
+        "n_nn",
+        rz6(po).alias("observed_agreement"),
+        rz6(pe).alias("expected_agreement"),
+        rz6((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias(
+            "cohens_kappa"
+        ),
+    )
+
+
+@query(
+    "emb_anova_norms",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             -- explicit left fold (not list_sum, whose order is not
+             -- pinned for doubles): matches Spark's F.aggregate order
+             CAST(round(sqrt(list_reduce(
+                    list_prepend(0.0, list_transform(
+                      CAST(embedding AS DOUBLE[]), x -> x * x)),
+                    (a, b) -> a + b)) * 1e6)
+                  AS BIGINT) AS nu
+      FROM embeddings),
+    g AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nu) AS BIGINT) AS s,
+             sum(CAST(nu AS DOUBLE) * nu) AS q
+      FROM v GROUP BY label),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss,
+             sum(q) AS qq,
+             sum(CAST(s AS DOUBLE) * s / n) AS sb
+      FROM g)
+    SELECT k AS n_groups, nn AS n_vectors,
+           (round((sb - CAST(ss AS DOUBLE) * ss / nn) / 1e12 + 1e-8, 4)
+            + 0.0) AS ss_between,
+           (round((qq - sb) / 1e12 + 1e-8, 4) + 0.0) AS ss_within,
+           (round(((sb - CAST(ss AS DOUBLE) * ss / nn) / (k - 1))
+                  / nullif((qq - sb) / (nn - k), 0.0) + 1e-9, 6) + 0.0)
+             AS f_stat
+    FROM tot WHERE k >= 2 AND nn > k
+    """,
+)
+def emb_anova_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of embedding norms across labels: the F statistic
+    (between-group over within-group variance) that answers "does
+    vector MAGNITUDE leak the label?" — a known failure mode before
+    cosine retrieval: if norms differ by class, dot-product shortcuts
+    and un-normalized quantizers inherit a class prior the embedding
+    was never supposed to carry. F ≈ 1 is clean; a large F says
+    normalize before indexing. Completes the test family (welch = 2
+    groups, chi² = categorical, Mann-Whitney = ranks) with the
+    k-group mean comparison.
+
+    Scale shape: each norm is a deterministic per-row scalar rounded
+    to 1e-6 integer units BEFORE any aggregation (exact integer sums —
+    the cross-engine float-order class), one label-grain fold, one
+    1-row fold; the quadratic moment and the Σs²/n term accumulate in
+    DOUBLE in both engines (int64 square-wrap class). Sums of squares
+    are reported back in norm² units (÷1e12)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x: x * x,
+                    ),
+                    F.lit(0.0),
+                    lambda a, y: a + y,
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("nu"),
+    )
+    g = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nu").cast("long").alias("s"),
+        F.sum(F.col("nu").cast("double") * F.col("nu")).alias("q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("ss").cast("double") * F.col("ss") / F.col("nn")
+    ssw = F.col("qq") - F.col("sb")
+    return (
+        tot.where((F.col("k") >= 2) & (F.col("nn") > F.col("k")))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.col("nn").alias("n_vectors"),
+            rz(ssb / 1e12, 4, 1e-8).alias("ss_between"),
+            rz(ssw / 1e12, 4, 1e-8).alias("ss_within"),
+            rz6(
+                (ssb / (F.col("k") - 1))
+                / F.nullif(ssw / (F.col("nn") - F.col("k")), F.lit(0.0))
+            ).alias("f_stat"),
+        )
+    )

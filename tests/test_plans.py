@@ -3909,3 +3909,63 @@ def test_capacity_peaks_exact_p95_and_ratio(spark, tmp_path):
     assert row["p95_hourly"] == 10
     assert row["mean_hourly"] == 14.5
     assert row["peak_to_mean"] == round(100 / 14.5 + 1e-9, 6)
+
+
+def test_filter_agreement_kappa_extremes(spark, tmp_path):
+    """Docs built so the gates fully agree (kappa 1.0): half pass both
+    (mid-length, 60 healthy tokens), half fail both (tiny)."""
+    good = " ".join(f"word{i}" for i in range(60))
+    rows = []
+    for i in range(4):
+        rows.append((i, good, "en", "s", 500))      # passes both gates
+    for i in range(4, 8):
+        rows.append((i, "x y", "en", "s", 3))        # fails both gates
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    (row,) = load_all()["text_filter_agreement_kappa"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert (row["n_yy"], row["n_nn"], row["n_yn"], row["n_ny"]) == (4, 4, 0, 0)
+    assert row["observed_agreement"] == 1.0
+    assert row["cohens_kappa"] == 1.0
+
+
+def test_anova_norms_separated_vs_equal(spark, tmp_path):
+    """Label 0 vectors have norm 1, label 1 vectors norm 3 with zero
+    within-group variance -> ss_within 0 and an infinite F guarded to
+    NULL is avoided by construction here: plant tiny within-group
+    spread instead and assert F is large; then equal norms -> F = 0."""
+    rows = []
+    vid = 0
+    for lab, base in [(0, 1.0), (1, 3.0)]:
+        for k in range(5):
+            v = [0.0] * 64
+            v[0] = base + (0.001 * k)  # tiny within-group spread
+            rows.append((vid, v, lab))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    (row,) = load_all()["emb_anova_norms"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_groups"] == 2 and row["n_vectors"] == 10
+    assert row["f_stat"] > 1000  # magnitudes leak the label
+    assert row["ss_between"] > 9.0  # ~ (3-1)^2/4 * 10 = 10 norm^2 units
+
+    rows2 = []
+    for vid in range(10):
+        v = [0.0] * 64
+        v[0] = 2.0 + 0.001 * (vid % 5)  # same spread in BOTH labels
+        rows2.append((vid, v, vid % 2))
+    import shutil
+    shutil.rmtree(f"{tmp_path}/embeddings.parquet")
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    (row2,) = load_all()["emb_anova_norms"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row2["f_stat"] < 0.001  # identical distributions: no leak

@@ -340,6 +340,8 @@ PROBE = [
     "events_diff_in_diff",
     "join_supplier_hhi_by_nation",
     "events_capacity_peaks",
+    "text_filter_agreement_kappa",
+    "emb_anova_norms",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
