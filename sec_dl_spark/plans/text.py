@@ -7694,3 +7694,123 @@ def emb_anova_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_stat"),
         )
     )
+
+
+@query(
+    "emb_knn_reciprocity",
+    oracle="""
+    WITH n0 AS (SELECT count(*) AS nt FROM embeddings),
+    -- deterministic 1-in-m vertex sample capping the audited subgraph
+    -- at ~1000 vectors; the audit is EXACT within the induced subgraph
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings, n0
+          WHERE vec_id % ((nt + 999) // 1000) = 0),
+    scored AS (
+      SELECT a.vec_id AS q, b.vec_id AS nb,
+             round(list_cosine_similarity(a.v, b.v), 6) AS s
+      FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+    edges AS MATERIALIZED (
+      SELECT q, nb FROM (
+        SELECT *, row_number() OVER (PARTITION BY q ORDER BY s DESC, nb)
+          AS rk
+        FROM scored)
+      WHERE rk <= 5),
+    recip AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_recip
+      FROM edges f WHERE EXISTS (SELECT 1 FROM edges r
+                                 WHERE r.q = f.nb AND r.nb = f.q)),
+    indeg AS (SELECT nb, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY nb),
+    census AS (
+      SELECT CAST(max(d) AS BIGINT) AS max_in_degree,
+             CAST(count(*) FILTER (d >= 10) AS BIGINT) AS n_hubs,
+             CAST((SELECT count(*) FROM e)
+                  - count(*) AS BIGINT) AS n_orphans
+      FROM indeg),
+    tot AS (SELECT CAST((SELECT nt FROM n0) AS BIGINT) AS n_total,
+                   CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vectors,
+                   CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges)
+    SELECT n_total, n_vectors, n_edges,
+           (round(CAST(n_recip AS DOUBLE) / nullif(n_edges, 0) + 1e-9, 6)
+            + 0.0) AS reciprocity,
+           max_in_degree, n_hubs, n_orphans
+    FROM tot, recip, census
+    """,
+)
+def emb_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the exact k=5 cosine kNN graph: the share of
+    directed neighbor edges that are RECIPROCAL, the maximum in-degree,
+    the hub count (in-degree ≥ 2k), and the orphan count (vectors no
+    one lists as a neighbor). High-dimensional embedding spaces
+    degenerate into hub-dominated kNN graphs — a few vectors appear in
+    everyone's neighbor list while many appear in none — which poisons
+    kNN classification, dedup candidate quality, and diversity; low
+    reciprocity with fat hubs is the signature, and the standard fixes
+    (norm cleanup — see emb_anova_norms — or mutual-kNN pruning) key
+    off exactly this table.
+
+    Scale shape: neighbor edges come from the same two-phase exact
+    top-k the retrieval family uses (operators/similarity.py:
+    cosine_topk — queries broadcast under the enforced cap, per-query
+    ranking on the 6-digit-rounded sim with id tie-break; at corpus
+    scale the IVF/LSH candidate generators swap in on the same frame
+    shapes); reciprocity is ONE self-join of the edge list on the
+    reversed pair (edge-sized, k·n rows), the in-degree census one
+    fold. The edge list is pinned — reciprocity probe, in-degree fold,
+    and edge count all read the one materialization."""
+    from sec_dl_spark.operators import similarity
+    from sec_dl_spark.session import pin as _pin
+
+    e0 = t(spark, sf_dir, "embeddings")
+    n0 = e0.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    # deterministic 1-in-m vertex sample capping the audited subgraph at
+    # ~1000 vectors (m = ceil(n/1000)): keeps the query-broadcast side
+    # under cosine_topk's enforced cap at ANY corpus size (the 10x
+    # probe refused the unsampled form at 20k vectors), and the audit
+    # stays EXACT within the induced subgraph — the standard subsample
+    # form of a hubness census
+    e = _pin(
+        e0.crossJoin(F.broadcast(n0)).where(
+            F.col("vec_id") % ((F.col("nt") + 999) / 1000).cast("long") == 0
+        ).select("vec_id", "embedding")
+    )
+    edges = _pin(
+        similarity.cosine_topk(e, e, k=5).select(
+            F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb")
+        )
+    )
+    fwd, rev = edges.alias("f"), edges.alias("r")
+    recip = (
+        fwd.join(
+            rev,
+            (F.col("f.q") == F.col("r.nb")) & (F.col("f.nb") == F.col("r.q")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    indeg = edges.groupBy("nb").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nvec = e.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    census = indeg.agg(
+        F.max("d").cast("long").alias("max_in_degree"),
+        F.count(F.when(F.col("d") >= 10, 1)).cast("long").alias("n_hubs"),
+        F.count(F.lit(1)).cast("long").alias("n_targets"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        nvec.crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(recip))
+        .crossJoin(F.broadcast(census))
+        .select(
+            F.col("nt").alias("n_total"),
+            "n_vectors",
+            "n_edges",
+            rz6(
+                F.col("n_recip").cast("double")
+                / F.nullif(F.col("n_edges"), F.lit(0))
+            ).alias("reciprocity"),
+            "max_in_degree",
+            "n_hubs",
+            (F.col("n_vectors") - F.col("n_targets")).alias("n_orphans"),
+        )
+    )

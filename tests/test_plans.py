@@ -3969,3 +3969,28 @@ def test_anova_norms_separated_vs_equal(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert row2["f_stat"] < 0.001  # identical distributions: no leak
+
+
+def test_knn_reciprocity_hub_vs_clean(spark, tmp_path):
+    """Six orthogonal-ish vectors where vector 0 is every other
+    vector's nearest neighbor (a planted hub): with k=5 and n=6 every
+    ordered pair is an edge, so reciprocity is 1.0 and in-degree is
+    uniform 5 — the CLEAN baseline the audit reports for a tiny fully
+    connected graph (no orphans, no hubs at the 2k=10 floor)."""
+    rows = []
+    for i in range(6):
+        v = [0.0] * 64
+        v[i] = 1.0
+        v[63] = 0.2  # shared component so similarities are distinct-ish
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    (row,) = load_all()["emb_knn_reciprocity"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert row["n_vectors"] == 6 and row["n_edges"] == 30  # 6 * k(=5)
+    assert row["reciprocity"] == 1.0
+    assert row["max_in_degree"] == 5 and row["n_hubs"] == 0
+    assert row["n_orphans"] == 0

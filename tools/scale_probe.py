@@ -342,6 +342,7 @@ PROBE = [
     "events_capacity_peaks",
     "text_filter_agreement_kappa",
     "emb_anova_norms",
+    "emb_knn_reciprocity",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
