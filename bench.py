@@ -49,15 +49,15 @@ pagination is a bigger TakeOrderedAndProject k, never a corpus sort. The
 pruning reads only the queries' buckets), "rebuild" = cosine_topk_lsh
 re-deriving signatures from the raw vectors inside the query —
 `serve_over_rebuild` is what persisting the index saves per search.
-READ THE ANN RATIO AT SCALE, NOT AT FACE VALUE: at sf0.1 the index is
-768 bucket directories of near-empty parquet (12 tables × 2^6 bits),
-so "serve" pays ~fixed per-directory listing/footer/task overhead that
-"rebuild" (one in-memory Arrow signature pass over 12.8k vectors)
-doesn't — serve measures >1 here. The regime flips with corpus size:
-rebuild scans and shuffles ALL N vectors per query batch while serve
-reads only the probed buckets, so the recorded ratio is the
-cross-round tracking number for the fixed overhead, not the payoff
-(the payoff is the pruned-scan asymptotics the plan test pins).
+The index build auto-sizes its signature width to the corpus
+(auto_bits_per_table: ~800 rows per bucket directory, so sf0.1's 12.8k
+vectors get 12 tables × 2^4 = 192 directories instead of the fixed
+6-bit layout's 768 near-empty ones that made r11's serve measure 3x
+rebuild on pure per-directory listing/footer/task overhead). The ratio
+still carries residual fixed cost at this corpus size — rebuild is one
+in-memory Arrow signature pass — and flips with scale: rebuild scans
+and shuffles ALL N vectors per query batch while serve reads only the
+probed buckets (the pruned-scan asymptotics the plan test pins).
 
 The `corpus_e2e` object times the COMPOSED pipeline (etl/corpus.py:
 clean → quality gate → exact dedup → MinHash near-dedup → content-hashed
@@ -597,6 +597,23 @@ def main() -> None:
     shutil.rmtree(hll_work, ignore_errors=True)
     shutil.rmtree(serve_root, ignore_errors=True)
 
+    # High-variance re-measurement (VERDICT r11 ask #5): a query whose
+    # rep-to-rep spread exceeds 50% of its median got unlucky (GC pause,
+    # first-call codegen, a neighbor's page-cache eviction) — its
+    # median-of-3 is one outlier away from the truth. Re-time just those
+    # at 7 reps and keep the tighter sample; everything else keeps its
+    # 3-rep median so the fix costs seconds, not a 2.3x longer bench.
+    remeasured: list[str] = []
+    for name, s in samples.items():
+        if len(s) > 1 and (max(s) - min(s)) / statistics.median(s) > 0.5:
+            redo = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                specs[name].spark_fn(spark, sf_dir).collect()
+                redo.append(time.perf_counter() - t0)
+            samples[name] = redo
+            remeasured.append(name)
+
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {
         n: round((max(s) - min(s)) / statistics.median(s), 3) if len(s) > 1 else 0.0
@@ -606,6 +623,7 @@ def main() -> None:
         "reps": reps,
         "per_query_spread": spread,
         "max_spread_pct": round(100 * max(spread.values()), 1),
+        "remeasured_at_7_reps": remeasured,
     }
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
         noise["cpu_steal_pct"] = round(
@@ -676,7 +694,28 @@ def main() -> None:
     # output — Spark is stopped FIRST (its shutdown noise lands before
     # the line), the line is printed + flushed, and the process exits
     # via os._exit so no atexit/py4j teardown can print after it.
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LAST.json"), "w") as f:
+    repo_dir = os.path.dirname(__file__) or "."
+    with open(os.path.join(repo_dir, "BENCH_LAST.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # Per-round full-artifact archive (VERDICT r11 ask #6): the driver
+    # keeps only the compact stdout digest per round (slowest-3), so
+    # round-over-round per-query comparison needed this. The round
+    # number is inferred as 1 + the highest BENCH_r{N}.json the driver
+    # has committed so far — the archive written DURING round N+1's
+    # bench runs lands at BENCH_FULL_r{N+1}; re-runs within a round
+    # overwrite the same slot (last run wins, matching BENCH_LAST).
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    arch_dir = os.path.join(repo_dir, "bench_archive")
+    os.makedirs(arch_dir, exist_ok=True)
+    arch = os.path.join(arch_dir, f"BENCH_FULL_r{(max(rounds) if rounds else 0) + 1:02d}.json")
+    with open(arch, "w") as f:
         json.dump(full, f, indent=1)
     slowest3 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
     compact = {

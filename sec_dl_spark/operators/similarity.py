@@ -704,21 +704,58 @@ def knn_isolation(
     )
 
 
+def auto_bits_per_table(
+    n_rows: int, target_rows_per_bucket: int = 800, min_bits: int = 2, max_bits: int = 16
+) -> int:
+    """Signature width sized to the corpus: 2^bits buckets per table such
+    that the average bucket holds ~``target_rows_per_bucket`` vectors.
+
+    The persisted index pays a fixed per-directory cost at serve time
+    (listing + parquet footer + a scan task per probed bucket), so a
+    small corpus under a wide signature becomes hundreds of near-empty
+    directories whose overhead dwarfs the pruned-read payoff (the r11
+    bench measured serve 3x rebuild at sf0.1 under a fixed 6-bit
+    signature → 768 dirs for 12.8k vectors). Deriving bits from |corpus|
+    keeps bucket directories file-sized at every scale: 12.8k vectors →
+    4 bits (16 buckets/table), 1e9 vectors → 16 bits (65k buckets/table,
+    ~15k rows each). Recall is monotone in bucket width (fewer bits =
+    larger buckets = MORE candidates checked), so shrinking bits for
+    small corpora never costs recall — only candidate-rerank volume,
+    which is exactly what a small corpus can afford."""
+    import math
+
+    if n_rows <= target_rows_per_bucket * (1 << min_bits):
+        return min_bits
+    return min(max_bits, int(math.floor(math.log2(n_rows / target_rows_per_bucket))))
+
+
 def write_ann_index(
     corpus: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 12,
-    bits_per_table: int = 6,
+    bits_per_table: int | None = None,
     seed: int = 42,
 ) -> None:
     """Persist the hyperplane-LSH index: one row per (bucket, vector),
-    PARTITIONED BY bucket — the ANN twin of fts.write_index. A query's
-    candidate read prunes to its own buckets' directories: the serve-time
-    join keys on the partition column, so Spark's dynamic partition
-    pruning skips every other bucket at scan time (verified in the plan
-    test). Build is one signature pass + explode; rebuild == re-run."""
+    PARTITIONED BY bucket under ``{path}/index`` — the ANN twin of
+    fts.write_index. A query's candidate read prunes to its own buckets'
+    directories: the serve-time join keys on the partition column, so
+    Spark's dynamic partition pruning skips every other bucket at scan
+    time (verified in the plan test). Build is one signature pass +
+    explode; rebuild == re-run.
+
+    ``bits_per_table=None`` (default) derives the signature width from
+    |corpus| via auto_bits_per_table, so the bucket-directory count
+    tracks the data instead of fragmenting small corpora. The chosen
+    parameters land in a one-row JSON sidecar at ``{path}/meta`` (the
+    write_ivfpq_index convention) — serve reads them back, so build and
+    serve can never disagree on the plane geometry."""
+    import json as _json
+
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(corpus.count())
     bk = hyperplane_buckets(
         F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
     )
@@ -731,8 +768,22 @@ def write_ann_index(
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(f"{path}/index")
     )
+    meta = _json.dumps(
+        {"num_tables": num_tables, "bits_per_table": bits_per_table, "seed": seed}
+    )
+    corpus.sparkSession.createDataFrame([(meta,)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/meta")
+
+
+def read_ann_index_meta(spark, path: str) -> dict:
+    """Load the ANN index's parameter sidecar ({num_tables,
+    bits_per_table, seed})."""
+    import json as _json
+
+    return _json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
 
 
 def ann_index_topk(
@@ -742,27 +793,30 @@ def ann_index_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_tables: int = 12,
-    bits_per_table: int = 6,
-    seed: int = 42,
     max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k against a persisted ANN index (write_ann_index):
-    bucketize the queries with the SAME planes (seed-derived — no stored
-    model to version), join on the partition column so dynamic partition
-    pruning reads only the queries' buckets, exact-rerank candidates.
-    Same (query_id, neighbor_id, cosine_sim, rank) contract as the live
-    LSH path and identical results for the same parameters."""
+    bucketize the queries with the SAME planes as the build — num_tables
+    / bits_per_table / seed come from the index's ``{path}/meta`` sidecar
+    (planes regenerate from the seed, so nothing else is versioned) —
+    join on the partition column so dynamic partition pruning reads only
+    the queries' buckets, exact-rerank candidates. Same (query_id,
+    neighbor_id, cosine_sim, rank) contract as the live LSH path and
+    identical results for the same parameters."""
     _require_small_queries(queries, max_queries)
+    meta = read_ann_index_meta(spark, path)
     bk = hyperplane_buckets(
-        F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
+        F.col(vec_col),
+        num_tables=int(meta["num_tables"]),
+        bits_per_table=int(meta["bits_per_table"]),
+        seed=int(meta["seed"]),
     )
     q_bk = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(bk).alias("bucket"),
     )
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(f"{path}/index")
     # Carry the embedding out of the bucket-pruned candidate join itself —
     # the index rows already hold it, so ONE pruned scan serves both
     # candidate generation and rerank. (A separate idx.select(...).

@@ -350,6 +350,23 @@ def test_proximity_ranked_prefers_tight_covers(spark):
     assert ranks[1] < ranks[2]  # tighter cover wins (bm25 parts are equal)
 
 
+def test_auto_bits_per_table_tracks_corpus_size():
+    """Signature width follows |corpus|: small corpora collapse to the
+    floor (no directory fragmentation), the bucket count grows ~linearly
+    with rows past that (≈target_rows_per_bucket per directory), and the
+    cap bounds the plane matrix at billion-row scale."""
+    from sec_dl_spark.operators.similarity import auto_bits_per_table
+
+    assert auto_bits_per_table(0) == 2
+    assert auto_bits_per_table(1_280) == 2       # sf0.001 corpus
+    assert auto_bits_per_table(12_800) == 4      # sf0.1 corpus: 16 buckets/table
+    assert auto_bits_per_table(128_000) == 7
+    assert auto_bits_per_table(1_000_000_000) == 16  # capped
+    # monotone non-decreasing in n
+    widths = [auto_bits_per_table(n) for n in (10, 10**3, 10**4, 10**6, 10**9)]
+    assert widths == sorted(widths)
+
+
 def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
     """Build-once/serve-many ANN: the persisted hyperplane index returns
     exactly what the live LSH path returns for the same parameters, and
@@ -357,7 +374,9 @@ def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
     partition pruning (the partition-column join)."""
     from sec_dl_spark.operators.similarity import (
         ann_index_topk,
+        auto_bits_per_table,
         cosine_topk_lsh,
+        read_ann_index_meta,
         write_ann_index,
     )
 
@@ -366,8 +385,18 @@ def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
     path = str(tmp_path / "ann_index")
     write_ann_index(emb, path)
 
+    # the build auto-sizes the signature to the corpus and records it in
+    # the meta sidecar; serve must reproduce the live LSH path AT THOSE
+    # parameters (the serve call itself takes none — it reads the meta)
+    meta = read_ann_index_meta(spark, path)
+    assert meta["bits_per_table"] == auto_bits_per_table(emb.count())
     served = ann_index_topk(spark, path, q, k=5)
-    live = cosine_topk_lsh(emb, q, k=5)
+    live = cosine_topk_lsh(
+        emb, q, k=5,
+        num_tables=int(meta["num_tables"]),
+        bits_per_table=int(meta["bits_per_table"]),
+        seed=int(meta["seed"]),
+    )
     a = {(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in served.collect()}
     b = {(r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in live.collect()}
     assert a == b and len(a) > 0
