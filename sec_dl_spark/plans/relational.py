@@ -5910,3 +5910,106 @@ def join_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_supplier_share"),
         (hhi > 0.25).alias("concentrated"),
     ).orderBy("n_name")
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey, CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey),
+    cn AS MATERIALIZED (
+      SELECT cr.x, n.n_name
+      FROM cr JOIN customer c ON cr.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    g AS MATERIALIZED (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS t_g
+      FROM cn GROUP BY n_name),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(t_g) AS BIGINT) AS t
+      FROM g),
+    terms AS (
+      SELECT cn.n_name,
+             CAST(round(((CAST(cn.x AS DOUBLE) * g.n_g) / g.t_g)
+                  * ln((CAST(cn.x AS DOUBLE) * g.n_g) / g.t_g) * 1e9)
+                  AS BIGINT) AS w_nano
+      FROM cn JOIN g USING (n_name)),
+    wg AS (SELECT n_name, sum(w_nano) AS units FROM terms GROUP BY n_name)
+    SELECT g.n_name AS nation, g.n_g AS n_cust,
+           (round(CAST(g.t_g AS DOUBLE) / tot.t + 1e-9, 6) + 0.0) AS rev_share,
+           (round(CAST(wg.units AS DOUBLE) / 1e9 / g.n_g + 1e-9, 6) + 0.0)
+             AS theil_within,
+           (round((CAST(g.t_g AS DOUBLE) / tot.t)
+                  * ln((CAST(g.t_g AS DOUBLE) * tot.n)
+                       / (CAST(tot.t AS DOUBLE) * g.n_g)) + 1e-9, 6) + 0.0)
+             AS between_term
+    FROM g JOIN wg USING (n_name), tot ORDER BY nation
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue by nation:
+    per nation its revenue share, its WITHIN-group Theil index
+    (1/n_g · Σ (x/μ_g)·ln(x/μ_g) over its customers), and its
+    BETWEEN-group term (s_g · ln(μ_g/μ)) — total inequality re-assembles
+    as Σ s_g·within_g + Σ between_g, which is what makes Theil (unlike
+    Gini) the decomposable inequality measure: it answers "is revenue
+    concentration a within-market or an across-market phenomenon?",
+    the complement to join_supplier_hhi_by_nation's supplier-side HHI.
+
+    Scale shape: one custkey groupBy over orders (partial-aggregated),
+    a key-aligned join to customer, a broadcast nation join; the 25-row
+    group-stats frame broadcasts back onto the customer rows, so the
+    per-row ratio terms are a map — no second wide shuffle. Cross-engine:
+    revenue accumulates in exact integer cents; each x·ln(x)-style term
+    is rounded to 1e-9 integer units BEFORE its sum (the
+    events_session_entropy convention) and the per-nation fold runs in
+    DECIMAL/HUGEINT (an int64 nano-unit sum wraps around 1e9 rows);
+    every float output divides exact integers once."""
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x")
+    )
+    cn = pin(
+        cr.join(cust, cr.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("x", "n_name")
+    )
+    g = pin(
+        cn.groupBy("n_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("x").cast("long").alias("t_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"), F.sum("t_g").cast("long").alias("t")
+    )
+    r = (F.col("x").cast("double") * F.col("n_g")) / F.col("t_g")
+    terms = cn.join(F.broadcast(g), "n_name").select(
+        "n_name",
+        F.round(r * F.log(r) * F.lit(1e9)).cast("long").alias("w_nano"),
+    )
+    wg = terms.groupBy("n_name").agg(
+        F.sum(F.col("w_nano").cast("decimal(19,0)")).alias("units")
+    )
+    mu_ratio = (F.col("t_g").cast("double") * F.col("n")) / (
+        F.col("t").cast("double") * F.col("n_g")
+    )
+    return (
+        g.join(wg, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_g").alias("n_cust"),
+            rz6(F.col("t_g").cast("double") / F.col("t")).alias("rev_share"),
+            rz6(F.col("units").cast("double") / F.lit(1e9) / F.col("n_g")).alias(
+                "theil_within"
+            ),
+            rz6((F.col("t_g").cast("double") / F.col("t")) * F.log(mu_ratio)).alias(
+                "between_term"
+            ),
+        )
+        .orderBy("nation")
+    )

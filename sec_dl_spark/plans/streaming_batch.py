@@ -6193,3 +6193,81 @@ def events_capacity_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY user_id),
+    r AS (SELECT x, user_id,
+                 CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+          FROM c),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS total_events,
+                 sum(CAST(i AS HUGEINT) * x) AS s_ix
+          FROM r),
+    top AS (SELECT CAST(sum(r.x) AS BIGINT) AS top_x
+            FROM r, s WHERE r.i > s.n_users - s.n_users // 10)
+    SELECT n_users, total_events,
+           (round((2.0 * CAST(s_ix AS DOUBLE)
+                   - (CAST(n_users AS DOUBLE) + 1.0) * total_events)
+                  / (CAST(n_users AS DOUBLE) * total_events) + 1e-9, 6)
+            + 0.0) AS gini,
+           (round(CAST(top_x AS DOUBLE) / total_events + 1e-9, 6) + 0.0)
+             AS top_decile_share
+    FROM s, top
+    """,
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity plus the top-decile share —
+    the one-row inequality readout behind two operational calls: how
+    salted a user-keyed shuffle must be (a Gini near 1 means a handful
+    of keys carry the stage — the smooth-curve complement to
+    events_heavy_hitters_share's top-10 table), and whether per-user
+    training-data caps bind (a high top-decile share means capping the
+    heaviest users reshapes the corpus). Uses the sorted-index identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+
+    Scale shape: one partial-aggregated user groupBy, then the sorted
+    index comes from operators/relational.py:global_rank (range exchange
+    + per-partition rank + broadcast offsets — never a global
+    single-partition window over n_users rows). Σ i·xᵢ accumulates in
+    DECIMAL(38,0)/HUGEINT (i reaches n_users and x the per-user max, so
+    an int64 product-sum silently wraps at planet scale — the
+    Mann-Whitney r11 class); every output derives from exact integer
+    sums divided once."""
+    from sec_dl_spark.operators.relational import global_rank
+
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    r = global_rank(c, [F.asc("x"), F.asc("user_id")], rank_col="_i0").withColumn(
+        "i", (F.col("_i0") + 1).cast("long")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("s_ix"),
+    )
+    top = (
+        r.crossJoin(F.broadcast(s.select("n_users").alias("_n")))
+        .where(F.col("i") > F.col("n_users") - F.expr("n_users div 10"))
+        .agg(F.sum("x").cast("long").alias("top_x"))
+    )
+    return s.crossJoin(F.broadcast(top)).select(
+        "n_users",
+        "total_events",
+        rz6(
+            (
+                F.lit(2.0) * F.col("s_ix").cast("double")
+                - (F.col("n_users").cast("double") + F.lit(1.0))
+                * F.col("total_events")
+            )
+            / (F.col("n_users").cast("double") * F.col("total_events"))
+        ).alias("gini"),
+        rz6(F.col("top_x").cast("double") / F.col("total_events")).alias(
+            "top_decile_share"
+        ),
+    )

@@ -7864,3 +7864,510 @@ def emb_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_vectors") - F.col("n_targets")).alias("n_orphans"),
         )
     )
+
+
+@query(
+    "emb_silhouette",
+    oracle="""
+    WITH x AS (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    a AS (
+      SELECT label, pos,
+             (round(avg(CAST(val AS DOUBLE)) + 1e-9, 4) + 0.0) AS mean_val
+      FROM x GROUP BY label, pos
+    ),
+    cent AS MATERIALIZED (
+      SELECT label AS c_label, list(mean_val ORDER BY pos) AS cvec
+      FROM a GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    per AS (
+      SELECT vec_id, label,
+             min(CASE WHEN c_label =  label THEN dist END) AS a_own,
+             min(CASE WHEN c_label <> label THEN dist END) AS b_other
+      FROM d GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT label,
+             CASE WHEN greatest(a_own, b_other) > 0
+                  THEN (round((b_other - a_own) / greatest(a_own, b_other)
+                        + 1e-9, 6) + 0.0) ELSE 0.0 END AS s,
+             CASE WHEN b_other < a_own THEN 1 ELSE 0 END AS mis
+      FROM per
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           (round(avg(s) + 1e-9, 6) + 0.0) AS mean_silhouette,
+           CAST(sum(mis) AS BIGINT) AS n_closer_to_other,
+           (round(CAST(sum(mis) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0)
+             AS misassign_share
+    FROM sil GROUP BY label ORDER BY label
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid silhouette — the clustering-quality audit for a
+    labeled embedding table: s = (b − a) / max(a, b) with a = distance to
+    the OWN label's centroid and b = distance to the nearest OTHER
+    centroid (the simplified/medoid-free silhouette — the classic
+    all-pairs form is O(N²) and adds nothing for centroid-shaped
+    clusters). Labels whose mean silhouette sags — or whose
+    n_closer_to_other count is non-trivial — are the ones a curation pass
+    re-examines for label noise before training a classifier head.
+
+    Scale shape: centroids come from ONE posexplode + (label, dim)
+    groupBy (the emb_label_centroids shuffle — partial sums, never whole
+    vectors), reassembled and BROADCAST (n_labels × dim doubles); every
+    vector then scores its 10 centroid distances in a single JVM-side
+    zip_with fold pass — no shuffle touches a vector after the centroid
+    build, so the plan is scan-bound at any N. Cross-engine: centroid
+    means take the rz 4-digit zero-normalized rounding (equal doubles on
+    both engines), and the distance fold is the same sequential
+    sum-of-squares both sides, so silhouettes compare exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
+    a = x.groupBy("label", "dim_idx").agg(
+        rz(F.avg(F.col("val").cast("double"))).alias("mean_val")
+    )
+    cent = (
+        a.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))).alias("s"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("s", lambda st: st.mean_val).alias("cvec"),
+        )
+    )
+    xd = F.transform("embedding", lambda v: v.cast("double"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("xd"), F.col("cvec"), lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    d = (
+        e.select("vec_id", "label", xd.alias("xd"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label", dist.alias("dist"))
+    )
+    per = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a_own"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b_other"),
+    )
+    sil = per.select(
+        "label",
+        F.when(
+            F.greatest("a_own", "b_other") > 0,
+            rz6((F.col("b_other") - F.col("a_own")) / F.greatest("a_own", "b_other")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+        F.when(F.col("b_other") < F.col("a_own"), F.lit(1)).otherwise(F.lit(0)).alias("mis"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            rz6(F.avg("s")).alias("mean_silhouette"),
+            F.sum("mis").cast("long").alias("n_closer_to_other"),
+            rz6(F.sum("mis").cast("double") / F.count(F.lit(1))).alias("misassign_share"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "emb_intrinsic_dim_twonn",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 2000),
+    scored AS (
+      SELECT a.vec_id AS query_id,
+             list_distance(a.v, b.v) AS dist,
+             b.vec_id AS neighbor_id
+      FROM c a CROSS JOIN c b WHERE a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT query_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist, neighbor_id) AS rk
+      FROM scored),
+    two AS (
+      SELECT query_id,
+             min(CASE WHEN rk = 1 THEN dist END) AS d1,
+             min(CASE WHEN rk = 2 THEN dist END) AS d2
+      FROM knn WHERE rk <= 2 GROUP BY query_id),
+    mu AS (
+      SELECT CAST(round(ln(d2 / d1) * 1e6) AS BIGINT) AS ln_mu_micro
+      FROM two WHERE d1 > 0 AND d2 IS NOT NULL),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+                 CAST(sum(ln_mu_micro) AS BIGINT) AS units
+          FROM mu)
+    SELECT n_used,
+           (round(CAST(units AS DOUBLE) / 1e6 + 1e-9, 6) + 0.0) AS sum_ln_mu,
+           CASE WHEN units > 0
+                THEN (round(CAST(n_used AS DOUBLE) * 1e6 / units + 1e-9, 4)
+                      + 0.0) ELSE 0.0 END AS id_twonn
+    FROM s
+    """,
+)
+def emb_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: for each vector take the ratio μ = d₂/d₁ of its
+    two nearest-neighbor euclidean distances; under a locally-uniform
+    density μ is Pareto(id) distributed, so the MLE is
+    id = n / Σ ln μ — a one-number answer to "do these 64 columns carry
+    64 dimensions of signal, or is the data a low-dimensional sheet?"
+    (an estimate far below the ambient dim says compression — PQ, dim
+    truncation, cheaper ANN — is nearly free; one near the ambient dim
+    says the opposite). Degenerate rows guard identically on both
+    engines: exact duplicates (d₁ = 0) are excluded from the MLE.
+
+    Scale shape: the neighbor search is the two-phase per-query top-k
+    over a broadcast corpus block (cosine_topk's exact shape, k=2);
+    bounded to 2000 vectors here because the oracle's cross join is
+    O(N²) — at corpus scale the same estimator runs on a uniform sample
+    (TwoNN needs only ~1e3-1e4 points for a stable MLE; sampling IS the
+    published method's usage) or swaps the IVF candidate generator in.
+    Cross-engine: distances are the same sequential sum-of-squares fold
+    on both sides, each ln μ is rounded to 1e-6 integer units BEFORE the
+    sum (the heaps-law convention), so the fold is exact integer
+    addition and the MLE divides once at the end."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    xd = F.transform("embedding", lambda v: v.cast("double"))
+    q = e.select(F.col("vec_id").alias("query_id"), xd.alias("qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), xd.alias("cv"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda p, r: (p - r) * (p - r)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("dist"))
+    )
+    topk = similarity.per_query_topk(
+        scored, [F.asc("dist"), F.asc("neighbor_id")], 2
+    )
+    two = topk.groupBy("query_id").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("dist"))).alias("d1"),
+        F.min(F.when(F.col("rank") == 2, F.col("dist"))).alias("d2"),
+    )
+    mu = two.where((F.col("d1") > 0) & F.col("d2").isNotNull()).select(
+        F.round(F.log(F.col("d2") / F.col("d1")) * 1e6).cast("long").alias("ln_mu_micro")
+    )
+    s = mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("ln_mu_micro").cast("long").alias("units"),
+    )
+    return s.select(
+        "n_used",
+        rz6(F.col("units").cast("double") / 1e6).alias("sum_ln_mu"),
+        F.when(
+            F.col("units") > 0,
+            rz(F.col("n_used").cast("double") * 1e6 / F.col("units")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("id_twonn"),
+    )
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS BIGINT) AS support
+      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey),
+    edges AS MATERIALIZED (SELECT u, v FROM e0 WHERE support >= 2),
+    m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    adj AS MATERIALIZED (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges),
+    degb AS MATERIALIZED (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS degree_sum,
+             CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
+      FROM adj JOIN part p ON adj.x = p.p_partkey GROUP BY p.p_brand),
+    intra AS (
+      SELECT pu.p_brand AS brand, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM edges JOIN part pu ON edges.u = pu.p_partkey
+                 JOIN part pv ON edges.v = pv.p_partkey
+      WHERE pu.p_brand = pv.p_brand GROUP BY pu.p_brand)
+    SELECT degb.brand, degb.n_nodes, degb.degree_sum,
+           CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+           (round(CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / m.m
+                  - (CAST(degb.degree_sum AS DOUBLE) / (2 * m.m))
+                    * (CAST(degb.degree_sum AS DOUBLE) / (2 * m.m))
+                  + 1e-9, 6) + 0.0) AS modularity_term
+    FROM degb LEFT JOIN intra USING (brand), m
+    ORDER BY brand
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the part co-purchase
+    graph, reported per community: Q = Σ_c [ e_c/m − (d_c/2m)² ] — does
+    "brand" explain the co-purchase structure (strongly positive terms:
+    baskets stay in-brand) or not (terms near the random-graph
+    expectation)? The same per-community audit drives dedup-cluster
+    quality checks (does the LSH band partition align with true
+    duplicate components?) and shard-locality decisions (is a
+    community-keyed layout worth it?).
+
+    Scale shape: edges come from the one cached support-≥2 co-purchase
+    materialization every graph query shares (copurchase_edges — pinned,
+    built once per session); brand attachment is two joins against the
+    part dimension; everything after is integer groupBys over edges —
+    e_c, d_c, and m are EXACT integer counts, so every modularity term
+    is one deterministic float expression at the end (no float
+    accumulation anywhere). Brands with zero intra-brand edges keep a
+    row (left join + coalesce both engines)."""
+    edges = copurchase_edges(spark, sf_dir)
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    adj = edges.select(F.col("u").alias("x")).unionAll(
+        edges.select(F.col("v").alias("x"))
+    )
+    degb = (
+        adj.join(part, adj.x == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.count_distinct("x").cast("long").alias("n_nodes"),
+        )
+    )
+    pu = part.select(F.col("p_partkey").alias("uk"), F.col("p_brand").alias("bu"))
+    pv = part.select(F.col("p_partkey").alias("vk"), F.col("p_brand").alias("bv"))
+    intra = (
+        edges.join(pu, edges.u == pu.uk)
+        .join(pv, edges.v == pv.vk)
+        .where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    du = F.col("degree_sum").cast("double") / (F.lit(2) * F.col("m"))
+    return (
+        degb.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias("intra_edges"),
+            rz6(
+                F.coalesce(F.col("intra_edges"), F.lit(0)).cast("double") / F.col("m")
+                - du * du
+            ).alias("modularity_term"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "graph_khop_reach",
+    oracle="""
+    WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS BIGINT) AS support
+      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey),
+    edges AS MATERIALIZED (SELECT u, v FROM e0 WHERE support >= 2),
+    adj AS MATERIALIZED (SELECT u AS x, v AS z FROM edges
+           UNION ALL SELECT v AS x, u AS z FROM edges),
+    r0 AS MATERIALIZED (SELECT DISTINCT x FROM adj WHERE x % 97 = 0),
+    f1 AS MATERIALIZED (
+      SELECT DISTINCT a.z AS x FROM adj a JOIN r0 ON a.x = r0.x
+      EXCEPT SELECT x FROM r0),
+    r1 AS MATERIALIZED (SELECT x FROM r0 UNION ALL SELECT x FROM f1),
+    f2 AS MATERIALIZED (
+      SELECT DISTINCT a.z AS x FROM adj a JOIN f1 ON a.x = f1.x
+      EXCEPT SELECT x FROM r1),
+    r2 AS MATERIALIZED (SELECT x FROM r1 UNION ALL SELECT x FROM f2),
+    f3 AS MATERIALIZED (
+      SELECT DISTINCT a.z AS x FROM adj a JOIN f2 ON a.x = f2.x
+      EXCEPT SELECT x FROM r2)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS hop,
+             CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_frontier,
+             CAST((SELECT count(*) FROM r0) AS BIGINT) AS n_reached
+      UNION ALL SELECT 1,
+             CAST((SELECT count(*) FROM f1) AS BIGINT),
+             CAST((SELECT count(*) FROM r1) AS BIGINT)
+      UNION ALL SELECT 2,
+             CAST((SELECT count(*) FROM f2) AS BIGINT),
+             CAST((SELECT count(*) FROM r2) AS BIGINT)
+      UNION ALL SELECT 3,
+             CAST((SELECT count(*) FROM f3) AS BIGINT),
+             CAST((SELECT count(*) FROM r2) + (SELECT count(*) FROM f3) AS BIGINT)
+    ) ORDER BY hop
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round BFS reach census on the part co-purchase graph: from
+    the deterministic seed set (nodes with partkey ≡ 0 mod 97), the
+    frontier size and cumulative reach at hops 0-3 — the
+    expansion-profile readout behind "how far does influence/contagion
+    propagate per round" questions and a direct measure of the graph's
+    effective diameter growth rate. The ITERATIVE pattern itself is the
+    point: each round is one adjacency join + anti-join against the
+    reached set, the Spark-native form of a BSP/Pregel superstep.
+
+    Scale shape: the loop is driver-side over DataFrames but every round
+    is a distributed join — frontier × adjacency, key-partitioned — and
+    each round's frontier/reached frames are pinned (session.pin) so the
+    next round and its count read ONE materialization instead of
+    recursively replaying the whole lineage (the classic iterative-Spark
+    trap: unpinned loops square their own work per round). Rounds are
+    FIXED (3), not run-to-convergence — the same bounded-superstep shape
+    as graph_kcore_peeling. Counts are exact integers; the oracle chains
+    MATERIALIZED CTEs (the kcore re-inlining lesson)."""
+    edges = copurchase_edges(spark, sf_dir)
+    adj = pin(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("z")).unionAll(
+            edges.select(F.col("v").alias("x"), F.col("u").alias("z"))
+        )
+    )
+    reached = pin(adj.select("x").distinct().where(F.col("x") % 97 == 0))
+    frontier = reached
+    out = [
+        reached.agg(F.count(F.lit(1)).cast("long").alias("n_frontier")).select(
+            F.lit(0).cast("long").alias("hop"),
+            "n_frontier",
+            F.col("n_frontier").alias("n_reached"),
+        )
+    ]
+    for hop in (1, 2, 3):
+        nbr = (
+            adj.join(frontier.withColumnRenamed("x", "fx"), adj.x == F.col("fx"))
+            .select(F.col("z").alias("x"))
+            .distinct()
+        )
+        frontier = pin(nbr.join(reached, "x", "left_anti"))
+        reached = pin(reached.unionAll(frontier))
+        nf = frontier.agg(F.count(F.lit(1)).cast("long").alias("n_frontier"))
+        nr = reached.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+        out.append(
+            nf.crossJoin(F.broadcast(nr)).select(
+                F.lit(hop).cast("long").alias("hop"), "n_frontier", "n_reached"
+            )
+        )
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionAll(frame)
+    return res.orderBy("hop")
+
+
+@query(
+    "text_source_keyness",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({TOKS}) AS tok FROM documents),
+    cnt AS MATERIALIZED (
+      SELECT tok,
+             CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS a,
+             CAST(count(*) FILTER (source <> 'src0') AS BIGINT) AS b
+      FROM tk GROUP BY tok),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(a) AS BIGINT) AS c, CAST(sum(b) AS BIGINT) AS d
+      FROM cnt),
+    g AS (
+      SELECT tok, a, b,
+             (CASE WHEN a > 0 THEN
+                CAST(round(CAST(a AS DOUBLE)
+                     * ln((CAST(a AS DOUBLE) * (c + d)) / (CAST(c AS DOUBLE) * (a + b)))
+                     * 1e9) AS BIGINT) ELSE 0 END
+              + CASE WHEN b > 0 THEN
+                CAST(round(CAST(b AS DOUBLE)
+                     * ln((CAST(b AS DOUBLE) * (c + d)) / (CAST(d AS DOUBLE) * (a + b)))
+                     * 1e9) AS BIGINT) ELSE 0 END) * 2 AS units,
+             (CAST(a AS DOUBLE) * d > CAST(b AS DOUBLE) * c) AS overused
+      FROM cnt, tot)
+    SELECT tok, a AS n_focus, b AS n_rest,
+           (round(CAST(units AS DOUBLE) / 1e9 + 1e-9, 4) + 0.0) AS g2,
+           overused
+    FROM g WHERE overused
+    ORDER BY units DESC, tok LIMIT 20
+    """,
+)
+def text_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G²) keyness of source 'src0' against the
+    rest of the corpus: the top-20 tokens OVERUSED in the focus source,
+    ranked by G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] — the standard
+    corpus-linguistics answer to "what vocabulary makes this source
+    different?", and the screen a mixture-weighting pass runs per source
+    to spot template/boilerplate domination (a handful of huge-G² tokens
+    = a stamp, a flat profile = organic text) before assigning sampling
+    weights.
+
+    Scale shape: ONE explode + (token) groupBy with conditional partial
+    counts carries the whole computation — the shuffle holds (token, 2
+    counts), the 1-row totals broadcast, the per-token G² is a map
+    expression, and the top-20 is a TakeOrderedAndProject on the exact
+    integer score. Cross-engine: counts are exact; each of the two
+    x·ln(x/E) terms rounds to 1e-9 integer units BEFORE the ×2 and the
+    ranking (zero-count terms take the 0·ln0 → 0 limit identically), so
+    ordering and output derive from integer arithmetic; the overused
+    test cross-multiplies (a·d > b·c in double — exact for counts below
+    2⁵³) instead of comparing ratios."""
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    tk = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    cnt = tk.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).cast("long").alias("a"),
+        F.count(F.when(F.col("source") != "src0", 1)).cast("long").alias("b"),
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("long").alias("c"), F.sum("b").cast("long").alias("d")
+    )
+    term_a = F.when(
+        F.col("a") > 0,
+        F.round(
+            F.col("a").cast("double")
+            * F.log(
+                (F.col("a").cast("double") * (F.col("c") + F.col("d")))
+                / (F.col("c").cast("double") * (F.col("a") + F.col("b")))
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    term_b = F.when(
+        F.col("b") > 0,
+        F.round(
+            F.col("b").cast("double")
+            * F.log(
+                (F.col("b").cast("double") * (F.col("c") + F.col("d")))
+                / (F.col("d").cast("double") * (F.col("a") + F.col("b")))
+            )
+            * F.lit(1e9)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    g = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("a").alias("n_focus"),
+        F.col("b").alias("n_rest"),
+        ((term_a + term_b) * 2).alias("units"),
+        (F.col("a").cast("double") * F.col("d") > F.col("b").cast("double") * F.col("c")).alias(
+            "overused"
+        ),
+    )
+    return (
+        g.where("overused")
+        .orderBy(F.col("units").desc(), "tok")
+        .limit(20)
+        .select(
+            "tok",
+            "n_focus",
+            "n_rest",
+            rz(F.col("units").cast("double") / F.lit(1e9)).alias("g2"),
+            "overused",
+        )
+    )

@@ -3994,3 +3994,136 @@ def test_knn_reciprocity_hub_vs_clean(spark, tmp_path):
     assert row["reciprocity"] == 1.0
     assert row["max_in_degree"] == 5 and row["n_hubs"] == 0
     assert row["n_orphans"] == 0
+
+
+def test_silhouette_planted_clusters_and_mislabels(spark, tmp_path):
+    """Two well-separated planted clusters score near-1 mean silhouette;
+    deliberately swapping one vector's label makes it (and only it)
+    closer to the other centroid, so n_closer_to_other counts exactly
+    the mislabel and its silhouette drags the label mean down."""
+    rows = []
+    for i in range(20):
+        # cluster 0 near (10, 0, ...), cluster 1 near (0, 10, ...)
+        rows.append((i, [10.0 + 0.01 * i, 0.0] + [0.0] * 62, 0))
+        rows.append((100 + i, [0.0, 10.0 + 0.01 * i] + [0.0] * 62, 1))
+    rows.append((999, [10.0, 0.0] + [0.0] * 62, 1))  # cluster-0 point labeled 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = {
+        r["label"]: r
+        for r in load_all()["emb_silhouette"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_closer_to_other"] == 0
+    assert out[0]["mean_silhouette"] > 0.9
+    assert out[1]["n_closer_to_other"] == 1  # exactly the planted mislabel
+    assert out[1]["n_vecs"] == 21
+
+
+def test_twonn_recovers_planted_intrinsic_dimension(spark, tmp_path):
+    """TwoNN on a 2-D uniform sheet embedded in 64 ambient dims must
+    estimate id ≈ 2 (the padding dims carry no signal); the ambient
+    dimension would be 64, so a wide-tolerance band around 2 pins that
+    the estimator reads the manifold, not the storage width."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = rng.uniform(0.0, 1.0, size=(400, 2))
+    rows = [
+        (int(i), [float(a), float(b)] + [0.0] * 62)
+        for i, (a, b) in enumerate(pts)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    row = load_all()["emb_intrinsic_dim_twonn"].spark_fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_used"] == 400
+    assert 1.5 <= row["id_twonn"] <= 2.6, row["id_twonn"]
+
+
+def test_user_gini_planted_extremes(spark, tmp_path):
+    """Equal per-user activity must score Gini == 0 exactly (integer
+    identity, no tolerance); concentrating nearly everything on one user
+    must match the sorted-index formula computed independently."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(10):          # 10 users x 5 events each
+        for _ in range(5):
+            rows.append((eid, base, u, "click", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/ev_eq/events.parquet")
+    r = load_all()["events_user_gini"].spark_fn(spark, f"{tmp_path}/ev_eq").collect()[0]
+    assert r["n_users"] == 10 and r["total_events"] == 50
+    assert r["gini"] == 0.0
+
+    rows, eid = [], 0
+    counts = [1] * 9 + [91]      # one heavy hitter
+    for u, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base, u, "click", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/ev_skew/events.parquet")
+    r = load_all()["events_user_gini"].spark_fn(spark, f"{tmp_path}/ev_skew").collect()[0]
+    xs = sorted(counts)
+    n, tot = len(xs), sum(xs)
+    s_ix = sum((i + 1) * x for i, x in enumerate(xs))
+    expected = (2.0 * s_ix - (n + 1.0) * tot) / (n * tot)
+    assert abs(r["gini"] - expected) < 1e-6
+    assert r["top_decile_share"] == 0.91  # top 10% = the one heavy user
+
+
+def test_theil_zero_under_planted_equality(spark, tmp_path):
+    """Perfectly equal customer revenue in every nation must produce
+    theil_within == 0 and between_term == 0 for each nation (exact —
+    every ratio is 1 and ln 1 == 0), with shares splitting by headcount."""
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    ).write.parquet(f"{tmp_path}/nation.parquet")
+    custs = [(c, c % 2) for c in range(8)]
+    spark.createDataFrame(
+        custs, "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(o, o % 8, Decimal("100.00")) for o in range(16)],
+        "o_orderkey long, o_custkey long, o_totalprice decimal(15,2)",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    out = load_all()["agg_theil_index"].spark_fn(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_cust"] == 4
+        assert r["rev_share"] == 0.5
+        assert r["theil_within"] == 0.0
+        assert r["between_term"] == 0.0
+
+
+def test_graph_khop_and_modularity_invariants(spark, sf_dir):
+    """Structural identities on the fixture graph: BFS reach is cumulative
+    (n_reached[h] = n_reached[h-1] + n_frontier[h], monotone), and the
+    modularity census satisfies Σ degree_sum = 2m with Σ intra ≤ m and
+    every term in [-1, 1]."""
+    hops = load_all()["graph_khop_reach"].spark_fn(spark, sf_dir).collect()
+    assert [r["hop"] for r in hops] == [0, 1, 2, 3]
+    for prev, cur in zip(hops, hops[1:]):
+        assert cur["n_reached"] == prev["n_reached"] + cur["n_frontier"]
+
+    terms = load_all()["graph_modularity"].spark_fn(spark, sf_dir).collect()
+    assert terms, "modularity census empty"
+    from sec_dl_spark.plans.text import copurchase_edges
+
+    m = copurchase_edges(spark, sf_dir).count()
+    assert sum(r["degree_sum"] for r in terms) == 2 * m
+    assert sum(r["intra_edges"] for r in terms) <= m
+    assert all(-1.0 <= r["modularity_term"] <= 1.0 for r in terms)
