@@ -803,3 +803,77 @@ def crossencoder_rerank(
             yield pdf
 
     return pairs.mapInPandas(score_batches, schema=out_schema)
+
+
+def pseudo_relevance_expand(
+    postings: DataFrame,
+    terms: list[str],
+    k_feedback: int = 10,
+    k_terms: int = 10,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Robertson/Sparck Jones
+    offer weights): run BM25, take the top ``k_feedback`` documents as
+    pseudo-relevant, and rank every term they contain by
+    OW(t) = r · ln[ ((r+0.5)·(N−n−R+r+0.5)) / ((n−r+0.5)·(R−r+0.5)) ]
+    with r = feedback docs containing t, n = df(t), R = |feedback|,
+    N = |corpus| — the classic second-pass retrieval step ("searchers
+    for these words also needed THESE words") and, pipeline-side, the
+    topic-vocabulary harvester a contamination screen seeds from a few
+    known-bad documents.
+
+    Scale shape: the feedback set is ≤ k_feedback doc ids (broadcast);
+    candidate stats come from ONE semi-join of the posting table against
+    it plus the already-memoized df table — no text rescan, no corpus
+    sort; the final ranking is a top-k over candidate terms scored by
+    exact integer (r, n, R, N) arithmetic (each OW rounds to 1e-9
+    integer units, so ordering is integer-exact cross-engine). Returns
+    (token, r_feedback, df, offer_weight, rank), rank 1-based."""
+    if stats is None:
+        stats = CorpusStats(postings, cache=False)
+    fb = F.broadcast(
+        search_bm25(postings, terms, k=k_feedback, stats=stats).select("doc_id")
+    )
+    n_fb = fb.count()
+    n_docs = stats.n_docs
+    seeds = sorted({t.lower() for t in terms})
+    cand = (
+        postings.join(fb, "doc_id")
+        .where(~F.col("token").isin(seeds))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    g = cand.join(stats.df.withColumnRenamed("df", "n"), "token").where(
+        (F.lit(n_docs) - F.col("n") - F.lit(n_fb) + F.col("r")) >= 0
+    )
+    ow = F.col("r") * F.log(
+        (
+            (F.col("r") + 0.5)
+            * (F.lit(float(n_docs)) - F.col("n") - F.lit(float(n_fb)) + F.col("r") + 0.5)
+        )
+        / ((F.col("n") - F.col("r") + 0.5) * (F.lit(float(n_fb)) - F.col("r") + 0.5))
+    )
+    scored = g.select(
+        "token",
+        F.col("r").alias("r_feedback"),
+        F.col("n").cast("long").alias("df"),
+        F.round(ow * F.lit(1e9)).cast("long").alias("_units"),
+    )
+    from pyspark.sql.window import Window
+
+    from sec_dl_spark.plans.util import rz6
+
+    top = scored.orderBy(F.col("_units").desc(), "token").limit(k_terms)
+    w = Window.orderBy(F.col("_units").desc(), "token")
+
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "token",
+            "r_feedback",
+            "df",
+            rz6(F.col("_units").cast("double") / F.lit(1e9)).alias("offer_weight"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

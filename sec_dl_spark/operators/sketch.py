@@ -64,3 +64,94 @@ def bloom_membership(
     check that avoids collecting a key set."""
     bf = df._jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
     return {p: bf.mightContain(p) for p in probes}
+
+
+# --- portable count-min sketch (DataFrame-native, engine-reproducible) ---
+
+_CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne): a*(x mod p) stays under 2^63
+
+
+def _cms_hash_params(depth: int) -> list[tuple[int, int]]:
+    """The fixed pairwise-independent hash family h_j(x) =
+    ((a_j·(x mod p) + b_j) mod p) mod width with p = 2³¹−1,
+    a_j = 1000003^(j+1) mod p, b_j = 999983·(j+1) mod p — a CLOSED FORM
+    with no binary state, so any engine (ANSI SQL included) reproduces
+    the sketch bit-for-bit. Reducing x mod p first bounds a·x below
+    2^62: every intermediate fits int64 exactly on every engine."""
+    return [
+        (pow(1000003, j + 1, _CMS_P), (999983 * (j + 1)) % _CMS_P)
+        for j in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch as a (row, slot, cnt) DataFrame — the MERGEABLE,
+    engine-portable complement to cms_counts (whose Spark-built-in
+    sketch is an opaque JVM blob probed on the driver). Each input key
+    increments one counter per hash row; the table is ≤ depth·width rows
+    no matter the input size, unions of per-batch sketches sum by
+    (row, slot) — the same merge-on-read algebra the HLL rollup sink
+    uses — and any key's estimate is min_j of its depth counters,
+    guaranteed ≥ the true count and ≤ true + (e/width)·N with
+    probability ≥ 1 − 2^−depth.
+
+    One narrow projection → a depth-way generated explode → one
+    (row, slot) groupBy: the shuffle carries at most depth·width groups
+    (partial aggregation collapses the fan-out map-side), so the build
+    is a scan-bound single pass at any N. Integer column required
+    (hash the key to int64 upstream for strings)."""
+    from pyspark.sql import functions as F
+
+    params = _cms_hash_params(depth)
+    xm = F.col(col).cast("long") % _CMS_P
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("row"),
+                (((F.lit(a) * xm + F.lit(b)) % _CMS_P) % width)
+                .cast("int")
+                .alias("slot"),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("h"))
+        .groupBy(F.col("h.row").alias("row"), F.col("h.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Point-frequency estimates from a cms_build table for the keys in
+    ``probes[col]``: min over the key's depth counters (a missing
+    (row, slot) group means 0 — the key was never seen). The sketch is
+    depth·width rows → broadcast; probing is a map-side join however
+    many keys ask."""
+    from pyspark.sql import functions as F
+
+    params = _cms_hash_params(depth)
+    xm = F.col(col).cast("long") % _CMS_P
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("row"),
+                (((F.lit(a) * xm + F.lit(b)) % _CMS_P) % width)
+                .cast("int")
+                .alias("slot"),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    keyed = probes.select(F.col(col), F.explode(rows).alias("h")).select(
+        col, F.col("h.row").alias("row"), F.col("h.slot").alias("slot")
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row", "slot"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )

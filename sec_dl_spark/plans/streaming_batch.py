@@ -6271,3 +6271,79 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share"
         ),
     )
+
+
+@query(
+    "events_cms_frequency",
+    oracle="""
+    WITH ev AS (SELECT user_id, user_id % 2147483647 AS xm FROM events),
+    h AS MATERIALIZED (
+      SELECT user_id, 0 AS row,
+             ((1000003 * xm + 999983) % 2147483647) % 256 AS slot FROM ev
+      UNION ALL SELECT user_id, 1,
+             ((1426104154 * xm + 1999966) % 2147483647) % 256 FROM ev
+      UNION ALL SELECT user_id, 2,
+             ((1049561761 * xm + 2999949) % 2147483647) % 256 FROM ev
+      UNION ALL SELECT user_id, 3,
+             ((1604566856 * xm + 3999932) % 2147483647) % 256 FROM ev),
+    sk AS MATERIALIZED (
+      SELECT row, slot, CAST(count(*) AS BIGINT) AS cnt
+      FROM h GROUP BY row, slot),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events),
+    truec AS MATERIALIZED (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events WHERE user_id % 17 = 0 GROUP BY user_id),
+    ph AS (SELECT DISTINCT user_id, row, slot FROM h WHERE user_id % 17 = 0),
+    est AS (
+      SELECT ph.user_id, CAST(min(sk.cnt) AS BIGINT) AS cms_est
+      FROM ph JOIN sk USING (row, slot) GROUP BY ph.user_id)
+    SELECT truec.user_id, truec.true_cnt, est.cms_est,
+           CAST(est.cms_est - truec.true_cnt AS BIGINT) AS overcount,
+           ((est.cms_est - truec.true_cnt) * 256 <= 3 * n.n_total) AS bound_ok
+    FROM truec JOIN est USING (user_id), n
+    ORDER BY user_id
+    """,
+)
+def events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency audit over per-user event counts
+    (operators/sketch.py:cms_build/cms_estimate): build the 4×256
+    engine-portable sketch over ALL events, probe the deterministic
+    user slice (user_id ≡ 0 mod 17), and report each probe's true
+    count, sketch estimate, one-sided overcount (NEVER negative — the
+    CM invariant), and whether it sits inside the e/width·N error
+    budget. Unlike the Spark-built-in cms_counts blob, this sketch is
+    a (row, slot, cnt) TABLE under a closed-form hash family — byte-
+    reproducible in ANSI SQL (the oracle rebuilds it), mergeable by
+    (row, slot) sum like the HLL rollup partials, and therefore
+    streamable: per-batch sketches union into the same estimates.
+
+    Scale shape: the build's shuffle carries ≤ depth·width groups
+    regardless of N (partial aggregation collapses the 4-way explode
+    map-side); the probe side joins against the ≤1024-row broadcast
+    sketch. Everything is exact integer arithmetic end to end — the
+    sketch itself is the deterministic object, not a sampled one."""
+    from sec_dl_spark.operators.sketch import cms_build, cms_estimate
+
+    e = t(spark, sf_dir, "events")
+    sk = pin(cms_build(e.select("user_id"), "user_id", width=256, depth=4))
+    truec = (
+        e.where(F.col("user_id") % 17 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    est = cms_estimate(sk, truec.select("user_id"), "user_id", width=256, depth=4)
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        truec.join(est, "user_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+            (
+                (F.col("cms_est") - F.col("true_cnt")) * 256 <= 3 * F.col("n_total")
+            ).alias("bound_ok"),
+        )
+        .orderBy("user_id")
+    )

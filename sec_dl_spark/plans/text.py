@@ -8371,3 +8371,75 @@ def text_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overused",
         )
     )
+
+
+@query(
+    "fts_query_expansion",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, t.term, len(list_filter(toks, x -> x = t.term)) AS tf
+      FROM tk, (SELECT unnest(['spark', 'sort', 'vector']) AS term) t
+      WHERE list_contains(toks, t.term)),
+    dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             round(sum(
+               ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (h.tf * 2.2) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM hits h, dfs d, dl, stats
+      WHERE h.term = d.term AND h.doc_id = dl.doc_id
+      GROUP BY h.doc_id),
+    top AS MATERIALIZED (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored QUALIFY rk <= 10),
+    rfb AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS r_fb FROM top),
+    alltk AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk),
+    cand AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS r
+      FROM alltk JOIN top USING (doc_id)
+      WHERE token NOT IN ('sort', 'spark', 'vector')
+      GROUP BY token),
+    alldf AS MATERIALIZED (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM alltk GROUP BY token),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tk),
+    g AS (
+      SELECT token, r, n,
+             CAST(round(r * ln(
+               ((r + 0.5) * (CAST(nd.n_docs AS DOUBLE) - n - CAST(rfb.r_fb AS DOUBLE) + r + 0.5))
+               / ((n - r + 0.5) * (CAST(rfb.r_fb AS DOUBLE) - r + 0.5))
+             ) * 1e9) AS BIGINT) AS units
+      FROM cand JOIN alldf USING (token), rfb, nd
+      WHERE nd.n_docs - n - rfb.r_fb + r >= 0)
+    SELECT token, r AS r_feedback, n AS df,
+           (round(CAST(units AS DOUBLE) / 1e9 + 1e-9, 6) + 0.0) AS offer_weight,
+           CAST(row_number() OVER (ORDER BY units DESC, token) AS BIGINT) AS rank
+    FROM g QUALIFY rank <= 10 ORDER BY rank
+    """,
+)
+def fts_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion off the shared inverted
+    index (operators/fts.py:pseudo_relevance_expand): BM25 fetches 10
+    pseudo-relevant documents for the seed query, then every non-seed
+    term they contain is ranked by the Robertson/Sparck Jones offer
+    weight — the retrieval engine's "add THESE words to your query"
+    second pass, and the topic-vocabulary harvester a contamination
+    screen seeds from a few known-bad documents.
+
+    Scale shape: the feedback set is ≤ 10 broadcast doc ids; candidate
+    term statistics are ONE posting-table semi-join plus the memoized
+    per-term df table (no text rescan); the offer-weight rank is a
+    TakeOrdered over candidate terms scored in 1e-9 integer units from
+    exact integer (r, df, R, N) — so the ordering the oracle must match
+    is integer arithmetic, with the BM25 feedback ranking reusing the
+    round-6 + doc_id tie-break contract fts_ranked_bm25 already
+    certifies."""
+    postings, stats = fts_index(spark, sf_dir)
+    return fts.pseudo_relevance_expand(
+        postings, ["spark", "sort", "vector"], k_feedback=10, k_terms=10, stats=stats
+    )

@@ -2434,3 +2434,46 @@ def test_procrustes_align_recovers_planted_rotation(spark):
         ).alias("se")
     ).agg(F.sum("se").alias("t")).collect()[0]["t"]
     assert resid < 1e-18
+
+
+def test_cms_build_estimate_properties(spark):
+    """Count-min invariants on a forced-collision sketch (width 4):
+    estimates NEVER undercount, exact totals per hash row equal N, an
+    unseen key estimates from existing counters (≥ 0), and the sketch
+    of a union equals the (row, slot)-wise sum of the parts — the
+    merge-on-read algebra that makes it streamable."""
+    from sec_dl_spark.operators.sketch import cms_build, cms_estimate
+
+    counts = {1: 50, 2: 30, 3: 5, 1000: 1}
+    rows = [(k,) for k, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "user_id long")
+    sk = cms_build(df, "user_id", width=4, depth=4)
+
+    # every hash row partitions all N observations across its slots
+    per_row = {r["row"]: r["s"] for r in sk.groupBy("row").agg(
+        F.sum("cnt").alias("s")).collect()}
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(v == sum(counts.values()) for v in per_row.values())
+
+    probes = spark.createDataFrame([(k,) for k in counts], "user_id long")
+    est = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_estimate(sk, probes, "user_id", width=4, depth=4).collect()
+    }
+    for k, true in counts.items():
+        assert est[k] >= true, (k, est[k], true)  # one-sided: never under
+
+    # mergeability: sketch(A ∪ B) == slotwise sum of sketch(A), sketch(B)
+    a = spark.createDataFrame([(k,) for k, c in counts.items() for _ in range(c // 2)], "user_id long")
+    b = spark.createDataFrame(
+        [(k,) for k, c in counts.items() for _ in range(c - c // 2)], "user_id long"
+    )
+    merged = (
+        cms_build(a, "user_id", width=4, depth=4)
+        .unionAll(cms_build(b, "user_id", width=4, depth=4))
+        .groupBy("row", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["slot"]): r["cnt"] for r in sk.collect()}
+    parts = {(r["row"], r["slot"]): r["cnt"] for r in merged.collect()}
+    assert whole == parts
