@@ -346,6 +346,20 @@ HEADLINE = [
     "events_periodogram",
     "dq_numeric_correlation_matrix",
     "graph_kcore_peeling",
+    # round-13 additions: fixed-round BFS reach (3 pinned supersteps of
+    # adjacency join + anti-join), the Theil decomposition (custkey fold
+    # + broadcast group stats, integer-unit ln terms), the sorted-index
+    # Gini (global_rank + DECIMAL product-sum), the Dunning-G² keyness
+    # screen (one token fold + integer-unit TakeOrdered), the per-label
+    # centroid silhouette (posexplode centroid fold + broadcast zip_with
+    # distance pass), and the portable CMS audit (depth-way explode
+    # collapsing to ≤1024 shuffle groups)
+    "graph_khop_reach",
+    "agg_theil_index",
+    "events_user_gini",
+    "text_source_keyness",
+    "emb_silhouette",
+    "events_cms_frequency",
 ]
 
 

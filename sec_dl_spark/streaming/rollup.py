@@ -188,3 +188,59 @@ def read_hll_window_rollup(
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(estimate_col))
         .withColumnRenamed("sday", day_col)
     )
+
+
+def incremental_cms_sink(
+    stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    run: str | None = None,
+):
+    """Streaming maintenance of point-frequency estimates via the
+    engine-portable count-min sketch (operators/sketch.py:cms_build) —
+    the "how OFTEN is this key arriving" twin of ``incremental_hll_sink``
+    (which answers "how many DISTINCT"). Per micro-batch: one cms_build
+    over the batch (≤ depth·width counter rows, whatever the batch
+    size), published as that batch's own ``run=<run>/batch=<id>``
+    partition. The run id derives from the checkpoint path (the ivm.py
+    convention), so a restarted job re-publishing a replayed batch
+    OVERWRITES its own partition instead of double-counting; the read
+    side sums partials by (row, slot) — the CM sketch is a counter
+    monoid, so batching is invariant by algebra and estimates from the
+    merged sketch equal a from-scratch build over everything ingested
+    (pinned by pytest)."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401 — parity w/ siblings
+
+    from sec_dl_spark.operators.sketch import cms_build
+
+    run = run or hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = cms_build(batch_df, col, width=width, depth=depth)
+        part.write.mode("overwrite").parquet(
+            f"{sketch_path}/run={run}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merged (row, slot, cnt) view over every published CMS partial —
+    one groupBy over ≤ runs·batches·depth·width counter rows. Feed to
+    operators/sketch.py:cms_estimate for point queries."""
+    from pyspark.sql import functions as F
+
+    parts = spark.read.parquet(sketch_path).drop("run", "batch")
+    return parts.groupBy("row", "slot").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

@@ -2247,3 +2247,68 @@ def test_streaming_ivm_retraction_view_matches_recompute(spark, tmp_path_factory
         for r in read_view(spark, view3, ["k"], {"sv": "v"}).collect()
     }
     assert again == expected
+
+
+def test_streaming_cms_sink_matches_from_scratch_build(spark, tmp_path_factory):
+    """Micro-batched count-min maintenance == from-scratch sketch over
+    the union, EXACTLY: the CM sketch is a (row, slot) counter monoid,
+    so however the stream batches, summed partials equal one build — and
+    estimates from the merged sketch therefore carry the same one-sided
+    guarantee. A replayed run under the SAME run id (pinned here; in
+    production it derives from the checkpoint path) overwrites its own
+    partitions — no double-counting."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.operators.sketch import cms_build, cms_estimate
+    from sec_dl_spark.streaming.rollup import incremental_cms_sink, read_cms_sketch
+
+    src = tmp_path_factory.mktemp("cms_src")
+    out = str(tmp_path_factory.mktemp("cms_out") / "sketch")
+    schema = T.StructType([T.StructField("uid", T.LongType())])
+    data = [((i * 13) % 50,) for i in range(600)]  # heavy key overlap
+    for b in range(3):
+        spark.createDataFrame(data[b * 200 : (b + 1) * 200], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/b={b}")
+    full = spark.createDataFrame(data, schema)
+
+    def run_stream(ckpt: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b=*")
+        )
+        incremental_cms_sink(
+            stream, out, ckpt, "uid", width=8, depth=4, run="r1"
+        ).awaitTermination(120)
+
+    run_stream(str(tmp_path_factory.mktemp("cms_ckpt1")))
+    merged = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in read_cms_sketch(spark, out).collect()
+    }
+    scratch = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in cms_build(full, "uid", width=8, depth=4).collect()
+    }
+    assert merged == scratch and merged
+
+    # estimates off the merged sketch: never undercount any true key
+    probes = spark.createDataFrame([(k,) for k in range(50)], schema)
+    est = {
+        r["uid"]: r["cms_est"]
+        for r in cms_estimate(
+            read_cms_sketch(spark, out), probes, "uid", width=8, depth=4
+        ).collect()
+    }
+    true = {r["uid"]: r["n"] for r in full.groupBy("uid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= true[k] for k in true)
+
+    # replay under the same run id: partitions overwrite, totals stable
+    run_stream(str(tmp_path_factory.mktemp("cms_ckpt2")))
+    again = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in read_cms_sketch(spark, out).collect()
+    }
+    assert again == scratch

@@ -343,6 +343,23 @@ PROBE = [
     "text_filter_agreement_kappa",
     "emb_anova_norms",
     "emb_knn_reciprocity",
+    # round-13 additions. Scale shapes to verify: the IVF knn form and
+    # TwoNN ride bounded candidate generation (the vec_id<2000 cap is
+    # the contract); silhouette is a broadcast-centroid map pass;
+    # gini/theil are fold + global_rank/broadcast-stat shapes; the graph
+    # pair ride the shared pinned co-purchase edges; keyness and CMS are
+    # single token/key folds with bounded shuffle groups; PRF expansion
+    # is a feedback-bounded posting semi-join.
+    "emb_knn_outliers_ivf",
+    "emb_silhouette",
+    "emb_intrinsic_dim_twonn",
+    "events_user_gini",
+    "agg_theil_index",
+    "graph_modularity",
+    "graph_khop_reach",
+    "text_source_keyness",
+    "fts_query_expansion",
+    "events_cms_frequency",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
