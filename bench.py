@@ -360,6 +360,12 @@ HEADLINE = [
     "text_source_keyness",
     "emb_silhouette",
     "events_cms_frequency",
+    # batch 3: the ACF lag self-join (day-frame-sized), the Fano
+    # dispersion classifier (type x day spine fold), and the per-user
+    # burstiness census (user-keyed lag window + two folds)
+    "events_acf_daily",
+    "events_poisson_dispersion",
+    "events_interarrival_cv",
 ]
 
 

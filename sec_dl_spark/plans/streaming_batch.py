@@ -6347,3 +6347,247 @@ def events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_acf_daily",
+    oracle="""
+    WITH d0 AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn, count(*) AS x
+      FROM events GROUP BY dn),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM d0),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS dn FROM span),
+    d AS MATERIALIZED (
+      SELECT s.dn - span.lo AS tt, coalesce(d0.x, 0) AS x
+      FROM spine s LEFT JOIN d0 ON s.dn = d0.dn, span),
+    m AS (SELECT count(*) AS nd, sum(x) // count(*) AS ybar FROM d),
+    y AS MATERIALIZED (SELECT tt, CAST(x - ybar AS BIGINT) AS y FROM d, m),
+    den AS (SELECT sum(CAST(y AS DOUBLE) * y) AS s2 FROM y),
+    lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+    num AS (
+      SELECT l.lag, sum(CAST(a.y AS DOUBLE) * b.y) AS s01
+      FROM lags l JOIN y a ON true JOIN y b ON b.tt = a.tt + l.lag
+      GROUP BY l.lag)
+    SELECT CAST(num.lag AS BIGINT) AS lag,
+           (round(num.s01 / nullif(den.s2, 0.0) + 1e-9, 6) + 0.0) AS acf
+    FROM num, den ORDER BY lag
+    """,
+)
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1-14: r_k = Σ y_t·y_{t+k} / Σ y_t² on the demeaned, densified
+    series — the complement to events_periodogram (which scans
+    frequency space) and events_lagged_crosscorr (which correlates two
+    DIFFERENT series): a slow-decay ACF says trend (difference before
+    modeling), a spike at 7 confirms the weekly cycle, and near-zero
+    everywhere certifies the residual noise a forecast monitor wants.
+
+    Scale shape: the fact table collapses to the day grain FIRST (one
+    partial-aggregated groupBy); everything after — spine densify,
+    integer demean (sum div n), a 14-lag self-join on the day frame —
+    is day-count-sized. Products accumulate as exact-in-double integers
+    (the correlation-matrix convention: demeaned daily counts squared
+    stay far below 2⁵³ at any plausible day count, so cross-engine
+    summation order cannot differ)."""
+    e = t(spark, sf_dir, "events")
+    d0 = e.groupBy(
+        (F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("dn")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = d0.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("dn"))
+    d = pin(
+        spine.join(d0, "dn", "left")
+        .crossJoin(F.broadcast(span))
+        .select(
+            (F.col("dn") - F.col("lo")).alias("tt"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.expr("sum(x) div count(*)").alias("ybar"),
+    )
+    y = pin(
+        d.crossJoin(F.broadcast(m)).select(
+            "tt", (F.col("x") - F.col("ybar")).cast("long").alias("y")
+        )
+    )
+    den = y.agg(F.sum(F.col("y").cast("double") * F.col("y")).alias("s2"))
+    lags = spark.range(1, 15).select(F.col("id").alias("lag"))
+    a = y.select(F.col("tt").alias("ta"), F.col("y").alias("ya"))
+    b = y.select(F.col("tt").alias("tb"), F.col("y").alias("yb"))
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("ya").cast("double") * F.col("yb")).alias("s01"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            rz6(F.col("s01") / F.nullif(F.col("s2"), F.lit(0.0))).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "events_poisson_dispersion",
+    oracle="""
+    WITH d0 AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS dn, count(*) AS x
+      FROM events GROUP BY event_type, dn),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM d0),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT t.event_type, s.dn
+      FROM types t, (SELECT unnest(generate_series(lo, hi)) AS dn FROM span) s),
+    d AS (
+      SELECT sp.event_type, coalesce(d0.x, 0) AS x
+      FROM spine sp LEFT JOIN d0
+        ON sp.event_type = d0.event_type AND sp.dn = d0.dn),
+    mo AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS DOUBLE) * x) AS sxx
+      FROM d GROUP BY event_type),
+    f AS (
+      SELECT event_type, n_days, sx,
+             (n_days * sxx - CAST(sx AS DOUBLE) * sx)
+               / ((n_days - 1) * CAST(sx AS DOUBLE)) AS fano
+      FROM mo WHERE n_days > 1 AND sx > 0)
+    SELECT event_type, n_days,
+           (round(CAST(sx AS DOUBLE) / n_days + 1e-9, 4) + 0.0) AS mean_daily,
+           (round(fano + 1e-9, 4) + 0.0) AS fano,
+           CASE WHEN fano > 1.5 THEN 'overdispersed'
+                WHEN fano < 0.6666666666666666 THEN 'underdispersed'
+                ELSE 'poisson-like' END AS verdict
+    FROM f ORDER BY event_type
+    """,
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean of the densified daily
+    count series) per event type, with a Poisson verdict: a Poisson
+    arrival process has Fano ≈ 1; heavy overdispersion says bursts /
+    clustering / mixed rates (capacity must be sized to peaks, and a
+    naive Poisson simulator would NOT reproduce this stream — the
+    synthetic-data tell), underdispersion says rate-limiting or
+    scheduled emission. Complements events_capacity_peaks (which sizes
+    the peaks) by CLASSIFYING the arrival law that produced them.
+
+    Scale shape: the fact table collapses to (type, day) in one
+    partial-aggregated groupBy; the spine densify (types × days) and
+    the per-type moment fold are calendar-sized. Counts and Σx are
+    exact integers, the quadratic Σx² accumulates as exact-in-double
+    integers (the correlation-matrix convention), and the verdict
+    thresholds compare the UNROUNDED ratio identically in both
+    engines."""
+    e = t(spark, sf_dir, "events")
+    d0 = e.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("dn"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = d0.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("dn")
+    )
+    d = spine.join(d0, ["event_type", "dn"], "left").select(
+        "event_type", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    mo = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+    )
+    fano = (
+        F.col("n_days") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) / ((F.col("n_days") - 1) * F.col("sx").cast("double"))
+    return (
+        mo.where((F.col("n_days") > 1) & (F.col("sx") > 0))
+        .select(
+            "event_type",
+            "n_days",
+            rz(F.col("sx").cast("double") / F.col("n_days")).alias("mean_daily"),
+            rz(fano).alias("fano"),
+            F.when(fano > 1.5, F.lit("overdispersed"))
+            .when(fano < 2.0 / 3.0, F.lit("underdispersed"))
+            .otherwise(F.lit("poisson-like"))
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_interarrival_cv",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+    g AS (
+      SELECT user_id,
+             tsec - lag(tsec) OVER (PARTITION BY user_id
+                                    ORDER BY tsec, event_id) AS gap
+      FROM s),
+    pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             sum(CAST(gap AS DOUBLE) * gap) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+    c AS (
+      SELECT (n * sgg - CAST(sg AS DOUBLE) * sg)
+               / (CAST(sg AS DOUBLE) * sg) AS cv2
+      FROM pu WHERE n >= 4 AND sg > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           (round(avg(cv2) + 1e-9, 6) + 0.0) AS mean_cv2,
+           (round(CAST(sum(CASE WHEN cv2 > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) + 1e-9, 6) + 0.0) AS share_bursty,
+           (round(max(cv2) + 1e-9, 6) + 0.0) AS max_cv2
+    FROM c
+    """,
+)
+def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness census: squared coefficient of
+    variation CV² = var/mean² of each user's second-granular gaps
+    (users with ≥ 4 gaps), summarized as the measured-user count, mean
+    CV², the share of BURSTY users (CV² > 1 — a Poisson user sits at 1,
+    a scheduler near 0), and the worst offender. The per-user refinement
+    of events_poisson_dispersion's corpus-level verdict: bots and
+    scripted traffic show CV² near 0 (metronomic) while scraping bursts
+    blow past 1 — the same separation bots.py's streaming heuristics act
+    on, quantified over everyone.
+
+    Scale shape: one user-partitioned lag window over (tsec, event_id)
+    — a total order, so gaps are deterministic under ties — then one
+    user-grain moment fold and one 1-row summary fold. Gap sums are
+    exact integers; Σgap² accumulates exact-in-double (quadratics
+    convention); each user's CV² is one deterministic expression, and
+    the bursty test compares the unrounded ratio identically both
+    sides."""
+    e = t(spark, sf_dir, "events")
+    s = e.select("user_id", "event_id", F.col("ts").cast("long").alias("tsec"))
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    g = s.select(
+        "user_id", (F.col("tsec") - F.lag("tsec").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    pu = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(F.col("gap").cast("double") * F.col("gap")).alias("sgg"),
+    )
+    cv2 = (F.col("n") * F.col("sgg") - F.col("sg").cast("double") * F.col("sg")) / (
+        F.col("sg").cast("double") * F.col("sg")
+    )
+    c = pu.where((F.col("n") >= 4) & (F.col("sg") > 0)).select(cv2.alias("cv2"))
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        rz6(F.avg("cv2")).alias("mean_cv2"),
+        rz6(
+            F.sum(F.when(F.col("cv2") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("share_bursty"),
+        rz6(F.max("cv2")).alias("max_cv2"),
+    )

@@ -360,6 +360,11 @@ PROBE = [
     "text_source_keyness",
     "fts_query_expansion",
     "events_cms_frequency",
+    # batch 3: ACF + Fano ride the day-grain fold (post-fold work is
+    # calendar-sized); interarrival CV² is a user-keyed window + fold
+    "events_acf_daily",
+    "events_poisson_dispersion",
+    "events_interarrival_cv",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
