@@ -4352,9 +4352,13 @@ def emb_knn_outliers_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest (test_knn_isolation_ivf_matches_exact_with_full_probing).
     Bounded to 2000 vectors to keep the oracle's O(N²) cross join
     DuckDB-sized; the Spark plan is the real thing at any N."""
-    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    # spread: a single-split local scan would pin the probe/norm
+    # projections to one task; 16 cells (still exhaustively probed, so
+    # the result stays EXACTLY the brute-force kNN the oracle computes)
+    # give the cell-keyed candidate join 16-way parallelism instead of 8
+    e = spread(t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000))
     return similarity.knn_isolation(
-        e, k=5, candidate="ivf", n_cells=8, n_probe=8
+        e, k=5, candidate="ivf", n_cells=16, n_probe=16
     ).orderBy("vec_id")
 
 
@@ -8040,7 +8044,12 @@ def emb_intrinsic_dim_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition and the MLE divides once at the end."""
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
     xd = F.transform("embedding", lambda v: v.cast("double"))
-    q = e.select(F.col("vec_id").alias("query_id"), xd.alias("qv"))
+    # spread the QUERIES side: the broadcast nested-loop join preserves
+    # left partitioning, so a single-split local scan would otherwise
+    # evaluate all |q|·|c| distance folds in ONE task (measured 38s for
+    # 4M pairs at sf0.1; 32-way spread makes it ~1s). No-op on a real
+    # cluster where the scan arrives in many splits.
+    q = spread(e).select(F.col("vec_id").alias("query_id"), xd.alias("qv"))
     c = e.select(F.col("vec_id").alias("neighbor_id"), xd.alias("cv"))
     dist = F.sqrt(
         F.aggregate(
