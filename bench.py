@@ -50,14 +50,15 @@ pruning reads only the queries' buckets), "rebuild" = cosine_topk_lsh
 re-deriving signatures from the raw vectors inside the query —
 `serve_over_rebuild` is what persisting the index saves per search.
 The index build auto-sizes its signature width to the corpus
-(auto_bits_per_table: ~800 rows per bucket directory, so sf0.1's 12.8k
-vectors get 12 tables × 2^4 = 192 directories instead of the fixed
-6-bit layout's 768 near-empty ones that made r11's serve measure 3x
-rebuild on pure per-directory listing/footer/task overhead). The ratio
-still carries residual fixed cost at this corpus size — rebuild is one
-in-memory Arrow signature pass — and flips with scale: rebuild scans
-and shuffles ALL N vectors per query batch while serve reads only the
-probed buckets (the pruned-scan asymptotics the plan test pins).
+(auto_bits_per_table: ~800 rows per bucket directory, so sf0.1's 3.2k
+vectors get 12 tables × 2² = 48 directories instead of the fixed 6-bit
+layout's 768 near-empty ones that made r11's serve measure 3x rebuild
+on pure per-directory listing/footer/task overhead), and the rebuild
+arm runs at the index's stored parameters (meta sidecar) so both arms
+generate the SAME candidate volume — the ratio isolates persisted-read
+vs re-derivation. It still flips with scale: rebuild scans and shuffles
+ALL N vectors per query batch while serve reads only the probed
+buckets (the pruned-scan asymptotics the plan test pins).
 
 The `corpus_e2e` object times the COMPOSED pipeline (etl/corpus.py:
 clean → quality gate → exact dedup → MinHash near-dedup → content-hashed
@@ -567,9 +568,15 @@ def main() -> None:
     fts_ops.write_index(fts_ops.build_inverted_index(docs), f"{serve_root}/fts")
     fts_postings, fts_stats = fts_ops.read_index(spark, f"{serve_root}/fts")
     FTS_TERMS = ["spark", "sort", "vector"]
-    from sec_dl_spark.operators.similarity import write_ann_index
+    from sec_dl_spark.operators.similarity import read_ann_index_meta, write_ann_index
 
     write_ann_index(emb, f"{serve_root}/ann")
+    # the rebuild arm must run at the SAME LSH parameters the index was
+    # auto-sized to (the parity-test contract): with the build on auto
+    # bits and the rebuild on fixed defaults the two arms generate
+    # different candidate volumes and the ratio measures the bucket
+    # POLICY, not the serve-vs-rederive cost it is meant to track
+    ann_meta = read_ann_index_meta(spark, f"{serve_root}/ann")
 
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -609,7 +616,12 @@ def main() -> None:
         ann_index_topk(spark, f"{serve_root}/ann", ab_queries, k=5).collect()
         ann_srv_samples["serve"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        cosine_topk_lsh(emb, ab_queries, k=5).collect()
+        cosine_topk_lsh(
+            emb, ab_queries, k=5,
+            num_tables=int(ann_meta["num_tables"]),
+            bits_per_table=int(ann_meta["bits_per_table"]),
+            seed=int(ann_meta["seed"]),
+        ).collect()
         ann_srv_samples["rebuild"].append(time.perf_counter() - t0)
     ticks1 = _cpu_ticks()
     shutil.rmtree(gate_src, ignore_errors=True)

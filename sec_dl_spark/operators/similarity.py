@@ -776,14 +776,32 @@ def write_ann_index(
     corpus.sparkSession.createDataFrame([(meta,)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
+    # a rebuild at the same path may change the auto-sized parameters —
+    # drop every session's memoized copy for this path
+    for k in [k for k in _ANN_META_CACHE if k[1] == path]:
+        _ANN_META_CACHE.pop(k, None)
+
+
+_ANN_META_CACHE: dict = {}
 
 
 def read_ann_index_meta(spark, path: str) -> dict:
     """Load the ANN index's parameter sidecar ({num_tables,
-    bits_per_table, seed})."""
+    bits_per_table, seed}), memoized per (session, path): the sidecar is
+    immutable once written (a rebuild rewrites it atomically with the
+    index), and an uncached read is a whole Spark job — pure fixed cost
+    on every serve call. Holding the session ref in the value prevents
+    id() reuse after a session is garbage-collected (the fts_index
+    convention)."""
     import json as _json
 
-    return _json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
+    key = (id(spark), path)
+    hit = _ANN_META_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    meta = _json.loads(spark.read.json(f"{path}/meta").collect()[0]["meta"])
+    _ANN_META_CACHE[key] = (spark, meta)
+    return meta
 
 
 def ann_index_topk(

@@ -148,56 +148,56 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (
-    "events_mannwhitney_u",
-    "dq_join_key_skew",
-    "events_score_calibration",
-    "events_ab_welch_ttest",
-    "events_trend_slope",
-    "corpus_quality_dup_corr",
-    "events_anomaly_seasonal",
-    "agg_yoy_growth",
-    "join_customer_rfm",
-    "join_supplier_scorecard",
-    "agg_revenue_concentration",
-    "agg_price_volume_mix",
-    "dq_order_total_reconciliation",
-    "join_negative_sampling",
-    "dq_categorical_entropy",
-    "agg_pareto_skyline",
-    "agg_discount_elasticity",
-    "events_dau_wau_mau",
-    "events_funnel_step_timing",
-    "events_attribution_first_touch",
-    "events_error_budget_burn",
-    "events_cart_abandonment",
-    "dq_event_duplication",
-    "events_new_vs_returning",
-    "events_bot_detection",
-    "events_lagged_crosscorr",
-    "events_linear_interpolation",
-    "events_transition_dwell",
-    "events_churn_risk",
-    "events_growth_accounting",
-    "events_attribution_window_sweep",
-    "events_velocity_burst",
-    "events_ab_cuped",
-    "dq_out_of_order_events",
-    "events_dx_retention",
-    "events_snaive_mase",
-    "events_audience_overlap",
-    "events_stl_decomposition",
-    "dq_ingest_volume_anomaly",
-    "emb_isotropy_audit",
-    "text_vocab_coverage",
-    "text_dedup_threshold_sweep",
-    "text_license_detection",
-    "corpus_shuffle_interleave",
-    "emb_topk_diversity",
-    "text_collocations_pmi",
-    "emb_cluster_purity",
-    "graph_degree_histogram",
-    "emb_nearest_centroid",
-    "emb_class_margin",
+    "dq_sequence_gap_audit",
+    "cdc_agg_incremental",
+    "agg_abc_classification",
+    "dq_functional_dependency",
+    "dq_numeric_correlation_matrix",
+    "corpus_temperature_sweep",
+    "dq_string_format_profile",
+    "dq_feature_cross_cardinality",
+    "agg_simpsons_paradox_screen",
+    "dq_partition_balance",
+    "dq_inclusion_dependency",
+    "agg_weighted_median",
+    "join_supplier_hhi_by_nation",
+    "agg_theil_index",
+    "events_target_encoding",
+    "events_session_entropy",
+    "events_max_drawdown",
+    "events_revenue_streaks",
+    "events_periodogram",
+    "events_markov_attribution",
+    "events_uplift_qini",
+    "events_diff_in_diff",
+    "events_capacity_peaks",
+    "events_user_gini",
+    "events_cms_frequency",
+    "events_acf_daily",
+    "events_poisson_dispersion",
+    "events_interarrival_cv",
+    "emb_knn_outliers_ivf",
+    "corpus_budget_waterfill",
+    "graph_link_prediction",
+    "text_heaps_law",
+    "text_term_burstiness",
+    "emb_procrustes_alignment",
+    "graph_kcore_peeling",
+    "graph_assortativity",
+    "text_filter_agreement_kappa",
+    "emb_anova_norms",
+    "emb_knn_reciprocity",
+    "emb_silhouette",
+    "emb_intrinsic_dim_twonn",
+    "graph_modularity",
+    "graph_khop_reach",
+    "text_source_keyness",
+    "fts_query_expansion",
+    "q1_pricing_summary",
+    "text_clean_chain",
+    "text_token_stats",
+    "text_quality_score",
+    "text_repetition_stats",
 )
 
 
