@@ -6591,3 +6591,223 @@ def events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_bursty"),
         rz6(F.max("cv2")).alias("max_cv2"),
     )
+
+
+@query(
+    "events_mutual_information",
+    oracle="""
+    WITH c AS MATERIALIZED (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+    rows_ AS MATERIALIZED (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nr FROM c GROUP BY event_type),
+    cols_ AS MATERIALIZED (
+      SELECT hr, CAST(sum(n) AS BIGINT) AS nc FROM c GROUP BY hr),
+    mi AS (
+      SELECT CAST(sum(CAST(round(
+               (CAST(c.n AS DOUBLE) / tot.nt)
+               * ln((CAST(c.n AS DOUBLE) * tot.nt)
+                    / (CAST(r.nr AS DOUBLE) * cl.nc)) * 1e9) AS BIGINT))
+             AS BIGINT) AS mi_units
+      FROM c JOIN rows_ r USING (event_type) JOIN cols_ cl USING (hr), tot),
+    hr_ AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(nr AS DOUBLE) / tot.nt)
+               * ln(CAST(nr AS DOUBLE) / tot.nt) * 1e9) AS BIGINT))
+             AS BIGINT) AS h_row_units
+      FROM rows_, tot),
+    hc_ AS (
+      SELECT CAST(sum(CAST(round(
+               -(CAST(nc AS DOUBLE) / tot.nt)
+               * ln(CAST(nc AS DOUBLE) / tot.nt) * 1e9) AS BIGINT))
+             AS BIGINT) AS h_col_units
+      FROM cols_, tot)
+    SELECT (round(CAST(mi_units AS DOUBLE) / 1e9 / ln(2) + 1e-9, 6) + 0.0)
+             AS mi_bits,
+           (round(CAST(h_row_units AS DOUBLE) / 1e9 / ln(2) + 1e-9, 6) + 0.0)
+             AS h_type_bits,
+           (round(CAST(h_col_units AS DOUBLE) / 1e9 / ln(2) + 1e-9, 6) + 0.0)
+             AS h_hour_bits,
+           (round(CAST(mi_units AS DOUBLE)
+                  / nullif(least(CAST(h_row_units AS DOUBLE), h_col_units), 0.0)
+                  + 1e-9, 6) + 0.0) AS nmi
+    FROM mi, hr_, hc_
+    """,
+)
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day, in bits,
+    with both marginal entropies and the normalized MI
+    (MI / min(H_type, H_hour)) — the effect-SIZE companion to
+    events_chi2_independence's significance test: χ² at planet-scale N
+    flags microscopically small dependencies, while NMI stays
+    interpretable ("how many bits of the event type does the clock
+    explain") at any N. The same estimator drives feature-selection
+    passes over categorical training columns.
+
+    Scale shape: ONE (type, hour) groupBy carries everything — the
+    contingency table is |types|·24 cells; marginals and MI are folds
+    over that tiny frame. Every p·ln(p/q) term rounds to 1e-9 integer
+    units BEFORE its sum (zero cells never appear — absent (type,hour)
+    combinations contribute exactly their 0·ln0 = 0 limit by omission
+    in both engines), so the folds are exact integer addition; the
+    bits conversion divides once by ln 2 at the end."""
+    e = t(spark, sf_dir, "events")
+    c = pin(
+        e.groupBy(
+            "event_type",
+            ((F.col("ts").cast("long") / F.lit(3600)).cast("long") % 24).alias("hr"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("nt"))
+    rows_ = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("nr"))
+    cols_ = c.groupBy("hr").agg(F.sum("n").cast("long").alias("nc"))
+    mi_term = F.round(
+        (F.col("n").cast("double") / F.col("nt"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("nt"))
+            / (F.col("nr").cast("double") * F.col("nc"))
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    mi = (
+        c.join(rows_, "event_type")
+        .join(F.broadcast(cols_), "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term).cast("long").alias("mi_units"))
+    )
+    hrow_term = F.round(
+        -(F.col("nr").cast("double") / F.col("nt"))
+        * F.log(F.col("nr").cast("double") / F.col("nt"))
+        * F.lit(1e9)
+    ).cast("long")
+    hr_ = rows_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(hrow_term).cast("long").alias("h_row_units")
+    )
+    hcol_term = F.round(
+        -(F.col("nc").cast("double") / F.col("nt"))
+        * F.log(F.col("nc").cast("double") / F.col("nt"))
+        * F.lit(1e9)
+    ).cast("long")
+    hc_ = cols_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(hcol_term).cast("long").alias("h_col_units")
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        mi.crossJoin(F.broadcast(hr_))
+        .crossJoin(F.broadcast(hc_))
+        .select(
+            rz6(F.col("mi_units").cast("double") / F.lit(1e9) / ln2).alias("mi_bits"),
+            rz6(F.col("h_row_units").cast("double") / F.lit(1e9) / ln2).alias(
+                "h_type_bits"
+            ),
+            rz6(F.col("h_col_units").cast("double") / F.lit(1e9) / ln2).alias(
+                "h_hour_bits"
+            ),
+            rz6(
+                F.col("mi_units").cast("double")
+                / F.nullif(
+                    F.least(
+                        F.col("h_row_units").cast("double"),
+                        F.col("h_col_units").cast("double"),
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "events_entropy_rate",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events),
+    c AS MATERIALIZED (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+    rt AS MATERIALIZED (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY prev_type),
+    tot AS MATERIALIZED (SELECT CAST(sum(n_out) AS BIGINT) AS nt FROM rt),
+    h AS (
+      SELECT c.prev_type,
+             CAST(sum(CAST(round(
+               (CAST(c.n AS DOUBLE) / rt.n_out)
+               * ln(CAST(rt.n_out AS DOUBLE) / c.n) * 1e9) AS BIGINT))
+             AS BIGINT) AS h_units
+      FROM c JOIN rt USING (prev_type) GROUP BY c.prev_type)
+    SELECT h.prev_type AS event_type, rt.n_out,
+           (round(CAST(h.h_units AS DOUBLE) / 1e9 / ln(2) + 1e-9, 6) + 0.0)
+             AS h_next_bits,
+           (round(CAST(rt.n_out AS DOUBLE) / tot.nt + 1e-9, 6) + 0.0)
+             AS weight_share,
+           (round(CAST(h.h_units AS DOUBLE) * rt.n_out
+                  / (1e9 * ln(2) * tot.nt) + 1e-9, 6)
+            + 0.0) AS contribution_bits
+    FROM h JOIN rt USING (prev_type) CROSS JOIN tot ORDER BY event_type
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate by state: for each current event type, the
+    conditional entropy H(next | cur) of what users do NEXT, its weight
+    in the stationary mix, and its weighted contribution to the chain's
+    overall entropy rate Σ p(cur)·H(next|cur) — the predictability
+    readout on top of events_markov_transitions' raw matrix: a state
+    near 0 bits is a deterministic funnel step (its next hop is fixed),
+    one near log₂|types| says the journey forks uniformly there.
+    Sequence models and session simulators size their context windows
+    off exactly this number.
+
+    Scale shape: one user-partitioned lag window over the total order
+    (ts, event_id) — the markov_transitions shuffle — then everything
+    folds over the |types|²-bounded transition table. Each p·ln term
+    rounds to 1e-9 integer units BEFORE its per-state sum (exact
+    integer addition both engines); weights are exact-integer ratios
+    divided once."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long"), F.col("event_id")
+    )
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = pin(
+        o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    rt = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("n_out"))
+    tot = rt.agg(F.sum("n_out").cast("long").alias("nt"))
+    term = F.round(
+        (F.col("n").cast("double") / F.col("n_out"))
+        * F.log(F.col("n_out").cast("double") / F.col("n"))
+        * F.lit(1e9)
+    ).cast("long")
+    h = (
+        c.join(F.broadcast(rt), "prev_type")
+        .groupBy("prev_type")
+        .agg(F.sum(term).cast("long").alias("h_units"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        h.join(rt, "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("prev_type").alias("event_type"),
+            "n_out",
+            rz6(F.col("h_units").cast("double") / F.lit(1e9) / ln2).alias(
+                "h_next_bits"
+            ),
+            rz6(F.col("n_out").cast("double") / F.col("nt")).alias("weight_share"),
+            rz6(
+                F.col("h_units").cast("double")
+                * F.col("n_out")
+                / (F.lit(1e9) * ln2 * F.col("nt"))
+            ).alias("contribution_bits"),
+        )
+        .orderBy("event_type")
+    )

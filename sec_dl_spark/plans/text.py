@@ -8452,3 +8452,91 @@ def fts_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.pseudo_relevance_expand(
         postings, ["spark", "sort", "vector"], k_feedback=10, k_terms=10, stats=stats
     )
+
+
+@query(
+    "graph_conductance",
+    oracle="""
+    WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(count(*) AS BIGINT) AS support
+      FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey),
+    edges AS MATERIALIZED (SELECT u, v FROM e0 WHERE support >= 2),
+    m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    adj AS MATERIALIZED (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges),
+    degb AS MATERIALIZED (
+      SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS degree_sum
+      FROM adj JOIN part p ON adj.x = p.p_partkey GROUP BY p.p_brand),
+    intra AS (
+      SELECT pu.p_brand AS brand, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM edges JOIN part pu ON edges.u = pu.p_partkey
+                 JOIN part pv ON edges.v = pv.p_partkey
+      WHERE pu.p_brand = pv.p_brand GROUP BY pu.p_brand)
+    SELECT degb.brand,
+           CAST(degb.degree_sum - 2 * coalesce(intra.intra_edges, 0) AS BIGINT)
+             AS cut_edges,
+           degb.degree_sum,
+           CASE WHEN least(degb.degree_sum, 2 * m.m - degb.degree_sum) > 0
+                THEN (round(
+                  CAST(degb.degree_sum - 2 * coalesce(intra.intra_edges, 0)
+                       AS DOUBLE)
+                  / least(degb.degree_sum, 2 * m.m - degb.degree_sum)
+                  + 1e-9, 6) + 0.0)
+                ELSE 0.0 END AS conductance
+    FROM degb LEFT JOIN intra USING (brand), m
+    ORDER BY brand
+    """,
+)
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut conductance per brand community on the part co-purchase
+    graph: φ(S) = cut(S) / min(vol S, vol S̄) with cut = d_S − 2·e_S —
+    the BOUNDARY-quality complement to graph_modularity's density view
+    (modularity can reward a community that still leaks a third of its
+    edges; conductance is the leak rate itself, the quantity sharding
+    and partition-placement decisions actually minimize: φ IS the
+    fraction of a community's traffic that crosses the shard boundary).
+
+    Scale shape: identical frames to graph_modularity — the shared
+    pinned co-purchase edges, two part-dim joins, integer groupBys —
+    so the marginal cost of asking BOTH questions is one more bounded
+    aggregate. cut, vol, and 2m are exact integers; the ratio divides
+    once per community (brands whose complement volume is 0 take the
+    guarded 0 identically in both engines)."""
+    edges = copurchase_edges(spark, sf_dir)
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    adj = edges.select(F.col("u").alias("x")).unionAll(
+        edges.select(F.col("v").alias("x"))
+    )
+    degb = (
+        adj.join(part, adj.x == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    pu = part.select(F.col("p_partkey").alias("uk"), F.col("p_brand").alias("bu"))
+    pv = part.select(F.col("p_partkey").alias("vk"), F.col("p_brand").alias("bv"))
+    intra = (
+        edges.join(pu, edges.u == pu.uk)
+        .join(pv, edges.v == pv.vk)
+        .where(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    cut = F.col("degree_sum") - 2 * F.coalesce(F.col("intra_edges"), F.lit(0))
+    cap = F.least(F.col("degree_sum"), 2 * F.col("m") - F.col("degree_sum"))
+    return (
+        degb.join(intra, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            cut.cast("long").alias("cut_edges"),
+            "degree_sum",
+            F.when(cap > 0, rz6(cut.cast("double") / cap))
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+        .orderBy("brand")
+    )

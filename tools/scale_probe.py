@@ -365,6 +365,11 @@ PROBE = [
     "events_acf_daily",
     "events_poisson_dispersion",
     "events_interarrival_cv",
+    # batch 5: all three fold to types²/brand-bounded frames after one
+    # shuffle (contingency fold, shared co-purchase edges, lag window)
+    "events_mutual_information",
+    "graph_conductance",
+    "events_entropy_rate",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
