@@ -1260,9 +1260,15 @@ def entity_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from sec_dl_spark.operators.layout import zorder_key, zorder_sql  # noqa: E402
+from sec_dl_spark.operators.layout import (  # noqa: E402
+    hilbert_sql_2d,
+    with_hilbert_key,
+    zorder_key,
+    zorder_sql,
+)
 
 _ZSQL = zorder_sql(["l_orderkey", "l_suppkey"], bits=16)
+_HSQL = hilbert_sql_2d("l_orderkey", "l_suppkey", bits=8)
 
 
 @query(
@@ -1288,6 +1294,35 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zkey", zorder_key(["l_orderkey", "l_suppkey"], bits=16).cast("long")
         )
         .orderBy("zkey", "l_orderkey", "l_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "layout_hilbert_key",
+    oracle=f"""
+    WITH __base AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    h AS ({_HSQL})
+    SELECT l_orderkey, l_suppkey, hd AS hkey
+    FROM h ORDER BY hkey, l_orderkey, l_suppkey LIMIT 100
+    """,
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over two scan columns — the
+    locality-preserving upgrade of layout_zorder_key: consecutive keys
+    are always grid-adjacent cells (pytest-pinned against the classic
+    rotate/reflect reference), so contiguous key ranges cut into files
+    have tighter bounding rectangles than the Z-curve's
+    power-of-two-boundary jumps — strictly better min/max pruning for
+    the same file count. One codegen projection (the unrolled per-level
+    recurrence via named intermediates — expression tree linear in
+    bits), checked here against the oracle computing the identical
+    index independently; the layout shuffle contract (exactly one range
+    exchange) is pinned by tests/test_layout.py."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    return (
+        with_hilbert_key(li, "l_orderkey", "l_suppkey", out="hkey", bits=8)
+        .orderBy("hkey", "l_orderkey", "l_suppkey")
         .limit(100)
     )
 

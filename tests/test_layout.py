@@ -130,3 +130,70 @@ def test_compact_derives_output_count_from_measured_size(spark, tmp_path):
     res = compact_small_files(spark, path, target_bytes=target)
     assert res["rewritten"] is True
     assert 3 <= res["after"]["n_files"] <= 5
+
+
+def _xy2d_ref(n, x, y):
+    rx, ry, d = 0, 0, 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_grid_adjacent(spark):
+    """The unrolled column recurrence equals the classic rotate/reflect
+    xy2d on every cell of a 16x16 grid, AND consecutive Hilbert keys are
+    always Manhattan-adjacent cells — THE property the Z-curve lacks
+    (it jumps across the plane at power-of-two boundaries) and the
+    reason Hilbert ranges cut into tighter file bounding boxes."""
+    from sec_dl_spark.operators.layout import with_hilbert_key
+
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(df, "x", "y", bits=4).collect()
+    }
+    want = {(x, y): _xy2d_ref(16, x, y) for x, y in grid}
+    assert got == want
+    order = sorted(want, key=lambda k: want[k])
+    assert all(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1 for a, b in zip(order, order[1:])
+    )
+
+
+def test_hilbert_layout_tightens_bboxes_and_beats_zorder_locality(spark, tmp_path):
+    """hilbert_layout bounds BOTH columns well below the full range per
+    file (the zorder_layout contract), keeps the helper key out of the
+    files, and its worst per-file bounding box is no worse than
+    Z-order's on the same grid and file count."""
+    from sec_dl_spark.operators.layout import hilbert_layout
+
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    hil = str(tmp_path / "hilbert")
+    zed = str(tmp_path / "zorder")
+    hilbert_layout(grid, "x", "y", num_files=16, bits=8).write.parquet(hil)
+    zorder_layout(grid, ["x", "y"], num_files=16, bits=8).write.parquet(zed)
+
+    h_x = _per_file_bbox_avg_side(spark, hil, "x")
+    h_y = _per_file_bbox_avg_side(spark, hil, "y")
+    assert h_x < 0.5 * (n - 1) and h_y < 0.5 * (n - 1)
+    assert spark.read.parquet(hil).columns == ["x", "y"]
+    assert spark.read.parquet(hil).count() == n * n
+    # locality: average bbox side no worse than the Z-curve's
+    z_side = _per_file_bbox_avg_side(spark, zed, "x") + _per_file_bbox_avg_side(
+        spark, zed, "y"
+    )
+    h_side = h_x + h_y
+    assert h_side <= z_side * 1.05, (h_side, z_side)

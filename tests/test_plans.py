@@ -724,6 +724,19 @@ def test_zorder_layout_single_range_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_hilbert_layout_single_range_exchange(spark):
+    """Same shuffle contract for the Hilbert layout: the unrolled
+    rotate/reflect recurrence stays one codegen projection, and the
+    re-layout costs exactly its one inherent range exchange."""
+    from sec_dl_spark.operators.layout import hilbert_layout
+
+    df = spark.range(10_000).selectExpr("id % 100 AS x", "id % 97 AS y")
+    plan = physical_plan(hilbert_layout(df, "x", "y", num_files=8, bits=8))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_gram_model_join_unhinted(spark, specs):
     """The test-gram set must reach the train side without a forced
     broadcast hint (AQE decides from measured size)."""
