@@ -5951,7 +5951,7 @@ def join_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_theil_index",
     oracle="""
     WITH cr AS (
-      SELECT o_custkey, CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS x
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
       FROM orders GROUP BY o_custkey),
     cn AS MATERIALIZED (
       SELECT cr.x, n.n_name
@@ -6005,7 +6005,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cr = o.groupBy("o_custkey").agg(
-        F.sum((F.col("o_totalprice") * 100).cast("long")).cast("long").alias("x")
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).cast("long").alias("x")
     )
     cn = pin(
         cr.join(cust, cr.o_custkey == cust.c_custkey)
@@ -6045,6 +6045,84 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz6((F.col("t_g").cast("double") / F.col("t")) * F.log(mu_ratio)).alias(
                 "between_term"
             ),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "agg_percentile_bands_by_nation",
+    oracle="""
+    WITH cr AS (
+      SELECT c.c_nationkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_nationkey),
+    b AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             quantile_cont(rev, 0.10) AS p10,
+             quantile_cont(rev, 0.50) AS p50,
+             quantile_cont(rev, 0.90) AS p90
+      FROM cr JOIN nation n ON cr.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, n_cust,
+           (round(p10 + 1e-8, 2) + 0.0) AS p10,
+           (round(p50 + 1e-8, 2) + 0.0) AS p50,
+           (round(p90 + 1e-8, 2) + 0.0) AS p90,
+           (round((p90 - p10) / p50 + 1e-9, 6) + 0.0) AS band_spread
+    FROM b ORDER BY nation
+    """,
+)
+def agg_percentile_bands_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p50/p90 customer-revenue bands per nation plus the
+    normalized inter-decile spread — the per-market "typical customer"
+    envelope a pricing or sampling pass consults (and the grouped twin
+    of agg_percentiles): median says where the mass sits, the band says
+    how stretched it is, and cross-nation comparison of band_spread
+    flags markets whose revenue distribution shape differs, not just
+    its level.
+
+    Scale shape: revenue folds to customer grain (one partial-agg
+    groupBy + key-aligned dim join), then
+    operators/relational.py:exact_percentiles computes interpolated
+    type-7 quantiles over DISTINCT VALUES + multiplicities — one
+    map-combinable shuffle and a per-(nation) cumulative window over
+    value-grain rows, never Spark's buffer-every-value percentile
+    aggregate; the bucketed strategy swaps in when distinct values per
+    group reach 1e8 (the 100 TB regime). Revenue is folded in exact
+    integer cents and divided once, so both engines interpolate over
+    IDENTICAL doubles."""
+    from sec_dl_spark.operators.relational import exact_percentiles
+
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cr = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_nationkey", (F.col("cents").cast("double") / 100.0).alias("rev")
+        )
+    )
+    bands = exact_percentiles(
+        cr, "c_nationkey", {"rev": [(0.10, "p10"), (0.50, "p50"), (0.90, "p90")]}
+    )
+    n_cust = cr.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    return (
+        bands.join(n_cust, "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_cust",
+            (F.round(F.col("p10") + 1e-8, 2) + F.lit(0.0)).alias("p10"),
+            (F.round(F.col("p50") + 1e-8, 2) + F.lit(0.0)).alias("p50"),
+            (F.round(F.col("p90") + 1e-8, 2) + F.lit(0.0)).alias("p90"),
+            rz6((F.col("p90") - F.col("p10")) / F.col("p50")).alias("band_spread"),
         )
         .orderBy("nation")
     )

@@ -8540,3 +8540,61 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "text_hapax_share_by_source",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({TOKS}) AS tok FROM documents),
+    tc AS MATERIALIZED (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM tk GROUP BY source, tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           (round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) + 1e-9, 6) + 0.0) AS hapax_share,
+           (round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / sum(n) + 1e-9, 6) + 0.0) AS hapax_token_rate
+    FROM tc GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena census per source: vocabulary size, the counts of
+    once- and twice-occurring word types (hapax / dis legomena), and the
+    hapax share of both vocabulary and token mass. Good-Turing intuition
+    makes the hapax share the canonical "how much vocabulary is still
+    unseen" estimator: organic text holds a fat once-only tail (hapax
+    share ~0.4-0.6 of vocab), while templated/boilerplate sources show a
+    collapsed tail — the per-source companion to text_heaps_law's
+    corpus-level growth curve, and the screen that catches a source
+    whose generator loops a fixed phrasebook.
+
+    Scale shape: one explode + (source, token) groupBy with map-side
+    partial counts, then a source-grain conditional fold over the
+    type-grain frame. Every output derives from exact integer counts
+    divided once."""
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    tk = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tc = tk.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+            F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("long").alias("dis"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            rz6(
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hapax_share"),
+            rz6(
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+                / F.sum("n")
+            ).alias("hapax_token_rate"),
+        )
+        .orderBy("source")
+    )

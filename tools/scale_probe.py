@@ -370,6 +370,11 @@ PROBE = [
     "events_mutual_information",
     "graph_conductance",
     "events_entropy_rate",
+    # batch 7: hilbert key is a pure projection + TakeOrdered; bands ride
+    # exact_percentiles' distinct-value shuffle; hapax is one token fold
+    "layout_hilbert_key",
+    "agg_percentile_bands_by_nation",
+    "text_hapax_share_by_source",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
