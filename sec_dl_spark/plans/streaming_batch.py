@@ -6811,3 +6811,146 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_wilcoxon_signed_rank",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    mid AS MATERIALIZED (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+    pu AS (
+      SELECT event_type, user_id,
+             CAST(sum(cents) FILTER (us <= mid_us) AS BIGINT) AS pre_sum,
+             CAST(count(*) FILTER (us <= mid_us) AS BIGINT) AS pre_n,
+             CAST(sum(cents) FILTER (us > mid_us) AS BIGINT) AS post_sum,
+             CAST(count(*) FILTER (us > mid_us) AS BIGINT) AS post_n
+      FROM e, mid GROUP BY event_type, user_id),
+    d AS (
+      SELECT event_type,
+             CAST(post_sum AS DOUBLE) / post_n
+               - CAST(pre_sum AS DOUBLE) / pre_n AS diff
+      FROM pu WHERE pre_n > 0 AND post_n > 0),
+    dz AS (SELECT event_type, abs(diff) AS ad,
+                  CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos
+           FROM d WHERE diff <> 0),
+    v AS (
+      SELECT event_type, ad,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(pos) AS BIGINT) AS cnt_pos
+      FROM dz GROUP BY event_type, ad),
+    r AS (
+      SELECT event_type, cnt, cnt_pos,
+             coalesce(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless
+      FROM v),
+    g AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt_pos * (2 * cless + cnt + 1)) AS BIGINT) AS w2p,
+             sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_sum
+      FROM r GROUP BY event_type HAVING n >= 6),
+    s AS (
+      SELECT event_type, n, w2p,
+             CAST(n AS DOUBLE) * (n + 1) / 2 AS mu2,
+             sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6
+                  - tie_sum / 12) AS sigma2
+      FROM g)
+    SELECT event_type, n AS n_pairs,
+           (CAST(w2p AS DOUBLE) / 2) AS w_plus,
+           (round((w2p - mu2) / sigma2 + 1e-9, 4) + 0.0) AS z_stat,
+           (abs((w2p - mu2) / sigma2) > 1.96) AS significant_95
+    FROM s ORDER BY event_type
+    """,
+)
+def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test per event type: did each user's mean
+    spend CHANGE between the first and second half of the observation
+    span? The PAIRED complement to events_mannwhitney_u — pairing every
+    user with themselves cancels between-user variance, so it detects
+    shifts the unpaired rank-sum drowns in user heterogeneity (the
+    pre/post analysis behind launches without a holdout). Zero diffs
+    drop and |d| midranks handle ties, both per the standard treatment.
+
+    Scale shape: one (type, user) conditional fold against the 1-row
+    broadcast midpoint, then everything runs on the VALUE-GRAIN |d|
+    frame (the mannwhitney machinery: cumulative-below window ordered
+    by |d| within type, W⁺ as the exact integer Σ cnt_pos·(2·cless +
+    cnt + 1) — twice the midrank, so no halves — and the tie-corrected
+    normal approximation with Σ(t³−t) in double). Per-user diffs are
+    deterministic doubles (exact integer cents sums divided once), so
+    both engines build the identical rank frame."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("sec"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    # µs-granular midpoint on BOTH sides (the oracle's epoch_us): a
+    # second-granular midpoint would classify sub-second events near the
+    # boundary differently across engines
+    mid = e.agg(
+        F.expr("(min(sec) + max(sec)) div 2").cast("long").alias("mid_sec")
+    )
+    pu = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(F.col("sec") <= F.col("mid_sec"), F.col("cents"))).alias("pre_sum"),
+            F.count(F.when(F.col("sec") <= F.col("mid_sec"), 1)).cast("long").alias("pre_n"),
+            F.sum(F.when(F.col("sec") > F.col("mid_sec"), F.col("cents"))).alias("post_sum"),
+            F.count(F.when(F.col("sec") > F.col("mid_sec"), 1)).cast("long").alias("post_n"),
+        )
+    )
+    d = pu.where((F.col("pre_n") > 0) & (F.col("post_n") > 0)).select(
+        "event_type",
+        (
+            F.col("post_sum").cast("double") / F.col("post_n")
+            - F.col("pre_sum").cast("double") / F.col("pre_n")
+        ).alias("diff"),
+    )
+    dz = d.where(F.col("diff") != 0).select(
+        "event_type",
+        F.abs("diff").alias("ad"),
+        F.when(F.col("diff") > 0, 1).otherwise(0).alias("pos"),
+    )
+    v = dz.groupBy("event_type", "ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.withColumn("cless", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    g = (
+        r.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(
+                F.col("cnt_pos") * (2 * F.col("cless") + F.col("cnt") + 1)
+            ).cast("long").alias("w2p"),
+            F.sum(
+                F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            ).alias("tie_sum"),
+        )
+        .where(F.col("n") >= 6)
+    )
+    mu2 = F.col("n").cast("double") * (F.col("n") + 1) / 2
+    sigma2 = F.sqrt(
+        F.col("n").cast("double") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 6
+        - F.col("tie_sum") / 12
+    )
+    z = (F.col("w2p") - mu2) / sigma2
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.col("w2p").cast("double") / 2).alias("w_plus"),
+        (F.round(z + 1e-9, 4) + F.lit(0.0)).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    ).orderBy("event_type")

@@ -4140,3 +4140,41 @@ def test_graph_khop_and_modularity_invariants(spark, sf_dir):
     assert sum(r["degree_sum"] for r in terms) == 2 * m
     assert sum(r["intra_edges"] for r in terms) <= m
     assert all(-1.0 <= r["modularity_term"] <= 1.0 for r in terms)
+
+
+def test_wilcoxon_signed_rank_planted_shift_and_symmetry(spark, tmp_path):
+    """Construction-pinned signed-rank semantics: when EVERY user's mean
+    spend rises post-midpoint (distinct magnitudes), W+ is exactly
+    n(n+1)/2 (all rank mass positive) and significant; when gains and
+    losses mirror each other in equal magnitudes, the midrank algebra
+    makes z EXACTLY 0 — no tolerance, the statistic is integer-built."""
+    import datetime as dt
+
+    pre_t, post_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 9)
+    rows, eid = [], 0
+    n = 12
+    for u in range(n):  # all shift up, distinct magnitudes
+        rows.append((eid, pre_t, u, "up", 10.0, "{}")); eid += 1
+        rows.append((eid, post_t, u, "up", 10.0 + (u + 1), "{}")); eid += 1
+    for u in range(n // 2):  # mirrored gains/losses, same |d| per pair
+        delta = float(u + 1)
+        rows.append((eid, pre_t, 2 * u, "sym", 50.0, "{}")); eid += 1
+        rows.append((eid, post_t, 2 * u, "sym", 50.0 + delta, "{}")); eid += 1
+        rows.append((eid, pre_t, 2 * u + 1, "sym", 50.0, "{}")); eid += 1
+        rows.append((eid, post_t, 2 * u + 1, "sym", 50.0 - delta, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["event_type"]: r
+        for r in load_all()["events_wilcoxon_signed_rank"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["up"]["n_pairs"] == n
+    assert out["up"]["w_plus"] == n * (n + 1) / 2
+    assert out["up"]["significant_95"]
+    assert out["sym"]["z_stat"] == 0.0 and not out["sym"]["significant_95"]

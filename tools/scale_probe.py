@@ -375,6 +375,8 @@ PROBE = [
     "layout_hilbert_key",
     "agg_percentile_bands_by_nation",
     "text_hapax_share_by_source",
+    # paired rank test: (type,user) fold + value-grain |d| machinery
+    "events_wilcoxon_signed_rank",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
