@@ -6126,3 +6126,90 @@ def agg_percentile_bands_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "join_order_backlog_monthly",
+    oracle="""
+    WITH op AS MATERIALIZED (
+      SELECT o_orderkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS open_m
+      FROM orders),
+    cl AS MATERIALIZED (
+      SELECT op.open_m,
+             date_trunc('month', CAST(max(l.l_shipdate) AS DATE)) AS close_m
+      FROM op LEFT JOIN lineitem l ON op.o_orderkey = l.l_orderkey
+      GROUP BY op.o_orderkey, op.open_m),
+    span AS (SELECT min(open_m) AS lo, max(open_m) AS hi FROM cl),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS month
+      FROM span),
+    opened AS (SELECT open_m AS month, CAST(count(*) AS BIGINT) AS n_opened
+               FROM cl GROUP BY open_m),
+    closed AS (SELECT close_m AS month, CAST(count(*) AS BIGINT) AS n_closed
+               FROM cl WHERE close_m IS NOT NULL GROUP BY close_m)
+    SELECT s.month,
+           CAST(coalesce(o.n_opened, 0) AS BIGINT) AS n_opened,
+           CAST(coalesce(c.n_closed, 0) AS BIGINT) AS n_closed,
+           CAST(sum(coalesce(o.n_opened, 0) - coalesce(c.n_closed, 0))
+                OVER (ORDER BY s.month) AS BIGINT) AS backlog
+    FROM spine s LEFT JOIN opened o ON s.month = o.month
+                 LEFT JOIN closed c ON s.month = c.month
+    ORDER BY s.month
+    """,
+)
+def join_order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog by month: each order OPENS at its order month
+    and CLOSES at the month of its last shipped line (orders with no
+    lines stay open), and the backlog is the running balance of opens
+    minus closes over the densified month spine — the interval-sweep
+    census behind WIP/fulfillment dashboards ("how much in-flight work
+    does each period carry"), the order-lifecycle twin of
+    events_concurrent_sessions' sweep.
+
+    Scale shape: close months come from ONE order-keyed fold over the
+    fact join (never an interval × calendar explode — an order open for
+    30 months would cost 30 rows in the naive layout); opens/closes
+    collapse to month grain before the spine join, and the running
+    balance is a window over the ~month-count frame only. Counts are
+    exact integers end to end."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    month = lambda c: F.date_trunc("month", F.col(c).cast("date")).cast("date")  # noqa: E731
+    cl = (
+        o.select("o_orderkey", month("o_orderdate").alias("open_m"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "open_m")
+        .agg(
+            F.date_trunc("month", F.max("l_shipdate").cast("date"))
+            .cast("date")
+            .alias("close_m")
+        )
+    )
+    span = cl.agg(F.min("open_m").alias("lo"), F.max("open_m").alias("hi"))
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    opened = cl.groupBy(F.col("open_m").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_opened")
+    )
+    closed = (
+        cl.where(F.col("close_m").isNotNull())
+        .groupBy(F.col("close_m").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(opened, "month", "left")
+        .join(closed, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_opened", F.lit(0)).cast("long").alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+        )
+        .withColumn(
+            "backlog",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
+        )
+        .orderBy("month")
+    )

@@ -377,6 +377,8 @@ PROBE = [
     "text_hapax_share_by_source",
     # paired rank test: (type,user) fold + value-grain |d| machinery
     "events_wilcoxon_signed_rank",
+    # backlog sweep: order-keyed close fold, month-grain balance window
+    "join_order_backlog_monthly",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
