@@ -193,11 +193,11 @@ _PRIORITY = (
     "graph_khop_reach",
     "text_source_keyness",
     "fts_query_expansion",
-    "q1_pricing_summary",
-    "text_clean_chain",
-    "text_token_stats",
-    "text_quality_score",
-    "text_repetition_stats",
+    "layout_hilbert_key",
+    "agg_percentile_bands_by_nation",
+    "join_order_backlog_monthly",
+    "events_mutual_information",
+    "events_entropy_rate",
 )
 
 
