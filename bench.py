@@ -624,27 +624,35 @@ def main() -> None:
         ).collect()
         ann_srv_samples["rebuild"].append(time.perf_counter() - t0)
     ticks1 = _cpu_ticks()
-    shutil.rmtree(gate_src, ignore_errors=True)
-    shutil.rmtree(hll_src, ignore_errors=True)
-    shutil.rmtree(hll_work, ignore_errors=True)
-    shutil.rmtree(serve_root, ignore_errors=True)
 
     # High-variance re-measurement (VERDICT r11 ask #5): a query whose
     # rep-to-rep spread exceeds 50% of its median got unlucky (GC pause,
     # first-call codegen, a neighbor's page-cache eviction) — its
     # median-of-3 is one outlier away from the truth. Re-time just those
-    # at 7 reps and keep the tighter sample; everything else keeps its
-    # 3-rep median so the fix costs seconds, not a 2.3x longer bench.
+    # at 7 reps and keep whichever sample is TIGHTER (the redo can get
+    # unlucky too); everything else keeps its 3-rep median so the fix
+    # costs seconds, not a 2.3x longer bench. This block runs BEFORE the
+    # serve/gate/hll temp dirs are torn down so a future serve-path
+    # headline re-times against live fixtures instead of crashing.
+    def _rel_spread(s: list[float]) -> float:
+        return (max(s) - min(s)) / statistics.median(s) if len(s) > 1 else 0.0
+
     remeasured: list[str] = []
     for name, s in samples.items():
-        if len(s) > 1 and (max(s) - min(s)) / statistics.median(s) > 0.5:
+        if _rel_spread(s) > 0.5:
             redo = []
             for _ in range(7):
                 t0 = time.perf_counter()
                 specs[name].spark_fn(spark, sf_dir).collect()
                 redo.append(time.perf_counter() - t0)
-            samples[name] = redo
+            if _rel_spread(redo) < _rel_spread(s):
+                samples[name] = redo
             remeasured.append(name)
+
+    shutil.rmtree(gate_src, ignore_errors=True)
+    shutil.rmtree(hll_src, ignore_errors=True)
+    shutil.rmtree(hll_work, ignore_errors=True)
+    shutil.rmtree(serve_root, ignore_errors=True)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {

@@ -754,11 +754,21 @@ def write_ann_index(
     serve can never disagree on the plane geometry."""
     import json as _json
 
+    from sec_dl_spark.util import hadoop_delete
+
     if bits_per_table is None:
         bits_per_table = auto_bits_per_table(corpus.count())
     bk = hyperplane_buckets(
         F.col(vec_col), num_tables=num_tables, bits_per_table=bits_per_table, seed=seed
     )
+    # Remove the parameter sidecar BEFORE touching the index (the
+    # fts.write_index convention): a crash between the index overwrite
+    # and the sidecar rewrite would otherwise pair a freshly auto-sized
+    # index with the PREVIOUS build's plane geometry — queries bucketize
+    # with the wrong planes and serve silently wrong/empty neighbors.
+    # Deleting first turns that crash window into a loud missing-sidecar
+    # failure in read_ann_index_meta.
+    hadoop_delete(corpus.sparkSession, f"{path}/meta")
     (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -787,10 +797,12 @@ _ANN_META_CACHE: dict = {}
 
 def read_ann_index_meta(spark, path: str) -> dict:
     """Load the ANN index's parameter sidecar ({num_tables,
-    bits_per_table, seed}), memoized per (session, path): the sidecar is
-    immutable once written (a rebuild rewrites it atomically with the
-    index), and an uncached read is a whole Spark job — pure fixed cost
-    on every serve call. Holding the session ref in the value prevents
+    bits_per_table, seed}), memoized per (session, path): a rebuild
+    deletes the sidecar FIRST and rewrites it only after the index lands
+    (write_ann_index), so the sidecar, when present, always describes the
+    index beside it — a torn rebuild fails loudly here (missing path)
+    instead of serving with stale plane geometry. An uncached read is a
+    whole Spark job — pure fixed cost on every serve call. Holding the session ref in the value prevents
     id() reuse after a session is garbage-collected (the fts_index
     convention)."""
     import json as _json

@@ -72,12 +72,19 @@ _CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne): a*(x mod p) stays under 2^63
 
 
 def _cms_hash_params(depth: int) -> list[tuple[int, int]]:
-    """The fixed pairwise-independent hash family h_j(x) =
-    ((a_j·(x mod p) + b_j) mod p) mod width with p = 2³¹−1,
+    """The deterministic fixed hash family h_j(x) =
+    ((a_j·pmod(x, p) + b_j) mod p) mod width with p = 2³¹−1,
     a_j = 1000003^(j+1) mod p, b_j = 999983·(j+1) mod p — a CLOSED FORM
-    with no binary state, so any engine (ANSI SQL included) reproduces
-    the sketch bit-for-bit. Reducing x mod p first bounds a·x below
-    2^62: every intermediate fits int64 exactly on every engine."""
+    with no binary state, so any engine whose floored/truncated modulo
+    is mirrored in the rebuild SQL reproduces the sketch bit-for-bit
+    (the registered oracle normalizes with ((x % p) + p) % p, matching
+    Spark's pmod for every sign). Reducing x into [0, p) first bounds
+    a·x below 2^62 AND keeps every downstream remainder non-negative:
+    slots land in [0, width) even for negative keys. The fixed
+    constants are NOT a random pairwise-independent draw, so the
+    textbook ≤ true + (e/width)·N w.p. 1−2^−depth bound is heuristic
+    here (empirically pinned by the bound audit in
+    events_cms_frequency), not a theorem."""
     return [
         (pow(1000003, j + 1, _CMS_P), (999983 * (j + 1)) % _CMS_P)
         for j in range(depth)
@@ -94,23 +101,26 @@ def cms_build(
     no matter the input size, unions of per-batch sketches sum by
     (row, slot) — the same merge-on-read algebra the HLL rollup sink
     uses — and any key's estimate is min_j of its depth counters,
-    guaranteed ≥ the true count and ≤ true + (e/width)·N with
-    probability ≥ 1 − 2^−depth.
+    guaranteed ≥ the true count always; the classic ≤ true +
+    (e/width)·N w.p. 1 − 2^−depth overcount bound is heuristic under
+    this deterministic fixed family (see _cms_hash_params) and is
+    pinned empirically by the events_cms_frequency bound audit.
 
     One narrow projection → a depth-way generated explode → one
     (row, slot) groupBy: the shuffle carries at most depth·width groups
     (partial aggregation collapses the fan-out map-side), so the build
     is a scan-bound single pass at any N. Integer column required
-    (hash the key to int64 upstream for strings)."""
+    (hash the key to int64 upstream for strings); negative keys are
+    fine — pmod keeps every slot in [0, width)."""
     from pyspark.sql import functions as F
 
     params = _cms_hash_params(depth)
-    xm = F.col(col).cast("long") % _CMS_P
+    xm = F.pmod(F.col(col).cast("long"), F.lit(_CMS_P))
     rows = F.array(
         *[
             F.struct(
                 F.lit(j).cast("int").alias("row"),
-                (((F.lit(a) * xm + F.lit(b)) % _CMS_P) % width)
+                F.pmod(F.pmod(F.lit(a) * xm + F.lit(b), F.lit(_CMS_P)), F.lit(width))
                 .cast("int")
                 .alias("slot"),
             )
@@ -135,12 +145,12 @@ def cms_estimate(
     from pyspark.sql import functions as F
 
     params = _cms_hash_params(depth)
-    xm = F.col(col).cast("long") % _CMS_P
+    xm = F.pmod(F.col(col).cast("long"), F.lit(_CMS_P))
     rows = F.array(
         *[
             F.struct(
                 F.lit(j).cast("int").alias("row"),
-                (((F.lit(a) * xm + F.lit(b)) % _CMS_P) % width)
+                F.pmod(F.pmod(F.lit(a) * xm + F.lit(b), F.lit(_CMS_P)), F.lit(width))
                 .cast("int")
                 .alias("slot"),
             )

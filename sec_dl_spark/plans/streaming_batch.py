@@ -6276,7 +6276,10 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_cms_frequency",
     oracle="""
-    WITH ev AS (SELECT user_id, user_id % 2147483647 AS xm FROM events),
+    WITH ev AS (
+      SELECT user_id,
+             ((user_id % 2147483647) + 2147483647) % 2147483647 AS xm
+      FROM events),
     h AS MATERIALIZED (
       SELECT user_id, 0 AS row,
              ((1000003 * xm + 999983) % 2147483647) % 256 AS slot FROM ev

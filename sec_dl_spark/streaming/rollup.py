@@ -211,7 +211,16 @@ def incremental_cms_sink(
     side sums partials by (row, slot) — the CM sketch is a counter
     monoid, so batching is invariant by algebra and estimates from the
     merged sketch equal a from-scratch build over everything ingested
-    (pinned by pytest)."""
+    (pinned by pytest).
+
+    CAUTION — unlike the sibling ``incremental_hll_sink`` (HLL union is
+    idempotent, so duplicated runs merge harmlessly), a counter monoid
+    double-counts across runs: reprocessing the same source with a FRESH
+    checkpoint dir (or a new explicit ``run``) publishes a new
+    ``run=<id>`` partition while the old run's partials remain.
+    ``read_cms_sketch`` therefore refuses a multi-run sketch_path by
+    default — clear ``sketch_path`` whenever the checkpoint is reset, or
+    read a single run via its ``run=`` argument."""
     import hashlib
 
     from pyspark.sql import functions as F  # noqa: F401 — parity w/ siblings
@@ -234,13 +243,43 @@ def incremental_cms_sink(
     )
 
 
-def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
-    """Merged (row, slot, cnt) view over every published CMS partial —
-    one groupBy over ≤ runs·batches·depth·width counter rows. Feed to
-    operators/sketch.py:cms_estimate for point queries."""
+def read_cms_sketch(
+    spark: SparkSession,
+    sketch_path: str,
+    run: str | None = None,
+    allow_multiple_runs: bool = False,
+) -> DataFrame:
+    """Merged (row, slot, cnt) view over the published CMS partials —
+    one groupBy over ≤ batches·depth·width counter rows. Feed to
+    operators/sketch.py:cms_estimate for point queries.
+
+    Counts are NOT idempotent across runs (unlike the HLL sibling):
+    a reprocessed source under a fresh checkpoint publishes a second
+    ``run=<id>`` partition and a naive sum would double-count every
+    key. So: ``run=`` reads exactly that run's partials; with no run
+    given, a sketch_path holding more than one run raises instead of
+    silently over-counting. Pass ``allow_multiple_runs=True`` only when
+    the runs are KNOWN disjoint sources (deliberate multi-stream merge,
+    where summing across runs is the intended total)."""
     from pyspark.sql import functions as F
 
-    parts = spark.read.parquet(sketch_path).drop("run", "batch")
+    if run is not None:
+        parts = spark.read.parquet(f"{sketch_path}/run={run}").drop("batch")
+    else:
+        parts = spark.read.parquet(sketch_path)
+        if not allow_multiple_runs:
+            runs = [r["run"] for r in parts.select("run").distinct().collect()]
+            if len(runs) > 1:
+                raise ValueError(
+                    f"CMS sketch at {sketch_path!r} holds {len(runs)} runs "
+                    f"({sorted(map(str, runs))}); summing across runs double-"
+                    "counts every key reprocessed under a reset checkpoint. "
+                    "Clear the sketch_path when resetting the checkpoint, "
+                    "read one run via run=..., or pass "
+                    "allow_multiple_runs=True for a deliberate merge of "
+                    "disjoint sources."
+                )
+        parts = parts.drop("run", "batch")
     return parts.groupBy("row", "slot").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )

@@ -415,6 +415,45 @@ def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
     assert len(index_relations) == 1, opt
 
 
+def test_ann_rebuild_deletes_meta_first(spark, tmp_path):
+    """Torn-rebuild safety: write_ann_index deletes the {path}/meta
+    sidecar BEFORE overwriting {path}/index (the fts.write_index
+    convention), so a crash mid-rebuild leaves a detectable
+    missing-sidecar state — read_ann_index_meta fails loudly — instead
+    of silently pairing the new index with the previous build's plane
+    geometry (wrong/empty neighbors, no error)."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    import sec_dl_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    sim.write_ann_index(emb, path)
+    assert sim.read_ann_index_meta(spark, path)  # healthy build
+
+    # simulate a crash AFTER the index overwrite, BEFORE the sidecar
+    # rewrite: the sidecar is the build's only createDataFrame call
+    class Boom(RuntimeError):
+        pass
+
+    with mock.patch.object(
+        emb.sparkSession, "createDataFrame", side_effect=Boom("crash before sidecar")
+    ):
+        with _pytest.raises(Boom):
+            sim.write_ann_index(emb, path)
+
+    # the stale sidecar must be GONE: serving fails loudly, not wrongly
+    sim._ANN_META_CACHE.clear()
+    with _pytest.raises(Exception):
+        sim.read_ann_index_meta(spark, path)
+
+    # a completed rebuild restores service
+    sim.write_ann_index(emb, path)
+    assert sim.read_ann_index_meta(spark, path)
+
+
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     from sec_dl_spark.plans.catalog import t
 
@@ -2477,3 +2516,30 @@ def test_cms_build_estimate_properties(spark):
     whole = {(r["row"], r["slot"]): r["cnt"] for r in sk.collect()}
     parts = {(r["row"], r["slot"]): r["cnt"] for r in merged.collect()}
     assert whole == parts
+
+
+def test_cms_negative_keys_slots_nonneg_and_one_sided(spark):
+    """Negative long keys hash to slots in [0, width) — pmod, not
+    Spark's sign-carrying %% — so partition/merge keys stay clean, the
+    one-sided guarantee holds for every sign, and the DuckDB oracle's
+    ((x %% p) + p) %% p normalization (events_cms_frequency) reproduces
+    the same slots on engines with floored OR truncated modulo."""
+    from sec_dl_spark.operators.sketch import cms_build, cms_estimate
+
+    counts = {-5_000_000_000: 7, -1: 40, 0: 3, 2_147_483_648: 9}
+    rows = [(k,) for k, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "user_id long")
+    sk = cms_build(df, "user_id", width=8, depth=4)
+    slots = sk.select("row", "slot").collect()
+    assert all(0 <= r["slot"] < 8 and 0 <= r["row"] < 4 for r in slots)
+    # every hash row still partitions all N observations
+    per_row = {r["row"]: r["s"] for r in sk.groupBy("row").agg(
+        F.sum("cnt").alias("s")).collect()}
+    assert all(v == sum(counts.values()) for v in per_row.values())
+    probes = spark.createDataFrame([(k,) for k in counts], "user_id long")
+    est = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_estimate(sk, probes, "user_id", width=8, depth=4).collect()
+    }
+    for k, true in counts.items():
+        assert est[k] >= true, (k, est[k], true)

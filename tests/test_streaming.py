@@ -2312,3 +2312,55 @@ def test_streaming_cms_sink_matches_from_scratch_build(spark, tmp_path_factory):
         for r in read_cms_sketch(spark, out).collect()
     }
     assert again == scratch
+
+
+def test_cms_sink_multi_run_guard(spark, tmp_path_factory):
+    """A counter monoid is NOT idempotent across runs (unlike HLL):
+    reprocessing the same source under a fresh checkpoint (→ new run id)
+    leaves the old run's partials beside the new ones, and a naive
+    cross-run sum doubles every key. read_cms_sketch must therefore
+    refuse a multi-run path by default, serve one run via run=..., and
+    only sum across runs under the explicit disjoint-sources opt-in."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from sec_dl_spark.operators.sketch import cms_build
+    from sec_dl_spark.streaming.rollup import incremental_cms_sink, read_cms_sketch
+
+    src = tmp_path_factory.mktemp("cmsg_src")
+    out = str(tmp_path_factory.mktemp("cmsg_out") / "sketch")
+    schema = T.StructType([T.StructField("uid", T.LongType())])
+    data = [((i * 7) % 20,) for i in range(200)]
+    spark.createDataFrame(data, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b=0")
+    full = spark.createDataFrame(data, schema)
+
+    def run_stream(ckpt: str, run: str):
+        stream = spark.readStream.schema(schema).parquet(f"{src}/b=*")
+        incremental_cms_sink(
+            stream, out, ckpt, "uid", width=8, depth=4, run=run
+        ).awaitTermination(120)
+
+    run_stream(str(tmp_path_factory.mktemp("cmsg_ck1")), "rA")
+    # same source reprocessed under a reset checkpoint → second run id
+    run_stream(str(tmp_path_factory.mktemp("cmsg_ck2")), "rB")
+
+    with _pytest.raises(ValueError, match="double"):
+        read_cms_sketch(spark, out).collect()
+
+    scratch = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in cms_build(full, "uid", width=8, depth=4).collect()
+    }
+    one_run = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in read_cms_sketch(spark, out, run="rA").collect()
+    }
+    assert one_run == scratch  # a single run's view is undoubled
+
+    both = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in read_cms_sketch(spark, out, allow_multiple_runs=True).collect()
+    }
+    assert both == {k: 2 * v for k, v in scratch.items()}  # the documented hazard
