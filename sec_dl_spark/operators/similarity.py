@@ -125,13 +125,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    sim_ceiling: float | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-matches excluded).
 
     queries is broadcast (it is the small side, enforced up to
     ``max_queries``); the corpus streams through one narrow stage; ranking
-    is a per-query window. Returns (query_id, neighbor_id, cosine_sim,
-    rank).
+    is a per-query window. ``sim_ceiling`` (if set) drops scored pairs at
+    or above the ceiling BEFORE ranking — the hard-negative band filter
+    (neighbors above it are presumed positives/duplicates), applied inside
+    the scored scan stage so pruned rows never enter the top-k exchange.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
     """
     _require_small_queries(queries, max_queries)
     # factored cosine (with_vec_norm): casts + norm folds run once per
@@ -160,6 +164,8 @@ def cosine_topk(
             ).alias("cosine_sim"),
         )
     )
+    if sim_ceiling is not None:
+        scored = scored.where(F.col("cosine_sim") < sim_ceiling)
     return per_query_topk(
         scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
     )
@@ -519,6 +525,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     max_queries: int = 10_000,
+    sim_ceiling: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: coarse k-means
     centroids partition the corpus into cells; each query probes only its
@@ -528,7 +535,10 @@ def cosine_topk_ivf(
     query; at cluster scale the cell assignment is the partitioning key, so
     a query touches n_probe partitions instead of the whole table. The
     centroid table (n_cells rows) broadcasts. Deterministic under the fixed
-    k-means seed. Returns (query_id, neighbor_id, cosine_sim, rank)."""
+    k-means seed. ``sim_ceiling`` drops scored candidates at/above the
+    ceiling before ranking (the hard-negative band filter — composes with
+    candidate pruning unchanged). Returns (query_id, neighbor_id,
+    cosine_sim, rank)."""
     _require_small_queries(queries, max_queries)
     cells, centers = _coarse_cells(corpus, id_col, vec_col, n_cells, seed)
     # factored cosine: the corpus-side cast + norm fold run once per row
@@ -575,8 +585,71 @@ def cosine_topk_ivf(
             ).alias("cosine_sim"),
         )
     )
+    if sim_ceiling is not None:
+        scored = scored.where(F.col("cosine_sim") < sim_ceiling)
     return per_query_topk(
         scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], k
+    )
+
+
+def auto_n_cells(
+    n_rows: int, cell_target: int = 256, min_cells: int = 16, max_cells: int = 4096
+) -> int:
+    """IVF cell count sized to the corpus: ~``cell_target`` vectors per
+    cell, floored (tiny corpora keep enough cells for join parallelism)
+    and capped (the centroid matrix broadcasts and the probe UDF holds a
+    batch × n_cells distance matrix — both must stay executor-sized).
+    With n_cells tracking N/cell_target, a query's candidate volume is
+    ~n_probe·cell_target rows — CONSTANT in corpus size — so the probed
+    scan is the only linear term left."""
+    return max(min_cells, min(max_cells, n_rows // cell_target))
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_threshold: int = 10_000,
+    n_probe: int = 4,
+    cell_target: int = 256,
+    seed: int = 42,
+    max_queries: int = 10_000,
+    sim_ceiling: float | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors with the candidate generator picked by
+    corpus size (VERDICT r12 ask #5 — the linear embedding audits must
+    not default to a full exact scan at big N):
+
+    - |corpus| ≤ ``exact_threshold``: exact brute-force
+      (:func:`cosine_topk`) — the full scan is both the truth and the
+      fastest plan while the corpus is small (candidate generation
+      overhead exceeds the scan it saves). The default matches
+      :func:`knn_isolation`'s ``max_exact_rows`` guard: one shared
+      notion of "small enough to brute-force".
+    - above it: IVF cell probing (:func:`cosine_topk_ivf`) with
+      ``auto_n_cells`` sizing, so per-query candidate volume stays
+      ~n_probe·cell_target regardless of N and the scan drops to
+      ~n_probe/n_cells of the corpus. Recall under partial probing is
+      pinned by the IVF recall-floor tests; exhaustive probing
+      (n_probe ≥ n_cells) reproduces the exact result bit-for-bit
+      (pytest-pinned), so the swap changes regime, not contract.
+
+    The one extra corpus count() is an O(1)-output scan amortized by the
+    work it routes. Same (query_id, neighbor_id, cosine_sim, rank)
+    contract either way; ``sim_ceiling`` composes with both paths."""
+    n = corpus.count()
+    if n <= exact_threshold:
+        return cosine_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            max_queries=max_queries, sim_ceiling=sim_ceiling,
+        )
+    n_cells = auto_n_cells(n, cell_target=cell_target)
+    return cosine_topk_ivf(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_cells=n_cells, n_probe=min(n_probe, n_cells), seed=seed,
+        max_queries=max_queries, sim_ceiling=sim_ceiling,
     )
 
 
@@ -601,6 +674,10 @@ def knn_isolation(
     swap for the bounded ``emb_knn_distance_outliers`` catalog query
     (VERDICT r9 #6):
 
+    - ``"auto"``: exact when |corpus| ≤ ``max_exact_rows``, else IVF
+      with ``auto_n_cells``-sized cells (VERDICT r12 ask #5 — the
+      default that never runs an O(N²) scan past the regime where it
+      is both truth and fastest).
     - ``"exact"``: brute-force self-join via :func:`cosine_topk` (the
       queries side is the whole frame, broadcast) — the truth baseline,
       guarded to ``max_exact_rows`` because it is O(N²) and broadcasts N.
@@ -621,6 +698,15 @@ def knn_isolation(
     unpartitioned ``row_number`` window — ranking N scores must not
     collapse N rows into one partition."""
     from sec_dl_spark.operators.relational import global_rank
+
+    if candidate == "auto":
+        n = df.count()
+        if n <= max_exact_rows:
+            candidate = "exact"
+        else:
+            candidate = "ivf"
+            n_cells = max(n_cells, auto_n_cells(n))
+            n_probe = min(n_probe, n_cells)
 
     if candidate == "exact":
         topk = cosine_topk(df, df, k=k, id_col=id_col, vec_col=vec_col,
@@ -682,7 +768,7 @@ def knn_isolation(
             k,
         )
     else:
-        raise ValueError(f"unknown candidate generator {candidate!r} (exact|ivf)")
+        raise ValueError(f"unknown candidate generator {candidate!r} (auto|exact|ivf)")
 
     stats = (
         topk.groupBy("query_id")
@@ -786,13 +872,36 @@ def write_ann_index(
     corpus.sparkSession.createDataFrame([(meta,)], "meta string").coalesce(
         1
     ).write.mode("overwrite").json(f"{path}/meta")
-    # a rebuild at the same path may change the auto-sized parameters —
-    # drop every session's memoized copy for this path
-    for k in [k for k in _ANN_META_CACHE if k[1] == path]:
-        _ANN_META_CACHE.pop(k, None)
+    # a rebuild at the same path may change the auto-sized parameters
+    # AND the file layout — drop every session's memoized copy for this
+    # path (meta sidecar and resolved index DataFrame alike)
+    for cache in (_ANN_META_CACHE, _ANN_INDEX_DF_CACHE):
+        for k in [k for k in cache if k[1] == path]:
+            cache.pop(k, None)
 
 
 _ANN_META_CACHE: dict = {}
+_ANN_INDEX_DF_CACHE: dict = {}
+
+
+def _ann_index_df(spark, path: str) -> DataFrame:
+    """The index relation for ``{path}/index``, memoized per (session,
+    path). spark.read.parquet builds a fresh InMemoryFileIndex every
+    call — at serve time that is a full directory listing of every
+    bucket partition (num_tables·2^bits directories) plus schema
+    resolution, PURE fixed cost repeated on each search against an
+    immutable build. Reusing the resolved DataFrame keeps the file
+    listing across serves (build-once/serve-many is the module's
+    contract); write_ann_index invalidates this cache on rebuild, so an
+    in-session rebuild is never served stale. The session ref rides in
+    the value to prevent id() reuse (the meta-cache convention)."""
+    key = (id(spark), path)
+    hit = _ANN_INDEX_DF_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    df = spark.read.parquet(f"{path}/index")
+    _ANN_INDEX_DF_CACHE[key] = (spark, df)
+    return df
 
 
 def read_ann_index_meta(spark, path: str) -> dict:
@@ -846,7 +955,7 @@ def ann_index_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(bk).alias("bucket"),
     )
-    idx = spark.read.parquet(f"{path}/index")
+    idx = _ann_index_df(spark, path)
     # Carry the embedding out of the bucket-pruned candidate join itself —
     # the index rows already hold it, so ONE pruned scan serves both
     # candidate generation and rerank. (A separate idx.select(...).

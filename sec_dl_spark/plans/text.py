@@ -4289,9 +4289,14 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ALL-vectors form is operators/similarity.py:knn_isolation
     (candidate="ivf" probes coarse cells with no query broadcast, and
     global_rank replaces the global window; pinned equal to the exact
-    form under exhaustive probing by pytest)."""
+    form under exhaustive probing by pytest). The candidate generator
+    AUTO-SELECTS on corpus size (cosine_topk_auto, VERDICT r12 ask #5):
+    at fixture scale (≤1e5 vectors) it is the exact scan the oracle
+    reproduces; past the threshold it switches to IVF cell probing with
+    auto_n_cells sizing, so the per-query candidate volume stays
+    constant instead of scanning the whole corpus."""
     e = t(spark, sf_dir, "embeddings")
-    topk = similarity.cosine_topk(e, e.where(F.col("vec_id") < 100), k=5)
+    topk = similarity.cosine_topk_auto(e, e.where(F.col("vec_id") < 100), k=5)
     stats = (
         topk.groupBy("query_id")
         .agg(
@@ -4515,41 +4520,14 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs BEFORE ranking, inside the scored scan stage, so pruned rows
     never enter the top-k exchange; ranking is the two-phase
     per_query_topk (chunk rank, then a bounded survivor rank — never a
-    corpus-sized window). At scale the scored set comes from the
-    IVF/LSH candidate generators exactly like emb_cosine_topk_{ivf,lsh};
-    the band filter composes unchanged."""
+    corpus-sized window). The candidate generator AUTO-SELECTS on corpus
+    size (cosine_topk_auto with sim_ceiling, VERDICT r12 ask #5): at
+    fixture scale it is the exact factored-cosine scan the oracle
+    reproduces; past 1e5 vectors it switches to IVF cell probing — the
+    band filter composes with candidate pruning unchanged."""
     e = t(spark, sf_dir, "embeddings")
-    # factored cosine (similarity.with_vec_norm): casts + norm folds run
-    # once per ROW, only the dot fold survives into the O(pairs) stage —
-    # float-identical to cosine(), ~3x less per-pair array work
-    q = F.broadcast(
-        similarity.with_vec_norm(
-            e.where(F.col("vec_id") < 50).select(
-                F.col("vec_id").alias("query_id"), "embedding"
-            ),
-            "embedding", vec_out="qv", norm_out="q_nrm",
-        ).drop("embedding")
-    )
-    c = similarity.with_vec_norm(
-        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-        "embedding", vec_out="cv", norm_out="c_nrm",
-    ).drop("embedding")
-    scored = (
-        c.crossJoin(q)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                similarity.dot(F.col("qv"), F.col("cv"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
-                6,
-            ).alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") < 0.95)
-    )
-    return similarity.per_query_topk(
-        scored, [F.col("cosine_sim").desc(), F.col("neighbor_id")], 5
+    return similarity.cosine_topk_auto(
+        e, e.where(F.col("vec_id") < 50), k=5, sim_ceiling=0.95
     ).orderBy("query_id", "rank")
 
 

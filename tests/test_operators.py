@@ -207,6 +207,71 @@ def test_knn_isolation_ivf_matches_exact_with_full_probing(spark):
         knn_isolation(emb, candidate="lsh??")
 
 
+def test_auto_candidate_selection_by_corpus_size(spark):
+    """The auto candidate generators (VERDICT r12 ask #5) route by
+    corpus size without changing the contract: below the threshold they
+    ARE the exact scan (bit-identical — the fixture-scale oracles hold);
+    above it they are the IVF path, which under exhaustive probing still
+    reproduces the exact result, so the regime swap is provably a
+    candidate-generation change only. Covers cosine_topk_auto (with and
+    without the hard-negative sim_ceiling) and knn_isolation auto."""
+    from sec_dl_spark.operators.similarity import (
+        auto_n_cells,
+        cosine_topk,
+        cosine_topk_auto,
+        knn_isolation,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    # small corpus: auto == exact, ceiling included
+    exact = rows(cosine_topk(emb, q, k=5))
+    assert rows(cosine_topk_auto(emb, q, k=5)) == exact
+    # fixture top-5 sims span ~0.28-0.39 → a 0.35 ceiling actually bites
+    exact_band = rows(cosine_topk(emb, q, k=5, sim_ceiling=0.35))
+    assert exact_band != exact
+    assert rows(cosine_topk_auto(emb, q, k=5, sim_ceiling=0.35)) == exact_band
+
+    # forced promotion (threshold 0 → IVF); exhaustive probing (floor 16
+    # cells, n_probe 16) keeps the result EQUAL to exact
+    promoted = rows(
+        cosine_topk_auto(emb, q, k=5, exact_threshold=0, n_probe=16,
+                         cell_target=10**9)
+    )
+    assert promoted == exact
+
+    # knn_isolation auto: small corpus routes to exact...
+    cols = ["vec_id", "knn_mean_sim", "knn_min_sim", "isolation_rank", "is_outlier"]
+    iso_exact = [tuple(r[c] for c in cols)
+                 for r in knn_isolation(emb, k=5, candidate="exact").orderBy("vec_id").collect()]
+    iso_auto = [tuple(r[c] for c in cols)
+                for r in knn_isolation(emb, k=5, candidate="auto").orderBy("vec_id").collect()]
+    assert iso_auto == iso_exact
+    # ...and past max_exact_rows it routes to IVF with auto-sized cells
+    # (exhaustive probing here so the equality still pins the plumbing)
+    n = emb.count()
+    iso_promoted = [
+        tuple(r[c] for c in cols)
+        for r in knn_isolation(
+            emb, k=5, candidate="auto", max_exact_rows=1,
+            n_cells=auto_n_cells(n), n_probe=10**6,
+        ).orderBy("vec_id").collect()
+    ]
+    assert iso_promoted == iso_exact
+
+    # the sizing rule itself: ~cell_target rows per cell, floored/capped
+    assert auto_n_cells(0) == 16
+    assert auto_n_cells(100_000) == 390
+    assert auto_n_cells(10**9) == 4096
+
+
 def _clustered_embeddings(spark, n_clusters=30, per_cluster=6, n_noise=300, dim=32, seed=7):
     """Planted near-duplicate clusters: `per_cluster` members per center at
     cosine ≈ 0.9 to each other, plus uncorrelated background noise —
