@@ -367,6 +367,12 @@ HEADLINE = [
     "events_acf_daily",
     "events_poisson_dispersion",
     "events_interarrival_cv",
+    # r13: BH-FDR composes the welch fold + tests-frame windows; the
+    # spearman matrix is 4 global_cumsum prefix passes + a 14-moment
+    # fold; hurst R/S is hour-grain + (size,block)-bounded windows
+    "events_bh_fdr",
+    "dq_spearman_correlation",
+    "events_hurst_exponent",
 ]
 
 

@@ -6213,3 +6213,167 @@ def join_order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "dq_spearman_correlation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 10000) AS BIGINT) AS d,
+             CAST(round(l_tax * 10000) AS BIGINT) AS t
+      FROM lineitem),
+    vq AS (SELECT q AS val, count(*) AS cnt FROM c GROUP BY q),
+    rq AS MATERIALIZED (
+      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS dr
+      FROM vq),
+    vp AS (SELECT p AS val, count(*) AS cnt FROM c GROUP BY p),
+    rp AS MATERIALIZED (
+      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS dr
+      FROM vp),
+    vd AS (SELECT d AS val, count(*) AS cnt FROM c GROUP BY d),
+    rd AS MATERIALIZED (
+      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS dr
+      FROM vd),
+    vt AS (SELECT t AS val, count(*) AS cnt FROM c GROUP BY t),
+    rt AS MATERIALIZED (
+      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS dr
+      FROM vt),
+    j AS (
+      SELECT rq.dr AS xq, rp.dr AS xp, rd.dr AS xd, rt.dr AS xt
+      FROM c
+      JOIN rq ON c.q = rq.val
+      JOIN rp ON c.p = rp.val
+      JOIN rd ON c.d = rd.val
+      JOIN rt ON c.t = rt.val),
+    mo AS (
+      SELECT count(*) AS n,
+             sum(CAST(xq AS DOUBLE)) AS sq, sum(CAST(xq AS DOUBLE) * xq) AS sqq,
+             sum(CAST(xp AS DOUBLE)) AS sp, sum(CAST(xp AS DOUBLE) * xp) AS spp,
+             sum(CAST(xd AS DOUBLE)) AS sd, sum(CAST(xd AS DOUBLE) * xd) AS sdd,
+             sum(CAST(xt AS DOUBLE)) AS st, sum(CAST(xt AS DOUBLE) * xt) AS stt,
+             sum(CAST(xq AS DOUBLE) * xp) AS sqp,
+             sum(CAST(xq AS DOUBLE) * xd) AS sqd,
+             sum(CAST(xq AS DOUBLE) * xt) AS sqt,
+             sum(CAST(xp AS DOUBLE) * xd) AS spd,
+             sum(CAST(xp AS DOUBLE) * xt) AS spt,
+             sum(CAST(xd AS DOUBLE) * xt) AS sdt
+      FROM j)
+    SELECT col_a, col_b,
+           (round((n * sxy - sx * sy)
+                  / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
+                  + 1e-9, 6) + 0.0) AS spearman_r
+    FROM (
+      SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+             n, spd AS sxy, sd AS sx, sp AS sy, sdd AS sxx, spp AS syy FROM mo
+      UNION ALL SELECT 'l_discount', 'l_quantity',
+             n, sqd, sd, sq, sdd, sqq FROM mo
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             n, sdt, sd, st, sdd, stt FROM mo
+      UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+             n, sqp, sp, sq, spp, sqq FROM mo
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             n, spt, sp, st, spp, stt FROM mo
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             n, sqt, sq, st, sqq, stt FROM mo)
+    ORDER BY col_a, col_b
+    """,
+)
+def dq_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over the four numeric lineitem measures —
+    the rank-based twin of dq_numeric_correlation_matrix: Pearson on the
+    columns answers "is the relationship LINEAR"; Spearman on their
+    midranks answers "is it MONOTONE", robust to the whale rows and
+    heavy tails that fake or mask a Pearson r (a profiler reads the
+    PAIR: Pearson low + Spearman high = nonlinear-but-monotone,
+    Pearson high + Spearman low = a few outliers own the fit).
+
+    Exactness discipline (the mannwhitney midrank machinery, column-
+    wise): per column, values collapse to the VALUE GRAIN first, the
+    tie-averaged midrank comes from the exclusive prefix count —
+    doubled, so 2*cless + cnt + 1 is an exact INTEGER — and rows join
+    their midranks back by value. Spearman-with-ties is then exactly
+    Pearson on the (doubled) midranks: affine invariance eats the 2x,
+    and all 14 moments fold in ONE aggregate over the joined frame.
+    Quadratic/cross moments accumulate in DOUBLE in both engines;
+    each term is integer-exact while (2n+1)^2 < 2^53 (n ~ 4.7e7) —
+    past that they are standard double accumulation (document, not
+    wrap: ranks themselves stay exact BIGINTs at any N).
+
+    Scale shape: the prefix counts use global_cumsum (range exchange,
+    never a single-partition window — l_extendedprice's value grain is
+    ~row-cardinality); the rank join is a hash join on the value; the
+    moment fold is one partial-aggregated pass."""
+    from sec_dl_spark.operators.relational import global_cumsum
+
+    c = pin(
+        t(spark, sf_dir, "lineitem").select(
+            F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
+            F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
+            F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
+        )
+    )
+    cols = ["q", "p", "d", "t"]
+    names = {
+        "q": "l_quantity",
+        "p": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    j = c
+    for a in cols:
+        v = c.groupBy(F.col(a).alias("val")).agg(F.count(F.lit(1)).alias("cnt"))
+        r = global_cumsum(v, [F.asc("val")], "cnt", out_col="cum").select(
+            F.col("val").alias(a),
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("long")
+            .alias(f"x{a}"),
+        )
+        j = j.join(r, a)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in cols:
+        xa = F.col(f"x{a}").cast("double")
+        aggs.append(F.sum(xa).alias(f"s{a}"))
+        aggs.append(F.sum(xa * F.col(f"x{a}")).alias(f"s{a}{a}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f"x{a}").cast("double") * F.col(f"x{b}")).alias(
+                    f"s{a}{b}"
+                )
+            )
+    mo = j.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            cov_n = n * F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
+            var_a = n * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+            var_b = n * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+            ca, cb = sorted([names[a], names[b]])
+            # keep the r expression oriented (a,b) — correlation is
+            # symmetric, only the LABELS sort
+            rows.append(
+                F.struct(
+                    F.lit(ca).alias("col_a"),
+                    F.lit(cb).alias("col_b"),
+                    rz6(
+                        cov_n / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0))
+                    ).alias("spearman_r"),
+                )
+            )
+    return (
+        mo.select(F.explode(F.array(*rows)).alias("x"))
+        .select("x.col_a", "x.col_b", "x.spearman_r")
+        .orderBy("col_a", "col_b")
+    )

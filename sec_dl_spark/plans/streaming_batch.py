@@ -6957,3 +6957,325 @@ def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z + 1e-9, 4) + F.lit(0.0)).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_bh_fdr",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type,
+             count(*) FILTER (arm = 0) AS n_a,
+             count(*) FILTER (arm = 1) AS n_b,
+             sum(cents) FILTER (arm = 0) AS s_a,
+             sum(cents) FILTER (arm = 1) AS s_b,
+             sum(CAST(cents AS DOUBLE) * cents) FILTER (arm = 0) AS q_a,
+             sum(CAST(cents AS DOUBLE) * cents) FILTER (arm = 1) AS q_b
+      FROM c GROUP BY event_type
+      HAVING n_a >= 2 AND n_b >= 2),
+    s AS (
+      SELECT event_type, n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a / 100 AS mean_a,
+             CAST(s_b AS DOUBLE) / n_b / 100 AS mean_b,
+             (q_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / 10000 AS var_a,
+             (q_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / 10000 AS var_b
+      FROM g),
+    zt AS (
+      SELECT event_type,
+             (round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+                    + 1e-9, 4) + 0.0) AS t_stat
+      FROM s),
+    xx AS (
+      SELECT event_type, t_stat,
+             abs(t_stat) * 0.7071067811865476 AS x
+      FROM zt),
+    uu AS (
+      SELECT event_type, t_stat, x,
+             1.0 / (1.0 + 0.3275911 * x) AS u
+      FROM xx),
+    pv AS (
+      SELECT event_type, t_stat,
+             (round(least(1.0,
+                (((((1.061405429 * u - 1.453152027) * u + 1.421413741) * u
+                   - 0.284496736) * u + 0.254829592) * u) * exp(-x * x))
+                + 1e-9, 6) + 0.0) AS p_value
+      FROM uu),
+    m AS (SELECT count(*) AS m FROM pv),
+    rk AS MATERIALIZED (
+      SELECT pv.*, m.m,
+             row_number() OVER (ORDER BY p_value, event_type) AS p_rank
+      FROM pv, m),
+    ks AS (
+      SELECT coalesce(max(p_rank) FILTER (
+               p_value <= CAST(p_rank AS DOUBLE) * 0.05 / m), 0) AS kstar
+      FROM rk),
+    qv AS (
+      SELECT rk.*,
+             min(CAST(m AS DOUBLE) * p_value / p_rank) OVER (
+               ORDER BY p_rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_raw
+      FROM rk)
+    SELECT event_type, t_stat, p_value,
+           CAST(p_rank AS BIGINT) AS p_rank,
+           (round(least(1.0, q_raw) + 1e-9, 6) + 0.0) AS q_value,
+           (p_rank <= ks.kstar) AS reject_bh,
+           (p_value <= 0.05 / m) AS reject_bonferroni
+    FROM qv, ks ORDER BY p_rank
+    """,
+)
+def events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-type Welch t-tests —
+    the missing multiple-testing layer of the experimentation stack
+    (events_ab_welch_ttest reads one test at alpha=0.05; a dashboard
+    reading ALL event types at once inflates false positives linearly,
+    which is exactly what BH's step-up rule and the Bonferroni bound
+    both correct, at different power). Composes the registered Welch
+    readout: two-sided p-values come from the 4-digit-rounded t_stat
+    via the Abramowitz-Stegun 7.1.26 erfc polynomial — a CLOSED FORM
+    both engines evaluate on identical inputs with an identical Horner
+    chain, so the only cross-engine hazard is exp()'s last ulp, buried
+    by the 6-digit round (the ln-in-integer-units convention's
+    tolerance argument). BH: rank p ascending, k* = max{k: p_(k) <=
+    k/m*alpha}, reject ranks <= k*; q-values are the tail-running min
+    of m*p/rank capped at 1 (Storey's monotone adjustment).
+
+    Scale shape: everything after the Welch fold (one grouped
+    aggregate over the fact scan) runs on the event-type frame —
+    the ranking window, the k* fold, and the reverse running min are
+    all bounded by the number of TESTS, never by N."""
+    wz = events_ab_welch_ttest(spark, sf_dir).select("event_type", "t_stat")
+    x = F.abs(F.col("t_stat")) * F.lit(0.7071067811865476)
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                ((F.lit(1.061405429) * u - F.lit(1.453152027)) * u + F.lit(1.421413741))
+                * u
+                - F.lit(0.284496736)
+            )
+            * u
+            + F.lit(0.254829592)
+        )
+        * u
+    )
+    pv = wz.select(
+        "event_type",
+        "t_stat",
+        rz6(F.least(F.lit(1.0), poly * F.exp(-x * x))).alias("p_value"),
+    )
+    m = pv.agg(F.count(F.lit(1)).alias("m"))
+    # the ONLY windows: over the tests frame (one row per event type)
+    wrank = Window.orderBy("p_value", "event_type")
+    rk = pin(
+        pv.crossJoin(F.broadcast(m)).withColumn(
+            "p_rank", F.row_number().over(wrank).cast("long")
+        )
+    )
+    ks = rk.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value")
+                    <= F.col("p_rank").cast("double") * 0.05 / F.col("m"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    wq = Window.orderBy(F.desc("p_rank")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        rk.withColumn(
+            "q_raw",
+            F.min(
+                F.col("m").cast("double") * F.col("p_value") / F.col("p_rank")
+            ).over(wq),
+        )
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "event_type",
+            "t_stat",
+            "p_value",
+            "p_rank",
+            rz6(F.least(F.lit(1.0), F.col("q_raw"))).alias("q_value"),
+            (F.col("p_rank") <= F.col("kstar")).alias("reject_bh"),
+            (F.col("p_value") <= F.lit(0.05) / F.col("m")).alias(
+                "reject_bonferroni"
+            ),
+        )
+        .orderBy("p_rank")
+    )
+
+
+@query(
+    "events_hurst_exponent",
+    oracle="""
+    WITH h0 AS (
+      SELECT epoch_us(ts) // 3600000000 AS hn, count(*) AS x
+      FROM events GROUP BY hn),
+    span AS (SELECT min(hn) AS lo, max(hn) AS hi FROM h0),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS hn FROM span),
+    d AS MATERIALIZED (
+      SELECT s.hn - span.lo AS tt, coalesce(h0.x, 0) AS x
+      FROM spine s LEFT JOIN h0 ON s.hn = h0.hn, span),
+    tot AS (SELECT count(*) AS t FROM d),
+    sizes AS (SELECT unnest([16, 32, 64, 128]) AS s),
+    bd AS MATERIALIZED (
+      SELECT sizes.s, d.tt // sizes.s AS blk, d.tt, d.x
+      FROM d, sizes, tot
+      WHERE d.tt // sizes.s < tot.t // sizes.s),
+    bs AS MATERIALIZED (
+      SELECT s, blk,
+             CAST(sum(x) AS DOUBLE) / s AS mean,
+             sqrt(sum(CAST(x AS DOUBLE) * x) / s
+                  - (CAST(sum(x) AS DOUBLE) / s) * (CAST(sum(x) AS DOUBLE) / s))
+               AS sd
+      FROM bd GROUP BY s, blk),
+    z AS (
+      SELECT bd.s, bd.blk,
+             sum(bd.x - bs.mean) OVER (
+               PARTITION BY bd.s, bd.blk ORDER BY bd.tt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+      FROM bd JOIN bs USING (s, blk)),
+    rb AS (
+      SELECT s, blk, max(z) - min(z) AS r FROM z GROUP BY s, blk),
+    rs AS MATERIALIZED (
+      SELECT rb.s, rb.r / bs.sd AS rs
+      FROM rb JOIN bs USING (s, blk) WHERE bs.sd > 0),
+    pts AS MATERIALIZED (
+      SELECT s, count(*) AS n_blocks, sum(rs) / count(*) AS rs_mean,
+             CAST(round(ln(CAST(s AS DOUBLE)) * 1e6) AS BIGINT) AS xu,
+             CAST(round(ln(sum(rs) / count(*)) * 1e6) AS BIGINT) AS yu
+      FROM rs GROUP BY s HAVING count(*) >= 2 AND sum(rs) > 0),
+    fit AS (
+      SELECT count(*) AS n,
+             sum(CAST(xu AS DOUBLE)) AS sx, sum(CAST(yu AS DOUBLE)) AS sy,
+             sum(CAST(xu AS DOUBLE) * yu) AS sxy,
+             sum(CAST(xu AS DOUBLE) * xu) AS sxx
+      FROM pts)
+    SELECT CAST(pts.s AS BIGINT) AS block_size,
+           CAST(pts.n_blocks AS BIGINT) AS n_blocks,
+           (round(pts.rs_mean + 1e-9, 6) + 0.0) AS rs_mean,
+           (round((fit.n * fit.sxy - fit.sx * fit.sy)
+                  / nullif(fit.n * fit.sxx - fit.sx * fit.sx, 0.0)
+                  + 1e-9, 4) + 0.0) AS hurst_h
+    FROM pts, fit ORDER BY block_size
+    """,
+)
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series via rescaled-range
+    (R/S) analysis: split the densified hour series into complete blocks
+    of 16/32/64/128 hours, per block take R = range of the cumulative
+    demeaned walk and S = population std, then H = OLS slope of
+    ln(mean R/S) against ln(block size). H ~ 0.5 says the load is
+    memoryless (bursts don't cluster); H > 0.5 says LONG-RANGE
+    dependence — busy hours beget busy hours across scales, so capacity
+    planning off short-window averages (events_capacity_peaks) will
+    undershoot; H < 0.5 says mean-reverting churn. The long-memory
+    complement to events_acf_daily (fixed lags) and events_periodogram
+    (fixed cycles): R/S sees correlation structure at EVERY horizon at
+    once.
+
+    Exactness discipline: block means are integer sums over power-of-two
+    block sizes (exact in double), deviations/cumulative walks are exact
+    differences of exact terms, S comes from the same moment identity
+    the correlation matrix uses (terms integer-exact below 2^53), and
+    the OLS runs on ln-values in 1e-6 integer units (the heaps-law
+    convention — sub-ulp exp/ln engine differences are buried by the
+    unit round). Zero-variance blocks drop on both engines; block sizes
+    with fewer than 2 complete blocks drop from the fit.
+
+    Scale shape: the fact table collapses to the hour grain FIRST; all
+    windows are partitioned by (size, block) — frames of at most 128
+    rows — and the fit folds over at most 4 points. Nothing after the
+    first aggregate scales with N."""
+    e = t(spark, sf_dir, "events")
+    h0 = e.groupBy(
+        (F.col("ts").cast("long") / F.lit(3600)).cast("long").alias("hn")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    span = h0.agg(F.min("hn").alias("lo"), F.max("hn").alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("hn"))
+    d = pin(
+        spine.join(h0, "hn", "left")
+        .crossJoin(F.broadcast(span))
+        .select(
+            (F.col("hn") - F.col("lo")).alias("tt"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("t"))
+    sizes = spark.range(1).select(
+        F.explode(F.array(F.lit(16), F.lit(32), F.lit(64), F.lit(128))).alias("s")
+    )
+    bd = pin(
+        d.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(tot))
+        .where(F.expr("tt div s") < F.expr("t div s"))
+        .select("s", F.expr("tt div s").alias("blk"), "tt", "x")
+    )
+    mean = F.col("sx").cast("double") / F.col("s")
+    bs = pin(
+        bd.groupBy("s", "blk")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "s",
+            "blk",
+            mean.alias("mean"),
+            F.sqrt(F.col("sxx") / F.col("s") - mean * mean).alias("sd"),
+        )
+    )
+    wz = Window.partitionBy("s", "blk").orderBy("tt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    z = bd.join(bs, ["s", "blk"]).withColumn(
+        "z", F.sum(F.col("x") - F.col("mean")).over(wz)
+    )
+    rb = z.groupBy("s", "blk").agg((F.max("z") - F.min("z")).alias("r"))
+    rs = rb.join(bs, ["s", "blk"]).where(F.col("sd") > 0).select(
+        "s", (F.col("r") / F.col("sd")).alias("rs")
+    )
+    pts = pin(
+        rs.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            (F.sum("rs") / F.count(F.lit(1))).alias("rs_mean"),
+        )
+        .where((F.col("n_blocks") >= 2) & (F.col("rs_mean") > 0))
+        .select(
+            "s",
+            "n_blocks",
+            "rs_mean",
+            F.round(F.log(F.col("s").cast("double")) * 1e6)
+            .cast("long")
+            .alias("xu"),
+            F.round(F.log("rs_mean") * 1e6).cast("long").alias("yu"),
+        )
+    )
+    xd, yd = F.col("xu").cast("double"), F.col("yu").cast("double")
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("fsx"),
+        F.sum(yd).alias("fsy"),
+        F.sum(xd * F.col("yu")).alias("fsxy"),
+        F.sum(xd * F.col("xu")).alias("fsxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("fsxy") - F.col("fsx") * F.col("fsy")) / F.nullif(
+        n * F.col("fsxx") - F.col("fsx") * F.col("fsx"), F.lit(0.0)
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("s").cast("long").alias("block_size"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            rz6(F.col("rs_mean")).alias("rs_mean"),
+            rz(slope).alias("hurst_h"),
+        )
+        .orderBy("block_size")
+    )

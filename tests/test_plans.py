@@ -4178,3 +4178,140 @@ def test_wilcoxon_signed_rank_planted_shift_and_symmetry(spark, tmp_path):
     assert out["up"]["w_plus"] == n * (n + 1) / 2
     assert out["up"]["significant_95"]
     assert out["sym"]["z_stat"] == 0.0 and not out["sym"]["significant_95"]
+
+
+def test_bh_fdr_planted_signal_and_nulls(spark, tmp_path):
+    """Construction-pinned multiple-testing semantics: one event type
+    carries a massive planted arm shift (p rounds to 0 → rejected by
+    BOTH BH and Bonferroni at any m), three null types have identical
+    arm distributions (t exactly 0 → p rounds to 1 → never rejected).
+    Structural invariants: p_rank is a permutation, q-values are
+    monotone non-decreasing in p_rank and capped at 1, and every
+    Bonferroni rejection is also a BH rejection (BH is uniformly more
+    powerful than Bonferroni by construction)."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for typ, arm1_base in (("shift", 110.0), ("null_a", 10.0),
+                           ("null_b", 10.0), ("null_c", 10.0)):
+        for u in range(20):  # users 0..19 → 10 per arm (user_id % 2)
+            base = 10.0 if u % 2 == 0 else arm1_base
+            # within-arm variance via the user index; the same pattern in
+            # both arms of the null types makes the arm means EQUAL
+            rows.append((eid, ts, u, typ, base + (u // 2) % 2, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = load_all()["events_bh_fdr"].spark_fn(spark, str(tmp_path)).collect()
+    by_type = {r["event_type"]: r for r in out}
+    assert by_type["shift"]["p_value"] == 0.0
+    assert by_type["shift"]["p_rank"] == 1
+    assert by_type["shift"]["reject_bh"] and by_type["shift"]["reject_bonferroni"]
+    for typ in ("null_a", "null_b", "null_c"):
+        assert by_type[typ]["t_stat"] == 0.0
+        assert by_type[typ]["p_value"] == 1.0
+        assert not by_type[typ]["reject_bh"]
+        assert not by_type[typ]["reject_bonferroni"]
+    ranks = sorted(r["p_rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    in_rank = sorted(out, key=lambda r: r["p_rank"])
+    qs = [r["q_value"] for r in in_rank]
+    assert qs == sorted(qs) and all(q <= 1.0 for q in qs)
+    assert all(r["reject_bh"] for r in out if r["reject_bonferroni"])
+
+
+def test_spearman_monotone_nonlinear_and_inverse(spark, tmp_path):
+    """Construction-pinned rank semantics: a CUBIC (monotone, wildly
+    nonlinear) pair scores spearman_r exactly 1, a reversed pair exactly
+    -1 — the invariance to monotone transforms that separates Spearman
+    from Pearson — and a tied-value pair matches the midrank formula
+    computed independently in numpy."""
+    import numpy as np
+
+    n = 40
+    rows = []
+    for i in range(1, n + 1):
+        rows.append((
+            float(i),                  # l_quantity: 1..40
+            float(i) ** 3 / 100.0,     # l_extendedprice: monotone cubic
+            float((i % 3)) / 100.0,    # l_discount: heavy ties
+            float(n - i) / 100.0,      # l_tax: strictly decreasing
+        ))
+    spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = {
+        (r["col_a"], r["col_b"]): r["spearman_r"]
+        for r in load_all()["dq_spearman_correlation"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[("l_extendedprice", "l_quantity")] == 1.0
+    assert out[("l_quantity", "l_tax")] == -1.0
+    assert out[("l_discount", "l_extendedprice")] == out[("l_discount", "l_quantity")]
+
+    # independent midrank check for the tied pair (discount vs quantity)
+    def midranks(v):
+        v = np.asarray(v)
+        order = {}
+        for x in sorted(set(v)):
+            less = (v < x).sum()
+            cnt = (v == x).sum()
+            order[x] = less + (cnt + 1) / 2.0
+        return np.array([order[x] for x in v])
+
+    rq = midranks([r[0] for r in rows])
+    rd = midranks([r[2] for r in rows])
+    expected = np.corrcoef(rq, rd)[0, 1]
+    assert abs(out[("l_discount", "l_quantity")] - round(expected + 1e-9, 6)) < 1e-9
+
+
+def test_hurst_trending_vs_antipersistent(spark, tmp_path):
+    """Construction-pinned R/S regimes: a linear ramp of hourly counts
+    (the ultimate persistent series — every increment points the same
+    way) fits H near 1, while a strict 0/100 alternation (every
+    increment reverses) fits H near 0; both far from the 0.5 random
+    walk. Also pins the block census: 512 hours → 32/16/8/4 complete
+    blocks at sizes 16/32/64/128."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_counts(path, counts):
+        rows, eid = [], 0
+        for hour, c in enumerate(counts):
+            ts = t0 + dt.timedelta(hours=hour)
+            for _ in range(c):
+                rows.append((eid, ts, 1, "e", 1.0, "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    fn = load_all()["events_hurst_exponent"].spark_fn
+
+    ramp = str(tmp_path / "ramp")
+    write_counts(ramp, [hour for hour in range(1, 513)])
+    out = fn(spark, ramp).collect()
+    assert {(r["block_size"], r["n_blocks"]) for r in out} == {
+        (16, 32), (32, 16), (64, 8), (128, 4)
+    }
+    h = out[0]["hurst_h"]
+    assert all(r["hurst_h"] == h for r in out)
+    assert h > 0.9
+
+    alt = str(tmp_path / "alt")
+    write_counts(alt, [0 if hour % 2 == 0 else 100 for hour in range(512)])
+    out2 = fn(spark, alt).collect()
+    h2 = out2[0]["hurst_h"]
+    assert abs(h2) < 0.15
+    assert h2 < 0.5 < h

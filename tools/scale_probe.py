@@ -379,6 +379,12 @@ PROBE = [
     "events_wilcoxon_signed_rank",
     # backlog sweep: order-keyed close fold, month-grain balance window
     "join_order_backlog_monthly",
+    # batch 8 (r13): BH rides the welch fold (tests-frame windows only);
+    # spearman is 4 value-grain prefix sums + one 14-moment fold; hurst
+    # collapses to the hour grain then (size,block)-bounded windows
+    "events_bh_fdr",
+    "dq_spearman_correlation",
+    "events_hurst_exponent",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
