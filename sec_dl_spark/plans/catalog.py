@@ -148,56 +148,56 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (
-    "dq_sequence_gap_audit",
-    "cdc_agg_incremental",
-    "agg_abc_classification",
-    "dq_functional_dependency",
-    "dq_numeric_correlation_matrix",
-    "corpus_temperature_sweep",
-    "dq_string_format_profile",
-    "dq_feature_cross_cardinality",
-    "agg_simpsons_paradox_screen",
-    "dq_partition_balance",
-    "dq_inclusion_dependency",
-    "agg_weighted_median",
-    "join_supplier_hhi_by_nation",
-    "agg_theil_index",
-    "events_target_encoding",
-    "events_session_entropy",
-    "events_max_drawdown",
-    "events_revenue_streaks",
-    "events_periodogram",
-    "events_markov_attribution",
-    "events_uplift_qini",
-    "events_diff_in_diff",
-    "events_capacity_peaks",
-    "events_user_gini",
     "events_cms_frequency",
-    "events_acf_daily",
-    "events_poisson_dispersion",
-    "events_interarrival_cv",
-    "emb_knn_outliers_ivf",
-    "corpus_budget_waterfill",
-    "graph_link_prediction",
-    "text_heaps_law",
-    "text_term_burstiness",
-    "emb_procrustes_alignment",
-    "graph_kcore_peeling",
-    "graph_assortativity",
-    "text_filter_agreement_kappa",
-    "emb_anova_norms",
-    "emb_knn_reciprocity",
-    "emb_silhouette",
-    "emb_intrinsic_dim_twonn",
-    "graph_modularity",
-    "graph_khop_reach",
-    "text_source_keyness",
-    "fts_query_expansion",
-    "layout_hilbert_key",
-    "agg_percentile_bands_by_nation",
-    "join_order_backlog_monthly",
-    "events_mutual_information",
-    "events_entropy_rate",
+    "emb_knn_distance_outliers",
+    "emb_hard_negatives",
+    "dq_spearman_correlation",
+    "events_wilcoxon_signed_rank",
+    "events_bh_fdr",
+    "events_hurst_exponent",
+    "graph_conductance",
+    "text_hapax_share_by_source",
+    "q1_pricing_summary",
+    "text_clean_chain",
+    "text_token_stats",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_lang_guess",
+    "multimodal_binary_meta",
+    "multimodal_audio_chunks",
+    "multimodal_keyframes",
+    "text_contamination",
+    "multimodal_dedup",
+    "text_tfidf_cosine",
+    "text_extract_matches",
+    "text_winnow_fingerprints",
+    "text_token_estimate",
+    "text_pii_redact",
+    "emb_pq_topk",
+    "sample_exact_n_per_group",
+    "join_semi",
+    "join_anti",
+    "join_cross_urls",
+    "join_q3_topk",
+    "join_q5_region_revenue",
+    "join_range",
+    "sort_multi_key_limit",
+    "topk_per_group",
+    "set_ops",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank",
+    "scalar_string_fns",
+    "scalar_date_fns",
+    "scalar_math_case",
+    "scalar_json",
+    "sample_systematic",
+    "agg_percentiles",
+    "agg_collect_list",
+    "join_skew_salted",
+    "agg_salted_distinct",
+    "window_range_frame",
+    "agg_minmax_by",
 )
 
 
