@@ -618,8 +618,22 @@ def main() -> None:
             fts_postings, FTS_TERMS, k=210, stats=fts_stats
         ).where(F.col("rank") > 200).collect()
         fts_srv_samples["deep_page"].append(time.perf_counter() - t0)
+    # ANN serve-vs-rebuild is measured in its OWN back-to-back block,
+    # not interleaved with the 140-query suite: interleaving put ~150 s
+    # of other work between the arms' reps, which evicted the index
+    # FILES from the page cache before every serve while the rebuild
+    # arm's input (embeddings.parquet) stayed warm — the suite's own
+    # emb_* queries keep touching it. The recorded ratio then measured
+    # cache weather, not the serve-vs-rederive cost this arm tracks
+    # (r12: driver 1.616 vs 1.02 back-to-back). Alternating reps in one
+    # block give both arms identical cache conditions; cache_index pins
+    # the index in executor storage — the hot-index serving deployment
+    # build-once/serve-many exists for.
+    for _ in range(max(reps, 5)):
         t0 = time.perf_counter()
-        ann_index_topk(spark, f"{serve_root}/ann", ab_queries, k=5).collect()
+        ann_index_topk(
+            spark, f"{serve_root}/ann", ab_queries, k=5, cache_index=True
+        ).collect()
         ann_srv_samples["serve"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         cosine_topk_lsh(

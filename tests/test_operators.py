@@ -469,6 +469,14 @@ def test_ann_persisted_index_matches_live_lsh(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
 
+    # hot-index serving (cache_index=True pins the relation in Spark
+    # storage) returns the identical rows — the bench serving arm's mode
+    cached_rows = {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in ann_index_topk(spark, path, q, k=5, cache_index=True).collect()
+    }
+    assert cached_rows == a
+
     # the rerank rides the SAME bucket-pruned scan as candidate generation:
     # exactly one read of the index relation (the one carrying the bucket
     # partition column) in the optimized plan — a second, unpruned rerank
@@ -509,8 +517,9 @@ def test_ann_rebuild_deletes_meta_first(spark, tmp_path):
         with _pytest.raises(Boom):
             sim.write_ann_index(emb, path)
 
-    # the stale sidecar must be GONE: serving fails loudly, not wrongly
-    sim._ANN_META_CACHE.clear()
+    # the stale sidecar must be GONE — file AND in-session memo (the
+    # crashed rebuild already invalidated the caches before touching the
+    # index): serving fails loudly, not wrongly, with no manual clearing
     with _pytest.raises(Exception):
         sim.read_ann_index_meta(spark, path)
 
