@@ -373,6 +373,8 @@ HEADLINE = [
     "events_bh_fdr",
     "dq_spearman_correlation",
     "events_hurst_exponent",
+    "events_sessionize_gap_sweep",
+    "events_holt_forecast_backtest",
 ]
 
 
@@ -583,6 +585,20 @@ def main() -> None:
     # different candidate volumes and the ratio measures the bucket
     # POLICY, not the serve-vs-rederive cost it is meant to track
     ann_meta = read_ann_index_meta(spark, f"{serve_root}/ann")
+
+    # Materialize the session-memoized shared fixtures BEFORE timing:
+    # the catalog's fts_* queries share one cached inverted index +
+    # stats (plans/text.py:fts_index), and the tokenized-documents
+    # frame backs most text/dedup queries. Whichever query ran first
+    # otherwise paid the one-time build inside its OWN first rep —
+    # fts_top_df_tokens (a LIMIT 10 read of precomputed df stats)
+    # carried a 2x rep spread that was entirely index construction,
+    # not query cost. Build-once infrastructure belongs to setup, the
+    # same accounting as the serving indexes above.
+    from sec_dl_spark.plans.text import fts_index, tok_docs
+
+    fts_index(spark, sf_dir)[1].df.count()
+    tok_docs(spark, sf_dir).count()
 
     ticks0 = _cpu_ticks()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}

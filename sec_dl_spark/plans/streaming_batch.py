@@ -7279,3 +7279,254 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_size")
     )
+
+
+@query(
+    "events_sessionize_gap_sweep",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    m AS (
+      SELECT count(*) AS n,
+             count(DISTINCT user_id) AS nu,
+             count(*) FILTER (prev IS NOT NULL AND us - prev > 900000000)
+               AS b900,
+             count(*) FILTER (prev IS NOT NULL AND us - prev > 1800000000)
+               AS b1800,
+             count(*) FILTER (prev IS NOT NULL AND us - prev > 3600000000)
+               AS b3600
+      FROM o)
+    SELECT gap_seconds,
+           CAST(nu + breaks AS BIGINT) AS n_sessions,
+           CAST(nu AS BIGINT) AS n_users,
+           (round(CAST(n AS DOUBLE) / (nu + breaks) + 1e-9, 6) + 0.0)
+             AS avg_events_per_session,
+           (round(CAST(breaks AS DOUBLE) / nullif(n - nu, 0) + 1e-9, 6) + 0.0)
+             AS break_rate
+    FROM (
+      SELECT 900 AS gap_seconds, n, nu, b900 AS breaks FROM m
+      UNION ALL SELECT 1800, n, nu, b1800 FROM m
+      UNION ALL SELECT 3600, n, nu, b3600 FROM m)
+    ORDER BY gap_seconds
+    """,
+)
+def events_sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-definition sensitivity sweep: how many sessions exist at
+    a 15/30/60-minute inactivity gap — the table that tells a metrics
+    owner whether the 30-minute convention (events_sessionize) is
+    load-bearing or arbitrary BEFORE they ship a session-count KPI.
+    The key identity: gap-based session COUNTS need no per-gap
+    re-sessionization — n_sessions(g) = n_users + #(inter-event gaps
+    > g), so one user-partitioned lag pass scores every threshold at
+    once (each threshold is one conditional count over the same delta
+    column), where a naive sweep would run the cumulative-sum session
+    assignment three times. break_rate is the share of inter-event
+    gaps that split at the threshold — monotone DECREASING in gap by
+    construction, pinned by pytest.
+
+    Scale shape: one lag window partitioned by user (the sessionize
+    exchange), ONE global fold producing five counters, a constant
+    3-row expansion. Exact integers end to end; the two ratios are
+    single divisions of exact counts."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    o = e.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev"))
+    delta = F.col("us") - F.col("prev")
+    have = F.col("prev").isNotNull()
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("nu"),
+        F.count(F.when(have & (delta > 900 * 1_000_000), 1)).alias("b900"),
+        F.count(F.when(have & (delta > 1800 * 1_000_000), 1)).alias("b1800"),
+        F.count(F.when(have & (delta > 3600 * 1_000_000), 1)).alias("b3600"),
+    )
+    rows = [
+        F.struct(
+            F.lit(g).cast("long").alias("gap_seconds"),
+            F.col(b).alias("breaks"),
+        )
+        for g, b in ((900, "b900"), (1800, "b1800"), (3600, "b3600"))
+    ]
+    n, nu, breaks = F.col("n"), F.col("nu"), F.col("x.breaks")
+    return (
+        m.select("n", "nu", F.explode(F.array(*rows)).alias("x"))
+        .select(
+            F.col("x.gap_seconds").alias("gap_seconds"),
+            (nu + breaks).cast("long").alias("n_sessions"),
+            nu.cast("long").alias("n_users"),
+            rz6(n.cast("double") / (nu + breaks)).alias("avg_events_per_session"),
+            rz6(
+                breaks.cast("double") / F.nullif((n - nu).cast("double"), F.lit(0.0))
+            ).alias("break_rate"),
+        )
+        .orderBy("gap_seconds")
+    )
+
+
+def _holt_oracle_sql() -> str:
+    """Generated unrolled Holt recursion (the markov_attribution
+    convention: a fixed-step recurrence becomes a generated CTE chain
+    computing the identical IEEE expression tree the Spark side builds,
+    so both engines produce bit-equal doubles). Train days tt=0..22,
+    forecast horizons 1..7 onto tt=23..29; requires a >=30-day span."""
+    pivot = ",\n             ".join(
+        f"max(CASE WHEN tt = {k} THEN y END) AS y{k}" for k in range(30)
+    )
+    steps = ["s0 AS (SELECT p.*, CAST(y0 AS DOUBLE) AS l0, "
+             "CAST(y1 - y0 AS DOUBLE) AS b0 FROM p)"]
+    for t in range(1, 23):
+        steps.append(
+            f"s{t} AS MATERIALIZED (SELECT s{t-1}.*, "
+            f"0.5 * y{t} + 0.5 * (l{t-1} + b{t-1}) AS l{t}, "
+            f"0.25 * ((0.5 * y{t} + 0.5 * (l{t-1} + b{t-1})) - l{t-1}) "
+            f"+ 0.75 * b{t-1} AS b{t} FROM s{t-1})"
+        )
+    errs = ", ".join(
+        f"abs(CAST(y{22+h} AS DOUBLE) - (l22 + {h}.0 * b22)) AS e{h}, "
+        f"abs(CAST(y{22+h} AS DOUBLE) - CAST(y{15+h} AS DOUBLE)) AS sn{h}"
+        for h in range(1, 8)
+    )
+    esum = " + ".join(f"e{h}" for h in range(1, 8))
+    snsum = " + ".join(f"sn{h}" for h in range(1, 8))
+    fc_rows = "\n      UNION ALL ".join(
+        f"SELECT {h} AS horizon, y{22+h} AS actual_cents, "
+        f"l22 + {h}.0 * b22 AS fc, e{h} AS err FROM sc"
+        for h in range(1, 8)
+    )
+    step_chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // 86400000000 AS dn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    span AS (SELECT min(dn) AS lo, max(dn) AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(lo, hi)) AS dn FROM span),
+    daily AS (
+      SELECT s.dn - span.lo AS tt, coalesce(sum(e.cents), 0) AS y
+      FROM spine s LEFT JOIN e ON s.dn = e.dn, span
+      GROUP BY tt, span.lo),
+    tot AS (SELECT count(*) AS t FROM daily),
+    p AS (SELECT {pivot}
+          FROM daily, tot WHERE tot.t >= 30),
+    {step_chain},
+    sc AS (SELECT s22.*, {errs} FROM s22),
+    m AS (SELECT ({esum}) / 7.0 AS mae_h, ({snsum}) AS sn_tot,
+                 ({esum}) AS e_tot FROM sc)
+    SELECT CAST(f.horizon AS BIGINT) AS horizon,
+           CAST(f.actual_cents AS BIGINT) AS actual_cents,
+           (round(f.fc / 100.0 + 1e-9, 4) + 0.0) AS forecast_value,
+           (round(f.err / 100.0 + 1e-9, 4) + 0.0) AS abs_err,
+           (round(m.mae_h / 100.0 + 1e-9, 4) + 0.0) AS mae_holt,
+           (round(m.e_tot / nullif(m.sn_tot, 0.0) + 1e-9, 4) + 0.0)
+             AS mase_vs_snaive7
+    FROM ({fc_rows}) f, m
+    ORDER BY horizon
+    """
+
+
+@query("events_holt_forecast_backtest", oracle=_holt_oracle_sql())
+def events_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast backtest on total daily revenue: fit
+    level+trend exponential smoothing (alpha=1/2, beta=1/4 — dyadic, so
+    early steps are exact and later ones deterministic IEEE) on the
+    first 23 days of the densified spine, forecast horizons 1..7 onto
+    the held-out last week, and score each horizon plus the summary
+    MAE and the MASE-style ratio against the seasonal-naive forecast
+    (same-day-last-week, the events_snaive_mase baseline) over the SAME
+    seven evaluation days. A ratio < 1 is the go/no-go gate for replacing
+    the snaive dashboard number with a trend-aware one.
+
+    Cross-engine exactness: the recurrence l_t = a*y_t + (1-a)(l+b),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_t-1 is unrolled into the SAME
+    expression tree on both engines (the generated-oracle
+    markov_attribution convention) — IEEE +,*,- are correctly rounded
+    and deterministic, so both engines produce bit-equal doubles; the
+    final 4-digit nudge round is belt-and-braces. Error sums are
+    explicit 7-term chains in a fixed order, never an aggregate whose
+    summation order could differ.
+
+    Scale shape: one scan folds to the day grain; the 30-day series
+    pivots onto ONE row (30 conditional maxes over a calendar-bounded
+    frame) and the whole recursion is a single codegen projection on
+    that row — no collect, no window, nothing driver-sized. Requires a
+    >=30-day span (empty result below, both engines)."""
+    e = t(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("dn"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d0 = e.groupBy("dn").agg(F.sum("cents").alias("x"))
+    span = d0.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    spine = span.select(F.explode(F.sequence("lo", "hi")).alias("dn"))
+    daily = (
+        spine.join(d0, "dn", "left")
+        .crossJoin(F.broadcast(span))
+        .select(
+            (F.col("dn") - F.col("lo")).alias("tt"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("y"),
+        )
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("t"))
+    p = (
+        daily.crossJoin(F.broadcast(tot))
+        .where(F.col("t") >= 30)
+        .agg(*[
+            F.max(F.when(F.col("tt") == k, F.col("y"))).alias(f"y{k}")
+            for k in range(30)
+        ])
+        .where(F.col("y0").isNotNull())
+    )
+    y = [F.col(f"y{k}") for k in range(30)]
+    # named intermediates per step (the hilbert_key convention):
+    # inlining l/b trees doubles the expression size per step and OOMs
+    # the analyzer by t=22; chained withColumn keeps it linear
+    p = p.withColumn("l0", y[0].cast("double")).withColumn(
+        "b0", (y[1] - y[0]).cast("double")
+    )
+    for tt in range(1, 23):
+        lp, bp = F.col(f"l{tt - 1}"), F.col(f"b{tt - 1}")
+        p = p.withColumn(f"l{tt}", F.lit(0.5) * y[tt] + F.lit(0.5) * (lp + bp))
+        p = p.withColumn(
+            f"b{tt}",
+            F.lit(0.25) * (F.col(f"l{tt}") - lp) + F.lit(0.75) * bp,
+        )
+    l22, b22 = F.col("l22"), F.col("b22")
+    fc = {h: l22 + F.lit(float(h)) * b22 for h in range(1, 8)}
+    err = {h: F.abs(y[22 + h].cast("double") - fc[h]) for h in range(1, 8)}
+    sn = {
+        h: F.abs(y[22 + h].cast("double") - y[15 + h].cast("double"))
+        for h in range(1, 8)
+    }
+    # explicit fixed-order 7-term chains (never an aggregate whose
+    # summation order could differ between engines)
+    e_tot = err[1]
+    sn_tot = sn[1]
+    for h in range(2, 8):
+        e_tot = e_tot + err[h]
+        sn_tot = sn_tot + sn[h]
+    rows = [
+        F.struct(
+            F.lit(h).cast("long").alias("horizon"),
+            y[22 + h].cast("long").alias("actual_cents"),
+            rz(fc[h] / 100.0).alias("forecast_value"),
+            rz(err[h] / 100.0).alias("abs_err"),
+        )
+        for h in range(1, 8)
+    ]
+    return (
+        p.select(
+            F.explode(F.array(*rows)).alias("f"),
+            rz(e_tot / F.lit(7.0) / 100.0).alias("mae_holt"),
+            rz(e_tot / F.nullif(sn_tot, F.lit(0.0))).alias("mase_vs_snaive7"),
+        )
+        .select(
+            "f.horizon", "f.actual_cents", "f.forecast_value", "f.abs_err",
+            "mae_holt", "mase_vs_snaive7",
+        )
+        .orderBy("horizon")
+    )

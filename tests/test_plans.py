@@ -4315,3 +4315,77 @@ def test_hurst_trending_vs_antipersistent(spark, tmp_path):
     h2 = out2[0]["hurst_h"]
     assert abs(h2) < 0.15
     assert h2 < 0.5 < h
+
+
+def test_gap_sweep_identities_and_monotonicity(spark, sf_dir):
+    """Cross-query identity pins the sweep's counting trick: at the
+    30-minute gap, n_sessions computed from the lag-delta identity
+    (n_users + #breaks) must equal the row count of the full
+    cumulative-sum sessionization (events_sessionize) — the two
+    formulations are provably the same partition. And both reported
+    ratios are monotone in the gap by construction: a larger gap can
+    only MERGE sessions (n_sessions and break_rate non-increasing,
+    avg_events_per_session non-decreasing)."""
+    reg = load_all()
+    sweep = {
+        r["gap_seconds"]: r
+        for r in reg["events_sessionize_gap_sweep"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(sweep) == {900, 1800, 3600}
+    n_sessions_30m = reg["events_sessionize"].spark_fn(spark, sf_dir).count()
+    assert sweep[1800]["n_sessions"] == n_sessions_30m
+    assert sweep[900]["n_sessions"] >= sweep[1800]["n_sessions"] >= sweep[3600]["n_sessions"]
+    assert sweep[900]["break_rate"] >= sweep[1800]["break_rate"] >= sweep[3600]["break_rate"]
+    assert (
+        sweep[900]["avg_events_per_session"]
+        <= sweep[1800]["avg_events_per_session"]
+        <= sweep[3600]["avg_events_per_session"]
+    )
+
+
+def test_holt_backtest_recovers_linear_trend_exactly(spark, tmp_path):
+    """Construction-pinned Holt semantics: on an exactly linear daily
+    revenue series the recursion reproduces level c+mt and trend m at
+    every step (induction: l_t = 0.5*y_t + 0.5*(l+b) = c+mt when the
+    invariant holds), so all 7 held-out forecasts are EXACT (abs_err
+    0.0, mae 0.0) while the seasonal-naive baseline is off by 7m every
+    day — MASE exactly 0. A constant series forecasts exactly too, and
+    its snaive error is 0, so the ratio degrades to NULL (nullif), not
+    a crash."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_daily(path, cents_by_day):
+        rows = []
+        for day, cents in enumerate(cents_by_day):
+            rows.append((day, t0 + dt.timedelta(days=day, hours=12), 1,
+                         "purchase", cents / 100.0, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    fn = load_all()["events_holt_forecast_backtest"].spark_fn
+
+    lin = str(tmp_path / "lin")
+    write_daily(lin, [10000 + 500 * day for day in range(30)])
+    out = fn(spark, lin).collect()
+    assert [r["horizon"] for r in out] == list(range(1, 8))
+    for r in out:
+        assert r["abs_err"] == 0.0 and r["mae_holt"] == 0.0
+        assert r["mase_vs_snaive7"] == 0.0
+        assert r["actual_cents"] == 10000 + 500 * (22 + r["horizon"])
+
+    flat = str(tmp_path / "flat")
+    write_daily(flat, [777700] * 30)
+    out2 = fn(spark, flat).collect()
+    assert all(r["abs_err"] == 0.0 for r in out2)
+    assert all(r["mase_vs_snaive7"] is None for r in out2)
+
+    # below the 30-day span guard: empty on the Spark side (the oracle
+    # mirrors with WHERE t >= 30)
+    short = str(tmp_path / "short")
+    write_daily(short, [100] * 12)
+    assert fn(spark, short).count() == 0

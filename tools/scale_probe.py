@@ -385,6 +385,11 @@ PROBE = [
     "events_bh_fdr",
     "dq_spearman_correlation",
     "events_hurst_exponent",
+    # batch 9 (r13, second wave): the gap sweep is one lag window + one
+    # 5-counter fold; holt pivots the 30-day series onto ONE row and
+    # runs the unrolled recursion as a single projection
+    "events_sessionize_gap_sweep",
+    "events_holt_forecast_backtest",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
