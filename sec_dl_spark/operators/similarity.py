@@ -656,7 +656,7 @@ def cosine_topk_auto(
 def knn_isolation(
     df: DataFrame,
     k: int = 5,
-    candidate: str = "exact",
+    candidate: str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_outliers: int = 10,
@@ -864,7 +864,16 @@ def write_ann_index(
     for k in [k for k in _ANN_INDEX_DF_CACHE if k[1] == path]:
         entry = _ANN_INDEX_DF_CACHE.pop(k, None)
         if entry is not None and entry[2]:
-            entry[1].unpersist()
+            # the entry may belong to a DIFFERENT session (possibly
+            # already stopped — unpersist would raise on its dead
+            # context and abort the rebuild AFTER the sidecar delete,
+            # leaving the index unserveable). Popping the entry is the
+            # correctness-critical part; releasing storage is
+            # best-effort.
+            try:
+                entry[1].unpersist()
+            except Exception:
+                pass
     (
         corpus.select(
             F.col(id_col).alias("vec_id"),

@@ -7410,8 +7410,12 @@ def _holt_oracle_sql() -> str:
       FROM spine s LEFT JOIN e ON s.dn = e.dn, span
       GROUP BY tt, span.lo),
     tot AS (SELECT count(*) AS t FROM daily),
-    p AS (SELECT {pivot}
-          FROM daily, tot WHERE tot.t >= 30),
+    p0 AS (SELECT {pivot}
+           FROM daily, tot WHERE tot.t >= 30),
+    -- a global aggregate over an EMPTY set still yields one all-NULL
+    -- row; mirror the Spark side's y0-not-null filter so a <30-day
+    -- span is empty on BOTH engines, not 7 NULL rows vs 0
+    p AS (SELECT * FROM p0 WHERE y0 IS NOT NULL),
     {step_chain},
     sc AS (SELECT s22.*, {errs} FROM s22),
     m AS (SELECT ({esum}) / 7.0 AS mae_h, ({snsum}) AS sn_tot,

@@ -4291,10 +4291,12 @@ def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_rank replaces the global window; pinned equal to the exact
     form under exhaustive probing by pytest). The candidate generator
     AUTO-SELECTS on corpus size (cosine_topk_auto, VERDICT r12 ask #5):
-    at fixture scale (≤1e5 vectors) it is the exact scan the oracle
-    reproduces; past the threshold it switches to IVF cell probing with
+    at or below the 10,000-row exact_threshold — which covers every
+    oracle fixture (≤2,000 embeddings) — it is the exact scan the
+    oracle reproduces; past it it switches to IVF cell probing with
     auto_n_cells sizing, so the per-query candidate volume stays
-    constant instead of scanning the whole corpus."""
+    constant instead of scanning the whole corpus (the oracle's exact
+    SQL only certifies the ≤10k regime)."""
     e = t(spark, sf_dir, "embeddings")
     topk = similarity.cosine_topk_auto(e, e.where(F.col("vec_id") < 100), k=5)
     stats = (
@@ -4521,10 +4523,12 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     never enter the top-k exchange; ranking is the two-phase
     per_query_topk (chunk rank, then a bounded survivor rank — never a
     corpus-sized window). The candidate generator AUTO-SELECTS on corpus
-    size (cosine_topk_auto with sim_ceiling, VERDICT r12 ask #5): at
-    fixture scale it is the exact factored-cosine scan the oracle
-    reproduces; past 1e5 vectors it switches to IVF cell probing — the
-    band filter composes with candidate pruning unchanged."""
+    size (cosine_topk_auto with sim_ceiling, VERDICT r12 ask #5): at or
+    below the 10,000-row exact_threshold (every oracle fixture) it is
+    the exact factored-cosine scan the oracle reproduces; past it it
+    switches to IVF cell probing — the band filter composes with
+    candidate pruning unchanged, and the oracle's exact SQL only
+    certifies the ≤10k regime."""
     e = t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_auto(
         e, e.where(F.col("vec_id") < 50), k=5, sim_ceiling=0.95

@@ -4384,8 +4384,18 @@ def test_holt_backtest_recovers_linear_trend_exactly(spark, tmp_path):
     assert all(r["abs_err"] == 0.0 for r in out2)
     assert all(r["mase_vs_snaive7"] is None for r in out2)
 
-    # below the 30-day span guard: empty on the Spark side (the oracle
-    # mirrors with WHERE t >= 30)
+    # below the 30-day span guard: empty on BOTH engines — the oracle
+    # must mirror the y0-not-null filter, because a global aggregate
+    # over an empty set still emits one all-NULL row (7 NULL forecast
+    # rows vs Spark's 0 would fail certification on a short fixture)
+    import duckdb
+
     short = str(tmp_path / "short")
     write_daily(short, [100] * 12)
     assert fn(spark, short).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{short}/events.parquet/*.parquet'"
+    )
+    reg = load_all()["events_holt_forecast_backtest"]
+    assert con.sql(reg.oracle).fetchall() == []
