@@ -129,22 +129,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --write` derives exactly this ordering from the CORRECTNESS artifacts
 # and rewrites this tuple (then rerun the pin test + the --exact gate).
 #
-# Round-10 slice (generated by `tools/rotation.py --lead dedup_clusters
-# --write`; every oracled name verified byte-exact by compare_oracle
-# --exact at sf0.01 this round): dedup_clusters leads as --lead (its
-# oracle was UPGRADED in r8 from rows-only to a recursive-CTE transitive
-# closure, but its only driver row is still the rows-only r5 one), then
-# 49 of the never-driver-checked names (the 13 r8/r9 orphans — three
-# fixed this round per ADVICE: welch n>=2 guard, benford cents>0,
-# uniqueness struct-key — plus 36 of the 51 queries new in r10). The
-# slice can no longer hold any stale fill: 1 lead + 51 never-checked
-# names exceed 50, so the DELIBERATE split (`tools/rotation.py
-# --defer-newest` makes it executable) defers the 15 newest r10
-# registrations — emb_isotropy_audit through dq_event_duplication, the
-# full list lives in NOTES.md's round-11 rotation plan — to LEAD the
-# r11 never-checked block; every deferred name carries 3-SF byte-exact
-# verification and a planted pytest meanwhile. The rotated-out r5-era
-# text/sample/multimodal/q1 names lead the r11 stale block after them.
+# --- slice provenance (regenerated by `tools/rotation.py --write`;
+#     do not edit by hand — see NOTES.md for the round narrative) ---
+# Slice aimed at driver round r13 (written last round; the block is
+# regenerated with fresh provenance at each pre-round `--write`).
+# --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (

@@ -29,15 +29,26 @@ ARCHIVE = os.path.join(REPO, "bench_archive")
 def _load(rnd: int) -> dict:
     """Prefer the full archive; fall back to the driver's root artifact
     (BENCH_r{N}.json) for rounds before archiving started (r12)."""
+    # on-disk artifacts are unpadded (BENCH_FULL_r9.json, BENCH_r13.json);
+    # accept a zero-padded spelling too in case a future round writes one
     for path in (
+        os.path.join(ARCHIVE, f"BENCH_FULL_r{rnd}.json"),
         os.path.join(ARCHIVE, f"BENCH_FULL_r{rnd:02d}.json"),
+        os.path.join(REPO, f"BENCH_r{rnd}.json"),
         os.path.join(REPO, f"BENCH_r{rnd:02d}.json"),
     ):
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
             # the driver's root artifact nests the bench line under "parsed"
-            return d.get("parsed", d)
+            d = d.get("parsed") or d
+            if not isinstance(d, dict) or "queries" not in d:
+                raise SystemExit(
+                    f"{path} has no per-query map (driver artifact with a "
+                    "truncated/unparsed bench line) — cannot diff round "
+                    f"{rnd}"
+                )
+            return d
     raise SystemExit(f"no bench artifact for round {rnd}")
 
 

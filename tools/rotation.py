@@ -144,7 +144,70 @@ def build_slice(
     return out, info
 
 
-def write_slice(repo: str, slice_names: list[str]) -> None:
+def _wrap_comment(text: str, width: int = 72) -> list[str]:
+    """Wrap prose into '# '-prefixed lines."""
+    out: list[str] = []
+    line = "#"
+    for word in text.split():
+        if len(line) + 1 + len(word) > width and line != "#":
+            out.append(line)
+            line = "#"
+        line += " " + word
+    if line != "#":
+        out.append(line)
+    return out
+
+
+def provenance_comment(repo: str, slice_names: list[str], info: dict) -> str:
+    """The generated slice-description block (VERDICT r13 ask #6: the
+    rotation tool itself keeps this comment fresh — a hand-written
+    narrative went stale for three rounds)."""
+    latest, _ = evidence(repo)
+    next_round = max(
+        (
+            int(re.search(r"_r(\d+)", f).group(1))
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        ),
+        default=0,
+    ) + 1
+    n_lead = len(info["lead"])
+    n_red = len(info["red"])
+    never_in = [n for n in info["never_checked"] if n in slice_names]
+    stale = [n for n in slice_names if n in latest and n not in info["lead"]]
+    rounds = sorted({latest[n] for n in stale})
+    parts = [
+        f"Slice aimed at driver round r{next_round} "
+        f"(catalog {info['catalog_size']} queries):"
+    ]
+    if n_red:
+        parts.append(f"{n_red} RED rows lead ({', '.join(info['red'])});")
+    if n_lead:
+        parts.append(
+            f"{n_lead} impl/oracle-changed lead names "
+            f"({', '.join(info['lead'])});"
+        )
+    if never_in:
+        parts.append(
+            f"{len(never_in)} never-driver-checked "
+            f"({', '.join(never_in[:6])}{', ...' if len(never_in) > 6 else ''});"
+        )
+    if stale:
+        parts.append(
+            f"then {len(stale)} stale fills, oldest evidence first "
+            f"(rounds r{rounds[0]}..r{rounds[-1]})."
+        )
+    lines = [
+        "# --- slice provenance (regenerated by `tools/rotation.py "
+        "--write`;",
+        "#     do not edit by hand — see NOTES.md for the round narrative) "
+        "---",
+        *_wrap_comment(" ".join(parts)),
+        "# --- end slice provenance ---",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def write_slice(repo: str, slice_names: list[str], info: dict) -> None:
     path = os.path.join(repo, "sec_dl_spark", "plans", "catalog.py")
     with open(path) as f:
         src = f.read()
@@ -153,6 +216,17 @@ def write_slice(repo: str, slice_names: list[str]) -> None:
         raise SystemExit("could not locate the _PRIORITY tuple in catalog.py")
     body = "".join(f'    "{n}",\n' for n in slice_names)
     src = src[: m.start()] + f"_PRIORITY = (\n{body})\n" + src[m.end() :]
+    cm = re.search(
+        r"# --- slice provenance \(regenerated.*?# --- end slice provenance ---\n",
+        src,
+        re.DOTALL,
+    )
+    if cm:
+        src = (
+            src[: cm.start()]
+            + provenance_comment(repo, slice_names, info)
+            + src[cm.end() :]
+        )
     with open(path, "w") as f:
         f.write(src)
 
@@ -181,7 +255,7 @@ def main() -> None:
     for i, n in enumerate(slice_names):
         print(f"{i + 1:3d} {n}")
     if args.write:
-        write_slice(args.repo, slice_names)
+        write_slice(args.repo, slice_names, info)
         print("# _PRIORITY rewritten — rerun the pin test and the --exact gate")
 
 
