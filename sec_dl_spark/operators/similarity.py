@@ -24,6 +24,14 @@ from pyspark.sql.window import Window
 from sec_dl_spark.plans.util import rz6
 from sec_dl_spark.session import pin
 
+# One shared notion of "small enough to brute-force": below this corpus
+# size the exact O(N*Q) cosine scan is both the truth and the fastest
+# plan (candidate-generation overhead exceeds the scan it saves), and it
+# is the ONLY regime the catalog's exact SQL oracles certify — fixtures
+# above it route to approximate IVF probing (recall < 1), so the oracle
+# gate (plans/catalog.py oracle_exact_max) refuses to hash-compare them.
+EXACT_THRESHOLD = 10_000
+
 
 def per_query_topk(
     scored: DataFrame, order: list, k: int, rank_col: str = "rank"
@@ -611,7 +619,7 @@ def cosine_topk_auto(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exact_threshold: int = 10_000,
+    exact_threshold: int = EXACT_THRESHOLD,
     n_probe: int = 4,
     cell_target: int = 256,
     seed: int = 42,
@@ -663,7 +671,7 @@ def knn_isolation(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
-    max_exact_rows: int = 10_000,
+    max_exact_rows: int = EXACT_THRESHOLD,
 ) -> DataFrame:
     """All-vectors kNN-isolation outlier scores: every vector's mean/min
     cosine similarity to its ``k`` nearest neighbors, globally ranked

@@ -28,12 +28,23 @@ class QuerySpec:
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str
+    # Regime bound for the SQL oracle: {table: max_rows}. Queries whose
+    # Spark side AUTO-ROUTES to an approximate generator above a size
+    # threshold (cosine_topk_auto) are byte-equal to their exact SQL
+    # ONLY while the fixture stays below it; the certification harness
+    # (tools/compare_oracle.py) refuses to hash-compare past the bound
+    # instead of recording a misleading red row (ADVICE r13).
+    oracle_exact_max: dict[str, int] | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(
+    name: str,
+    oracle: str | None = None,
+    oracle_exact_max: dict[str, int] | None = None,
+):
     """Register a (spark, sf_dir) -> DataFrame callable under ``name``.
 
     Duplicate names raise: the registry dict is last-wins, so a colliding
@@ -77,7 +88,12 @@ def query(name: str, oracle: str | None = None):
             eff_oracle = prev.oracle
         else:
             eff_oracle = oracle
-        REGISTRY[name] = QuerySpec(name, fn, eff_oracle, (fn.__doc__ or "").strip())
+        eff_max = oracle_exact_max
+        if eff_max is None and prev is not None:
+            eff_max = prev.oracle_exact_max
+        REGISTRY[name] = QuerySpec(
+            name, fn, eff_oracle, (fn.__doc__ or "").strip(), eff_max
+        )
         return fn
 
     return deco

@@ -4275,6 +4275,7 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
            (isolation_rank <= 10) AS is_outlier
     FROM ranked ORDER BY vec_id
     """,
+    oracle_exact_max={"embeddings": similarity.EXACT_THRESHOLD},
 )
 def emb_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-isolation outlier scores: each vector's mean cosine similarity
@@ -4511,6 +4512,7 @@ def emb_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cosine_sim, rank
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """,
+    oracle_exact_max={"embeddings": similarity.EXACT_THRESHOLD},
 )
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query vector,

@@ -4399,3 +4399,31 @@ def test_holt_backtest_recovers_linear_trend_exactly(spark, tmp_path):
     )
     reg = load_all()["events_holt_forecast_backtest"]
     assert con.sql(reg.oracle).fetchall() == []
+
+
+def test_oracle_exact_max_gates_approximate_regime():
+    """ADVICE r13: the two embedding audits that AUTO-ROUTE to IVF above
+    similarity.EXACT_THRESHOLD declare the exact-SQL oracle's regime via
+    oracle_exact_max, and compare_oracle refuses to hash-compare a
+    fixture past the bound (rows-only downgrade with a named reason)
+    instead of recording a misleading red row."""
+    from sec_dl_spark.operators.similarity import EXACT_THRESHOLD
+    from tools.compare_oracle import oracle_regime_block
+
+    specs = load_all()
+    for name in ("emb_knn_distance_outliers", "emb_hard_negatives"):
+        spec = specs[name]
+        assert spec.oracle_exact_max == {"embeddings": EXACT_THRESHOLD}
+        # every driver fixture (<= 2000 embeddings) certifies normally
+        assert oracle_regime_block(spec, {"embeddings": 2000}) is None
+        # at the boundary the exact path still runs -> certifiable
+        assert oracle_regime_block(
+            spec, {"embeddings": EXACT_THRESHOLD}) is None
+        # one row past it the Spark side is approximate -> refuse
+        reason = oracle_regime_block(
+            spec, {"embeddings": EXACT_THRESHOLD + 1})
+        assert reason is not None and "exact regime" in reason
+        # an unrelated/unknown table count does not trip the gate
+        assert oracle_regime_block(spec, {"documents": 10**9}) is None
+    # untagged queries never gate
+    assert load_all()["q1_pricing_summary"].oracle_exact_max is None

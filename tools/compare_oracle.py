@@ -83,6 +83,29 @@ def _float_repr(x) -> str:
     return "nan" if math.isnan(fx) else repr(fx)
 
 
+def oracle_regime_block(spec, table_counts: dict[str, int]) -> str | None:
+    """Reason the spec's SQL oracle must NOT be hash-compared on this
+    fixture, or None if certification applies.
+
+    A query whose Spark side auto-routes to an approximate candidate
+    generator above a size threshold (cosine_topk_auto) declares the
+    exact-SQL regime via ``oracle_exact_max`` ({table: max_rows}); a
+    larger fixture would produce a misleading red row — the engine is
+    not wrong, the oracle just does not apply (ADVICE r13). Callers
+    downgrade such queries to a rows-only check with this reason."""
+    if not spec.oracle_exact_max or spec.oracle is None:
+        return None
+    for table, bound in spec.oracle_exact_max.items():
+        n = table_counts.get(table)
+        if n is not None and n > bound:
+            return (
+                f"oracle certifies only the exact regime "
+                f"({table} <= {bound} rows; fixture has {n}) — "
+                "approximate candidate generation above it"
+            )
+    return None
+
+
 def compare_frames(
     a: pd.DataFrame, b: pd.DataFrame, rtol: float = 1e-9, exact: bool = False
 ) -> list[str]:
@@ -164,6 +187,14 @@ def main() -> int:
     # thread-safe, and per-thread view registration is milliseconds
     tls = threading.local()
 
+    # fixture sizes once, for the oracle-regime gate (oracle_exact_max)
+    _gate_con = duck_connection(args.sf)
+    table_counts = {
+        t: _gate_con.sql(f"SELECT count(*) FROM {t}").fetchone()[0]
+        for t in FIXTURE_TABLES
+    }
+    _gate_con.close()
+
     def run_one(name: str) -> tuple[str, str, bool]:
         spec = specs[name]
         try:
@@ -172,6 +203,9 @@ def main() -> int:
             return name, f"FAIL {name}: spark error: {exc}", True
         if spec.oracle is None:
             return name, f"SKIP {name}: rows-only ({len(sdf)} rows)", False
+        block = oracle_regime_block(spec, table_counts)
+        if block is not None:
+            return name, f"SKIP {name}: {block} ({len(sdf)} rows)", False
         try:
             if not hasattr(tls, "con"):
                 tls.con = duck_connection(args.sf)
