@@ -2617,3 +2617,70 @@ def test_cms_negative_keys_slots_nonneg_and_one_sided(spark):
     }
     for k, true in counts.items():
         assert est[k] >= true, (k, est[k], true)
+
+
+def test_hier_assignment_exhaustive_equals_flat(spark):
+    """VERDICT r13 ask #4 parity pin: the two-level probed assignment
+    with EXHAUSTIVE super-probing (s_probe == n_supers) must reproduce
+    the flat full-argmin cell assignment exactly — same centroid per
+    vector (ties broken to the smallest centroid index both ways)."""
+    import numpy as np
+
+    from sec_dl_spark.operators import similarity
+
+    emb = _clustered_embeddings(spark, n_clusters=12, per_cluster=5,
+                                n_noise=140, dim=32)
+    X = similarity._norm_rows(
+        np.asarray([r[1] for r in sorted(emb.collect())], dtype=np.float64)
+    )
+    centers, supers, members = similarity._hier_kmeans_np(X, 20, seed=3)
+    assert sum(len(m) for m in members) == len(centers)
+    assert 14 <= len(centers) <= 20  # apportionment lands near n_cells
+    flat = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(
+            emb, [list(c) for c in centers], "vec_id", "embedding"
+        ).collect()
+    }
+    probed = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells_probed(
+            emb, centers, supers, members, "vec_id", "embedding",
+            s_probe=len(supers),
+        ).collect()
+    }
+    assert probed == flat
+
+
+def test_semantic_dedup_hier_path_matches_flat_verdicts(spark):
+    """The hierarchical assignment path (the >EXACT_THRESHOLD auto
+    route) must keep SemDeDup's planted-cluster semantics: on
+    well-separated clusters the forced-hier verdicts EQUAL the flat
+    ones, group minima always survive, and dropped rows name a
+    smaller-id duplicate."""
+    from sec_dl_spark.operators.similarity import semantic_dedup
+
+    n_clusters, per = 20, 5
+    emb = _clustered_embeddings(spark, n_clusters=n_clusters,
+                                per_cluster=per, n_noise=100)
+    flat = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_dedup(emb, threshold=0.85,
+                                assignment="flat").collect()
+    }
+    hier = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_dedup(emb, threshold=0.85,
+                                assignment="hier").collect()
+    }
+    assert hier == flat
+    for g in range(n_clusters):
+        assert hier[g * per][0] is True
+    for v, (keep, dup_of) in hier.items():
+        if not keep:
+            assert dup_of is not None and dup_of < v
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assignment"):
+        semantic_dedup(emb, assignment="nearest")
