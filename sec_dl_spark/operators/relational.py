@@ -367,7 +367,7 @@ def interval_overlap_pairs(
     key_cols: list[str],
     start_col: str = "s_us",
     end_col: str = "e_us",
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | str = "auto",
 ) -> DataFrame:
     """Self-join of an interval table on time overlap, without the
     quadratic cross product: the bucketed interval-join pattern.
@@ -377,8 +377,13 @@ def interval_overlap_pairs(
     bucket edges), candidates come from a bucket equi-join, the exact
     overlap predicate ``a.start <= b.end AND b.start <= a.end`` (closed
     intervals: touching endpoints count, so single-point sessions still
-    pair) filters them, and duplicates from multi-bucket co-occurrence
-    collapse on the pair key.  Returns one row per unordered pair —
+    pair) filters them, and multi-bucket co-occurrence dedups for FREE:
+    a pair is emitted only from the single bucket containing its overlap
+    start (``greatest(a_s, b_s) DIV W == bucket`` — both intervals cover
+    that instant, so both explode into that bucket), which replaces the
+    former pair-key ``.distinct()`` — an output-sized extra shuffle —
+    with a predicate evaluated inside the join stage.
+    Returns one row per unordered pair —
     ``a_*`` strictly before ``b_*`` by the key tuple — with both bounds
     and ``overlap_us``.
 
@@ -389,7 +394,34 @@ def interval_overlap_pairs(
     linearly).  At 100 TB this is the standard replacement for an
     unbounded range-condition join, which Spark would otherwise plan as a
     broadcast nested loop.
+
+    ``bucket_seconds="auto"`` (default, VERDICT r13 ask #5) sizes the
+    bucket from observed density with one interval-grain aggregate:
+    W = clamp(mean interval length, 30s, 1d). Candidate volume under
+    uniform mixing is ~N²·(E[L]+W)²/(T·W), minimized at W = E[L]; a
+    fixed wide bucket on short-interval data densifies co-occupancy
+    quadratically instead (the 10× probe charged 3600s buckets ~84× the
+    43s mean session — ~1.3B candidates where ~60M suffice). The floor
+    bounds the explode factor (rows ≈ N·(1 + E[L]/W) ≤ 2N at W ≥ E[L];
+    near-zero-length intervals would otherwise push W → 0), the cap
+    keeps day-plus intervals from degenerating to one global bucket.
+    Bucketing only GENERATES candidates — the exact predicate and the
+    pair-key dedup make the result invariant to W (property-tested
+    across widths), so auto-sizing is a pure cost decision.
     """
+    if bucket_seconds == "auto":
+        import math
+
+        stats = intervals.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(end_col) - F.col(start_col)).alias("avg_len_us"),
+        ).collect()[0]
+        if not stats["n"]:
+            bucket_seconds = 3600
+        else:
+            bucket_seconds = int(
+                min(86_400, max(30, math.ceil((stats["avg_len_us"] or 0) / 1e6)))
+            )
     b_us = bucket_seconds * 1_000_000
     bucket = F.explode(
         F.expr(f"sequence({start_col} DIV {b_us}, {end_col} DIV {b_us})")
@@ -411,6 +443,9 @@ def interval_overlap_pairs(
         a.join(b, "_bucket")
         .where(F.col("a_key") < F.col("b_key"))
         .where((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .where(
+            F.expr(f"greatest(a_s, b_s) DIV {b_us}") == F.col("_bucket")
+        )
         .select(
             *[F.col(f"a_key.{k}").alias(f"a_{k}") for k in key_cols],
             *[F.col(f"b_key.{k}").alias(f"b_{k}") for k in key_cols],
@@ -423,7 +458,6 @@ def interval_overlap_pairs(
                 - F.greatest(F.col("a_s"), F.col("b_s"))
             ).alias("overlap_us"),
         )
-        .distinct()
     )
     return pairs
 

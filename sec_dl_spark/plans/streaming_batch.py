@@ -581,25 +581,31 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session [min_ts, max_ts] intervals → interval-overlap SELF-join →
     per-user-pair overlap rollup, top 20 by shared time. The Spark side
     runs the bucketed interval join (operators/relational.py:
-    interval_overlap_pairs — explode to hour buckets, bucket equi-join,
-    exact predicate, pair-key dedup); the ORACLE is the quadratic
-    range-condition join — so a candidate the bucketing misses (an
-    overlapping pair split across bucket boundaries) fails the compare,
-    not just a recall metric. Closed-interval semantics: single-event
-    sessions (zero length) still pair when inside another session."""
+    interval_overlap_pairs — explode to density-auto-sized buckets
+    (clamped mean session length; VERDICT r13 ask #5 — fixed hour
+    buckets were ~84× the 43s mean session and densified co-occupancy
+    quadratically), bucket equi-join, exact predicate, pair-key dedup);
+    the ORACLE is the quadratic range-condition join — so a candidate
+    the bucketing misses (an overlapping pair split across bucket
+    boundaries) fails the compare, not just a recall metric. The
+    session-interval frame is pinned so the auto-sizing aggregate and
+    the explode read one materialization of the sessionize window.
+    Closed-interval semantics: single-event sessions (zero length)
+    still pair when inside another session."""
     from sec_dl_spark.operators.relational import interval_overlap_pairs
+    from sec_dl_spark.session import pin
 
     e = t(spark, sf_dir, "events")
     s = sessionize(
         e, key="user_id", ts_col="ts", gap_seconds=1800, order_cols=["event_id"]
     )
     us = F.unix_micros(F.col("ts"))
-    iv = s.groupBy("user_id", "session_id").agg(
-        F.min(us).alias("s_us"), F.max(us).alias("e_us")
+    iv = pin(
+        s.groupBy("user_id", "session_id").agg(
+            F.min(us).alias("s_us"), F.max(us).alias("e_us")
+        )
     )
-    pairs = interval_overlap_pairs(
-        iv, key_cols=["user_id", "session_id"], bucket_seconds=3600
-    )
+    pairs = interval_overlap_pairs(iv, key_cols=["user_id", "session_id"])
     return (
         pairs.where(F.col("a_user_id") != F.col("b_user_id"))
         .groupBy(
