@@ -7540,3 +7540,163 @@ def events_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("horizon")
     )
+
+
+@query(
+    "events_kruskal_wallis",
+    oracle="""
+    WITH c AS (
+      SELECT ((epoch_us(ts) // 3600000000) % 24) // 6 AS daypart,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    dc AS (SELECT daypart, cents, count(*) AS n_dc FROM c GROUP BY daypart, cents),
+    grain AS (SELECT cents, CAST(sum(n_dc) AS BIGINT) AS cnt FROM dc GROUP BY cents),
+    r AS (
+      SELECT cents, cnt,
+             2 * coalesce(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS m2
+      FROM grain),
+    g AS (
+      SELECT daypart, CAST(sum(n_dc) AS BIGINT) AS n_g,
+             CAST(sum(n_dc * m2) AS BIGINT) AS s2_g
+      FROM dc JOIN r USING (cents) GROUP BY daypart),
+    ties AS (
+      SELECT sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_sum FROM grain),
+    h AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) - 1 AS df,
+             ((coalesce(sum(CASE WHEN daypart = 0 THEN
+                 (CAST(s2_g AS DOUBLE) * CAST(s2_g AS DOUBLE))
+                 / CAST(n_g AS DOUBLE) END), 0.0)
+               + coalesce(sum(CASE WHEN daypart = 1 THEN
+                 (CAST(s2_g AS DOUBLE) * CAST(s2_g AS DOUBLE))
+                 / CAST(n_g AS DOUBLE) END), 0.0))
+              + coalesce(sum(CASE WHEN daypart = 2 THEN
+                 (CAST(s2_g AS DOUBLE) * CAST(s2_g AS DOUBLE))
+                 / CAST(n_g AS DOUBLE) END), 0.0))
+             + coalesce(sum(CASE WHEN daypart = 3 THEN
+                 (CAST(s2_g AS DOUBLE) * CAST(s2_g AS DOUBLE))
+                 / CAST(n_g AS DOUBLE) END), 0.0) AS s_terms
+      FROM g),
+    stats AS (
+      SELECT n_total, df,
+             3.0 * s_terms / (CAST(n_total AS DOUBLE)
+                              * (CAST(n_total AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_raw,
+             1.0 - tie_sum / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                              * CAST(n_total AS DOUBLE)
+                              - CAST(n_total AS DOUBLE)) AS corr
+      FROM h, ties)
+    SELECT CAST(g.daypart AS BIGINT) AS daypart, g.n_g,
+           (round(CAST(g.s2_g AS DOUBLE) / (2.0 * CAST(g.n_g AS DOUBLE))
+                  + 1e-9, 4) + 0.0) AS mean_rank,
+           (round(h_raw + 1e-9, 4) + 0.0) AS h_stat,
+           CASE WHEN corr > 0 THEN (round(h_raw / corr + 1e-9, 4) + 0.0)
+             END AS h_corrected,
+           stats.df,
+           CASE WHEN corr > 0 THEN
+             h_raw / corr > CASE stats.df
+               WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+               WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+               WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 END
+             END AS reject_h0_95
+    FROM g, stats ORDER BY daypart
+    """,
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: do purchase values differ by time of day? The
+    k-group generalization completing the rank-test family (Welch = 2
+    means, Mann-Whitney = 2 ranks, Wilcoxon = paired; KW = k=4 daypart
+    groups, UTC-hour DIV 6 — the events_mutual_information hour
+    convention). Exactness discipline is the MWU one, globalized: cents
+    group to DISTINCT values, the doubled midrank 2·cless+cnt+1 is an
+    exact INTEGER off ONE value-grain prefix sum (global_cumsum range
+    exchange Spark-side — never an N-row single-partition window; the
+    grain is value-cardinality-sized), per-group rank sums s2_g =
+    Σ n_dc·m2 are exact int64 (s2_g ≤ N(2N+1); SQUARING would wrap, so
+    both engines CAST to DOUBLE first — the MWU tie-term class), and the
+    Σ s2_g²/n_g fold is ordered ((g0+g1)+g2)+g3 via one-hot conditional
+    sums so both engines add the four non-integer terms in the SAME
+    sequence (group-agg iteration order is nondeterministic in both).
+    H = 3·S/(N(N+1)) − 3(N+1) with the Σ(t³−t) tie correction; the
+    α=0.05 verdict compares the corrected H to the chi-square critical
+    value for the observed df (public table constants, df ≤ 6). Output:
+    one row per daypart (group size + mean rank) carrying the global
+    test columns."""
+    from sec_dl_spark.operators.relational import global_cumsum
+
+    e = t(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "purchase").select(
+        F.expr("((unix_micros(ts) div 3600000000) % 24) div 6").alias("daypart"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dc = c.groupBy("daypart", "cents").agg(F.count(F.lit(1)).alias("n_dc"))
+    grain = dc.groupBy("cents").agg(F.sum("n_dc").cast("long").alias("cnt"))
+    r = global_cumsum(grain, order=["cents"], value_col="cnt", out_col="csum").select(
+        "cents",
+        "cnt",
+        (F.lit(2) * (F.col("csum") - F.col("cnt")) + F.col("cnt") + F.lit(1)).alias("m2"),
+    )
+    g = (
+        dc.join(r, "cents")
+        .groupBy("daypart")
+        .agg(
+            F.sum("n_dc").cast("long").alias("n_g"),
+            F.sum(F.col("n_dc") * F.col("m2")).cast("long").alias("s2_g"),
+        )
+    )
+    ties = grain.agg(
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_sum")
+    )
+
+    def term(k: int):
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("daypart") == k,
+                    (F.col("s2_g").cast("double") * F.col("s2_g").cast("double"))
+                    / F.col("n_g").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        )
+
+    h = g.agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        (F.count(F.lit(1)).cast("long") - F.lit(1)).alias("df"),
+        (((term(0) + term(1)) + term(2)) + term(3)).alias("s_terms"),
+    )
+    nd = F.col("n_total").cast("double")
+    stats = h.crossJoin(ties).select(
+        "n_total",
+        "df",
+        (
+            F.lit(3.0) * F.col("s_terms") / (nd * (nd + F.lit(1.0)))
+            - F.lit(3.0) * (nd + F.lit(1.0))
+        ).alias("h_raw"),
+        (F.lit(1.0) - F.col("tie_sum") / (nd * nd * nd - nd)).alias("corr"),
+    )
+    crit = (
+        F.when(F.col("df") == 1, 3.841459)
+        .when(F.col("df") == 2, 5.991465)
+        .when(F.col("df") == 3, 7.814728)
+        .when(F.col("df") == 4, 9.487729)
+        .when(F.col("df") == 5, 11.070498)
+        .when(F.col("df") == 6, 12.591587)
+    )
+    return (
+        g.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("daypart").cast("long").alias("daypart"),
+            "n_g",
+            rz(F.col("s2_g").cast("double") / (F.lit(2.0) * F.col("n_g").cast("double"))).alias("mean_rank"),
+            rz(F.col("h_raw")).alias("h_stat"),
+            F.when(F.col("corr") > 0, rz(F.col("h_raw") / F.col("corr"))).alias("h_corrected"),
+            "df",
+            F.when(F.col("corr") > 0, (F.col("h_raw") / F.col("corr")) > crit).alias("reject_h0_95"),
+        )
+        .orderBy("daypart")
+    )

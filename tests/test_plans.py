@@ -4427,3 +4427,90 @@ def test_oracle_exact_max_gates_approximate_regime():
         assert oracle_regime_block(spec, {"documents": 10**9}) is None
     # untagged queries never gate
     assert load_all()["q1_pricing_summary"].oracle_exact_max is None
+
+
+def test_kruskal_wallis_planted_shift_and_identical_groups(spark, tmp_path):
+    """Construction-pinned KW semantics: three dayparts carry IDENTICAL
+    value multisets (values 10..29 once each per group → every value has
+    tie multiplicity 3, midrank 3v+2, group mean rank exactly 30.5) and
+    one daypart is hugely shifted (distinct values 1010..1029 → ranks
+    61..80, mean 70.5) — H must reject at α=0.05 with df=3. A second
+    fixture with EVERY value equal pins the degenerate tie correction:
+    corr = 0 → h_corrected and the verdict are NULL, h_stat is exact 0."""
+    import datetime as dt
+
+    def write_events(path, groups):
+        rows, eid = [], 0
+        for daypart, values in groups.items():
+            ts = dt.datetime(2024, 1, 1, 6 * daypart + 3)
+            for u, v in enumerate(values):
+                rows.append((eid, ts, u, "purchase", v, "{}"))
+                eid += 1
+        # non-purchase rows must be ignored by the filter
+        rows.append((eid, dt.datetime(2024, 1, 1, 3), 0, "click", 1e6, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{path}/events.parquet")
+
+    fn = load_all()["events_kruskal_wallis"].spark_fn
+    shifted = str(tmp_path / "shifted")
+    base_vals = [10.0 + k for k in range(20)]
+    write_events(shifted, {0: base_vals, 1: base_vals, 2: base_vals,
+                           3: [1010.0 + k for k in range(20)]})
+    out = {r["daypart"]: r for r in fn(spark, shifted).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    for k in (0, 1, 2):
+        assert out[k]["mean_rank"] == 30.5 and out[k]["n_g"] == 20
+    assert out[3]["mean_rank"] == 70.5
+    assert out[3]["df"] == 3 and out[3]["reject_h0_95"] is True
+    assert out[3]["h_corrected"] > 7.814728  # chi2 crit at df=3
+
+    flat = str(tmp_path / "flat")
+    write_events(flat, {k: [5.0] * 10 for k in range(4)})
+    out2 = {r["daypart"]: r for r in fn(spark, flat).collect()}
+    for k in range(4):
+        assert out2[k]["h_stat"] == 0.0
+        assert out2[k]["h_corrected"] is None
+        assert out2[k]["reject_h0_95"] is None
+        assert out2[k]["mean_rank"] == 20.5  # (N+1)/2 with N=40
+
+
+def test_zonemap_audit_random_vs_sorted_vs_zorder(spark, tmp_path):
+    """Construction-pinned pruning semantics: with both probe columns
+    hash-scrambled against insert order, the 'natural' layout's 64 files
+    each hold ~100 uniform rows, so every file's bounding box overlaps
+    every eighth-of-domain probe (P(miss) = (7/8)^100) — all 64 files
+    read. The shipdate sort bounds the date dimension (an eighth-range
+    probe touches ~1/8 of files, + boundary slack), and the Morton
+    layout bounds BOTH dimensions, so each prunes hard; results are
+    deterministic across runs."""
+    import datetime as dt
+
+    rows = []
+    for k in range(6400):
+        sd_day = 10000 + (k * 2654435761) % 2400
+        pk = 1 + (k * 40503) % 20000
+        rows.append(
+            (k + 1, 1, pk,
+             dt.datetime(1970, 1, 1) + dt.timedelta(days=int(sd_day)))
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    fn = load_all()["layout_zonemap_pruning_audit"].spark_fn
+    out = {r["layout"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert sorted(out) == ["natural", "shipdate", "zorder"]
+    assert all(r["n_probes"] == 9 for r in out.values())
+    assert out["natural"]["avg_files_read"] == 64.0
+    assert out["shipdate"]["avg_files_read"] < 16
+    assert out["zorder"]["avg_files_read"] < 32
+    assert out["zorder"]["min_files_read"] < 64
+    again = {r["layout"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert {k: tuple(v) for k, v in again.items()} == {
+        k: tuple(v) for k, v in out.items()
+    }

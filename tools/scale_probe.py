@@ -390,6 +390,12 @@ PROBE = [
     # runs the unrolled recursion as a single projection
     "events_sessionize_gap_sweep",
     "events_holt_forecast_backtest",
+    # batch 10 (r14): KW is one value-grain prefix pass (grain-sized
+    # exchange) + a one-hot ordered 4-term fold; the zone-map audit is
+    # one union range exchange (3 layouts ranked in a single pass) +
+    # 192x9 bounding-box counting
+    "events_kruskal_wallis",
+    "layout_zonemap_pruning_audit",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
