@@ -147,62 +147,66 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r13 (written last round; the block is
-# regenerated with fresh provenance at each pre-round `--write`).
+# Slice aimed at driver round r14 (catalog 359 queries): 2
+# impl/oracle-changed lead names (events_concurrent_sessions,
+# emb_semantic_dedup); 4 never-driver-checked
+# (layout_zonemap_pruning_audit, events_sessionize_gap_sweep,
+# events_holt_forecast_backtest, events_kruskal_wallis); then 44 stale
+# fills, oldest evidence first (rounds r5..r6).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (
-    "events_cms_frequency",
-    "emb_knn_distance_outliers",
-    "emb_hard_negatives",
-    "dq_spearman_correlation",
-    "events_wilcoxon_signed_rank",
-    "events_bh_fdr",
-    "events_hurst_exponent",
-    "graph_conductance",
-    "text_hapax_share_by_source",
-    "q1_pricing_summary",
-    "text_clean_chain",
-    "text_token_stats",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_lang_guess",
-    "multimodal_binary_meta",
-    "multimodal_audio_chunks",
-    "multimodal_keyframes",
-    "text_contamination",
-    "multimodal_dedup",
-    "text_tfidf_cosine",
-    "text_extract_matches",
-    "text_winnow_fingerprints",
-    "text_token_estimate",
-    "text_pii_redact",
-    "emb_pq_topk",
-    "sample_exact_n_per_group",
-    "join_semi",
-    "join_anti",
-    "join_cross_urls",
-    "join_q3_topk",
-    "join_q5_region_revenue",
-    "join_range",
-    "sort_multi_key_limit",
-    "topk_per_group",
-    "set_ops",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_rank",
-    "scalar_string_fns",
-    "scalar_date_fns",
-    "scalar_math_case",
-    "scalar_json",
-    "sample_systematic",
-    "agg_percentiles",
-    "agg_collect_list",
-    "join_skew_salted",
-    "agg_salted_distinct",
-    "window_range_frame",
-    "agg_minmax_by",
+    "events_concurrent_sessions",
+    "emb_semantic_dedup",
+    "layout_zonemap_pruning_audit",
+    "events_sessionize_gap_sweep",
+    "events_holt_forecast_backtest",
+    "events_kruskal_wallis",
+    "sql_adhoc_q6",
+    "scalar_encode_decode",
+    "join_null_safe",
+    "subquery_exists",
+    "window_distribution_fns",
+    "entity_match_levenshtein",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_asof_join",
+    "events_dedup_first",
+    "events_pivot",
+    "events_sliding_window",
+    "events_zscore_pandas",
+    "agg_udaf_geomean",
+    "events_unpivot",
+    "events_funnel",
+    "events_asof_tolerance",
+    "events_retention_cohort",
+    "scalar_map_fns",
+    "events_gap_filled",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_cosine_topk_lsh",
+    "emb_cosine_topk_ivf",
+    "sample_stratified",
+    "corpus_pack_sequences",
+    "agg_count_filter",
+    "agg_distinct",
+    "agg_minmax_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_star_3way",
+    "join_left_outer",
+    "join_full_outer",
+    "union_by_name",
+    "distinct_rows",
+    "filter_isin",
+    "null_handling",
+    "sample_bernoulli_seeded",
+    "agg_approx_distinct_hll",
+    "events_anomaly_mad",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
 )
 
 
