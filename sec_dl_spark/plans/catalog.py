@@ -147,11 +147,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r14 (catalog 359 queries): 2
+# Slice aimed at driver round r14 (catalog 359 queries): 3
 # impl/oracle-changed lead names (events_concurrent_sessions,
-# emb_semantic_dedup); 4 never-driver-checked
+# emb_semantic_dedup, agg_bootstrap_ci); 4 never-driver-checked
 # (layout_zonemap_pruning_audit, events_sessionize_gap_sweep,
-# events_holt_forecast_backtest, events_kruskal_wallis); then 44 stale
+# events_holt_forecast_backtest, events_kruskal_wallis); then 43 stale
 # fills, oldest evidence first (rounds r5..r6).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
@@ -159,6 +159,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PRIORITY = (
     "events_concurrent_sessions",
     "emb_semantic_dedup",
+    "agg_bootstrap_ci",
     "layout_zonemap_pruning_audit",
     "events_sessionize_gap_sweep",
     "events_holt_forecast_backtest",
@@ -206,7 +207,6 @@ _PRIORITY = (
     "agg_approx_distinct_hll",
     "events_anomaly_mad",
     "dedup_exact",
-    "dedup_jaccard_pairs",
 )
 
 

@@ -970,7 +970,11 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weight = #cutoffs the draw exceeds, capping at 6 (P(w>6) < 1e-4).
 # IDENTICAL literals on both engines — the draw and the inverse-CDF are
 # pure integer arithmetic, so replicate weights are byte-deterministic.
-_POIS_CUTS = (385749, 771499, 964373, 1028665, 1044738, 1047952)
+# Poisson(1) inverse-CDF cutoffs at 16-bit draw resolution
+# (floor(2^16 * P(X <= k)), k = 0..5 — replicate weights cap at 6; the
+# r9-r13 rounds used 20-bit draws, one md5 per (row, replicate) — the
+# 16-bit lanes pack FOUR replicate draws per digest, see agg_bootstrap_ci)
+_POIS_CUTS16 = (24109, 48218, 60273, 64291, 65296, 65497)
 
 
 @query(
@@ -979,13 +983,13 @@ _POIS_CUTS = (385749, 771499, 964373, 1028665, 1044738, 1047952)
     WITH reps AS (SELECT unnest(range(20)) AS rep),
     drawn AS (
       SELECT e.event_type, e.value, r.rep,
-             CAST(md5_number_lower('bs' || CAST(r.rep AS VARCHAR) || ':'
-                                   || CAST(e.event_id AS VARCHAR)) % 1048576
-                  AS BIGINT) + 1 AS u
+             CAST(((md5_number_lower('bs' || CAST(r.rep // 4 AS VARCHAR)
+                                     || ':' || CAST(e.event_id AS VARCHAR))
+                    >> (16 * (r.rep % 4))) & 65535) AS BIGINT) + 1 AS u
       FROM events e CROSS JOIN reps r),
     weighted AS (
       SELECT event_type, rep,
-             {" + ".join(f"(CASE WHEN u > {c} THEN 1 ELSE 0 END)" for c in _POIS_CUTS)}
+             {" + ".join(f"(CASE WHEN u > {c} THEN 1 ELSE 0 END)" for c in _POIS_CUTS16)}
                AS w, value
       FROM drawn),
     repmeans AS (
@@ -1004,36 +1008,79 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass resampling scheme that works on distributed data because
     each row draws its replicate weights INDEPENDENTLY (Poisson(1)
     approximates multinomial resampling without knowing N). The draws are
-    deterministic: a 20-bit md5 draw per (row, replicate) fed through the
-    integer inverse-CDF cutoffs, so both engines materialize the same 20
-    resamples and the interval is byte-reproducible — seeded statistics,
-    not flaky statistics. Cost: one explode×20 + two aggregations; no
-    per-group buffering, no shuffle beyond the group keys."""
-    e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    reps = e.select(
+    deterministic and byte-reproducible on both engines: replicate r
+    reads the 16-bit lane r%4 of md5('bs' || r//4 || ':' || event_id) —
+    FOUR draws per digest, so a row hashes 5 times for 20 replicates
+    instead of 20 (md5 was the dominant per-row cost of the r9 explode
+    form), against the 2^16-scaled Poisson(1) inverse-CDF cutoffs. The
+    lane arithmetic mirrors DuckDB's md5_number_lower little-endian
+    byte order: bits 16l..16l+15 of the lower-64 word are digest bytes
+    (8+2l, 9+2l) = hex chars (17+4l, 19+4l). The replicate axis is
+    COLUMNS, not exploded rows: one 40-expression fold per event_type
+    (Σ w_r·value, Σ w_r per replicate — all map-side codegen, shuffle
+    carries types×40 cells), then stack() turns the wide row into the
+    20 replicate means — which also pins the final avg's summation
+    order to replicate order on both engines (the exploded form left it
+    to shuffle arrival)."""
+    from sec_dl_spark.session import spread
+
+    # spread: the fixture scan is one split, and the 5-digest hashing
+    # projection is the query's dominant compute — serial otherwise
+    # (no-op on a real cluster's many-split scan)
+    e = spread(
+        t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    )
+    # named per-step columns (the holt lesson): inlining the md5 into all
+    # 40 aggregate expressions re-evaluates it 40x per row — aggregate
+    # expression lists get no cross-expression CSE. Two projection steps
+    # keep each digest and each weight evaluated ONCE (CollapseProject
+    # refuses to merge projections that would duplicate non-cheap exprs).
+    hashed = e.select(
         "event_type",
         "value",
-        "event_id",
-        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+        *[
+            F.md5(
+                F.concat(
+                    F.lit("bs"), F.lit(str(d)), F.lit(":"),
+                    F.col("event_id").cast("string"),
+                )
+            ).alias(f"h{d}")
+            for d in range(5)
+        ],
     )
-    h = F.md5(
-        F.concat(
-            F.lit("bs"), F.col("rep").cast("string"), F.lit(":"),
-            F.col("event_id").cast("string"),
+    wcols = []
+    for r in range(20):
+        d, lane = divmod(r, 4)
+        pos = 17 + 4 * lane
+        u = (
+            F.conv(F.substring(F.col(f"h{d}"), pos, 2), 16, 10).cast("long")
+            + F.conv(F.substring(F.col(f"h{d}"), pos + 2, 2), 16, 10).cast("long")
+            * 256
+            + 1
         )
+        w = None
+        for c in _POIS_CUTS16:
+            term = F.when(u > c, 1).otherwise(0)
+            w = term if w is None else w + term
+        wcols.append(w.alias(f"w{r}"))
+    weighted = hashed.select("event_type", "value", *wcols)
+    aggs = []
+    for r in range(20):
+        aggs.append(F.sum(F.col(f"w{r}") * F.col("value")).alias(f"sv{r}"))
+        aggs.append(F.sum(F.col(f"w{r}")).alias(f"sw{r}"))
+    wide = weighted.groupBy("event_type").agg(*aggs)
+    mcols = wide.select(
+        "event_type",
+        *[
+            rz(F.col(f"sv{r}") / F.col(f"sw{r}"), 4, 1e-8).alias(f"m{r}")
+            for r in range(20)
+        ],
     )
-    b8 = F.conv(F.substring(h, 17, 2), 16, 10).cast("long")
-    b9 = F.conv(F.substring(h, 19, 2), 16, 10).cast("long")
-    b10 = F.conv(F.substring(h, 21, 2), 16, 10).cast("long")
-    u = b8 + b9 * 256 + (b10 % 16) * 65536 + 1
-    w = None
-    for c in _POIS_CUTS:
-        term = F.when(u > c, 1).otherwise(0)
-        w = term if w is None else w + term
-    repmeans = (
-        reps.withColumn("_w", w)
-        .groupBy("event_type", "rep")
-        .agg(rz(F.sum(F.col("_w") * F.col("value")) / F.sum("_w"), 4, 1e-8).alias("m"))
+    repmeans = mcols.select(
+        "event_type",
+        F.expr(
+            "stack(20, " + ", ".join(f"m{r}" for r in range(20)) + ") as m"
+        ),
     )
     return (
         repmeans.groupBy("event_type")
@@ -2429,7 +2476,9 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT event_id AS pid, user_id, ts AS pts
-      FROM events WHERE event_type = 'purchase'),
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL),
     tt AS (
       SELECT user_id, event_type, ts AS tts
       FROM events WHERE event_type <> 'purchase'),
@@ -7619,6 +7668,10 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ s2_g²/n_g fold is ordered ((g0+g1)+g2)+g3 via one-hot conditional
     sums so both engines add the four non-integer terms in the SAME
     sequence (group-agg iteration order is nondeterministic in both).
+    NULL values/timestamps are filtered on BOTH sides before the grain:
+    a NULL cents row would otherwise sit at opposite ends of the two
+    engines' prefix windows (Spark windows default NULLS FIRST, DuckDB
+    NULLS LAST) and shift every midrank.
     H = 3·S/(N(N+1)) − 3(N+1) with the Σ(t³−t) tie correction; the
     α=0.05 verdict compares the corrected H to the chi-square critical
     value for the observed df (public table constants, df ≤ 6). Output:
@@ -7627,7 +7680,11 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sec_dl_spark.operators.relational import global_cumsum
 
     e = t(spark, sf_dir, "events")
-    c = e.where(F.col("event_type") == "purchase").select(
+    c = e.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
         F.expr("((unix_micros(ts) div 3600000000) % 24) div 6").alias("daypart"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
