@@ -4514,3 +4514,39 @@ def test_zonemap_audit_random_vs_sorted_vs_zorder(spark, tmp_path):
     assert {k: tuple(v) for k, v in again.items()} == {
         k: tuple(v) for k, v in out.items()
     }
+
+
+def test_bootstrap_ci_constant_and_mixed_types(spark, tmp_path):
+    """Construction-pinned Poisson-bootstrap semantics (the r14 md5-lane
+    rework): a constant-valued type has EVERY replicate mean equal to
+    the constant (weights scale numerator and denominator together), so
+    the interval collapses to a point; a mixed-value type's interval
+    properly brackets its bootstrap mean; and the draws are
+    deterministic — two runs give identical rows (seeded statistics,
+    not flaky statistics)."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for _ in range(40):
+        rows.append((eid, ts, eid % 7, "const", 42.0, "{}")); eid += 1
+    for k in range(40):
+        rows.append((eid, ts, eid % 7, "mix", 0.0 if k % 2 else 100.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    fn = load_all()["agg_bootstrap_ci"].spark_fn
+    out = {r["event_type"]: r for r in fn(spark, str(tmp_path)).collect()}
+    c = out["const"]
+    assert c["boot_mean"] == 42.0 and c["ci_lo"] == 42.0 and c["ci_hi"] == 42.0
+    assert c["n_reps"] == 20
+    m = out["mix"]
+    assert m["ci_lo"] <= m["boot_mean"] <= m["ci_hi"]
+    assert m["ci_lo"] < m["ci_hi"]  # 40 mixed rows: replicates must differ
+    assert 0.0 < m["boot_mean"] < 100.0
+    again = {r["event_type"]: tuple(r) for r in fn(spark, str(tmp_path)).collect()}
+    assert again == {k: tuple(v) for k, v in out.items()}
