@@ -147,12 +147,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r14 (catalog 359 queries): 3
+# Slice aimed at driver round r14 (catalog 359 queries): 4
 # impl/oracle-changed lead names (events_concurrent_sessions,
-# emb_semantic_dedup, agg_bootstrap_ci); 4 never-driver-checked
-# (layout_zonemap_pruning_audit, events_sessionize_gap_sweep,
-# events_holt_forecast_backtest, events_kruskal_wallis); then 43 stale
-# fills, oldest evidence first (rounds r5..r6).
+# emb_semantic_dedup, agg_bootstrap_ci, emb_coverage_score); 4
+# never-driver-checked (layout_zonemap_pruning_audit,
+# events_sessionize_gap_sweep, events_holt_forecast_backtest,
+# events_kruskal_wallis); then 42 stale fills, oldest evidence first
+# (rounds r5..r6).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
@@ -160,6 +161,7 @@ _PRIORITY = (
     "events_concurrent_sessions",
     "emb_semantic_dedup",
     "agg_bootstrap_ci",
+    "emb_coverage_score",
     "layout_zonemap_pruning_audit",
     "events_sessionize_gap_sweep",
     "events_holt_forecast_backtest",
@@ -206,7 +208,6 @@ _PRIORITY = (
     "sample_bernoulli_seeded",
     "agg_approx_distinct_hll",
     "events_anomaly_mad",
-    "dedup_exact",
 )
 
 

@@ -4993,9 +4993,15 @@ def emb_coverage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", vec_out="sv", norm_out="s_nrm",
     ).drop("embedding")
     k = s.agg(F.count(F.lit(1)).alias("k_selected"))
+    from sec_dl_spark.session import spread
+
+    # spread: the corpus side of a broadcast NLJ inherits the scan's
+    # split count — one parquet split would run the whole N x k dot
+    # blowup on ONE task (the intrinsic-dim lesson; measured 25s serial
+    # vs ~3s parallel at 20k x 100). No-op on a many-split cluster scan.
     m = (
         similarity.with_vec_norm(
-            emb.select("vec_id", "embedding"),
+            spread(emb.select("vec_id", "embedding")),
             "embedding", vec_out="cv", norm_out="c_nrm",
         )
         .drop("embedding")
