@@ -614,6 +614,18 @@ def main() -> None:
             f"{', '.join(r['flags']) or '—'} |"
         )
     lines.append("")
+    # A full regeneration must not eat the hand-written round readings
+    # below the table (the r14 full sweep clobbered them and they had to
+    # be restored from git): carry over everything from the first '## '
+    # section heading onward.
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            old = f.read().splitlines()
+        for i, line in enumerate(old):
+            if line.startswith("## "):
+                lines.extend(old[i:])
+                break
+    lines.append("")
     with open(md_path, "w") as f:
         f.write("\n".join(lines))
 
