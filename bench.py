@@ -684,12 +684,17 @@ def main() -> None:
             # A redo window on a busy shared host is expected to catch
             # hiccups (GC pause, scheduler stall, page-cache miss) in
             # proportion to its length, so each redo DROPS its worst
-            # ~n/5 reps before scoring — (max-min)/median over 7 raw
-            # draws is otherwise a harsher metric than the 3-rep base
-            # it replaces (more tail draws), and r13 closed with 6
-            # sub-second queries stuck >50% after a redo that kept all
-            # 7. Escalate (7, 9, 11 reps) until tight enough and keep
-            # the tightest sample seen.
+            # ~n/5 reps before SCORING the spread — (max-min)/median
+            # over 7 raw draws is otherwise a harsher metric than the
+            # 3-rep base it replaces (more tail draws), and r13 closed
+            # with 6 sub-second queries stuck >50% after a redo that
+            # kept all 7. The trimmed view decides WHICH sample wins
+            # and WHEN to stop escalating (7, 9, 11 reps); the sample
+            # STORED for timing is always the UNTRIMMED redo reps, so
+            # published medians come from an uncensored distribution
+            # (ADVICE r14 #3 — trimming the stored sample gave
+            # remeasured queries an asymmetric optimistic bias).
+            best_score = _rel_spread(samples[name])
             for n_redo in (7, 9, 11):
                 trim = max(1, n_redo // 5)
                 redo = []
@@ -697,10 +702,11 @@ def main() -> None:
                     t0 = time.perf_counter()
                     specs[name].spark_fn(spark, sf_dir).collect()
                     redo.append(time.perf_counter() - t0)
-                redo = sorted(redo)[:-trim]
-                if _rel_spread(redo) < _rel_spread(samples[name]):
+                trimmed = sorted(redo)[:-trim]
+                if _rel_spread(trimmed) < best_score:
+                    best_score = _rel_spread(trimmed)
                     samples[name] = redo
-                if _rel_spread(samples[name]) <= 0.5:
+                if best_score <= 0.5:
                     break
             remeasured.append(name)
 
@@ -718,7 +724,11 @@ def main() -> None:
         "reps": reps,
         "per_query_spread": spread,
         "max_spread_pct": round(100 * max(spread.values()), 1),
-        "remeasured_trimmed_redo": remeasured,
+        # Names re-timed by the escalating redo. Their stored samples are
+        # UNTRIMMED reps (trimming only steers the redo's accept/stop
+        # decision), so every median in `timings` — remeasured or not —
+        # comes from an uncensored sample.
+        "remeasured_untrimmed": remeasured,
     }
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
         noise["cpu_steal_pct"] = round(

@@ -584,7 +584,9 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval_overlap_pairs — explode to density-auto-sized buckets
     (clamped mean session length; VERDICT r13 ask #5 — fixed hour
     buckets were ~84× the 43s mean session and densified co-occupancy
-    quadratically), bucket equi-join, exact predicate, pair-key dedup);
+    quadratically), bucket equi-join, exact predicate; each pair is
+    emitted exactly once via the overlap-start-bucket predicate inside
+    the join stage — no post-join pair-key ``.distinct()`` remains);
     the ORACLE is the quadratic range-condition join — so a candidate
     the bucketing misses (an overlapping pair split across bucket
     boundaries) fails the compare, not just a recall metric. The
@@ -1740,7 +1742,7 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_type, user_id % 2 AS arm,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     v AS (
       SELECT event_type, cents,
              count(*) FILTER (arm = 0) AS cnt_a,
@@ -1807,10 +1809,21 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_percentiles precedent), and a type-bounded final aggregate.
     Degenerate groups are dropped IDENTICALLY in both engines (either
     arm < 2 observations, or all values tied → σ = 0): the cross-engine
-    divide-by-zero discipline from the Welch/benford/epoch guards."""
+    divide-by-zero discipline from the Welch/benford/epoch guards.
+
+    NULL guard (the kruskal-wallis treatment): rows with NULL value or
+    NULL ts are filtered on BOTH sides before the value grain — a NULL
+    cents row would otherwise sit at opposite ends of the two engines'
+    prefix windows (Spark windows default NULLS FIRST, DuckDB NULLS
+    LAST) and shift every midrank. This closes the last
+    nullable-ordered grain in the catalog."""
     cents = F.round(F.col("value") * 100).cast("long")
-    c = t(spark, sf_dir, "events").select(
-        "event_type", (F.col("user_id") % 2).alias("arm"), cents.alias("cents")
+    c = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type", (F.col("user_id") % 2).alias("arm"), cents.alias("cents")
+        )
     )
     a0, a1 = F.col("arm") == 0, F.col("arm") == 1
     v = c.groupBy("event_type", "cents").agg(
@@ -2514,11 +2527,16 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 1e-6 BEFORE the sum, summed as BIGINT — the welch
     trick): at large SFs a double sum of hundreds of thousands of 1/n
     terms accumulates error right at the 1e-6 rounding grid, where
-    engine summation order could flip the digit."""
+    engine summation order could flip the digit. Purchase rows with a
+    NULL value or NULL ts are excluded identically in BOTH engines
+    (value never feeds the credit math, but the oracle filters it, so
+    the Spark side must too — cross-engine symmetry over elegance)."""
     e = t(spark, sf_dir, "events")
-    p = e.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
-    )
+    p = e.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts"))
     tt = e.where(F.col("event_type") != "purchase").select(
         "user_id", "event_type", F.col("ts").alias("tts")
     )
@@ -7597,7 +7615,8 @@ def events_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH c AS (
       SELECT ((epoch_us(ts) // 3600000000) % 24) // 6 AS daypart,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase'),
+      FROM events WHERE event_type = 'purchase'
+        AND value IS NOT NULL AND ts IS NOT NULL),
     dc AS (SELECT daypart, cents, count(*) AS n_dc FROM c GROUP BY daypart, cents),
     grain AS (SELECT cents, CAST(sum(n_dc) AS BIGINT) AS cnt FROM dc GROUP BY cents),
     r AS (

@@ -4550,3 +4550,58 @@ def test_bootstrap_ci_constant_and_mixed_types(spark, tmp_path):
     assert 0.0 < m["boot_mean"] < 100.0
     again = {r["event_type"]: tuple(r) for r in fn(spark, str(tmp_path)).collect()}
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+def test_null_injection_rank_and_attribution_oracles(spark, tmp_path):
+    """The nullable-ordered-grain class closed end-to-end (VERDICT r14
+    ask #1 / ADVICE r14 #1-#2): on a fixture that actually CONTAINS
+    NULL value / NULL ts rows — the driver fixtures have none, which is
+    exactly why the hazard stayed latent — events_mannwhitney_u,
+    events_kruskal_wallis and events_attribution_linear still match
+    their DuckDB oracles byte-exact. Without the guards a NULL cents
+    grain row sits at opposite ends of the two engines' prefix windows
+    (Spark windows default NULLS FIRST, DuckDB NULLS LAST) and shifts
+    every midrank, and a NULL-value purchase earns Spark-side
+    attribution credit while the oracle excludes it."""
+    import datetime as dt
+
+    import duckdb
+
+    from tools.compare_oracle import compare_frames
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for k in range(120):
+        ts = base + dt.timedelta(hours=k % 24, minutes=k)
+        et = ("purchase", "view", "click")[k % 3]
+        rows.append((eid, ts, k % 10, et, float(5 + (k * 7) % 40), "{}"))
+        eid += 1
+    # poison rows: NULL-value / NULL-ts purchases (KW + attribution
+    # exclusion symmetry) and NULL-value touches (the MWU grain)
+    t0 = base + dt.timedelta(hours=5)
+    rows += [
+        (eid, t0, 1, "purchase", None, "{}"),
+        (eid + 1, None, 2, "purchase", 11.0, "{}"),
+        (eid + 2, t0, 3, "view", None, "{}"),
+        (eid + 3, None, 4, "click", None, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    specs = load_all()
+    for name in (
+        "events_mannwhitney_u",
+        "events_kruskal_wallis",
+        "events_attribution_linear",
+    ):
+        got = specs[name].spark_fn(spark, str(tmp_path)).toPandas()
+        exp = con.sql(specs[name].oracle).df()
+        assert len(got) > 0, f"{name}: vacuous fixture"
+        assert compare_frames(got, exp, exact=True) == [], name

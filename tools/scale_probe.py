@@ -25,6 +25,13 @@ different workload, not a bigger one):
 
 Usage: python tools/scale_probe.py [--rebuild] [--reps N]
 Writes SCALE.md at the repo root and prints one JSON line.
+
+Policy: the FULL sweep (no --only) runs on the final tree EVERY round —
+the r14 emb_coverage_score regression was caught only because of it.
+A full regeneration rewrites the table but preserves, verbatim, every
+line at or below the explicit `<!-- scale-probe:keep-below -->` marker
+in SCALE.md (hand-written round readings live there); `--only` merges
+rows into the existing table in place and never touches the rest.
 """
 
 from __future__ import annotations
@@ -616,18 +623,34 @@ def main() -> None:
     lines.append("")
     # A full regeneration must not eat the hand-written round readings
     # below the table (the r14 full sweep clobbered them and they had to
-    # be restored from git): carry over everything from the first '## '
-    # section heading onward.
+    # be restored from git). Carry-over anchors on an EXPLICIT marker
+    # line, not the first '## ' heading (ADVICE r14 #5: a heading
+    # anchor resurrects deliberately-deleted sections and would
+    # duplicate content if the generated preamble ever grew a '## '
+    # line). Everything at/below the marker is preserved verbatim; a
+    # marker is written even when absent so the next regen has one.
+    MARKER = "<!-- scale-probe:keep-below -->"
+    kept: list[str] = []
     if os.path.exists(md_path):
         with open(md_path) as f:
             old = f.read().splitlines()
-        for i, line in enumerate(old):
-            if line.startswith("## "):
-                lines.extend(old[i:])
-                break
-    lines.append("")
+        if MARKER in old:
+            kept = old[old.index(MARKER):]
+        else:
+            # one-time migration for files predating the marker: keep
+            # from the first hand-written '## ' heading, under the
+            # marker from now on
+            for i, line in enumerate(old):
+                if line.startswith("## "):
+                    kept = [MARKER] + old[i:]
+                    break
+    if not kept:
+        kept = [MARKER]
+    lines.extend(kept)
+    while lines and lines[-1] == "":
+        lines.pop()
     with open(md_path, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
