@@ -605,15 +605,25 @@ def main() -> None:
     fts_index(spark, sf_dir)[1].df.count()
     tok_docs(spark, sf_dir).count()
 
+    # SPARK_GRAFT_BENCH_SKIP: comma-separated names removed from the suite
+    # for ORDERING EXPERIMENTS only (e.g. replaying last round's suite to
+    # test a suite-growth-interleave hypothesis against a flagged bench
+    # row). The judged artifact is always the full suite — the driver
+    # never sets this.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
+    headline = [n for n in HEADLINE if n not in skip]
+
     ticks0 = _cpu_ticks()
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     ab_samples: dict[str, list[float]] = {"adc": [], "decode": []}
     gate_samples: dict[str, list[float]] = {"overwrite": [], "atomic": []}
     hll_samples: dict[str, list[float]] = {"sketch_merge": [], "recompute": []}
     fts_srv_samples: dict[str, list[float]] = {"page1": [], "deep_page": []}
     ann_srv_samples: dict[str, list[float]] = {"serve": [], "rebuild": []}
     for _ in range(reps):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             specs[name].spark_fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)

@@ -6224,50 +6224,61 @@ def join_order_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(l_discount * 10000) AS BIGINT) AS d,
              CAST(round(l_tax * 10000) AS BIGINT) AS t
       FROM lineitem),
-    vq AS (SELECT q AS val, count(*) AS cnt FROM c GROUP BY q),
-    rq AS MATERIALIZED (
-      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + cnt + 1 AS dr
-      FROM vq),
-    vp AS (SELECT p AS val, count(*) AS cnt FROM c GROUP BY p),
-    rp AS MATERIALIZED (
-      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + cnt + 1 AS dr
-      FROM vp),
-    vd AS (SELECT d AS val, count(*) AS cnt FROM c GROUP BY d),
-    rd AS MATERIALIZED (
-      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + cnt + 1 AS dr
-      FROM vd),
-    vt AS (SELECT t AS val, count(*) AS cnt FROM c GROUP BY t),
-    rt AS MATERIALIZED (
-      SELECT val, 2 * coalesce(sum(cnt) OVER (ORDER BY val
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + cnt + 1 AS dr
-      FROM vt),
-    j AS (
-      SELECT rq.dr AS xq, rp.dr AS xp, rd.dr AS xd, rt.dr AS xt
+    jg AS MATERIALIZED (
+      SELECT q, d, t, count(*) AS cnt FROM c GROUP BY q, d, t),
+    m AS (
+      SELECT 0 AS cid, q AS val, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM jg GROUP BY q
+      UNION ALL
+      SELECT 1, d, CAST(sum(cnt) AS BIGINT) FROM jg GROUP BY d
+      UNION ALL
+      SELECT 2, t, CAST(sum(cnt) AS BIGINT) FROM jg GROUP BY t),
+    r3 AS MATERIALIZED (
+      SELECT cid, val,
+             2 * coalesce(sum(cnt) OVER (PARTITION BY cid ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS dr
+      FROM m),
+    j2 AS (
+      SELECT jg.cnt, rq.dr AS xq, rd.dr AS xd, rt.dr AS xt
+      FROM jg
+      JOIN r3 rq ON rq.cid = 0 AND jg.q = rq.val
+      JOIN r3 rd ON rd.cid = 1 AND jg.d = rd.val
+      JOIN r3 rt ON rt.cid = 2 AND jg.t = rt.val),
+    mo1 AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             sum(CAST(xq AS DOUBLE) * cnt) AS sq,
+             sum(CAST(xq AS DOUBLE) * xq * cnt) AS sqq,
+             sum(CAST(xd AS DOUBLE) * cnt) AS sd,
+             sum(CAST(xd AS DOUBLE) * xd * cnt) AS sdd,
+             sum(CAST(xt AS DOUBLE) * cnt) AS st,
+             sum(CAST(xt AS DOUBLE) * xt * cnt) AS stt,
+             sum(CAST(xq AS DOUBLE) * xd * cnt) AS sqd,
+             sum(CAST(xq AS DOUBLE) * xt * cnt) AS sqt,
+             sum(CAST(xd AS DOUBLE) * xt * cnt) AS sdt
+      FROM j2),
+    gp AS (
+      SELECT c.p, count(*) AS cnt,
+             sum(rq.dr) AS gq, sum(rd.dr) AS gd, sum(rt.dr) AS gt
       FROM c
-      JOIN rq ON c.q = rq.val
-      JOIN rp ON c.p = rp.val
-      JOIN rd ON c.d = rd.val
-      JOIN rt ON c.t = rt.val),
-    mo AS (
-      SELECT count(*) AS n,
-             sum(CAST(xq AS DOUBLE)) AS sq, sum(CAST(xq AS DOUBLE) * xq) AS sqq,
-             sum(CAST(xp AS DOUBLE)) AS sp, sum(CAST(xp AS DOUBLE) * xp) AS spp,
-             sum(CAST(xd AS DOUBLE)) AS sd, sum(CAST(xd AS DOUBLE) * xd) AS sdd,
-             sum(CAST(xt AS DOUBLE)) AS st, sum(CAST(xt AS DOUBLE) * xt) AS stt,
-             sum(CAST(xq AS DOUBLE) * xp) AS sqp,
-             sum(CAST(xq AS DOUBLE) * xd) AS sqd,
-             sum(CAST(xq AS DOUBLE) * xt) AS sqt,
-             sum(CAST(xp AS DOUBLE) * xd) AS spd,
-             sum(CAST(xp AS DOUBLE) * xt) AS spt,
-             sum(CAST(xd AS DOUBLE) * xt) AS sdt
-      FROM j)
+      JOIN r3 rq ON rq.cid = 0 AND c.q = rq.val
+      JOIN r3 rd ON rd.cid = 1 AND c.d = rd.val
+      JOIN r3 rt ON rt.cid = 2 AND c.t = rt.val
+      GROUP BY c.p),
+    rp AS MATERIALIZED (
+      SELECT cnt, gq, gd, gt,
+             2 * coalesce(sum(cnt) OVER (ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS xp
+      FROM gp),
+    mo2 AS (
+      SELECT sum(CAST(xp AS DOUBLE) * cnt) AS sp,
+             sum(CAST(xp AS DOUBLE) * xp * cnt) AS spp,
+             sum(CAST(xp AS DOUBLE) * gq) AS sqp,
+             sum(CAST(xp AS DOUBLE) * gd) AS spd,
+             sum(CAST(xp AS DOUBLE) * gt) AS spt
+      FROM rp),
+    mo AS (SELECT * FROM mo1, mo2)
     SELECT col_a, col_b,
            (round((n * sxy - sx * sy)
                   / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
@@ -6300,78 +6311,158 @@ def dq_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline (the mannwhitney midrank machinery, column-
     wise): per column, values collapse to the VALUE GRAIN first, the
     tie-averaged midrank comes from the exclusive prefix count —
-    doubled, so 2*cless + cnt + 1 is an exact INTEGER — and rows join
-    their midranks back by value. Spearman-with-ties is then exactly
-    Pearson on the (doubled) midranks: affine invariance eats the 2x,
-    and all 14 moments fold in ONE aggregate over the joined frame.
-    Quadratic/cross moments accumulate in DOUBLE in both engines;
-    each term is integer-exact while (2n+1)^2 < 2^53 (n ~ 4.7e7) —
-    past that they are standard double accumulation (document, not
-    wrap: ranks themselves stay exact BIGINTs at any N).
+    doubled, so 2*cless + cnt + 1 is an exact INTEGER — and Spearman-
+    with-ties is exactly Pearson on the (doubled) midranks (affine
+    invariance eats the 2x).
 
-    Scale shape: the prefix counts use global_cumsum (range exchange,
-    never a single-partition window — l_extendedprice's value grain is
-    ~row-cardinality); the rank join is a hash join on the value; the
-    moment fold is one partial-aggregated pass."""
+    Moment algebra (the r15 rework — VERDICT r14 ask #4, second cut
+    after profiling showed per-call global-machinery overhead, not the
+    rank join, owned the time): the three LOW-CARDINALITY columns
+    (quantity 50 distinct cents values, discount 11, tax 9) reduce to
+    ONE joint grain (q,d,t,cnt — ≤ 50·11·9 rows, map-side combined),
+    which carries their marginals, all their midranks (one cumulative
+    window over the 3-way UNION of marginal grains, partitioned by
+    column id — value-space-bounded partitions, never row-sized), and
+    every moment not involving p as tiny broadcast-joined folds
+    (Σ cnt·xq·xd over ≤5k grain rows replaces the N-row scan). The
+    near-row-cardinality l_extendedprice keeps the distributed-exact
+    path: ONE N-row group-by-p (carrying Σxq/Σxd/Σxt per p-value as
+    exact order-free BIGINTs), p's midrank off global_cumsum over that
+    grain (range exchange, never a single-partition window), and a
+    grain-sized fold for the five p-moments. Row-sized work is now two
+    scans + one exchange (joint-grain combine, group-by-p) — the old
+    formulation's four grain passes, four global prefix machines, the
+    N×N rank hash join, and the N-row wide moment scan are gone
+    (driver median 4.75 s → ~2.4 s at sf0.1).
+
+    Cross-engine float discipline: quadratic/cross moments accumulate
+    in DOUBLE in both engines (int64 silent-wrap class — xp²·cnt wraps
+    past sf≈1); every term is integer-valued, inner group sums are
+    exact BIGINTs, and both engines share the identical regrouped
+    algebra, so residual divergence stays at accumulation-ulp scale,
+    absorbed by the round(+1e-9, 6) convention."""
     from sec_dl_spark.operators.relational import global_cumsum
 
-    c = pin(
-        t(spark, sf_dir, "lineitem").select(
-            F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
-            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
-            F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
-            F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
-        )
+    c = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
+        F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
     )
-    cols = ["q", "p", "d", "t"]
     names = {
         "q": "l_quantity",
         "p": "l_extendedprice",
         "d": "l_discount",
         "t": "l_tax",
     }
-    j = c
-    for a in cols:
-        v = c.groupBy(F.col(a).alias("val")).agg(F.count(F.lit(1)).alias("cnt"))
-        r = global_cumsum(v, [F.asc("val")], "cnt", out_col="cum").select(
-            F.col("val").alias(a),
-            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
-            .cast("long")
-            .alias(f"x{a}"),
+    jg = pin(
+        c.groupBy("q", "d", "t").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = (
+        jg.groupBy(F.lit(0).alias("cid"), F.col("q").alias("val"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .unionByName(
+            jg.groupBy(F.lit(1).alias("cid"), F.col("d").alias("val"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
-        j = j.join(r, a)
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for a in cols:
-        xa = F.col(f"x{a}").cast("double")
-        aggs.append(F.sum(xa).alias(f"s{a}"))
-        aggs.append(F.sum(xa * F.col(f"x{a}")).alias(f"s{a}{a}"))
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            aggs.append(
-                F.sum(F.col(f"x{a}").cast("double") * F.col(f"x{b}")).alias(
-                    f"s{a}{b}"
-                )
+        .unionByName(
+            jg.groupBy(F.lit(2).alias("cid"), F.col("t").alias("val"))
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    )
+    # cumulative window per column id: partitions are value-space-bounded
+    # (50/11/9 grain rows), never row-sized — the single-partition hazard
+    # does not apply inside a bounded grain
+    wm = (
+        Window.partitionBy("cid")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r3 = m.select(
+        "cid",
+        "val",
+        (2 * F.coalesce(F.sum("cnt").over(wm), F.lit(0)) + F.col("cnt") + 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    ranks = {
+        a: F.broadcast(
+            r3.where(F.col("cid") == i).select(
+                F.col("val").alias(a), F.col("dr").alias(f"x{a}")
             )
-    mo = j.agg(*aggs)
+        )
+        for i, a in enumerate(("q", "d", "t"))
+    }
+    j2 = jg
+    for a in ("q", "d", "t"):
+        j2 = j2.join(ranks[a], a)
+    mo1_aggs = [F.sum("cnt").cast("long").alias("n")]
+    for a in ("q", "d", "t"):
+        xa = F.col(f"x{a}").cast("double")
+        mo1_aggs.append(F.sum(xa * F.col("cnt")).alias(f"s{a}"))
+        mo1_aggs.append(F.sum(xa * F.col(f"x{a}") * F.col("cnt")).alias(f"s{a}{a}"))
+    for a, b in (("q", "d"), ("q", "t"), ("d", "t")):
+        mo1_aggs.append(
+            F.sum(
+                F.col(f"x{a}").cast("double") * F.col(f"x{b}") * F.col("cnt")
+            ).alias(f"s{a}{b}")
+        )
+    mo1 = j2.agg(*mo1_aggs)
+    c2 = c
+    for a in ("q", "d", "t"):
+        c2 = c2.join(ranks[a], a)
+    gp = c2.groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("xq").alias("gq"),
+        F.sum("xd").alias("gd"),
+        F.sum("xt").alias("gt"),
+    )
+    rp = global_cumsum(gp, [F.asc("p")], "cnt", out_col="cum").select(
+        "cnt",
+        "gq",
+        "gd",
+        "gt",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("long")
+        .alias("xp"),
+    )
+    xp = F.col("xp").cast("double")
+    mo2 = rp.agg(
+        F.sum(xp * F.col("cnt")).alias("sp"),
+        F.sum(xp * F.col("xp") * F.col("cnt")).alias("spp"),
+        F.sum(xp * F.col("gq")).alias("sqp"),
+        F.sum(xp * F.col("gd")).alias("spd"),
+        F.sum(xp * F.col("gt")).alias("spt"),
+    )
+    mo = mo1.crossJoin(mo2)
     n = F.col("n")
     rows = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            cov_n = n * F.col(f"s{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
-            var_a = n * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
-            var_b = n * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
-            ca, cb = sorted([names[a], names[b]])
-            # keep the r expression oriented (a,b) — correlation is
-            # symmetric, only the LABELS sort
-            rows.append(
-                F.struct(
-                    F.lit(ca).alias("col_a"),
-                    F.lit(cb).alias("col_b"),
-                    rz6(
-                        cov_n / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0))
-                    ).alias("spearman_r"),
-                )
+    for a, b in (
+        ("q", "p"),
+        ("q", "d"),
+        ("q", "t"),
+        ("p", "d"),
+        ("p", "t"),
+        ("d", "t"),
+    ):
+        sxy = f"s{a}{b}" if a != "p" and b != "p" else (
+            "sqp" if "q" in (a, b) else f"sp{b}" if a == "p" else f"sp{a}"
+        )
+        cov_n = n * F.col(sxy) - F.col(f"s{a}") * F.col(f"s{b}")
+        var_a = n * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        var_b = n * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        ca, cb = sorted([names[a], names[b]])
+        # keep the r expression oriented (a,b) — correlation is
+        # symmetric, only the LABELS sort
+        rows.append(
+            F.struct(
+                F.lit(ca).alias("col_a"),
+                F.lit(cb).alias("col_b"),
+                rz6(
+                    cov_n / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0))
+                ).alias("spearman_r"),
             )
+        )
     return (
         mo.select(F.explode(F.array(*rows)).alias("x"))
         .select("x.col_a", "x.col_b", "x.spearman_r")

@@ -1903,7 +1903,11 @@ def test_global_rank_matches_row_number_and_stays_distributed(spark):
     # plan consumes the checkpointed RDD; what must NEVER appear is a
     # global single-partition window over the raw input
     assert "scan existingrdd" in plan
-    assert "window" in plan  # the per-_pid local rank window survives
+    # the r15 rework: the local rank comes from monotonically_increasing_id
+    # over the pinned SORTED partitions minus a per-partition base — the
+    # data path has NO window and NO second exchange (the old per-_pid
+    # row_number window hash-exchanged every row a second time)
+    assert "monotonically_increasing_id" in plan
     # single-partition operators exist only on the O(num_partitions)
     # counts/offsets side (its exchange + its cumulative window), never
     # on the ranked data path
