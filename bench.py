@@ -380,6 +380,9 @@ HEADLINE = [
     # bounding-box counting
     "events_kruskal_wallis",
     "layout_zonemap_pruning_audit",
+    # r15: tau-b folds entirely from the bounded joint value grain (one
+    # map-side-combined scan; cell-pair self-join is value-space-sized)
+    "dq_kendall_tau",
 ]
 
 
@@ -733,6 +736,11 @@ def main() -> None:
     noise: dict[str, object] = {
         "reps": reps,
         "per_query_spread": spread,
+        # raw rep timings (full artifact only — the stdout digest stays
+        # compact). The r15 regression forensics needed to know whether
+        # rep 1 (which runs before any later-suite query has executed)
+        # was already slow, and medians+spreads can't answer that.
+        "raw_samples": {n: [round(x, 3) for x in s] for n, s in samples.items()},
         "max_spread_pct": round(100 * max(spread.values()), 1),
         # Names re-timed by the escalating redo. Their stored samples are
         # UNTRIMMED reps (trimming only steers the redo's accept/stop

@@ -6470,6 +6470,171 @@ def dq_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_kendall_tau",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_discount * 10000) AS BIGINT) AS d,
+             CAST(round(l_tax * 10000) AS BIGINT) AS t
+      FROM lineitem),
+    jg AS MATERIALIZED (
+      SELECT q, d, t, count(*) AS cnt FROM c GROUP BY q, d, t),
+    pc AS MATERIALIZED (
+      SELECT 0 AS pid, q AS va, d AS vb, CAST(sum(cnt) AS BIGINT) AS n
+      FROM jg GROUP BY q, d
+      UNION ALL
+      SELECT 1, q, t, CAST(sum(cnt) AS BIGINT) FROM jg GROUP BY q, t
+      UNION ALL
+      SELECT 2, d, t, CAST(sum(cnt) AS BIGINT) FROM jg GROUP BY d, t),
+    cd AS (
+      SELECT a.pid,
+             sum(CASE WHEN b.vb > a.vb
+                 THEN CAST(a.n AS DOUBLE) * b.n ELSE 0.0 END) AS conc,
+             sum(CASE WHEN b.vb < a.vb
+                 THEN CAST(a.n AS DOUBLE) * b.n ELSE 0.0 END) AS disc
+      FROM pc a JOIN pc b ON a.pid = b.pid AND a.va < b.va
+      GROUP BY a.pid),
+    ta AS (
+      SELECT pid, sum(CAST(tn AS DOUBLE) * (tn - 1) / 2) AS n1
+      FROM (SELECT pid, va, sum(n) AS tn FROM pc GROUP BY pid, va)
+      GROUP BY pid),
+    tb AS (
+      SELECT pid, sum(CAST(tn AS DOUBLE) * (tn - 1) / 2) AS n2
+      FROM (SELECT pid, vb, sum(n) AS tn FROM pc GROUP BY pid, vb)
+      GROUP BY pid),
+    tot AS (
+      SELECT pid, CAST(sum(n) AS DOUBLE) * (sum(n) - 1) / 2 AS n0
+      FROM pc GROUP BY pid)
+    SELECT
+      CASE pid WHEN 0 THEN 'l_discount'
+               WHEN 1 THEN 'l_quantity' ELSE 'l_discount' END AS col_a,
+      CASE pid WHEN 0 THEN 'l_quantity'
+               WHEN 1 THEN 'l_tax' ELSE 'l_tax' END AS col_b,
+      CAST(coalesce(conc, 0.0) AS BIGINT) AS concordant,
+      CAST(coalesce(disc, 0.0) AS BIGINT) AS discordant,
+      (round((coalesce(conc, 0.0) - coalesce(disc, 0.0))
+             / nullif(sqrt((n0 - n1) * (n0 - n2)), 0.0)
+             + 1e-9, 6) + 0.0) AS tau_b
+    FROM tot
+    JOIN ta USING (pid) JOIN tb USING (pid)
+    LEFT JOIN cd USING (pid)
+    ORDER BY col_a, col_b
+    """,
+)
+def dq_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b over the three BOUNDED-GRAIN lineitem measures
+    (quantity x discount, quantity x tax, discount x tax) — the third
+    member of the correlation-profiler family: Pearson
+    (dq_numeric_correlation_matrix) asks "linear?", Spearman
+    (dq_spearman_correlation) asks "monotone?", and tau-b asks the
+    PAIRWISE version of monotone — what fraction of row pairs order the
+    same way in both columns — with an explicit tie correction, which
+    matters here because these measures are massively tied (50/11/9
+    distinct values; tau-a would be crushed toward 0 by tie mass).
+
+    Exactness: everything folds from the joint value grain (q,d,t,cnt —
+    <= 50*11*9 cells, one map-side-combined pass over lineitem; the
+    dq_spearman_correlation grain trick). Per pair, concordant /
+    discordant pair-counts come from a grain SELF-JOIN on strictly-
+    ordered cell values (<= 550^2 cell pairs, broadcast — never a
+    row-level O(N^2)), each term n_i*n_j an exact integer formed in
+    DOUBLE (quadratic-moment class: BIGINT sums would wrap past ~4e9
+    rows; DOUBLE terms are integer-exact below 2^53 and both engines
+    share the identical grain-pair algebra). Tie terms t(t-1)/2 fold
+    from the grain marginals the same way. tau_b =
+    (C - D)/sqrt((n0-n1)(n0-n2)) with the engine-identical
+    round(+1e-9, 6)+0.0 readout; a constant column makes the
+    denominator 0 -> NULL identically via nullif (cross-engine
+    divide-by-zero discipline).
+
+    l_extendedprice is EXCLUDED by design: its value grain is
+    ~row-cardinality, so exact tau needs an O(N log N) global inversion
+    count (a merge-sort operator, not a grain fold) — documented
+    boundary, same reasoning that keeps the Spearman p-column on the
+    distributed global_cumsum path.
+
+    Scale shape: one N-row scan with map-side combine to the bounded
+    grain; every downstream stage is value-space-sized (cells and cell
+    pairs), independent of row count."""
+    c = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
+        F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
+    )
+    jg = pin(c.groupBy("q", "d", "t").agg(F.count(F.lit(1)).alias("cnt")))
+    pc = (
+        jg.groupBy(F.lit(0).alias("pid"), F.col("q").alias("va"), F.col("d").alias("vb"))
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .unionByName(
+            jg.groupBy(F.lit(1).alias("pid"), F.col("q").alias("va"), F.col("t").alias("vb"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+        .unionByName(
+            jg.groupBy(F.lit(2).alias("pid"), F.col("d").alias("va"), F.col("t").alias("vb"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+        )
+    )
+    pc = pin(pc)
+    a = pc.alias("a")
+    b = pc.alias("b")
+    nd = F.col("a.n").cast("double") * F.col("b.n")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.pid") == F.col("b.pid")) & (F.col("a.va") < F.col("b.va")),
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.sum(F.when(F.col("b.vb") > F.col("a.vb"), nd).otherwise(0.0)).alias("conc"),
+            F.sum(F.when(F.col("b.vb") < F.col("a.vb"), nd).otherwise(0.0)).alias("disc"),
+        )
+    )
+    tn = F.col("tn").cast("double")
+    ta = (
+        pc.groupBy("pid", "va").agg(F.sum("n").alias("tn"))
+        .groupBy("pid").agg(F.sum(tn * (F.col("tn") - 1) / 2).alias("n1"))
+    )
+    tb = (
+        pc.groupBy("pid", "vb").agg(F.sum("n").alias("tn"))
+        .groupBy("pid").agg(F.sum(tn * (F.col("tn") - 1) / 2).alias("n2"))
+    )
+    tot = pc.groupBy("pid").agg(
+        (F.sum("n").cast("double") * (F.sum("n") - 1) / 2).alias("n0")
+    )
+    conc = F.coalesce(F.col("conc"), F.lit(0.0))
+    disc = F.coalesce(F.col("disc"), F.lit(0.0))
+    col_a = (
+        F.when(F.col("pid") == 0, "l_discount")
+        .when(F.col("pid") == 1, "l_quantity")
+        .otherwise("l_discount")
+    )
+    col_b = (
+        F.when(F.col("pid") == 0, "l_quantity")
+        .when(F.col("pid") == 1, "l_tax")
+        .otherwise("l_tax")
+    )
+    return (
+        tot.join(ta, "pid")
+        .join(tb, "pid")
+        .join(cd, "pid", "left")
+        .select(
+            col_a.alias("col_a"),
+            col_b.alias("col_b"),
+            conc.cast("long").alias("concordant"),
+            disc.cast("long").alias("discordant"),
+            rz6(
+                (conc - disc)
+                / F.nullif(
+                    F.sqrt((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))),
+                    F.lit(0.0),
+                )
+            ).alias("tau_b"),
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
 _ZONE_SD = "epoch_us(l_shipdate) // 86400000000"
 
 

@@ -4605,3 +4605,68 @@ def test_null_injection_rank_and_attribution_oracles(spark, tmp_path):
         exp = con.sql(specs[name].oracle).df()
         assert len(got) > 0, f"{name}: vacuous fixture"
         assert compare_frames(got, exp, exact=True) == [], name
+
+
+def test_kendall_tau_matches_bruteforce_and_degenerates(spark, tmp_path):
+    """Construction-pinned tau-b semantics: the grain-pair fold must equal
+    the textbook O(n^2) row-pair definition (concordant / discordant
+    counts and the tie-corrected tau) computed by brute force on a
+    200-row deterministic fixture — and a CONSTANT column must yield
+    NULL tau (denominator 0) on every pair that touches it, identically
+    to the divide-by-zero convention."""
+    rows = []
+    for k in range(200):
+        q = 1 + (k * 37) % 8          # 8 distinct quantities, heavy ties
+        d = ((k * 53) % 5) / 100.0    # 5 distinct discounts
+        tx = ((q * 3 + k % 4) % 6) / 100.0  # correlated-with-q tax
+        rows.append((float(q), d, tx))
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_tax double"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    def brute(xs, ys):
+        conc = disc = 0
+        n = len(xs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+                sy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+                if sx * sy > 0:
+                    conc += 1
+                elif sx * sy < 0:
+                    disc += 1
+        import math
+        from collections import Counter
+
+        n0 = n * (n - 1) / 2
+        n1 = sum(t * (t - 1) / 2 for t in Counter(xs).values())
+        n2 = sum(t * (t - 1) / 2 for t in Counter(ys).values())
+        tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        return conc, disc, round(tau + 1e-9, 6) + 0.0
+
+    q = [int(round(r[0] * 100)) for r in rows]
+    d = [int(round(r[1] * 10000)) for r in rows]
+    tx = [int(round(r[2] * 10000)) for r in rows]
+    expect = {
+        ("l_discount", "l_quantity"): brute(d, q),
+        ("l_discount", "l_tax"): brute(d, tx),
+        ("l_quantity", "l_tax"): brute(q, tx),
+    }
+    fn = load_all()["dq_kendall_tau"].spark_fn
+    got = {(r["col_a"], r["col_b"]): r for r in fn(spark, str(tmp_path)).collect()}
+    assert sorted(got) == sorted(expect)
+    for k, (conc, disc, tau) in expect.items():
+        assert got[k]["concordant"] == conc, k
+        assert got[k]["discordant"] == disc, k
+        assert got[k]["tau_b"] == tau, k
+
+    # degenerate: constant tax -> NULL tau for both tax pairs, and the
+    # perfectly-monotone (q, d=q/1000) pair pins tau_b = 1.0 exactly
+    rows2 = [(float(1 + k % 7), (1 + k % 7) / 1000.0, 0.05) for k in range(50)]
+    spark.createDataFrame(
+        rows2, "l_quantity double, l_discount double, l_tax double"
+    ).write.parquet(f"{tmp_path}/flat/lineitem.parquet")
+    out2 = {(r["col_a"], r["col_b"]): r for r in fn(spark, f"{tmp_path}/flat").collect()}
+    assert out2[("l_discount", "l_quantity")]["tau_b"] == 1.0
+    assert out2[("l_discount", "l_tax")]["tau_b"] is None
+    assert out2[("l_quantity", "l_tax")]["tau_b"] is None

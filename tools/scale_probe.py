@@ -403,6 +403,10 @@ PROBE = [
     # 192x9 bounding-box counting
     "events_kruskal_wallis",
     "layout_zonemap_pruning_audit",
+    # batch 11 (r15): tau-b folds entirely from the bounded joint value
+    # grain (one map-side-combined scan; cell-pair self-join is
+    # value-space-sized) — the probe pins that row-count independence
+    "dq_kendall_tau",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
