@@ -6615,9 +6615,9 @@ def dq_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("l_tax")
     )
     return (
-        tot.join(ta, "pid")
-        .join(tb, "pid")
-        .join(cd, "pid", "left")
+        tot.join(F.broadcast(ta), "pid")
+        .join(F.broadcast(tb), "pid")
+        .join(F.broadcast(cd), "pid", "left")
         .select(
             col_a.alias("col_a"),
             col_b.alias("col_b"),
