@@ -147,67 +147,69 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r14 (catalog 359 queries): 4
-# impl/oracle-changed lead names (events_concurrent_sessions,
-# emb_semantic_dedup, agg_bootstrap_ci, emb_coverage_score); 4
-# never-driver-checked (layout_zonemap_pruning_audit,
-# events_sessionize_gap_sweep, events_holt_forecast_backtest,
-# events_kruskal_wallis); then 42 stale fills, oldest evidence first
-# (rounds r5..r6).
+# Slice aimed at driver round r15 (catalog 360 queries): 15
+# impl/oracle-changed lead names (events_mannwhitney_u,
+# events_kruskal_wallis, events_attribution_linear,
+# dq_spearman_correlation, layout_zonemap_pruning_audit,
+# dq_join_key_skew, agg_revenue_concentration, dq_sequence_gap_audit,
+# events_equidepth_bins, events_uplift_qini, events_user_gini,
+# text_vocab_coverage, text_heaps_law, corpus_shard_assign,
+# emb_knn_outliers_ivf); 1 never-driver-checked (dq_kendall_tau); then
+# 34 stale fills, oldest evidence first (rounds r6..r7).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (
-    "events_concurrent_sessions",
-    "emb_semantic_dedup",
-    "agg_bootstrap_ci",
-    "emb_coverage_score",
-    "layout_zonemap_pruning_audit",
-    "events_sessionize_gap_sweep",
-    "events_holt_forecast_backtest",
+    "events_mannwhitney_u",
     "events_kruskal_wallis",
-    "sql_adhoc_q6",
-    "scalar_encode_decode",
-    "join_null_safe",
-    "subquery_exists",
-    "window_distribution_fns",
-    "entity_match_levenshtein",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "events_asof_join",
-    "events_dedup_first",
-    "events_pivot",
-    "events_sliding_window",
-    "events_zscore_pandas",
-    "agg_udaf_geomean",
-    "events_unpivot",
-    "events_funnel",
-    "events_asof_tolerance",
-    "events_retention_cohort",
-    "scalar_map_fns",
-    "events_gap_filled",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "emb_cosine_topk_lsh",
-    "emb_cosine_topk_ivf",
-    "sample_stratified",
-    "corpus_pack_sequences",
-    "agg_count_filter",
-    "agg_distinct",
-    "agg_minmax_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_star_3way",
-    "join_left_outer",
-    "join_full_outer",
-    "union_by_name",
-    "distinct_rows",
-    "filter_isin",
-    "null_handling",
-    "sample_bernoulli_seeded",
-    "agg_approx_distinct_hll",
-    "events_anomaly_mad",
+    "events_attribution_linear",
+    "dq_spearman_correlation",
+    "layout_zonemap_pruning_audit",
+    "dq_join_key_skew",
+    "agg_revenue_concentration",
+    "dq_sequence_gap_audit",
+    "events_equidepth_bins",
+    "events_uplift_qini",
+    "events_user_gini",
+    "text_vocab_coverage",
+    "text_heaps_law",
+    "corpus_shard_assign",
+    "emb_knn_outliers_ivf",
+    "dq_kendall_tau",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_keep_list",
+    "fts_search_and",
+    "fts_search_or",
+    "fts_phrase",
+    "fts_top_df_tokens",
+    "emb_cosine_topk",
+    "emb_cosine_neardup",
+    "multimodal_features",
+    "doc_chunks",
+    "fts_search_not",
+    "fts_tsquery_prefix",
+    "corpus_filter_pipeline",
+    "fts_tsquery_expr",
+    "crossmodal_dup_agreement",
+    "fts_tsquery_phrase",
+    "corpus_quality_filter",
+    "dedup_winnow_pairs",
+    "corpus_mixture_sample",
+    "emb_quantize_int8",
+    "text_passage_dedup",
+    "text_bigram_logprob",
+    "text_word_entropy",
+    "text_bpe_tokens",
+    "emb_label_centroids",
+    "text_top_ngrams",
+    "emb_ivfpq_topk",
+    "text_length_histogram",
+    "layout_zorder_key",
+    "agg_weighted_avg",
+    "join_q10_returned_revenue",
+    "join_q18_large_orders",
+    "join_q7_nation_volume",
 )
 
 
