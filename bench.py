@@ -381,8 +381,11 @@ HEADLINE = [
     "events_kruskal_wallis",
     "layout_zonemap_pruning_audit",
     # r15: tau-b folds entirely from the bounded joint value grain (one
-    # map-side-combined scan; cell-pair self-join is value-space-sized)
+    # map-side-combined scan; cell-pair self-join is value-space-sized);
+    # the price pairs ride one narrow range-sort + an Arrow dominance
+    # kernel (numpy group-matrix cumsums, no wide grain, no window)
     "dq_kendall_tau",
+    "dq_kendall_tau_price",
 ]
 
 

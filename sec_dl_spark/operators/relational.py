@@ -520,7 +520,14 @@ def global_rank(
     executor-local — not recomputable under executor loss / preemption.
     Preemptible fleets: set ``spark.sec_dl_spark.reliableCheckpoint=true``
     plus ``setCheckpointDir`` to pin to reliable storage (see ``pin``)."""
-    ranged = pin(df.repartitionByRange(*order).sortWithinPartitions(*order))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # explicit-N range exchange: AQE coalesces post-exchange partitions on
+    # BYTES and cannot see the compute the window/fold stage carries (the
+    # r14 semantic-dedup lesson) — a 25 MB grain would otherwise collapse
+    # to a handful of partitions and serialize the downstream stage
+    ranged = pin(
+        df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    )
     w = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
@@ -680,8 +687,11 @@ def global_cumsum(
     executor-local blocks by default, reliable-checkpoint mode via the
     ``spark.sec_dl_spark.reliableCheckpoint`` conf for preemptible
     fleets."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     ranged = pin(
-        df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+        df.repartitionByRange(n_parts, *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     local = F.sum(value_col).over(
         Window.partitionBy("_pid").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -701,6 +711,60 @@ def global_cumsum(
         .join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_off")
+    )
+
+
+def global_cumsum_cols(
+    df: DataFrame,
+    order: list,
+    value_cols: list,
+    prefix: str = "_cum_",
+) -> DataFrame:
+    """Global inclusive running sums of MANY value columns in one ranged
+    pass — :func:`global_cumsum` vectorized over columns. One range
+    exchange, ONE per-partition window carrying every column's local
+    running sum, one O(num_partitions × num_cols) totals/offsets
+    aggregate broadcast back. Output adds ``{prefix}{col}`` (long) per
+    input column.
+
+    Exists because k separate global_cumsum calls cost k EAGER pinned
+    materializations plus k exchanges of the same frame (the r15
+    spearman profiling lesson: count the pins, not just the shuffles) —
+    the tau-b price-pair fold needs 70 simultaneous prefix sums and
+    would be unusable at one machine-pass per column. Same pinned-
+    branch-consistency and eagerness semantics as global_cumsum."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = pin(
+        df.repartitionByRange(n_parts, *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in value_cols]
+    )
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(ow), F.lit(0)).alias(f"_off_{c}")
+            for c in value_cols
+        ],
+    )
+    out = ranged.select(
+        "*", *[F.sum(c).over(w).alias(f"_loc_{c}") for c in value_cols]
+    ).join(F.broadcast(offsets), "_pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            (F.col(f"_off_{c}") + F.col(f"_loc_{c}")).cast("long"),
+        )
+    return out.drop(
+        "_pid",
+        *[f"_loc_{c}" for c in value_cols],
+        *[f"_off_{c}" for c in value_cols],
     )
 
 

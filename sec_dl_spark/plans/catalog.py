@@ -147,15 +147,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r15 (catalog 360 queries): 15
+# Slice aimed at driver round r15 (catalog 361 queries): 15
 # impl/oracle-changed lead names (events_mannwhitney_u,
 # events_kruskal_wallis, events_attribution_linear,
 # dq_spearman_correlation, layout_zonemap_pruning_audit,
 # dq_join_key_skew, agg_revenue_concentration, dq_sequence_gap_audit,
 # events_equidepth_bins, events_uplift_qini, events_user_gini,
 # text_vocab_coverage, text_heaps_law, corpus_shard_assign,
-# emb_knn_outliers_ivf); 1 never-driver-checked (dq_kendall_tau); then
-# 34 stale fills, oldest evidence first (rounds r6..r7).
+# emb_knn_outliers_ivf); 2 never-driver-checked (dq_kendall_tau,
+# dq_kendall_tau_price); then 33 stale fills, oldest evidence first
+# (rounds r6..r7).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
@@ -176,6 +177,7 @@ _PRIORITY = (
     "corpus_shard_assign",
     "emb_knn_outliers_ivf",
     "dq_kendall_tau",
+    "dq_kendall_tau_price",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_keep_list",
@@ -209,7 +211,6 @@ _PRIORITY = (
     "agg_weighted_avg",
     "join_q10_returned_revenue",
     "join_q18_large_orders",
-    "join_q7_nation_volume",
 )
 
 

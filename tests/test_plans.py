@@ -4670,3 +4670,94 @@ def test_kendall_tau_matches_bruteforce_and_degenerates(spark, tmp_path):
     assert out2[("l_discount", "l_quantity")]["tau_b"] == 1.0
     assert out2[("l_discount", "l_tax")]["tau_b"] is None
     assert out2[("l_quantity", "l_tax")]["tau_b"] is None
+
+
+def test_kendall_tau_price_matches_bruteforce_with_ties_and_nulls(spark, tmp_path):
+    """The sorted-rows dominance kernel must equal the textbook O(n^2)
+    row-pair tau-b on a fixture engineered for its failure modes: heavy
+    PRICE ties (equal-p pairs must never count), multiple p-groups per
+    partition, and NULL rows (complete-case filtered identically in
+    both engines — the nullable-ordered-grain class). Also pins the
+    DuckDB oracle on the same NULL-carrying fixture byte-exact."""
+    import duckdb
+
+    from tools.compare_oracle import compare_frames
+
+    rows = []
+    for k in range(240):
+        p = float(10 + (k % 40))            # 40 distinct prices, 6-way ties
+        q = float(1 + (k * 7) % 6)          # 6 quantities
+        d = ((k * 11) % 4) / 100.0          # 4 discounts
+        tx = ((k * 5 + k // 3) % 5) / 100.0 # 5 taxes
+        rows.append((p, q, d, tx))
+    clean = list(rows)
+    rows += [(None, 3.0, 0.01, 0.02), (55.0, None, 0.02, 0.03),
+             (66.0, 2.0, None, 0.04), (77.0, 4.0, 0.03, None)]
+    spark.createDataFrame(
+        rows,
+        "l_extendedprice double, l_quantity double, l_discount double, "
+        "l_tax double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    def brute(xs, ys):
+        import math
+        from collections import Counter
+
+        conc = disc = 0
+        n = len(xs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+                sy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+                if sx * sy > 0:
+                    conc += 1
+                elif sx * sy < 0:
+                    disc += 1
+        n0 = n * (n - 1) / 2
+        n1 = sum(c * (c - 1) / 2 for c in Counter(xs).values())
+        n2 = sum(c * (c - 1) / 2 for c in Counter(ys).values())
+        tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        return conc, disc, round(tau + 1e-9, 6) + 0.0
+
+    pp = [int(round(r[0] * 100)) for r in clean]
+    qq = [int(round(r[1] * 100)) for r in clean]
+    dd = [int(round(r[2] * 10000)) for r in clean]
+    tt = [int(round(r[3] * 10000)) for r in clean]
+    expect = {
+        ("l_discount", "l_extendedprice"): brute(dd, pp),
+        ("l_extendedprice", "l_quantity"): brute(pp, qq),
+        ("l_extendedprice", "l_tax"): brute(pp, tt),
+    }
+    spec = load_all()["dq_kendall_tau_price"]
+    got = {(r["col_a"], r["col_b"]): r for r in spec.spark_fn(spark, str(tmp_path)).collect()}
+    assert sorted(got) == sorted(expect)
+    for k, (conc, disc, tau) in expect.items():
+        assert got[k]["concordant"] == conc, k
+        assert got[k]["discordant"] == disc, k
+        assert got[k]["tau_b"] == tau, k
+
+    # oracle parity on the SAME NULL-carrying fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    exp = con.sql(spec.oracle).df()
+    assert compare_frames(
+        spec.spark_fn(spark, str(tmp_path)).toPandas(), exp, exact=True
+    ) == []
+
+    # degenerate: constant price -> every pair tied in p -> tau NULL on
+    # all three pairs, with zero concordant/discordant
+    flat = [(5.0, float(1 + k % 3), 0.01, 0.02) for k in range(30)]
+    spark.createDataFrame(
+        flat,
+        "l_extendedprice double, l_quantity double, l_discount double, "
+        "l_tax double",
+    ).write.parquet(f"{tmp_path}/flat/lineitem.parquet")
+    out2 = {
+        (r["col_a"], r["col_b"]): r
+        for r in spec.spark_fn(spark, f"{tmp_path}/flat").collect()
+    }
+    for k, r in out2.items():
+        assert r["tau_b"] is None, k
+        assert r["concordant"] == 0 and r["discordant"] == 0, k

@@ -405,8 +405,11 @@ PROBE = [
     "layout_zonemap_pruning_audit",
     # batch 11 (r15): tau-b folds entirely from the bounded joint value
     # grain (one map-side-combined scan; cell-pair self-join is
-    # value-space-sized) — the probe pins that row-count independence
+    # value-space-sized) — the probe pins that row-count independence;
+    # the price pairs ride one narrow range-sort + an Arrow dominance
+    # kernel — the probe pins the single-exchange O(N log N) shape
     "dq_kendall_tau",
+    "dq_kendall_tau_price",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
