@@ -75,11 +75,22 @@ driver's bounded tail capture cannot truncate it.
 
 Noise-proofing: the host shows ±40% run-to-run swings from hypervisor CPU
 steal, so a single pass is not evidence. The suite runs
-$SPARK_GRAFT_BENCH_REPS times (default 3, rep-major so cross-query cache
-state matches the historical single-pass runs); per-query numbers are
-MEDIANS across reps and the `noise` object records the per-query spread
-plus the CPU steal fraction over the whole run (from /proc/stat) so a
-regression can be told apart from host weather.
+$SPARK_GRAFT_BENCH_REPS times (default 3), SUITE-INTERLEAVED: rep k of
+EVERY query runs before rep k+1 of any (outer loop = reps, inner loop =
+queries), so one query's reps are separated by a full suite pass
+(~1-2 min) and never share a single host-weather window — the
+round-robin decorrelation VERDICT r15 #3 asks for. (This ordering has
+been in place since commit 88c8f22/r13; the docstring's old "rep-major"
+phrasing read ambiguously as per-query-major, so stating it precisely
+here. It also keeps cross-query cache state comparable to the
+historical single-pass runs.) The high-variance REDO block is likewise
+interleaved round-robin across all flagged names as of r16 — it
+previously ran each flagged query's 7-11 redo reps back-to-back, which
+re-correlated exactly the sample the redo was trying to de-noise.
+Per-query numbers are MEDIANS across reps and the `noise` object
+records the per-query spread plus the CPU steal fraction over the whole
+run (from /proc/stat) so a regression can be told apart from host
+weather.
 """
 
 from __future__ import annotations
@@ -614,11 +625,16 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_SKIP: comma-separated names removed from the suite
     # for ORDERING EXPERIMENTS only (e.g. replaying last round's suite to
     # test a suite-growth-interleave hypothesis against a flagged bench
-    # row). The judged artifact is always the full suite — the driver
-    # never sets this.
+    # row). A skip-tainted run must be impossible to mistake for a
+    # full-suite artifact (ADVICE r15): sorted(skip) is recorded in the
+    # noise block AND the stdout digest unconditionally (empty list when
+    # unset), and when non-empty the run REFUSES to write BENCH_LAST.json
+    # or the bench_archive copy — experiment output exists only on
+    # stdout, clearly labelled.
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
     }
+    skip_names = sorted(skip)
     headline = [n for n in HEADLINE if n not in skip]
 
     ticks0 = _cpu_ticks()
@@ -694,37 +710,49 @@ def main() -> None:
     def _rel_spread(s: list[float]) -> float:
         return (max(s) - min(s)) / statistics.median(s) if len(s) > 1 else 0.0
 
-    remeasured: list[str] = []
-    for name, s in samples.items():
-        if _rel_spread(s) > 0.5:
-            # A redo window on a busy shared host is expected to catch
-            # hiccups (GC pause, scheduler stall, page-cache miss) in
-            # proportion to its length, so each redo DROPS its worst
-            # ~n/5 reps before SCORING the spread — (max-min)/median
-            # over 7 raw draws is otherwise a harsher metric than the
-            # 3-rep base it replaces (more tail draws), and r13 closed
-            # with 6 sub-second queries stuck >50% after a redo that
-            # kept all 7. The trimmed view decides WHICH sample wins
-            # and WHEN to stop escalating (7, 9, 11 reps); the sample
-            # STORED for timing is always the UNTRIMMED redo reps, so
-            # published medians come from an uncensored distribution
-            # (ADVICE r14 #3 — trimming the stored sample gave
-            # remeasured queries an asymmetric optimistic bias).
-            best_score = _rel_spread(samples[name])
-            for n_redo in (7, 9, 11):
-                trim = max(1, n_redo // 5)
-                redo = []
-                for _ in range(n_redo):
-                    t0 = time.perf_counter()
-                    specs[name].spark_fn(spark, sf_dir).collect()
-                    redo.append(time.perf_counter() - t0)
-                trimmed = sorted(redo)[:-trim]
-                if _rel_spread(trimmed) < best_score:
-                    best_score = _rel_spread(trimmed)
-                    samples[name] = redo
-                if best_score <= 0.5:
-                    break
-            remeasured.append(name)
+    # A redo window on a busy shared host is expected to catch
+    # hiccups (GC pause, scheduler stall, page-cache miss) in
+    # proportion to its length, so each redo DROPS its worst
+    # ~n/5 reps before SCORING the spread — (max-min)/median
+    # over 7 raw draws is otherwise a harsher metric than the
+    # 3-rep base it replaces (more tail draws), and r13 closed
+    # with 6 sub-second queries stuck >50% after a redo that
+    # kept all 7. The trimmed view decides WHICH sample wins
+    # and WHEN to stop escalating (7, 9, 11 reps); the sample
+    # STORED for timing is always the UNTRIMMED redo reps, so
+    # published medians come from an uncensored distribution
+    # (ADVICE r14 #3 — trimming the stored sample gave
+    # remeasured queries an asymmetric optimistic bias).
+    #
+    # Redo reps are INTERLEAVED round-robin across all still-flagged
+    # names (rep k of every flagged query before rep k+1 of any), the
+    # same decorrelation the main loop uses (VERDICT r15 #3): the old
+    # per-query back-to-back redo put all 7-11 draws inside ONE weather
+    # window, re-correlating exactly the sample it was trying to
+    # de-noise. Escalation is per-level for the whole flagged set; a
+    # name whose trimmed spread clears 0.5 drops out of later levels.
+    remeasured = [n for n, s in samples.items() if _rel_spread(s) > 0.5]
+    best_score = {n: _rel_spread(samples[n]) for n in remeasured}
+    active = list(remeasured)
+    for n_redo in (7, 9, 11):
+        if not active:
+            break
+        trim = max(1, n_redo // 5)
+        redo: dict[str, list[float]] = {n: [] for n in active}
+        for _ in range(n_redo):
+            for name in active:
+                t0 = time.perf_counter()
+                specs[name].spark_fn(spark, sf_dir).collect()
+                redo[name].append(time.perf_counter() - t0)
+        still: list[str] = []
+        for name in active:
+            trimmed = sorted(redo[name])[:-trim]
+            if _rel_spread(trimmed) < best_score[name]:
+                best_score[name] = _rel_spread(trimmed)
+                samples[name] = redo[name]
+            if best_score[name] > 0.5:
+                still.append(name)
+        active = still
 
     shutil.rmtree(gate_src, ignore_errors=True)
     shutil.rmtree(hll_src, ignore_errors=True)
@@ -750,6 +778,9 @@ def main() -> None:
         # decision), so every median in `timings` — remeasured or not —
         # comes from an uncensored sample.
         "remeasured_untrimmed": remeasured,
+        # ALWAYS present (empty when unset): a run with skipped names is
+        # not a full-suite artifact and must say so in its own record
+        "skip_names": skip_names,
     }
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
         noise["cpu_steal_pct"] = round(
@@ -821,6 +852,32 @@ def main() -> None:
     # the line), the line is printed + flushed, and the process exits
     # via os._exit so no atexit/py4j teardown can print after it.
     repo_dir = os.path.dirname(__file__) or "."
+    if skip_names:
+        # refuse to publish a skip-tainted run as the full artifact: an
+        # ordering experiment's output lives on stdout only, labelled
+        # by skip_names in the digest (ADVICE r15)
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        import sys
+
+        sys.stderr.flush()
+        print(
+            json.dumps(
+                {
+                    "metric": "SKIP-TAINTED ordering experiment "
+                    "(not a full-suite artifact; nothing written)",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "skip_names": skip_names,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
     with open(os.path.join(repo_dir, "BENCH_LAST.json"), "w") as f:
         json.dump(full, f, indent=1)
     # Per-round full-artifact archive (VERDICT r11 ask #6): the driver
@@ -861,6 +918,7 @@ def main() -> None:
         "ann_serve_over_rebuild": ann_srv.get("serve_over_rebuild"),
         "corpus_docs_per_sec": corpus["build"].get("docs_per_sec"),
         "append_over_build": corpus["append_delta"].get("append_over_build"),
+        "skip_names": skip_names,
         "full_artifact": "BENCH_LAST.json",
     }
     line = json.dumps(compact)

@@ -484,9 +484,21 @@ def global_rank(
        exchange of the data (the previous formulation's
        ``row_number() OVER (PARTITION BY _pid)`` hash-exchanged every
        row a second time and re-sorted per action; r15 measured the
-       rework at ~2x on the 18M-row zonemap ranking pass). The per-
-       partition ``min(mid)`` rides the same tiny counts aggregate as
-       the offsets, so no bit-layout assumption on ``mid`` is made;
+       rework at ~2x on the 18M-row zonemap ranking pass). No
+       assumption is made about mid's CROSS-partition bit layout (the
+       per-partition ``min(mid)`` rides the same tiny counts aggregate
+       as the offsets), but ``mid − min(mid)`` DOES assume mid is
+       CONSECUTIVE within a partition — Spark's documented contract is
+       only monotonic+unique; consecutiveness is an implementation
+       detail of the current generator (partition_id << 33 + row index).
+       That assumption is enforced, not trusted: the counts aggregate
+       also carries ``max(mid)``, and the rank expression raises
+       (``raise_error`` inside the codegen'd projection, so column
+       pruning cannot drop the check) on any partition where
+       ``max(mid) − min(mid) + 1 != count`` — a future Spark that gaps
+       the sequence fails loudly instead of silently skewing every
+       rank. ``tests/test_operators.py::
+       test_global_rank_matches_row_number`` is the upgrade tripwire;
     3. partition row-counts (a tiny O(num_partitions) aggregate) become
        cumulative offsets, broadcast-joined back; global rank =
        offset + (mid − partition base).
@@ -532,11 +544,18 @@ def global_rank(
         "_mid", F.monotonically_increasing_id()
     )
     counts = w.groupBy("_pid").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("_mid").alias("_base")
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_mid").alias("_base"),
+        F.max("_mid").alias("_maxmid"),
     )
     offsets = counts.select(
         "_pid",
         "_base",
+        # within-partition consecutiveness tripwire (ADVICE r15): the
+        # local rank below is only correct if mid is gap-free inside
+        # each partition. O(num_partitions) check, evaluated per
+        # broadcast row.
+        ((F.col("_maxmid") - F.col("_base") + 1) == F.col("_n")).alias("_ok"),
         F.coalesce(
             F.sum("_n").over(
                 Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -548,9 +567,24 @@ def global_rank(
         w.join(F.broadcast(offsets), "_pid")
         .withColumn(
             rank_col,
-            (F.col("_off") + F.col("_mid") - F.col("_base")).cast("long"),
+            # the guard lives INSIDE the rank expression so Catalyst
+            # column pruning cannot elide it; the happy path is one
+            # boolean test on a broadcast column per row
+            F.when(
+                F.col("_ok"),
+                (F.col("_off") + F.col("_mid") - F.col("_base")).cast("long"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "global_rank: monotonically_increasing_id is no "
+                        "longer consecutive within a partition — the "
+                        "local-rank formulation is invalid on this "
+                        "Spark version"
+                    )
+                ).cast("long")
+            ),
         )
-        .drop("_pid", "_mid", "_base", "_off")
+        .drop("_pid", "_mid", "_base", "_off", "_ok")
     )
 
 
@@ -729,10 +763,14 @@ def global_cumsum_cols(
 
     Exists because k separate global_cumsum calls cost k EAGER pinned
     materializations plus k exchanges of the same frame (the r15
-    spearman profiling lesson: count the pins, not just the shuffles) —
-    the tau-b price-pair fold needs 70 simultaneous prefix sums and
-    would be unusable at one machine-pass per column. Same pinned-
-    branch-consistency and eagerness semantics as global_cumsum."""
+    spearman profiling lesson: count the pins, not just the shuffles).
+    History: built as a candidate for the tau-b price-pair fold (~70
+    simultaneous prefix sums), which ultimately shipped the Arrow
+    dominance kernel instead — the wide-frame window cut is recorded as
+    a losing design in NOTES r15, so this operator currently has no
+    production caller and is kept as the general many-column prefix-sum
+    primitive (pytest-pinned). Same pinned-branch-consistency and
+    eagerness semantics as global_cumsum."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     ranged = pin(
         df.repartitionByRange(n_parts, *order).withColumn(

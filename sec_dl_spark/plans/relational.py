@@ -6891,7 +6891,21 @@ def dq_kendall_tau_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = pd.concat(chunks, ignore_index=True)
             pid = int(df["_pid"].iloc[0])
             pvals = df["p"].to_numpy()
-            # sorted within partition by construction; p-groups =
+            # The p-group derivation below (np.unique + np.repeat) is
+            # only correct when rows arrive sorted by p. That order is
+            # the sortWithinPartitions contract of the pinned frame,
+            # but a contract violation (projection reorder, a future
+            # Spark change perturbing scan order) would corrupt the
+            # concordance counts SILENTLY — fail loudly instead
+            # (ADVICE r15). O(n) compare, negligible next to the
+            # dominance cumsums.
+            if len(pvals) > 1 and not (np.diff(pvals) >= 0).all():
+                raise ValueError(
+                    "dq_kendall_tau_price: partition rows are not "
+                    "price-sorted — the pinned sortWithinPartitions "
+                    "order contract was violated; refusing to fold"
+                )
+            # sorted within partition (asserted above); p-groups =
             # maximal runs of equal price
             _, starts, gcnt = np.unique(
                 pvals, return_index=True, return_counts=True
@@ -6932,8 +6946,15 @@ def dq_kendall_tau_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 (
                     n_total,
+                    # tie terms in PYTHON ints, not numpy int64: a slot
+                    # holding > ~4.3e9 rows would silently wrap the
+                    # c*(c-1) product in int64 — the same quadratic-
+                    # moment wrap class the sibling query routes through
+                    # DOUBLE (ADVICE r15). Python ints are unbounded;
+                    # the long column they feed is exact far past any
+                    # real slot count.
                     *[
-                        int((tots[a] * (tots[a] - 1) // 2).sum())
+                        sum(int(cnt) * (int(cnt) - 1) // 2 for cnt in tots[a])
                         if len(vals[a])
                         else 0
                         for a in ("q", "d", "t")
