@@ -397,6 +397,9 @@ HEADLINE = [
     # kernel (numpy group-matrix cumsums, no wide grain, no window)
     "dq_kendall_tau",
     "dq_kendall_tau_price",
+    # r16: partial-probe recall curve through the real IVF candidate
+    # join (closed-form corner quantizer makes it driver-oracle-able)
+    "emb_ivf_recall_audit",
 ]
 
 

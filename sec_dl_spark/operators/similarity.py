@@ -747,6 +747,48 @@ def cosine_topk_ivf(
     )
 
 
+def corner_centroids(n_bits: int = 4) -> list[tuple[int, list[float]]]:
+    """The 2**n_bits deterministic "sign-corner" coarse centroids over the
+    first ``n_bits`` dimensions: centroid ``c`` has component ``+0.5`` in
+    dimension ``i`` when bit ``i`` of ``c`` is set, ``-0.5`` otherwise,
+    and 0 elsewhere (the scale is irrelevant under cosine). Unlike the
+    k-means quantizer (:func:`_coarse_cells`), this quantizer is a CLOSED
+    FORM of the data — nearest-corner-by-cosine equals the sign pattern
+    of the first ``n_bits`` components (see :func:`corner_cell`) — so an
+    external engine can reproduce the cell structure exactly, which is
+    what lets the IVF recall audit be driver-ORACLED rather than only
+    pytest-pinned. Recall is lower than a fitted quantizer's (corners
+    ignore the data distribution); the audit measures exactly that."""
+    out = []
+    for c in range(1 << n_bits):
+        out.append(
+            (c, [0.5 if (c >> i) & 1 else -0.5 for i in range(n_bits)])
+        )
+    return out
+
+
+def corner_cell(vec_col: str, n_bits: int = 4) -> Column:
+    """Closed-form nearest-corner cell id: bit ``i`` = (component i > 0).
+
+    Equivalence to argmax-cosine over :func:`corner_centroids`: every
+    corner has unit norm in the first ``n_bits`` dims, so
+    cos(v, corner_c) ∝ Σᵢ s_{c,i}·vᵢ, maximized componentwise by
+    s_i = sign(vᵢ); a zero component ties both signs and numpy-argmax /
+    smallest-cell-id tie-breaking both resolve to the 0 bit — which is
+    exactly ``vᵢ > 0``. Pure comparison+arithmetic, whole-stage codegen,
+    trivially expressible in any SQL engine (the oracle's side of the
+    recall audit)."""
+    e = F.col(vec_col)
+    bits = [
+        (F.element_at(e, i + 1) > 0).cast("int") * F.lit(1 << i)
+        for i in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def auto_n_cells(
     n_rows: int, cell_target: int = 256, min_cells: int = 16, max_cells: int = 4096
 ) -> int:

@@ -4371,6 +4371,228 @@ def emb_knn_outliers_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_ivf_recall_audit",
+    oracle="""
+    WITH lv AS (SELECT unnest([1, 2, 4, 8, 16]) AS n_probe),
+    corners AS (
+      SELECT CAST(r.range AS INTEGER) AS cell,
+             CASE WHEN (r.range >> 0) & 1 = 1 THEN 1.0 ELSE -1.0 END AS s0,
+             CASE WHEN (r.range >> 1) & 1 = 1 THEN 1.0 ELSE -1.0 END AS s1,
+             CASE WHEN (r.range >> 2) & 1 = 1 THEN 1.0 ELSE -1.0 END AS s2,
+             CASE WHEN (r.range >> 3) & 1 = 1 THEN 1.0 ELSE -1.0 END AS s3
+      FROM range(16) r),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+           + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
+           + 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+    probes AS (
+      SELECT q.query_id, c.cell,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (((c.s0 * qv[1] + c.s1 * qv[2]) + c.s2 * qv[3])
+                         + c.s3 * qv[4]) DESC, c.cell
+             ) AS probe_rank
+      FROM q CROSS JOIN corners c),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, p.probe_rank,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+      FROM q JOIN probes p USING (query_id) JOIN e ON e.cell = p.cell
+      WHERE e.vec_id <> q.query_id),
+    lvl AS (
+      SELECT l.n_probe, s.query_id, s.neighbor_id, s.sim
+      FROM scored s CROSS JOIN lv l WHERE s.probe_rank <= l.n_probe),
+    topk AS (
+      SELECT n_probe, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY n_probe, query_id
+                                ORDER BY sim DESC, neighbor_id) AS rk
+      FROM lvl),
+    t5 AS (SELECT n_probe, query_id, neighbor_id FROM topk WHERE rk <= 5),
+    exact5 AS (SELECT query_id, neighbor_id FROM t5 WHERE n_probe = 16),
+    ov AS (
+      SELECT t.n_probe, t.query_id, count(*) AS overlap
+      FROM t5 t JOIN exact5 x USING (query_id, neighbor_id)
+      GROUP BY t.n_probe, t.query_id),
+    cand AS (
+      SELECT n_probe, query_id, count(*) AS n_cand
+      FROM lvl GROUP BY n_probe, query_id),
+    grid AS (SELECT l.n_probe, q.query_id FROM q CROSS JOIN lv l),
+    per_q AS (
+      SELECT g.n_probe, g.query_id,
+             coalesce(o.overlap, 0) AS overlap,
+             coalesce(c.n_cand, 0) AS n_cand
+      FROM grid g
+      LEFT JOIN ov o ON o.n_probe = g.n_probe AND o.query_id = g.query_id
+      LEFT JOIN cand c ON c.n_probe = g.n_probe AND c.query_id = g.query_id),
+    tot AS (SELECT count(*) AS n_corpus FROM e)
+    SELECT CAST(n_probe AS BIGINT) AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           (round(CAST(sum(overlap) AS DOUBLE) / (5.0 * count(*)) + 1e-9, 6)
+             + 0.0) AS mean_recall,
+           (round(CAST(min(overlap) AS DOUBLE) / 5.0 + 1e-9, 6) + 0.0)
+             AS min_recall,
+           (round(CAST(count(*) FILTER (overlap = 5) AS DOUBLE) / count(*)
+                  + 1e-9, 6) + 0.0) AS full_recall_share,
+           (round(CAST(sum(n_cand) AS DOUBLE)
+                  / (count(*) * any_value(n_corpus)) + 1e-9, 6) + 0.0)
+             AS avg_candidate_share
+    FROM per_q, tot
+    GROUP BY n_probe ORDER BY n_probe
+    """,
+)
+def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-exact curve for IVF PARTIAL probing — the knob actually
+    turned at 100 TB (VERDICT r15 ask #7, extending
+    `emb_knn_outliers_ivf`'s driver-oracled plumbing from exhaustive to
+    partial probing). Per n_probe ∈ {1,2,4,8,16}: mean/min recall@5 of
+    the probed top-k against the exhaustive-probe exact top-k, the share
+    of queries with perfect recall, and the average fraction of the
+    corpus scanned per query — the recall/cost trade-off table a serving
+    deployment reads before picking n_probe.
+
+    What makes PARTIAL probing oracle-able where the k-means IVF is not:
+    the coarse quantizer here is the closed-form sign-corner grid
+    (operators/similarity.py:corner_centroids) — nearest-corner-by-cosine
+    is PROVABLY the sign pattern of the first 4 components
+    (corner_cell's docstring carries the argument), and the probe ORDER
+    is the corner-dot ranking, a 16-term expression both engines compute
+    bit-identically (same parenthesization, ties by cell id). So cell
+    assignment, probe order, candidate sets, and therefore recall are
+    all exactly reproducible in SQL. The Spark plan is the REAL serving
+    shape — cell-keyed candidate equi-join against broadcast probes, the
+    same join cosine_topk_ivf runs — so what the driver certifies is the
+    recall accounting of the scale path, not a toy.
+
+    Scale: the audit needs the exact baseline, so its cost is
+    |queries| × N like every recall measurement (queries bounded to 100
+    by the same convention as emb_knn_distance_outliers); the SERVED
+    path it audits scans only probed cells. One candidate join, one
+    two-phase top-k over (n_probe, query) frames, integer overlap
+    counts; the final five-row table aggregates in-plan."""
+    e0 = spread(t(spark, sf_dir, "embeddings"))
+    e = similarity.with_vec_norm(
+        e0.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            similarity.corner_cell("embedding", 4).alias("cell"),
+        ),
+        "embedding", vec_out="c_vec", norm_out="c_nrm",
+    ).select("neighbor_id", "c_vec", "c_nrm", "cell")
+    q = similarity.with_vec_norm(
+        e0.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "embedding", vec_out="q_vec", norm_out="q_nrm",
+    ).select("query_id", "q_vec", "q_nrm")
+    corners = F.broadcast(
+        spark.createDataFrame(
+            [(c, s[0], s[1], s[2], s[3]) for c, s in
+             ((c, [2.0 * x for x in v[:4]]) for c, v in
+              similarity.corner_centroids(4))],
+            "cell int, s0 double, s1 double, s2 double, s3 double",
+        )
+    )
+    # corner-dot probe ranking: same 4-term left-assoc sum both engines
+    qv = lambda i: F.element_at(F.col("q_vec"), i)  # noqa: E731
+    dotc = (
+        (F.col("s0") * qv(1) + F.col("s1") * qv(2)) + F.col("s2") * qv(3)
+    ) + F.col("s3") * qv(4)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_dotc").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(corners)
+        .withColumn("_dotc", dotc)
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .select("query_id", "q_vec", "q_nrm", "cell", "probe_rank")
+    )
+    scored = (
+        e.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(
+                similarity.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    lvl = scored.select(
+        "*", F.explode(F.array(*[F.lit(p) for p in (1, 2, 4, 8, 16)])).alias("n_probe")
+    ).where(F.col("probe_rank") <= F.col("n_probe"))
+    # two-phase top-5 per (n_probe, query) — per_query_topk's shape with
+    # the composite key (total order: sim desc, neighbor id)
+    order = [F.col("sim").desc(), F.col("neighbor_id")]
+    w1 = Window.partitionBy("n_probe", "query_id", "_chunk").orderBy(*order)
+    pruned = (
+        lvl.withColumn("_chunk", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= 5)
+        .drop("_chunk", "_r1")
+    )
+    w2 = Window.partitionBy("n_probe", "query_id").orderBy(*order)
+    t5 = pin(
+        pruned.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= 5)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    exact5 = t5.where(F.col("n_probe") == 16).select("query_id", "neighbor_id")
+    ov = (
+        t5.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    cand = lvl.groupBy("n_probe", "query_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    grid = q.select("query_id").crossJoin(
+        spark.createDataFrame([(p,) for p in (1, 2, 4, 8, 16)], "n_probe int")
+    )
+    per_q = (
+        grid.join(ov, ["n_probe", "query_id"], "left")
+        .join(cand, ["n_probe", "query_id"], "left")
+        .select(
+            "n_probe",
+            "query_id",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+    )
+    tot = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_corpus")))
+    nq = F.count(F.lit(1))
+    return (
+        per_q.crossJoin(tot)
+        .groupBy("n_probe")
+        .agg(
+            nq.cast("long").alias("n_queries"),
+            rz6(F.sum("overlap").cast("double") / (F.lit(5.0) * nq)).alias(
+                "mean_recall"
+            ),
+            rz6(F.min("overlap").cast("double") / F.lit(5.0)).alias("min_recall"),
+            rz6(
+                F.count(F.when(F.col("overlap") == 5, 1)).cast("double") / nq
+            ).alias("full_recall_share"),
+            rz6(
+                F.sum("n_cand").cast("double")
+                / (nq * F.any_value("n_corpus"))
+            ).alias("avg_candidate_share"),
+        )
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            "n_queries", "mean_recall", "min_recall",
+            "full_recall_share", "avg_candidate_share",
+        )
+        .orderBy("n_probe")
+    )
+
+
+@query(
     "text_lexical_diversity",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),

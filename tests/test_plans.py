@@ -4817,3 +4817,65 @@ def test_kendall_tau_price_slot_collect_is_bounded(spark, tmp_path):
         # 3000 rows pair to ~4.5M comparisons; every slot fold stayed
         # integer-exact, so conc+disc can never exceed n*(n-1)/2
         assert 0 < r["concordant"] + r["discordant"] <= 3000 * 2999 // 2
+
+
+def test_ivf_recall_audit_planted_cells_and_exact_baseline(spark, tmp_path):
+    """Recall accounting pinned on a planted corner geometry: 16 vectors
+    per corner cell, each cluster tight inside its own sign pattern so
+    every vector's 5 exact NNs share its cell -> recall@5 is already 1.0
+    at n_probe=1 and stays 1.0 (monotonicity trivially holds), while the
+    candidate share grows from ~1/16 toward (N-1)/N. A planted straddler
+    (near-zero first component) checks the bit rule (v > 0 -> bit set,
+    zero -> unset) matches the argmax-over-corners semantics.
+    n_probe=16 is the exact baseline BY CONSTRUCTION: recall must be
+    exactly 1.0, full_recall_share 1.0, candidate share (N-1)/N."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for cell in range(16):
+        signs = np.array([1.0 if (cell >> i) & 1 else -1.0 for i in range(4)])
+        for _ in range(16):
+            v = np.zeros(8, dtype=np.float64)
+            v[:4] = signs * (2.0 + rng.random(4))   # strongly inside the cell
+            v[4:] = rng.random(4) * 0.05            # tiny tail noise
+            rows.append((vid, [float(x) for x in v], cell % 3))
+            vid += 1
+    # straddler: first component exactly 0 -> bit 0 UNSET both engines
+    rows.append((vid, [0.0, -3.0, -3.0, -3.0, 0.0, 0.0, 0.0, 0.0], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = {
+        r["n_probe"]: r
+        for r in load_all()["emb_ivf_recall_audit"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert sorted(out) == [1, 2, 4, 8, 16]
+    n = len(rows)
+    nq = sum(1 for r in rows if r[0] < 100)
+    for p, r in out.items():
+        assert r["n_queries"] == nq, p
+        assert r["mean_recall"] == 1.0, p         # clusters never straddle
+        assert r["full_recall_share"] == 1.0, p
+    # candidate share grows with probes and hits (N-1)/N at exhaustive
+    shares = [out[p]["avg_candidate_share"] for p in (1, 2, 4, 8, 16)]
+    assert shares == sorted(shares)
+    assert out[16]["avg_candidate_share"] == round((n - 1) / n + 1e-9, 6)
+    # oracle parity on the planted fixture (same straddler edge)
+    import duckdb
+
+    from tools.compare_oracle import compare_frames
+
+    spec = load_all()["emb_ivf_recall_audit"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    exp = con.sql(spec.oracle).df()
+    assert compare_frames(
+        spec.spark_fn(spark, str(tmp_path)).toPandas(), exp, exact=True
+    ) == []

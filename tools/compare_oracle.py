@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 import duckdb
@@ -29,7 +30,12 @@ from sec_dl_spark.schemas import FIXTURE_TABLES
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in FIXTURE_TABLES:
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+        path = f"{sf_dir}/{name}.parquet"
+        # the driver fixtures are single files; Spark-written fixtures
+        # (e.g. the synthesized .scale/sf1) are part-file directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 
