@@ -410,6 +410,10 @@ PROBE = [
     # kernel — the probe pins the single-exchange O(N log N) shape
     "dq_kendall_tau",
     "dq_kendall_tau_price",
+    # batch 12 (r16): the recall audit's cost is |queries|×N by design
+    # (it computes the exact baseline), so the probe expects ~10× and
+    # pins that the candidate equi-join stays a broadcast probe join
+    "emb_ivf_recall_audit",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
