@@ -4543,8 +4543,10 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_probe", "query_id", "neighbor_id")
     )
     exact5 = t5.where(F.col("n_probe") == 16).select("query_id", "neighbor_id")
+    # every frame below is ≤ levels × |queries| × k rows — broadcast the
+    # probe sides so the bookkeeping joins never sort-merge
     ov = (
-        t5.join(exact5, ["query_id", "neighbor_id"])
+        t5.join(F.broadcast(exact5), ["query_id", "neighbor_id"])
         .groupBy("n_probe", "query_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
@@ -4555,8 +4557,8 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(p,) for p in (1, 2, 4, 8, 16)], "n_probe int")
     )
     per_q = (
-        grid.join(ov, ["n_probe", "query_id"], "left")
-        .join(cand, ["n_probe", "query_id"], "left")
+        grid.join(F.broadcast(ov), ["n_probe", "query_id"], "left")
+        .join(F.broadcast(cand), ["n_probe", "query_id"], "left")
         .select(
             "n_probe",
             "query_id",
