@@ -147,70 +147,69 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r15 (catalog 361 queries): 15
-# impl/oracle-changed lead names (events_mannwhitney_u,
-# events_kruskal_wallis, events_attribution_linear,
-# dq_spearman_correlation, layout_zonemap_pruning_audit,
-# dq_join_key_skew, agg_revenue_concentration, dq_sequence_gap_audit,
-# events_equidepth_bins, events_uplift_qini, events_user_gini,
-# text_vocab_coverage, text_heaps_law, corpus_shard_assign,
-# emb_knn_outliers_ivf); 2 never-driver-checked (dq_kendall_tau,
-# dq_kendall_tau_price); then 33 stale fills, oldest evidence first
-# (rounds r6..r7).
+# Slice aimed at driver round r16 (catalog 362 queries): 14
+# impl/oracle-changed lead names (dq_join_key_skew,
+# agg_revenue_concentration, join_negative_sampling,
+# dq_sequence_gap_audit, layout_zonemap_pruning_audit,
+# corpus_shard_assign, text_vocab_coverage, corpus_shuffle_interleave,
+# text_heaps_law, emb_knn_outliers_ivf, events_equidepth_bins,
+# events_uplift_qini, events_user_gini, dq_kendall_tau_price); 1
+# never-driver-checked (emb_ivf_recall_audit); then 35 stale fills,
+# oldest evidence first (rounds r7..r7).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
 _PRIORITY = (
-    "events_mannwhitney_u",
-    "events_kruskal_wallis",
-    "events_attribution_linear",
-    "dq_spearman_correlation",
-    "layout_zonemap_pruning_audit",
     "dq_join_key_skew",
     "agg_revenue_concentration",
+    "join_negative_sampling",
     "dq_sequence_gap_audit",
+    "layout_zonemap_pruning_audit",
+    "corpus_shard_assign",
+    "text_vocab_coverage",
+    "corpus_shuffle_interleave",
+    "text_heaps_law",
+    "emb_knn_outliers_ivf",
     "events_equidepth_bins",
     "events_uplift_qini",
     "events_user_gini",
-    "text_vocab_coverage",
-    "text_heaps_law",
-    "corpus_shard_assign",
-    "emb_knn_outliers_ivf",
-    "dq_kendall_tau",
     "dq_kendall_tau_price",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_keep_list",
-    "fts_search_and",
-    "fts_search_or",
-    "fts_phrase",
-    "fts_top_df_tokens",
-    "emb_cosine_topk",
-    "emb_cosine_neardup",
-    "multimodal_features",
-    "doc_chunks",
-    "fts_search_not",
-    "fts_tsquery_prefix",
-    "corpus_filter_pipeline",
-    "fts_tsquery_expr",
-    "crossmodal_dup_agreement",
-    "fts_tsquery_phrase",
-    "corpus_quality_filter",
-    "dedup_winnow_pairs",
-    "corpus_mixture_sample",
-    "emb_quantize_int8",
-    "text_passage_dedup",
-    "text_bigram_logprob",
-    "text_word_entropy",
-    "text_bpe_tokens",
-    "emb_label_centroids",
-    "text_top_ngrams",
-    "emb_ivfpq_topk",
-    "text_length_histogram",
-    "layout_zorder_key",
-    "agg_weighted_avg",
-    "join_q10_returned_revenue",
-    "join_q18_large_orders",
+    "emb_ivf_recall_audit",
+    "join_q7_nation_volume",
+    "join_q12_ship_delay",
+    "agg_q14_promo_share",
+    "join_q16_supplier_cnt",
+    "join_q19_or_predicates",
+    "join_q22_idle_customers",
+    "entity_match_trigram",
+    "join_q13_order_count_dist",
+    "join_q15_top_supplier",
+    "join_q17_small_qty_revenue",
+    "join_q8_market_share",
+    "window_first_last_nth",
+    "join_q9_profit_by_nation",
+    "rollup_incremental_merge",
+    "snapshot_diff_orders",
+    "events_hourly_distinct_users",
+    "cdc_latest_snapshot",
+    "cdc_scd2_history",
+    "events_props_variant",
+    "cdc_temporal_join",
+    "corpus_dsir_weights",
+    "dedup_keep_best",
+    "corpus_split_assign",
+    "text_keywords_tfidf",
+    "emb_dim_stats",
+    "fts_headline",
+    "corpus_decontaminate",
+    "corpus_curriculum_order",
+    "corpus_temperature_mixture",
+    "text_zipf_slope",
+    "sample_top_hash",
+    "text_duplicate_ngram_fraction",
+    "text_gopher_rules",
+    "corpus_dedup_rate_by_source",
+    "corpus_dsir_resample",
 )
 
 
