@@ -6780,21 +6780,19 @@ def dq_kendall_tau_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise sit at opposite ends of the two engines' prefix
     # orders (Spark sorts NULLS FIRST, DuckDB windows NULLS LAST) — the
     # nullable-ordered-grain class closed this round
-    c = pin(
-        spread(
-            t(spark, sf_dir, "lineitem")
-            .where(
-                F.col("l_extendedprice").isNotNull()
-                & F.col("l_quantity").isNotNull()
-                & F.col("l_discount").isNotNull()
-                & F.col("l_tax").isNotNull()
-            )
-            .select(
-                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
-                F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
-                F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
-                F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
-            )
+    c = spread(
+        t(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_tax").isNotNull()
+        )
+        .select(
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
+            F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("q"),
+            F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("d"),
+            F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("t"),
         )
     )
     out_schema = (
@@ -6802,6 +6800,13 @@ def dq_kendall_tau_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tau_b double"
     )
     n_parts = spark.sparkContext.defaultParallelism
+    # ONE pin: c feeds nothing but this frame, so pinning it separately
+    # was a second full materialization competing for executor storage —
+    # r16 bench forensics measured the query ~2x slower when it ran
+    # right after a full suite pass (storage crowded by the fts/tok/
+    # serving caches) and the redundant pin was the amplifier. The
+    # branch-consistency argument needs only THIS pinned frame: pv and
+    # the dominance kernel both read `ranged`.
     ranged = pin(
         c.repartitionByRange(n_parts, F.asc("p"))
         .sortWithinPartitions(F.asc("p"))
