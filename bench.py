@@ -400,6 +400,9 @@ HEADLINE = [
     # r16: partial-probe recall curve through the real IVF candidate
     # join (closed-form corner quantizer makes it driver-oracle-able)
     "emb_ivf_recall_audit",
+    # r16: quality half of the hamming-vs-cosine A/B — recall@5 of the
+    # hamming-shortlist/exact-rerank path at m in {5,10,25,50}
+    "emb_hamming_recall_audit",
 ]
 
 

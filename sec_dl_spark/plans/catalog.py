@@ -147,15 +147,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r16 (catalog 362 queries): 14
+# Slice aimed at driver round r16 (catalog 363 queries): 14
 # impl/oracle-changed lead names (dq_join_key_skew,
 # agg_revenue_concentration, join_negative_sampling,
 # dq_sequence_gap_audit, layout_zonemap_pruning_audit,
 # corpus_shard_assign, text_vocab_coverage, corpus_shuffle_interleave,
 # text_heaps_law, emb_knn_outliers_ivf, events_equidepth_bins,
-# events_uplift_qini, events_user_gini, dq_kendall_tau_price); 1
-# never-driver-checked (emb_ivf_recall_audit); then 35 stale fills,
-# oldest evidence first (rounds r7..r7).
+# events_uplift_qini, events_user_gini, dq_kendall_tau_price); 2
+# never-driver-checked (emb_ivf_recall_audit, emb_hamming_recall_audit);
+# then 34 stale fills, oldest evidence first (rounds r7..r7).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
@@ -175,6 +175,7 @@ _PRIORITY = (
     "events_user_gini",
     "dq_kendall_tau_price",
     "emb_ivf_recall_audit",
+    "emb_hamming_recall_audit",
     "join_q7_nation_volume",
     "join_q12_ship_delay",
     "agg_q14_promo_share",
@@ -209,7 +210,6 @@ _PRIORITY = (
     "text_duplicate_ngram_fraction",
     "text_gopher_rules",
     "corpus_dedup_rate_by_source",
-    "corpus_dsir_resample",
 )
 
 

@@ -3215,6 +3215,159 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_hamming_recall_audit",
+    oracle="""
+    WITH lv AS (SELECT unnest([5, 10, 25, 50]) AS m),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+    ham AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CASE WHEN (qv[i] > 0) <> (v[i] > 0) THEN 1 ELSE 0 END))
+               AS BIGINT) AS hamming,
+             round(list_cosine_similarity(qv, v), 6) AS sim
+      FROM q CROSS JOIN e WHERE vec_id <> query_id),
+    sl AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS h_rank
+      FROM ham),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM ham) WHERE rk <= 5),
+    lvl AS (
+      SELECT l.m, s.query_id, s.neighbor_id, s.sim
+      FROM sl s CROSS JOIN lv l WHERE s.h_rank <= l.m),
+    t5 AS (
+      SELECT m, query_id, neighbor_id FROM (
+        SELECT m, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY m, query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM lvl) WHERE rk <= 5),
+    ov AS (
+      SELECT t.m, t.query_id, count(*) AS overlap
+      FROM t5 t JOIN exact5 x USING (query_id, neighbor_id)
+      GROUP BY t.m, t.query_id),
+    grid AS (SELECT l.m, q.query_id FROM q CROSS JOIN lv l),
+    per_q AS (
+      SELECT g.m, g.query_id, coalesce(o.overlap, 0) AS overlap
+      FROM grid g LEFT JOIN ov o ON o.m = g.m AND o.query_id = g.query_id)
+    SELECT CAST(m AS BIGINT) AS shortlist_m,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           (round(CAST(sum(overlap) AS DOUBLE) / (5.0 * count(*)) + 1e-9, 6)
+             + 0.0) AS mean_recall,
+           (round(CAST(min(overlap) AS DOUBLE) / 5.0 + 1e-9, 6) + 0.0)
+             AS min_recall,
+           (round(CAST(count(*) FILTER (overlap = 5) AS DOUBLE) / count(*)
+                  + 1e-9, 6) + 0.0) AS full_recall_share
+    FROM per_q GROUP BY m ORDER BY shortlist_m
+    """,
+)
+def emb_hamming_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 curve of the TWO-STAGE binary retrieval path — hamming
+    shortlist of m candidates (packed sign bits, XOR+popcount scan),
+    exact-cosine rerank, top-5 — against the full-precision exact top-5,
+    at shortlist sizes m ∈ {5,10,25,50}. This is the quality half of the
+    bench's hamming-vs-cosine cost A/B (`hamming_over_cosine` ~0.9-1.0
+    at local SFs; the 32× byte-compression payoff is at memory-bound
+    scale): a deployment reads this table to pick the smallest shortlist
+    whose recall clears its bar. Unlike the IVF audit there is no
+    exhaustive row (m=50 is 10% of the 500-vector fixture; sf0.01 reads
+    mean recall 0.218→0.698 across the curve — sign bits are a lossy
+    tier, which is exactly what the table quantifies); the in-band
+    sentinel here is monotonicity BY CONSTRUCTION: shortlists are
+    nested in m, so every recall column must be non-decreasing
+    (pytest-pinned, alongside a planted-cluster fixture where tight
+    sign-aligned clusters force 1.0 at every m).
+
+    Fully driver-oracled for the same reason as emb_ivf_recall_audit:
+    the sign-bit quantizer is a closed form of the data — the oracle
+    counts sign mismatches directly on the float lists
+    (packing-independent, so a packing bug cannot cancel out of both
+    sides, the emb_hamming_topk convention), ranks with the identical
+    (hamming, id) and (round(sim,6) DESC, id) total orders, and recall
+    reduces to integer set intersections.
+
+    Scale shape: ONE hamming scan (the binary tier's full-scan job —
+    dim/8 bytes per vector), one top-50 two-phase shortlist, one
+    shortlist-sized (≤ 50·|queries| rows) rerank join against the float
+    vectors, and bounded windows per (m, query). The exact baseline is
+    |queries|×N like every recall measurement; queries bounded to 100 by
+    the emb_knn_distance_outliers convention."""
+    e0 = spread(t(spark, sf_dir, "embeddings"))
+    qf = e0.where(F.col("vec_id") < 100)
+    # one hamming scan -> top-50 shortlist WITH hamming rank attached
+    sl = similarity.hamming_topk(e0, qf, k=50).withColumnRenamed("rank", "h_rank")
+    full = similarity.with_vec_norm(
+        e0.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "embedding", vec_out="c_vec", norm_out="c_nrm",
+    ).select("neighbor_id", "c_vec", "c_nrm")
+    qv = F.broadcast(
+        similarity.with_vec_norm(
+            qf.select(F.col("vec_id").alias("query_id"), "embedding"),
+            "embedding", vec_out="q_vec", norm_out="q_nrm",
+        ).select("query_id", "q_vec", "q_nrm")
+    )
+    rescored = (
+        sl.join(full, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "h_rank",
+            F.round(
+                similarity.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    lvl = rescored.select(
+        "*", F.explode(F.array(*[F.lit(m) for m in (5, 10, 25, 50)])).alias("m")
+    ).where(F.col("h_rank") <= F.col("m"))
+    order = [F.col("sim").desc(), F.col("neighbor_id")]
+    w2 = Window.partitionBy("m", "query_id").orderBy(*order)
+    t5 = (
+        lvl.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= 5)
+        .select("m", "query_id", "neighbor_id")
+    )
+    exact5 = similarity.cosine_topk(e0, qf, k=5).select("query_id", "neighbor_id")
+    ov = (
+        t5.join(F.broadcast(exact5), ["query_id", "neighbor_id"])
+        .groupBy("m", "query_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    grid = qf.select(F.col("vec_id").alias("query_id")).crossJoin(
+        spark.createDataFrame([(m,) for m in (5, 10, 25, 50)], "m int")
+    )
+    per_q = grid.join(F.broadcast(ov), ["m", "query_id"], "left").select(
+        "m", "query_id", F.coalesce("overlap", F.lit(0)).alias("overlap")
+    )
+    nq = F.count(F.lit(1))
+    return (
+        per_q.groupBy("m")
+        .agg(
+            nq.cast("long").alias("n_queries"),
+            rz6(F.sum("overlap").cast("double") / (F.lit(5.0) * nq)).alias(
+                "mean_recall"
+            ),
+            rz6(F.min("overlap").cast("double") / F.lit(5.0)).alias("min_recall"),
+            rz6(
+                F.count(F.when(F.col("overlap") == 5, 1)).cast("double") / nq
+            ).alias("full_recall_share"),
+        )
+        .select(
+            F.col("m").cast("long").alias("shortlist_m"),
+            "n_queries", "mean_recall", "min_recall", "full_recall_share",
+        )
+        .orderBy("shortlist_m")
+    )
+
+
+@query(
     "text_quality_ks_drift",
     oracle=f"""
     WITH tk AS (SELECT doc_id, source, text, {TOKS} AS toks FROM documents),

@@ -4879,3 +4879,83 @@ def test_ivf_recall_audit_planted_cells_and_exact_baseline(spark, tmp_path):
     assert compare_frames(
         spec.spark_fn(spark, str(tmp_path)).toPandas(), exp, exact=True
     ) == []
+
+
+def test_hamming_recall_audit_planted_clusters_and_monotonicity(
+    spark, tmp_path, sf_dir
+):
+    """Recall accounting for the hamming-shortlist/rerank path pinned on a
+    planted sign geometry: 6-vector clusters, each tight inside one sign
+    pattern (first 4 dims signed per a 4-bit pattern, last 4 positive), so
+    every query's 5 exact cosine NNs are exactly its 5 cluster mates AND
+    exactly its 5 hamming-0 candidates -> recall 1.0 at every shortlist m.
+    The pattern-0 cluster carries 5 members plus a CANDIDATE-ONLY
+    STRADDLER (vec_id 200, outside the query cut) whose first component
+    is exactly 0.0 — the bit rule (v > 0 -> set, zero -> unset) makes it
+    hamming-0 to the all-negative-prefix cluster in BOTH engines, and it
+    is also those members' 5th exact cosine NN, so their 1.0 rows survive
+    only if the zero-bit rule matches across engines. (It cannot itself
+    be a query: its zero dim contributes nothing to cosine, leaving
+    pattern-0 and pattern-1 members equidistant — noise then splits its
+    exact top-5 across two hamming shells.) Oracle parity re-checked on
+    the planted fixture; the real-fixture sentinel is MONOTONICITY
+    (nested shortlists -> every recall column non-decreasing in m)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for cell in range(16):
+        signs = np.array([1.0 if (cell >> i) & 1 else -1.0 for i in range(4)])
+        n_members = 6 if cell != 0 else 5
+        for _ in range(n_members):
+            v = np.zeros(8, dtype=np.float64)
+            v[:4] = signs * (2.0 + rng.random(4))
+            v[4:] = 2.0 + rng.random(4)
+            rows.append((vid, [float(x) for x in v], cell % 3))
+            vid += 1
+    # straddler: first component exactly 0 -> bit UNSET in both engines,
+    # signature identical to the pattern-0 (all-negative-prefix) cluster
+    rows.append(
+        (200, [0.0, -3.0, -3.0, -3.0, 3.0, 3.0, 3.0, 3.0], 0)
+    )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    spec = load_all()["emb_hamming_recall_audit"]
+    out = {
+        r["shortlist_m"]: r
+        for r in spec.spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [5, 10, 25, 50]
+    for m, r in out.items():
+        assert r["n_queries"] == len(rows) - 1, m  # straddler is corpus-only
+        assert r["mean_recall"] == 1.0, m
+        assert r["min_recall"] == 1.0, m
+        assert r["full_recall_share"] == 1.0, m
+
+    # oracle parity on the planted fixture (same zero-bit edge)
+    import duckdb
+
+    from tools.compare_oracle import compare_frames
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    exp = con.sql(spec.oracle).df()
+    assert compare_frames(
+        spec.spark_fn(spark, str(tmp_path)).toPandas(), exp, exact=True
+    ) == []
+
+    # real fixture: nested shortlists force non-decreasing recall in m
+    real = [
+        r.asDict()
+        for r in spec.spark_fn(spark, sf_dir).orderBy("shortlist_m").collect()
+    ]
+    assert [r["shortlist_m"] for r in real] == [5, 10, 25, 50]
+    for colname in ("mean_recall", "min_recall", "full_recall_share"):
+        vals = [r[colname] for r in real]
+        assert vals == sorted(vals), colname
