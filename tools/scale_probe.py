@@ -414,6 +414,9 @@ PROBE = [
     # (it computes the exact baseline), so the probe expects ~10× and
     # pins that the candidate equi-join stays a broadcast probe join
     "emb_ivf_recall_audit",
+    # same |queries|×N exact-baseline contract for the hamming tier;
+    # the shortlist/rerank half is sublinear (≤50·|queries| rows)
+    "emb_hamming_recall_audit",
 ]
 
 # Composed pipelines probed as a whole (not catalog queries): name →
