@@ -825,7 +825,12 @@ def main() -> None:
         "cosine": timings.get("emb_cosine_topk"),
         "hamming_over_cosine": (
             round(timings["emb_hamming_topk"] / timings["emb_cosine_topk"], 3)
-            if timings.get("emb_cosine_topk")
+            # guard BOTH legs: a skip-experiment that drops either query
+            # leaves its timings key absent, and a KeyError here would
+            # land after the full suite ran but before the labelled
+            # digest prints — exactly the lost-output failure the
+            # skip-taint path exists to prevent
+            if timings.get("emb_cosine_topk") and timings.get("emb_hamming_topk")
             else None
         ),
     }
@@ -869,20 +874,34 @@ def main() -> None:
         import sys
 
         sys.stderr.flush()
-        print(
-            json.dumps(
-                {
-                    "metric": "SKIP-TAINTED ordering experiment "
-                    "(not a full-suite artifact; nothing written)",
-                    "value": total,
-                    "unit": "sec",
-                    "sf": sf,
-                    "n_queries": len(timings),
-                    "skip_names": skip_names,
-                }
-            ),
-            flush=True,
-        )
+        skip_digest = {
+            "metric": "SKIP-TAINTED ordering experiment "
+            "(not a full-suite artifact; nothing written)",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3]),
+            "skip_names": skip_names,
+        }
+        line = json.dumps(skip_digest)
+        if len(line) >= 1500:
+            # same driver stdout window as the main digest (~2.2 KB tail
+            # capture — an oversized line gets its HEAD clipped): a long
+            # skip list is summarized as count + hash + head, never
+            # allowed to push the line over the window
+            import hashlib
+
+            skip_digest["skip_names"] = {
+                "n": len(skip_names),
+                "sha256_12": hashlib.sha256(
+                    ",".join(skip_names).encode()
+                ).hexdigest()[:12],
+                "head": skip_names[:5],
+            }
+            line = json.dumps(skip_digest)
+        assert len(line) < 1500, f"skip digest {len(line)}B still too long"
+        print(line, flush=True)
         os._exit(0)
     with open(os.path.join(repo_dir, "BENCH_LAST.json"), "w") as f:
         json.dump(full, f, indent=1)

@@ -498,7 +498,8 @@ def global_rank(
        ``max(mid) − min(mid) + 1 != count`` — a future Spark that gaps
        the sequence fails loudly instead of silently skewing every
        rank. ``tests/test_operators.py::
-       test_global_rank_matches_row_number`` is the upgrade tripwire;
+       test_global_rank_matches_row_number_and_stays_distributed`` is
+       the upgrade tripwire;
     3. partition row-counts (a tiny O(num_partitions) aggregate) become
        cumulative offsets, broadcast-joined back; global rank =
        offset + (mid − partition base).

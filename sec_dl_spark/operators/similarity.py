@@ -34,9 +34,17 @@ EXACT_THRESHOLD = 10_000
 
 
 def per_query_topk(
-    scored: DataFrame, order: list, k: int, rank_col: str = "rank"
+    scored: DataFrame,
+    order: list,
+    k: int,
+    rank_col: str = "rank",
+    partition_cols: tuple = ("query_id",),
 ) -> DataFrame:
     """Two-phase per-query top-k over a (query_id, ...) scored frame.
+
+    ``partition_cols`` generalizes the per-query key to composite grains
+    (e.g. the IVF recall audit's (n_probe, query_id) leveled top-5) so
+    leveled call sites reuse this audited shape instead of copying it.
 
     A single ``Window.partitionBy("query_id")`` makes each window
     partition as large as that query's scored set — for a full-corpus
@@ -55,13 +63,13 @@ def per_query_topk(
     ``spark_partition_id()`` — which rows share a chunk is plan-dependent,
     but the result is chunking-invariant, so determinism is unaffected."""
     part = scored.withColumn("_chunk", F.spark_partition_id())
-    w1 = Window.partitionBy("query_id", "_chunk").orderBy(*order)
+    w1 = Window.partitionBy(*partition_cols, "_chunk").orderBy(*order)
     pruned = (
         part.withColumn("_r1", F.row_number().over(w1))
         .where(F.col("_r1") <= k)
         .drop("_chunk", "_r1")
     )
-    w2 = Window.partitionBy("query_id").orderBy(*order)
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order)
     return pruned.withColumn(rank_col, F.row_number().over(w2).cast("long")).where(
         F.col(rank_col) <= k
     )

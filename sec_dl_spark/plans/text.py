@@ -3182,6 +3182,52 @@ def emb_binary_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _recall_level_grid(spark, queries_df, levels, level_col):
+    """(level × query_id) completeness grid shared by the ANN recall
+    audits — queries with ZERO overlap at a level must still count in
+    the denominators, so the per-query overlap frame is left-joined
+    onto this grid, never aggregated bare."""
+    return queries_df.select("query_id").crossJoin(
+        spark.createDataFrame([(int(v),) for v in levels], f"{level_col} int")
+    )
+
+
+def _recall_summary(per_q, level_col, out_col, k=5, extra_aggs=(), extra_cols=()):
+    """Shared recall-accounting tail of the ANN recall audits
+    (emb_ivf_recall_audit, emb_hamming_recall_audit): per-level
+    n_queries / mean_recall@k / min_recall / full_recall_share with the
+    rz6 rounding + BIGINT-cast output conventions in ONE place, so a fix
+    to a denominator or rounding cannot silently apply to one audit and
+    not the other. ``extra_aggs``/``extra_cols`` thread audit-specific
+    columns (the IVF candidate-share) through the same groupBy."""
+    nq = F.count(F.lit(1))
+    return (
+        per_q.groupBy(level_col)
+        .agg(
+            nq.cast("long").alias("n_queries"),
+            rz6(F.sum("overlap").cast("double") / (F.lit(float(k)) * nq)).alias(
+                "mean_recall"
+            ),
+            rz6(F.min("overlap").cast("double") / F.lit(float(k))).alias(
+                "min_recall"
+            ),
+            rz6(
+                F.count(F.when(F.col("overlap") == k, 1)).cast("double") / nq
+            ).alias("full_recall_share"),
+            *extra_aggs,
+        )
+        .select(
+            F.col(level_col).cast("long").alias(out_col),
+            "n_queries",
+            "mean_recall",
+            "min_recall",
+            "full_recall_share",
+            *extra_cols,
+        )
+        .orderBy(out_col)
+    )
+
+
 @query(
     "emb_hamming_topk",
     oracle="""
@@ -3340,31 +3386,13 @@ def emb_hamming_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m", "query_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    grid = qf.select(F.col("vec_id").alias("query_id")).crossJoin(
-        spark.createDataFrame([(m,) for m in (5, 10, 25, 50)], "m int")
+    grid = _recall_level_grid(
+        spark, qf.select(F.col("vec_id").alias("query_id")), (5, 10, 25, 50), "m"
     )
     per_q = grid.join(F.broadcast(ov), ["m", "query_id"], "left").select(
         "m", "query_id", F.coalesce("overlap", F.lit(0)).alias("overlap")
     )
-    nq = F.count(F.lit(1))
-    return (
-        per_q.groupBy("m")
-        .agg(
-            nq.cast("long").alias("n_queries"),
-            rz6(F.sum("overlap").cast("double") / (F.lit(5.0) * nq)).alias(
-                "mean_recall"
-            ),
-            rz6(F.min("overlap").cast("double") / F.lit(5.0)).alias("min_recall"),
-            rz6(
-                F.count(F.when(F.col("overlap") == 5, 1)).cast("double") / nq
-            ).alias("full_recall_share"),
-        )
-        .select(
-            F.col("m").cast("long").alias("shortlist_m"),
-            "n_queries", "mean_recall", "min_recall", "full_recall_share",
-        )
-        .orderBy("shortlist_m")
-    )
+    return _recall_summary(per_q, "m", "shortlist_m")
 
 
 @query(
@@ -4679,21 +4707,13 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl = scored.select(
         "*", F.explode(F.array(*[F.lit(p) for p in (1, 2, 4, 8, 16)])).alias("n_probe")
     ).where(F.col("probe_rank") <= F.col("n_probe"))
-    # two-phase top-5 per (n_probe, query) — per_query_topk's shape with
-    # the composite key (total order: sim desc, neighbor id)
+    # two-phase top-5 per (n_probe, query) — per_query_topk with the
+    # composite key (total order: sim desc, neighbor id)
     order = [F.col("sim").desc(), F.col("neighbor_id")]
-    w1 = Window.partitionBy("n_probe", "query_id", "_chunk").orderBy(*order)
-    pruned = (
-        lvl.withColumn("_chunk", F.spark_partition_id())
-        .withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= 5)
-        .drop("_chunk", "_r1")
-    )
-    w2 = Window.partitionBy("n_probe", "query_id").orderBy(*order)
     t5 = pin(
-        pruned.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= 5)
-        .select("n_probe", "query_id", "neighbor_id")
+        similarity.per_query_topk(
+            lvl, order, 5, rank_col="rk", partition_cols=("n_probe", "query_id")
+        ).select("n_probe", "query_id", "neighbor_id")
     )
     exact5 = t5.where(F.col("n_probe") == 16).select("query_id", "neighbor_id")
     # every frame below is ≤ levels × |queries| × k rows — broadcast the
@@ -4706,9 +4726,7 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lvl.groupBy("n_probe", "query_id").agg(
         F.count(F.lit(1)).alias("n_cand")
     )
-    grid = q.select("query_id").crossJoin(
-        spark.createDataFrame([(p,) for p in (1, 2, 4, 8, 16)], "n_probe int")
-    )
+    grid = _recall_level_grid(spark, q, (1, 2, 4, 8, 16), "n_probe")
     per_q = (
         grid.join(F.broadcast(ov), ["n_probe", "query_id"], "left")
         .join(F.broadcast(cand), ["n_probe", "query_id"], "left")
@@ -4721,29 +4739,16 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_corpus")))
     nq = F.count(F.lit(1))
-    return (
-        per_q.crossJoin(tot)
-        .groupBy("n_probe")
-        .agg(
-            nq.cast("long").alias("n_queries"),
-            rz6(F.sum("overlap").cast("double") / (F.lit(5.0) * nq)).alias(
-                "mean_recall"
-            ),
-            rz6(F.min("overlap").cast("double") / F.lit(5.0)).alias("min_recall"),
+    return _recall_summary(
+        per_q.crossJoin(tot),
+        "n_probe",
+        "n_probe",
+        extra_aggs=(
             rz6(
-                F.count(F.when(F.col("overlap") == 5, 1)).cast("double") / nq
-            ).alias("full_recall_share"),
-            rz6(
-                F.sum("n_cand").cast("double")
-                / (nq * F.any_value("n_corpus"))
+                F.sum("n_cand").cast("double") / (nq * F.any_value("n_corpus"))
             ).alias("avg_candidate_share"),
-        )
-        .select(
-            F.col("n_probe").cast("long").alias("n_probe"),
-            "n_queries", "mean_recall", "min_recall",
-            "full_recall_share", "avg_candidate_share",
-        )
-        .orderBy("n_probe")
+        ),
+        extra_cols=("avg_candidate_share",),
     )
 
 
