@@ -2712,3 +2712,45 @@ def test_global_cumsum_cols_matches_per_column_prefix_sums(spark):
     for k, a, b, c in sorted(rows):
         ca, cb, cc = ca + a, cb + b, cc + c
         assert got[k] == (ca, cb, cc), k
+
+
+def test_per_query_topk_composite_key_matches_global_window(spark):
+    """The two-phase top-k must be chunking-invariant and equal to the
+    single global window for ANY partitioning, for both the default
+    query_id key and the composite (level, query_id) key the IVF recall
+    audit uses (partition_cols). Scores are drawn with heavy ties so the
+    neighbor_id tiebreak (the total-order requirement every call site
+    obeys) is actually load-bearing."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.similarity import per_query_topk
+
+    rng = random.Random(5)
+    rows = [
+        (lvl, q, n, float(rng.randrange(6)))
+        for lvl in (1, 2, 4)
+        for q in range(7)
+        for n in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "lvl int, query_id long, neighbor_id long, score double"
+    ).repartition(13)
+    order = [F.col("score").desc(), F.col("neighbor_id")]
+
+    for part_cols in (("query_id",), ("lvl", "query_id")):
+        got = per_query_topk(
+            df, order, 5, partition_cols=part_cols
+        ).collect()
+        w = Window.partitionBy(*part_cols).orderBy(*order)
+        exp = (
+            df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp)), part_cols
+        # with the composite key each (lvl, query) group yields exactly 5
+        if part_cols == ("lvl", "query_id"):
+            assert len(got) == 3 * 7 * 5
