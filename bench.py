@@ -406,6 +406,41 @@ HEADLINE = [
 ]
 
 
+def build_skip_digest(timings: dict, skip_names: list, sf, total) -> str:
+    """Stdout digest for a SKIP-TAINTED ordering experiment (ADVICE r15:
+    a non-empty SPARK_GRAFT_BENCH_SKIP refuses to write BENCH_LAST.json /
+    the archive — the experiment's labelled output lives on stdout only).
+    Same driver stdout window as the main digest (~2.2 KB tail capture —
+    an oversized line gets its HEAD clipped, the BENCH_r07-r09 "parsed":
+    null failure): a long skip list is summarized as count + hash + head,
+    never allowed to push the line over the window. Pure function so the
+    guard is pytest-pinned, not just read."""
+    digest = {
+        "metric": "SKIP-TAINTED ordering experiment "
+        "(not a full-suite artifact; nothing written)",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3]),
+        "skip_names": skip_names,
+    }
+    line = json.dumps(digest)
+    if len(line) >= 1500:
+        import hashlib
+
+        digest["skip_names"] = {
+            "n": len(skip_names),
+            "sha256_12": hashlib.sha256(
+                ",".join(skip_names).encode()
+            ).hexdigest()[:12],
+            "head": skip_names[:5],
+        }
+        line = json.dumps(digest)
+    assert len(line) < 1500, f"skip digest {len(line)}B still too long"
+    return line
+
+
 def _cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux."""
     try:
@@ -874,34 +909,7 @@ def main() -> None:
         import sys
 
         sys.stderr.flush()
-        skip_digest = {
-            "metric": "SKIP-TAINTED ordering experiment "
-            "(not a full-suite artifact; nothing written)",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3]),
-            "skip_names": skip_names,
-        }
-        line = json.dumps(skip_digest)
-        if len(line) >= 1500:
-            # same driver stdout window as the main digest (~2.2 KB tail
-            # capture — an oversized line gets its HEAD clipped): a long
-            # skip list is summarized as count + hash + head, never
-            # allowed to push the line over the window
-            import hashlib
-
-            skip_digest["skip_names"] = {
-                "n": len(skip_names),
-                "sha256_12": hashlib.sha256(
-                    ",".join(skip_names).encode()
-                ).hexdigest()[:12],
-                "head": skip_names[:5],
-            }
-            line = json.dumps(skip_digest)
-        assert len(line) < 1500, f"skip digest {len(line)}B still too long"
-        print(line, flush=True)
+        print(build_skip_digest(timings, skip_names, sf, total), flush=True)
         os._exit(0)
     with open(os.path.join(repo_dir, "BENCH_LAST.json"), "w") as f:
         json.dump(full, f, indent=1)
