@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sec_dl_spark.plans.catalog import query, t
-from sec_dl_spark.plans.util import rz, rz6
+from sec_dl_spark.plans.util import cents, cents_sql, money, money_sql, rz, rz6
 from sec_dl_spark.session import pin
 
 # --------------------------------------------------------------------------
@@ -31,12 +31,12 @@ from sec_dl_spark.session import pin
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                 AS sum_qty,
-           round(sum(l_extendedprice), 2)                            AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {money_sql('sum(' + cents_sql('l_extendedprice') + ')', 100)} AS sum_base_price,
+           {money_sql('sum(' + cents_sql('l_extendedprice') + ' * (100 - ' + cents_sql('l_discount') + '))', 10000)} AS sum_disc_price,
+           {money_sql('sum(' + cents_sql('l_extendedprice') + ' * (100 - ' + cents_sql('l_discount') + ') * (100 + ' + cents_sql('l_tax') + '))', 1000000)} AS sum_charge,
            round(avg(l_quantity) + 1e-8, 4)                                 AS avg_qty,
            round(avg(l_extendedprice) + 1e-8, 4)                            AS avg_price,
            round(avg(l_discount) + 1e-8, 4)                                 AS avg_disc,
@@ -49,16 +49,27 @@ from sec_dl_spark.session import pin
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1-style grouped aggregation (partial agg map-side,
-    single shuffle on the 6-value group key; filter pushed to parquet)."""
+    single shuffle on the 6-value group key; filter pushed to parquet).
+    The three price sums use the integer-moment convention (exact BIGINT
+    cents/cents·pct/cents·pct² units, one divide at output) — their
+    group sums reach 4.6e10 dollars at sf1, the magnitude where the old
+    double-sum form flips cent boundaries between engines (the join_q9
+    class). sum_qty stays a plain double sum: integral values sum
+    exactly up to 2^53."""
     li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep_c, disc_c, tax_c = (
+        cents(F.col("l_extendedprice")),
+        cents(F.col("l_discount")),
+        cents(F.col("l_tax")),
+    )
+    disc_u = ep_c * (F.lit(100) - disc_c)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money(F.sum(ep_c), 100).alias("sum_base_price"),
+            money(F.sum(disc_u), 10000).alias("sum_disc_price"),
+            money(F.sum(disc_u * (F.lit(100) + tax_c)), 1000000).alias("sum_charge"),
             F.round(F.avg("l_quantity") + 1e-8, 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice") + 1e-8, 4).alias("avg_price"),
             F.round(F.avg("l_discount") + 1e-8, 4).alias("avg_disc"),
@@ -146,7 +157,7 @@ def agg_minmax_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, (round((sum(CAST(round((o_totalprice) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -157,7 +168,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(cents(F.col("o_totalprice"))), 100).alias("total"),
+        )
         .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
     )
 
@@ -212,7 +226,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_star_3way",
     oracle="""
-    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    SELECT r_name, count(*) AS n_customers,
+           (round((sum(CAST(round((c_acctbal) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -230,7 +245,10 @@ def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money(F.sum(cents(F.col("c_acctbal"))), 100).alias("total_bal"),
+        )
         .orderBy("r_name")
     )
 
@@ -240,7 +258,7 @@ def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name, count(*) AS n_rows,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           (round((sum(CAST(round((o_totalprice) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total
     FROM customer
     LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o ON c_custkey = o_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -259,7 +277,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money(F.sum(cents(F.col("o_totalprice"))), 100).alias("total"),
         )
         .orderBy("n_name")
     )
@@ -414,7 +432,8 @@ def join_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q5_region_revenue",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) / 10000.0 + 1e-6, 2) + 0.0) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -444,7 +463,7 @@ def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money(F.sum(cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))), 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -453,7 +472,7 @@ def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_fast_items,
-           round(sum(l_extendedprice), 2) AS fast_revenue
+           (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS fast_revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
      AND l_shipdate < o_orderdate + INTERVAL 30 DAY
@@ -475,7 +494,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_fast_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("fast_revenue"),
+            money(F.sum(cents(F.col("l_extendedprice"))), 100).alias("fast_revenue"),
         )
         .orderBy("o_orderstatus")
     )
@@ -561,7 +580,8 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "union_by_name",
     oracle="""
-    SELECT kind, count(*) AS n, round(sum(acctbal), 2) AS total_bal
+    SELECT kind, count(*) AS n,
+           (round((sum(CAST(round((acctbal) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total_bal
     FROM (
       SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
       UNION ALL
@@ -577,7 +597,10 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.unionByName(s)
         .groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(cents(F.col("acctbal"))), 100).alias("total_bal"),
+        )
         .orderBy("kind")
     )
 
@@ -763,13 +786,13 @@ def scalar_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_case",
     oracle="""
     SELECT bucket, count(*) AS n,
-           round(sum(revenue), 2) AS revenue,
+           (round((sum(revenue_u)) / 1000.0 + 1e-6, 2) + 0.0) AS revenue,
            round(avg(tax_amt) + 1e-8, 4) AS avg_tax
     FROM (
       SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
                   WHEN o_totalprice < 300000 THEN 'medium'
                   ELSE 'large' END AS bucket,
-             o_totalprice * 0.9 AS revenue,
+             CAST(round((o_totalprice) * 100) AS BIGINT) * 9 AS revenue_u,
              abs(o_totalprice) * 0.07 AS tax_amt
       FROM orders)
     GROUP BY bucket ORDER BY bucket
@@ -786,13 +809,13 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             bucket.alias("bucket"),
-            (F.col("o_totalprice") * 0.9).alias("revenue"),
+            (cents(F.col("o_totalprice")) * F.lit(9)).alias("revenue_u"),
             (F.abs(F.col("o_totalprice")) * 0.07).alias("tax_amt"),
         )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("revenue"), 2).alias("revenue"),
+            money(F.sum("revenue_u"), 1000).alias("revenue"),
             F.round(F.avg("tax_amt") + 1e-8, 4).alias("avg_tax"),
         )
         .orderBy("bucket")
@@ -852,7 +875,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_systematic",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price
+           (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS sum_price
     FROM lineitem WHERE l_orderkey % 37 = 0
     """,
 )
@@ -864,7 +887,7 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 37 == 0)
     return li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        money(F.sum(cents(F.col("l_extendedprice"))), 100).alias("sum_price"),
     )
 
 
@@ -948,7 +971,9 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  / 10000.0 + 1e-6, 2) + 0.0) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """,
@@ -957,7 +982,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact⋈dim join (operators/skew.py): dim replicated n_salts
     ways, facts salted deterministically — the mitigation for hot keys when
     broadcast is impossible. Result-identical to the plain join, which is
-    exactly what the oracle asserts."""
+    exactly what the oracle asserts.
+
+    Revenue accumulates by the integer-moment convention (exact BIGINT
+    cents² units, one divide at output): the 5 priority groups sum
+    ~6e10 dollars each at sf1 — the largest money magnitudes in the
+    catalog — and the double-sum form crossed a cent rounding boundary
+    there (the join_q9 class; caught by the sf1 money-sum sweep).
+    Headroom: |term| ≤ ~1.1e9, int64-safe past sf1000."""
     from sec_dl_spark.operators.skew import salted_join
 
     li = t(spark, sf_dir, "lineitem")
@@ -965,13 +997,17 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(
         li.withColumnRenamed("l_orderkey", "o_orderkey"), o, key="o_orderkey", n_salts=4
     )
+    rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (
+                F.round(F.sum(rev_u).cast("double") / F.lit(10000.0) + F.lit(1e-6), 2)
+                + F.lit(0.0)
+            ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1069,7 +1105,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_adhoc_q6",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))) / 10000.0 + 1e-6, 2) + 0.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
@@ -1085,7 +1121,7 @@ def sql_adhoc_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_fixtures(spark, sf_dir)
     return spark.sql("""
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))) / 10000.0 + 1e-6, 2) + 0.0) AS revenue,
                count(*) AS n
         FROM lineitem
         WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
@@ -1488,11 +1524,11 @@ def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q7_nation_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           (round((sum(volume_u)) / 10000.0 + 1e-6, 2) + 0.0) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)) AS volume_u
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -1538,11 +1574,7 @@ def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money(F.sum(cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))), 10000).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1664,7 +1696,7 @@ def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q19_or_predicates",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) / 10000.0 + 1e-6, 2) + 0.0) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -1690,11 +1722,7 @@ def join_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .where(block("Brand#1", 15, 1, 11) | block("Brand#2", 25, 10, 20) | block("Brand#3", 35, 20, 30))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money(F.sum(cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))), 10000).alias("revenue"))
     )
 
 
@@ -1705,7 +1733,7 @@ def join_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff AS (SELECT avg(c_acctbal) AS ab FROM pool WHERE c_acctbal > 0.0)
     SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
            CAST(count(*) AS BIGINT) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           (round((sum(CAST(round((c_acctbal) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS totacctbal
     FROM pool, cutoff
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -1739,7 +1767,7 @@ def join_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money(F.sum(cents(F.col("c_acctbal"))), 100).alias("totacctbal"),
         )
         .orderBy("nationkey")
     )
@@ -1874,7 +1902,7 @@ def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_q17_small_qty_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    SELECT round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 700.0 + 1e-9, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (
@@ -1902,9 +1930,11 @@ def join_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("ap_key"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            (F.round(F.sum("l_extendedprice") / 7.0 + F.lit(1e-9), 2)).alias(
-                "avg_yearly"
-            )
+            F.round(
+                F.sum(cents(F.col("l_extendedprice"))).cast("double") / F.lit(700.0)
+                + F.lit(1e-9),
+                2,
+            ).alias("avg_yearly")
         )
     )
 
@@ -2082,8 +2112,11 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q9_profit_by_nation",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           (round(sum(l_extendedprice * (1 - l_discount)
-                      - 0.6 * p_retailprice * l_quantity) + 1e-6, 2) + 0.0)
+           (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT))
+                  / 10000.0 + 1e-6, 2) + 0.0)
              AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
@@ -2101,7 +2134,18 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the part's retail price per unit): a five-way join where part
     (pre-filtered by the name pattern), supplier, and nation broadcast,
     lineitem-orders shuffle on the order key, and the LIKE predicate
-    prunes the broadcast BEFORE the join builds."""
+    prunes the broadcast BEFORE the join builds.
+
+    Profit accumulates by the INTEGER-MOMENT convention: every input has
+    2-decimal granularity (quantity integral), so the per-row term
+    ep_c*(100−disc_c) − 60*rp_c*qty is an exact BIGINT in 1e-4-dollar
+    units, summed exactly and divided once at output. The original
+    double-sum form was the catalog's last sf1 casualty of this class:
+    at 6M rows a ~2.4e8-dollar group accumulates enough summation-order
+    error to cross a cent rounding boundary against the oracle
+    (236361283.59 vs .60) — the 1e-6 nudge can't absorb order-dependent
+    error at that magnitude. Headroom: |term| ≤ ~1.1e9 per row, so the
+    int64 group sum is safe past sf1000."""
     li = t(spark, sf_dir, "lineitem")
     p = F.broadcast(
         t(spark, sf_dir, "part")
@@ -2111,9 +2155,11 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     n = F.broadcast(t(spark, sf_dir, "nation"))
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    rp_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    profit_u = ep_c * (F.lit(100) - disc_c) - F.lit(60) * rp_c * qty
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -2123,7 +2169,14 @@ def join_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg((F.round(F.sum(profit) + F.lit(1e-6), 2) + F.lit(0.0)).alias("sum_profit"))
+        .agg(
+            (
+                F.round(
+                    F.sum(profit_u).cast("double") / F.lit(10000.0) + F.lit(1e-6), 2
+                )
+                + F.lit(0.0)
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -2447,7 +2500,7 @@ def join_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_q6_forecast_revenue",
     oracle="""
-    SELECT (round(sum(l_extendedprice * l_discount) + 1e-6, 2) + 0.0) AS revenue,
+    SELECT (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))) / 10000.0 + 1e-6, 2) + 0.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2472,10 +2525,7 @@ def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (
-                F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + F.lit(1e-6), 2)
-                + F.lit(0.0)
-            ).alias("revenue"),
+            money(F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))), 10000).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -2539,7 +2589,7 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           (round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) + 0.0)
+           (round((sum(CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) / 10000.0 + 1e-6, 2) + 0.0)
              AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
@@ -2572,10 +2622,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            (
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-6), 2)
-                + F.lit(0.0)
-            ).alias("revenue"),
+            money(F.sum(cents(F.col("l_extendedprice")) * (F.lit(100) - cents(F.col("l_discount")))), 10000).alias("revenue"),
         )
         .orderBy("l_returnflag")
     )

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from sec_dl_spark.operators.relational import asof_join, sessionize
 from sec_dl_spark.plans.catalog import query, t
-from sec_dl_spark.plans.util import rz, rz6
+from sec_dl_spark.plans.util import cents, cents_sql, money, money_sql, rz, rz6
 from sec_dl_spark.session import pin
 
 
@@ -43,7 +43,7 @@ def _typed_spine(frame, type_col: str = "event_type", col: str = "dn"):
     "events_tumbling_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n, (round((sum(CAST(round((value) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total_value
     FROM events
     GROUP BY hour_start, event_type
     ORDER BY hour_start, event_type
@@ -55,7 +55,10 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(cents(F.col("value"))), 100).alias("total_value"),
+        )
         .orderBy("hour_start", "event_type")
     )
 
@@ -185,7 +188,7 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
              value
       FROM events)
     SELECT window_start, CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
+           (round((sum(CAST(round((value) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total_value
     FROM w GROUP BY window_start ORDER BY window_start
     """,
 )
@@ -197,7 +200,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum(cents(F.col("value"))), 100).alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
         .orderBy("window_start")
     )
@@ -256,7 +262,7 @@ def agg_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT event_type,
-             round(sum(value), 2) AS total,
+             (round((sum(CAST(round((value) * 100) AS BIGINT))) / 100.0 + 1e-6, 2) + 0.0) AS total,
              round(avg(value) + 1e-8, 4) AS mean,
              round(max(value), 2) AS peak
       FROM events GROUP BY event_type)
@@ -270,7 +276,7 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate columns unpivoted into (metric, value) rows."""
     e = t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
-        F.round(F.sum("value"), 2).alias("total"),
+        money(F.sum(cents(F.col("value"))), 100).alias("total"),
         F.round(F.avg("value") + 1e-8, 4).alias("mean"),
         F.round(F.max("value"), 2).alias("peak"),
     )

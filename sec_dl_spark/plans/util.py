@@ -37,3 +37,37 @@ def rz6(col):
 def rz6_sql(expr: str) -> str:
     """DuckDB twin of :func:`rz6`."""
     return rz_sql(expr, 6)
+
+
+def cents(col):
+    """Exact BIGINT hundredths of a 2-decimal column (money cents,
+    discount/tax percents). ``round`` first kills the double
+    representation error (104997.88 * 100 = 10499787.999...), and the
+    long cast of the then-integral double is exact. Negative values
+    (acctbal) round half-away-from-zero identically in both engines."""
+    return F.round(col * 100).cast("long")
+
+
+def cents_sql(expr: str) -> str:
+    """DuckDB twin of :func:`cents`."""
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+def money(sum_col, unit_scale: int, digits: int = 2):
+    """Integer-moment money output: ``sum_col`` is an exact BIGINT sum in
+    1/unit_scale-dollar units; ONE cast+divide at output, then the
+    nudged zero-normalized round. Use for any money aggregate whose
+    group sum GROWS with the data (global/nation/year/priority rollups):
+    a double sum at ≥1e8 dollars accumulates enough summation-order
+    error at sf1 to cross a cent boundary between engines
+    (join_q9_profit_by_nation read .59 vs .60 — the class this closes).
+    Per-entity sums with SF-constant group sizes (per order/customer/
+    supplier/session/window frame) don't need it: their error doesn't
+    grow. Headroom: unit terms ≤ ~1.1e9/row keep int64 safe past
+    sf1000 for cents·percent products."""
+    return rz(sum_col.cast("double") / F.lit(float(unit_scale)), digits, 1e-6)
+
+
+def money_sql(sum_expr: str, unit_scale: int, digits: int = 2) -> str:
+    """DuckDB twin of :func:`money` (identical divide + nudge)."""
+    return rz_sql(f"({sum_expr}) / {unit_scale}.0", digits, "1e-6")
