@@ -147,15 +147,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #
 # --- slice provenance (regenerated by `tools/rotation.py --write`;
 #     do not edit by hand — see NOTES.md for the round narrative) ---
-# Slice aimed at driver round r16 (catalog 363 queries): 14
+# Slice aimed at driver round r16 (catalog 363 queries): 35
 # impl/oracle-changed lead names (dq_join_key_skew,
 # agg_revenue_concentration, join_negative_sampling,
 # dq_sequence_gap_audit, layout_zonemap_pruning_audit,
 # corpus_shard_assign, text_vocab_coverage, corpus_shuffle_interleave,
 # text_heaps_law, emb_knn_outliers_ivf, events_equidepth_bins,
-# events_uplift_qini, events_user_gini, dq_kendall_tau_price); 2
-# never-driver-checked (emb_ivf_recall_audit, emb_hamming_recall_audit);
-# then 34 stale fills, oldest evidence first (rounds r7..r7).
+# events_uplift_qini, events_user_gini, dq_kendall_tau_price,
+# q1_pricing_summary, agg_rollup, join_star_3way, join_left_outer,
+# join_range, union_by_name, sample_systematic, scalar_math_case,
+# join_q5_region_revenue, join_q7_nation_volume, join_q19_or_predicates,
+# join_q22_idle_customers, sql_adhoc_q6, join_q17_small_qty_revenue,
+# agg_q6_forecast_revenue, join_bloom_prefilter, events_tumbling_hourly,
+# events_sliding_window, events_unpivot, join_q9_profit_by_nation,
+# join_skew_salted); 2 never-driver-checked (emb_ivf_recall_audit,
+# emb_hamming_recall_audit); then 13 stale fills, oldest evidence first
+# (rounds r7..r7).
 # --- end slice provenance ---
 # Queries NOT listed here keep module registration order after the
 # block.
@@ -174,42 +181,42 @@ _PRIORITY = (
     "events_uplift_qini",
     "events_user_gini",
     "dq_kendall_tau_price",
+    "q1_pricing_summary",
+    "agg_rollup",
+    "join_star_3way",
+    "join_left_outer",
+    "join_range",
+    "union_by_name",
+    "sample_systematic",
+    "scalar_math_case",
+    "join_q5_region_revenue",
+    "join_q7_nation_volume",
+    "join_q19_or_predicates",
+    "join_q22_idle_customers",
+    "sql_adhoc_q6",
+    "join_q17_small_qty_revenue",
+    "agg_q6_forecast_revenue",
+    "join_bloom_prefilter",
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_unpivot",
+    "join_q9_profit_by_nation",
+    "join_skew_salted",
     "emb_ivf_recall_audit",
     "emb_hamming_recall_audit",
-    "join_q7_nation_volume",
     "join_q12_ship_delay",
     "agg_q14_promo_share",
     "join_q16_supplier_cnt",
-    "join_q19_or_predicates",
-    "join_q22_idle_customers",
     "entity_match_trigram",
     "join_q13_order_count_dist",
     "join_q15_top_supplier",
-    "join_q17_small_qty_revenue",
     "join_q8_market_share",
     "window_first_last_nth",
-    "join_q9_profit_by_nation",
     "rollup_incremental_merge",
     "snapshot_diff_orders",
     "events_hourly_distinct_users",
     "cdc_latest_snapshot",
     "cdc_scd2_history",
-    "events_props_variant",
-    "cdc_temporal_join",
-    "corpus_dsir_weights",
-    "dedup_keep_best",
-    "corpus_split_assign",
-    "text_keywords_tfidf",
-    "emb_dim_stats",
-    "fts_headline",
-    "corpus_decontaminate",
-    "corpus_curriculum_order",
-    "corpus_temperature_mixture",
-    "text_zipf_slope",
-    "sample_top_hash",
-    "text_duplicate_ngram_fraction",
-    "text_gopher_rules",
-    "corpus_dedup_rate_by_source",
 )
 
 
