@@ -7565,20 +7565,34 @@ def events_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("y0").isNotNull())
     )
     y = [F.col(f"y{k}") for k in range(30)]
-    # named intermediates per step (the hilbert_key convention):
-    # inlining l/b trees doubles the expression size per step and OOMs
-    # the analyzer by t=22; chained withColumn keeps it linear
-    p = p.withColumn("l0", y[0].cast("double")).withColumn(
-        "b0", (y[1] - y[0]).cast("double")
-    )
-    for tt in range(1, 23):
-        lp, bp = F.col(f"l{tt - 1}"), F.col(f"b{tt - 1}")
-        p = p.withColumn(f"l{tt}", F.lit(0.5) * y[tt] + F.lit(0.5) * (lp + bp))
-        p = p.withColumn(
-            f"b{tt}",
-            F.lit(0.25) * (F.col(f"l{tt}") - lp) + F.lit(0.75) * bp,
+    # The recursion runs as ONE constant-size aggregate fold over the
+    # array of observations instead of 45 chained withColumns: the chain
+    # form re-analyzed a growing plan per step (r16 isolation profile:
+    # 1.9 s of the query's 2.9 s was plan construction, zero pins), while
+    # a lambda fold is a single expression the analyzer sees once. The
+    # arithmetic is IDENTICAL per step — 0.5*y_t + 0.5*(l+b), then
+    # 0.25*(l_new − l) + 0.75*b with l_new's subtree repeated verbatim
+    # (IEEE ops are deterministic, so re-evaluating the same expression
+    # yields the same double; byte-exact re-certified at 3 SFs).
+    def _holt_step(acc, yv):
+        l_new = F.lit(0.5) * yv + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]).alias("b"),
         )
-    l22, b22 = F.col("l22"), F.col("b22")
+
+    p = p.withColumn(
+        "_hrec",
+        F.aggregate(
+            F.array(*[y[tt] for tt in range(1, 23)]),
+            F.struct(
+                y[0].cast("double").alias("l"),
+                (y[1] - y[0]).cast("double").alias("b"),
+            ),
+            _holt_step,
+        ),
+    )
+    l22, b22 = F.col("_hrec.l"), F.col("_hrec.b")
     fc = {h: l22 + F.lit(float(h)) * b22 for h in range(1, 8)}
     err = {h: F.abs(y[22 + h].cast("double") - fc[h]) for h in range(1, 8)}
     sn = {

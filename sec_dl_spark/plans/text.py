@@ -3341,7 +3341,11 @@ def emb_hamming_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist-sized (≤ 50·|queries| rows) rerank join against the float
     vectors, and bounded windows per (m, query). The exact baseline is
     |queries|×N like every recall measurement; queries bounded to 100 by
-    the emb_knn_distance_outliers convention."""
+    the emb_knn_distance_outliers convention. (An r16 experiment merged
+    the two pair passes into one scan computing both distances behind a
+    pin — measured FLAT at sf0.1 and it materializes the |queries|×N
+    pair frame, which the two-pass shape never does; rejected on the
+    scale contract.)"""
     e0 = spread(t(spark, sf_dir, "embeddings"))
     qf = e0.where(F.col("vec_id") < 100)
     # one hamming scan -> top-50 shortlist WITH hamming rank attached
@@ -4650,9 +4654,12 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the audit needs the exact baseline, so its cost is
     |queries| × N like every recall measurement (queries bounded to 100
     by the same convention as emb_knn_distance_outliers); the SERVED
-    path it audits scans only probed cells. One candidate join, one
-    two-phase top-k over (n_probe, query) frames, integer overlap
-    counts; the final five-row table aggregates in-plan."""
+    path it audits scans only probed cells. One candidate join pinned
+    once; the candidate sets are NESTED in n_probe, so leveled top-5
+    membership comes from five running counts in one shared-order
+    two-phase window pass (no per-level explode), and candidate shares
+    from a five-column map-side fold; integer overlap counts; the final
+    five-row table aggregates in-plan."""
     e0 = spread(t(spark, sf_dir, "embeddings"))
     e = similarity.with_vec_norm(
         e0.select(
@@ -4704,16 +4711,116 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    lvl = scored.select(
-        "*", F.explode(F.array(*[F.lit(p) for p in (1, 2, 4, 8, 16)])).alias("n_probe")
-    ).where(F.col("probe_rank") <= F.col("n_probe"))
-    # two-phase top-5 per (n_probe, query) — per_query_topk with the
-    # composite key (total order: sim desc, neighbor id)
+    # Leveled top-5 WITHOUT the explode (r16 optimization): the five
+    # candidate sets are NESTED in n_probe, so instead of replicating
+    # every scored pair once per containing level (~2x pair blowup) and
+    # running per_query_topk over the exploded frame, rank ONCE in the
+    # shared total order (sim desc, neighbor_id) and carry five running
+    # membership counts in a single window pass — a pair is in level m's
+    # top-5 iff probe_rank <= m and its running count of level-m rows
+    # (itself included) is <= 5, which is exactly row_number within the
+    # level. Two-phase for the same reason as per_query_topk: a global
+    # top-5 row of level m is necessarily in its chunk's level-m top-5,
+    # so phase 1 prunes per (query, input-chunk) to <= 25 survivors and
+    # phase 2 recounts over survivors only (the global top-5 all
+    # survive, so survivor-counts equal global ranks on exactly the
+    # winning rows). scored feeds both this and the candidate-share
+    # fold, so it is pinned ONCE — the old shape recomputed the whole
+    # candidate join for the cand branch (isolation profile: 4.2 s, half
+    # of it that recompute).
+    levels = (1, 2, 4, 8, 16)
     order = [F.col("sim").desc(), F.col("neighbor_id")]
-    t5 = pin(
-        similarity.per_query_topk(
-            lvl, order, 5, rank_col="rk", partition_cols=("n_probe", "query_id")
-        ).select("n_probe", "query_id", "neighbor_id")
+    member = {m: F.col("probe_rank") <= m for m in levels}
+
+    # Phase 1 runs TWO window frames over the same (query, input-chunk)
+    # partitioning in one pass: the running membership counts (_c*) that
+    # drive the top-5 prune, and the whole-partition membership totals
+    # (_t*) that the candidate-share readout needs. Each chunk's first
+    # row in the shared order is its REPRESENTATIVE (_c16 == 1 — level
+    # 16 contains every pair, so the first row always counts itself); it
+    # always survives the prune and carries the chunk totals out, so the
+    # per-query candidate counts are the sum of representative totals —
+    # ONE pass over the pair frame, nothing pair-sized materialized or
+    # recomputed (the pre-r16 shape ran the candidate join twice and
+    # pushed a ~2x exploded frame through a composite-key top-k).
+    w1 = (
+        Window.partitionBy("query_id", "_chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w1_tot = Window.partitionBy("query_id", "_chunk")
+    keep1 = None
+    for m in levels:
+        cond = member[m] & (F.col(f"_c{m}") <= 5)
+        keep1 = cond if keep1 is None else (keep1 | cond)
+    pruned = (
+        scored.withColumn("_chunk", F.spark_partition_id())
+        .select(
+            "*",
+            *[
+                F.sum(F.when(member[m], 1).otherwise(0))
+                .over(w1)
+                .alias(f"_c{m}")
+                for m in levels
+            ],
+            *[
+                F.sum(F.when(member[m], 1).otherwise(0))
+                .over(w1_tot)
+                .cast("long")
+                .alias(f"_t{m}")
+                for m in levels
+            ],
+        )
+        .where(keep1)
+        .drop("_chunk")
+    )
+    pruned = pin(pruned)
+    cand = (
+        pruned.where(F.col("_c16") == 1)
+        .groupBy("query_id")
+        .agg(*[F.sum(f"_t{m}").alias(f"n{m}") for m in levels])
+        .select(
+            "query_id",
+            F.expr(
+                "stack(5, "
+                + ", ".join(f"{m}, n{m}" for m in levels)
+                + ") as (n_probe, n_cand)"
+            ),
+        )
+    )
+    # Phase 2 recounts over survivors only: the global top-5 of every
+    # level all survive phase 1 (a global top-5 row is its chunk's
+    # top-5 too), so survivor running counts equal global level ranks on
+    # exactly the winning rows and are ≥ 6 on every other survivor.
+    w2 = (
+        Window.partitionBy("query_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    final = pruned.select(
+        "query_id",
+        "neighbor_id",
+        "probe_rank",
+        "sim",
+        *[
+            F.sum(F.when(member[m], 1).otherwise(0)).over(w2).alias(f"_g{m}")
+            for m in levels
+        ],
+    )
+    t5 = final.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(member[m] & (F.col(f"_g{m}") <= 5), F.lit(m))
+                        for m in levels
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("n_probe"),
     )
     exact5 = t5.where(F.col("n_probe") == 16).select("query_id", "neighbor_id")
     # every frame below is ≤ levels × |queries| × k rows — broadcast the
@@ -4722,9 +4829,6 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t5.join(F.broadcast(exact5), ["query_id", "neighbor_id"])
         .groupBy("n_probe", "query_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    cand = lvl.groupBy("n_probe", "query_id").agg(
-        F.count(F.lit(1)).alias("n_cand")
     )
     grid = _recall_level_grid(spark, q, (1, 2, 4, 8, 16), "n_probe")
     per_q = (
