@@ -75,6 +75,141 @@ def per_query_topk(
     )
 
 
+def nested_level_topk(
+    scored: DataFrame,
+    levels: tuple,
+    rank_col: str,
+    order: list,
+    k: int,
+    partition_cols: tuple = ("query_id",),
+    level_out: str = "level",
+    with_totals: bool = False,
+):
+    """Per-partition top-k membership for NESTED candidate levels — the
+    shared-frame form of ``explode(levels) + per_query_topk`` when the
+    level-m candidate set is exactly ``rank_col <= m`` (so the sets are
+    nested in m and the last level contains EVERY row; callers must
+    guarantee ``rank_col <= levels[-1]``, e.g. a probe ranking bounded by
+    the level grid).
+
+    Instead of replicating each row once per containing level and ranking
+    the exploded frame, this ranks ONCE in the shared total ``order`` and
+    carries ``len(levels)`` running membership counts in a single window
+    pass: a row is in level m's top-k iff member and its running count of
+    level-m rows (itself included) is <= k — which is exactly row_number
+    within the level. Two-phase like :func:`per_query_topk` (a global
+    top-k row of level m is necessarily in its input-chunk's level-m
+    top-k, so phase 1 prunes per (partition, chunk) to <= k·|levels|
+    survivors and phase 2 recounts over survivors only — the global
+    winners all survive, so survivor counts equal global level ranks on
+    exactly the winning rows and exceed k on every other survivor);
+    chunking-invariant for the same total-order reason, pytest-pinned.
+
+    Returns ``(membership, totals)``: membership is ``scored``'s columns
+    plus ``level_out`` — one row per (row, containing level whose top-k
+    includes it). With ``with_totals=True``, totals is
+    ``(partition_cols..., level_out, n_total)`` — the per-partition
+    member count of each level, carried out of the SAME phase-1 pass by
+    chunk-representative rows (the first row of each chunk in ``order``
+    counts itself in the all-containing last level, so its running count
+    is 1 and it always survives the prune) — the caller gets level
+    cardinalities without a second pass over the pair frame. The pruned
+    frame is pinned once (eager; bounded at <= (k·|levels|+1) rows per
+    (partition, chunk)) because membership and totals both read it."""
+    from sec_dl_spark.session import pin
+
+    member = {m: F.col(rank_col) <= m for m in levels}
+    src_cols = scored.columns
+    w1 = (
+        Window.partitionBy(*partition_cols, "_chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w1_tot = Window.partitionBy(*partition_cols, "_chunk")
+    keep1 = None
+    for m in levels:
+        cond = member[m] & (F.col(f"_c{m}") <= k)
+        keep1 = cond if keep1 is None else (keep1 | cond)
+    pruned = pin(
+        scored.withColumn("_chunk", F.spark_partition_id())
+        .select(
+            "*",
+            *[
+                F.sum(F.when(member[m], 1).otherwise(0))
+                .over(w1)
+                .alias(f"_c{m}")
+                for m in levels
+            ],
+            *(
+                [
+                    F.sum(F.when(member[m], 1).otherwise(0))
+                    .over(w1_tot)
+                    .cast("long")
+                    .alias(f"_t{m}")
+                    for m in levels
+                ]
+                if with_totals
+                else []
+            ),
+        )
+        .where(keep1)
+        .drop("_chunk")
+    )
+    w2 = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    membership = (
+        pruned.select(
+            *src_cols,
+            *[
+                F.sum(F.when(member[m], 1).otherwise(0))
+                .over(w2)
+                .alias(f"_g{m}")
+                for m in levels
+            ],
+        )
+        .select(
+            *src_cols,
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(member[m] & (F.col(f"_g{m}") <= k), F.lit(m))
+                            for m in levels
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias(level_out),
+        )
+    )
+    if not with_totals:
+        return membership, None
+    totals = (
+        pruned.where(F.col(f"_c{levels[-1]}") == 1)
+        .groupBy(*partition_cols)
+        .agg(*[F.sum(f"_t{m}").alias(f"_n{m}") for m in levels])
+        .select(
+            *partition_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias(level_out),
+                            F.col(f"_n{m}").cast("long").alias("n_total"),
+                        )
+                        for m in levels
+                    ]
+                )
+            ).alias("_lt"),
+        )
+        .select(*partition_cols, "_lt.*")
+    )
+    return membership, totals
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

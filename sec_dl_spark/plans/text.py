@@ -4712,116 +4712,23 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Leveled top-5 WITHOUT the explode (r16 optimization): the five
-    # candidate sets are NESTED in n_probe, so instead of replicating
-    # every scored pair once per containing level (~2x pair blowup) and
-    # running per_query_topk over the exploded frame, rank ONCE in the
-    # shared total order (sim desc, neighbor_id) and carry five running
-    # membership counts in a single window pass — a pair is in level m's
-    # top-5 iff probe_rank <= m and its running count of level-m rows
-    # (itself included) is <= 5, which is exactly row_number within the
-    # level. Two-phase for the same reason as per_query_topk: a global
-    # top-5 row of level m is necessarily in its chunk's level-m top-5,
-    # so phase 1 prunes per (query, input-chunk) to <= 25 survivors and
-    # phase 2 recounts over survivors only (the global top-5 all
-    # survive, so survivor-counts equal global ranks on exactly the
-    # winning rows). scored feeds both this and the candidate-share
-    # fold, so it is pinned ONCE — the old shape recomputed the whole
-    # candidate join for the cand branch (isolation profile: 4.2 s, half
-    # of it that recompute).
+    # candidate sets are NESTED in n_probe (level m = probe_rank <= m, and
+    # every pair has probe_rank <= 16), so membership in each level's
+    # top-5 and the per-query candidate counts both come out of ONE
+    # two-phase window pass over the un-replicated pair frame
+    # (operators/similarity.py:nested_level_topk — chunking-invariance
+    # pytest-pinned). The pre-r16 shape replicated every pair ~2x through
+    # a composite-key per_query_topk AND recomputed the whole candidate
+    # join for the share branch (isolation profile: 4.2 s, half of it
+    # that recompute).
     levels = (1, 2, 4, 8, 16)
     order = [F.col("sim").desc(), F.col("neighbor_id")]
-    member = {m: F.col("probe_rank") <= m for m in levels}
-
-    # Phase 1 runs TWO window frames over the same (query, input-chunk)
-    # partitioning in one pass: the running membership counts (_c*) that
-    # drive the top-5 prune, and the whole-partition membership totals
-    # (_t*) that the candidate-share readout needs. Each chunk's first
-    # row in the shared order is its REPRESENTATIVE (_c16 == 1 — level
-    # 16 contains every pair, so the first row always counts itself); it
-    # always survives the prune and carries the chunk totals out, so the
-    # per-query candidate counts are the sum of representative totals —
-    # ONE pass over the pair frame, nothing pair-sized materialized or
-    # recomputed (the pre-r16 shape ran the candidate join twice and
-    # pushed a ~2x exploded frame through a composite-key top-k).
-    w1 = (
-        Window.partitionBy("query_id", "_chunk")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    t5m, cand = similarity.nested_level_topk(
+        scored, levels, "probe_rank", order, 5,
+        partition_cols=("query_id",), level_out="n_probe", with_totals=True,
     )
-    w1_tot = Window.partitionBy("query_id", "_chunk")
-    keep1 = None
-    for m in levels:
-        cond = member[m] & (F.col(f"_c{m}") <= 5)
-        keep1 = cond if keep1 is None else (keep1 | cond)
-    pruned = (
-        scored.withColumn("_chunk", F.spark_partition_id())
-        .select(
-            "*",
-            *[
-                F.sum(F.when(member[m], 1).otherwise(0))
-                .over(w1)
-                .alias(f"_c{m}")
-                for m in levels
-            ],
-            *[
-                F.sum(F.when(member[m], 1).otherwise(0))
-                .over(w1_tot)
-                .cast("long")
-                .alias(f"_t{m}")
-                for m in levels
-            ],
-        )
-        .where(keep1)
-        .drop("_chunk")
-    )
-    pruned = pin(pruned)
-    cand = (
-        pruned.where(F.col("_c16") == 1)
-        .groupBy("query_id")
-        .agg(*[F.sum(f"_t{m}").alias(f"n{m}") for m in levels])
-        .select(
-            "query_id",
-            F.expr(
-                "stack(5, "
-                + ", ".join(f"{m}, n{m}" for m in levels)
-                + ") as (n_probe, n_cand)"
-            ),
-        )
-    )
-    # Phase 2 recounts over survivors only: the global top-5 of every
-    # level all survive phase 1 (a global top-5 row is its chunk's
-    # top-5 too), so survivor running counts equal global level ranks on
-    # exactly the winning rows and are ≥ 6 on every other survivor.
-    w2 = (
-        Window.partitionBy("query_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    final = pruned.select(
-        "query_id",
-        "neighbor_id",
-        "probe_rank",
-        "sim",
-        *[
-            F.sum(F.when(member[m], 1).otherwise(0)).over(w2).alias(f"_g{m}")
-            for m in levels
-        ],
-    )
-    t5 = final.select(
-        "query_id",
-        "neighbor_id",
-        F.explode(
-            F.filter(
-                F.array(
-                    *[
-                        F.when(member[m] & (F.col(f"_g{m}") <= 5), F.lit(m))
-                        for m in levels
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ).alias("n_probe"),
-    )
+    t5 = t5m.select("query_id", "neighbor_id", "n_probe")
+    cand = cand.withColumnRenamed("n_total", "n_cand")
     exact5 = t5.where(F.col("n_probe") == 16).select("query_id", "neighbor_id")
     # every frame below is ≤ levels × |queries| × k rows — broadcast the
     # probe sides so the bookkeeping joins never sort-merge

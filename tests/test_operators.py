@@ -2754,3 +2754,63 @@ def test_per_query_topk_composite_key_matches_global_window(spark):
         # with the composite key each (lvl, query) group yields exactly 5
         if part_cols == ("lvl", "query_id"):
             assert len(got) == 3 * 7 * 5
+
+def test_nested_level_topk_matches_exploded_topk_any_chunking(spark):
+    """nested_level_topk (the IVF recall audit's shared-frame leveled
+    ranking) must equal the naive explode-levels + per-level global
+    window for ANY input partitioning, and its phase-1 chunk-
+    representative totals must equal the true per-(partition, level)
+    member counts. Scores are drawn with heavy ties so the neighbor_id
+    tiebreak is load-bearing, and rank values cover the full last level
+    (the operator's rank_col <= levels[-1] precondition)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sec_dl_spark.operators.similarity import nested_level_topk
+
+    rng = random.Random(11)
+    levels = (1, 2, 4, 8)
+    rows = [
+        (q, n, rng.randrange(1, 9), float(rng.randrange(5)))
+        for q in range(6)
+        for n in range(60)
+    ]
+    order = [F.col("score").desc(), F.col("neighbor_id")]
+    base = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rnk int, score double"
+    )
+    expected_rows = None
+    expected_tot = {
+        (q, m): sum(1 for qq, _, r, _ in rows if qq == q and r <= m)
+        for q in range(6)
+        for m in levels
+    }
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        got, tot = nested_level_topk(
+            df, levels, "rnk", order, 3, ("query_id",), "lvl", with_totals=True
+        )
+        got_rows = sorted(
+            (r["query_id"], r["lvl"], r["neighbor_id"]) for r in got.collect()
+        )
+        # naive: explode each level's member set, one global window per key
+        exploded = df.select(
+            "*",
+            F.explode(F.array(*[F.lit(m) for m in levels])).alias("lvl"),
+        ).where(F.col("rnk") <= F.col("lvl"))
+        w = Window.partitionBy("lvl", "query_id").orderBy(*order)
+        exp_rows = sorted(
+            (r["query_id"], r["lvl"], r["neighbor_id"])
+            for r in exploded.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .collect()
+        )
+        assert got_rows == exp_rows, parts
+        if expected_rows is None:
+            expected_rows = got_rows
+        else:  # chunking-invariant across partitionings
+            assert got_rows == expected_rows, parts
+        got_tot = {(r["query_id"], r["lvl"]): r["n_total"] for r in tot.collect()}
+        assert got_tot == expected_tot, parts
