@@ -43,8 +43,11 @@ def per_query_topk(
     """Two-phase per-query top-k over a (query_id, ...) scored frame.
 
     ``partition_cols`` generalizes the per-query key to composite grains
-    (e.g. the IVF recall audit's (n_probe, query_id) leveled top-5) so
-    leveled call sites reuse this audited shape instead of copying it.
+    so composite-key call sites reuse this audited shape instead of
+    copying it (the IVF recall audit used (n_probe, query_id) here until
+    r16 moved it to :func:`nested_level_topk`, which exploits the levels
+    being NESTED; the composite path stays pinned by
+    ``test_per_query_topk_composite_key_matches_global_window``).
 
     A single ``Window.partitionBy("query_id")`` makes each window
     partition as large as that query's scored set — for a full-corpus

@@ -1,8 +1,10 @@
 """Isolation profiler for headline queries (guide §1: measure first).
 
 For each named query: split the bench's timed region (`spark_fn(...).collect()`)
-into PLAN time (Python build + first analysis via schema access) and EXEC time
-(collect), across reps, and optionally dump `.explain("formatted")` to a file.
+into PLAN time (Python build + logical analysis, forced by an explicit
+`df.schema` touch so the split holds even on lazy-analysis sessions, plus any
+eager pins the query runs at build) and EXEC time (collect), across reps, and
+optionally dump `.explain("formatted")` to a file.
 
 Usage:
     python tools/isolate_profile.py [--sf DIR] [--reps N] [--plans-dir DIR] names...
@@ -34,16 +36,12 @@ def main() -> None:
     from sec_dl_spark.plans.catalog import load_all
     from sec_dl_spark.session import get_spark
 
+    from bench import warmup_suite
+
     spark = get_spark("isolate_profile")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
-    # same warmup as bench.py
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    specs["fts_search_and"].spark_fn(spark, "/root/testdata/sf0.001").collect()
-    from sec_dl_spark.plans.text import fts_index, tok_docs
-
-    fts_index(spark, args.sf)[1].df.count()
-    tok_docs(spark, args.sf).count()
+    warmup_suite(spark, specs, args.sf)
 
     print(f"{'query':42s} {'plan_s':>8s} {'exec_s':>8s} {'total_s':>8s}")
     for name in args.names:
@@ -51,6 +49,7 @@ def main() -> None:
         for _ in range(args.reps):
             t0 = time.perf_counter()
             df = specs[name].spark_fn(spark, args.sf)
+            df.schema  # force analysis inside plan_s, session-mode-independent
             t1 = time.perf_counter()
             df.collect()
             t2 = time.perf_counter()
