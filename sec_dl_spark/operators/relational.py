@@ -654,8 +654,26 @@ def bloom_might_contain(bloom: BloomFilter, key) -> "F.Column":
     No false negatives (every built key passes), tunable false positives
     (removed by the exact join that follows in bloom_prefilter_join). The
     word array is a literal, so the whole test is one codegen expression.
+
+    The literal is built server-side in ONE ``F.expr`` parse:
+    ``F.lit(list)`` expands to one py4j ``lit`` round-trip per element plus
+    a 2048-argument ``array`` call, which measured 2-5 s of pure driver
+    Python per call at the default m_bits (r17 isolation: the whole
+    join_bloom_prefilter timed region was ~3.4 s, most of it this one
+    expression build). A single SQL string parses in milliseconds and
+    folds to the identical array literal.
     """
-    words = F.lit(list(bloom.words))
+    min_long = -(1 << 63)
+    words = F.expr(
+        "array("
+        + ",".join(
+            # -2^63 cannot be written as a bare negative literal (the
+            # parser reads it as unary minus over an overflowing positive)
+            f"{w}L" if w != min_long else "(-9223372036854775807L - 1L)"
+            for w in bloom.words
+        )
+        + ")"
+    )
     conds = []
     for pos in _bloom_positions(key, bloom.m_bits, bloom.k_hashes):
         word = F.element_at(words, F.floor(pos / 64).cast("int") + 1)
